@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps operator names (SURVEY.md §2 inventory) to DataFrame
+  * builders over the `sfDir` parquet tables; `oracleSql` holds the equivalent
+  * DuckDB SQL for the hash-compare gate. Queries without an oracle entry are
+  * model-dependent (LSH/MinHash) and are pinned by ScalaTest golden/property
+  * tests instead.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    KnnExact.topK(spark, "/root/testdata/sf0.001", queryMaxId = 1, k = 10)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
+    "q20_knn_exact" -> ((s, dir) => KnnExact.topK(s, dir)),
+    "q21_knn_cosine" -> ((s, dir) => KnnExact.topKCosine(s, dir)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> Relational.pricingSummaryOracle,
+    "q20_knn_exact" -> KnnExact.oracle(),
+    "q21_knn_cosine" -> KnnExact.oracleCosine(),
+  )
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Exact (brute-force) k-nearest-neighbor search — the correctness baseline
+  * the reference's approximate two-phase search is measured against
+  * (SURVEY.md §2.A A10: recall@k of LSH vs brute force).
+  *
+  * Shape: a small query set Q is broadcast against the full embedding table;
+  * distance is a codegen-friendly higher-order expression; per-query top-k is
+  * the window row_number pattern with deterministic (dist, id) tie-break.
+  *
+  * Scale notes (100 TB): the broadcast-nested-loop side is O(|Q|·N) — correct
+  * only for small |Q|. Large |Q| goes through the LSH path (Knn.scala), which
+  * turns the cross product into an equi-join on hash buckets.
+  */
+object KnnExact {
+
+  /** Top-k L2 neighbors for each query vector, self excluded.
+    * Output: (query_id, neighbor_id, rank, dist4).
+    */
+  def topK(spark: SparkSession, sfDir: String, queryMaxId: Long = 8, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb
+      .filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorOps.l2(col("qv"), col("embedding")).as("dist"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("dist"), 4).as("dist4"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def oracle(queryMaxId: Long = 8, k: Int = 10): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < $queryMaxId
+       |), d AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         list_distance(CAST(e.embedding AS DOUBLE[]), q.qv) AS dist
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id <> q.query_id
+       |)
+       |SELECT query_id, neighbor_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rank,
+       |       round(dist, 4) AS dist4
+       |FROM d
+       |QUALIFY rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Top-k cosine-similarity neighbors (embeddings are unit-norm, so the rank
+    * order matches L2, but the expression path — dot/norm — differs).
+    */
+  def topKCosine(spark: SparkSession, sfDir: String, queryMaxId: Long = 4, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb
+      .filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorOps.cosine(col("qv"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def oracleCosine(queryMaxId: Long = 4, k: Int = 10): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < $queryMaxId
+       |), d AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id <> q.query_id
+       |)
+       |SELECT query_id, neighbor_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+       |FROM d
+       |QUALIFY rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+}
