@@ -14,15 +14,22 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's raison d'être: two-phase LSH kNN for one stored vector
+    * (SURVEY.md §2.A A7 / §3.3).
+    */
   def entry(spark: SparkSession): DataFrame =
-    KnnExact.topK(spark, "/root/testdata/sf0.001", queryMaxId = 1, k = 10)
+    Knn.lshTopK(spark, "/root/testdata/sf0.001", queryMaxId = 1, k1 = 100, k2 = 10)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "q20_knn_exact" -> ((s, dir) => KnnExact.topK(s, dir)),
     "q21_knn_cosine" -> ((s, dir) => KnnExact.topKCosine(s, dir)),
+    // Model-dependent LSH ops: no SQL oracle (driver records rows-only);
+    // pinned by LshSpec/KnnSpec golden + recall tests instead.
+    "q22_lsh_hash" -> ((s, dir) => Lsh.hashQuery(s, dir)),
+    "q23_lsh_knn" -> ((s, dir) => Knn.lshTopK(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Two-phase approximate kNN — the reference's flagship search
+  * (SURVEY.md §2.A A5–A7, `[PUBREPO AknnRestAction.handleSearchRequest,
+  * conf=HIGH]`):
+  *
+  * Phase 1 (candidates): score every indexed vector by the number of hash
+  * tables in which it collides with the query ("collision count" — ES scores
+  * a bool-should of term clauses); keep top-k1 per query.
+  * Phase 2 (re-rank): exact Euclidean distance on the k1 candidates, keep
+  * top-k2. Self-matches are EXCLUDED (documented contract choice, SURVEY A7).
+  *
+  * Spark shape: explode both sides to (table, hash) posting lists → equi-join
+  * → count → window top-k1 → join back for vectors → distance → window
+  * top-k2. This is the collision-counting LSH similarity join (PAPERS.md
+  * C2Net) expressed with stock relational operators so Catalyst handles
+  * pushdown and join selection.
+  *
+  * Scale notes (100 TB): the candidate join is an equi-join on (tbl, hash) —
+  * shuffle-partitionable, no cross product anywhere. The query side is tiny
+  * and broadcast. Skewed buckets (a hash value holding a large fraction of
+  * rows) are the known risk; mitigation at scale is capping bucket size or
+  * salting the heavy hashes (SURVEY §7); at gate scale AQE handles it.
+  */
+object Knn {
+
+  /** Full two-phase search for all query ids < queryMaxId.
+    * Output: (query_id, neighbor_id, rank, collisions, dist4).
+    *
+    * Default (tables=32, bits=3) is tuned for the gate fixtures (500–2000
+    * random 64-d vectors): recall@10 = 0.71 vs exact kNN at k1=100, measured
+    * by tools/RecallSweep. Random vectors are a worst case for LSH — real
+    * embedding corpora cluster and recall rises sharply. At scale, bits
+    * should grow ~log2(N / targetBucketSize) so hash buckets stay bounded;
+    * tables trades index size for recall.
+    */
+  def lshTopK(
+      spark: SparkSession,
+      sfDir: String,
+      queryMaxId: Long = 8,
+      k1: Int = 100,
+      k2: Int = 10,
+      tables: Int = 32,
+      bits: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = Lsh.fit(emb, tables, bits)
+    val hashed = Lsh.withHashes(spark, emb, model)
+    val queries = hashed.filter(col("vec_id") < queryMaxId)
+    lshSearch(spark, hashed, queries, k1, k2)
+  }
+
+  /** A7: search by stored id — the query side is a filter on the indexed
+    * table itself (precomputed hashes, no re-hash), then A5→A6.
+    */
+  def lshSearch(
+      spark: SparkSession,
+      hashed: DataFrame,
+      queries: DataFrame,
+      k1: Int,
+      k2: Int): DataFrame = {
+    // Posting lists: (id, tbl, hash) both sides; query side is small → broadcast.
+    val posts = Lsh.explodeHashes(hashed)
+    val qposts = Lsh.explodeHashes(
+      queries.select(col("vec_id").as("query_id"), col("hashes")), "query_id")
+
+    // A5: collision counting — equi-join on (tbl, hash), count per pair.
+    val collisions = posts
+      .join(broadcast(qposts), Seq("tbl", "hash"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(count(lit(1)).as("collisions"))
+
+    val wK1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("collisions").desc, col("vec_id").asc)
+    val k1set = collisions
+      .withColumn("r1", row_number().over(wK1))
+      .filter(col("r1") <= k1)
+      .drop("r1")
+
+    // A6: exact re-rank of the k1 candidates.
+    val vecs = hashed.select(col("vec_id"), col("embedding"))
+    val qvecs = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val rescored = k1set
+      .join(vecs, "vec_id")
+      .join(broadcast(qvecs), "query_id")
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"), col("collisions"),
+        VectorOps.l2(col("qv"), col("embedding")).as("dist"))
+    val wK2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    rescored
+      .withColumn("rank", row_number().over(wK2))
+      .filter(col("rank") <= k2)
+      .select(
+        col("query_id"), col("neighbor_id"), col("rank"),
+        col("collisions"), round(col("dist"), 4).as("dist4"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Random-hyperplane LSH over dense float vectors — the reference engine's
+  * core model (SURVEY.md §2.A A1/A2, `[PUBREPO LshModel.java, conf=HIGH]`).
+  *
+  * Fit: from a deterministic sample of 2·tables·bits vectors, build
+  * tables×bits hyperplanes; hyperplane (t,b) is defined by the *pair* of
+  * sampled vectors (a, b): midpoint (a+b)/2 and normal (b−a). This is the
+  * reference's data-adaptive variant of random-projection LSH — hyperplanes
+  * bisect pairs of real data points rather than passing through the origin.
+  *
+  * Hash: for table t, bit b is `dot(v − midpoint[t][b], normal[t][b]) ≥ 0`;
+  * bits pack into one Long per table ⇒ `array<bigint>` of length `tables`.
+  *
+  * MLlib's `BucketedRandomProjectionLSH` does NOT reproduce these semantics
+  * (Gaussian projections + bucket width), so the fit/hash is implemented
+  * directly; it is ~80 lines of pure Scala and the hot path is an
+  * executor-side loop over a broadcast model.
+  *
+  * Scale notes (100 TB): the model is O(tables·bits·dim) floats (a few MB at
+  * most) — always broadcast. Fitting collects only the sample (2·T·B rows) to
+  * the driver. Hashing is a narrow map over the data — no shuffle — and
+  * parallelizes across executors, fixing the reference's documented
+  * single-coordinating-node hashing bottleneck (SURVEY.md §4.1).
+  */
+object Lsh {
+
+  case class LshModel(
+      tables: Int,
+      bits: Int,
+      dim: Int,
+      midpoints: Array[Array[Float]], // (tables*bits) x dim
+      normals: Array[Array[Float]]) { // (tables*bits) x dim
+
+    /** One packed hash per table: bit b set iff v lies on the positive side
+      * of hyperplane (t,b).
+      */
+    def hashVector(v: Array[Float]): Array[Long] = {
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var h = 0L
+        var b = 0
+        while (b < bits) {
+          val plane = t * bits + b
+          val mid = midpoints(plane)
+          val nrm = normals(plane)
+          var dot = 0.0
+          var i = 0
+          while (i < dim) {
+            dot += (v(i) - mid(i)).toDouble * nrm(i).toDouble
+            i += 1
+          }
+          if (dot >= 0.0) h |= (1L << b)
+          b += 1
+        }
+        out(t) = h
+        t += 1
+      }
+      out
+    }
+  }
+
+  /** Deterministic fit: sample = first 2·tables·bits vectors by id order
+    * (never partition order, never unseeded `sample` — SURVEY.md §7 risk
+    * list). Hyperplane i comes from sample pair (2i, 2i+1).
+    */
+  def fit(
+      embeddings: DataFrame,
+      tables: Int = 16,
+      bits: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): LshModel = {
+    val need = 2 * tables * bits
+    val rows = embeddings
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol))
+      .limit(need)
+      .collect()
+    require(rows.length >= need, s"LSH fit needs $need sample vectors, got ${rows.length}")
+    val sample = rows.map(_.getSeq[Float](1).toArray)
+    val dim = sample(0).length
+    val planes = tables * bits
+    val midpoints = new Array[Array[Float]](planes)
+    val normals = new Array[Array[Float]](planes)
+    var p = 0
+    while (p < planes) {
+      val a = sample(2 * p)
+      val b = sample(2 * p + 1)
+      val mid = new Array[Float](dim)
+      val nrm = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        mid(i) = (a(i) + b(i)) / 2.0f
+        nrm(i) = b(i) - a(i)
+        i += 1
+      }
+      midpoints(p) = mid
+      normals(p) = nrm
+      p += 1
+    }
+    LshModel(tables, bits, dim, midpoints, normals)
+  }
+
+  /** Hash UDF over a broadcast model. v1 UDF per SURVEY §4.3 — swap for a
+    * codegen Expression only if bench shows boxing dominating.
+    */
+  def hashUdf(bc: Broadcast[LshModel]): UserDefinedFunction =
+    udf((v: Seq[Float]) => bc.value.hashVector(v.toArray))
+
+  /** embeddings + `hashes` column (array<bigint>, one entry per table). */
+  def withHashes(
+      spark: SparkSession,
+      df: DataFrame,
+      model: LshModel,
+      vecCol: String = "embedding"): DataFrame = {
+    val bc = spark.sparkContext.broadcast(model)
+    df.withColumn("hashes", hashUdf(bc)(col(vecCol)))
+  }
+
+  /** The hash table exploded to (id, table, hash) — the posting-list view the
+    * collision-count join runs on (ES inverted-index analog, SURVEY §1.1).
+    */
+  def explodeHashes(hashed: DataFrame, idCol: String = "vec_id"): DataFrame =
+    hashed.select(col(idCol), posexplode(col("hashes")).as(Seq("tbl", "hash")))
+
+  /** Gate query (no oracle — model-dependent; pinned by ScalaTest golden +
+    * recall tests): per-vector packed hashes, exploded for a stable schema.
+    * Output: (vec_id, tbl, hash).
+    */
+  def hashQuery(spark: SparkSession, sfDir: String, tables: Int = 16, bits: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = fit(emb, tables, bits)
+    explodeHashes(withHashes(spark, emb, model))
+      .orderBy(col("vec_id"), col("tbl"))
+  }
+}

@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.{Knn, KnnExact}
+
+/** Dev tool: sweep LSH (tables, bits, k1) and print recall@10 vs exact kNN.
+  * Mirrors the reference's Glove benchmark methodology (SURVEY.md §2.A A10).
+  */
+object RecallSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val exact = KnnExact.topK(spark, sfDir, queryMaxId = 8, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for {
+      tables <- Seq(8, 16, 32)
+      bits <- Seq(2, 3, 4, 6, 8)
+      k1 <- Seq(50, 100)
+    } {
+      val lsh = Knn.lshTopK(spark, sfDir, queryMaxId = 8, k1 = k1, k2 = 10,
+          tables = tables, bits = bits)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & lsh).size.toDouble / exact.size
+      println(f"RECALL tables=$tables%3d bits=$bits%2d k1=$k1%4d recall@10=$recall%.3f")
+    }
+    spark.stop()
+  }
+}

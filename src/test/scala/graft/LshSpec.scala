@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Index, Knn, KnnExact, Lsh}
+
+class LshSpec extends SparkSpec {
+
+  test("fit is deterministic: same data, same model") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val m1 = Lsh.fit(emb, tables = 4, bits = 6)
+    val m2 = Lsh.fit(emb, tables = 4, bits = 6)
+    assert(m1.midpoints.map(_.toSeq).toSeq == m2.midpoints.map(_.toSeq).toSeq)
+    assert(m1.normals.map(_.toSeq).toSeq == m2.normals.map(_.toSeq).toSeq)
+  }
+
+  test("hashVector is deterministic and in-range") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val m = Lsh.fit(emb, tables = 4, bits = 6)
+    val v = emb.orderBy("vec_id").limit(1)
+      .collect()(0).getSeq[Float](1).toArray
+    val h1 = m.hashVector(v)
+    val h2 = m.hashVector(v)
+    assert(h1.toSeq == h2.toSeq)
+    assert(h1.length == 4)
+    assert(h1.forall(h => h >= 0 && h < (1L << 6)))
+  }
+
+  test("hashQuery golden: stable across runs (seeded fit)") {
+    val r1 = Lsh.hashQuery(spark, sf0001, tables = 4, bits = 6).collect()
+    val r2 = Lsh.hashQuery(spark, sf0001, tables = 4, bits = 6).collect()
+    assert(r1.toSeq == r2.toSeq)
+    assert(r1.length == 500 * 4) // every vector hashed in every table
+  }
+
+  test("locality: near pairs collide in more tables than far pairs") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val m = Lsh.fit(emb)
+    val rows = emb.orderBy("vec_id").limit(200).collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      math.sqrt(a.indices.map(i => math.pow(a(i) - b(i), 2)).sum)
+    def coll(a: Array[Float], b: Array[Float]): Int =
+      m.hashVector(a).zip(m.hashVector(b)).count { case (x, y) => x == y }
+    val pairs = for (i <- 0 until 100; j = i + 100) yield {
+      (l2(rows(i), rows(j)), coll(rows(i), rows(j)))
+    }
+    val sorted = pairs.sortBy(_._1)
+    val nearAvg = sorted.take(30).map(_._2).sum / 30.0
+    val farAvg = sorted.takeRight(30).map(_._2).sum / 30.0
+    assert(nearAvg >= farAvg,
+      s"near pairs should collide at least as often (near=$nearAvg far=$farAvg)")
+  }
+
+  test("two-phase LSH recall@10 >= 0.7 vs exact kNN (k1=100)") {
+    val exact = KnnExact.topK(spark, sf0001, queryMaxId = 8, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Knn.lshTopK(spark, sf0001, queryMaxId = 8, k1 = 100, k2 = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall@10 = $recall")
+  }
+
+  test("index round-trip: partitioned write preserves rows, lookup prunes") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val m = Lsh.fit(emb, tables = 4, bits = 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft-index").toString
+    Index.build(spark, emb, m, dir, numBuckets = 16)
+    val idx = Index.read(spark, dir)
+    assert(idx.count() == emb.count())
+    assert(idx.columns.contains("hashes") && idx.columns.contains(Index.BucketCol))
+    val one = Index.lookup(idx, 7L).collect()
+    assert(one.length == 1)
+  }
+}
