@@ -22,21 +22,21 @@ object SparkEntry {
     Knn.lshTopK(spark, "/root/testdata/sf0.001", queryMaxId = 1, k1 = 100, k2 = 10)
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
-    "q20_knn_exact" -> ((s, dir) => KnnExact.topK(s, dir)),
-    "q21_knn_cosine" -> ((s, dir) => KnnExact.topKCosine(s, dir)),
-    // Model-dependent LSH ops: no SQL oracle (driver records rows-only);
-    // pinned by LshSpec/KnnSpec golden + recall tests instead.
-    "q22_lsh_hash" -> ((s, dir) => Lsh.hashQuery(s, dir)),
-    "q23_lsh_knn" -> ((s, dir) => Knn.lshTopK(s, dir)),
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.all ++ Map[String, (SparkSession, String) => DataFrame](
+      "q20_knn_exact" -> ((s, dir) => KnnExact.topK(s, dir)),
+      "q21_knn_cosine" -> ((s, dir) => KnnExact.topKCosine(s, dir)),
+      // Model-dependent LSH ops: no SQL oracle (driver records rows-only);
+      // pinned by LshSpec golden + recall tests instead.
+      "q22_lsh_hash" -> ((s, dir) => Lsh.hashQuery(s, dir)),
+      "q23_lsh_knn" -> ((s, dir) => Knn.lshTopK(s, dir)),
+    )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q01_pricing_summary" -> Relational.pricingSummaryOracle,
-    "q20_knn_exact" -> KnnExact.oracle(),
-    "q21_knn_cosine" -> KnnExact.oracleCosine(),
-  )
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ Map(
+      "q20_knn_exact" -> KnnExact.oracle(),
+      "q21_knn_cosine" -> KnnExact.oracleCosine(),
+    )
 }

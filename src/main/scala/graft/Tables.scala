@@ -27,10 +27,15 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
-  /** events.ts is nanosecond-precision in parquet; Spark's native precision is
-    * micros. Truncate to microseconds at the scan boundary so every downstream
-    * event-time op sees a stable precision (FIXTURES.md caveat).
+  /** events.ts is nanosecond-precision in parquet, which Spark's scanner
+    * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong=true` so it
+    * arrives as Long ns-since-epoch, and this reader converts to a proper
+    * micros timestamp at the scan boundary (FIXTURES.md caveat). Downstream
+    * event-time ops see a stable TimestampType.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     load(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
 }

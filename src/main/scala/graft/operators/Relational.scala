@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -8,14 +9,21 @@ import graft.Tables
 /** Relational ✪ operator queries (SURVEY.md §2.B) over the TPC-H-ish star
   * schema. Each query is declared with the DataFrame API so Catalyst handles
   * pushdown, pruning, and join selection; every query has a matching DuckDB
-  * oracle in `oracles`.
+  * oracle in the paired `*Oracle` string.
+  *
+  * Determinism discipline (SURVEY §5.2): total ordering on a unique key in
+  * every output; money sums via Det's scaled-integer arithmetic; explicit
+  * NULLS FIRST in rollup/cube orderings (DuckDB defaults NULLS LAST, Spark
+  * NULLS FIRST); computed ints cast to bigint on both sides.
+  *
+  * Scale notes: nation/region (25/5 rows) always broadcast — Catalyst does
+  * this automatically under the broadcast threshold, `broadcast()` hints make
+  * it explicit. lineitem⋈orders/customer are shuffle joins on their keys, the
+  * correct plan at 100 TB; aggregations are partial+final hash aggregates.
   */
 object Relational {
 
-  /** q01 — hash aggregate, partial+final: pricing summary by flag/status.
-    * Exercises groupBy + sum/avg/count with exact (order-independent)
-    * arithmetic. At scale: pure map-side partial agg + tiny shuffle (6 groups).
-    */
+  /** q01 — hash aggregate, partial+final: pricing summary by flag/status. */
   def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -38,4 +46,362 @@ object Relational {
        |FROM lineitem
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q02 — broadcast hash join chain: revenue by region/nation. The dim
+    * chain (supplier⋈nation⋈region) is tiny → broadcast to the lineitem scan;
+    * one shuffle for the final 25-group aggregate.
+    */
+  def revenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val sup = Tables.supplier(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    val reg = Tables.region(spark, sfDir)
+    val dims = sup
+      .join(nat, sup("s_nationkey") === nat("n_nationkey"))
+      .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+      .select(col("s_suppkey"), col("n_name"), col("r_name"))
+    li.join(broadcast(dims), li("l_suppkey") === dims("s_suppkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        Det.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val revenueByNationOracle: String =
+    s"""SELECT r_name, n_name,
+       |       ${Det.sqlExactSum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+       |       count(*) AS n_items
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name
+       |ORDER BY r_name, n_name""".stripMargin
+
+  /** q03 — shuffle (sort-merge) join + top-k: top 20 customers by order
+    * total. orders⋈customer is the big equi-join Catalyst plans as SMJ/SHJ.
+    */
+  def topCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val totals = ord.groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Det.exactSum(col("o_totalprice"), 2).as("total_spent"))
+    totals
+      .join(cust, totals("o_custkey") === cust("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_orders"), col("total_spent"))
+      .orderBy(col("total_spent").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  val topCustomersOracle: String =
+    s"""SELECT c_custkey, c_name, n_orders, total_spent
+       |FROM (
+       |  SELECT o_custkey, count(*) AS n_orders,
+       |         ${Det.sqlExactSum("o_totalprice", 2)} AS total_spent
+       |  FROM orders GROUP BY o_custkey
+       |) t JOIN customer ON o_custkey = c_custkey
+       |ORDER BY total_spent DESC, c_custkey ASC
+       |LIMIT 20""".stripMargin
+
+  /** q04 — left-semi join (EXISTS): customers holding at least one open
+    * ('O') order, counted per market segment.
+    */
+  def semiJoinSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val open = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "O")
+    cust.join(open, cust("c_custkey") === open("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val semiJoinSegmentsOracle: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** q05 — left-anti join (NOT EXISTS): customers with no pending ('P')
+    * orders. (Every customer has *some* order in the fixtures, so the filter
+    * keeps the gate non-trivial.)
+    */
+  def antiJoinCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val pend = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "P")
+    cust.join(pend, cust("c_custkey") === pend("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val antiJoinCustomersOracle: String =
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q06 — theta (range) join against a tiny inline bands table: parts
+    * bucketed into retail-price bands. BroadcastNestedLoopJoin with the
+    * 4-row side broadcast — the only sane physical plan for a non-equi
+    * condition, and safe because one side is constant-size.
+    */
+  def priceBands(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.part(spark, sfDir)
+    val bands = spark.createDataFrame(Seq(
+      ("b1_under_925", 0.0, 925.0),
+      ("b2_925_950", 925.0, 950.0),
+      ("b3_950_975", 950.0, 975.0),
+      ("b4_975_up", 975.0, 1e18))).toDF("band", "lo", "hi")
+    part.join(broadcast(bands),
+        part("p_retailprice") >= bands("lo") && part("p_retailprice") < bands("hi"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        Det.exactSum(col("p_retailprice"), 2).as("sum_price"))
+      .orderBy(col("band"))
+  }
+
+  val priceBandsOracle: String =
+    s"""SELECT band, count(*) AS n_parts,
+       |       ${Det.sqlExactSum("p_retailprice", 2)} AS sum_price
+       |FROM part
+       |JOIN (VALUES ('b1_under_925', 0.0, 925.0),
+       |             ('b2_925_950', 925.0, 950.0),
+       |             ('b3_950_975', 950.0, 975.0),
+       |             ('b4_975_up', 975.0, 1e18)) AS bands(band, lo, hi)
+       |  ON p_retailprice >= lo AND p_retailprice < hi
+       |GROUP BY band
+       |ORDER BY band""".stripMargin
+
+  /** q07 — rollup: revenue at (region, nation), (region), and grand-total
+    * grouping levels.
+    */
+  def rollupRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    val reg = Tables.region(spark, sfDir)
+    val dims = cust
+      .join(nat, cust("c_nationkey") === nat("n_nationkey"))
+      .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    ord.join(broadcast(dims), ord("o_custkey") === dims("c_custkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Det.exactSum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  val rollupRevenueOracle: String =
+    s"""SELECT r_name, n_name, count(*) AS n_orders,
+       |       ${Det.sqlExactSum("o_totalprice", 2)} AS revenue
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)
+       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  /** q08 — cube over order status × priority. */
+  def cubeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    ord.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Det.exactSum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  val cubeOrdersOracle: String =
+    s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       |       ${Det.sqlExactSum("o_totalprice", 2)} AS revenue
+       |FROM orders
+       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** q09 — ranking window: top-3 orders per customer by price. */
+  def topOrdersPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    ord.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val topOrdersPerCustomerOracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |       CAST(row_number() OVER (PARTITION BY o_custkey
+      |              ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+      |FROM orders
+      |QUALIFY rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** q12 — global sort + limit (TakeOrderedAndProject): 10 priciest orders. */
+  def globalTopOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  val globalTopOrdersOracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** q13 — intersect: users who both purchased and clicked. */
+  def intersectUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_type") === "purchase" && col("value") > 200).select(col("user_id"))
+      .intersect(ev.filter(col("event_type") === "click" && col("value") > 200).select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  val intersectUsersOracle: String =
+    """SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200
+      |INTERSECT
+      |SELECT user_id FROM events WHERE event_type = 'click' AND value > 200
+      |ORDER BY user_id""".stripMargin
+
+  /** q14 — except: users with a big (>200) purchase but no big click. */
+  def exceptUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_type") === "purchase" && col("value") > 200).select(col("user_id"))
+      .except(ev.filter(col("event_type") === "click" && col("value") > 200).select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  val exceptUsersOracle: String =
+    """SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'click' AND value > 200
+      |ORDER BY user_id""".stripMargin
+
+  /** q15 — union distinct: users who signed up or errored. */
+  def unionUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_type") === "signup" && col("value") > 200).select(col("user_id"))
+      .union(ev.filter(col("event_type") === "error" && col("value") > 200).select(col("user_id")))
+      .distinct()
+      .orderBy(col("user_id"))
+  }
+
+  val unionUsersOracle: String =
+    """SELECT user_id FROM events WHERE event_type = 'signup' AND value > 200
+      |UNION
+      |SELECT user_id FROM events WHERE event_type = 'error' AND value > 200
+      |ORDER BY user_id""".stripMargin
+
+  /** q16 — distinct aggregate: nation fan-out per market segment. */
+  def distinctNations(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val distinctNationsOracle: String =
+    """SELECT c_mktsegment,
+      |       count(DISTINCT c_nationkey) AS n_nations,
+      |       count(*) AS n_customers
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** q18 — date/time functions: monthly order volume and revenue. */
+  def monthlyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    ord.groupBy(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mth"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Det.exactSum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy(col("yr"), col("mth"))
+  }
+
+  val monthlyRevenueOracle: String =
+    s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       |       CAST(month(o_orderdate) AS INTEGER) AS mth,
+       |       count(*) AS n_orders,
+       |       ${Det.sqlExactSum("o_totalprice", 2)} AS revenue
+       |FROM orders
+       |GROUP BY 1, 2
+       |ORDER BY yr, mth""".stripMargin
+
+  /** q24 — math + CASE WHEN: per-brand price-tier stats. sqrt is IEEE
+    * correctly-rounded on both engines, so per-row scaled rounding is exact.
+    */
+  def brandTiers(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.part(spark, sfDir)
+    val tier = when(col("p_retailprice") < 800, "low")
+      .when(col("p_retailprice") < 1600, "mid")
+      .otherwise("high")
+    part.withColumn("tier", tier)
+      .groupBy(col("p_brand"), col("tier"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        Det.exactSum(sqrt(col("p_retailprice")), 4).as("sum_sqrt_price"),
+        sum(col("p_size").cast("long")).as("sum_size"))
+      .orderBy(col("p_brand"), col("tier"))
+  }
+
+  val brandTiersOracle: String =
+    s"""SELECT p_brand,
+       |       CASE WHEN p_retailprice < 800 THEN 'low'
+       |            WHEN p_retailprice < 1600 THEN 'mid'
+       |            ELSE 'high' END AS tier,
+       |       count(*) AS n_parts,
+       |       ${Det.sqlExactSum("sqrt(p_retailprice)", 4)} AS sum_sqrt_price,
+       |       CAST(sum(p_size) AS BIGINT) AS sum_size
+       |FROM part
+       |GROUP BY 1, 2
+       |ORDER BY p_brand, tier""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (pricingSummary _),
+    "q02_revenue_by_nation" -> (revenueByNation _),
+    "q03_top_customers" -> (topCustomers _),
+    "q04_semi_join_segments" -> (semiJoinSegments _),
+    "q05_anti_join_customers" -> (antiJoinCustomers _),
+    "q06_price_bands" -> (priceBands _),
+    "q07_rollup_revenue" -> (rollupRevenue _),
+    "q08_cube_orders" -> (cubeOrders _),
+    "q09_top_orders_per_customer" -> (topOrdersPerCustomer _),
+    "q12_global_top_orders" -> (globalTopOrders _),
+    "q13_intersect_users" -> (intersectUsers _),
+    "q14_except_users" -> (exceptUsers _),
+    "q15_union_users" -> (unionUsers _),
+    "q16_distinct_nations" -> (distinctNations _),
+    "q18_monthly_revenue" -> (monthlyRevenue _),
+    "q24_brand_tiers" -> (brandTiers _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> pricingSummaryOracle,
+    "q02_revenue_by_nation" -> revenueByNationOracle,
+    "q03_top_customers" -> topCustomersOracle,
+    "q04_semi_join_segments" -> semiJoinSegmentsOracle,
+    "q05_anti_join_customers" -> antiJoinCustomersOracle,
+    "q06_price_bands" -> priceBandsOracle,
+    "q07_rollup_revenue" -> rollupRevenueOracle,
+    "q08_cube_orders" -> cubeOrdersOracle,
+    "q09_top_orders_per_customer" -> topOrdersPerCustomerOracle,
+    "q12_global_top_orders" -> globalTopOrdersOracle,
+    "q13_intersect_users" -> intersectUsersOracle,
+    "q14_except_users" -> exceptUsersOracle,
+    "q15_union_users" -> unionUsersOracle,
+    "q16_distinct_nations" -> distinctNationsOracle,
+    "q18_monthly_revenue" -> monthlyRevenueOracle,
+    "q24_brand_tiers" -> brandTiersOracle)
 }

@@ -14,6 +14,7 @@ object RecallSweep {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val exact = KnnExact.topK(spark, sfDir, queryMaxId = 8, k = 10)
