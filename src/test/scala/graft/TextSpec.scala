@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Text
+
+class TextSpec extends SparkSpec {
+
+  test("minhash near-dups: precision 1.0 and recall >= 0.8 vs exact jaccard") {
+    val exact = Text.jaccardPairs(spark, sf0001, 100, 0.95)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Text.minhashNearDups(spark, sf0001, 100)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(exact), "verification step must make precision 1.0")
+    if (exact.nonEmpty) {
+      val recall = (exact & mh).size.toDouble / exact.size
+      assert(recall >= 0.8, s"minhash recall=$recall over ${exact.size} true pairs")
+    }
+  }
+
+  test("simhash: identical texts get identical signatures; determinism") {
+    val t = "spark scan filter join window agg".split(" ").toSeq
+    assert(Text.simhash64(t) == Text.simhash64(t))
+    assert(Text.simhash64(t) != Text.simhash64(t.map(_.reverse)))
+    val r1 = Text.simhashQuery(spark, sf0001).collect()
+    val r2 = Text.simhashQuery(spark, sf0001).collect()
+    assert(r1.toSeq == r2.toSeq)
+  }
+
+  test("simhash: near-identical token multisets have small hamming distance") {
+    val base = Seq.fill(30)("alpha") ++ Seq.fill(25)("beta") ++ Seq.fill(20)("gamma") ++
+      Seq("delta", "epsilon", "zeta", "eta", "theta")
+    val tweaked = base.dropRight(1) :+ "iota"
+    val unrelated = Seq.fill(30)("one") ++ Seq.fill(25)("two") ++ Seq.fill(20)("three") ++
+      Seq("four", "five", "six", "seven", "eight")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val near = ham(Text.simhash64(base), Text.simhash64(tweaked))
+    val far = ham(Text.simhash64(base), Text.simhash64(unrelated))
+    assert(near < far, s"near=$near far=$far")
+    assert(near <= 16)
+  }
+
+  test("fingerprint: stable, shift-tolerant min-gram hash") {
+    val t = "the quick brown fox jumps over the lazy dog"
+    assert(Text.fingerprint(t) == Text.fingerprint(t))
+    // winnowing property: a prefix edit far from the minimal 8-gram usually
+    // keeps the fingerprint; at minimum, determinism + long-text support hold
+    assert(Text.fingerprint("x" + t.drop(1)) != 0L)
+    val r1 = Text.fingerprintQuery(spark, sf0001).collect()
+    val r2 = Text.fingerprintQuery(spark, sf0001).collect()
+    assert(r1.toSeq == r2.toSeq)
+  }
+
+  test("langid: deterministic guess for every document") {
+    val r1 = Text.langIdQuery(spark, sf0001).collect()
+    val r2 = Text.langIdQuery(spark, sf0001).collect()
+    assert(r1.toSeq == r2.toSeq)
+    assert(r1.length == 500)
+    assert(r1.forall(r => Seq("de", "en", "es", "fr", "zh").contains(r.getString(2))))
+  }
+
+  test("exact dedup: synthetic duplicates collapse to canonical id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aaa bbb"), (2L, "aaa bbb"), (3L, "ccc ddd"), (4L, "aaa bbb"))
+      .toDF("doc_id", "text")
+    val out = df.groupBy("text")
+      .agg(org.apache.spark.sql.functions.min($"doc_id").as("doc_id"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("copies"))
+      .select("doc_id", "copies").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 3L), (3L, 1L)))
+  }
+}
