@@ -35,7 +35,10 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // NB: `ts div 1000` (integer division) — a double division here would
+    // round: epoch-ns values exceed double's 53-bit mantissa by ~2 decimal
+    // digits, which showed up as ±1µs drift vs the DuckDB oracle.
     load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

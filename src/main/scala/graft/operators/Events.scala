@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-time analytics over `events` — batch stand-ins for the streaming
+  * operator family (SURVEY.md §2.B streaming table): tumbling / sliding /
+  * session windows, watermark-style dedup, lag/lead and frame aggregates,
+  * JSON extraction. The same transformations run unchanged on a
+  * `readStream` source (see [[graft.streaming.Streams]]); the driver gates
+  * are batch-only so these are gated here on the static table.
+  *
+  * Determinism: timestamps never leave as raw TimestampType — they are
+  * formatted (hour-grain) or converted to epoch micros (session starts), and
+  * every output ends in a total order (SURVEY §5.2).
+  */
+object Events {
+
+  private def fmt(c: org.apache.spark.sql.Column) =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** q40 — tumbling window: hourly counts + revenue per event type, via
+    * Spark's `window()` event-time operator (epoch-aligned, same boundaries
+    * as date_trunc).
+    */
+  def tumbling(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.exactSum(col("value"), 2).as("sum_value"))
+      .select(fmt(col("w.start")).as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  val tumblingOracle: String =
+    s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       |       event_type, count(*) AS n,
+       |       ${Det.sqlExactSum("value", 2)} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY hour_start, event_type""".stripMargin
+
+  /** q41 — sliding window (1 h window, 15 min slide): each event lands in 4
+    * overlapping windows.
+    */
+  def sliding(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(fmt(col("w.start")).as("win_start"), col("event_type"), col("n"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  val slidingOracle: String =
+    """SELECT strftime(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+      |                - (k * INTERVAL '15 minutes'), '%Y-%m-%d %H:%M:%S') AS win_start,
+      |       event_type, count(*) AS n
+      |FROM events
+      |CROSS JOIN (VALUES (0), (1), (2), (3)) AS g(k)
+      |GROUP BY 1, 2
+      |ORDER BY win_start, event_type""".stripMargin
+
+  /** q42 — session window (30 min gap) per user, via Spark's
+    * `session_window` operator. Output keys on the session's first event
+    * (epoch micros) so no raw timestamp crosses the oracle boundary; the
+    * DuckDB side derives sessions with the classic gaps-and-islands
+    * (lag + running sum) formulation.
+    */
+  def sessions(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Det.exactSum(col("value"), 2).as("sum_value"),
+        min(col("event_id")).as("first_event_id"),
+        unix_micros(min(col("ts"))).as("sess_start_us"))
+      .select(col("user_id"), col("sess_start_us"), col("n_events"),
+        col("sum_value"), col("first_event_id"))
+      .orderBy(col("user_id"), col("sess_start_us"))
+  }
+
+  val sessionsOracle: String =
+    s"""WITH e0 AS (
+       |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events
+       |), e AS (
+       |  SELECT *,
+       |         CASE WHEN lag(ts) OVER w IS NULL
+       |              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+       |              THEN 1 ELSE 0 END AS new_sess
+       |  FROM e0
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), s AS (
+       |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+       |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+       |  FROM e
+       |)
+       |SELECT user_id, epoch_us(min(ts)) AS sess_start_us, count(*) AS n_events,
+       |       ${Det.sqlExactSum("value", 2)} AS sum_value,
+       |       min(event_id) AS first_event_id
+       |FROM s
+       |GROUP BY user_id, sess
+       |ORDER BY user_id, sess_start_us""".stripMargin
+
+  /** q43 — deterministic dedup: first event per (user, event_type) by
+    * (ts, event_id). This is `dropDuplicates` made reproducible — the batch
+    * analog of `dropDuplicatesWithinWatermark`.
+    */
+  def dedupFirstEvent(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), fmt(col("ts")).as("first_ts"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val dedupFirstEventOracle: String =
+    """SELECT user_id, event_type, event_id,
+      |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS first_ts
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY CAST(ts AS TIMESTAMP), event_id) = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** q44 — analytic window (lag): per-user value delta between consecutive
+    * events.
+    */
+  def lagDeltas(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .withColumn("delta", round(col("value") - lag(col("value"), 1).over(w), 4))
+      .select(col("event_id"), col("user_id"), col("delta"))
+      .orderBy(col("event_id"))
+  }
+
+  val lagDeltasOracle: String =
+    """SELECT event_id, user_id,
+      |       round(value - lag(value, 1) OVER (PARTITION BY user_id
+      |             ORDER BY CAST(ts AS TIMESTAMP), event_id), 4) AS delta
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** q45 — frame spec (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW): 3-event
+    * moving average per user.
+    */
+  def movingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-2, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("mov_avg", round(avg(col("value")).over(w), 4))
+      .select(col("event_id"), col("user_id"), col("mov_avg"))
+      .orderBy(col("event_id"))
+  }
+
+  val movingAvgOracle: String =
+    """SELECT event_id, user_id,
+      |       round(avg(value) OVER (PARTITION BY user_id
+      |             ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** q46 — JSON extraction (semi-structured props column): average embedded
+    * counter per event type.
+    */
+  def jsonKpis(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        (sum(col("k")) / count(col("k"))).as("avg_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val jsonKpisOracle: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+      |         / count(json_extract_string(props, '$.k')) AS avg_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_tumbling_windows" -> (tumbling _),
+    "q41_sliding_windows" -> (sliding _),
+    "q42_session_windows" -> (sessions _),
+    "q43_dedup_first_event" -> (dedupFirstEvent _),
+    "q44_lag_deltas" -> (lagDeltas _),
+    "q45_moving_avg" -> (movingAvg _),
+    "q46_json_kpis" -> (jsonKpis _))
+
+  val oracles: Map[String, String] = Map(
+    "q40_tumbling_windows" -> tumblingOracle,
+    "q41_sliding_windows" -> slidingOracle,
+    "q42_session_windows" -> sessionsOracle,
+    "q43_dedup_first_event" -> dedupFirstEventOracle,
+    "q44_lag_deltas" -> lagDeltasOracle,
+    "q45_moving_avg" -> movingAvgOracle,
+    "q46_json_kpis" -> jsonKpisOracle)
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface — the engine's analog of the reference's
+  * Kafka pipeline (SURVEY.md §2.A A9: producer → feature extractor →
+  * indexer). The reference moved vectors through Kafka topics with
+  * at-least-once semantics and no event-time handling; here the same flows
+  * are Structured Streaming queries with watermarks and event-time windows,
+  * so late data and state are handled by the engine rather than the app.
+  *
+  * The batch gate queries in [[graft.operators.Events]] apply these exact
+  * transformations to the static table — Structured Streaming's unified
+  * Dataset API means the `groupBy(window(...))` code is shared, which
+  * [[graft.StreamingSpec]] demonstrates by replaying the events fixture
+  * through a file stream and comparing against the batch result.
+  *
+  * Scale notes: a production deployment swaps the file source for
+  * `readStream.format("kafka")` and the memory sink for a parquet/Delta
+  * sink with checkpointing; watermark state is per-key and bounded, so the
+  * plan scales with key cardinality, not history.
+  */
+object Streams {
+
+  /** Schema of the events fixture once ts is normalized to micros
+    * (nanosAsLong reads the parquet ns column as Long).
+    */
+  val rawEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming read of an events directory (one file = one
+    * micro-batch replay unit), ts normalized exactly like the batch reader.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(rawEventSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Watermarked tumbling hourly counts per event type — the streaming twin
+    * of Events.tumbling.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"))
+
+  /** Streaming dedup on (user_id, event_type) bounded by the watermark —
+    * the streaming twin of Events.dedupFirstEvent's semantics.
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Run a streaming DataFrame to completion against a memory sink and
+    * return the collected result table (test/dev harness; production uses a
+    * durable sink + checkpoint).
+    */
+  def runToMemory(
+      spark: SparkSession,
+      df: DataFrame,
+      name: String,
+      outputMode: String = "complete"): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.operators.Events
+import graft.streaming.Streams
+
+class StreamingSpec extends SparkSpec {
+
+  private def stageEventsDir(): String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    // Copy the raw fixture file into a stream source dir (one micro-batch).
+    val src = Paths.get(sf0001, "events.parquet")
+    Files.copy(src, Paths.get(dir, "events.parquet"))
+    dir
+  }
+
+  test("streaming tumbling counts match the batch event-time query") {
+    val dir = stageEventsDir()
+    val streamed = Streams.runToMemory(
+        spark, Streams.hourlyCounts(Streams.readEvents(spark, dir)), "hourly")
+      .select("hour_start", "event_type", "n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Events.tumbling(spark, sf0001)
+      .select("hour_start", "event_type", "n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming dedup emits at most one row per (user, event_type)") {
+    val dir = stageEventsDir()
+    val out = Streams.runToMemory(
+      spark, Streams.dedupedEvents(Streams.readEvents(spark, dir)), "deduped",
+      outputMode = "append")
+    val rows = out.select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == rows.toSet.size, "duplicates leaked through")
+    assert(rows.nonEmpty)
+  }
+}
