@@ -23,7 +23,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.all ++ Text.all ++ Events.all ++ Map[String, (SparkSession, String) => DataFrame](
+    Relational.all ++ Text.all ++ Events.all ++ Vectors.all ++ Media.all ++
+      Map[String, (SparkSession, String) => DataFrame](
       "q20_knn_exact" -> ((s, dir) => KnnExact.topK(s, dir)),
       "q21_knn_cosine" -> ((s, dir) => KnnExact.topKCosine(s, dir)),
       // Model-dependent LSH ops: no SQL oracle (driver records rows-only);
@@ -35,7 +36,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Text.oracles ++ Events.oracles ++ Map(
+    Relational.oracles ++ Text.oracles ++ Events.oracles ++ Vectors.oracles ++
+      Media.oracles ++ Map(
       "q20_knn_exact" -> KnnExact.oracle(),
       "q21_knn_cosine" -> KnnExact.oracleCosine(),
     )

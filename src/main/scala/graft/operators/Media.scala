@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal column plumbing — image/audio/video as opaque `binary` payloads
+  * with typed metadata, plus decode / feature-extract / resize / frame-sample
+  * stages (builder prompt; reference analog: the Keras MobileNet feature
+  * extractor in the Kafka pipeline, SURVEY.md §2.A A9).
+  *
+  * No media codecs ship in this environment, so the DECODE STEP IS A STUB —
+  * [[fakeDecode]] derives a deterministic byte stream from the payload in
+  * place of a real `ImageIO`/ffmpeg call (clearly marked below). Everything
+  * around it — the binary+metadata schema, the per-partition batch decode
+  * shape (one model/codec init per partition, the Spark-side contract a real
+  * decoder needs), partitioning, and the feature schema — is real and
+  * gate-tested.
+  *
+  * Scale notes (100 TB): payloads stay opaque bytes end-to-end (no
+  * row-by-row JVM object inflation); decode is a narrow `mapPartitions`
+  * with per-partition initialization, the same execution shape as a GPU/
+  * native-codec batch feature extractor; metadata-only queries never touch
+  * payload bytes thanks to parquet column pruning.
+  */
+object Media {
+
+  /** One media record: id + typed metadata + opaque payload. */
+  case class MediaRecord(
+      media_id: Long,
+      kind: String, // image | audio | video
+      width: Int,
+      height: Int,
+      n_bytes: Long,
+      payload: Array[Byte])
+
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      n_frames: Int,
+      features: Array[Double])
+
+  /** Build the media table from the documents fixture: text bytes stand in
+    * for an encoded payload; metadata is derived deterministically. The
+    * binary column is real (`encode(text) → BinaryType`), so schema,
+    * pruning, and batch shape all behave exactly as with true media bytes.
+    */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val doc = Tables.documents(spark, sfDir)
+    doc.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      (pmod(col("doc_id") * 37, lit(512)) + 64).cast("int").as("width"),
+      (pmod(col("doc_id") * 53, lit(512)) + 64).cast("int").as("height"),
+      length(col("text")).cast("long").as("n_bytes"),
+      encode(col("text"), "UTF-8").as("payload"))
+  }
+
+  /** ======= STUB: deterministic stand-in for a real codec =======
+    * A production build replaces this body with the actual decode
+    * (ImageIO / javacv / a native batch API) behind the same signature:
+    * bytes in → fixed-size feature vector out. The fake is a 16-bin byte
+    * histogram, L1-normalized — deterministic, shape-correct, cheap.
+    */
+  private[graft] def fakeDecode(payload: Array[Byte]): Array[Double] = {
+    val bins = new Array[Double](16)
+    var i = 0
+    while (i < payload.length) {
+      bins((payload(i) & 0xff) >> 4) += 1.0
+      i += 1
+    }
+    val n = math.max(1, payload.length).toDouble
+    var b = 0
+    while (b < 16) { bins(b) /= n; b += 1 }
+    bins
+  }
+
+  /** Video frame sampling stub: every `stride`-th fixed-size chunk of the
+    * payload is a "frame"; returns the number of sampled frames.
+    */
+  private[graft] def sampleFrames(payload: Array[Byte], frameSize: Int = 64, stride: Int = 4): Int = {
+    val frames = math.max(1, payload.length / frameSize)
+    (frames + stride - 1) / stride
+  }
+
+  /** Batch decode + feature extraction as `mapPartitions`: codec/model
+    * initialization happens once per partition (the expensive part with a
+    * real decoder), then rows stream through. This is the Scala analog of
+    * the Python `mapInPandas` batch-UDF shape.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { rows =>
+      // >>> per-partition init of the (stubbed) decoder goes here <<<
+      rows.map { r =>
+        val feats = fakeDecode(r.payload)
+        val frames = if (r.kind == "video") sampleFrames(r.payload) else 1
+        MediaFeatures(r.media_id, r.kind, r.n_bytes, frames, feats)
+      }
+    }
+  }
+
+  /** q50 — multimodal feature extraction (no SQL oracle — the decode stub
+    * is not SQL-expressible; pinned by MediaSpec determinism/schema tests).
+    * Output: id, kind, frame count, first 4 feature bins rounded.
+    */
+  def mediaFeaturesQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = extractFeatures(spark, mediaTable(spark, sfDir))
+    feats.toDF()
+      .select(
+        col("media_id"), col("kind"), col("n_frames"),
+        round(element_at(col("features"), 1), 4).as("f0"),
+        round(element_at(col("features"), 2), 4).as("f1"),
+        round(element_at(col("features"), 3), 4).as("f2"),
+        round(element_at(col("features"), 4), 4).as("f3"))
+      .orderBy(col("media_id"))
+  }
+
+  /** q51 — metadata-only media aggregate (oracle-checked). On a
+    * *materialized* media table the equivalent query never reads payload
+    * bytes (parquet column pruning — MediaSpec asserts the pruned scan);
+    * this gate variant derives the table from documents inline, so it
+    * additionally checks the metadata derivation itself.
+    */
+  def mediaMetaQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    mediaTable(spark, sfDir)
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        max(col("width")).as("max_w"),
+        max(col("height")).as("max_h"))
+      .orderBy(col("kind"))
+  }
+
+  val mediaMetaOracle: String =
+    """SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+      |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |       count(*) AS n_media,
+      |       CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+      |       CAST(max((doc_id * 37) % 512 + 64) AS INTEGER) AS max_w,
+      |       CAST(max((doc_id * 53) % 512 + 64) AS INTEGER) AS max_h
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY kind""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_media_features" -> (mediaFeaturesQuery _),
+    "q51_media_meta" -> (mediaMetaQuery _))
+
+  val oracles: Map[String, String] = Map(
+    "q51_media_meta" -> mediaMetaOracle)
+}

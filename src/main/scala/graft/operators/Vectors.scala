@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{CentroidAgg, VectorOps}
+
+/** Embedding-column analytics beyond point-lookup kNN: per-label centroids
+  * (custom typed Aggregator), exact all-pairs similarity (the near-dup
+  * baseline), and an IVF-style partitioned ANN search.
+  */
+object Vectors {
+
+  /** q27 — custom aggregate (UDAF): per-label centroid, exploded to
+    * (label, dim, value) rows for a schema the DuckDB oracle can reproduce
+    * with unnest + generate_subscripts. The Aggregator accumulates scaled
+    * longs, so partial/final merge order cannot perturb the result.
+    */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val centroid = udaf(CentroidAgg)
+    Tables.embeddings(spark, sfDir)
+      .groupBy(col("label"))
+      .agg(centroid(col("embedding")).as("c"), count(lit(1)).as("n_vecs"))
+      .select(col("label"), posexplode(col("c")).as(Seq("dim0", "cval")), col("n_vecs"))
+      .select(
+        col("label"), (col("dim0") + 1).cast("int").as("dim"),
+        round(col("cval"), 4).as("c4"), col("n_vecs"))
+      .orderBy(col("label"), col("dim"))
+  }
+
+  val labelCentroidsOracle: String =
+    s"""WITH x AS (
+       |  SELECT label, unnest(embedding) AS e,
+       |         generate_subscripts(embedding, 1) AS dim
+       |  FROM embeddings
+       |)
+       |SELECT label, CAST(dim AS INTEGER) AS dim,
+       |       round(CAST(sum(CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+       |             / 1000000.0 / count(*), 4) AS c4,
+       |       count(*) AS n_vecs
+       |FROM x
+       |GROUP BY label, dim
+       |ORDER BY label, dim""".stripMargin
+
+  /** q26 — exact top-20 most-similar embedding pairs (cosine) within the
+    * vec_id<100 sample: the embedding near-duplicate baseline. The fixture
+    * vectors are random (max pairwise cosine ≈ 0.40), so a threshold query
+    * would be empty — a top-k keeps the gate meaningful. O(sample²) by
+    * design; corpus-scale near-dup goes through LSH buckets (Knn) or IVF
+    * cells ([[annIvf]]).
+    */
+  def topCosinePairs(spark: SparkSession, sfDir: String, maxId: Long = 100, k: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < maxId)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = emb.as("a")
+      .join(broadcast(emb.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+    pairs
+      .orderBy(col("sim").desc, col("i").asc, col("j").asc)
+      .limit(k)
+      .select(col("i"), col("j"), round(col("sim"), 4).as("sim4"))
+  }
+
+  def topCosinePairsOracle(maxId: Long = 100, k: Int = 20): String =
+    s"""WITH s AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < $maxId
+       |)
+       |SELECT a.vec_id AS i, b.vec_id AS j,
+       |       round(list_cosine_similarity(a.v, b.v), 4) AS sim4
+       |FROM s a JOIN s b ON a.vec_id < b.vec_id
+       |ORDER BY list_cosine_similarity(a.v, b.v) DESC, i ASC, j ASC
+       |LIMIT $k""".stripMargin
+
+  /** IVF cell assignment: nearest of C coarse centroids (seeded
+    * deterministically from the first C vectors by id — a k-means iteration
+    * could refine them; seeding keeps the gate reproducible).
+    */
+  def assignCells(spark: SparkSession, emb: DataFrame, cells: Int): DataFrame = {
+    val cents = emb.orderBy(col("vec_id")).limit(cells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cdist").asc, col("cell").asc)
+    emb.join(broadcast(cents), lit(true))
+      .withColumn("cdist", VectorOps.l2Sq(col("embedding"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** q25 — IVF-style ANN (no SQL oracle — pinned by VectorsSpec recall
+    * test): vectors partitioned into C coarse cells; a query probes its
+    * `nprobe` nearest cells and exactly re-ranks only those cells' vectors.
+    *
+    * Scale path: cell assignment is a narrow map over a broadcast centroid
+    * set; the probe join is an equi-join on cell id — the cross product is
+    * gone, and the index parquet can be partitioned by cell for static
+    * pruning (same layout trick as Index.build).
+    */
+  def annIvf(
+      spark: SparkSession,
+      sfDir: String,
+      queryMaxId: Long = 8,
+      k: Int = 10,
+      cells: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val assigned = assignCells(spark, emb, cells)
+    val cents = emb.orderBy(col("vec_id")).limit(cells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+
+    // Each query → its nprobe nearest cells.
+    val q = emb.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cdist").asc, col("cell").asc)
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("cdist", VectorOps.l2Sq(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+
+    // Candidates = vectors in probed cells (equi-join on cell id).
+    val wK = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("neighbor_id").asc)
+    probes.join(assigned, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorOps.l2(col("qv"), col("embedding")).as("dist"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("dist"), 4).as("dist4"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d)),
+    "q26_top_cosine_pairs" -> ((s: SparkSession, d: String) => topCosinePairs(s, d)),
+    "q27_label_centroids" -> (labelCentroids _))
+
+  val oracles: Map[String, String] = Map(
+    "q26_top_cosine_pairs" -> topCosinePairsOracle(),
+    "q27_label_centroids" -> labelCentroidsOracle)
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Media
+
+class MediaSpec extends SparkSpec {
+
+  test("media table schema: binary payload + typed metadata") {
+    val mt = Media.mediaTable(spark, sf0001)
+    val fields = mt.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(fields("payload") == "binary")
+    assert(fields("kind") == "string")
+    assert(fields("width") == "integer" && fields("height") == "integer")
+    assert(mt.count() == 500)
+  }
+
+  test("feature extraction is deterministic and shape-correct") {
+    val r1 = Media.mediaFeaturesQuery(spark, sf0001).collect()
+    val r2 = Media.mediaFeaturesQuery(spark, sf0001).collect()
+    assert(r1.toSeq == r2.toSeq)
+    assert(r1.length == 500)
+  }
+
+  test("fake decode: L1-normalized 16-bin histogram") {
+    val feats = Media.fakeDecode("hello world".getBytes("UTF-8"))
+    assert(feats.length == 16)
+    assert(math.abs(feats.sum - 1.0) < 1e-9)
+    assert(feats.forall(f => f >= 0.0 && f <= 1.0))
+  }
+
+  test("frame sampling: every 4th 64-byte chunk") {
+    assert(Media.sampleFrames(new Array[Byte](64 * 8)) == 2)
+    assert(Media.sampleFrames(new Array[Byte](10)) == 1)
+  }
+
+  test("metadata query on materialized media table prunes payload from scan") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    Media.mediaTable(spark, sf0001).write.mode("overwrite").parquet(dir)
+    val agg = spark.read.parquet(dir)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"),
+        max(col("width")).as("max_w"))
+    val scanLine = agg.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scanLine.contains("kind"), s"scan line: $scanLine")
+    assert(!scanLine.contains("payload"), s"payload column not pruned: $scanLine")
+  }
+}

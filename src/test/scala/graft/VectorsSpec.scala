@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{KnnExact, Vectors}
+
+class VectorsSpec extends SparkSpec {
+
+  test("ivf ann: recall@10 vs exact, and never returns self") {
+    val exact = KnnExact.topK(spark, sf0001, queryMaxId = 8, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Vectors.annIvf(spark, sf0001, queryMaxId = 8, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.forall { case (q, n) => q != n })
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"ivf recall=$recall (nprobe=4/16 cells on random data)")
+  }
+
+  test("ivf ann: probing all cells equals exact knn") {
+    val exact = KnnExact.topK(spark, sf0001, queryMaxId = 4, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Vectors.annIvf(spark, sf0001, queryMaxId = 4, k = 5, cells = 8, nprobe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "nprobe=cells must degrade to exact search")
+  }
+
+  test("centroid aggregator matches naive per-dimension mean") {
+    val rows = Tables.embeddings(spark, sf0001)
+      .filter(col("label") === 3)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val dim = rows(0).length
+    val naive = (0 until dim).map(d => rows.map(_(d).toDouble).sum / rows.length)
+    val got = Vectors.labelCentroids(spark, sf0001)
+      .filter(col("label") === 3)
+      .orderBy(col("dim"))
+      .collect().map(r => r.getDouble(2))
+    assert(got.length == dim)
+    naive.zip(got).foreach { case (n, g) =>
+      assert(math.abs(n - g) < 2e-4, s"naive=$n udaf=$g")
+    }
+  }
+
+  test("cell assignment covers every vector exactly once") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val assigned = Vectors.assignCells(spark, emb, cells = 16)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("vec_id").distinct().count() == emb.count())
+    val nCells = assigned.select("cell").distinct().count()
+    assert(nCells > 1 && nCells <= 16)
+  }
+}
