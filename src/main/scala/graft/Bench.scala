@@ -11,6 +11,18 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JVM/codegen/parquet-reader initialization shouldn't be
+    // attributed to whichever query happens to run first.
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = spark.read.parquet(s"$sfDir/nation.parquet")
+      w.join(w.select(col("n_nationkey").as("k")), col("n_nationkey") === col("k"))
+        .groupBy(col("n_regionkey")).count()
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("n_regionkey")).orderBy(col("count"))))
+        .count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
