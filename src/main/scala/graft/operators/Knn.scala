@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorOps
+import org.apache.spark.sql.graft.VectorExpressions
 
 /** Two-phase approximate kNN — the reference's flagship search
   * (SURVEY.md §2.A A5–A7, `[PUBREPO AknnRestAction.handleSearchRequest,
@@ -92,7 +92,7 @@ object Knn {
       .join(broadcast(qvecs), "query_id")
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"), col("collisions"),
-        VectorOps.l2(col("qv"), col("embedding")).as("dist"))
+        VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))
     val wK2 = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id").asc)
     rescored

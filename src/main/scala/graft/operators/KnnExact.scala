@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorOps
+import org.apache.spark.sql.graft.VectorExpressions
 
 /** Exact (brute-force) k-nearest-neighbor search — the correctness baseline
   * the reference's approximate two-phase search is measured against
@@ -33,7 +33,7 @@ object KnnExact {
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
-        VectorOps.l2(col("qv"), col("embedding")).as("dist"))
+        VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -71,7 +71,7 @@ object KnnExact {
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
-        VectorOps.cosine(col("qv"), col("embedding")).as("sim"))
+        VectorExpressions.cosine(col("qv"), col("embedding")).as("sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))

@@ -66,6 +66,34 @@ object Lsh {
       }
       out
     }
+
+    /** Allocation-free variant over Catalyst [[ArrayData]] — shared by the
+      * interpreted and codegen paths of the LshHash expression.
+      */
+    def hashArrayData(v: org.apache.spark.sql.catalyst.util.ArrayData): Array[Long] = {
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var h = 0L
+        var b = 0
+        while (b < bits) {
+          val plane = t * bits + b
+          val mid = midpoints(plane)
+          val nrm = normals(plane)
+          var dot = 0.0
+          var i = 0
+          while (i < dim) {
+            dot += (v.getFloat(i) - mid(i)).toDouble * nrm(i).toDouble
+            i += 1
+          }
+          if (dot >= 0.0) h |= (1L << b)
+          b += 1
+        }
+        out(t) = h
+        t += 1
+      }
+      out
+    }
   }
 
   /** Deterministic fit: sample = first 2·tables·bits vectors by id order
@@ -115,15 +143,18 @@ object Lsh {
   def hashUdf(bc: Broadcast[LshModel]): UserDefinedFunction =
     udf((v: Seq[Float]) => bc.value.hashVector(v.toArray))
 
-  /** embeddings + `hashes` column (array<bigint>, one entry per table). */
+  /** embeddings + `hashes` column (array<bigint>, one entry per table).
+    * v2: native codegen expression (SURVEY §4.3) — the model rides the plan
+    * as a reference object; no per-row Seq boxing. The v1 UDF remains as
+    * [[hashUdf]] for comparison tests.
+    */
   def withHashes(
       spark: SparkSession,
       df: DataFrame,
       model: LshModel,
-      vecCol: String = "embedding"): DataFrame = {
-    val bc = spark.sparkContext.broadcast(model)
-    df.withColumn("hashes", hashUdf(bc)(col(vecCol)))
-  }
+      vecCol: String = "embedding"): DataFrame =
+    df.withColumn("hashes",
+      org.apache.spark.sql.graft.VectorExpressions.lshHash(col(vecCol), model))
 
   /** The hash table exploded to (id, table, hash) — the posting-list view the
     * collision-count join runs on (ES inverted-index analog, SURVEY §1.1).

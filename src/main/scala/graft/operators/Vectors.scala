@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{CentroidAgg, VectorOps}
+import org.apache.spark.sql.graft.VectorExpressions
+import graft.functions.CentroidAgg
 
 /** Embedding-column analytics beyond point-lookup kNN: per-label centroids
   * (custom typed Aggregator), exact all-pairs similarity (the near-dup
@@ -59,7 +60,7 @@ object Vectors {
       .join(broadcast(emb.as("b")), col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-        VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+        VectorExpressions.cosine(col("a.embedding"), col("b.embedding")).as("sim"))
     pairs
       .orderBy(col("sim").desc, col("i").asc, col("j").asc)
       .limit(k)
@@ -86,7 +87,7 @@ object Vectors {
       .select(col("vec_id").as("cell"), col("embedding").as("cv"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cdist").asc, col("cell").asc)
     emb.join(broadcast(cents), lit(true))
-      .withColumn("cdist", VectorOps.l2Sq(col("embedding"), col("cv")))
+      .withColumn("cdist", VectorExpressions.l2(col("embedding"), col("cv")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
@@ -118,7 +119,7 @@ object Vectors {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cdist").asc, col("cell").asc)
     val probes = q.join(broadcast(cents), lit(true))
-      .withColumn("cdist", VectorOps.l2Sq(col("qv"), col("cv")))
+      .withColumn("cdist", VectorExpressions.l2(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
@@ -129,7 +130,7 @@ object Vectors {
       .filter(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
-        VectorOps.l2(col("qv"), col("embedding")).as("dist"))
+        VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))
       .withColumn("rank", row_number().over(wK))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("dist"), 4).as("dist4"))

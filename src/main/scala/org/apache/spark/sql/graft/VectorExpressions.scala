@@ -1,0 +1,160 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+import graft.operators.Lsh.LshModel
+
+/** Native Catalyst expressions for the vector hot paths (SURVEY.md §4.3):
+  * primitive float loops with whole-stage codegen, replacing the v1
+  * higher-order-function compositions. No per-row boxing, no Seq
+  * allocation — the generated Java reads `ArrayData.getFloat(i)` directly.
+  *
+  * Bit-compatibility contract: each expression accumulates in exactly the
+  * same order as the HOF versions in [[VectorOps]] (left-to-right over the
+  * array, double arithmetic), so swapping them cannot perturb oracle-checked
+  * output — VectorExprSpec asserts bitwise equality on the fixtures.
+  */
+object VectorExpressions {
+
+  /** ‖a − b‖₂ with codegen. */
+  case class L2Distance(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "l2_distance"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+        s += d * d
+        i += 1
+      }
+      math.sqrt(s)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+           |  $s += $d * $d;
+           |}
+           |${ev.value} = java.lang.Math.sqrt($s);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** cos(a, b) in one pass (dot + both norms accumulated together; same
+    * per-term order as the three HOF passes, so bit-identical results).
+    */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_sim"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = x.getFloat(i).toDouble
+        val yv = y.getFloat(i).toDouble
+        dot += xv * yv
+        na += xv * xv
+        nb += yv * yv
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xv = (double) $a.getFloat($i);
+           |  double $yv = (double) $b.getFloat($i);
+           |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+           |}
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Packed per-table LSH hashes (SURVEY §2.A A2) as a native expression:
+    * the model rides along as a plan reference object (tens of KB), the loop
+    * is shared between interpreted eval and codegen via
+    * [[LshModel.hashArrayData]].
+    */
+  case class LshHash(child: Expression, model: LshModel)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "lsh_hash"
+
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(model.hashArrayData(v.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val modelRef = ctx.addReferenceObj("lshModel", model, classOf[LshModel].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"$modelRef.hashArrayData($v));")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def l2(a: Column, b: Column): Column =
+    ExpressionUtils.column(L2Distance(expr(a), expr(b)))
+  def cosine(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSim(expr(a), expr(b)))
+  def lshHash(v: Column, model: LshModel): Column =
+    ExpressionUtils.column(LshHash(expr(v), model))
+
+  private def expr(c: Column): Expression = ExpressionUtils.expression(c)
+}
