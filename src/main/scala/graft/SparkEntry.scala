@@ -24,6 +24,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ Text.all ++ Events.all ++ Vectors.all ++ Media.all ++
+      AsOf.all ++
       Map[String, (SparkSession, String) => DataFrame](
       "q20_knn_exact" -> ((s, dir) => KnnExact.topK(s, dir)),
       "q21_knn_cosine" -> ((s, dir) => KnnExact.topKCosine(s, dir)),
@@ -37,7 +38,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Text.oracles ++ Events.oracles ++ Vectors.oracles ++
-      Media.oracles ++ Map(
+      Media.oracles ++ AsOf.oracles ++ Map(
       "q20_knn_exact" -> KnnExact.oracle(),
       "q21_knn_cosine" -> KnnExact.oracleCosine(),
     )

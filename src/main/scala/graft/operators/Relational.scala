@@ -369,7 +369,22 @@ object Relational {
        |GROUP BY 1, 2
        |ORDER BY p_brand, tier""".stripMargin
 
+  /** q17 — HLL sketch aggregate (no SQL oracle — approximate by design;
+    * RelationalSpec bounds the error vs the exact count): distinct users per
+    * event type via `approx_count_distinct`, the constant-memory path for
+    * count-distinct at 100 TB.
+    */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_approx_distinct" -> (approxDistinct _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_revenue_by_nation" -> (revenueByNation _),
     "q03_top_customers" -> (topCustomers _),

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftFunctions
+
+import graft.operators.{Lsh, Relational, Skew}
+
+class MiscSpec extends SparkSpec {
+
+  test("salted count equals direct groupBy count") {
+    val ev = Tables.events(spark, sf0001)
+    val direct = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(ev, "event_type", "event_id", 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+
+  test("salted sum equals direct sum (integer-valued column)") {
+    val ord = Tables.orders(spark, sf0001)
+      .withColumn("o_key_count", lit(1L))
+    val direct = ord.groupBy(col("o_orderstatus")).agg(sum(col("o_key_count")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedSum(ord, "o_orderstatus", "o_key_count", "o_orderkey", 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+
+  test("bucket capping bounds posting-list length, keeps smallest ids") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = Lsh.fit(emb, tables = 4, bits = 2) // coarse → long lists
+    val posts = Lsh.explodeHashes(Lsh.withHashes(spark, emb, model))
+    val capped = Skew.capBuckets(posts, cap = 10)
+    val maxLen = capped.groupBy(col("tbl"), col("hash"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect()(0).getLong(0)
+    assert(maxLen <= 10)
+    val total = capped.count()
+    assert(total > 0 && total <= posts.count())
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val approx = Relational.approxDistinct(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf0001)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx=$a exact=$e")
+    }
+  }
+
+  test("SQL-registered vector functions work through spark.sql") {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, sf0001).limit(5).createOrReplaceTempView("emb_v")
+    val rows = spark.sql(
+      """SELECT l2_distance(embedding, embedding) AS z,
+        |       cosine_sim(embedding, embedding) AS one
+        |FROM emb_v""".stripMargin).collect()
+    assert(rows.forall(_.getDouble(0) == 0.0))
+    assert(rows.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-9))
+  }
+
+  test("csv and json sources round-trip the documents table") {
+    val doc = Tables.documents(spark, sf0001).select("doc_id", "lang", "n_chars")
+    val base = java.nio.file.Files.createTempDirectory("graft-src").toString
+    doc.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    doc.write.mode("overwrite").json(s"$base/json")
+    val csv = spark.read.option("header", "true").schema(doc.schema).csv(s"$base/csv")
+    val json = spark.read.schema(doc.schema).json(s"$base/json")
+    assert(csv.count() == 500 && json.count() == 500)
+    assert(csv.orderBy("doc_id").collect().toSeq ==
+      doc.orderBy("doc_id").collect().toSeq)
+    assert(json.orderBy("doc_id").collect().toSeq ==
+      doc.orderBy("doc_id").collect().toSeq)
+  }
+}
