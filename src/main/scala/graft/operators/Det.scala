@@ -35,6 +35,13 @@ object Det {
   def sqlExactSum(expr: String, scale: Int): String =
     s"(CAST(sum(${sqlScaled(expr, scale)}) AS BIGINT) / ${math.pow(10, scale).toLong}.0)"
 
+  /** Spark-SQL flavor: Spark parses `100.0` literals as DECIMAL (DuckDB as
+    * DOUBLE), so the divisor needs an explicit double cast to keep the
+    * output double on both sides.
+    */
+  def sqlExactSumSpark(expr: String, scale: Int): String =
+    s"(CAST(sum(${sqlScaled(expr, scale)}) AS BIGINT) / CAST(${math.pow(10, scale).toLong} AS DOUBLE))"
+
   def sqlExactAvg(expr: String, scale: Int): String =
     s"(CAST(sum(${sqlScaled(expr, scale)}) AS BIGINT) / ${math.pow(10, scale).toLong}.0 / count(*))"
 }

@@ -225,6 +225,48 @@ object Relational {
        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  /** q10 — explicit GROUPING SETS (beyond rollup/cube): order stats at
+    * (status), (priority), and () grouping levels, via the SQL surface.
+    */
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_gs")
+    spark.sql(
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         |       ${Det.sqlExactSumSpark("o_totalprice", 2)} AS revenue
+         |FROM orders_gs
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  val groupingSetsOracle: String =
+    s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       |       ${Det.sqlExactSum("o_totalprice", 2)} AS revenue
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** q11 — RANGE frame window: for each order, revenue of the customer's
+    * orders within ±100.0 of its price (value-range frame, not row frame).
+    */
+  def rangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    // the DataFrame API's rangeBetween only accepts Long offsets; fractional
+    // value ranges go through the SQL frame syntax
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_rf")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey,
+        |       count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |                      RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING) AS n_near
+        |FROM orders_rf
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val rangeFrameOracle: String =
+    """SELECT o_orderkey, o_custkey,
+      |       count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+      |                      RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING) AS n_near
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   /** q09 — ranking window: top-3 orders per customer by price. */
   def topOrdersPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
     val ord = Tables.orders(spark, sfDir)
@@ -385,6 +427,8 @@ object Relational {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_approx_distinct" -> (approxDistinct _),
+    "q10_grouping_sets" -> (groupingSets _),
+    "q11_range_frame" -> (rangeFrame _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_revenue_by_nation" -> (revenueByNation _),
     "q03_top_customers" -> (topCustomers _),
@@ -403,6 +447,8 @@ object Relational {
     "q24_brand_tiers" -> (brandTiers _))
 
   val oracles: Map[String, String] = Map(
+    "q10_grouping_sets" -> groupingSetsOracle,
+    "q11_range_frame" -> rangeFrameOracle,
     "q01_pricing_summary" -> pricingSummaryOracle,
     "q02_revenue_by_nation" -> revenueByNationOracle,
     "q03_top_customers" -> topCustomersOracle,

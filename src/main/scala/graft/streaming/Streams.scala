@@ -65,6 +65,33 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via `flatMapGroupsWithState` (SURVEY §2.B session/
+    * state row): running per-user totals that survive across micro-batches.
+    * State is one small record per key — bounded by key cardinality.
+    */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val byUser = events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+    val out = byUser.flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserAgg]) =>
+        val prev = state.getOption.getOrElse(UserAgg(user, 0L, 0.0))
+        var n = prev.n_events
+        var tot = prev.total_value
+        rows.foreach { case (_, v) => n += 1; tot += v }
+        val next = UserAgg(user, n, tot)
+        state.update(next)
+        Iterator(next)
+    }
+    out.toDF()
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the collected result table (test/dev harness; production uses a
     * durable sink + checkpoint).

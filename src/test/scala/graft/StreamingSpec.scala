@@ -27,6 +27,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("flatMapGroupsWithState running totals match batch aggregation") {
+    val dir = stageEventsDir()
+    val out = Streams.runToMemory(
+      spark,
+      Streams.runningUserTotals(spark, Streams.readEvents(spark, dir)),
+      "usertotals", outputMode = "update")
+    // single micro-batch ⇒ the updated state rows are the final totals
+    val streamed = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .toMap
+    val batch = Tables.events(spark, sf0001)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("value")).as("t"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .toMap
+    assert(streamed == batch)
+  }
+
   test("streaming dedup emits at most one row per (user, event_type)") {
     val dir = stageEventsDir()
     val out = Streams.runToMemory(
