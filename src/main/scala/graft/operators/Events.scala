@@ -125,23 +125,25 @@ object Events {
       |                           ORDER BY CAST(ts AS TIMESTAMP), event_id) = 1
       |ORDER BY user_id, event_type""".stripMargin
 
-  /** q44 — analytic window (lag): per-user value delta between consecutive
-    * events.
+  /** q44 — analytic windows (lag + lead): per-user deltas to the previous
+    * and next event values.
     */
   def lagDeltas(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
     Tables.events(spark, sfDir)
       .withColumn("delta", round(col("value") - lag(col("value"), 1).over(w), 4))
-      .select(col("event_id"), col("user_id"), col("delta"))
+      .withColumn("next_delta", round(lead(col("value"), 1).over(w) - col("value"), 4))
+      .select(col("event_id"), col("user_id"), col("delta"), col("next_delta"))
       .orderBy(col("event_id"))
   }
 
   val lagDeltasOracle: String =
     """SELECT event_id, user_id,
-      |       round(value - lag(value, 1) OVER (PARTITION BY user_id
-      |             ORDER BY CAST(ts AS TIMESTAMP), event_id), 4) AS delta
+      |       round(value - lag(value, 1) OVER w, 4) AS delta,
+      |       round(lead(value, 1) OVER w - value, 4) AS next_delta
       |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
       |ORDER BY event_id""".stripMargin
 
   /** q45 — frame spec (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW): 3-event
@@ -188,7 +190,32 @@ object Events {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** q48 — MapType + from_json: parse the props JSON into a map column and
+    * aggregate over exploded map entries (SURVEY §2.B map-functions row —
+    * the fixtures carry no native map column, so one is derived).
+    */
+  def mapFunctions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    Tables.events(spark, sfDir)
+      .withColumn("m", from_json(col("props"), MapType(StringType, LongType)))
+      .select(col("event_type"), explode(col("m")).as(Seq("k", "v")))
+      .groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+      .orderBy(col("event_type"), col("k"))
+  }
+
+  val mapFunctionsOracle: String =
+    """WITH kv AS (
+      |  SELECT event_type, unnest(json_keys(props)) AS k, props FROM events
+      |)
+      |SELECT event_type, k, count(*) AS n,
+      |       CAST(sum(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS BIGINT) AS sum_v
+      |FROM kv
+      |GROUP BY 1, 2
+      |ORDER BY event_type, k""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_map_functions" -> (mapFunctions _),
     "q40_tumbling_windows" -> (tumbling _),
     "q41_sliding_windows" -> (sliding _),
     "q42_session_windows" -> (sessions _),
@@ -198,6 +225,7 @@ object Events {
     "q46_json_kpis" -> (jsonKpis _))
 
   val oracles: Map[String, String] = Map(
+    "q48_map_functions" -> mapFunctionsOracle,
     "q40_tumbling_windows" -> tumblingOracle,
     "q41_sliding_windows" -> slidingOracle,
     "q42_session_windows" -> sessionsOracle,
