@@ -33,6 +33,26 @@ class LshSpec extends SparkSpec {
     assert(r1.length == 500 * 4) // every vector hashed in every table
   }
 
+  test("hash golden file: matches checked-in hashes (cross-build regression)") {
+    val goldenPath = java.nio.file.Paths.get(
+      "src/test/resources/golden/lsh_hashes_sf0001_t4b6.csv")
+    val got = Lsh.hashQuery(spark, sf0001, tables = 4, bits = 6).collect()
+      .map(r => s"${r.getLong(0)},${r.getInt(1)},${r.getLong(2)}")
+    if (!java.nio.file.Files.exists(goldenPath)) {
+      java.nio.file.Files.createDirectories(goldenPath.getParent)
+      java.nio.file.Files.write(goldenPath,
+        got.mkString("\n").getBytes("UTF-8"))
+      info(s"golden file generated at $goldenPath — commit it")
+    } else {
+      val expected = new String(
+        java.nio.file.Files.readAllBytes(goldenPath), "UTF-8").split("\n")
+      assert(got.length == expected.length)
+      got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(g == e, s"line $i: got $g expected $e")
+      }
+    }
+  }
+
   test("locality: near pairs collide in more tables than far pairs") {
     val emb = Tables.embeddings(spark, sf0001)
     val m = Lsh.fit(emb)
