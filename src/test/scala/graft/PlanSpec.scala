@@ -1,0 +1,65 @@
+package graft
+
+/** Plan-quality invariants (SURVEY.md §4.2): these lock in the physical-plan
+  * properties the 100 TB design depends on, so a refactor that silently
+  * breaks pushdown/broadcast/pruning fails CI, not the cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("no gate query plans a cartesian product") {
+    SparkEntry.queries.keys.foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+    }
+  }
+
+  test("q02 broadcasts the dimension chain into the lineitem scan") {
+    val plan = planOf("q02_revenue_by_nation")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"dim join should not shuffle:\n$plan")
+  }
+
+  test("q02 prunes lineitem to the three needed columns") {
+    val plan = planOf("q02_revenue_by_nation")
+    val scan = plan.linesIterator.filter(_.contains("FileScan"))
+      .find(_.contains("lineitem")).getOrElse(fail("no lineitem scan"))
+    assert(scan.contains("l_suppkey") && scan.contains("l_extendedprice"))
+    assert(!scan.contains("l_shipdate") && !scan.contains("l_quantity"),
+      s"lineitem scan reads unneeded columns: $scan")
+  }
+
+  test("q05 pushes the status filter into the orders scan") {
+    val plan = planOf("q05_anti_join_customers")
+    val scan = plan.linesIterator.filter(_.contains("FileScan"))
+      .find(_.contains("orders")).getOrElse(fail("no orders scan"))
+    assert(scan.contains("o_orderstatus"), scan)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(o_orderstatus,P)"), s"filter not pushed:\n$plan")
+  }
+
+  test("knn exact never reads the label column") {
+    val plan = planOf("q20_knn_exact")
+    val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty)
+    scans.foreach(s => assert(!s.contains("label"), s"label not pruned: $s"))
+  }
+
+  test("top-k windows use WindowGroupLimit (partial top-k pushdown)") {
+    val plan = planOf("q09_top_orders_per_customer")
+    assert(plan.contains("WindowGroupLimit"), s"rank filter not pushed:\n$plan")
+  }
+
+  test("global top-10 uses TakeOrderedAndProject, not a full sort") {
+    val plan = planOf("q12_global_top_orders")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("lsh knn joins posting lists with a broadcast of the query side") {
+    val plan = planOf("q23_lsh_knn")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
