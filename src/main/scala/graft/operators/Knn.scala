@@ -48,12 +48,14 @@ object Knn {
       k1: Int = 100,
       k2: Int = 10,
       tables: Int = 32,
-      bits: Int = 3): DataFrame = {
+      bits: Int = 3,
+      multiprobe: Boolean = false): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val model = Lsh.fit(emb, tables, bits)
     val hashed = Lsh.withHashes(spark, emb, model)
     val queries = hashed.filter(col("vec_id") < queryMaxId)
-    lshSearch(spark, hashed, queries, k1, k2)
+    lshSearch(spark, hashed, queries, k1, k2,
+      probeBits = if (multiprobe) bits else 0)
   }
 
   /** A7: search by stored id — the query side is a filter on the indexed
@@ -64,11 +66,15 @@ object Knn {
       hashed: DataFrame,
       queries: DataFrame,
       k1: Int,
-      k2: Int): DataFrame = {
+      k2: Int,
+      probeBits: Int = 0): DataFrame = {
     // Posting lists: (id, tbl, hash) both sides; query side is small → broadcast.
     val posts = Lsh.explodeHashes(hashed)
-    val qposts = Lsh.explodeHashes(
+    val qexact = Lsh.explodeHashes(
       queries.select(col("vec_id").as("query_id"), col("hashes")), "query_id")
+    // Multiprobe: also probe Hamming-1 buckets on the QUERY side only — the
+    // index stays untouched, so the cost is |Q|·tables·bits extra probe keys.
+    val qposts = if (probeBits > 0) Lsh.multiprobe(qexact, probeBits) else qexact
 
     // A5: collision counting — equi-join on (tbl, hash), count per pair.
     val collisions = posts

@@ -162,6 +162,21 @@ object Lsh {
   def explodeHashes(hashed: DataFrame, idCol: String = "vec_id"): DataFrame =
     hashed.select(col(idCol), posexplode(col("hashes")).as(Seq("tbl", "hash")))
 
+  /** Multiprobe expansion of a (id, tbl, hash) posting list: alongside the
+    * exact hash, probe every hash within Hamming distance 1 in packed-bit
+    * space (standard multiprobe LSH — each flip effectively widens the
+    * bucket, lifting recall without adding tables/index size). Output keeps
+    * the same (id, tbl, hash) shape, deduplicated.
+    */
+  def multiprobe(posts: DataFrame, bits: Int, idCol: String = "query_id"): DataFrame =
+    posts
+      .select(col(idCol), col("tbl"),
+        explode(concat(
+          array(col("hash")),
+          expr(s"transform(sequence(0, ${bits - 1}), b -> hash ^ shiftleft(CAST(1 AS BIGINT), b))")
+        )).as("hash"))
+      .distinct()
+
   /** Gate query (no oracle — model-dependent; pinned by ScalaTest golden +
     * recall tests): per-vector packed hashes, exploded for a stable schema.
     * Output: (vec_id, tbl, hash).

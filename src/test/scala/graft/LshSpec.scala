@@ -83,6 +83,24 @@ class LshSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall@10 = $recall")
   }
 
+  test("multiprobe lifts recall at identical index size") {
+    val exact = KnnExact.topK(spark, sf0001, queryMaxId = 8, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(multiprobe: Boolean): Double = {
+      val got = Knn.lshTopK(spark, sf0001, queryMaxId = 8, k1 = 100, k2 = 10,
+          multiprobe = multiprobe)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val base = recall(multiprobe = false)
+    val multi = recall(multiprobe = true)
+    info(f"recall base=$base%.3f multiprobe=$multi%.3f")
+    assert(multi >= base, s"multiprobe must not lose recall (base=$base multi=$multi)")
+    assert(multi >= 0.75, s"multiprobe recall=$multi")
+  }
+
   test("index round-trip: partitioned write preserves rows, lookup prunes") {
     val emb = Tables.embeddings(spark, sf0001)
     val m = Lsh.fit(emb, tables = 4, bits = 6)
