@@ -65,6 +65,26 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Streaming vector ingest — the reference's Kafka → hash → index flow
+    * (SURVEY §2.A A3/A9) as a Structured Streaming query: vectors arrive on
+    * a stream, are hashed against the broadcast-style model (a plan
+    * reference), and land with precomputed hashes ready for the collision
+    * join. Swap source to Kafka and sink to partitioned parquet in
+    * production; hashing remains a narrow executor-parallel map either way.
+    */
+  def hashedVectors(
+      spark: SparkSession,
+      dir: String,
+      model: graft.operators.Lsh.LshModel): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = true)),
+      StructField("label", IntegerType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    stream.withColumn("hashes",
+      org.apache.spark.sql.graft.VectorExpressions.lshHash(col("embedding"), model))
+  }
+
   case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom keyed state via `flatMapGroupsWithState` (SURVEY §2.B session/

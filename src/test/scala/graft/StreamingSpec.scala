@@ -49,6 +49,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming vector ingest hashes identically to the batch index path") {
+    val dir = Files.createTempDirectory("graft-vstream").toString
+    Files.copy(Paths.get(sf0001, "embeddings.parquet"),
+      Paths.get(dir, "embeddings.parquet"))
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = graft.operators.Lsh.fit(emb, tables = 4, bits = 6)
+    val streamed = Streams.runToMemory(
+        spark, Streams.hashedVectors(spark, dir, model), "vhash",
+        outputMode = "append")
+      .select("vec_id", "hashes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val batch = graft.operators.Lsh.withHashes(spark, emb, model)
+      .select("vec_id", "hashes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(streamed == batch)
+    assert(streamed.size == 500)
+  }
+
   test("streaming dedup emits at most one row per (user, event_type)") {
     val dir = stageEventsDir()
     val out = Streams.runToMemory(
