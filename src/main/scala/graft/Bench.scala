@@ -23,15 +23,30 @@ object Bench {
           Window.partitionBy(col("n_regionkey")).orderBy(col("count"))))
         .count()
     }
+    // A failing query must fail the bench run (non-zero exit + named in the
+    // JSON line), never masquerade as a fast success.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\n\\r]", " ").take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+        .mkString(",\"errors\":{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"BENCH FAILED: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

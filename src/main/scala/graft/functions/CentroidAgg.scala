@@ -21,6 +21,8 @@ object CentroidAgg extends Aggregator[Seq[Float], CentroidBuf, Seq[Double]] {
   override def zero: CentroidBuf = CentroidBuf(Array.emptyLongArray, 0L)
 
   override def reduce(b: CentroidBuf, v: Seq[Float]): CentroidBuf = {
+    require(b.sums.isEmpty || v.length == b.sums.length,
+      s"ragged input: vector dim ${v.length} != accumulator dim ${b.sums.length}")
     val sums = if (b.sums.isEmpty) new Array[Long](v.length) else b.sums
     var i = 0
     while (i < v.length) {
@@ -37,6 +39,8 @@ object CentroidAgg extends Aggregator[Seq[Float], CentroidBuf, Seq[Double]] {
     if (a.sums.isEmpty) b
     else if (b.sums.isEmpty) a
     else {
+      require(a.sums.length == b.sums.length,
+        s"ragged partials: ${a.sums.length} != ${b.sums.length}")
       val sums = a.sums.clone()
       var i = 0
       while (i < sums.length) { sums(i) += b.sums(i); i += 1 }

@@ -23,6 +23,14 @@ object AsOf {
   /** q47 — for each purchase, the user's most recent click at-or-before it.
     * Output: (event_id, user_id, click_id, gap_us) — gap in microseconds,
     * null when the user never clicked before the purchase.
+    *
+    * Tie-break assumption: among multiple clicks by one user at an identical
+    * ts, this picks the max event_id (last in (ts, is_left, event_id) order),
+    * while DuckDB's ASOF JOIN leaves that choice unspecified. The fixture
+    * events carry nanosecond timestamps with no duplicate (user_id, ts)
+    * click pairs (verified round 1), so the oracle compare is stable; if a
+    * fixture ever gains such duplicates, pre-dedup clicks to max event_id per
+    * (user_id, ts) on both sides.
     */
   def purchaseLastClick(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)

@@ -60,6 +60,12 @@ object Knn {
 
   /** A7: search by stored id — the query side is a filter on the indexed
     * table itself (precomputed hashes, no re-hash), then A5→A6.
+    *
+    * `broadcastQueries` (default true) hints the query posting list / query
+    * vectors for broadcast — correct for the point-lookup gates (≤ a few
+    * hundred queries). For a LARGE query batch pass false: the hint would
+    * force a multi-GB broadcast, and size-based selection + AQE should pick
+    * the shuffle plan instead.
     */
   def lshSearch(
       spark: SparkSession,
@@ -67,7 +73,9 @@ object Knn {
       queries: DataFrame,
       k1: Int,
       k2: Int,
-      probeBits: Int = 0): DataFrame = {
+      probeBits: Int = 0,
+      broadcastQueries: Boolean = true): DataFrame = {
+    def hintQ(df: DataFrame): DataFrame = if (broadcastQueries) broadcast(df) else df
     // Posting lists: (id, tbl, hash) both sides; query side is small → broadcast.
     val posts = Lsh.explodeHashes(hashed)
     val qexact = Lsh.explodeHashes(
@@ -78,7 +86,7 @@ object Knn {
 
     // A5: collision counting — equi-join on (tbl, hash), count per pair.
     val collisions = posts
-      .join(broadcast(qposts), Seq("tbl", "hash"))
+      .join(hintQ(qposts), Seq("tbl", "hash"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(count(lit(1)).as("collisions"))
@@ -95,7 +103,7 @@ object Knn {
     val qvecs = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val rescored = k1set
       .join(vecs, "vec_id")
-      .join(broadcast(qvecs), "query_id")
+      .join(hintQ(qvecs), "query_id")
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"), col("collisions"),
         VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))

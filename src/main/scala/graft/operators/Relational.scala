@@ -56,11 +56,15 @@ object Relational {
     val sup = Tables.supplier(spark, sfDir)
     val nat = Tables.nation(spark, sfDir)
     val reg = Tables.region(spark, sfDir)
+    // Hint only the genuinely constant-size tables (region=5, nation=25
+    // rows). supplier grows with SF — at 100× a forced broadcast of the whole
+    // dim chain would exceed executor memory; size-based selection + AQE pick
+    // the right plan for it (still a broadcast at gate scale).
     val dims = sup
-      .join(nat, sup("s_nationkey") === nat("n_nationkey"))
-      .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
       .select(col("s_suppkey"), col("n_name"), col("r_name"))
-    li.join(broadcast(dims), li("l_suppkey") === dims("s_suppkey"))
+    li.join(dims, li("l_suppkey") === dims("s_suppkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         Det.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
@@ -186,11 +190,13 @@ object Relational {
     val cust = Tables.customer(spark, sfDir)
     val nat = Tables.nation(spark, sfDir)
     val reg = Tables.region(spark, sfDir)
+    // Same hint discipline as q02: broadcast only nation/region; customer
+    // scales with SF, so its join is left to size-based selection + AQE.
     val dims = cust
-      .join(nat, cust("c_nationkey") === nat("n_nationkey"))
-      .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
       .select(col("c_custkey"), col("n_name"), col("r_name"))
-    ord.join(broadcast(dims), ord("o_custkey") === dims("c_custkey"))
+    ord.join(dims, ord("o_custkey") === dims("c_custkey"))
       .rollup(col("r_name"), col("n_name"))
       .agg(
         count(lit(1)).as("n_orders"),

@@ -89,14 +89,21 @@ object Text {
       |WHERE doc_id < 50
       |ORDER BY doc_id""".stripMargin
 
-  /** q32 — exact deduplication (hash-groupBy on full text): canonical id +
-    * copy count per distinct text. At scale this groups by a text hash with
-    * the full text only compared within hash buckets; Spark's hash aggregate
-    * already gives that shape.
+  /** q32 — exact deduplication, hash-keyed: canonical id + copy count per
+    * distinct text. The shuffle key is a fixed-width digest pair
+    * (xxhash64 + sha2-256, 40 bytes), never the document text itself — at
+    * 100 TB the old `groupBy(text)` shape would shuffle the entire corpus as
+    * grouping keys. The sha2-256 second key IS the in-bucket equality
+    * confirm: two texts agreeing on both digests are equal up to a 2^-256
+    * collision, the same guarantee content-addressed stores rely on.
     */
   def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.documents(spark, sfDir)
-      .groupBy(col("text"))
+      .select(
+        col("doc_id"),
+        xxhash64(col("text")).as("h64"),
+        sha2(col("text"), 256).as("h256"))
+      .groupBy(col("h64"), col("h256"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("copies"))
       .select(col("doc_id"), col("copies"))
       .orderBy(col("doc_id"))
@@ -192,10 +199,24 @@ object Text {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
-    // Exact-Jaccard verification of the candidate set only.
-    val exact = jaccardPairs(spark, sfDir, maxDocId, threshold)
-      .select(col("i"), col("j"), col("jac4"))
-    cands.join(exact, Seq("i", "j"))
+    // Exact-Jaccard verification computed for the CANDIDATE pairs only —
+    // fan candidates out to i's tokens, keep those also in j's set, count.
+    // Cost is |cands|·|tokens/doc|, never the all-pairs token self-join the
+    // banding exists to avoid (that O(N²) baseline lives in jaccardPairs and
+    // is gated separately on a bounded sample).
+    val tok = doc.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
+    val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val common = cands
+      .join(tok.select(col("doc_id").as("i"), col("t")), "i")
+      .join(tok.select(col("doc_id").as("j"), col("t")), Seq("j", "t"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sz.select(col("doc_id").as("i"), col("sz").as("si")), "i")
+      .join(sz.select(col("doc_id").as("j"), col("sz").as("sj")), "j")
+      .withColumn("jac", col("common") / (col("si") + col("sj") - col("common")))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), round(col("jac"), 4).as("jac4"))
       .orderBy(col("i"), col("j"))
   }
 
@@ -280,9 +301,11 @@ object Text {
       "es" -> Seq("ción", "los", "las", "que", "ñ", "ll"),
       "fr" -> Seq("les", "des", "que", "é", "è", "ç", "eau"),
       "zh" -> Seq("zh", "ng", "xi", "qi"))
+    // Plain substring `replace` (no regex engine) — one pass per marker over
+    // the row, all fused into a single codegen'd projection.
     val scoreCols = markers.map { case (lang, ms) =>
       val score = ms.map(m =>
-        (length(col("text")) - length(regexp_replace(col("text"), lit(java.util.regex.Pattern.quote(m)), lit("")))) / m.length)
+        (length(col("text")) - length(replace(col("text"), lit(m), lit("")))) / m.length)
         .reduce(_ + _)
       struct(score.cast("long").as("score"), lit(lang).as("lang"))
     }

@@ -8,6 +8,54 @@ import graft.Tables
 import org.apache.spark.sql.graft.VectorExpressions
 import graft.functions.CentroidAgg
 
+/** An IVF coarse quantizer: C centroid vectors with their cell ids, carried
+  * into executors as a plan reference object (the same pattern as
+  * [[Lsh.LshModel]] — a few MB at most even for thousands of cells).
+  */
+case class CentroidSet(ids: Array[Long], vecs: Array[Array[Float]]) {
+
+  /** Ids of the `n` nearest centroids to `v` by squared L2 (monotone in L2,
+    * so the ordering matches an exact-distance ranking), ties broken by cell
+    * id ascending — deterministic under any partitioning.
+    */
+  def nearest(v: org.apache.spark.sql.catalyst.util.ArrayData, n: Int): Array[Long] = {
+    val c = ids.length
+    val d2 = new Array[Double](c)
+    var k = 0
+    while (k < c) {
+      val cv = vecs(k)
+      val dim = math.min(v.numElements(), cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        val d = v.getFloat(i).toDouble - cv(i).toDouble
+        s += d * d
+        i += 1
+      }
+      d2(k) = s
+      k += 1
+    }
+    // Bounded selection (n and C are both small — C is the coarse-cell count)
+    val out = new Array[Long](math.min(n, c))
+    val taken = new Array[Boolean](c)
+    var o = 0
+    while (o < out.length) {
+      var best = -1
+      var j = 0
+      while (j < c) {
+        if (!taken(j) &&
+          (best < 0 || d2(j) < d2(best) || (d2(j) == d2(best) && ids(j) < ids(best))))
+          best = j
+        j += 1
+      }
+      taken(best) = true
+      out(o) = ids(best)
+      o += 1
+    }
+    out
+  }
+}
+
 /** Embedding-column analytics beyond point-lookup kNN: per-label centroids
   * (custom typed Aggregator), exact all-pairs similarity (the near-dup
   * baseline), and an IVF-style partitioned ANN search.
@@ -78,19 +126,28 @@ object Vectors {
        |ORDER BY list_cosine_similarity(a.v, b.v) DESC, i ASC, j ASC
        |LIMIT $k""".stripMargin
 
-  /** IVF cell assignment: nearest of C coarse centroids (seeded
-    * deterministically from the first C vectors by id — a k-means iteration
-    * could refine them; seeding keeps the gate reproducible).
+  /** Collect the C coarse centroids to the driver (seeded deterministically
+    * from the first C vectors by id — a k-means iteration could refine them;
+    * seeding keeps the gate reproducible). C rows only — same driver-side
+    * footprint class as the LSH model fit sample.
+    */
+  def collectCentroids(emb: DataFrame, cells: Int): CentroidSet = {
+    val rows = emb.orderBy(col("vec_id")).limit(cells)
+      .select(col("vec_id"), col("embedding")).collect()
+    CentroidSet(rows.map(_.getLong(0)), rows.map(_.getSeq[Float](1).toArray))
+  }
+
+  /** IVF cell assignment: nearest of C coarse centroids, computed as a
+    * NARROW MAP — the [[CentroidSet]] rides the plan as a reference object
+    * and the argmin runs inside whole-stage codegen. No join, no N×C row
+    * blow-up, no shuffle: at 100 TB this is a pure scan-project stage (the
+    * previous formulation shuffled 16× the data through a per-row window).
     */
   def assignCells(spark: SparkSession, emb: DataFrame, cells: Int): DataFrame = {
-    val cents = emb.orderBy(col("vec_id")).limit(cells)
-      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cdist").asc, col("cell").asc)
-    emb.join(broadcast(cents), lit(true))
-      .withColumn("cdist", VectorExpressions.l2(col("embedding"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    val cents = collectCentroids(emb, cells)
+    emb.select(
+      col("vec_id"), col("embedding"),
+      element_at(VectorExpressions.nearestCells(col("embedding"), cents, 1), 1).as("cell"))
   }
 
   /** q25 — IVF-style ANN (no SQL oracle — pinned by VectorsSpec recall
@@ -110,19 +167,15 @@ object Vectors {
       cells: Int = 16,
       nprobe: Int = 4): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
+    val cents = collectCentroids(emb, cells)
     val assigned = assignCells(spark, emb, cells)
-    val cents = emb.orderBy(col("vec_id")).limit(cells)
-      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
 
-    // Each query → its nprobe nearest cells.
-    val q = emb.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cdist").asc, col("cell").asc)
-    val probes = q.join(broadcast(cents), lit(true))
-      .withColumn("cdist", VectorExpressions.l2(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
+    // Each query → its nprobe nearest cells: the same narrow-map quantizer,
+    // exploded — |Q|·nprobe probe rows, no centroid join.
+    val probes = emb.filter(col("vec_id") < queryMaxId)
+      .select(
+        col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(VectorExpressions.nearestCells(col("embedding"), cents, nprobe)).as("cell"))
 
     // Candidates = vectors in probed cells (equi-join on cell id).
     val wK = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("neighbor_id").asc)

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 
+import graft.operators.CentroidSet
 import graft.operators.Lsh.LshModel
 
 /** Native Catalyst expressions for the vector hot paths (SURVEY.md §4.3):
@@ -19,6 +20,12 @@ import graft.operators.Lsh.LshModel
   * same order as the HOF versions in [[VectorOps]] (left-to-right over the
   * array, double arithmetic), so swapping them cannot perturb oracle-checked
   * output — VectorExprSpec asserts bitwise equality on the fixtures.
+  *
+  * Null-element contract: inputs must be dense arrays with no null elements
+  * (the parquet fixture schema is `list<float>` and every writer in this repo
+  * produces dense vectors). A null element would read as 0.0f through
+  * `ArrayData.getFloat` — declared here rather than paying an isNullAt
+  * branch per element in the hot loop.
   */
 object VectorExpressions {
 
@@ -149,12 +156,41 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Ids of the `n` nearest centroids (squared-L2, ties by id asc) — the IVF
+    * coarse-quantizer step as a NARROW MAP. The centroid set rides the plan
+    * as a reference object (like [[LshHash]]'s model); the old formulation
+    * materialized N×C (vector, centroid) rows and shuffled them through a
+    * window just to take an argmin.
+    */
+  case class NearestCells(child: Expression, cents: CentroidSet, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "nearest_cells"
+
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(cents.nearest(v.asInstanceOf[ArrayData], n))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centroidSet", cents, classOf[CentroidSet].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"$ref.nearest($v, $n));")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def l2(a: Column, b: Column): Column =
     ExpressionUtils.column(L2Distance(expr(a), expr(b)))
   def cosine(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSim(expr(a), expr(b)))
   def lshHash(v: Column, model: LshModel): Column =
     ExpressionUtils.column(LshHash(expr(v), model))
+  def nearestCells(v: Column, cents: CentroidSet, n: Int): Column =
+    ExpressionUtils.column(NearestCells(expr(v), cents, n))
 
   private def expr(c: Column): Expression = ExpressionUtils.expression(c)
 }

@@ -39,6 +39,11 @@ class LshSpec extends SparkSpec {
     val got = Lsh.hashQuery(spark, sf0001, tables = 4, bits = 6).collect()
       .map(r => s"${r.getLong(0)},${r.getInt(1)},${r.getLong(2)}")
     if (!java.nio.file.Files.exists(goldenPath)) {
+      // A missing golden is a FAILURE unless regeneration was explicitly
+      // requested — silently regenerating would erase the cross-build
+      // regression coverage the file exists for.
+      assert(sys.env.contains("REGEN_GOLDEN"),
+        s"golden file $goldenPath missing; run with REGEN_GOLDEN=1 to regenerate")
       java.nio.file.Files.createDirectories(goldenPath.getParent)
       java.nio.file.Files.write(goldenPath,
         got.mkString("\n").getBytes("UTF-8"))

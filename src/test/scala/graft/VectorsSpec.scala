@@ -44,6 +44,15 @@ class VectorsSpec extends SparkSpec {
     }
   }
 
+  test("cell assignment is a narrow map: no exchange, no window, no join") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val plan = Vectors.assignCells(spark, emb, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"cell assignment shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"cell assignment windows:\n$plan")
+    assert(!plan.contains("Join"), s"cell assignment joins:\n$plan")
+  }
+
   test("cell assignment covers every vector exactly once") {
     val emb = Tables.embeddings(spark, sf0001)
     val assigned = Vectors.assignCells(spark, emb, cells = 16)
