@@ -16,29 +16,32 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's raison d'être: two-phase LSH kNN for one stored vector
-    * (SURVEY.md §2.A A7 / §3.3).
+    * (SURVEY.md §2.A A7 / §3.3) — served from the PERSISTED index layout
+    * (build-once, then partition-pruned probes), the A3→A7 lifecycle a real
+    * user of the reference runs.
     */
   def entry(spark: SparkSession): DataFrame =
-    Knn.lshTopK(spark, "/root/testdata/sf0.001", queryMaxId = 1, k1 = 100, k2 = 10)
+    Knn.lshTopKIndexed(spark, "/root/testdata/sf0.001", queryMaxId = 1, k1 = 100, k2 = 10)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ Text.all ++ Events.all ++ Vectors.all ++ Media.all ++
-      AsOf.all ++
+      AsOf.all ++ Sources.all ++
       Map[String, (SparkSession, String) => DataFrame](
       "q20_knn_exact" -> ((s, dir) => KnnExact.topK(s, dir)),
       "q21_knn_cosine" -> ((s, dir) => KnnExact.topKCosine(s, dir)),
       // Model-dependent LSH ops: no SQL oracle (driver records rows-only);
       // pinned by LshSpec golden + recall tests instead.
       "q22_lsh_hash" -> ((s, dir) => Lsh.hashQuery(s, dir)),
-      "q23_lsh_knn" -> ((s, dir) => Knn.lshTopK(s, dir)),
+      "q23_lsh_knn" -> ((s, dir) => Knn.lshTopKIndexed(s, dir)),
+      "q28_lsh_multiprobe" -> ((s, dir) => Knn.lshTopKIndexed(s, dir, multiprobe = true)),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Text.oracles ++ Events.oracles ++ Vectors.oracles ++
-      Media.oracles ++ AsOf.oracles ++ Map(
+      Media.oracles ++ AsOf.oracles ++ Sources.oracles ++ Map(
       "q20_knn_exact" -> KnnExact.oracle(),
       "q21_knn_cosine" -> KnnExact.oracleCosine(),
     )

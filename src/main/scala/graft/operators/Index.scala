@@ -1,52 +1,93 @@
 package graft.operators
 
+import java.io.File
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 
 /** Vector ingest / index build (SURVEY.md §2.A A3): the persisted "index" is
-  * a derived parquet layout — vectors + precomputed per-table hashes —
-  * partitioned by a capped bucket of the table-0 hash so candidate lookups
-  * prune directories, the parquet analog of ES's inverted hash-term index
-  * (SURVEY §4.2 partition-pruning row).
+  * a derived parquet layout in three parts — the ES-plugin lifecycle
+  * (model doc + stored `_source` + inverted hash-term index) re-expressed as
+  * files:
   *
-  * The partition column is `h0 % numBuckets`, NOT the raw hash: with B bits
-  * the raw hash has 2^B values and partitionBy would explode the directory
-  * count at high B (SURVEY §4.2 caveat).
+  *   - `model/`    one-row parquet of the LshModel + layout params (the
+  *                 `aknn_models` doc, SURVEY §2.A A4);
+  *   - `vectors/`  (vec_id, embedding, hashes) — stored source for GET-by-id
+  *                 and exact re-rank;
+  *   - `postings/` (tbl, hash, vec_id) partitioned by `pkey` — the inverted
+  *                 index. `pkey = tbl * numBuckets + hash mod numBuckets` is
+  *                 a pure function of the collision-join key (tbl, hash), so
+  *                 restricting the scan to the query side's probe pkeys is a
+  *                 LOSSLESS static partition prune: any posting that could
+  *                 equi-join a probe necessarily lives in a probed partition.
+  *                 This is the parquet analog of ES touching only the term
+  *                 dictionary entries the bool-should query names.
   *
   * Scale notes (100 TB): hashing is a narrow map (executor-parallel); the
-  * single shuffle is the partitionBy exchange, which buys static partition
-  * pruning for every by-id or by-bucket lookup afterwards. At cluster scale
-  * the same layout would use `bucketBy` into a table catalog; plain
-  * `partitionBy` keeps it filesystem-only here.
+  * two shuffles are the partitionBy exchanges at build time, paid once to
+  * make every search read |probe keys| directories instead of the corpus.
+  * Partition-directory count is bounded by tables × min(2^bits, numBuckets).
+  * At cluster scale the same layout would be `bucketBy` into a catalog
+  * table; plain `partitionBy` keeps it filesystem-only here.
   */
 object Index {
 
-  val BucketCol = "h0_bucket"
+  val PKeyCol = "pkey"
 
-  /** Hash + write the index. Returns the indexed DataFrame as written. */
+  def pkeyOf(tbl: Int, hash: Long, numBuckets: Int): Int =
+    tbl * numBuckets + (((hash % numBuckets) + numBuckets) % numBuckets).toInt
+
+  /** Hash + write the three-part index. */
   def build(
       spark: SparkSession,
       embeddings: DataFrame,
       model: Lsh.LshModel,
       outDir: String,
-      numBuckets: Int = 64): DataFrame = {
+      numBuckets: Int = 64): Unit = {
+    Lsh.saveModel(spark, model, numBuckets, s"$outDir/model")
     val hashed = Lsh.withHashes(spark, embeddings, model)
-      .withColumn(BucketCol, pmod(element_at(col("hashes"), 1), lit(numBuckets.toLong)))
-    hashed.write
-      .mode(SaveMode.Overwrite)
-      .partitionBy(BucketCol)
-      .parquet(outDir)
-    hashed
+      .select(col("vec_id"), col("embedding"), col("hashes"))
+    hashed.write.mode(SaveMode.Overwrite).parquet(s"$outDir/vectors")
+    Lsh.explodeHashes(hashed)
+      .withColumn(PKeyCol,
+        (col("tbl") * numBuckets + pmod(col("hash"), lit(numBuckets.toLong))).cast("int"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(PKeyCol)
+      .parquet(s"$outDir/postings")
   }
 
-  /** Read an index written by [[build]]. */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+  /** Build-once cache for the gate queries: the index for (sfDir, params)
+    * lives in the JVM temp dir, keyed by the embeddings fixture's mtime so a
+    * regenerated fixture invalidates it. Returns the index directory.
+    */
+  def ensure(
+      spark: SparkSession,
+      sfDir: String,
+      tables: Int = 32,
+      bits: Int = 3,
+      numBuckets: Int = 64): String = {
+    val src = new File(s"$sfDir/embeddings.parquet")
+    val key = Integer.toHexString(
+      (s"$sfDir:${src.lastModified}:$tables:$bits:$numBuckets").hashCode)
+    val dir = new File(sys.props("java.io.tmpdir"), s"graft-lsh-index-$key")
+    if (!new File(dir, "postings/_SUCCESS").exists()) {
+      val emb = Tables.embeddings(spark, sfDir)
+      val model = Lsh.fit(emb, tables, bits)
+      build(spark, emb, model, dir.getAbsolutePath, numBuckets)
+    }
+    dir.getAbsolutePath
+  }
 
-  /** Doc-GET-by-id over the index (SURVEY §2.B scan row): a plain filter the
-    * parquet source serves via min/max row-group stats.
+  def vectors(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/vectors")
+
+  def postings(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/postings")
+
+  /** Doc-GET-by-id over the stored vectors (SURVEY §2.B scan row): a plain
+    * filter the parquet source serves via min/max row-group stats.
     */
   def lookup(index: DataFrame, id: Long): DataFrame =
     index.filter(col("vec_id") === id)

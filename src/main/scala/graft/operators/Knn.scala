@@ -58,6 +58,101 @@ object Knn {
       probeBits = if (multiprobe) bits else 0)
   }
 
+  /** The real search lifecycle (SURVEY §3.3, A3→A7): search a PERSISTED
+    * index instead of refitting the model and re-hashing the corpus per
+    * query. [[Index.ensure]] builds the three-part layout once per
+    * (fixture, params); every search after that:
+    *
+    *   1. GETs the stored query docs' precomputed hashes (pushed vec_id
+    *      filter on `vectors/`, tiny driver collect — the analog of ES
+    *      fetching `_aknn_hashes` of the query doc);
+    *   2. probes `postings/` with a static partition filter on the probe
+    *      pkeys — a lossless prune (pkey is a function of the join key), so
+    *      the collision scan reads |probe| directories, not the corpus;
+    *   3. collision-counts + re-ranks exactly as [[lshSearch]].
+    *
+    * Results are identical to [[lshTopK]] (same deterministic fit, same
+    * search semantics) — asserted by LshSpec.
+    */
+  def lshTopKIndexed(
+      spark: SparkSession,
+      sfDir: String,
+      queryMaxId: Long = 8,
+      k1: Int = 100,
+      k2: Int = 10,
+      tables: Int = 32,
+      bits: Int = 3,
+      multiprobe: Boolean = false): DataFrame = {
+    val indexDir = Index.ensure(spark, sfDir, tables, bits)
+    searchIndex(spark, indexDir, queryMaxId, k1, k2, multiprobe)
+  }
+
+  /** A5–A7 against a persisted [[Index]] layout. */
+  def searchIndex(
+      spark: SparkSession,
+      indexDir: String,
+      queryMaxId: Long,
+      k1: Int,
+      k2: Int,
+      multiprobe: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val (model, numBuckets) = Lsh.loadModel(spark, s"$indexDir/model")
+    val vectors = Index.vectors(spark, indexDir)
+
+    // 1. GET query docs: precomputed hashes, no re-hash (A7).
+    val qRows = vectors.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id"), col("hashes")).collect()
+    val probeKeys: Seq[(Long, Int, Long)] = qRows.toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      r.getSeq[Long](1).zipWithIndex.flatMap { case (h, t) =>
+        val exact = Seq((qid, t, h))
+        // Multiprobe: Hamming-1 flips of the packed hash, query side only.
+        if (multiprobe) exact ++ (0 until model.bits).map(b => (qid, t, h ^ (1L << b)))
+        else exact
+      }
+    }.distinct
+
+    // 2. Probe postings under a static partition prune (lossless — see
+    // Index scaladoc). The probe list itself is a tiny local relation.
+    val pkeys = probeKeys.map { case (_, t, h) => Index.pkeyOf(t, h, numBuckets) }.distinct
+    val postings = Index.postings(spark, indexDir)
+      .filter(col(Index.PKeyCol).isin(pkeys: _*))
+    val qposts = probeKeys.toDF("query_id", "tbl", "hash")
+
+    // 3. A5: collision counting, then A6: exact re-rank — identical shape to
+    // lshSearch but over the pruned stored postings.
+    val collisions = postings
+      .join(broadcast(qposts), Seq("tbl", "hash"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(count(lit(1)).as("collisions"))
+    val wK1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("collisions").desc, col("vec_id").asc)
+    val k1set = collisions
+      .withColumn("r1", row_number().over(wK1))
+      .filter(col("r1") <= k1)
+      .drop("r1")
+
+    val vecs = vectors.select(col("vec_id"), col("embedding"))
+    val qvecs = vectors.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val rescored = k1set
+      .join(vecs, "vec_id")
+      .join(broadcast(qvecs), "query_id")
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"), col("collisions"),
+        VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))
+    val wK2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    rescored
+      .withColumn("rank", row_number().over(wK2))
+      .filter(col("rank") <= k2)
+      .select(
+        col("query_id"), col("neighbor_id"), col("rank"),
+        col("collisions"), round(col("dist"), 4).as("dist4"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** A7: search by stored id — the query side is a filter on the indexed
     * table itself (precomputed hashes, no re-hash), then A5→A6.
     *

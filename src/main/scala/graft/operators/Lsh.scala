@@ -156,6 +156,29 @@ object Lsh {
     df.withColumn("hashes",
       org.apache.spark.sql.graft.VectorExpressions.lshHash(col(vecCol), model))
 
+  /** Persist a fitted model (+ the index's numBuckets layout param) as a
+    * one-row parquet — the `aknn_models` document of the reference (SURVEY
+    * §2.A A1/A4), in an open format any engine can read back.
+    */
+  def saveModel(spark: SparkSession, model: LshModel, numBuckets: Int, dir: String): Unit = {
+    import spark.implicits._
+    Seq((model.tables, model.bits, model.dim, numBuckets,
+        model.midpoints.map(_.toSeq).toSeq, model.normals.map(_.toSeq).toSeq))
+      .toDF("tables", "bits", "dim", "num_buckets", "midpoints", "normals")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+  }
+
+  /** Read a model written by [[saveModel]]. Returns (model, numBuckets). */
+  def loadModel(spark: SparkSession, dir: String): (LshModel, Int) = {
+    val r = spark.read.parquet(dir).collect()(0)
+    def planes(field: String): Array[Array[Float]] =
+      r.getSeq[scala.collection.Seq[Float]](r.fieldIndex(field)).map(_.toArray).toArray
+    val model = LshModel(
+      r.getAs[Int]("tables"), r.getAs[Int]("bits"), r.getAs[Int]("dim"),
+      planes("midpoints"), planes("normals"))
+    (model, r.getAs[Int]("num_buckets"))
+  }
+
   /** The hash table exploded to (id, table, hash) — the posting-list view the
     * collision-count join runs on (ES inverted-index analog, SURVEY §1.1).
     */

@@ -1,0 +1,85 @@
+package graft.operators
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** JSON / CSV sources (SURVEY.md §2.B scans table — the reference stores
+  * `_source` JSON in Elasticsearch; our engine reads line-delimited JSON and
+  * CSV through Spark's native readers).
+  *
+  * The driver fixtures are parquet-only, so each gate derives a JSON/CSV twin
+  * of the `nation` table once per (sfDir, mtime) into the JVM temp dir, then
+  * reads it back through the real `spark.read.json/csv` path with an EXPLICIT
+  * schema — at 100 TB schema inference would be a full extra pass over the
+  * data. The oracle checks the round-tripped values against the original
+  * parquet table: format-independent because the columns are int + string.
+  */
+object Sources {
+
+  private val nationSchema = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  /** Write-once derivation, keyed by sfDir + source mtime so a regenerated
+    * fixture invalidates the cache. Spark's own `_SUCCESS` marker gates
+    * completeness; `mode(Overwrite)` cleans up any partial attempt.
+    */
+  private def derived(spark: SparkSession, sfDir: String, fmt: String): String = {
+    val src = new File(s"$sfDir/nation.parquet")
+    val key = Integer.toHexString((sfDir + ":" + src.lastModified).hashCode)
+    val dir = new File(sys.props("java.io.tmpdir"), s"graft-source-$fmt-$key")
+    if (!new File(dir, "_SUCCESS").exists()) {
+      val w = Tables.nation(spark, sfDir).coalesce(1).write.mode("overwrite")
+      fmt match {
+        case "json" => w.json(dir.getAbsolutePath)
+        case "csv"  => w.option("header", "true").csv(dir.getAbsolutePath)
+      }
+    }
+    dir.getAbsolutePath
+  }
+
+  /** q52 — line-delimited JSON source with explicit schema + aggregate. */
+  def jsonSource(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.schema(nationSchema).json(derived(spark, sfDir, "json"))
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_nation"))
+      .orderBy(col("n_regionkey"))
+
+  val jsonSourceOracle: String =
+    """SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_nation
+      |FROM nation
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin
+
+  /** q53 — header CSV source with explicit schema + aggregate. */
+  def csvSource(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.schema(nationSchema).option("header", "true")
+      .csv(derived(spark, sfDir, "csv"))
+      .groupBy(col("n_regionkey"))
+      .agg(
+        max(length(col("n_name"))).cast("bigint").as("max_name_len"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("n_regionkey"))
+
+  val csvSourceOracle: String =
+    """SELECT n_regionkey,
+      |       CAST(max(length(n_name)) AS BIGINT) AS max_name_len,
+      |       count(*) AS n_nations
+      |FROM nation
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_json_source" -> (jsonSource _),
+    "q53_csv_source" -> (csvSource _))
+
+  val oracles: Map[String, String] = Map(
+    "q52_json_source" -> jsonSourceOracle,
+    "q53_csv_source" -> csvSourceOracle)
+}

@@ -259,6 +259,53 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** q38 — SimHash near-duplicate PAIRS via chunk banding (no oracle —
+    * signature-dependent; pinned by TextSpec completeness test).
+    *
+    * The 64-bit signature is split into `64/bandBits` chunks; docs sharing
+    * any chunk exactly become candidates (equi-join on (band, chunk) — the
+    * same bucketed shape as MinHash banding, never a cross product), then
+    * candidates are filtered to Hamming distance ≤ maxHamming. Pigeonhole:
+    * a pair within Hamming d < nBands differs in at most d chunks, so at
+    * least one chunk matches — recall vs brute-force Hamming search is
+    * EXACTLY 1.0 as long as maxHamming < nBands (asserted in the spec).
+    *
+    * Defaults (4 bands × 16 bits, d ≤ 3) calibrated on the fixtures: the
+    * 31-word vocabulary makes signatures cluster, and 16-bit chunks keep the
+    * candidate join ~250k pairs at sf0.1 where 8-bit chunks would be 9M.
+    */
+  def simhashNearDups(
+      spark: SparkSession,
+      sfDir: String,
+      maxHamming: Int = 3,
+      bandBits: Int = 16): DataFrame = {
+    require(64 % bandBits == 0, "bandBits must divide 64")
+    val nBands = 64 / bandBits
+    require(maxHamming < nBands, "pigeonhole recall guarantee needs maxHamming < nBands")
+    val sh = udf((toks: Seq[String]) => simhash64(toks))
+    val sig = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), sh(tokens(col("text"))).as("simhash"))
+    val mask = (1L << bandBits) - 1
+    val bands = sig.select(
+      col("doc_id"), col("simhash"),
+      posexplode(expr(
+        s"transform(sequence(0, ${nBands - 1}), b -> shiftrightunsigned(simhash, b * $bandBits) & $mask)"
+      )).as(Seq("band", "chunk")))
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        col("x.simhash").as("hi"), col("y.simhash").as("hj"))
+      .distinct()
+    cands
+      .select(col("i"), col("j"),
+        bit_count(col("hi").bitwiseXOR(col("hj"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("i"), col("j"))
+  }
+
   /** Rolling-hash document fingerprint: min of 8-gram polynomial hashes
     * (winnowing-style canonical fingerprint, robust to small edits at the
     * ends).
@@ -325,7 +372,8 @@ object Text {
     "q34_minhash_neardups" -> ((s: SparkSession, d: String) => minhashNearDups(s, d)),
     "q35_simhash" -> (simhashQuery _),
     "q36_langid" -> (langIdQuery _),
-    "q37_fingerprint" -> (fingerprintQuery _))
+    "q37_fingerprint" -> (fingerprintQuery _),
+    "q38_simhash_neardups" -> ((s: SparkSession, d: String) => simhashNearDups(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> tokenStatsOracle,

@@ -106,15 +106,35 @@ class LshSpec extends SparkSpec {
     assert(multi >= 0.75, s"multiprobe recall=$multi")
   }
 
-  test("index round-trip: partitioned write preserves rows, lookup prunes") {
+  test("index round-trip: model + vectors + postings survive persistence") {
     val emb = Tables.embeddings(spark, sf0001)
     val m = Lsh.fit(emb, tables = 4, bits = 6)
     val dir = java.nio.file.Files.createTempDirectory("graft-index").toString
     Index.build(spark, emb, m, dir, numBuckets = 16)
-    val idx = Index.read(spark, dir)
-    assert(idx.count() == emb.count())
-    assert(idx.columns.contains("hashes") && idx.columns.contains(Index.BucketCol))
-    val one = Index.lookup(idx, 7L).collect()
+    val (m2, nb) = Lsh.loadModel(spark, s"$dir/model")
+    assert(nb == 16)
+    assert(m2.midpoints.map(_.toSeq).toSeq == m.midpoints.map(_.toSeq).toSeq)
+    assert(m2.normals.map(_.toSeq).toSeq == m.normals.map(_.toSeq).toSeq)
+    val vecs = Index.vectors(spark, dir)
+    assert(vecs.count() == emb.count())
+    assert(vecs.columns.contains("hashes"))
+    val posts = Index.postings(spark, dir)
+    assert(posts.count() == emb.count() * 4) // one posting per (vector, table)
+    assert(posts.columns.contains(Index.PKeyCol))
+    val one = Index.lookup(vecs, 7L).collect()
     assert(one.length == 1)
+  }
+
+  test("indexed search returns identical results to the inline path") {
+    val inline = Knn.lshTopK(spark, sf0001, queryMaxId = 8, k1 = 100, k2 = 10)
+      .collect().map(_.toSeq).toSeq
+    val indexed = Knn.lshTopKIndexed(spark, sf0001, queryMaxId = 8, k1 = 100, k2 = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(indexed == inline)
+    val inlineMp = Knn.lshTopK(spark, sf0001, queryMaxId = 4, multiprobe = true)
+      .collect().map(_.toSeq).toSeq
+    val indexedMp = Knn.lshTopKIndexed(spark, sf0001, queryMaxId = 4, multiprobe = true)
+      .collect().map(_.toSeq).toSeq
+    assert(indexedMp == inlineMp)
   }
 }

@@ -62,4 +62,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("indexed search prunes postings partitions to the probe keys") {
+    val plan = planOf("q23_lsh_knn")
+    val scan = plan.linesIterator.filter(_.contains("FileScan"))
+      .find(_.contains("postings")).getOrElse(fail(s"no postings scan:\n$plan"))
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(scan.contains(graft.operators.Index.PKeyCol), scan)
+    assert(!scan.contains("PartitionFilters: []"),
+      s"postings scan reads every partition: $scan")
+  }
 }

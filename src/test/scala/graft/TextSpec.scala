@@ -38,6 +38,22 @@ class TextSpec extends SparkSpec {
     assert(near <= 16)
   }
 
+  test("simhash banding finds EXACTLY the brute-force hamming<=3 pairs") {
+    // Pigeonhole: d < nBands guarantees recall 1.0; the hamming filter makes
+    // precision 1.0 — so banding output must EQUAL the all-pairs baseline.
+    val sigs = Text.simhashQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (i, hi) <- sigs; (j, hj) <- sigs
+      if i < j && java.lang.Long.bitCount(hi ^ hj) <= 3
+    } yield (i, j)).toSet
+    val banded = Text.simhashNearDups(spark, sf0001)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute,
+      s"banding missed ${(brute -- banded).size}, extra ${(banded -- brute).size}")
+    assert(brute.nonEmpty, "fixture should contain hamming<=3 pairs")
+  }
+
   test("fingerprint: stable, shift-tolerant min-gram hash") {
     val t = "the quick brown fox jumps over the lazy dog"
     assert(Text.fingerprint(t) == Text.fingerprint(t))
