@@ -17,7 +17,7 @@ import graft.Tables
   *   - `vectors/`  (vec_id, embedding, hashes) — stored source for GET-by-id
   *                 and exact re-rank;
   *   - `postings/` (tbl, hash, vec_id) partitioned by `pkey` — the inverted
-  *                 index. `pkey = tbl * numBuckets + hash mod numBuckets` is
+  *                 index. `pkey = (tbl·p + hash) mod numBuckets` (p prime) is
   *                 a pure function of the collision-join key (tbl, hash), so
   *                 restricting the scan to the query side's probe pkeys is a
   *                 LOSSLESS static partition prune: any posting that could
@@ -25,19 +25,28 @@ import graft.Tables
   *                 This is the parquet analog of ES touching only the term
   *                 dictionary entries the bool-should query names.
   *
+  * `numBuckets` is the TOTAL partition-directory count — the pruning
+  * granularity knob. Default 64 suits this environment (the sandbox tmp fs
+  * charges ~60ms of metadata ops per written file, measured: 256 dirs cost
+  * 15s to commit regardless of task parallelism or committer version); on a
+  * real cluster raise it into the thousands so a probe set touches a
+  * vanishing fraction of the corpus.
+  *
   * Scale notes (100 TB): hashing is a narrow map (executor-parallel); the
-  * two shuffles are the partitionBy exchanges at build time, paid once to
-  * make every search read |probe keys| directories instead of the corpus.
-  * Partition-directory count is bounded by tables × min(2^bits, numBuckets).
-  * At cluster scale the same layout would be `bucketBy` into a catalog
-  * table; plain `partitionBy` keeps it filesystem-only here.
+  * one shuffle is the pkey clustering at build time, paid once to make every
+  * search read |probe keys| directories instead of the corpus. At cluster
+  * scale the same layout would be `bucketBy` into a catalog table; plain
+  * `partitionBy` keeps it filesystem-only here.
   */
 object Index {
 
   val PKeyCol = "pkey"
+  private val Mix = 1000003L // prime multiplier spreading tables across buckets
 
-  def pkeyOf(tbl: Int, hash: Long, numBuckets: Int): Int =
-    tbl * numBuckets + (((hash % numBuckets) + numBuckets) % numBuckets).toInt
+  def pkeyOf(tbl: Int, hash: Long, numBuckets: Int): Int = {
+    val m = (tbl * Mix + hash) % numBuckets
+    (((m % numBuckets) + numBuckets) % numBuckets).toInt
+  }
 
   /** Hash + write the three-part index. */
   def build(
@@ -50,9 +59,12 @@ object Index {
     val hashed = Lsh.withHashes(spark, embeddings, model)
       .select(col("vec_id"), col("embedding"), col("hashes"))
     hashed.write.mode(SaveMode.Overwrite).parquet(s"$outDir/vectors")
+    // repartition on the partition column: clusters each pkey into one task
+    // so every directory gets exactly one file, written in parallel.
     Lsh.explodeHashes(hashed)
       .withColumn(PKeyCol,
-        (col("tbl") * numBuckets + pmod(col("hash"), lit(numBuckets.toLong))).cast("int"))
+        pmod(col("tbl") * Mix + col("hash"), lit(numBuckets.toLong)).cast("int"))
+      .repartition(col(PKeyCol))
       .write.mode(SaveMode.Overwrite)
       .partitionBy(PKeyCol)
       .parquet(s"$outDir/postings")
