@@ -96,7 +96,7 @@ object Knn {
       k2: Int,
       multiprobe: Boolean = false): DataFrame = {
     import spark.implicits._
-    val (model, numBuckets) = Lsh.loadModel(spark, s"$indexDir/model")
+    val (model, numBuckets) = Lsh.loadModelCached(spark, s"$indexDir/model")
     val vectors = Index.vectors(spark, indexDir)
 
     // 1. GET query docs: precomputed hashes, no re-hash (A7).

@@ -168,6 +168,17 @@ object Lsh {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
   }
 
+  /** Per-JVM model memo — the reference's node-local model cache (SURVEY
+    * §2.A A4: `Map<uri, LshModel>` memoized on first GET). Keyed by the
+    * model directory; the executors' copy is cached by the broadcast /
+    * plan-reference-object mechanism, this saves the driver-side re-read.
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (LshModel, Int)]()
+
+  def loadModelCached(spark: SparkSession, dir: String): (LshModel, Int) =
+    modelCache.computeIfAbsent(dir, d => loadModel(spark, d))
+
   /** Read a model written by [[saveModel]]. Returns (model, numBuckets). */
   def loadModel(spark: SparkSession, dir: String): (LshModel, Int) = {
     val r = spark.read.parquet(dir).collect()(0)

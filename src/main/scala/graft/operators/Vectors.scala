@@ -14,6 +14,10 @@ import graft.functions.CentroidAgg
   */
 case class CentroidSet(ids: Array[Long], vecs: Array[Array[Float]]) {
 
+  /** Driver-side convenience over [[nearest]] for plain float arrays. */
+  def nearestArray(v: Array[Float], n: Int): Array[Long] =
+    nearest(new org.apache.spark.sql.catalyst.util.GenericArrayData(v), n)
+
   /** Ids of the `n` nearest centroids to `v` by squared L2 (monotone in L2,
     * so the ordering matches an exact-distance ranking), ties broken by cell
     * id ascending — deterministic under any partitioning.
@@ -190,8 +194,89 @@ object Vectors {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Persisted IVF index (the cell-partitioned layout [[annIvf]]'s scaladoc
+    * promises): `centroids/` (the coarse quantizer, one row per cell) and
+    * `cells/` (vec_id, embedding) PARTITIONED BY cell — a query probes its
+    * nprobe cells under a static partition prune, the IVF analog of the LSH
+    * postings layout in [[Index]].
+    */
+  def buildIvfIndex(spark: SparkSession, emb: DataFrame, cells: Int, outDir: String): Unit = {
+    import spark.implicits._
+    val cents = collectCentroids(emb, cells)
+    cents.ids.zip(cents.vecs.map(_.toSeq)).toSeq
+      .toDF("cell", "centroid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$outDir/centroids")
+    assignCells(spark, emb, cells)
+      .repartition(col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(s"$outDir/cells")
+  }
+
+  def loadCentroids(spark: SparkSession, dir: String): CentroidSet = {
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    CentroidSet(rows.map(_._1), rows.map(_._2))
+  }
+
+  /** Build-once cache in the JVM temp dir, keyed like [[Index.ensure]]. */
+  def ensureIvfIndex(spark: SparkSession, sfDir: String, cells: Int = 16): String = {
+    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    val key = Integer.toHexString(s"$sfDir:${src.lastModified}:ivf:$cells".hashCode)
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-ivf-index-$key")
+    if (!new java.io.File(dir, "cells/_SUCCESS").exists())
+      buildIvfIndex(spark, Tables.embeddings(spark, sfDir), cells, dir.getAbsolutePath)
+    dir.getAbsolutePath
+  }
+
+  /** q29 — IVF ANN against the PERSISTED cell-partitioned index: the coarse
+    * quantizer is loaded (and memoizable) driver-side, each query's nprobe
+    * cells are computed there (C is broadcast-small), and the candidate scan
+    * reads ONLY the probed cell directories — PartitionFilters, asserted in
+    * PlanSpec. Results are identical to the inline [[annIvf]] (same seeded
+    * quantizer, same ranking) — asserted in VectorsSpec.
+    */
+  def annIvfIndexed(
+      spark: SparkSession,
+      sfDir: String,
+      queryMaxId: Long = 8,
+      k: Int = 10,
+      cells: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val indexDir = ensureIvfIndex(spark, sfDir, cells)
+    val cents = loadCentroids(spark, s"$indexDir/centroids")
+    val qRows = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id"), col("embedding")).collect()
+    val probes = qRows.toSeq.flatMap { r =>
+      val v = r.getSeq[Float](1).toArray
+      cents.nearestArray(v, nprobe).map(c => (r.getLong(0), c.toInt))
+    }
+    val qvecs = qRows.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .toDF("query_id", "qv")
+    val probesDf = probes.toDF("query_id", "cell")
+    val candidates = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cell").isin(probes.map(_._2).distinct: _*))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    candidates
+      .join(broadcast(probesDf), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qvecs), "query_id")
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("dist"), 4).as("dist4"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d)),
+    "q29_ann_ivf_indexed" -> ((s: SparkSession, d: String) => annIvfIndexed(s, d)),
     "q26_top_cosine_pairs" -> ((s: SparkSession, d: String) => topCosinePairs(s, d)),
     "q27_label_centroids" -> (labelCentroids _))
 

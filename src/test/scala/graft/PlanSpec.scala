@@ -63,6 +63,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("indexed ivf prunes the cell scan to the probed partitions") {
+    val plan = planOf("q29_ann_ivf_indexed")
+    val scan = plan.linesIterator.filter(_.contains("FileScan"))
+      .find(_.contains("cells")).getOrElse(fail(s"no cells scan:\n$plan"))
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(!scan.contains("PartitionFilters: []"),
+      s"cells scan reads every partition: $scan")
+  }
+
   test("indexed search prunes postings partitions to the probe keys") {
     val plan = planOf("q23_lsh_knn")
     val scan = plan.linesIterator.filter(_.contains("FileScan"))

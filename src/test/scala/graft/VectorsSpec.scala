@@ -28,6 +28,14 @@ class VectorsSpec extends SparkSpec {
     assert(full == exact, "nprobe=cells must degrade to exact search")
   }
 
+  test("indexed ivf returns identical results to the inline path") {
+    val inline = Vectors.annIvf(spark, sf0001, queryMaxId = 8, k = 10)
+      .collect().map(_.toSeq).toSeq
+    val indexed = Vectors.annIvfIndexed(spark, sf0001, queryMaxId = 8, k = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(indexed == inline)
+  }
+
   test("centroid aggregator matches naive per-dimension mean") {
     val rows = Tables.embeddings(spark, sf0001)
       .filter(col("label") === 3)
