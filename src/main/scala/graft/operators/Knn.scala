@@ -99,9 +99,10 @@ object Knn {
     val (model, numBuckets) = Lsh.loadModelCached(spark, s"$indexDir/model")
     val vectors = Index.vectors(spark, indexDir)
 
-    // 1. GET query docs: precomputed hashes, no re-hash (A7).
+    // 1. GET query docs: precomputed hashes + stored vectors, no re-hash
+    // (A7). One pushed-filter scan; the rows are |Q|-small by contract.
     val qRows = vectors.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id"), col("hashes")).collect()
+      .select(col("vec_id"), col("hashes"), col("embedding")).collect()
     val probeKeys: Seq[(Long, Int, Long)] = qRows.toSeq.flatMap { r =>
       val qid = r.getLong(0)
       r.getSeq[Long](1).zipWithIndex.flatMap { case (h, t) =>
@@ -134,8 +135,11 @@ object Knn {
       .drop("r1")
 
     val vecs = vectors.select(col("vec_id"), col("embedding"))
-    val qvecs = vectors.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // Query vectors come from the rows already fetched in step 1 — a local
+    // relation, not another index scan.
+    val qvecs = qRows.toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](2)))
+      .toDF("query_id", "qv")
     val rescored = k1set
       .join(vecs, "vec_id")
       .join(broadcast(qvecs), "query_id")
