@@ -48,6 +48,13 @@ object Index {
     (((m % numBuckets) + numBuckets) % numBuckets).toInt
   }
 
+  /** Attach the postings partition key to an exploded (tbl, hash, ...) frame
+    * — shared by the batch build and the streaming ingest sink.
+    */
+  def withPKey(posts: DataFrame, numBuckets: Int): DataFrame =
+    posts.withColumn(PKeyCol,
+      pmod(col("tbl") * Mix + col("hash"), lit(numBuckets.toLong)).cast("int"))
+
   /** Hash + write the three-part index. */
   def build(
       spark: SparkSession,
@@ -61,9 +68,7 @@ object Index {
     hashed.write.mode(SaveMode.Overwrite).parquet(s"$outDir/vectors")
     // repartition on the partition column: clusters each pkey into one task
     // so every directory gets exactly one file, written in parallel.
-    Lsh.explodeHashes(hashed)
-      .withColumn(PKeyCol,
-        pmod(col("tbl") * Mix + col("hash"), lit(numBuckets.toLong)).cast("int"))
+    withPKey(Lsh.explodeHashes(hashed), numBuckets)
       .repartition(col(PKeyCol))
       .write.mode(SaveMode.Overwrite)
       .partitionBy(PKeyCol)

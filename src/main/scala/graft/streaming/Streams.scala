@@ -85,6 +85,33 @@ object Streams {
       org.apache.spark.sql.graft.VectorExpressions.lshHash(col("embedding"), model))
   }
 
+  /** Streaming index ingest END-TO-END (A3/A9 closed loop): vectors arrive
+    * on a stream, get hashed, exploded to postings, and land in the SAME
+    * pkey-partitioned layout [[graft.operators.Index.build]] writes — so a
+    * [[graft.operators.Knn.searchIndex]] probe prunes streamed postings
+    * exactly like batch-built ones. Durable file sink + checkpoint: exactly-
+    * once per micro-batch, resumable. StreamingSpec proves the streamed
+    * layout is row-identical to the batch build.
+    */
+  def postingsSink(
+      spark: SparkSession,
+      srcDir: String,
+      model: graft.operators.Lsh.LshModel,
+      numBuckets: Int,
+      outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val posts = graft.operators.Index.withPKey(
+      graft.operators.Lsh.explodeHashes(hashedVectors(spark, srcDir, model)),
+      numBuckets)
+    posts.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy(graft.operators.Index.PKeyCol)
+      .outputMode("append")
+      .start()
+  }
+
   case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom keyed state via `flatMapGroupsWithState` (SURVEY §2.B session/

@@ -67,6 +67,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 500)
   }
 
+  test("streamed postings sink writes the exact batch index layout") {
+    val src = Files.createTempDirectory("graft-pstream").toString
+    Files.copy(Paths.get(sf0001, "embeddings.parquet"),
+      Paths.get(src, "embeddings.parquet"))
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = graft.operators.Lsh.fit(emb, tables = 4, bits = 6)
+    val outDir = Files.createTempDirectory("graft-pstream-out").toString
+    val ckpt = Files.createTempDirectory("graft-pstream-ckpt").toString
+    val q = Streams.postingsSink(spark, src, model, numBuckets = 16, outDir, ckpt)
+    try q.processAllAvailable()
+    finally q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "tbl", "hash", graft.operators.Index.PKeyCol).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    val streamed = key(spark.read.parquet(outDir))
+    val batchDir = Files.createTempDirectory("graft-pbatch").toString
+    graft.operators.Index.build(spark, emb, model, batchDir, numBuckets = 16)
+    val batch = key(graft.operators.Index.postings(spark, batchDir))
+    assert(streamed == batch)
+    assert(streamed.size == 500 * 4)
+  }
+
   test("streaming dedup emits at most one row per (user, event_type)") {
     val dir = stageEventsDir()
     val out = Streams.runToMemory(
