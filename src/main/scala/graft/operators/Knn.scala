@@ -87,14 +87,23 @@ object Knn {
     searchIndex(spark, indexDir, queryMaxId, k1, k2, multiprobe)
   }
 
-  /** A5–A7 against a persisted [[Index]] layout. */
+  /** A5–A7 against a persisted [[Index]] layout.
+    *
+    * `bucketCap` (0 = off, the gate default) bounds the posting-list length
+    * per (tbl, hash) via [[Skew.capBuckets]] — the 100 TB control for
+    * degenerate buckets (a hash value holding a large fraction of the
+    * corpus would otherwise dominate the collision join's fan-out). Capping
+    * trades a measured recall loss on exactly those low-signal buckets for
+    * a hard bound on join width.
+    */
   def searchIndex(
       spark: SparkSession,
       indexDir: String,
       queryMaxId: Long,
       k1: Int,
       k2: Int,
-      multiprobe: Boolean = false): DataFrame = {
+      multiprobe: Boolean = false,
+      bucketCap: Int = 0): DataFrame = {
     import spark.implicits._
     val (model, numBuckets) = Lsh.loadModelCached(spark, s"$indexDir/model")
     val vectors = Index.vectors(spark, indexDir)
@@ -116,8 +125,9 @@ object Knn {
     // 2. Probe postings under a static partition prune (lossless — see
     // Index scaladoc). The probe list itself is a tiny local relation.
     val pkeys = probeKeys.map { case (_, t, h) => Index.pkeyOf(t, h, numBuckets) }.distinct
-    val postings = Index.postings(spark, indexDir)
+    val pruned = Index.postings(spark, indexDir)
       .filter(col(Index.PKeyCol).isin(pkeys: _*))
+    val postings = if (bucketCap > 0) Skew.capBuckets(pruned, bucketCap) else pruned
     val qposts = probeKeys.toDF("query_id", "tbl", "hash")
 
     // 3. A5: collision counting, then A6: exact re-rank — identical shape to

@@ -125,6 +125,20 @@ class LshSpec extends SparkSpec {
     assert(one.length == 1)
   }
 
+  test("bucket cap bounds the collision join without changing small buckets") {
+    val dir = graft.operators.Index.ensure(spark, sf0001)
+    val uncapped = Knn.searchIndex(spark, dir, 8, 100, 10)
+      .collect().map(_.toSeq).toSeq
+    // A cap far above every bucket size is a no-op.
+    val bigCap = Knn.searchIndex(spark, dir, 8, 100, 10, bucketCap = 100000)
+      .collect().map(_.toSeq).toSeq
+    assert(bigCap == uncapped)
+    // A tight cap still serves every query with a full k2 result set.
+    val tight = Knn.searchIndex(spark, dir, 8, 100, 10, bucketCap = 16)
+    val perQuery = tight.groupBy("query_id").count().collect()
+    assert(perQuery.length == 8 && perQuery.forall(_.getLong(1) == 10))
+  }
+
   test("indexed search returns identical results to the inline path") {
     val inline = Knn.lshTopK(spark, sf0001, queryMaxId = 8, k1 = 100, k2 = 10)
       .collect().map(_.toSeq).toSeq
