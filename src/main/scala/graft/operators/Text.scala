@@ -115,6 +115,33 @@ object Text {
       |GROUP BY text
       |ORDER BY doc_id""".stripMargin
 
+  /** q39 — the deduplicated corpus itself (the user-facing API a training-
+    * data pipeline calls): keep the lowest-id copy per distinct text. Same
+    * digest-keyed shuffle discipline as [[exactDedup]], then a semi-join
+    * back to the corpus — document payloads never shuffle, only ids and
+    * digests do.
+    */
+  def dedupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val doc = Tables.documents(spark, sfDir)
+    val canon = doc
+      .select(
+        col("doc_id"),
+        xxhash64(col("text")).as("h64"),
+        sha2(col("text"), 256).as("h256"))
+      .groupBy(col("h64"), col("h256"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    doc.join(canon, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupCorpusOracle: String =
+    """SELECT doc_id, lang, n_chars
+      |FROM documents
+      |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+      |ORDER BY doc_id""".stripMargin
+
   /** q33 — exact token-set Jaccard near-dup pairs on a bounded sample
     * (doc_id < 100): the posting-list self-join baseline the approximate
     * methods are verified against. O(sample²) by design — the corpus-scale
@@ -373,11 +400,13 @@ object Text {
     "q35_simhash" -> (simhashQuery _),
     "q36_langid" -> (langIdQuery _),
     "q37_fingerprint" -> (fingerprintQuery _),
-    "q38_simhash_neardups" -> ((s: SparkSession, d: String) => simhashNearDups(s, d)))
+    "q38_simhash_neardups" -> ((s: SparkSession, d: String) => simhashNearDups(s, d)),
+    "q39_dedup_corpus" -> (dedupCorpus _))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> tokenStatsOracle,
     "q31_quality_scores" -> qualityScoresOracle,
     "q32_exact_dedup" -> exactDedupOracle,
-    "q33_jaccard_pairs" -> jaccardPairsOracle())
+    "q33_jaccard_pairs" -> jaccardPairsOracle(),
+    "q39_dedup_corpus" -> dedupCorpusOracle)
 }
