@@ -28,6 +28,7 @@ object SparkEntry {
     Relational.all ++ Text.all ++ Events.all ++ Vectors.all ++ Media.all ++
       AsOf.all ++ Sources.all ++
       Map[String, (SparkSession, String) => DataFrame](
+      "q19_sql_vector_knn" -> ((s, dir) => KnnExact.topKSql(s, dir)),
       "q20_knn_exact" -> ((s, dir) => KnnExact.topK(s, dir)),
       "q21_knn_cosine" -> ((s, dir) => KnnExact.topKCosine(s, dir)),
       // Model-dependent LSH ops: no SQL oracle (driver records rows-only);
@@ -42,6 +43,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Text.oracles ++ Events.oracles ++ Vectors.oracles ++
       Media.oracles ++ AsOf.oracles ++ Sources.oracles ++ Map(
+      "q19_sql_vector_knn" -> KnnExact.oracle(queryMaxId = 4),
       "q20_knn_exact" -> KnnExact.oracle(),
       "q21_knn_cosine" -> KnnExact.oracleCosine(),
     )

@@ -59,6 +59,31 @@ object KnnExact {
        |QUALIFY rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** q19 — the exact-kNN baseline expressed through the SQL SURFACE with the
+    * registered native function (`GraftFunctions.register` →
+    * `l2_distance(...)` inside `spark.sql`): exactly what a SQL user of this
+    * library writes, planned into the same codegen expression as the Column
+    * API path. Oracle: the same [[oracle]] SQL.
+    */
+  def topKSql(spark: SparkSession, sfDir: String, queryMaxId: Long = 4, k: Int = 10): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("embeddings_sql")
+    spark.sql(
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings_sql WHERE vec_id < $queryMaxId
+         |)
+         |SELECT query_id, neighbor_id, rank, round(dist, 4) AS dist4 FROM (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         l2_distance(q.qv, e.embedding) AS dist,
+         |         row_number() OVER (
+         |           PARTITION BY q.query_id
+         |           ORDER BY l2_distance(q.qv, e.embedding) ASC, e.vec_id ASC) AS rank
+         |  FROM embeddings_sql e JOIN q ON e.vec_id <> q.query_id
+         |) WHERE rank <= $k
+         |ORDER BY query_id, rank""".stripMargin)
+  }
+
   /** Top-k cosine-similarity neighbors (embeddings are unit-norm, so the rank
     * order matches L2, but the expression path — dot/norm — differs).
     */

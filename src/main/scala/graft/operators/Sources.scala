@@ -75,11 +75,31 @@ object Sources {
       |GROUP BY n_regionkey
       |ORDER BY n_regionkey""".stripMargin
 
+  /** q49 — doc GET by id (SURVEY §2.B scans row): the point lookup the
+    * parquet source serves via row-group min/max stats — the pushed
+    * `doc_id = 42` predicate skips every row group whose id range excludes
+    * it (PlanSpec asserts the PushedFilters entry). At 100 TB with an
+    * id-sorted layout this touches one row group of one file.
+    */
+  def docGet(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === 42)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .orderBy(col("doc_id"))
+
+  val docGetOracle: String =
+    """SELECT doc_id, lang, n_chars, text
+      |FROM documents
+      |WHERE doc_id = 42
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_doc_get" -> (docGet _),
     "q52_json_source" -> (jsonSource _),
     "q53_csv_source" -> (csvSource _))
 
   val oracles: Map[String, String] = Map(
+    "q49_doc_get" -> docGetOracle,
     "q52_json_source" -> jsonSourceOracle,
     "q53_csv_source" -> csvSourceOracle)
 }

@@ -40,6 +40,12 @@ class PlanSpec extends SparkSpec {
       plan.contains("EqualTo(o_orderstatus,P)"), s"filter not pushed:\n$plan")
   }
 
+  test("q49 doc-get pushes the id equality into the documents scan") {
+    val plan = planOf("q49_doc_get")
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(doc_id,42)"),
+      s"point-lookup filter not pushed:\n$plan")
+  }
+
   test("knn exact never reads the label column") {
     val plan = planOf("q20_knn_exact")
     val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
