@@ -130,10 +130,9 @@ object Vectors {
        |ORDER BY list_cosine_similarity(a.v, b.v) DESC, i ASC, j ASC
        |LIMIT $k""".stripMargin
 
-  /** Collect the C coarse centroids to the driver (seeded deterministically
-    * from the first C vectors by id — a k-means iteration could refine them;
-    * seeding keeps the gate reproducible). C rows only — same driver-side
-    * footprint class as the LSH model fit sample.
+  /** Collect the C seed centroids to the driver (deterministically the first
+    * C vectors by id). C rows only — same driver-side footprint class as the
+    * LSH model fit sample.
     */
   def collectCentroids(emb: DataFrame, cells: Int): CentroidSet = {
     val rows = emb.orderBy(col("vec_id")).limit(cells)
@@ -141,22 +140,72 @@ object Vectors {
     CentroidSet(rows.map(_.getLong(0)), rows.map(_.getSeq[Float](1).toArray))
   }
 
+  /** One deterministic Lloyd (k-means) iteration over the corpus: assign
+    * every vector to its nearest centroid (narrow map), then average each
+    * cell — per-dimension sums accumulate as SCALED LONGS (the CentroidAgg
+    * discipline), so the refined centroids are bitwise identical under any
+    * partitioning. Cost per iteration: one scan + one C×dim-sized aggregate;
+    * the refined set collects as C×dim rows. Empty cells keep their previous
+    * centroid (they can only gain members in later iterations).
+    */
+  def refineCentroids(spark: SparkSession, emb: DataFrame, seed: CentroidSet, iterations: Int): CentroidSet = {
+    val Scale = 1000000L
+    var cents = seed
+    var it = 0
+    while (it < iterations) {
+      val assigned = emb.select(
+        element_at(VectorExpressions.nearestCells(col("embedding"), cents, 1), 1).as("cell"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      val sums = assigned
+        .groupBy(col("cell"), col("dim"))
+        .agg(
+          sum(round(col("v").cast("double") * Scale).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getLong(0))
+      val newVecs = cents.ids.zipWithIndex.map { case (id, i) =>
+        byCell.get(id) match {
+          case Some(rows) =>
+            val dim = cents.vecs(i).length
+            val out = new Array[Float](dim)
+            rows.foreach { r =>
+              out(r.getInt(1)) = (r.getLong(2).toDouble / Scale / r.getLong(3)).toFloat
+            }
+            out
+          case None => cents.vecs(i) // empty cell: keep previous centroid
+        }
+      }
+      cents = CentroidSet(cents.ids, newVecs)
+      it += 1
+    }
+    cents
+  }
+
+  /** The trained coarse quantizer used by BOTH the inline and persisted IVF
+    * paths: deterministic seeds + one Lloyd refinement pass.
+    */
+  def quantizer(spark: SparkSession, emb: DataFrame, cells: Int, iterations: Int = 1): CentroidSet =
+    refineCentroids(spark, emb, collectCentroids(emb, cells), iterations)
+
   /** IVF cell assignment: nearest of C coarse centroids, computed as a
     * NARROW MAP — the [[CentroidSet]] rides the plan as a reference object
     * and the argmin runs inside whole-stage codegen. No join, no N×C row
     * blow-up, no shuffle: at 100 TB this is a pure scan-project stage (the
     * previous formulation shuffled 16× the data through a per-row window).
     */
-  def assignCells(spark: SparkSession, emb: DataFrame, cells: Int): DataFrame = {
-    val cents = collectCentroids(emb, cells)
+  def assignCellsWith(emb: DataFrame, cents: CentroidSet): DataFrame =
     emb.select(
       col("vec_id"), col("embedding"),
       element_at(VectorExpressions.nearestCells(col("embedding"), cents, 1), 1).as("cell"))
-  }
+
+  def assignCells(spark: SparkSession, emb: DataFrame, cells: Int): DataFrame =
+    assignCellsWith(emb, quantizer(spark, emb, cells))
 
   /** q25 — IVF-style ANN (no SQL oracle — pinned by VectorsSpec recall
-    * test): vectors partitioned into C coarse cells; a query probes its
-    * `nprobe` nearest cells and exactly re-ranks only those cells' vectors.
+    * test): vectors partitioned into C coarse cells by the trained
+    * [[quantizer]] (deterministic seeds + Lloyd refinement); a query probes
+    * its `nprobe` nearest cells and exactly re-ranks only those cells'
+    * vectors.
     *
     * Scale path: cell assignment is a narrow map over a broadcast centroid
     * set; the probe join is an equi-join on cell id — the cross product is
@@ -171,8 +220,8 @@ object Vectors {
       cells: Int = 16,
       nprobe: Int = 4): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val cents = collectCentroids(emb, cells)
-    val assigned = assignCells(spark, emb, cells)
+    val cents = quantizer(spark, emb, cells)
+    val assigned = assignCellsWith(emb, cents)
 
     // Each query → its nprobe nearest cells: the same narrow-map quantizer,
     // exploded — |Q|·nprobe probe rows, no centroid join.
@@ -202,11 +251,11 @@ object Vectors {
     */
   def buildIvfIndex(spark: SparkSession, emb: DataFrame, cells: Int, outDir: String): Unit = {
     import spark.implicits._
-    val cents = collectCentroids(emb, cells)
+    val cents = quantizer(spark, emb, cells)
     cents.ids.zip(cents.vecs.map(_.toSeq)).toSeq
       .toDF("cell", "centroid")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$outDir/centroids")
-    assignCells(spark, emb, cells)
+    assignCellsWith(emb, cents)
       .repartition(col("cell"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell")

@@ -61,6 +61,17 @@ class VectorsSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"cell assignment joins:\n$plan")
   }
 
+  test("quantizer refinement is deterministic and actually moves the seeds") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val a = Vectors.quantizer(spark, emb, 16)
+    val b = Vectors.quantizer(spark, emb, 16)
+    assert(a.ids.toSeq == b.ids.toSeq)
+    assert(a.vecs.map(_.toSeq).toSeq == b.vecs.map(_.toSeq).toSeq)
+    val seeds = Vectors.collectCentroids(emb, 16)
+    assert(a.vecs.map(_.toSeq).toSeq != seeds.vecs.map(_.toSeq).toSeq,
+      "Lloyd pass should move the seed centroids")
+  }
+
   test("cell assignment covers every vector exactly once") {
     val emb = Tables.embeddings(spark, sf0001)
     val assigned = Vectors.assignCells(spark, emb, cells = 16)
