@@ -43,6 +43,12 @@ object Index {
   val PKeyCol = "pkey"
   private val Mix = 1000003L // prime multiplier spreading tables across buckets
 
+  /** Bump when the on-disk layout or its producing semantics change — keys
+    * the build-once tmp caches so a stale layout from an older build can
+    * never serve a newer reader.
+    */
+  val LayoutVersion = 2
+
   def pkeyOf(tbl: Int, hash: Long, numBuckets: Int): Int = {
     val m = (tbl * Mix + hash) % numBuckets
     (((m % numBuckets) + numBuckets) % numBuckets).toInt
@@ -87,7 +93,7 @@ object Index {
       numBuckets: Int = 64): String = {
     val src = new File(s"$sfDir/embeddings.parquet")
     val key = Integer.toHexString(
-      (s"$sfDir:${src.lastModified}:$tables:$bits:$numBuckets").hashCode)
+      (s"$sfDir:${src.lastModified}:$tables:$bits:$numBuckets:v$LayoutVersion").hashCode)
     val dir = new File(sys.props("java.io.tmpdir"), s"graft-lsh-index-$key")
     if (!new File(dir, "postings/_SUCCESS").exists()) {
       val emb = Tables.embeddings(spark, sfDir)

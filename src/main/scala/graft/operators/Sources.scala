@@ -32,7 +32,8 @@ object Sources {
     */
   private def derived(spark: SparkSession, sfDir: String, fmt: String): String = {
     val src = new File(s"$sfDir/nation.parquet")
-    val key = Integer.toHexString((sfDir + ":" + src.lastModified).hashCode)
+    val key = Integer.toHexString(
+      s"$sfDir:${src.lastModified}:v${Index.LayoutVersion}".hashCode)
     val dir = new File(sys.props("java.io.tmpdir"), s"graft-source-$fmt-$key")
     if (!new File(dir, "_SUCCESS").exists()) {
       val w = Tables.nation(spark, sfDir).coalesce(1).write.mode("overwrite")

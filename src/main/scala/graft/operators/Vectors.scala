@@ -272,7 +272,8 @@ object Vectors {
   /** Build-once cache in the JVM temp dir, keyed like [[Index.ensure]]. */
   def ensureIvfIndex(spark: SparkSession, sfDir: String, cells: Int = 16): String = {
     val src = new java.io.File(s"$sfDir/embeddings.parquet")
-    val key = Integer.toHexString(s"$sfDir:${src.lastModified}:ivf:$cells".hashCode)
+    val key = Integer.toHexString(
+      s"$sfDir:${src.lastModified}:ivf:$cells:v${Index.LayoutVersion}".hashCode)
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-ivf-index-$key")
     if (!new java.io.File(dir, "cells/_SUCCESS").exists())
       buildIvfIndex(spark, Tables.embeddings(spark, sfDir), cells, dir.getAbsolutePath)
