@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Statistical aggregate + rank-distribution operators over `events` —
+  * the OLAP families (quantiles, distribution windows, moments) beyond the
+  * plain sum/avg/count coverage in [[Relational]].
+  *
+  * Determinism notes: percentiles interpolate two parquet doubles both
+  * engines read bit-identically, and the fixture values live on a 0.01
+  * grid, so interpolated results sit on a coarse decimal grid maximally far
+  * from the round-4 boundaries; variance avoids `var_pop`'s engine-specific
+  * accumulation entirely by computing E[x²]−E[x]² from exact scaled-long
+  * sums, with the identical double expression written on both sides.
+  */
+object Stats {
+
+  /** q54 — exact interpolated percentiles (p25/p50/p75) of value per event
+    * type. Spark `percentile` and DuckDB `quantile_cont` both use the
+    * sorted-interpolation definition. At 100 TB swap for
+    * `approx_percentile` (t-digest) — exact percentile requires a per-group
+    * sort; gated exactly here because the gate SF makes exact affordable.
+    */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.25)"), 4).as("p25"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.75)"), 4).as("p75"))
+      .orderBy(col("event_type"))
+  }
+
+  val percentilesOracle: String =
+    """SELECT event_type, count(*) AS n,
+      |       round(quantile_cont(value, 0.25), 4) AS p25,
+      |       round(quantile_cont(value, 0.5), 4) AS p50,
+      |       round(quantile_cont(value, 0.75), 4) AS p75
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** q55 — rank-distribution windows: quartile bucket (ntile) and
+    * percent_rank of each event within its type. The window order is a
+    * TOTAL order (value, event_id) so tile/rank assignment is deterministic
+    * on both engines; percent_rank over a total order is (rank−1)/(n−1),
+    * identical arithmetic.
+    */
+  def rankDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .filter(col("user_id") < 20)
+      .select(
+        col("event_id"),
+        col("event_type"),
+        ntile(4).over(w).as("tile"),
+        round(percent_rank().over(w), 6).as("pr6"))
+      .orderBy(col("event_id"))
+  }
+
+  val rankDistributionOracle: String =
+    """SELECT event_id, event_type,
+      |       CAST(ntile(4) OVER w AS INTEGER) AS tile,
+      |       round(percent_rank() OVER w, 6) AS pr6
+      |FROM events
+      |WHERE user_id < 20
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+      |ORDER BY event_id""".stripMargin
+
+  /** q56 — moment statistics with deterministic arithmetic: mean and
+    * population variance from exact scaled-long sums (s1 = Σ⌊100v⌉,
+    * s2 = Σ⌊100v⌉²), dividing back in the SAME double-expression order on
+    * both engines. `var_pop`/`stddev` built-ins are avoided on purpose —
+    * their single-pass accumulation (Welford vs naive) differs between
+    * engines and across partitionings.
+    */
+  def valueStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val sv = Det.scaled(col("value"), 2)
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(sv).as("s1"),
+        sum(sv * sv).as("s2"))
+      .select(
+        col("event_type"), col("n"),
+        round(col("s1") / 100.0 / col("n"), 4).as("mean4"),
+        round(
+          col("s2") / 10000.0 / col("n")
+            - (col("s1") / 100.0 / col("n")) * (col("s1") / 100.0 / col("n")),
+          4).as("var4"))
+      .orderBy(col("event_type"))
+  }
+
+  val valueStatsOracle: String = {
+    val s1 = s"CAST(sum(${Det.sqlScaled("value", 2)}) AS BIGINT)"
+    val s2 = s"CAST(sum(${Det.sqlScaled("value", 2)} * ${Det.sqlScaled("value", 2)}) AS BIGINT)"
+    s"""SELECT event_type, count(*) AS n,
+       |       round($s1 / 100.0 / count(*), 4) AS mean4,
+       |       round($s2 / 10000.0 / count(*)
+       |             - ($s1 / 100.0 / count(*)) * ($s1 / 100.0 / count(*)), 4) AS var4
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_percentiles" -> (percentiles _),
+    "q55_rank_distribution" -> (rankDistribution _),
+    "q56_value_stats" -> (valueStats _))
+
+  val oracles: Map[String, String] = Map(
+    "q54_percentiles" -> percentilesOracle,
+    "q55_rank_distribution" -> rankDistributionOracle,
+    "q56_value_stats" -> valueStatsOracle)
+}
