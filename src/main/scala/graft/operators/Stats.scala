@@ -110,12 +110,76 @@ object Stats {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** q57 — pivot (long → wide): per-user event counts fanned into one
+    * column per event type. The pivot values are EXPLICIT (the five fixture
+    * event types) — at scale an implicit pivot adds a distinct-values job
+    * before planning; naming them keeps it one pass. The oracle writes the
+    * same thing portably with FILTERed aggregates.
+    */
+  def pivotEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .filter(col("user_id") < 30)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+  }
+
+  val pivotEventsOracle: String =
+    """SELECT user_id,
+      |       count(*) FILTER (event_type = 'click') AS click,
+      |       count(*) FILTER (event_type = 'error') AS error,
+      |       count(*) FILTER (event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (event_type = 'signup') AS signup,
+      |       count(*) FILTER (event_type = 'view') AS view
+      |FROM events
+      |WHERE user_id < 30
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** q58 — unpivot/melt (wide → long): lineitem's three money-like columns
+    * as (measure, amount) rows — the inverse reshaping primitive. Spark's
+    * native `unpivot` (codegen Expand); the oracle is the portable
+    * UNION ALL formulation.
+    */
+  def unpivotLineitem(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") < 100)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "amount")
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("measure"),
+        round(col("amount"), 4).as("amount4"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+  }
+
+  val unpivotLineitemOracle: String =
+    """SELECT l_orderkey, l_linenumber, measure, round(amount, 4) AS amount4
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS amount
+      |  FROM lineitem WHERE l_orderkey < 100
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      |  FROM lineitem WHERE l_orderkey < 100
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+      |  FROM lineitem WHERE l_orderkey < 100
+      |)
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_pivot" -> (pivotEvents _),
+    "q58_unpivot" -> (unpivotLineitem _),
     "q54_percentiles" -> (percentiles _),
     "q55_rank_distribution" -> (rankDistribution _),
     "q56_value_stats" -> (valueStats _))
 
   val oracles: Map[String, String] = Map(
+    "q57_pivot" -> pivotEventsOracle,
+    "q58_unpivot" -> unpivotLineitemOracle,
     "q54_percentiles" -> percentilesOracle,
     "q55_rank_distribution" -> rankDistributionOracle,
     "q56_value_stats" -> valueStatsOracle)
