@@ -43,6 +43,25 @@ class VectorExprSpec extends SparkSpec {
     assert(bad == 0, s"$bad rows differ")
   }
 
+  test("nearest-cells codegen matches the driver-side kernel, both eval modes") {
+    val emb = Tables.embeddings(spark, sf0001).limit(50)
+    val cents = graft.operators.Vectors.collectCentroids(
+      Tables.embeddings(spark, sf0001), 16)
+    def viaExpr(): Map[Long, Seq[Long]] = emb.select(
+        col("vec_id"),
+        VectorExpressions.nearestCells(col("embedding"), cents, 4).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val codegen = viaExpr()
+    val driverSide = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        cents.nearestArray(r.getSeq[Float](1).toArray, 4).toSeq).toMap
+    assert(codegen == driverSide)
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(viaExpr() == driverSide)
+    }
+  }
+
   test("expressions survive both codegen and interpreted eval") {
     val emb = Tables.embeddings(spark, sf0001).limit(10)
     val base = emb.select(
