@@ -170,9 +170,59 @@ object Stats {
       |)
       |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
 
+  /** q59 — array aggregation: the distinct users per event type as a SORTED
+    * list (collect_set is order-nondeterministic by contract; sort_array
+    * restores a total order before the join to string). The list itself is
+    * emitted as CSV so the oracle compare stays a plain string column.
+    */
+  def arrayAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .filter(col("user_id") < 15)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        concat_ws(",", sort_array(collect_set(col("user_id")))).as("users_csv"))
+      .orderBy(col("event_type"))
+  }
+
+  val arrayAggOracle: String =
+    """SELECT event_type,
+      |       count(DISTINCT user_id) AS n_users,
+      |       array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users_csv
+      |FROM events
+      |WHERE user_id < 15
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** q60 — correlated scalar subquery, via the SQL surface: Catalyst
+    * decorrelates the per-row subquery into an aggregate + (outer) join
+    * (SURVEY §4.2 subquery-decorrelation row), so the executed plan is a
+    * join, not N point lookups — the property that makes this shape viable
+    * at 100 TB. The oracle runs the identical SQL.
+    */
+  def correlatedSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_q60")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_q60")
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |       (SELECT count(*) FROM orders_q60 WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer_q60
+        |WHERE c_custkey < 200
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val correlatedSubqueryOracle: String =
+    """SELECT c_custkey, c_mktsegment,
+      |       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+      |FROM customer
+      |WHERE c_custkey < 200
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_pivot" -> (pivotEvents _),
     "q58_unpivot" -> (unpivotLineitem _),
+    "q59_array_agg" -> (arrayAgg _),
+    "q60_correlated_subquery" -> (correlatedSubquery _),
     "q54_percentiles" -> (percentiles _),
     "q55_rank_distribution" -> (rankDistribution _),
     "q56_value_stats" -> (valueStats _))
@@ -180,6 +230,8 @@ object Stats {
   val oracles: Map[String, String] = Map(
     "q57_pivot" -> pivotEventsOracle,
     "q58_unpivot" -> unpivotLineitemOracle,
+    "q59_array_agg" -> arrayAggOracle,
+    "q60_correlated_subquery" -> correlatedSubqueryOracle,
     "q54_percentiles" -> percentilesOracle,
     "q55_rank_distribution" -> rankDistributionOracle,
     "q56_value_stats" -> valueStatsOracle)
