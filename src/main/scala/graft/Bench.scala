@@ -41,7 +41,7 @@ object Bench {
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\n\\r]", " ").take(200)
+            .replace("\\", " ").replaceAll("[\"\\n\\r]", " ").take(200)
       }
       name -> (System.nanoTime() - t0) / 1e9
     }

@@ -49,6 +49,15 @@ object Index {
     */
   val LayoutVersion = 2
 
+  /** Collision-resistant key for build-once cache directory names: a 32-bit
+    * String.hashCode collision between two (sfDir, params, mtime) keys would
+    * silently serve a stale layout as correct results; 64 bits of SHA-256
+    * makes that effectively impossible.
+    */
+  def cacheKey(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
   def pkeyOf(tbl: Int, hash: Long, numBuckets: Int): Int = {
     val m = (tbl * Mix + hash) % numBuckets
     (((m % numBuckets) + numBuckets) % numBuckets).toInt
@@ -92,8 +101,8 @@ object Index {
       bits: Int = 3,
       numBuckets: Int = 64): String = {
     val src = new File(s"$sfDir/embeddings.parquet")
-    val key = Integer.toHexString(
-      (s"$sfDir:${src.lastModified}:$tables:$bits:$numBuckets:v$LayoutVersion").hashCode)
+    val key = cacheKey(
+      s"$sfDir:${src.lastModified}:$tables:$bits:$numBuckets:v$LayoutVersion")
     val dir = new File(sys.props("java.io.tmpdir"), s"graft-lsh-index-$key")
     if (!new File(dir, "postings/_SUCCESS").exists()) {
       val emb = Tables.embeddings(spark, sfDir)

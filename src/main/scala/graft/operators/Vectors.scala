@@ -28,7 +28,11 @@ case class CentroidSet(ids: Array[Long], vecs: Array[Array[Float]]) {
     var k = 0
     while (k < c) {
       val cv = vecs(k)
-      val dim = math.min(v.numElements(), cv.length)
+      // A ragged input must fail loudly (same contract as CentroidAgg), not
+      // silently assign cells from a prefix distance.
+      require(v.numElements() == cv.length,
+        s"vector dimension ${v.numElements()} != centroid dimension ${cv.length}")
+      val dim = cv.length
       var s = 0.0
       var i = 0
       while (i < dim) {
@@ -272,8 +276,8 @@ object Vectors {
   /** Build-once cache in the JVM temp dir, keyed like [[Index.ensure]]. */
   def ensureIvfIndex(spark: SparkSession, sfDir: String, cells: Int = 16): String = {
     val src = new java.io.File(s"$sfDir/embeddings.parquet")
-    val key = Integer.toHexString(
-      s"$sfDir:${src.lastModified}:ivf:$cells:v${Index.LayoutVersion}".hashCode)
+    val key = Index.cacheKey(
+      s"$sfDir:${src.lastModified}:ivf:$cells:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-ivf-index-$key")
     if (!new java.io.File(dir, "cells/_SUCCESS").exists())
       buildIvfIndex(spark, Tables.embeddings(spark, sfDir), cells, dir.getAbsolutePath)
@@ -300,14 +304,18 @@ object Vectors {
     val qRows = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") < queryMaxId)
       .select(col("vec_id"), col("embedding")).collect()
+    // Cell ids stay Long end-to-end: they are seed vec_ids, which need not
+    // fit an Int. The read-back partition column is inference-typed (int for
+    // small ids), so cast it up to long for the prune + join.
     val probes = qRows.toSeq.flatMap { r =>
       val v = r.getSeq[Float](1).toArray
-      cents.nearestArray(v, nprobe).map(c => (r.getLong(0), c.toInt))
+      cents.nearestArray(v, nprobe).map(c => (r.getLong(0), c))
     }
     val qvecs = qRows.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
       .toDF("query_id", "qv")
     val probesDf = probes.toDF("query_id", "cell")
     val candidates = spark.read.parquet(s"$indexDir/cells")
+      .withColumn("cell", col("cell").cast("long"))
       .filter(col("cell").isin(probes.map(_._2).distinct: _*))
     val wK = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id").asc)

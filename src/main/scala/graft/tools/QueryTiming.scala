@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Dev tool: run named gate queries repeatedly and print per-run wall times,
+  * to separate warm-path query cost from one-time setup (index builds, JVM
+  * warmup) when chasing bench outliers.
+  */
+object QueryTiming {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val names = if (args.nonEmpty) args.toSeq else Seq("q23_lsh_knn", "q28_lsh_multiprobe")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try { graft.operators.Index.ensure(spark, sfDir) } catch { case _: Throwable => () }
+    try { graft.operators.Vectors.ensureIvfIndex(spark, sfDir) } catch { case _: Throwable => () }
+    names.foreach { n =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"TIMING $n reps=${times.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
