@@ -26,7 +26,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ Text.all ++ Events.all ++ Vectors.all ++ Media.all ++
-      AsOf.all ++ Sources.all ++ Stats.all ++
+      AsOf.all ++ Sources.all ++ Stats.all ++ Retrieval.all ++
       Map[String, (SparkSession, String) => DataFrame](
       "q19_sql_vector_knn" -> ((s, dir) => KnnExact.topKSql(s, dir)),
       "q20_knn_exact" -> ((s, dir) => KnnExact.topK(s, dir)),
@@ -42,7 +42,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Text.oracles ++ Events.oracles ++ Vectors.oracles ++
-      Media.oracles ++ AsOf.oracles ++ Sources.oracles ++ Stats.oracles ++ Map(
+      Media.oracles ++ AsOf.oracles ++ Sources.oracles ++ Stats.oracles ++
+      Retrieval.oracles ++ Map(
       "q19_sql_vector_knn" -> KnnExact.oracle(queryMaxId = 4),
       "q20_knn_exact" -> KnnExact.oracle(),
       "q21_knn_cosine" -> KnnExact.oracleCosine(),

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Ranked text retrieval over `documents` — the scoring half of a search
+  * engine (the reference wraps Elasticsearch, whose non-vector half IS a
+  * TF-IDF/BM25 ranker; SURVEY.md §2.B term-set match row covers the boolean
+  * part, this file covers the scored part).
+  *
+  * Scale notes (100 TB): both scorers are two hash aggregates (per-doc term
+  * frequencies, then per-term document frequencies — the "inverted index
+  * statistics") plus a broadcast join of the tiny per-term idf table back to
+  * the postings. Nothing wider than the query's own posting lists ever
+  * shuffles; corpus statistics (N, avgdl) ride along as broadcast scalars.
+  *
+  * Determinism discipline (the oracle hash-compares bitwise): TF-IDF scores
+  * are computed as INTEGERS — idf is scaled to 1e4 and rounded half-up once
+  * (`round(ln(N/df)·10⁴)`), so scores are exact BIGINT sums and the ranking
+  * cannot be perturbed by float summation order in either engine. BM25 keeps
+  * its standard double form but the gate orders output by doc_id (not by
+  * score), so a last-ulp difference cannot reorder rows; scores round to 4
+  * decimals on both sides.
+  */
+object Retrieval {
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Default query: one rare term (df≈5% of docs in the fixtures) + two
+    * common ones, so the idf weighting visibly drives the ranking.
+    */
+  val DefaultTerms: Seq[String] = Seq("dup", "vector", "hash")
+
+  /** Per-(doc, term) frequencies for the query terms only — the probe of an
+    * inverted index. The `isin` filter is pushed into the scan side before
+    * the explode, so only query-term postings reach the aggregate.
+    */
+  private def termFreqs(doc: DataFrame, terms: Seq[String]): DataFrame =
+    doc.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** q61 — TF-IDF top-k retrieval: score(d) = Σ_t tf(t,d) · idf4(t) with
+    * idf4(t) = round(ln(N/df(t)) · 10⁴) as BIGINT. Integer scores ⇒ the
+    * DESC-score ranking is total and engine-independent (ties break on
+    * doc_id ASC).
+    */
+  def tfidfTopDocs(
+      spark: SparkSession,
+      sfDir: String,
+      terms: Seq[String] = DefaultTerms,
+      k: Int = 20): DataFrame = {
+    val doc = Tables.documents(spark, sfDir)
+    val tf = termFreqs(doc, terms)
+    // Corpus size as a 1-row broadcast relation (a scalar subquery shape —
+    // no driver-side count, the whole thing stays one plan).
+    val n = doc.agg(count(lit(1)).as("n"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val idf = dfreq.crossJoin(broadcast(n))
+      .select(col("t"), round(log(col("n") / col("df")) * 10000).cast("long").as("idf4"))
+    tf.join(broadcast(idf), "t")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("idf4")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("score"))
+  }
+
+  def tfidfOracle(terms: Seq[String] = DefaultTerms, k: Int = 20): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, t, count(*) AS tf FROM tok
+       |  WHERE t IN ($termList) GROUP BY doc_id, t),
+       |idf AS (
+       |  SELECT t, CAST(round(ln((SELECT count(*) FROM documents) / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS idf4
+       |  FROM tf GROUP BY t)
+       |SELECT doc_id, CAST(sum(tf.tf * idf.idf4) AS BIGINT) AS score
+       |FROM tf JOIN idf USING (t)
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC
+       |LIMIT $k""".stripMargin
+  }
+
+  /** q62 — BM25 (k1=1.2, b=0.75) scores for every doc matching the query.
+    * Output is doc_id-ordered (score is a payload column, not the sort key),
+    * so double rounding differences cannot reorder the gate's rows; at the
+    * API level a caller ranks by (bm25 DESC, doc_id) exactly like
+    * [[tfidfTopDocs]].
+    *
+    * dl = whitespace token count; avgdl enters as a second broadcast scalar.
+    * idf uses the standard BM25+ form ln(1 + (N-df+0.5)/(df+0.5)), always
+    * positive.
+    */
+  def bm25Scores(
+      spark: SparkSession,
+      sfDir: String,
+      terms: Seq[String] = DefaultTerms,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val doc = Tables.documents(spark, sfDir)
+    val tf = termFreqs(doc, terms)
+    val dl = doc.select(col("doc_id"), size(tokens(col("text"))).cast("double").as("dl"))
+    val stats = doc.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(size(tokens(col("text")))) / count(lit(1))).as("avgdl"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = dfreq.crossJoin(broadcast(stats))
+      .select(
+        col("t"),
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)).as("idf"),
+        col("avgdl"))
+    tf.join(broadcast(idf), "t")
+      .join(dl, "doc_id")
+      .withColumn("part",
+        col("idf") * (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("part")), 4).as("bm25_4"), count(lit(1)).as("n_terms"))
+      .orderBy(col("doc_id"))
+  }
+
+  def bm25Oracle(terms: Seq[String] = DefaultTerms, k1: Double = 1.2, b: Double = 0.75): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, t, count(*) AS tf FROM tok
+       |  WHERE t IN ($termList) GROUP BY doc_id, t),
+       |dl AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |         sum(len(string_split(text, ' '))) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM documents),
+       |idf AS (
+       |  SELECT t, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf, avgdl
+       |  FROM (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t), stats)
+       |SELECT tf.doc_id,
+       |       round(sum(idf.idf * (tf.tf * ($k1 + 1.0))
+       |                 / (tf.tf + $k1 * (1.0 - $b + $b * dl.dl / idf.avgdl))), 4) AS bm25_4,
+       |       count(*) AS n_terms
+       |FROM tf
+       |JOIN idf USING (t)
+       |JOIN dl ON tf.doc_id = dl.doc_id
+       |GROUP BY tf.doc_id
+       |ORDER BY tf.doc_id""".stripMargin
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_tfidf_search" -> ((s: SparkSession, d: String) => tfidfTopDocs(s, d)),
+    "q62_bm25_scores" -> ((s: SparkSession, d: String) => bm25Scores(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "q61_tfidf_search" -> tfidfOracle(),
+    "q62_bm25_scores" -> bm25Oracle())
+}
