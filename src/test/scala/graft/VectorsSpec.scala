@@ -80,4 +80,37 @@ class VectorsSpec extends SparkSpec {
     val nCells = assigned.select("cell").distinct().count()
     assert(nCells > 1 && nCells <= 16)
   }
+
+  test("lsh near-dup pairs: recall vs exact top-20, exact sims, determinism") {
+    // Exact top-20 cosine pairs over the FULL sf0.001 corpus (500 vectors).
+    val exact = Vectors.topCosinePairs(spark, sf0001, maxId = 1000, k = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Vectors.lshNearDupPairs(spark, sf0001).collect()
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & gotPairs).size.toDouble / exact.size
+    // Random unit vectors are the LSH worst case (max pairwise cosine ≈0.4,
+    // no cluster structure); measured recall ≈0.8 at these params.
+    assert(recall >= 0.6, s"recall=$recall of ${exact.size} exact pairs")
+    // The emitted sims are EXACT cosines of the pair (verification property).
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    got.foreach { r =>
+      val (vi, vj) = (vecs(r.getLong(0)), vecs(r.getLong(1)))
+      val dot = vi.zip(vj).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val sim = dot / (math.sqrt(vi.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(vj.map(x => x.toDouble * x.toDouble).sum))
+      assert(math.abs(sim - r.getDouble(3)) < 1e-3)
+    }
+    val again = Vectors.lshNearDupPairs(spark, sf0001).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("lsh near-dup pairs: collision filter prunes most candidate pairs") {
+    val n = Tables.embeddings(spark, sf0001).count()
+    val allPairs = n * (n - 1) / 2
+    val kept = Vectors.lshNearDupPairs(spark, sf0001, k = Int.MaxValue).count()
+    assert(kept < allPairs / 2,
+      s"collision threshold kept $kept of $allPairs pairs — not selective")
+  }
 }
