@@ -112,6 +112,55 @@ object Index {
     dir.getAbsolutePath
   }
 
+  /** Incremental ingest (the reference's online `_aknn_index` lifecycle,
+    * SURVEY §3.2): hash NEW vectors with the STORED model and append them to
+    * the existing layout. The postings append is a dynamic-partition write —
+    * only the pkey directories the new rows hash into receive a file; the
+    * rest of the index is untouched. Readers see the same lossless pruning
+    * invariant (pkey is a pure function of (tbl, hash), regardless of which
+    * batch wrote the row), so search-after-append ≡ search over a full
+    * rebuild — asserted in LshSpec.
+    *
+    * Scale notes: each append costs one narrow hash map + one |batch|-sized
+    * shuffle; the corpus-sized build shuffle is never repaid. Many small
+    * appends accumulate small files — [[compact]] is the periodic remedy.
+    */
+  def append(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
+    val (model, numBuckets) = Lsh.loadModelCached(spark, s"$indexDir/model")
+    val hashed = Lsh.withHashes(spark, newVectors, model)
+      .select(col("vec_id"), col("embedding"), col("hashes"))
+    hashed.write.mode(SaveMode.Append).parquet(s"$indexDir/vectors")
+    withPKey(Lsh.explodeHashes(hashed), numBuckets)
+      .repartition(col(PKeyCol))
+      .write.mode(SaveMode.Append)
+      .partitionBy(PKeyCol)
+      .parquet(s"$indexDir/postings")
+  }
+
+  /** Rewrite `postings/` so every pkey directory holds one file again (the
+    * small-file debt of repeated [[append]]s). Contents are unchanged —
+    * byte-identical row set, asserted in LshSpec. Write-to-side-dir + atomic
+    * rename so a reader never observes a half-compacted layout.
+    */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    val tmp = s"$indexDir/postings_compacting"
+    postings(spark, indexDir)
+      .select(col("vec_id"), col("tbl"), col("hash"), col(PKeyCol))
+      .repartition(col(PKeyCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(PKeyCol)
+      .parquet(tmp)
+    val live = new File(s"$indexDir/postings")
+    val old = new File(s"$indexDir/postings_old")
+    require(live.renameTo(old), s"could not stage $live aside")
+    require(new File(tmp).renameTo(live), s"could not promote $tmp")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    rm(old)
+  }
+
   def vectors(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/vectors")
 

@@ -139,6 +139,41 @@ class LshSpec extends SparkSpec {
     assert(perQuery.length == 8 && perQuery.forall(_.getLong(1) == 10))
   }
 
+  test("append then search equals full-rebuild search; compact is a no-op on results") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = Lsh.fit(emb, tables = 8, bits = 3)
+    val full = java.nio.file.Files.createTempDirectory("graft-idx-full").toString
+    Index.build(spark, emb, model, full, numBuckets = 16)
+    val incr = java.nio.file.Files.createTempDirectory("graft-idx-incr").toString
+    Index.build(spark, emb.filter(col("vec_id") < 400), model, incr, numBuckets = 16)
+    Index.append(spark, incr, emb.filter(col("vec_id") >= 400 && col("vec_id") < 450))
+    Index.append(spark, incr, emb.filter(col("vec_id") >= 450))
+
+    val wantRows = Knn.searchIndex(spark, full, 8, 100, 10).collect().map(_.toSeq).toSeq
+    val gotRows = Knn.searchIndex(spark, incr, 8, 100, 10).collect().map(_.toSeq).toSeq
+    assert(gotRows == wantRows, "incremental index must serve identical results")
+    assert(Index.vectors(spark, incr).count() == emb.count())
+
+    // Compaction: strictly fewer posting files, byte-identical posting rows,
+    // identical search results.
+    def files(dir: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/postings")).filter(_.getName.endsWith(".parquet"))
+    }
+    val before = files(incr).size
+    val rowsBefore = Index.postings(spark, incr)
+      .collect().map(_.toSeq).toSet
+    Index.compact(spark, incr)
+    assert(files(incr).size < before,
+      s"compact should shrink file count (before=$before after=${files(incr).size})")
+    val rowsAfter = Index.postings(spark, incr).collect().map(_.toSeq).toSet
+    assert(rowsAfter == rowsBefore)
+    val gotCompacted = Knn.searchIndex(spark, incr, 8, 100, 10).collect().map(_.toSeq).toSeq
+    assert(gotCompacted == wantRows)
+  }
+
   test("indexed search returns identical results to the inline path") {
     val inline = Knn.lshTopK(spark, sf0001, queryMaxId = 8, k1 = 100, k2 = 10)
       .collect().map(_.toSeq).toSeq
