@@ -112,6 +112,39 @@ object Streams {
       .start()
   }
 
+  /** Stream-stream INTERVAL JOIN (attribution): each purchase joins the
+    * same user's clicks from the preceding hour. Works unchanged on static
+    * frames (the unified Dataset API) — StreamingSpec replays the fixture
+    * through two file streams and asserts row parity with the batch run.
+    *
+    * Scale notes: both sides are watermarked, so the join state store
+    * retains only rows inside `watermark + interval` — bounded by arrival
+    * rate, not history. The equality key (user_id) makes it a shuffled
+    * equi-join with a range residual, the same plan family as the batch
+    * range join gate (q06); without the time bound Spark rightly refuses to
+    * run it (unbounded state).
+    */
+  def purchaseClickJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(
+        col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    p.join(c,
+        col("p_user_id") === col("user_id") &&
+          col("click_ts") < col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(
+        col("user_id"), col("purchase_id"), col("click_id"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        unix_micros(col("click_ts")).as("click_us"))
+  }
+
   case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom keyed state via `flatMapGroupsWithState` (SURVEY §2.B session/

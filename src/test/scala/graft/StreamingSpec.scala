@@ -89,6 +89,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 500 * 4)
   }
 
+  test("stream-stream interval join matches the batch run of the same code") {
+    val dirA = stageEventsDir()
+    val dirB = stageEventsDir()
+    val streamed = Streams.runToMemory(
+        spark,
+        Streams.purchaseClickJoin(
+          Streams.readEvents(spark, dirA), Streams.readEvents(spark, dirB)),
+        "attrib", outputMode = "append")
+      .collect().map(_.toSeq).toSet
+    val batchEvents = Tables.events(spark, sf0001)
+    val batch = Streams.purchaseClickJoin(batchEvents, batchEvents)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "fixture should contain click->purchase pairs within an hour")
+  }
+
   test("streaming dedup emits at most one row per (user, event_type)") {
     val dir = stageEventsDir()
     val out = Streams.runToMemory(
