@@ -42,13 +42,18 @@ object Components {
         .join(labels.select(col("v").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("v"))
         .agg(min(col("nl")).as("mn"))
+      // The change flag rides the propagation join, so detecting the
+      // fixpoint is a trivial aggregate over the checkpointed round — not a
+      // second join against the previous labels.
       val next = labels
         .join(nbrMin, Seq("v"), "left")
-        .select(col("v"), least(col("label"), coalesce(col("mn"), col("label"))).as("label"))
+        .select(
+          col("v"),
+          least(col("label"), coalesce(col("mn"), col("label"))).as("label"),
+          coalesce(col("mn") < col("label"), lit(false)).as("chg"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "v")
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
+      changed = next.agg(sum(when(col("chg"), 1L).otherwise(0L))).first().getLong(0)
+      labels = next.drop("chg")
     }
     labels
   }

@@ -39,6 +39,7 @@ object Sources {
       fmt match {
         case "json" => w.json(dir.getAbsolutePath)
         case "csv"  => w.option("header", "true").csv(dir.getAbsolutePath)
+        case "orc"  => w.orc(dir.getAbsolutePath)
       }
     }
     dir.getAbsolutePath
@@ -75,6 +76,56 @@ object Sources {
       |GROUP BY n_regionkey
       |ORDER BY n_regionkey""".stripMargin
 
+  /** q69 — ORC source: the third columnar format Spark reads natively
+    * (parquet/orc symmetrical; both carry min/max stats and predicate
+    * pushdown). Round-trips `nation` through ORC and aggregates.
+    */
+  def orcSource(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.schema(nationSchema).orc(derived(spark, sfDir, "orc"))
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), max(col("n_name")).as("last_nation"))
+      .orderBy(col("n_regionkey"))
+
+  val orcSourceOracle: String =
+    """SELECT n_regionkey, count(*) AS n_nations, max(n_name) AS last_nation
+      |FROM nation
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin
+
+  /** q70 — deterministic train/valid/test split (80/10/10): the assignment
+    * every training-data pipeline needs to be REPRODUCIBLE and
+    * engine-independent — a multiplicative hash of the stable doc id, never
+    * `rand()` (seeded RNGs don't survive partitioning changes, let alone an
+    * engine swap; this exact SQL reproduces the split anywhere). Gate output
+    * is the per-(lang, split) stratification summary. At ids beyond 2^32 use
+    * a 64-bit mix (e.g. xxhash64) — same shape, engine-specific oracle.
+    */
+  def trainSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("bucket", (col("doc_id") * 2654435761L) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        // exact integer sum, then ONE double division — identical on any
+        // engine/partitioning (avg() accumulation order is not)
+        round(sum(col("n_chars")) / count(lit(1)), 4).as("avg_chars"))
+      .orderBy(col("lang"), col("split"))
+
+  val trainSplitOracle: String =
+    """SELECT lang,
+      |       CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+      |            WHEN (doc_id * 2654435761) % 100 < 90 THEN 'valid'
+      |            ELSE 'test' END AS split,
+      |       count(*) AS n_docs,
+      |       round(CAST(sum(n_chars) AS BIGINT) / count(*), 4) AS avg_chars
+      |FROM documents
+      |GROUP BY 1, 2
+      |ORDER BY lang, split""".stripMargin
+
   /** q49 — doc GET by id (SURVEY §2.B scans row): the point lookup the
     * parquet source serves via row-group min/max stats — the pushed
     * `doc_id = 42` predicate skips every row group whose id range excludes
@@ -96,10 +147,14 @@ object Sources {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_doc_get" -> (docGet _),
     "q52_json_source" -> (jsonSource _),
-    "q53_csv_source" -> (csvSource _))
+    "q53_csv_source" -> (csvSource _),
+    "q69_orc_source" -> (orcSource _),
+    "q70_train_split" -> (trainSplit _))
 
   val oracles: Map[String, String] = Map(
     "q49_doc_get" -> docGetOracle,
     "q52_json_source" -> jsonSourceOracle,
-    "q53_csv_source" -> csvSourceOracle)
+    "q53_csv_source" -> csvSourceOracle,
+    "q69_orc_source" -> orcSourceOracle,
+    "q70_train_split" -> trainSplitOracle)
 }
