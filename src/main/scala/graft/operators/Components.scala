@@ -45,13 +45,16 @@ object Components {
       // The change flag rides the propagation join, so detecting the
       // fixpoint is a trivial aggregate over the checkpointed round — not a
       // second join against the previous labels.
+      // Lazy checkpoint: the fixpoint aggregate below is the action that
+      // materializes the round (one job, not materialize-then-aggregate);
+      // later rounds read the cached blocks.
       val next = labels
         .join(nbrMin, Seq("v"), "left")
         .select(
           col("v"),
           least(col("label"), coalesce(col("mn"), col("label"))).as("label"),
           coalesce(col("mn") < col("label"), lit(false)).as("chg"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.agg(sum(when(col("chg"), 1L).otherwise(0L))).first().getLong(0)
       labels = next.drop("chg")
     }
