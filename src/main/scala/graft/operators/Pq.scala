@@ -224,8 +224,113 @@ object Pq {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Persisted PQ index: `model/` (codebooks, one row) + `codes/`
+    * (vec_id, codes) — the artifact a real deployment scans. The codes
+    * parquet is 32× smaller than the vectors parquet; an ADC scan over it
+    * never touches an embedding byte (PlanSpec asserts the ReadSchema).
+    */
+  def buildPqIndex(spark: SparkSession, emb: DataFrame, model: PqModel, outDir: String): Unit = {
+    import spark.implicits._
+    Seq((model.m, model.k, model.subdim,
+        model.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+      .toDF("m", "k", "subdim", "codebooks")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$outDir/model")
+    encode(spark, emb, model)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$outDir/codes")
+  }
+
+  def loadPqModel(spark: SparkSession, dir: String): PqModel = {
+    val r = spark.read.parquet(dir).collect()(0)
+    val cbs = r.getSeq[scala.collection.Seq[scala.collection.Seq[Float]]](3)
+      .map(_.map(_.toArray).toArray).toArray
+    PqModel(r.getInt(0), r.getInt(1), r.getInt(2), cbs)
+  }
+
+  /** Build-once cache keyed like [[Index.ensure]]. */
+  def ensurePqIndex(spark: SparkSession, sfDir: String, m: Int = 8, k: Int = 16): String = {
+    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    val key = Index.cacheKey(s"$sfDir:${src.lastModified}:pq:$m:$k:v${Index.LayoutVersion}")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-pq-index-$key")
+    if (!new java.io.File(dir, "codes/_SUCCESS").exists())
+      buildPqIndex(spark, Tables.embeddings(spark, sfDir), fit(Tables.embeddings(spark, sfDir), m, k), dir.getAbsolutePath)
+    dir.getAbsolutePath
+  }
+
+  /** q71 — PQ ANN against the PERSISTED code table: identical semantics to
+    * [[annPq]] (same deterministic fit ⇒ same codes ⇒ same results, asserted
+    * in PqSpec), but phase 1 scans `codes/` — an 8-byte column per vector —
+    * and only the k1 re-rank rows ever read a real embedding. This is the
+    * plan that holds at 100 TB: the ADC pass streams a 32×-compressed
+    * working set through whole-stage codegen with the query LUTs riding the
+    * closure.
+    */
+  def annPqIndexed(
+      spark: SparkSession,
+      sfDir: String,
+      queryMaxId: Long = 8,
+      k1: Int = 100,
+      k2: Int = 10,
+      m: Int = 8,
+      k: Int = 16): DataFrame = {
+    import spark.implicits._
+    val indexDir = ensurePqIndex(spark, sfDir, m, k)
+    val model = loadPqModel(spark, s"$indexDir/model")
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    val emb = Tables.embeddings(spark, sfDir)
+
+    val qRows = emb.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id"), col("embedding")).collect()
+    val luts: Map[Long, Array[Array[Double]]] =
+      qRows.map(r => r.getLong(0) -> model.lut(r.getSeq[Float](1).toArray)).toMap
+    val adcScore = udf((qid: Long, codes: Array[Byte]) => model.adc(luts(qid), codes))
+
+    val queries = qRows.map(_.getLong(0)).toSeq.toDF("query_id")
+    val wK1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist").asc, col("vec_id").asc)
+    val candidates = codes.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        adcScore(col("query_id"), col("codes")).as("approx_dist"))
+      .withColumn("r1", row_number().over(wK1))
+      .filter(col("r1") <= k1)
+
+    val qvecs = qRows.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .toDF("query_id", "qv")
+    val wK2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    candidates
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(qvecs), "query_id")
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))
+      .withColumn("rank", row_number().over(wK2))
+      .filter(col("rank") <= k2)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("dist"), 4).as("dist4"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The phase-1 ADC candidate scan in isolation (plan-inspection surface
+    * for PlanSpec: its ReadSchema must contain codes and never embedding).
+    */
+  def adcScanPlan(spark: SparkSession, sfDir: String, queryMaxId: Long = 8): DataFrame = {
+    import spark.implicits._
+    val indexDir = ensurePqIndex(spark, sfDir)
+    val model = loadPqModel(spark, s"$indexDir/model")
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    val qRows = Tables.embeddings(spark, sfDir).filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id"), col("embedding")).collect()
+    val luts: Map[Long, Array[Array[Double]]] =
+      qRows.map(r => r.getLong(0) -> model.lut(r.getSeq[Float](1).toArray)).toMap
+    val adcScore = udf((qid: Long, codes: Array[Byte]) => model.adc(luts(qid), codes))
+    codes.crossJoin(broadcast(qRows.map(_.getLong(0)).toSeq.toDF("query_id")))
+      .select(col("query_id"), col("vec_id"),
+        adcScore(col("query_id"), col("codes")).as("approx_dist"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q64_pq_ann" -> ((s: SparkSession, d: String) => annPq(s, d)))
+    "q64_pq_ann" -> ((s: SparkSession, d: String) => annPq(s, d)),
+    "q71_pq_ann_indexed" -> ((s: SparkSession, d: String) => annPqIndexed(s, d)))
 
   val oracles: Map[String, String] = Map.empty
 }

@@ -87,4 +87,14 @@ class PlanSpec extends SparkSpec {
     assert(!scan.contains("PartitionFilters: []"),
       s"postings scan reads every partition: $scan")
   }
+
+  test("pq adc scan reads only the 8-byte code column, never an embedding") {
+    val plan = graft.operators.Pq.adcScanPlan(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.filter(_.contains("FileScan"))
+      .find(_.contains("codes")).getOrElse(fail(s"no codes scan:\n$plan"))
+    assert(scan.contains("codes:binary"), scan)
+    assert(!scan.contains("embedding"), s"ADC scan reads embeddings: $scan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -47,6 +47,22 @@ class PqSpec extends SparkSpec {
       s"ADC ordering too far from exact: overlap ${(byApprox & byExact).size}/10")
   }
 
+  test("indexed pq ann equals the inline path (same deterministic fit)") {
+    val inline = Pq.annPq(spark, sf0001).collect().map(_.toSeq).toSeq
+    val indexed = Pq.annPqIndexed(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(indexed == inline)
+  }
+
+  test("pq model round-trips through the persisted index layout") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val want = Pq.fit(emb)
+    val dir = Pq.ensurePqIndex(spark, sf0001)
+    val got = Pq.loadPqModel(spark, s"$dir/model")
+    assert(got.m == want.m && got.k == want.k && got.subdim == want.subdim)
+    assert(got.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      want.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("pq ann: recall@10 vs exact knn, never self, deterministic") {
     val exact = KnnExact.topK(spark, sf0001, queryMaxId = 8, k = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
