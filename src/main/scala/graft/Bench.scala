@@ -33,6 +33,7 @@ object Bench {
       val idx = graft.operators.Index.ensure(spark, sfDir)
       graft.operators.Vectors.ensureIvfIndex(spark, sfDir)
       graft.operators.Pq.ensurePqIndex(spark, sfDir)
+      graft.operators.Pq.ensureIvfPqIndex(spark, sfDir)
       // One untimed single-query probe: search queries measure steady-state
       // latency, not the first-call codegen/plan compilation of the search
       // pipeline (standard warm-measurement methodology, same every round).

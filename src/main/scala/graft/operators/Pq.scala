@@ -328,9 +328,121 @@ object Pq {
         adcScore(col("query_id"), col("codes")).as("approx_dist"))
   }
 
+  /** Persisted IVF-PQ index: the classic composition (Jégou et al. §IVFADC)
+    * — `centroids/` (the IVF coarse quantizer), `model/` (PQ codebooks), and
+    * `codes/` (vec_id, codes) PARTITIONED BY cell. A query prunes to nprobe
+    * cell directories (static partition filter, like [[Vectors.annIvfIndexed]])
+    * and ADC-scans only those cells' 8-byte codes: the two multiplicative
+    * reductions — read 1/C of the corpus, at 1/32 the bytes — compose.
+    */
+  def buildIvfPqIndex(
+      spark: SparkSession,
+      emb: DataFrame,
+      cells: Int,
+      m: Int,
+      k: Int,
+      outDir: String): Unit = {
+    import spark.implicits._
+    val cents = Vectors.quantizer(spark, emb, cells)
+    cents.ids.zip(cents.vecs.map(_.toSeq)).toSeq
+      .toDF("cell", "centroid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$outDir/centroids")
+    val pq = fit(emb, m, k)
+    Seq((pq.m, pq.k, pq.subdim, pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+      .toDF("m", "k", "subdim", "codebooks")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$outDir/model")
+    val enc = udf((v: Seq[Float]) => pq.encode(v.toArray))
+    Vectors.assignCellsWith(emb, cents)
+      .select(col("vec_id"), enc(col("embedding")).as("codes"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(s"$outDir/codes")
+  }
+
+  def ensureIvfPqIndex(
+      spark: SparkSession,
+      sfDir: String,
+      cells: Int = 16,
+      m: Int = 8,
+      k: Int = 16): String = {
+    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    val key = Index.cacheKey(
+      s"$sfDir:${src.lastModified}:ivfpq:$cells:$m:$k:v${Index.LayoutVersion}")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-ivfpq-index-$key")
+    if (!new java.io.File(dir, "codes/_SUCCESS").exists())
+      buildIvfPqIndex(spark, Tables.embeddings(spark, sfDir), cells, m, k, dir.getAbsolutePath)
+    dir.getAbsolutePath
+  }
+
+  /** q72 — IVF-PQ ANN: probe nprobe cells (partition-pruned), ADC-scan their
+    * codes, exact re-rank the k1 survivors. At nprobe = cells the candidate
+    * set equals the flat ADC scan, so results must match [[annPq]] exactly —
+    * the PqSpec full-probe parity test; at nprobe < cells the spec pins
+    * recall.
+    */
+  def annIvfPq(
+      spark: SparkSession,
+      sfDir: String,
+      queryMaxId: Long = 8,
+      k1: Int = 100,
+      k2: Int = 10,
+      cells: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      k: Int = 16): DataFrame = {
+    import spark.implicits._
+    val indexDir = ensureIvfPqIndex(spark, sfDir, cells, m, k)
+    val cents = Vectors.loadCentroids(spark, s"$indexDir/centroids")
+    val model = loadPqModel(spark, s"$indexDir/model")
+    val emb = Tables.embeddings(spark, sfDir)
+
+    val qRows = emb.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id"), col("embedding")).collect()
+    val luts: Map[Long, Array[Array[Double]]] =
+      qRows.map(r => r.getLong(0) -> model.lut(r.getSeq[Float](1).toArray)).toMap
+    val adcScore = udf((qid: Long, codes: Array[Byte]) => model.adc(luts(qid), codes))
+
+    // (query, cell) probes — driver-computed over the broadcast-small coarse
+    // quantizer, exactly like annIvfIndexed.
+    val probes = qRows.toSeq.flatMap { r =>
+      cents.nearestArray(r.getSeq[Float](1).toArray, nprobe).map(c => (r.getLong(0), c))
+    }
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .withColumn("cell", col("cell").cast("long"))
+      .filter(col("cell").isin(probes.map(_._2).distinct: _*))
+    val probesDf = probes.toDF("query_id", "cell")
+
+    val wK1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist").asc, col("vec_id").asc)
+    val candidates = codes
+      .join(broadcast(probesDf), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        adcScore(col("query_id"), col("codes")).as("approx_dist"))
+      .withColumn("r1", row_number().over(wK1))
+      .filter(col("r1") <= k1)
+
+    val qvecs = qRows.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .toDF("query_id", "qv")
+    val wK2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    candidates
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(qvecs), "query_id")
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))
+      .withColumn("rank", row_number().over(wK2))
+      .filter(col("rank") <= k2)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("dist"), 4).as("dist4"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_pq_ann" -> ((s: SparkSession, d: String) => annPq(s, d)),
-    "q71_pq_ann_indexed" -> ((s: SparkSession, d: String) => annPqIndexed(s, d)))
+    "q71_pq_ann_indexed" -> ((s: SparkSession, d: String) => annPqIndexed(s, d)),
+    "q72_ivfpq_ann" -> ((s: SparkSession, d: String) => annIvfPq(s, d)))
 
   val oracles: Map[String, String] = Map.empty
 }

@@ -63,6 +63,19 @@ class PqSpec extends SparkSpec {
       want.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("ivf-pq at full probe equals the flat pq scan; pruned probe keeps recall") {
+    val flat = Pq.annPq(spark, sf0001).collect().map(_.toSeq).toSeq
+    val fullProbe = Pq.annIvfPq(spark, sf0001, nprobe = 16).collect().map(_.toSeq).toSeq
+    assert(fullProbe == flat,
+      "probing every cell must reproduce the flat ADC scan exactly")
+    val exact = KnnExact.topK(spark, sf0001, queryMaxId = 8, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = Pq.annIvfPq(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pruned).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ivf-pq recall=$recall (nprobe=4/16 on random vectors)")
+  }
+
   test("pq ann: recall@10 vs exact knn, never self, deterministic") {
     val exact = KnnExact.topK(spark, sf0001, queryMaxId = 8, k = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
