@@ -98,6 +98,15 @@ object Pq {
     }
   }
 
+  /** Per-query ADC lookup tables as a plan reference object (|Q|·M·K
+    * doubles) — carried into the codegen [[org.apache.spark.sql.graft
+    * .VectorExpressions.AdcDistance]] expression so the code-column scan
+    * never leaves whole-stage codegen.
+    */
+  case class AdcTables(model: PqModel, luts: Map[Long, Array[Array[Double]]]) {
+    def adc(qid: Long, codes: Array[Byte]): Double = model.adc(luts(qid), codes)
+  }
+
   /** Deterministic per-subspace Lloyd k-means over the first `sampleN`
     * vectors by id (driver-side — the sample is K·multiples small, the same
     * footprint class as the LSH fit sample).
@@ -185,14 +194,14 @@ object Pq {
     val model = fit(emb, m, k)
     val codes = encode(spark, emb, model)
 
-    // Per-query ADC lookup tables, computed once driver-side (|Q|·M·K doubles)
-    // and carried in the scoring UDF's closure.
+    // Per-query ADC lookup tables, computed once driver-side (|Q|·M·K
+    // doubles) and riding the plan as the AdcDistance reference object.
     val qRows = emb.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id"), col("embedding")).collect()
     val luts: Map[Long, Array[Array[Double]]] =
       qRows.map(r => r.getLong(0) -> model.lut(r.getSeq[Float](1).toArray)).toMap
     val qIds = qRows.map(_.getLong(0)).toSeq
-    val adcScore = udf((qid: Long, codes: Array[Byte]) => model.adc(luts(qid), codes))
+    val adcTables = AdcTables(model, luts)
 
     // ADC scan: |Q| passes over the CODE column only (queries broadcast).
     import spark.implicits._
@@ -202,7 +211,7 @@ object Pq {
     val candidates = codes.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        adcScore(col("query_id"), col("codes")).as("approx_dist"))
+        VectorExpressions.adc(col("query_id"), col("codes"), adcTables).as("approx_dist"))
       .withColumn("r1", row_number().over(wK1))
       .filter(col("r1") <= k1)
 
@@ -282,7 +291,7 @@ object Pq {
       .select(col("vec_id"), col("embedding")).collect()
     val luts: Map[Long, Array[Array[Double]]] =
       qRows.map(r => r.getLong(0) -> model.lut(r.getSeq[Float](1).toArray)).toMap
-    val adcScore = udf((qid: Long, codes: Array[Byte]) => model.adc(luts(qid), codes))
+    val adcTables = AdcTables(model, luts)
 
     val queries = qRows.map(_.getLong(0)).toSeq.toDF("query_id")
     val wK1 = Window.partitionBy(col("query_id"))
@@ -290,7 +299,7 @@ object Pq {
     val candidates = codes.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        adcScore(col("query_id"), col("codes")).as("approx_dist"))
+        VectorExpressions.adc(col("query_id"), col("codes"), adcTables).as("approx_dist"))
       .withColumn("r1", row_number().over(wK1))
       .filter(col("r1") <= k1)
 
@@ -322,10 +331,10 @@ object Pq {
       .select(col("vec_id"), col("embedding")).collect()
     val luts: Map[Long, Array[Array[Double]]] =
       qRows.map(r => r.getLong(0) -> model.lut(r.getSeq[Float](1).toArray)).toMap
-    val adcScore = udf((qid: Long, codes: Array[Byte]) => model.adc(luts(qid), codes))
+    val adcTables = AdcTables(model, luts)
     codes.crossJoin(broadcast(qRows.map(_.getLong(0)).toSeq.toDF("query_id")))
       .select(col("query_id"), col("vec_id"),
-        adcScore(col("query_id"), col("codes")).as("approx_dist"))
+        VectorExpressions.adc(col("query_id"), col("codes"), adcTables).as("approx_dist"))
   }
 
   /** Persisted IVF-PQ index: the classic composition (Jégou et al. §IVFADC)
@@ -401,7 +410,7 @@ object Pq {
       .select(col("vec_id"), col("embedding")).collect()
     val luts: Map[Long, Array[Array[Double]]] =
       qRows.map(r => r.getLong(0) -> model.lut(r.getSeq[Float](1).toArray)).toMap
-    val adcScore = udf((qid: Long, codes: Array[Byte]) => model.adc(luts(qid), codes))
+    val adcTables = AdcTables(model, luts)
 
     // (query, cell) probes — driver-computed over the broadcast-small coarse
     // quantizer, exactly like annIvfIndexed.
@@ -419,7 +428,7 @@ object Pq {
       .join(broadcast(probesDf), "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        adcScore(col("query_id"), col("codes")).as("approx_dist"))
+        VectorExpressions.adc(col("query_id"), col("codes"), adcTables).as("approx_dist"))
       .withColumn("r1", row_number().over(wK1))
       .filter(col("r1") <= k1)
 

@@ -76,6 +76,21 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.4, s"ivf-pq recall=$recall (nprobe=4/16 on random vectors)")
   }
 
+  test("adc codegen expression matches the driver-side kernel bit-for-bit") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = Pq.fit(emb)
+    val q = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(1).collect()(0)
+    val lut = model.lut(q.getSeq[Float](1).toArray)
+    val viaPlan = Pq.adcScanPlan(spark, sf0001, queryMaxId = 1).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val codes = Pq.encode(spark, emb, model).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    codes.foreach { case (id, c) =>
+      assert(viaPlan(id) == model.adc(lut, c), s"vec $id diverges")
+    }
+  }
+
   test("pq ann: recall@10 vs exact knn, never self, deterministic") {
     val exact = KnnExact.topK(spark, sf0001, queryMaxId = 8, k = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
