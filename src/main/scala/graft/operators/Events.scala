@@ -214,7 +214,41 @@ object Events {
       |GROUP BY 1, 2
       |ORDER BY event_type, k""".stripMargin
 
+  /** q73 — funnel analysis (signup → click → purchase): how many users
+    * complete each stage IN ORDER, judged on each user's FIRST event of each
+    * type. One hash aggregate over (user, conditional-min timestamps), then
+    * one global roll-up — no joins, no self-unions; the classic event-
+    * analytics query at its cheapest plan shape. Timestamps compare as
+    * integer microseconds (exact on both engines).
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val firsts = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", us)).as("s"),
+        min(when(col("event_type") === "click", us)).as("c"),
+        min(when(col("event_type") === "purchase", us)).as("p"))
+    firsts.agg(
+      count(col("s")).as("n_signup"),
+      count(when(col("s") < col("c"), lit(1))).as("n_click_after_signup"),
+      count(when(col("s") < col("c") && col("c") < col("p"), lit(1))).as("n_full_funnel"))
+  }
+
+  val funnelOracle: String =
+    """WITH firsts AS (
+      |  SELECT user_id,
+      |         min(epoch_us(CAST(ts AS TIMESTAMP))) FILTER (event_type = 'signup') AS s,
+      |         min(epoch_us(CAST(ts AS TIMESTAMP))) FILTER (event_type = 'click') AS c,
+      |         min(epoch_us(CAST(ts AS TIMESTAMP))) FILTER (event_type = 'purchase') AS p
+      |  FROM events GROUP BY user_id)
+      |SELECT count(s) AS n_signup,
+      |       count(CASE WHEN s < c THEN 1 END) AS n_click_after_signup,
+      |       count(CASE WHEN s < c AND c < p THEN 1 END) AS n_full_funnel
+      |FROM firsts""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_funnel" -> (funnel _),
     "q48_map_functions" -> (mapFunctions _),
     "q40_tumbling_windows" -> (tumbling _),
     "q41_sliding_windows" -> (sliding _),
@@ -225,6 +259,7 @@ object Events {
     "q46_json_kpis" -> (jsonKpis _))
 
   val oracles: Map[String, String] = Map(
+    "q73_funnel" -> funnelOracle,
     "q48_map_functions" -> mapFunctionsOracle,
     "q40_tumbling_windows" -> tumblingOracle,
     "q41_sliding_windows" -> slidingOracle,
