@@ -88,6 +88,24 @@ class PlanSpec extends SparkSpec {
       s"postings scan reads every partition: $scan")
   }
 
+  test("tfidf joins the tiny idf table by broadcast, not a shuffle join") {
+    val plan = planOf("q61_tfidf_search")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("train split is a single aggregation pass — no join, no extra shuffle") {
+    val plan = planOf("q70_train_split")
+    assert(!plan.contains("Join"), s"split should not join:\n$plan")
+    assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 2,
+      s"split should shuffle once for the aggregate (plus AQE reads):\n$plan")
+  }
+
+  test("funnel is two aggregates and zero joins") {
+    val plan = planOf("q73_funnel")
+    assert(!plan.contains("Join"), s"funnel should not join:\n$plan")
+  }
+
   test("pq adc scan reads only the 8-byte code column, never an embedding") {
     val plan = graft.operators.Pq.adcScanPlan(spark, sf0001)
       .queryExecution.executedPlan.toString
