@@ -137,6 +137,33 @@ object Index {
       .parquet(s"$indexDir/postings")
   }
 
+  /** Delete-by-id as TOMBSTONES (the ES delete-doc analog): parquet is
+    * immutable, so deletes append ids to `tombstones/` and every reader
+    * anti-joins them out ([[liveVectors]] / [[livePostings]]). O(|batch|)
+    * per delete — no index rewrite; [[compact]]-style physical purging can
+    * fold tombstones in during a rewrite when their fraction grows.
+    *
+    * Scale notes: the tombstone set stays id-only (8 bytes/row) and is
+    * broadcast into the anti-join while small — the usual deleted-fraction
+    * regime; Catalyst falls back to a shuffled anti-join if it ever isn't.
+    */
+  def delete(spark: SparkSession, indexDir: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("vec_id").write.mode(SaveMode.Append).parquet(s"$indexDir/tombstones")
+  }
+
+  private def withoutTombstones(spark: SparkSession, indexDir: String, df: DataFrame): DataFrame =
+    if (new File(s"$indexDir/tombstones").exists())
+      df.join(
+        broadcast(spark.read.parquet(s"$indexDir/tombstones")), Seq("vec_id"), "left_anti")
+    else df
+
+  def liveVectors(spark: SparkSession, indexDir: String): DataFrame =
+    withoutTombstones(spark, indexDir, vectors(spark, indexDir))
+
+  def livePostings(spark: SparkSession, indexDir: String): DataFrame =
+    withoutTombstones(spark, indexDir, postings(spark, indexDir))
+
   /** Rewrite `postings/` so every pkey directory holds one file again (the
     * small-file debt of repeated [[append]]s). Contents are unchanged —
     * byte-identical row set, asserted in LshSpec. Write-to-side-dir + atomic

@@ -106,7 +106,9 @@ object Knn {
       bucketCap: Int = 0): DataFrame = {
     import spark.implicits._
     val (model, numBuckets) = Lsh.loadModelCached(spark, s"$indexDir/model")
-    val vectors = Index.vectors(spark, indexDir)
+    // Live views: tombstoned ids (Index.delete) are anti-joined out; with no
+    // tombstones the plan is the plain scan.
+    val vectors = Index.liveVectors(spark, indexDir)
 
     // 1. GET query docs: precomputed hashes + stored vectors, no re-hash
     // (A7). One pushed-filter scan; the rows are |Q|-small by contract.
@@ -125,7 +127,7 @@ object Knn {
     // 2. Probe postings under a static partition prune (lossless — see
     // Index scaladoc). The probe list itself is a tiny local relation.
     val pkeys = probeKeys.map { case (_, t, h) => Index.pkeyOf(t, h, numBuckets) }.distinct
-    val pruned = Index.postings(spark, indexDir)
+    val pruned = Index.livePostings(spark, indexDir)
       .filter(col(Index.PKeyCol).isin(pkeys: _*))
     val postings = if (bucketCap > 0) Skew.capBuckets(pruned, bucketCap) else pruned
     val qposts = probeKeys.toDF("query_id", "tbl", "hash")

@@ -174,6 +174,33 @@ class LshSpec extends SparkSpec {
     assert(gotCompacted == wantRows)
   }
 
+  test("delete tombstones a vector out of search without touching the index files") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = Lsh.fit(emb, tables = 8, bits = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-del").toString
+    Index.build(spark, emb, model, dir, numBuckets = 16)
+    val before = Knn.searchIndex(spark, dir, 4, 100, 10).collect()
+    val victim = before(0).getLong(1) // top neighbor of query 0
+    Index.delete(spark, dir, Seq(victim))
+    val after = Knn.searchIndex(spark, dir, 4, 100, 10).collect()
+    assert(!after.exists(_.getLong(1) == victim), "deleted id still served")
+    // every query still fills its k2 slots from the surviving candidates
+    val perQuery = after.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perQuery.values.forall(_ == 10))
+    // per query: deletion only removes the victim and pulls in one new
+    // tail candidate — survivors keep their exact relative order
+    def byQuery(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
+    val bq = byQuery(before)
+    val aq = byQuery(after)
+    bq.foreach { case (q, ids) =>
+      if (ids.contains(victim))
+        assert(aq(q).take(9) == ids.filterNot(_ == victim),
+          s"query $q survivors reordered")
+      else assert(aq(q) == ids, s"query $q changed without containing the victim")
+    }
+  }
+
   test("indexed search returns identical results to the inline path") {
     val inline = Knn.lshTopK(spark, sf0001, queryMaxId = 8, k1 = 100, k2 = 10)
       .collect().map(_.toSeq).toSeq
