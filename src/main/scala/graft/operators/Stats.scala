@@ -218,7 +218,49 @@ object Stats {
       |WHERE c_custkey < 200
       |ORDER BY c_custkey""".stripMargin
 
+  /** q74 — anomaly detection by per-group z-score: events whose value sits
+    * furthest (in σ units) from their event-type mean. The group moments come
+    * from the same exact scaled-long sums as [[valueStats]] (never
+    * `stddev()` — engine-specific accumulation), broadcast back onto the
+    * stream as a tiny per-type table; the ranking key |z| is computed from
+    * bit-identical doubles on both engines, ties broken by event_id.
+    */
+  def zscoreOutliers(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val sv = Det.scaled(col("value"), 2)
+    val mean = col("s1") / 100.0 / col("n")
+    val vari = col("s2") / 10000.0 / col("n") - mean * mean
+    val stats = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(sv).as("s1"), sum(sv * sv).as("s2"))
+      .select(col("event_type"), mean.as("mean"), sqrt(vari).as("sd"))
+    val z = (col("value") - col("mean")) / col("sd")
+    Tables.events(spark, sfDir)
+      .join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"), round(col("value"), 4).as("value4"),
+        z.as("z"))
+      .orderBy(abs(col("z")).desc, col("event_id").asc)
+      .limit(k)
+      .select(col("event_id"), col("event_type"), col("value4"), round(col("z"), 4).as("z4"))
+  }
+
+  val zscoreOutliersOracle: String = {
+    val s1 = s"CAST(sum(${Det.sqlScaled("value", 2)}) AS BIGINT)"
+    val s2 = s"CAST(sum(${Det.sqlScaled("value", 2)} * ${Det.sqlScaled("value", 2)}) AS BIGINT)"
+    s"""WITH stats AS (
+       |  SELECT event_type,
+       |         $s1 / 100.0 / count(*) AS mean,
+       |         sqrt($s2 / 10000.0 / count(*)
+       |              - ($s1 / 100.0 / count(*)) * ($s1 / 100.0 / count(*))) AS sd
+       |  FROM events GROUP BY event_type)
+       |SELECT event_id, event_type, round(value, 4) AS value4,
+       |       round((value - mean) / sd, 4) AS z4
+       |FROM events JOIN stats USING (event_type)
+       |ORDER BY abs((value - mean) / sd) DESC, event_id ASC
+       |LIMIT 20""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_zscore_outliers" -> ((s: SparkSession, d: String) => zscoreOutliers(s, d)),
     "q57_pivot" -> (pivotEvents _),
     "q58_unpivot" -> (unpivotLineitem _),
     "q59_array_agg" -> (arrayAgg _),
@@ -228,6 +270,7 @@ object Stats {
     "q56_value_stats" -> (valueStats _))
 
   val oracles: Map[String, String] = Map(
+    "q74_zscore_outliers" -> zscoreOutliersOracle,
     "q57_pivot" -> pivotEventsOracle,
     "q58_unpivot" -> unpivotLineitemOracle,
     "q59_array_agg" -> arrayAggOracle,

@@ -358,7 +358,8 @@ object Vectors {
       tables: Int = 32,
       bits: Int = 3): DataFrame = {
     val indexDir = Index.ensure(spark, sfDir, tables, bits)
-    val posts = Index.postings(spark, indexDir).select(col("tbl"), col("hash"), col("vec_id"))
+    // Live views so tombstoned vectors (Index.delete) never pair up.
+    val posts = Index.livePostings(spark, indexDir).select(col("tbl"), col("hash"), col("vec_id"))
     val pairs = posts.as("a")
       .join(posts.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.hash") === col("b.hash") &&
@@ -366,7 +367,7 @@ object Vectors {
       .groupBy(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
       .agg(count(lit(1)).as("collisions"))
       .filter(col("collisions") >= minCollisions)
-    val vecs = Index.vectors(spark, indexDir).select(col("vec_id"), col("embedding"))
+    val vecs = Index.liveVectors(spark, indexDir).select(col("vec_id"), col("embedding"))
     pairs
       .join(vecs.select(col("vec_id").as("i"), col("embedding").as("vi")), "i")
       .join(vecs.select(col("vec_id").as("j"), col("embedding").as("vj")), "j")
