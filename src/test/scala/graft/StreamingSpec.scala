@@ -105,6 +105,45 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty, "fixture should contain click->purchase pairs within an hour")
   }
 
+  test("watermark drops late data: a row behind the watermark never counts") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-late-src").toString
+    val stage = Files.createTempDirectory("graft-late-stage").toString
+    def nanos(hour: Int, minute: Int): Long =
+      (java.time.LocalDateTime.of(2026, 1, 1, hour, minute)
+        .toEpochSecond(java.time.ZoneOffset.UTC)) * 1000000000L
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val dir = s"$stage/$name"
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(dir)
+      val part = new java.io.File(dir).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(srcDir, s"$name.parquet"))
+    }
+    // batch 1: two rows in the 00:00 window, one at 10:00 that pushes the
+    // watermark (10m delay) far past that window
+    writeBatch("b1", Seq(
+      (1L, nanos(0, 10), 1L, "click", 1.0, "{}"),
+      (2L, nanos(0, 20), 2L, "click", 1.0, "{}"),
+      (3L, nanos(10, 0), 3L, "click", 1.0, "{}")))
+    val q = Streams.hourlyCounts(Streams.readEvents(spark, srcDir))
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: one LATE row for the long-closed 00:00 window (must be
+      // dropped) and one fresh row keeping the stream alive
+      writeBatch("b2", Seq(
+        (4L, nanos(0, 30), 4L, "click", 1.0, "{}"),
+        (5L, nanos(10, 30), 5L, "click", 1.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rows("2026-01-01 00:00:00") == 2L,
+      s"late row leaked into the closed window: $rows")
+  }
+
   test("streaming dedup emits at most one row per (user, event_type)") {
     val dir = stageEventsDir()
     val out = Streams.runToMemory(
