@@ -55,7 +55,10 @@ object Components {
           least(col("label"), coalesce(col("mn"), col("label"))).as("label"),
           coalesce(col("mn") < col("label"), lit(false)).as("chg"))
         .localCheckpoint(false)
-      changed = next.agg(sum(when(col("chg"), 1L).otherwise(0L))).first().getLong(0)
+      // coalesce: sum over zero rows is NULL — an empty vertex set must
+      // terminate, not NPE
+      changed = next.agg(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)))
+        .first().getLong(0)
       labels = next.drop("chg")
     }
     labels

@@ -129,12 +129,18 @@ object Index {
     val (model, numBuckets) = Lsh.loadModelCached(spark, s"$indexDir/model")
     val hashed = Lsh.withHashes(spark, newVectors, model)
       .select(col("vec_id"), col("embedding"), col("hashes"))
-    hashed.write.mode(SaveMode.Append).parquet(s"$indexDir/vectors")
+    // Postings first: a crash between the two jobs then leaves orphan
+    // postings, which are INERT (the re-rank inner-joins vectors/, so a
+    // posting without its vector can never surface) — the reverse order
+    // would leave silently unsearchable vectors. Recovery from a partial
+    // append is a rebuild; append is not idempotent (re-running doubles the
+    // batch's posting rows and skews collision counts).
     withPKey(Lsh.explodeHashes(hashed), numBuckets)
       .repartition(col(PKeyCol))
       .write.mode(SaveMode.Append)
       .partitionBy(PKeyCol)
       .parquet(s"$indexDir/postings")
+    hashed.write.mode(SaveMode.Append).parquet(s"$indexDir/vectors")
   }
 
   /** Delete-by-id as TOMBSTONES (the ES delete-doc analog): parquet is
@@ -152,11 +158,17 @@ object Index {
     ids.toDF("vec_id").write.mode(SaveMode.Append).parquet(s"$indexDir/tombstones")
   }
 
-  private def withoutTombstones(spark: SparkSession, indexDir: String, df: DataFrame): DataFrame =
-    if (new File(s"$indexDir/tombstones").exists())
+  private def withoutTombstones(spark: SparkSession, indexDir: String, df: DataFrame): DataFrame = {
+    // Hadoop FS, not java.io.File: indexDir may be hdfs://... on a cluster,
+    // where a File.exists check is always false and deletes would silently
+    // stop applying.
+    val path = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
       df.join(
         broadcast(spark.read.parquet(s"$indexDir/tombstones")), Seq("vec_id"), "left_anti")
     else df
+  }
 
   def liveVectors(spark: SparkSession, indexDir: String): DataFrame =
     withoutTombstones(spark, indexDir, vectors(spark, indexDir))
@@ -166,25 +178,40 @@ object Index {
 
   /** Rewrite `postings/` so every pkey directory holds one file again (the
     * small-file debt of repeated [[append]]s). Contents are unchanged —
-    * byte-identical row set, asserted in LshSpec. Write-to-side-dir + atomic
-    * rename so a reader never observes a half-compacted layout.
+    * byte-identical row set, asserted in LshSpec.
+    *
+    * Swap protocol: write to `postings_compacting`, then two renames
+    * (live→old, compacting→live). The window between them is not atomic on
+    * a generic filesystem — compact is a single-writer MAINTENANCE op, run
+    * it without concurrent readers (a table format with atomic commits —
+    * Delta/Iceberg — is the production answer). Crash recovery is explicit:
+    * a leftover `postings_old` from a crashed run is rolled back or cleaned
+    * on the next call, so a crashed compact never wedges the index.
     */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    val tmp = s"$indexDir/postings_compacting"
+    def rm(f: File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    val live = new File(s"$indexDir/postings")
+    val old = new File(s"$indexDir/postings_old")
+    // Recover from a previous crashed compact: if the swap died after
+    // staging live aside, roll postings_old back; if live exists too, the
+    // old copy is superseded garbage.
+    if (old.exists()) {
+      if (!live.exists()) require(old.renameTo(live), s"could not roll back $old")
+      else rm(old)
+    }
+    val tmp = new File(s"$indexDir/postings_compacting")
+    if (tmp.exists()) rm(tmp) // half-written output of a crashed run
     postings(spark, indexDir)
       .select(col("vec_id"), col("tbl"), col("hash"), col(PKeyCol))
       .repartition(col(PKeyCol))
       .write.mode(SaveMode.Overwrite)
       .partitionBy(PKeyCol)
-      .parquet(tmp)
-    val live = new File(s"$indexDir/postings")
-    val old = new File(s"$indexDir/postings_old")
+      .parquet(tmp.getAbsolutePath)
     require(live.renameTo(old), s"could not stage $live aside")
-    require(new File(tmp).renameTo(live), s"could not promote $tmp")
-    def rm(f: File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete()
-    }
+    require(tmp.renameTo(live), s"could not promote $tmp")
     rm(old)
   }
 

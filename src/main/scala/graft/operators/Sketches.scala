@@ -8,14 +8,19 @@ import graft.Tables
 /** Mergeable sketch aggregates — the approximation toolkit a 100 TB pipeline
   * actually runs when exact answers would need a per-group sort or a
   * corpus-wide distinct. All three families share the property that makes
-  * them scale: the partial state is a small fixed-size summary whose merge is
-  * commutative+associative, so map-side partials combine in any order and
-  * results are partitioning-independent (deterministic, like the scaled-long
-  * sums in Det).
+  * them scale: the partial state is a small fixed-size summary that merges
+  * map-side, so the shuffle carries sketches, not rows.
   *
   * No SQL oracles — sketch contents are implementation-defined; each gate is
   * pinned by a SketchesSpec error-bound test against the exact answer, which
   * is the meaningful contract for an approximate operator.
+  *
+  * Determinism scope: CMS (counter sums) and HLL (register max) merges are
+  * exactly commutative — bit-identical under any partitioning, spec-pinned.
+  * approx_percentile's t-digest compression IS merge-order sensitive once
+  * groups exceed the accuracy parameter, so only its RANK-ERROR BOUND is
+  * guaranteed (and spec-pinned), not byte-stability across repartitioning —
+  * which is why q65 is a rows-only gate, never hash-compared.
   */
 object Sketches {
 
@@ -46,16 +51,18 @@ object Sketches {
   def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("t"))
-    val sketch = tok.agg(
+    // One aggregation pass builds the sketch; deserialize it ONCE here (the
+    // result is one row) and probe it from the task closure — a per-row
+    // readFrom would re-parse the ~100 KB sketch for every term.
+    val row = tok.agg(
       expr("count_min_sketch(t, 0.001d, 0.99d, 42)").as("cms"),
-      count(lit(1)).as("stream_n"))
-    val estimate = udf((sk: Array[Byte], term: String) =>
-      org.apache.spark.util.sketch.CountMinSketch
-        .readFrom(new java.io.ByteArrayInputStream(sk))
-        .estimateCount(term))
-    val vocab = tok.distinct()
-    vocab.crossJoin(broadcast(sketch))
-      .select(col("t"), estimate(col("cms"), col("t")).as("est_count"), col("stream_n"))
+      count(lit(1)).as("stream_n")).collect()(0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+    val streamN = row.getLong(1)
+    val estimate = udf((term: String) => cms.estimateCount(term))
+    tok.distinct()
+      .select(col("t"), estimate(col("t")).as("est_count"), lit(streamN).as("stream_n"))
       .orderBy(col("est_count").desc, col("t").asc)
   }
 

@@ -243,7 +243,7 @@ object Stats {
       .select(col("event_id"), col("event_type"), col("value4"), round(col("z"), 4).as("z4"))
   }
 
-  val zscoreOutliersOracle: String = {
+  def zscoreOutliersOracle(k: Int = 20): String = {
     val s1 = s"CAST(sum(${Det.sqlScaled("value", 2)}) AS BIGINT)"
     val s2 = s"CAST(sum(${Det.sqlScaled("value", 2)} * ${Det.sqlScaled("value", 2)}) AS BIGINT)"
     s"""WITH stats AS (
@@ -256,7 +256,7 @@ object Stats {
        |       round((value - mean) / sd, 4) AS z4
        |FROM events JOIN stats USING (event_type)
        |ORDER BY abs((value - mean) / sd) DESC, event_id ASC
-       |LIMIT 20""".stripMargin
+       |LIMIT $k""".stripMargin
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -270,7 +270,7 @@ object Stats {
     "q56_value_stats" -> (valueStats _))
 
   val oracles: Map[String, String] = Map(
-    "q74_zscore_outliers" -> zscoreOutliersOracle,
+    "q74_zscore_outliers" -> zscoreOutliersOracle(),
     "q57_pivot" -> pivotEventsOracle,
     "q58_unpivot" -> unpivotLineitemOracle,
     "q59_array_agg" -> arrayAggOracle,

@@ -29,6 +29,11 @@ class ComponentsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("empty vertex set terminates with an empty result, not an NPE") {
+    val out = Components.dedupClusters(spark, sf0001, maxDocId = 0)
+    assert(out.collect().isEmpty)
+  }
+
   test("transitivity: clusters merge through shared members; canonicals are minima") {
     val rows = Components.dedupClusters(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))

@@ -174,13 +174,32 @@ class LshSpec extends SparkSpec {
     assert(gotCompacted == wantRows)
   }
 
+  test("compact recovers from a crash that left postings staged aside") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = Lsh.fit(emb, tables = 4, bits = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-crash").toString
+    Index.build(spark, emb, model, dir, numBuckets = 8)
+    val want = Knn.searchIndex(spark, dir, 4, 50, 5).collect().map(_.toSeq).toSeq
+    // simulate a compact that died between the two renames: live staged
+    // aside, replacement never promoted
+    val live = new java.io.File(s"$dir/postings")
+    val old = new java.io.File(s"$dir/postings_old")
+    assert(live.renameTo(old))
+    Index.compact(spark, dir)
+    val got = Knn.searchIndex(spark, dir, 4, 50, 5).collect().map(_.toSeq).toSeq
+    assert(got == want, "recovery + compact must preserve results")
+    assert(!old.exists() && !new java.io.File(s"$dir/postings_compacting").exists())
+  }
+
   test("delete tombstones a vector out of search without touching the index files") {
     val emb = Tables.embeddings(spark, sf0001)
     val model = Lsh.fit(emb, tables = 8, bits = 3)
     val dir = java.nio.file.Files.createTempDirectory("graft-idx-del").toString
     Index.build(spark, emb, model, dir, numBuckets = 16)
     val before = Knn.searchIndex(spark, dir, 4, 100, 10).collect()
-    val victim = before(0).getLong(1) // top neighbor of query 0
+    // pick a victim that is NOT itself a query vector (id >= queryMaxId=4),
+    // else deleting it removes a whole query and the assertions misfire
+    val victim = before.map(_.getLong(1)).find(_ >= 4).get
     Index.delete(spark, dir, Seq(victim))
     val after = Knn.searchIndex(spark, dir, 4, 100, 10).collect()
     assert(!after.exists(_.getLong(1) == victim), "deleted id still served")

@@ -20,9 +20,12 @@ class RetrievalSpec extends SparkSpec {
       t -> BigDecimal(math.log(n / d) * 10000)
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     }.toMap
+    // keep every doc that MATCHED a term (a zero score from an idf-0 term is
+    // still a hit in both the query and the oracle)
+    val matched = tf.keys.map(_._1).toSet
     val expected = docs.map { case (id, _) =>
       id -> terms.map(t => tf.getOrElse((id, t), 0L) * idf4.getOrElse(t, 0L)).sum
-    }.filter(_._2 != 0)
+    }.filter { case (id, _) => matched(id) }
       .sortBy { case (id, s) => (-s, id) }
       .take(20).toSeq
 

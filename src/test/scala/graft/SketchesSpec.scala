@@ -65,13 +65,23 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("sketch results are partitioning-independent (mergeable state)") {
-    def run(parts: Int): Seq[Seq[Any]] = {
+    def runHll(parts: Int): Seq[Seq[Any]] = {
       val ev = Tables.events(spark, sf0001).repartition(parts)
       ev.groupBy(col("event_type"))
         .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("d"))
         .orderBy(col("event_type"))
         .collect().map(_.toSeq).toSeq
     }
-    assert(run(2) == run(16))
+    assert(runHll(2) == runHll(16))
+    // CMS counters are sums — the serialized sketch itself must be
+    // bit-identical under any partitioning
+    def runCms(parts: Int): Seq[Byte] = {
+      Tables.documents(spark, sf0001)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .repartition(parts)
+        .agg(expr("count_min_sketch(t, 0.001d, 0.99d, 42)").as("cms"))
+        .collect()(0).getAs[Array[Byte]](0).toSeq
+    }
+    assert(runCms(2) == runCms(16))
   }
 }
