@@ -178,6 +178,74 @@ object Pq {
     emb.select(col("vec_id"), enc(col("embedding")).as("codes"))
   }
 
+  /** Query-side state shared by every PQ search path: collected query rows,
+    * their ADC tables, and the two small broadcast relations. One definition
+    * so the tie-breaks and rounding that PqSpec's parity tests pin can never
+    * drift between the flat, persisted, and IVF-PQ paths.
+    */
+  private[operators] case class QuerySide(
+      rows: Array[org.apache.spark.sql.Row],
+      adcTables: AdcTables,
+      queries: DataFrame,
+      qvecs: DataFrame)
+
+  private def querySide(
+      spark: SparkSession,
+      emb: DataFrame,
+      model: PqModel,
+      queryMaxId: Long): QuerySide = {
+    import spark.implicits._
+    val qRows = emb.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id"), col("embedding")).collect()
+    val luts: Map[Long, Array[Array[Double]]] =
+      qRows.map(r => r.getLong(0) -> model.lut(r.getSeq[Float](1).toArray)).toMap
+    QuerySide(
+      qRows,
+      AdcTables(model, luts),
+      qRows.map(_.getLong(0)).toSeq.toDF("query_id"),
+      qRows.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1))).toDF("query_id", "qv"))
+  }
+
+  /** Phase 1: ADC-score a (query_id, vec_id, codes) frame, keep top-k1 per
+    * query (ties by vec_id).
+    */
+  private def adcTopK1(paired: DataFrame, q: QuerySide, k1: Int): DataFrame = {
+    val wK1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist").asc, col("vec_id").asc)
+    paired
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorExpressions.adc(col("query_id"), col("codes"), q.adcTables).as("approx_dist"))
+      .withColumn("r1", row_number().over(wK1))
+      .filter(col("r1") <= k1)
+  }
+
+  /** Phase 2: exact re-rank of the k1 candidates — only these rows ever read
+    * a real embedding. Output shape matches the other ANN gates.
+    */
+  private def rerank(candidates: DataFrame, emb: DataFrame, q: QuerySide, k2: Int): DataFrame = {
+    val wK2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    candidates
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(q.qvecs), "query_id")
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))
+      .withColumn("rank", row_number().over(wK2))
+      .filter(col("rank") <= k2)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("dist"), 4).as("dist4"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def writePqModel(spark: SparkSession, model: PqModel, dir: String): Unit = {
+    import spark.implicits._
+    Seq((model.m, model.k, model.subdim,
+        model.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+      .toDF("m", "k", "subdim", "codebooks")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+  }
+
   /** q64 — PQ ANN (no SQL oracle — model-dependent; pinned by PqSpec recall
     * + compression tests): ADC scan over codes → top-k1 → exact re-rank →
     * top-k2. Output shape matches the other ANN gates.
@@ -193,44 +261,10 @@ object Pq {
     val emb = Tables.embeddings(spark, sfDir)
     val model = fit(emb, m, k)
     val codes = encode(spark, emb, model)
-
-    // Per-query ADC lookup tables, computed once driver-side (|Q|·M·K
-    // doubles) and riding the plan as the AdcDistance reference object.
-    val qRows = emb.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id"), col("embedding")).collect()
-    val luts: Map[Long, Array[Array[Double]]] =
-      qRows.map(r => r.getLong(0) -> model.lut(r.getSeq[Float](1).toArray)).toMap
-    val qIds = qRows.map(_.getLong(0)).toSeq
-    val adcTables = AdcTables(model, luts)
-
+    val q = querySide(spark, emb, model, queryMaxId)
     // ADC scan: |Q| passes over the CODE column only (queries broadcast).
-    import spark.implicits._
-    val queries = qIds.toDF("query_id")
-    val wK1 = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_dist").asc, col("vec_id").asc)
-    val candidates = codes.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        VectorExpressions.adc(col("query_id"), col("codes"), adcTables).as("approx_dist"))
-      .withColumn("r1", row_number().over(wK1))
-      .filter(col("r1") <= k1)
-
-    // Exact re-rank of the k1 candidates (only these read real vectors).
-    val vecs = emb.select(col("vec_id"), col("embedding"))
-    val qvecs = qRows.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .toDF("query_id", "qv")
-    val wK2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist").asc, col("neighbor_id").asc)
-    candidates
-      .join(vecs, "vec_id")
-      .join(broadcast(qvecs), "query_id")
-      .select(
-        col("query_id"), col("vec_id").as("neighbor_id"),
-        VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))
-      .withColumn("rank", row_number().over(wK2))
-      .filter(col("rank") <= k2)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("dist"), 4).as("dist4"))
-      .orderBy(col("query_id"), col("rank"))
+    val candidates = adcTopK1(codes.crossJoin(broadcast(q.queries)), q, k1)
+    rerank(candidates, emb, q, k2)
   }
 
   /** Persisted PQ index: `model/` (codebooks, one row) + `codes/`
@@ -239,11 +273,7 @@ object Pq {
     * never touches an embedding byte (PlanSpec asserts the ReadSchema).
     */
   def buildPqIndex(spark: SparkSession, emb: DataFrame, model: PqModel, outDir: String): Unit = {
-    import spark.implicits._
-    Seq((model.m, model.k, model.subdim,
-        model.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
-      .toDF("m", "k", "subdim", "codebooks")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$outDir/model")
+    writePqModel(spark, model, s"$outDir/model")
     encode(spark, emb, model)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$outDir/codes")
   }
@@ -281,60 +311,26 @@ object Pq {
       k2: Int = 10,
       m: Int = 8,
       k: Int = 16): DataFrame = {
-    import spark.implicits._
     val indexDir = ensurePqIndex(spark, sfDir, m, k)
     val model = loadPqModel(spark, s"$indexDir/model")
     val codes = spark.read.parquet(s"$indexDir/codes")
     val emb = Tables.embeddings(spark, sfDir)
-
-    val qRows = emb.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id"), col("embedding")).collect()
-    val luts: Map[Long, Array[Array[Double]]] =
-      qRows.map(r => r.getLong(0) -> model.lut(r.getSeq[Float](1).toArray)).toMap
-    val adcTables = AdcTables(model, luts)
-
-    val queries = qRows.map(_.getLong(0)).toSeq.toDF("query_id")
-    val wK1 = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_dist").asc, col("vec_id").asc)
-    val candidates = codes.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        VectorExpressions.adc(col("query_id"), col("codes"), adcTables).as("approx_dist"))
-      .withColumn("r1", row_number().over(wK1))
-      .filter(col("r1") <= k1)
-
-    val qvecs = qRows.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .toDF("query_id", "qv")
-    val wK2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist").asc, col("neighbor_id").asc)
-    candidates
-      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-      .join(broadcast(qvecs), "query_id")
-      .select(
-        col("query_id"), col("vec_id").as("neighbor_id"),
-        VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))
-      .withColumn("rank", row_number().over(wK2))
-      .filter(col("rank") <= k2)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("dist"), 4).as("dist4"))
-      .orderBy(col("query_id"), col("rank"))
+    val q = querySide(spark, emb, model, queryMaxId)
+    val candidates = adcTopK1(codes.crossJoin(broadcast(q.queries)), q, k1)
+    rerank(candidates, emb, q, k2)
   }
 
   /** The phase-1 ADC candidate scan in isolation (plan-inspection surface
     * for PlanSpec: its ReadSchema must contain codes and never embedding).
     */
   def adcScanPlan(spark: SparkSession, sfDir: String, queryMaxId: Long = 8): DataFrame = {
-    import spark.implicits._
     val indexDir = ensurePqIndex(spark, sfDir)
     val model = loadPqModel(spark, s"$indexDir/model")
     val codes = spark.read.parquet(s"$indexDir/codes")
-    val qRows = Tables.embeddings(spark, sfDir).filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id"), col("embedding")).collect()
-    val luts: Map[Long, Array[Array[Double]]] =
-      qRows.map(r => r.getLong(0) -> model.lut(r.getSeq[Float](1).toArray)).toMap
-    val adcTables = AdcTables(model, luts)
-    codes.crossJoin(broadcast(qRows.map(_.getLong(0)).toSeq.toDF("query_id")))
+    val q = querySide(spark, Tables.embeddings(spark, sfDir), model, queryMaxId)
+    codes.crossJoin(broadcast(q.queries))
       .select(col("query_id"), col("vec_id"),
-        VectorExpressions.adc(col("query_id"), col("codes"), adcTables).as("approx_dist"))
+        VectorExpressions.adc(col("query_id"), col("codes"), q.adcTables).as("approx_dist"))
   }
 
   /** Persisted IVF-PQ index: the classic composition (Jégou et al. §IVFADC)
@@ -357,9 +353,7 @@ object Pq {
       .toDF("cell", "centroid")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$outDir/centroids")
     val pq = fit(emb, m, k)
-    Seq((pq.m, pq.k, pq.subdim, pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
-      .toDF("m", "k", "subdim", "codebooks")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$outDir/model")
+    writePqModel(spark, pq, s"$outDir/model")
     val enc = udf((v: Seq[Float]) => pq.encode(v.toArray))
     Vectors.assignCellsWith(emb, cents)
       .select(col("vec_id"), enc(col("embedding")).as("codes"), col("cell"))
@@ -405,47 +399,19 @@ object Pq {
     val cents = Vectors.loadCentroids(spark, s"$indexDir/centroids")
     val model = loadPqModel(spark, s"$indexDir/model")
     val emb = Tables.embeddings(spark, sfDir)
-
-    val qRows = emb.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id"), col("embedding")).collect()
-    val luts: Map[Long, Array[Array[Double]]] =
-      qRows.map(r => r.getLong(0) -> model.lut(r.getSeq[Float](1).toArray)).toMap
-    val adcTables = AdcTables(model, luts)
+    val q = querySide(spark, emb, model, queryMaxId)
 
     // (query, cell) probes — driver-computed over the broadcast-small coarse
     // quantizer, exactly like annIvfIndexed.
-    val probes = qRows.toSeq.flatMap { r =>
+    val probes = q.rows.toSeq.flatMap { r =>
       cents.nearestArray(r.getSeq[Float](1).toArray, nprobe).map(c => (r.getLong(0), c))
     }
     val codes = spark.read.parquet(s"$indexDir/codes")
       .withColumn("cell", col("cell").cast("long"))
       .filter(col("cell").isin(probes.map(_._2).distinct: _*))
     val probesDf = probes.toDF("query_id", "cell")
-
-    val wK1 = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_dist").asc, col("vec_id").asc)
-    val candidates = codes
-      .join(broadcast(probesDf), "cell")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        VectorExpressions.adc(col("query_id"), col("codes"), adcTables).as("approx_dist"))
-      .withColumn("r1", row_number().over(wK1))
-      .filter(col("r1") <= k1)
-
-    val qvecs = qRows.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .toDF("query_id", "qv")
-    val wK2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist").asc, col("neighbor_id").asc)
-    candidates
-      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-      .join(broadcast(qvecs), "query_id")
-      .select(
-        col("query_id"), col("vec_id").as("neighbor_id"),
-        VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))
-      .withColumn("rank", row_number().over(wK2))
-      .filter(col("rank") <= k2)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("dist"), 4).as("dist4"))
-      .orderBy(col("query_id"), col("rank"))
+    val candidates = adcTopK1(codes.join(broadcast(probesDf), "cell"), q, k1)
+    rerank(candidates, emb, q, k2)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
