@@ -247,8 +247,42 @@ object Events {
       |       count(CASE WHEN s < c AND c < p THEN 1 END) AS n_full_funnel
       |FROM firsts""".stripMargin
 
+  /** q75 — cohort retention: users grouped by their first-activity day
+    * (cohort), counted on each later active day as a day-offset matrix —
+    * the standard retention triangle. Two hash aggregates (first day per
+    * user, distinct user-days) and one join on user_id; the matrix itself
+    * is tiny (days², broadcastable) no matter the corpus size.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    days.distinct()
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort"), col("day"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort")).cast("int").as("day_offset"),
+        col("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val cohortRetentionOracle: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events),
+      |cohorts AS (SELECT user_id, min(day) AS cohort FROM days GROUP BY user_id)
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+      |       CAST(date_diff('day', cohort, day) AS INTEGER) AS day_offset,
+      |       count(*) AS n_users
+      |FROM days JOIN cohorts USING (user_id)
+      |GROUP BY cohort, day
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (funnel _),
+    "q75_cohort_retention" -> (cohortRetention _),
     "q48_map_functions" -> (mapFunctions _),
     "q40_tumbling_windows" -> (tumbling _),
     "q41_sliding_windows" -> (sliding _),
@@ -260,6 +294,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "q73_funnel" -> funnelOracle,
+    "q75_cohort_retention" -> cohortRetentionOracle,
     "q48_map_functions" -> mapFunctionsOracle,
     "q40_tumbling_windows" -> tumblingOracle,
     "q41_sliding_windows" -> slidingOracle,

@@ -259,7 +259,33 @@ object Stats {
        |LIMIT $k""".stripMargin
   }
 
+  /** q76 — value histogram via `width_bucket` (10 equal bins over [0, 500)
+    * + underflow/overflow buckets): the binning primitive behind
+    * distribution dashboards, as one hash aggregate. Bin edges are exact
+    * doubles (500/10 = 50), so bucket assignment is bit-deterministic; the
+    * oracle spells the same function as floor arithmetic (DuckDB has no
+    * width_bucket).
+    */
+  def valueHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(
+        col("event_type"),
+        expr("width_bucket(value, 0D, 500D, 10)").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bucket"))
+
+  val valueHistogramOracle: String =
+    """SELECT event_type,
+      |       CASE WHEN value < 0 THEN 0
+      |            WHEN value >= 500 THEN 11
+      |            ELSE CAST(floor(value / 50) AS BIGINT) + 1 END AS bucket,
+      |       count(*) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY event_type, bucket""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_value_histogram" -> (valueHistogram _),
     "q74_zscore_outliers" -> ((s: SparkSession, d: String) => zscoreOutliers(s, d)),
     "q57_pivot" -> (pivotEvents _),
     "q58_unpivot" -> (unpivotLineitem _),
@@ -270,6 +296,7 @@ object Stats {
     "q56_value_stats" -> (valueStats _))
 
   val oracles: Map[String, String] = Map(
+    "q76_value_histogram" -> valueHistogramOracle,
     "q74_zscore_outliers" -> zscoreOutliersOracle(),
     "q57_pivot" -> pivotEventsOracle,
     "q58_unpivot" -> unpivotLineitemOracle,
