@@ -130,11 +130,13 @@ object Index {
     val hashed = Lsh.withHashes(spark, newVectors, model)
       .select(col("vec_id"), col("embedding"), col("hashes"))
     // Postings first: a crash between the two jobs then leaves orphan
-    // postings, which are INERT (the re-rank inner-joins vectors/, so a
-    // posting without its vector can never surface) — the reverse order
-    // would leave silently unsearchable vectors. Recovery from a partial
-    // append is a rebuild; append is not idempotent (re-running doubles the
-    // batch's posting rows and skews collision counts).
+    // postings. Orphans can still win k1 candidate slots (the vectors
+    // inner-join drops them only at re-rank), so recall degrades until a
+    // rebuild — but no wrong row is ever RETURNED, whereas the reverse
+    // order would leave vectors that silently never match any search.
+    // Recovery from a partial append is a rebuild; append is not idempotent
+    // (re-running doubles the batch's posting rows and skews collision
+    // counts).
     withPKey(Lsh.explodeHashes(hashed), numBuckets)
       .repartition(col(PKeyCol))
       .write.mode(SaveMode.Append)
@@ -189,30 +191,30 @@ object Index {
     * on the next call, so a crashed compact never wedges the index.
     */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    def rm(f: File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete()
-    }
-    val live = new File(s"$indexDir/postings")
-    val old = new File(s"$indexDir/postings_old")
+    // Hadoop FS throughout (same reason as the tombstone check): indexDir
+    // may be an hdfs:// URI, where java.io.File renames/exists silently
+    // operate on a bogus local path.
+    val live = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"$indexDir/postings_old")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/postings_compacting")
     // Recover from a previous crashed compact: if the swap died after
     // staging live aside, roll postings_old back; if live exists too, the
     // old copy is superseded garbage.
-    if (old.exists()) {
-      if (!live.exists()) require(old.renameTo(live), s"could not roll back $old")
-      else rm(old)
+    if (fs.exists(old)) {
+      if (!fs.exists(live)) require(fs.rename(old, live), s"could not roll back $old")
+      else fs.delete(old, true)
     }
-    val tmp = new File(s"$indexDir/postings_compacting")
-    if (tmp.exists()) rm(tmp) // half-written output of a crashed run
+    if (fs.exists(tmp)) fs.delete(tmp, true) // half-written crashed output
     postings(spark, indexDir)
       .select(col("vec_id"), col("tbl"), col("hash"), col(PKeyCol))
       .repartition(col(PKeyCol))
       .write.mode(SaveMode.Overwrite)
       .partitionBy(PKeyCol)
-      .parquet(tmp.getAbsolutePath)
-    require(live.renameTo(old), s"could not stage $live aside")
-    require(tmp.renameTo(live), s"could not promote $tmp")
-    rm(old)
+      .parquet(tmp.toString)
+    require(fs.rename(live, old), s"could not stage $live aside")
+    require(fs.rename(tmp, live), s"could not promote $tmp")
+    fs.delete(old, true)
   }
 
   def vectors(spark: SparkSession, indexDir: String): DataFrame =

@@ -284,9 +284,12 @@ object Stats {
       |GROUP BY 1, 2
       |ORDER BY event_type, bucket""".stripMargin
 
+  /** One shared k for q74's query AND oracle — they must never drift. */
+  private val ZscoreK = 20
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_value_histogram" -> (valueHistogram _),
-    "q74_zscore_outliers" -> ((s: SparkSession, d: String) => zscoreOutliers(s, d)),
+    "q74_zscore_outliers" -> ((s: SparkSession, d: String) => zscoreOutliers(s, d, ZscoreK)),
     "q57_pivot" -> (pivotEvents _),
     "q58_unpivot" -> (unpivotLineitem _),
     "q59_array_agg" -> (arrayAgg _),
@@ -297,7 +300,7 @@ object Stats {
 
   val oracles: Map[String, String] = Map(
     "q76_value_histogram" -> valueHistogramOracle,
-    "q74_zscore_outliers" -> zscoreOutliersOracle(),
+    "q74_zscore_outliers" -> zscoreOutliersOracle(ZscoreK),
     "q57_pivot" -> pivotEventsOracle,
     "q58_unpivot" -> unpivotLineitemOracle,
     "q59_array_agg" -> arrayAggOracle,
