@@ -29,6 +29,28 @@ class ComponentsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("property: random graphs match union-find (seeded, 6 shapes)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 6) {
+      val n = 10 + rng.nextInt(30)
+      val nEdges = rng.nextInt(2 * n)
+      val vertices = (0L until n.toLong).toSeq
+      val edges = Seq.fill(nEdges) {
+        val a = rng.nextInt(n).toLong
+        val b = rng.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val want = unionFind(vertices, edges)
+      val got = Components.connectedComponents(
+          vertices.toDF("v"),
+          edges.toDF("i", "j"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial: n=$n edges=${edges.size}")
+    }
+  }
+
   test("empty vertex set terminates with an empty result, not an NPE") {
     val out = Components.dedupClusters(spark, sf0001, maxDocId = 0)
     assert(out.collect().isEmpty)
