@@ -2,10 +2,11 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.{Knn, KnnExact}
+import graft.operators.{Knn, KnnExact, Pq}
 
-/** Dev tool: sweep LSH (tables, bits, k1) and print recall@10 vs exact kNN.
-  * Mirrors the reference's Glove benchmark methodology (SURVEY.md §2.A A10).
+/** Dev tool: sweep LSH (tables, bits, k1) and PQ (m, k, k1) and print
+  * recall@10 vs exact kNN. Mirrors the reference's Glove benchmark
+  * methodology (SURVEY.md §2.A A10).
   */
 object RecallSweep {
   def main(args: Array[String]): Unit = {
@@ -20,10 +21,12 @@ object RecallSweep {
     val exact = KnnExact.topK(spark, sfDir, queryMaxId = 8, k = 10)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val corpusN = graft.Tables.embeddings(spark, sfDir).count()
     for {
       tables <- Seq(8, 16, 32)
       bits <- Seq(2, 3, 4, 6, 8)
       k1 <- Seq(50, 100)
+      if 2L * tables * bits <= corpusN // fit needs 2·T·B sample vectors
     } {
       val lsh = Knn.lshTopK(spark, sfDir, queryMaxId = 8, k1 = k1, k2 = 10,
           tables = tables, bits = bits)
@@ -31,6 +34,18 @@ object RecallSweep {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (exact & lsh).size.toDouble / exact.size
       println(f"RECALL tables=$tables%3d bits=$bits%2d k1=$k1%4d recall@10=$recall%.3f")
+    }
+    for {
+      m <- Seq(4, 8, 16)
+      k <- Seq(16, 64)
+      k1 <- Seq(50, 100)
+    } {
+      val pq = Pq.annPq(spark, sfDir, queryMaxId = 8, k1 = k1, k2 = 10, m = m, k = k)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & pq).size.toDouble / exact.size
+      val bytes = m // one code byte per subspace
+      println(f"RECALL pq m=$m%2d k=$k%3d k1=$k1%4d bytes=$bytes%3d recall@10=$recall%.3f")
     }
     spark.stop()
   }
