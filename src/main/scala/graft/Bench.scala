@@ -53,6 +53,7 @@ object Bench {
       if (small.isDirectory) try {
         graft.operators.Vectors.lshNearDupPairs(spark, small.getAbsolutePath).count()
         graft.operators.Components.dedupClusters(spark, small.getAbsolutePath).count()
+        graft.operators.Text.shingleNearDups(spark, small.getAbsolutePath).count()
       } catch { case _: Throwable => () }
     }
     // A failing query must fail the bench run (non-zero exit + named in the

@@ -183,18 +183,37 @@ object Text {
        |WHERE common / (sa.sz + sb.sz - common) >= $threshold
        |ORDER BY i, j""".stripMargin
 
-  /** MinHash signatures: k independent hash functions simulated by salting
-    * xxhash64 with the seed index; signature(doc, s) = min over the doc's
-    * distinct tokens. Narrow map + small agg — corpus-scale safe.
+  /** Distinct character n-gram shingles of the `text` column — the unit set
+    * for SEQUENCE-level near-dup detection (word-order permutations that
+    * fool nothing at the token-set level destroy shingle similarity, and
+    * vice versa: shingles catch edit-level copies tokens can't rank).
+    *
+    * Units are 64-bit xxhash64 digests of the shingles, not the strings —
+    * 8 fixed bytes through the distinct/explode/join pipeline instead of
+    * n-char strings, with a 2⁻⁶⁴ per-pair collision risk (the content-
+    * addressing tradeoff [[exactDedup]] already documents).
     */
-  def minhashSignatures(doc: DataFrame, k: Int = 32): DataFrame = {
-    val tok = doc.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
+  private[graft] def shingleSet(shingleLen: Int): Column =
+    array_distinct(expr(
+      s"transform(sequence(1, greatest(length(text) - ${shingleLen - 1}, 1)), " +
+        s"i -> xxhash64(substring(text, i, $shingleLen)))"))
+
+  /** MinHash signatures over an arbitrary (doc_id, t) unit table: k
+    * independent hash functions simulated by salting xxhash64 with the seed
+    * index; signature(doc, s) = min over the doc's distinct units. Narrow
+    * map + small agg — corpus-scale safe.
+    */
+  def minhashSignaturesOf(tok: DataFrame, k: Int): DataFrame = {
     val seeds = explode(sequence(lit(0), lit(k - 1))).as("seed")
     tok.select(col("doc_id"), col("t"), seeds)
       .withColumn("h", xxhash64(concat(col("seed").cast("string"), lit(":"), col("t"))))
       .groupBy(col("doc_id"), col("seed"))
       .agg(min(col("h")).as("mh"))
   }
+
+  def minhashSignatures(doc: DataFrame, k: Int = 32): DataFrame =
+    minhashSignaturesOf(
+      doc.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t")), k)
 
   /** q34 — MinHash-LSH near-duplicate detection (no SQL oracle — hash-
     * function dependent; pinned by TextSpec recall/precision tests).
@@ -204,34 +223,50 @@ object Text {
     * Verification makes precision 1.0; banding (b=8, r=4 at k=32) bounds the
     * candidate join to bucket-mates, the LSH trick that removes the O(N²).
     */
-  def minhashNearDups(
-      spark: SparkSession,
-      sfDir: String,
-      maxDocId: Long = 100,
-      k: Int = 32,
-      rowsPerBand: Int = 4,
-      threshold: Double = 0.95): DataFrame = {
-    val doc = Tables.documents(spark, sfDir).filter(col("doc_id") < maxDocId)
-    val sig = minhashSignatures(doc, k)
-    val bands = sig
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(xxhash64(concat_ws(",",
-        transform(
-          array_sort(collect_list(struct(col("seed"), col("mh")))),
-          s => concat(s("seed").cast("string"), lit(":"), s("mh").cast("string"))))).as("bh"))
+  /** The MinHash-LSH banding pipeline over an arbitrary (doc_id, t) unit
+    * table: signatures → band hashes → same-bucket candidate pairs →
+    * exact-Jaccard verification on the CANDIDATES ONLY (fan each candidate
+    * pair out to i's units, keep those also in j's set, count — cost is
+    * |cands|·|units/doc|, never the all-pairs self-join the banding exists
+    * to avoid; that O(N²) baseline lives in jaccardPairs, gated separately
+    * on a bounded sample).
+    *
+    * Signature shape: the k per-seed minima are computed as k aggregate
+    * columns over ONE pass of the unit table (a narrow projection of k
+    * hashes, then a |docs|-group hash aggregate) — NOT by exploding every
+    * unit k ways, which shuffles k·|units| rows (measured 5× slower at
+    * sf0.1 for k=32). Band hashes come straight off the wide row; the
+    * "seed:mh,..." encoding matches [[minhashSignaturesOf]] exactly.
+    */
+  private def bandedNearDups(
+      rawTok: DataFrame,
+      k: Int,
+      rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    require(k % rowsPerBand == 0, "k must be a multiple of rowsPerBand")
+    // The unit table feeds four consumers (signatures, sizes, both sides of
+    // the verification join); materialize it once — the shingle explode is
+    // the most expensive projection in the pipeline and would otherwise be
+    // recomputed per consumer (measured 4× the cost at sf0.1).
+    val tok = rawTok.localCheckpoint(false)
+    val hashCols = (0 until k).map(s =>
+      xxhash64(concat(lit(s.toString), lit(":"), col("t"))).as(s"h$s"))
+    val sig = tok.select(col("doc_id") +: hashCols: _*)
+      .groupBy(col("doc_id"))
+      .agg(min(col("h0")).as("m0"), (1 until k).map(s => min(col(s"h$s")).as(s"m$s")): _*)
+    val bandCols = (0 until k / rowsPerBand).map { b =>
+      xxhash64(concat_ws(",",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(s =>
+          concat(lit(s.toString), lit(":"), col(s"m$s").cast("string"))): _*))
+    }
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
     val cands = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
-    // Exact-Jaccard verification computed for the CANDIDATE pairs only —
-    // fan candidates out to i's tokens, keep those also in j's set, count.
-    // Cost is |cands|·|tokens/doc|, never the all-pairs token self-join the
-    // banding exists to avoid (that O(N²) baseline lives in jaccardPairs and
-    // is gated separately on a bounded sample).
-    val tok = doc.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
     val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val common = cands
       .join(tok.select(col("doc_id").as("i"), col("t")), "i")
@@ -245,6 +280,43 @@ object Text {
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), round(col("jac"), 4).as("jac4"))
       .orderBy(col("i"), col("j"))
+  }
+
+  def minhashNearDups(
+      spark: SparkSession,
+      sfDir: String,
+      maxDocId: Long = 100,
+      k: Int = 32,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.95): DataFrame = {
+    val doc = Tables.documents(spark, sfDir).filter(col("doc_id") < maxDocId)
+    bandedNearDups(
+      doc.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t")),
+      k, rowsPerBand, threshold)
+  }
+
+  /** q77 — CORPUS-WIDE shingle-MinHash near-dup pairs (no oracle —
+    * hash-dependent; pinned by TextSpec exactness/recall tests): the same
+    * banding pipeline over character 8-gram shingles instead of word
+    * tokens, run over ALL documents (no sample bound — banding IS the scale
+    * mechanism). Catches sequence-level copies that word-order permutation
+    * hides from token-set methods; the fixtures plant both kinds, and the
+    * two detectors return disjoint pair sets (asserted in the spec).
+    */
+  def shingleNearDups(
+      spark: SparkSession,
+      sfDir: String,
+      shingleLen: Int = 8,
+      // 16 seeds / 4 bands suffice at threshold 0.9 (pair at jac .9 matches
+      // a band w.p. .9⁴=.656 ⇒ miss prob (1-.656)⁴ ≈ 1.4% over 4 bands) and
+      // halve both the hash work and the generated-code width vs k=32.
+      k: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.9): DataFrame = {
+    val doc = Tables.documents(spark, sfDir)
+    bandedNearDups(
+      doc.select(col("doc_id"), explode(shingleSet(shingleLen)).as("t")),
+      k, rowsPerBand, threshold)
   }
 
   /** 64-bit SimHash over the token multiset (deterministic FNV-1a token
@@ -401,7 +473,8 @@ object Text {
     "q36_langid" -> (langIdQuery _),
     "q37_fingerprint" -> (fingerprintQuery _),
     "q38_simhash_neardups" -> ((s: SparkSession, d: String) => simhashNearDups(s, d)),
-    "q39_dedup_corpus" -> (dedupCorpus _))
+    "q39_dedup_corpus" -> (dedupCorpus _),
+    "q77_shingle_neardups" -> ((s: SparkSession, d: String) => shingleNearDups(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> tokenStatsOracle,

@@ -16,6 +16,44 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("shingle near-dups: match brute force, and catch pairs token methods miss") {
+    val texts = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(t: String, n: Int = 8): Set[String] =
+      if (t.length < n) Set(t) else (0 to t.length - n).map(i => t.substring(i, i + n)).toSet
+    val sh = texts.view.mapValues(shingles(_)).toMap
+    val ids = texts.keys.toSeq.sorted
+    val brute = (for {
+      (i, idx) <- ids.zipWithIndex; j <- ids.drop(idx + 1)
+      jac = (sh(i) & sh(j)).size.toDouble / (sh(i) | sh(j)).size
+      if jac >= 0.9
+    } yield (i, j)).toSet
+    assert(brute.nonEmpty, "fixture should plant sequence-level near-dups")
+
+    val got = Text.shingleNearDups(spark, sf0001).collect()
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision 1.0 by construction (exact verification); recall from the
+    // banding bound: jac>=0.9 => P(band match) >= .9^4 = .656 per band,
+    // 8 bands => miss probability < 2e-4 per pair
+    assert(gotPairs.subsetOf(brute), s"false positives: ${gotPairs -- brute}")
+    val recall = (brute & gotPairs).size.toDouble / brute.size
+    assert(recall >= 0.75, s"shingle recall=$recall of ${brute.size} true pairs")
+    // emitted jaccard values are the exact shingle jaccard
+    got.foreach { r =>
+      val (i, j) = (r.getLong(0), r.getLong(1))
+      val jac = (sh(i) & sh(j)).size.toDouble / (sh(i) | sh(j)).size
+      assert(math.abs(jac - r.getDouble(2)) < 1e-3)
+    }
+    // sequence-level and token-set-level near-dups are different relations:
+    // the token detector (word-order invariant) must NOT find these pairs
+    val tokenPairs = Text.minhashNearDups(spark, sf0001, maxDocId = 1000)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((gotPairs -- tokenPairs).nonEmpty || tokenPairs.isEmpty,
+      "expected at least one shingle pair invisible to the token-set detector")
+  }
+
   test("simhash: identical texts get identical signatures; determinism") {
     val t = "spark scan filter join window agg".split(" ").toSeq
     assert(Text.simhash64(t) == Text.simhash64(t))
