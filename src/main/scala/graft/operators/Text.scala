@@ -434,6 +434,31 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** The end-to-end near-dedup product a training pipeline ships: shingle-
+    * MinHash pairs → connected components (pairs (a,b),(b,c) collapse even
+    * though (a,c) was never emitted) → keep the lowest-id doc per cluster.
+    * API surface only (each stage is gated separately: q77 pairs, q68
+    * clustering, q39 exact-dedup corpus); NearDedupSpec pins that the
+    * planted sequence-level duplicates collapse and everything else
+    * survives.
+    */
+  def nearDedupCorpus(
+      spark: SparkSession,
+      sfDir: String,
+      shingleLen: Int = 8,
+      threshold: Double = 0.9): DataFrame = {
+    val doc = Tables.documents(spark, sfDir)
+    val pairs = shingleNearDups(spark, sfDir, shingleLen, threshold = threshold)
+      .select(col("i"), col("j"))
+    val clusters = Components.connectedComponents(
+      doc.select(col("doc_id").as("v")), pairs)
+    doc.join(
+        clusters.filter(col("v") === col("label")).select(col("v").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q36 — language-ID heuristic (no oracle): character n-gram marker
     * scoring. The fixture corpus is language-less word soup (31-word shared
     * vocab), so this is exercised for determinism + plumbing; on real text
