@@ -143,6 +143,22 @@ object Index {
       .partitionBy(PKeyCol)
       .parquet(s"$indexDir/postings")
     hashed.write.mode(SaveMode.Append).parquet(s"$indexDir/vectors")
+    // Re-adding a deleted id must resurface it (ES delete-then-index
+    // semantics): drop the arriving ids from the tombstone set, via a
+    // side-dir + rename swap like compact's.
+    val ts = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = ts.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(ts)) {
+      val remaining = spark.read.parquet(ts.toString)
+        .join(newVectors.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .collect() // tombstones are id-only and small by regime
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones_rewriting")
+      import spark.implicits._
+      remaining.map(_.getLong(0)).toSeq.toDF("vec_id")
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      fs.delete(ts, true)
+      require(fs.rename(tmp, ts), s"could not swap $tmp into place")
+    }
   }
 
   /** Delete-by-id as TOMBSTONES (the ES delete-doc analog): parquet is

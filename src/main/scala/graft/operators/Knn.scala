@@ -133,12 +133,16 @@ object Knn {
     val qposts = probeKeys.toDF("query_id", "tbl", "hash")
 
     // 3. A5: collision counting, then A6: exact re-rank — identical shape to
-    // lshSearch but over the pruned stored postings.
+    // lshSearch but over the pruned stored postings. DISTINCT tables, not
+    // raw matches: a pair can only legitimately collide once per table (one
+    // hash per table per vector), so this equals count(*) on a clean index
+    // (LshSpec asserts inline parity) while staying correct when append-
+    // after-delete has left duplicate posting rows for an id.
     val collisions = postings
       .join(broadcast(qposts), Seq("tbl", "hash"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(count(lit(1)).as("collisions"))
+      .agg(countDistinct(col("tbl")).as("collisions"))
     val wK1 = Window.partitionBy(col("query_id"))
       .orderBy(col("collisions").desc, col("vec_id").asc)
     val k1set = collisions
@@ -158,6 +162,10 @@ object Knn {
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"), col("collisions"),
         VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))
+      // duplicate stored copies of an id (append-after-delete) produce
+      // identical rescored rows — collapse them on the k1-sized set, never
+      // on the corpus-sized vectors table
+      .dropDuplicates("query_id", "neighbor_id")
     val wK2 = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id").asc)
     rescored

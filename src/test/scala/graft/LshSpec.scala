@@ -220,6 +220,25 @@ class LshSpec extends SparkSpec {
     }
   }
 
+  test("re-appending a deleted vector resurfaces it (delete-then-index semantics)") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = Lsh.fit(emb, tables = 8, bits = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-readd").toString
+    Index.build(spark, emb, model, dir, numBuckets = 16)
+    val before = Knn.searchIndex(spark, dir, 4, 100, 10).collect().map(_.toSeq).toSeq
+    val victim = before.map(_(1).asInstanceOf[Long]).find(_ >= 4).get
+    Index.delete(spark, dir, Seq(victim))
+    assert(!Knn.searchIndex(spark, dir, 4, 100, 10).collect()
+      .exists(_.getLong(1) == victim))
+    // re-index the same id: the tombstone must clear and results return to
+    // the original (the appended copy is identical, so dedup in the posting
+    // list is not at issue — only the resurface semantics)
+    Index.append(spark, dir, emb.filter(col("vec_id") === victim))
+    val after = Knn.searchIndex(spark, dir, 4, 100, 10).collect().map(_.toSeq).toSeq
+    assert(after == before, "re-added vector should restore the original results")
+  }
+
   test("indexed search returns identical results to the inline path") {
     val inline = Knn.lshTopK(spark, sf0001, queryMaxId = 8, k1 = 100, k2 = 10)
       .collect().map(_.toSeq).toSeq
