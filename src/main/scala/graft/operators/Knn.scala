@@ -127,22 +127,23 @@ object Knn {
     // 2. Probe postings under a static partition prune (lossless — see
     // Index scaladoc). The probe list itself is a tiny local relation.
     val pkeys = probeKeys.map { case (_, t, h) => Index.pkeyOf(t, h, numBuckets) }.distinct
+    // dropDuplicates AFTER the partition prune: append-after-delete can
+    // leave duplicate copies of a posting row, and deduping here costs a
+    // shuffle of only the probed buckets, not the corpus.
     val pruned = Index.livePostings(spark, indexDir)
       .filter(col(Index.PKeyCol).isin(pkeys: _*))
+      .dropDuplicates("tbl", "hash", "vec_id")
     val postings = if (bucketCap > 0) Skew.capBuckets(pruned, bucketCap) else pruned
     val qposts = probeKeys.toDF("query_id", "tbl", "hash")
 
     // 3. A5: collision counting, then A6: exact re-rank — identical shape to
-    // lshSearch but over the pruned stored postings. DISTINCT tables, not
-    // raw matches: a pair can only legitimately collide once per table (one
-    // hash per table per vector), so this equals count(*) on a clean index
-    // (LshSpec asserts inline parity) while staying correct when append-
-    // after-delete has left duplicate posting rows for an id.
+    // lshSearch but over the pruned stored postings (deduplicated above, so
+    // a plain count IS the distinct-table collision count).
     val collisions = postings
       .join(broadcast(qposts), Seq("tbl", "hash"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(countDistinct(col("tbl")).as("collisions"))
+      .agg(count(lit(1)).as("collisions"))
     val wK1 = Window.partitionBy(col("query_id"))
       .orderBy(col("collisions").desc, col("vec_id").asc)
     val k1set = collisions
