@@ -192,11 +192,23 @@ object Text {
     * 8 fixed bytes through the distinct/explode/join pipeline instead of
     * n-char strings, with a 2⁻⁶⁴ per-pair collision risk (the content-
     * addressing tradeoff [[exactDedup]] already documents).
+    *
+    * `sampleMod` > 1 applies Broder's mod-m shingle sampling: keep only
+    * shingles whose digest ≡ 0 (mod m). Jaccard over the sampled universe
+    * is an unbiased estimate of full-shingle Jaccard, and the selection is
+    * CONTENT-based, so it survives insertions/deletions (a positional
+    * stride would flip every shingle after an edit). Every consumer —
+    * detector and verification alike — must use the same universe.
     */
-  private[graft] def shingleSet(shingleLen: Int): Column =
-    array_distinct(expr(
+  private[graft] def shingleSet(shingleLen: Int, sampleMod: Int = 1): Column = {
+    val hashes =
       s"transform(sequence(1, greatest(length(text) - ${shingleLen - 1}, 1)), " +
-        s"i -> xxhash64(substring(text, i, $shingleLen)))"))
+        s"i -> xxhash64(substring(text, i, $shingleLen)))"
+    val sampled =
+      if (sampleMod <= 1) hashes
+      else s"filter($hashes, h -> h % $sampleMod = 0)"
+    array_distinct(expr(sampled))
+  }
 
   /** MinHash signatures over an arbitrary (doc_id, t) unit table: k
     * independent hash functions simulated by salting xxhash64 with the seed
@@ -251,9 +263,11 @@ object Text {
     val tok = rawTok.localCheckpoint(false)
     val hashCols = (0 until k).map(s =>
       xxhash64(concat(lit(s.toString), lit(":"), col("t"))).as(s"h$s"))
+    // set size rides the same aggregate as the k minima — one pass, not two
     val sig = tok.select(col("doc_id") +: hashCols: _*)
       .groupBy(col("doc_id"))
-      .agg(min(col("h0")).as("m0"), (1 until k).map(s => min(col(s"h$s")).as(s"m$s")): _*)
+      .agg(min(col("h0")).as("m0"),
+        (1 until k).map(s => min(col(s"h$s")).as(s"m$s")) :+ count(lit(1)).as("sz"): _*)
     val bandCols = (0 until k / rowsPerBand).map { b =>
       xxhash64(concat_ws(",",
         (b * rowsPerBand until (b + 1) * rowsPerBand).map(s =>
@@ -267,7 +281,7 @@ object Text {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
-    val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sz = sig.select(col("doc_id"), col("sz"))
     val common = cands
       .join(tok.select(col("doc_id").as("i"), col("t")), "i")
       .join(tok.select(col("doc_id").as("j"), col("t")), Seq("j", "t"))
@@ -312,10 +326,14 @@ object Text {
       // halve both the hash work and the generated-code width vs k=32.
       k: Int = 16,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9,
+      // mod-2 sampling halves every downstream stage; with ~500 sampled
+      // shingles per fixture doc the estimator SD at jac .9 is ~.013, far
+      // from the planted-pair margin.
+      sampleMod: Int = 2): DataFrame = {
     val doc = Tables.documents(spark, sfDir)
     bandedNearDups(
-      doc.select(col("doc_id"), explode(shingleSet(shingleLen)).as("t")),
+      doc.select(col("doc_id"), explode(shingleSet(shingleLen, sampleMod)).as("t")),
       k, rowsPerBand, threshold)
   }
 

@@ -17,14 +17,15 @@ class TextSpec extends SparkSpec {
   }
 
   test("shingle near-dups: match brute force, and catch pairs token methods miss") {
-    val texts = Tables.documents(spark, sf0001)
-      .select(org.apache.spark.sql.functions.col("doc_id"),
-        org.apache.spark.sql.functions.col("text"))
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    def shingles(t: String, n: Int = 8): Set[String] =
-      if (t.length < n) Set(t) else (0 to t.length - n).map(i => t.substring(i, i + n)).toSet
-    val sh = texts.view.mapValues(shingles(_)).toMap
-    val ids = texts.keys.toSeq.sorted
+    import org.apache.spark.sql.functions.{col, explode}
+    // brute-force ground truth over the SAME sampled shingle universe the
+    // detector uses (mod-2 digest sampling — collected via the shared
+    // shingleSet expression, so the universes cannot drift)
+    val sh: Map[Long, Set[Long]] = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(Text.shingleSet(8, 2)).as("t"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ids = sh.keys.toSeq.sorted
     val brute = (for {
       (i, idx) <- ids.zipWithIndex; j <- ids.drop(idx + 1)
       jac = (sh(i) & sh(j)).size.toDouble / (sh(i) | sh(j)).size
