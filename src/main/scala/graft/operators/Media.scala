@@ -86,6 +86,36 @@ object Media {
     (frames + stride - 1) / stride
   }
 
+  /** Resize stub: a real build rescales the pixel buffer; the fake keeps a
+    * deterministic uniform byte sample so the output honors the target byte
+    * budget (the Spark-relevant property — payload bytes shrink BEFORE the
+    * expensive decode, exactly where a production pipeline resizes).
+    */
+  private[graft] def fakeResize(payload: Array[Byte], maxBytes: Int): Array[Byte] =
+    if (payload.length <= maxBytes) payload
+    else {
+      val out = new Array[Byte](maxBytes)
+      var i = 0
+      while (i < maxBytes) {
+        // evenly spaced sample positions, deterministic integer arithmetic
+        out(i) = payload((i.toLong * payload.length / maxBytes).toInt)
+        i += 1
+      }
+      out
+    }
+
+  /** The resize stage as a narrow transformation over the media table:
+    * payloads above `maxBytes` shrink, metadata records the new size. Runs
+    * BEFORE [[extractFeatures]] in a production pipeline so the decoder
+    * (the costly stage) reads bounded inputs.
+    */
+  def resized(spark: SparkSession, media: DataFrame, maxBytes: Int = 256): DataFrame = {
+    val rz = udf((p: Array[Byte]) => fakeResize(p, maxBytes))
+    media
+      .withColumn("payload", rz(col("payload")))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+  }
+
   /** Batch decode + feature extraction as `mapPartitions`: codec/model
     * initialization happens once per partition (the expensive part with a
     * real decoder), then rows stream through. This is the Scala analog of

@@ -32,6 +32,26 @@ class MediaSpec extends SparkSpec {
     assert(Media.sampleFrames(new Array[Byte](10)) == 1)
   }
 
+  test("resize: payloads honor the byte budget, short ones pass through, deterministic") {
+    import org.apache.spark.sql.functions._
+    // kernel properties
+    val big = (0 until 1000).map(_.toByte).toArray
+    val small = "tiny".getBytes("UTF-8")
+    assert(Media.fakeResize(big, 256).length == 256)
+    assert(Media.fakeResize(small, 256).toSeq == small.toSeq)
+    assert(Media.fakeResize(big, 256).toSeq == Media.fakeResize(big, 256).toSeq)
+    // pipeline stage: every payload bounded, metadata updated, decode still works
+    val rz = Media.resized(spark, Media.mediaTable(spark, sf0001), maxBytes = 256)
+    val rows = rz.select(col("media_id"), col("n_bytes"), length(col("payload"))).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= 256)
+      assert(r.getLong(1) == r.getInt(2).toLong, "metadata must track the resized payload")
+    }
+    val feats = Media.extractFeatures(spark, rz).collect()
+    assert(feats.length == rows.length)
+  }
+
   test("metadata query on materialized media table prunes payload from scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
