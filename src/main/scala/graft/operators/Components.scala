@@ -59,8 +59,15 @@ object Components {
       // terminate, not NPE
       changed = next.agg(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)))
         .first().getLong(0)
+      // The fixpoint aggregate above materialized this round's blocks, so
+      // the previous round's are dead — free them now, or every round of
+      // every call leaks storage memory for the session's lifetime.
+      org.apache.spark.sql.graft.GraftInternals.unpersistCheckpoint(labels)
       labels = next.drop("chg")
     }
+    // The returned labels are materialized; the edge list served its last
+    // propagation round.
+    org.apache.spark.sql.graft.GraftInternals.unpersistCheckpoint(bidir)
     labels
   }
 

@@ -47,7 +47,7 @@ object Index {
     * the build-once tmp caches so a stale layout from an older build can
     * never serve a newer reader.
     */
-  val LayoutVersion = 2
+  val LayoutVersion = 3
 
   /** Collision-resistant key for build-once cache directory names: a 32-bit
     * String.hashCode collision between two (sfDir, params, mtime) keys would
@@ -70,6 +70,19 @@ object Index {
     posts.withColumn(PKeyCol,
       pmod(col("tbl") * Mix + col("hash"), lit(numBuckets.toLong)).cast("int"))
 
+  /** Every stored row carries `batch` — the append generation that wrote it
+    * (0 = the initial build). Re-ingesting an id records (id, batch) in
+    * `superseded/`, and readers keep only rows with batch ≥ the id's latest
+    * supersede point — ES index-doc semantics (a newer version REPLACES the
+    * older) without rewriting immutable parquet. [[compact]]-class rewrites
+    * are where dead versions get physically dropped.
+    */
+  val BatchCol = "batch"
+
+  private def explodeWithBatch(hashed: DataFrame): DataFrame =
+    hashed.select(col("vec_id"), col(BatchCol),
+      posexplode(col("hashes")).as(Seq("tbl", "hash")))
+
   /** Hash + write the three-part index. */
   def build(
       spark: SparkSession,
@@ -79,11 +92,11 @@ object Index {
       numBuckets: Int = 64): Unit = {
     Lsh.saveModel(spark, model, numBuckets, s"$outDir/model")
     val hashed = Lsh.withHashes(spark, embeddings, model)
-      .select(col("vec_id"), col("embedding"), col("hashes"))
+      .select(col("vec_id"), col("embedding"), col("hashes"), lit(0L).as(BatchCol))
     hashed.write.mode(SaveMode.Overwrite).parquet(s"$outDir/vectors")
     // repartition on the partition column: clusters each pkey into one task
     // so every directory gets exactly one file, written in parallel.
-    withPKey(Lsh.explodeHashes(hashed), numBuckets)
+    withPKey(explodeWithBatch(hashed), numBuckets)
       .repartition(col(PKeyCol))
       .write.mode(SaveMode.Overwrite)
       .partitionBy(PKeyCol)
@@ -127,8 +140,14 @@ object Index {
     */
   def append(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
     val (model, numBuckets) = Lsh.loadModelCached(spark, s"$indexDir/model")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Clean up any crashed prior append's tombstone swap before touching
+    // anything else, so this append starts from a consistent live set.
+    recoverTombstoneSwap(fs, indexDir)
+    val batch = allocateBatch(fs, indexDir)
     val hashed = Lsh.withHashes(spark, newVectors, model)
-      .select(col("vec_id"), col("embedding"), col("hashes"))
+      .select(col("vec_id"), col("embedding"), col("hashes"), lit(batch).as(BatchCol))
     // Postings first: a crash between the two jobs then leaves orphan
     // postings. Orphans can still win k1 candidate slots (the vectors
     // inner-join drops them only at re-rank), so recall degrades until a
@@ -137,28 +156,81 @@ object Index {
     // Recovery from a partial append is a rebuild; append is not idempotent
     // (re-running doubles the batch's posting rows and skews collision
     // counts).
-    withPKey(Lsh.explodeHashes(hashed), numBuckets)
+    withPKey(explodeWithBatch(hashed), numBuckets)
       .repartition(col(PKeyCol))
       .write.mode(SaveMode.Append)
       .partitionBy(PKeyCol)
       .parquet(s"$indexDir/postings")
     hashed.write.mode(SaveMode.Append).parquet(s"$indexDir/vectors")
+    // Upsert semantics (ES index-doc: a newer version REPLACES the older):
+    // arriving ids that already exist in the stored layout — live, deleted,
+    // or previously superseded — get a supersede marker at this batch, so
+    // readers drop every older version. The existence probe is a pushed
+    // column-pruned scan of vec_id only. Written BEFORE the tombstone clear:
+    // a crash between the two leaves the re-added id still deleted
+    // (conservative, nothing wrong served) rather than serving two versions.
+    val reingested = newVectors.select(col("vec_id")).distinct()
+      .join(vectors(spark, indexDir).filter(col(BatchCol) < batch).select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .withColumn(BatchCol, lit(batch))
+    if (!reingested.isEmpty)
+      reingested.write.mode(SaveMode.Append).parquet(s"$indexDir/superseded")
     // Re-adding a deleted id must resurface it (ES delete-then-index
-    // semantics): drop the arriving ids from the tombstone set, via a
-    // side-dir + rename swap like compact's.
+    // semantics): drop the arriving ids from the tombstone set, via the
+    // crash-safe rename protocol (see [[recoverTombstoneSwap]]).
     val ts = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-    val fs = ts.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(ts)) {
       val remaining = spark.read.parquet(ts.toString)
         .join(newVectors.select(col("vec_id")), Seq("vec_id"), "left_anti")
         .collect() // tombstones are id-only and small by regime
-      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones_rewriting")
       import spark.implicits._
+      val old = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones_old")
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones_rewriting")
       remaining.map(_.getLong(0)).toSeq.toDF("vec_id")
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      fs.delete(ts, true)
-      require(fs.rename(tmp, ts), s"could not swap $tmp into place")
+      // Two renames, never a delete of the only live copy: a crash at any
+      // point leaves either the old set (ts), or the complete new set (tmp,
+      // which readers fall back to when ts is absent) — the old
+      // delete-then-rename protocol destroyed the ENTIRE tombstone set if
+      // the rename never ran, silently resurrecting every deleted vector.
+      require(fs.rename(ts, old), s"could not stage $ts aside")
+      require(fs.rename(tmp, ts), s"could not promote $tmp")
+      fs.delete(old, true)
     }
+  }
+
+  /** Monotonic batch numbers via O(1) marker files (`appends/b<N>`): no
+    * corpus scan for max(batch), no coordination beyond the filesystem.
+    * Allocated (marker created) BEFORE any data is written, so a crashed
+    * append can never share a number with its successor — a gap in the
+    * sequence is harmless, a collision would merge two versions.
+    */
+  private def allocateBatch(fs: org.apache.hadoop.fs.FileSystem, indexDir: String): Long = {
+    val dir = new org.apache.hadoop.fs.Path(s"$indexDir/appends")
+    val next =
+      if (!fs.exists(dir)) 1L
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .collect { case s if s.startsWith("b") => s.drop(1).toLong }
+        .foldLeft(0L)(math.max) + 1L
+    fs.mkdirs(dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir, s"b$next"), true).close()
+    next
+  }
+
+  /** Roll a crashed tombstone swap forward/back — called at append entry.
+    * States after a crash (write tmp → rename ts→old → rename tmp→ts →
+    * delete old): a complete `tmp` with no `ts` is the new set (promote);
+    * a leftover `old` beside a live `ts` is superseded garbage (drop);
+    * `tmp` beside a live `ts` is a half-written rewrite (drop).
+    */
+  private def recoverTombstoneSwap(fs: org.apache.hadoop.fs.FileSystem, indexDir: String): Unit = {
+    val ts = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val old = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones_old")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones_rewriting")
+    if (!fs.exists(ts) && fs.exists(tmp))
+      require(fs.rename(tmp, ts), s"could not promote $tmp during recovery")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
   /** Delete-by-id as TOMBSTONES (the ES delete-doc analog): parquet is
@@ -182,17 +254,44 @@ object Index {
     // stop applying.
     val path = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path))
-      df.join(
-        broadcast(spark.read.parquet(s"$indexDir/tombstones")), Seq("vec_id"), "left_anti")
-    else df
+    // Crash-window fallback: append's swap protocol guarantees that whenever
+    // `tombstones` is absent mid-rewrite, `tombstones_rewriting` holds the
+    // COMPLETE new set — readers never observe an empty set that isn't real.
+    val live =
+      if (fs.exists(path)) Some(path)
+      else {
+        val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones_rewriting")
+        if (fs.exists(tmp)) Some(tmp) else None
+      }
+    live.fold(df)(p =>
+      df.join(broadcast(spark.read.parquet(p.toString)), Seq("vec_id"), "left_anti"))
+  }
+
+  /** Keep only each id's newest version: rows whose batch predates the id's
+    * latest supersede marker are dead (replaced by a later [[append]] of the
+    * same id). The marker set is |re-ingested ids|-sized — broadcast, and
+    * absent entirely (plan untouched) for append-only or build-once indexes.
+    */
+  private def withoutSuperseded(spark: SparkSession, indexDir: String, df: DataFrame): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$indexDir/superseded")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) df
+    else {
+      val sup = spark.read.parquet(path.toString)
+        .groupBy(col("vec_id")).agg(max(col(BatchCol)).as("live_from"))
+      df.join(broadcast(sup), Seq("vec_id"), "left")
+        .filter(col("live_from").isNull || col(BatchCol) >= col("live_from"))
+        .drop("live_from")
+    }
   }
 
   def liveVectors(spark: SparkSession, indexDir: String): DataFrame =
-    withoutTombstones(spark, indexDir, vectors(spark, indexDir))
+    withoutSuperseded(spark, indexDir,
+      withoutTombstones(spark, indexDir, vectors(spark, indexDir))).drop(BatchCol)
 
   def livePostings(spark: SparkSession, indexDir: String): DataFrame =
-    withoutTombstones(spark, indexDir, postings(spark, indexDir))
+    withoutSuperseded(spark, indexDir,
+      withoutTombstones(spark, indexDir, postings(spark, indexDir))).drop(BatchCol)
 
   /** Rewrite `postings/` so every pkey directory holds one file again (the
     * small-file debt of repeated [[append]]s). Contents are unchanged —
@@ -223,7 +322,7 @@ object Index {
     }
     if (fs.exists(tmp)) fs.delete(tmp, true) // half-written crashed output
     postings(spark, indexDir)
-      .select(col("vec_id"), col("tbl"), col("hash"), col(PKeyCol))
+      .select(col("vec_id"), col(BatchCol), col("tbl"), col("hash"), col(PKeyCol))
       .repartition(col(PKeyCol))
       .write.mode(SaveMode.Overwrite)
       .partitionBy(PKeyCol)

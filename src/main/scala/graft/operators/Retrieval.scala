@@ -19,10 +19,10 @@ import graft.Tables
   * Determinism discipline (the oracle hash-compares bitwise): TF-IDF scores
   * are computed as INTEGERS — idf is scaled to 1e4 and rounded half-up once
   * (`round(ln(N/df)·10⁴)`), so scores are exact BIGINT sums and the ranking
-  * cannot be perturbed by float summation order in either engine. BM25 keeps
-  * its standard double form but the gate orders output by doc_id (not by
-  * score), so a last-ulp difference cannot reorder rows; scores round to 4
-  * decimals on both sides.
+  * cannot be perturbed by float summation order in either engine. BM25
+  * rounds each per-term contribution to 1e-6 and sums those as BIGINT (the
+  * same treatment), dividing back once at the end; the gate additionally
+  * orders output by doc_id so scores are payload, not sort keys.
   */
 object Retrieval {
 
@@ -120,8 +120,15 @@ object Retrieval {
       .withColumn("part",
         col("idf") * (col("tf") * (lit(k1) + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      // Each per-term contribution is rounded to 1e-6 and summed as BIGINT:
+      // raw-double partial sums are accumulation-order-dependent (Spark's
+      // order follows partitioning; DuckDB's differs), and a .00005-boundary
+      // flip at 4 decimals is a hash-gate break. Integer sums are
+      // associative, so the rounded score is partitioning-independent.
       .groupBy(col("doc_id"))
-      .agg(round(sum(col("part")), 4).as("bm25_4"), count(lit(1)).as("n_terms"))
+      .agg(
+        round(sum(round(col("part") * 1e6).cast("long")) / 1e6, 4).as("bm25_4"),
+        count(lit(1)).as("n_terms"))
       .orderBy(col("doc_id"))
   }
 
@@ -143,8 +150,9 @@ object Retrieval {
        |  SELECT t, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf, avgdl
        |  FROM (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t), stats)
        |SELECT tf.doc_id,
-       |       round(sum(idf.idf * (tf.tf * ($k1 + 1.0))
-       |                 / (tf.tf + $k1 * (1.0 - $b + $b * dl.dl / idf.avgdl))), 4) AS bm25_4,
+       |       round(CAST(sum(CAST(round(idf.idf * (tf.tf * ($k1 + 1.0))
+       |                 / (tf.tf + $k1 * (1.0 - $b + $b * dl.dl / idf.avgdl))
+       |                 * 1000000.0) AS BIGINT)) AS BIGINT) / 1000000.0, 4) AS bm25_4,
        |       count(*) AS n_terms
        |FROM tf
        |JOIN idf USING (t)

@@ -235,7 +235,11 @@ object Stats {
       .select(col("event_type"), mean.as("mean"), sqrt(vari).as("sd"))
     val z = (col("value") - col("mean")) / col("sd")
     Tables.events(spark, sfDir)
-      .join(broadcast(stats), "event_type")
+      // sd = 0 (a constant-valued event type) must drop the group on BOTH
+      // engines: Spark double division yields ±Inf/NaN (sorting FIRST under
+      // abs DESC) where DuckDB yields NULL (sorting LAST) — the ranking is
+      // only engine-independent over rows where z is defined.
+      .join(broadcast(stats.filter(col("sd") > 0)), "event_type")
       .select(col("event_id"), col("event_type"), round(col("value"), 4).as("value4"),
         z.as("z"))
       .orderBy(abs(col("z")).desc, col("event_id").asc)
@@ -255,6 +259,7 @@ object Stats {
        |SELECT event_id, event_type, round(value, 4) AS value4,
        |       round((value - mean) / sd, 4) AS z4
        |FROM events JOIN stats USING (event_type)
+       |WHERE sd > 0
        |ORDER BY abs((value - mean) / sd) DESC, event_id ASC
        |LIMIT $k""".stripMargin
   }

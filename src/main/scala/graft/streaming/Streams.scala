@@ -100,8 +100,13 @@ object Streams {
       numBuckets: Int,
       outDir: String,
       checkpointDir: String): StreamingQuery = {
+    // batch = 0 matches Index.build's stamp: the streamed layout is the
+    // INITIAL build expressed as a stream; incremental streamed ingest into
+    // a live index would thread Index.allocateBatch through here instead.
     val posts = graft.operators.Index.withPKey(
-      graft.operators.Lsh.explodeHashes(hashedVectors(spark, srcDir, model)),
+      graft.operators.Lsh.explodeHashes(hashedVectors(spark, srcDir, model))
+        .select(col("vec_id"), lit(0L).as(graft.operators.Index.BatchCol),
+          col("tbl"), col("hash")),
       numBuckets)
     posts.writeStream
       .format("parquet")

@@ -41,3 +41,23 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = GraftFunctions.inject(e)
 }
+
+/** Engine-internal accessors that need the sql package (classic `Dataset` and
+  * the execution plan nodes are not reachable from user packages).
+  */
+object GraftInternals {
+
+  /** The persisted RDD backing a `localCheckpoint`ed / `checkpoint`ed frame.
+    * `Dataset.unpersist` only clears CacheManager entries; checkpoint blocks
+    * live on the underlying RDD and leak for the session's lifetime unless
+    * unpersisted directly (iterative algorithms checkpoint once per round).
+    */
+  def checkpointRdd(df: org.apache.spark.sql.DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    checkpointRdd(df).foreach(_.unpersist(blocking = false))
+}
