@@ -239,6 +239,71 @@ class LshSpec extends SparkSpec {
     assert(after == before, "re-added vector should restore the original results")
   }
 
+  test("append with a CHANGED embedding supersedes the old version (upsert)") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = Lsh.fit(emb, tables = 8, bits = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-upsert").toString
+    Index.build(spark, emb, model, dir, numBuckets = 16)
+    // not a query vector (>= queryMaxId=4), so the query set is unaffected
+    val victim = 42L
+    val changed = emb.filter(col("vec_id") === victim)
+      .withColumn("embedding",
+        transform(col("embedding"), x => (-x).cast("float")))
+    Index.append(spark, dir, changed)
+    // GET-by-id serves exactly ONE live version — the new one
+    val live = Index.lookup(Index.liveVectors(spark, dir), victim).collect()
+    assert(live.length == 1, s"expected one live version, got ${live.length}")
+    val want = changed.collect()(0).getSeq[Float](1)
+    assert(live(0).getSeq[Float](1) == want, "live version is not the new embedding")
+    // and search equals a fresh rebuild over the updated corpus — the old
+    // version's postings and vector must contribute NOTHING
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-idx-upsert2").toString
+    Index.build(spark,
+      emb.filter(col("vec_id") =!= victim).unionByName(changed),
+      model, rebuilt, numBuckets = 16)
+    val got = Knn.searchIndex(spark, dir, 4, 100, 10).collect().map(_.toSeq).toSeq
+    val ref = Knn.searchIndex(spark, rebuilt, 4, 100, 10).collect().map(_.toSeq).toSeq
+    assert(got == ref, "upserted index must match a rebuild with the new content")
+  }
+
+  test("append recovers a tombstone swap that crashed between the renames") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = Lsh.fit(emb, tables = 8, bits = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-tscrash").toString
+    Index.build(spark, emb, model, dir, numBuckets = 16)
+    val base = Knn.searchIndex(spark, dir, 4, 100, 10).collect()
+    val Seq(v1, v2) = base.map(_.getLong(1)).filter(_ >= 4).distinct.take(2).toSeq
+    Index.delete(spark, dir, Seq(v1, v2))
+    // Simulate an append of v1 that died between the two renames of the
+    // tombstone swap: the complete new set {v2} sits in tombstones_rewriting,
+    // the old set was staged aside, and `tombstones` does not exist.
+    Seq(v2).toDF("vec_id").write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/tombstones_rewriting")
+    assert(new java.io.File(s"$dir/tombstones")
+      .renameTo(new java.io.File(s"$dir/tombstones_old")))
+    // Mid-crash readers fall back to the complete rewrite: v2 stays deleted
+    // (never an empty tombstone set resurrecting everything).
+    val midCrash = Knn.searchIndex(spark, dir, 4, 100, 10).collect()
+    assert(!midCrash.exists(_.getLong(1) == v2), "v2 resurrected mid-crash")
+    // Re-running the append rolls the swap forward, then completes normally.
+    Index.append(spark, dir, emb.filter(col("vec_id") === v1))
+    assert(!new java.io.File(s"$dir/tombstones_old").exists())
+    assert(!new java.io.File(s"$dir/tombstones_rewriting").exists())
+    val after = Knn.searchIndex(spark, dir, 4, 100, 10).collect()
+    assert(after.exists(_.getLong(1) == v1), "re-added v1 not served")
+    assert(!after.exists(_.getLong(1) == v2), "v2 must stay deleted")
+    // End state is exactly "fresh index minus v2": compare against a
+    // reference where only v2 was ever deleted.
+    val ref = java.nio.file.Files.createTempDirectory("graft-idx-tsref").toString
+    Index.build(spark, emb, model, ref, numBuckets = 16)
+    Index.delete(spark, ref, Seq(v2))
+    val want = Knn.searchIndex(spark, ref, 4, 100, 10).collect().map(_.toSeq).toSeq
+    assert(after.map(_.toSeq).toSeq == want)
+  }
+
   test("indexed search returns identical results to the inline path") {
     val inline = Knn.lshTopK(spark, sf0001, queryMaxId = 8, k1 = 100, k2 = 10)
       .collect().map(_.toSeq).toSeq
