@@ -106,20 +106,28 @@ object Index {
   /** Build-once cache for the gate queries: the index for (sfDir, params)
     * lives in the JVM temp dir, keyed by the embeddings fixture's mtime so a
     * regenerated fixture invalidates it. Returns the index directory.
+    *
+    * `bits = 0` (the default) derives the hash width from the corpus count
+    * at BUILD time via [[Lsh.deriveBits]] — one cheap `count()`, paid only
+    * when the layout doesn't exist yet (the cache key says "auto", so the
+    * cached path never counts). Readers always take bits from the persisted
+    * model, so search code is indifferent to how the width was chosen.
     */
   def ensure(
       spark: SparkSession,
       sfDir: String,
       tables: Int = 32,
-      bits: Int = 3,
+      bits: Int = 0,
       numBuckets: Int = 64): String = {
     val src = new File(s"$sfDir/embeddings.parquet")
+    val bitsKey = if (bits > 0) bits.toString else "auto"
     val key = cacheKey(
-      s"$sfDir:${src.lastModified}:$tables:$bits:$numBuckets:v$LayoutVersion")
+      s"$sfDir:${src.lastModified}:$tables:$bitsKey:$numBuckets:v$LayoutVersion")
     val dir = new File(sys.props("java.io.tmpdir"), s"graft-lsh-index-$key")
     if (!new File(dir, "postings/_SUCCESS").exists()) {
       val emb = Tables.embeddings(spark, sfDir)
-      val model = Lsh.fit(emb, tables, bits)
+      val useBits = if (bits > 0) bits else Lsh.deriveBits(emb.count())
+      val model = Lsh.fit(emb, tables, useBits)
       build(spark, emb, model, dir.getAbsolutePath, numBuckets)
     }
     dir.getAbsolutePath

@@ -34,12 +34,13 @@ object Knn {
   /** Full two-phase search for all query ids < queryMaxId.
     * Output: (query_id, neighbor_id, rank, collisions, dist4).
     *
-    * Default (tables=32, bits=3) is tuned for the gate fixtures (500–2000
-    * random 64-d vectors): recall@10 = 0.71 vs exact kNN at k1=100, measured
-    * by tools/RecallSweep. Random vectors are a worst case for LSH — real
-    * embedding corpora cluster and recall rises sharply. At scale, bits
-    * should grow ~log2(N / targetBucketSize) so hash buckets stay bounded;
-    * tables trades index size for recall.
+    * Default: tables=32 with bits DERIVED from the corpus count
+    * ([[Lsh.deriveBits]] — resolves to 3 at the gate fixtures' 500–2000
+    * random 64-d vectors, growing as log2(N) so buckets stay bounded at any
+    * scale). At the fixtures: recall@10 = 0.71 vs exact kNN at k1=100,
+    * measured by tools/RecallSweep. Random vectors are a worst case for
+    * LSH — real embedding corpora cluster and recall rises sharply. An
+    * explicit `bits > 0` overrides; tables trades index size for recall.
     */
   def lshTopK(
       spark: SparkSession,
@@ -48,14 +49,17 @@ object Knn {
       k1: Int = 100,
       k2: Int = 10,
       tables: Int = 32,
-      bits: Int = 3,
+      bits: Int = 0,
       multiprobe: Boolean = false): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val model = Lsh.fit(emb, tables, bits)
+    // bits = 0: derive from the corpus count, mirroring Index.ensure so the
+    // inline and indexed paths stay row-identical under the shared default.
+    val useBits = if (bits > 0) bits else Lsh.deriveBits(emb.count())
+    val model = Lsh.fit(emb, tables, useBits)
     val hashed = Lsh.withHashes(spark, emb, model)
     val queries = hashed.filter(col("vec_id") < queryMaxId)
     lshSearch(spark, hashed, queries, k1, k2,
-      probeBits = if (multiprobe) bits else 0)
+      probeBits = if (multiprobe) useBits else 0)
   }
 
   /** The real search lifecycle (SURVEY §3.3, A3→A7): search a PERSISTED
@@ -81,7 +85,7 @@ object Knn {
       k1: Int = 100,
       k2: Int = 10,
       tables: Int = 32,
-      bits: Int = 3,
+      bits: Int = 0,
       multiprobe: Boolean = false): DataFrame = {
     val indexDir = Index.ensure(spark, sfDir, tables, bits)
     searchIndex(spark, indexDir, queryMaxId, k1, k2, multiprobe)

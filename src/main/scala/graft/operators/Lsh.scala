@@ -96,6 +96,25 @@ object Lsh {
     }
   }
 
+  /** Hash width that keeps expected posting-list length ~`targetBucketSize`
+    * as the corpus grows: `ceil(log2(N / target))`, clamped to [3, 16].
+    *
+    * Why it must scale: a bucket holds N/2^bits vectors on average, so at
+    * FIXED bits every bucket grows linearly with the corpus and any
+    * bucket-local pair work (the near-dup self-join, collision fan-out)
+    * grows QUADRATICALLY. Deriving bits from N at build time bounds
+    * E[bucket] ≤ 2·target at every scale — the difference between "correct
+    * at sf0.1" and "the same plan at 100 TB". Explicit `bits` overrides
+    * remain for tuning; the clamp floor keeps tiny corpora at the gate
+    * fixtures' calibrated width (recall tuning), the ceiling caps model
+    * size (fit needs 2·tables·bits sample vectors).
+    */
+  def deriveBits(corpusSize: Long, targetBucketSize: Long = 250): Int = {
+    val ratio = math.max(corpusSize, 1L).toDouble / targetBucketSize
+    val raw = math.ceil(math.log(ratio) / math.log(2.0)).toInt
+    math.min(16, math.max(3, raw))
+  }
+
   /** Deterministic fit: sample = first 2·tables·bits vectors by id order
     * (never partition order, never unseeded `sample` — SURVEY.md §7 risk
     * list). Hyperplane i comes from sample pair (2i, 2i+1).

@@ -356,7 +356,7 @@ object Vectors {
       k: Int = 20,
       minCollisions: Int = 6,
       tables: Int = 32,
-      bits: Int = 3): DataFrame = {
+      bits: Int = 0): DataFrame = {
     val indexDir = Index.ensure(spark, sfDir, tables, bits)
     // Live views so tombstoned vectors (Index.delete) never pair up.
     val posts = Index.livePostings(spark, indexDir).select(col("tbl"), col("hash"), col("vec_id"))
