@@ -47,7 +47,7 @@ object Index {
     * the build-once tmp caches so a stale layout from an older build can
     * never serve a newer reader.
     */
-  val LayoutVersion = 3
+  val LayoutVersion = 4
 
   /** Collision-resistant key for build-once cache directory names: a 32-bit
     * String.hashCode collision between two (sfDir, params, mtime) keys would
@@ -70,14 +70,10 @@ object Index {
     posts.withColumn(PKeyCol,
       pmod(col("tbl") * Mix + col("hash"), lit(numBuckets.toLong)).cast("int"))
 
-  /** Every stored row carries `batch` — the append generation that wrote it
-    * (0 = the initial build). Re-ingesting an id records (id, batch) in
-    * `superseded/`, and readers keep only rows with batch ≥ the id's latest
-    * supersede point — ES index-doc semantics (a newer version REPLACES the
-    * older) without rewriting immutable parquet. [[compact]]-class rewrites
-    * are where dead versions get physically dropped.
+  /** Append-generation column — see [[Lifecycle.BatchCol]] (the mutation
+    * machinery is shared with the IVF/PQ layouts).
     */
-  val BatchCol = "batch"
+  val BatchCol: String = Lifecycle.BatchCol
 
   private def explodeWithBatch(hashed: DataFrame): DataFrame =
     hashed.select(col("vec_id"), col(BatchCol),
@@ -148,12 +144,11 @@ object Index {
     */
   def append(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
     val (model, numBuckets) = Lsh.loadModelCached(spark, s"$indexDir/model")
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = Lifecycle.fsOf(spark, indexDir)
     // Clean up any crashed prior append's tombstone swap before touching
     // anything else, so this append starts from a consistent live set.
-    recoverTombstoneSwap(fs, indexDir)
-    val batch = allocateBatch(fs, indexDir)
+    Lifecycle.recoverTombstoneSwap(fs, indexDir)
+    val batch = Lifecycle.allocateBatch(fs, indexDir)
     val hashed = Lsh.withHashes(spark, newVectors, model)
       .select(col("vec_id"), col("embedding"), col("hashes"), lit(batch).as(BatchCol))
     // Postings first: a crash between the two jobs then leaves orphan
@@ -170,136 +165,23 @@ object Index {
       .partitionBy(PKeyCol)
       .parquet(s"$indexDir/postings")
     hashed.write.mode(SaveMode.Append).parquet(s"$indexDir/vectors")
-    // Upsert semantics (ES index-doc: a newer version REPLACES the older):
-    // arriving ids that already exist in the stored layout — live, deleted,
-    // or previously superseded — get a supersede marker at this batch, so
-    // readers drop every older version. The existence probe is a pushed
-    // column-pruned scan of vec_id only. Written BEFORE the tombstone clear:
-    // a crash between the two leaves the re-added id still deleted
-    // (conservative, nothing wrong served) rather than serving two versions.
-    val reingested = newVectors.select(col("vec_id")).distinct()
-      .join(vectors(spark, indexDir).filter(col(BatchCol) < batch).select(col("vec_id")),
-        Seq("vec_id"), "left_semi")
-      .withColumn(BatchCol, lit(batch))
-    if (!reingested.isEmpty)
-      reingested.write.mode(SaveMode.Append).parquet(s"$indexDir/superseded")
-    // Re-adding a deleted id must resurface it (ES delete-then-index
-    // semantics): drop the arriving ids from the tombstone set, via the
-    // crash-safe rename protocol (see [[recoverTombstoneSwap]]).
-    val ts = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-    if (fs.exists(ts)) {
-      val remaining = spark.read.parquet(ts.toString)
-        .join(newVectors.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        .collect() // tombstones are id-only and small by regime
-      import spark.implicits._
-      val old = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones_old")
-      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones_rewriting")
-      remaining.map(_.getLong(0)).toSeq.toDF("vec_id")
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      // Two renames, never a delete of the only live copy: a crash at any
-      // point leaves either the old set (ts), or the complete new set (tmp,
-      // which readers fall back to when ts is absent) — the old
-      // delete-then-rename protocol destroyed the ENTIRE tombstone set if
-      // the rename never ran, silently resurrecting every deleted vector.
-      require(fs.rename(ts, old), s"could not stage $ts aside")
-      require(fs.rename(tmp, ts), s"could not promote $tmp")
-      fs.delete(old, true)
-    }
+    // Upsert markers + crash-safe tombstone clear — shared protocol, see
+    // [[Lifecycle.finishAppend]].
+    Lifecycle.finishAppend(spark, indexDir, newVectors, batch,
+      vectors(spark, indexDir))
   }
 
-  /** Monotonic batch numbers via O(1) marker files (`appends/b<N>`): no
-    * corpus scan for max(batch), no coordination beyond the filesystem.
-    * Allocated (marker created) BEFORE any data is written, so a crashed
-    * append can never share a number with its successor — a gap in the
-    * sequence is harmless, a collision would merge two versions.
+  /** Delete-by-id as tombstones — shared protocol, see [[Lifecycle.delete]];
+    * [[liveVectors]] / [[livePostings]] anti-join them out.
     */
-  private def allocateBatch(fs: org.apache.hadoop.fs.FileSystem, indexDir: String): Long = {
-    val dir = new org.apache.hadoop.fs.Path(s"$indexDir/appends")
-    val next =
-      if (!fs.exists(dir)) 1L
-      else fs.listStatus(dir).map(_.getPath.getName)
-        .collect { case s if s.startsWith("b") => s.drop(1).toLong }
-        .foldLeft(0L)(math.max) + 1L
-    fs.mkdirs(dir)
-    fs.create(new org.apache.hadoop.fs.Path(dir, s"b$next"), true).close()
-    next
-  }
-
-  /** Roll a crashed tombstone swap forward/back — called at append entry.
-    * States after a crash (write tmp → rename ts→old → rename tmp→ts →
-    * delete old): a complete `tmp` with no `ts` is the new set (promote);
-    * a leftover `old` beside a live `ts` is superseded garbage (drop);
-    * `tmp` beside a live `ts` is a half-written rewrite (drop).
-    */
-  private def recoverTombstoneSwap(fs: org.apache.hadoop.fs.FileSystem, indexDir: String): Unit = {
-    val ts = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-    val old = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones_old")
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones_rewriting")
-    if (!fs.exists(ts) && fs.exists(tmp))
-      require(fs.rename(tmp, ts), s"could not promote $tmp during recovery")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-  }
-
-  /** Delete-by-id as TOMBSTONES (the ES delete-doc analog): parquet is
-    * immutable, so deletes append ids to `tombstones/` and every reader
-    * anti-joins them out ([[liveVectors]] / [[livePostings]]). O(|batch|)
-    * per delete — no index rewrite; [[compact]]-style physical purging can
-    * fold tombstones in during a rewrite when their fraction grows.
-    *
-    * Scale notes: the tombstone set stays id-only (8 bytes/row) and is
-    * broadcast into the anti-join while small — the usual deleted-fraction
-    * regime; Catalyst falls back to a shuffled anti-join if it ever isn't.
-    */
-  def delete(spark: SparkSession, indexDir: String, ids: Seq[Long]): Unit = {
-    import spark.implicits._
-    ids.toDF("vec_id").write.mode(SaveMode.Append).parquet(s"$indexDir/tombstones")
-  }
-
-  private def withoutTombstones(spark: SparkSession, indexDir: String, df: DataFrame): DataFrame = {
-    // Hadoop FS, not java.io.File: indexDir may be hdfs://... on a cluster,
-    // where a File.exists check is always false and deletes would silently
-    // stop applying.
-    val path = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Crash-window fallback: append's swap protocol guarantees that whenever
-    // `tombstones` is absent mid-rewrite, `tombstones_rewriting` holds the
-    // COMPLETE new set — readers never observe an empty set that isn't real.
-    val live =
-      if (fs.exists(path)) Some(path)
-      else {
-        val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones_rewriting")
-        if (fs.exists(tmp)) Some(tmp) else None
-      }
-    live.fold(df)(p =>
-      df.join(broadcast(spark.read.parquet(p.toString)), Seq("vec_id"), "left_anti"))
-  }
-
-  /** Keep only each id's newest version: rows whose batch predates the id's
-    * latest supersede marker are dead (replaced by a later [[append]] of the
-    * same id). The marker set is |re-ingested ids|-sized — broadcast, and
-    * absent entirely (plan untouched) for append-only or build-once indexes.
-    */
-  private def withoutSuperseded(spark: SparkSession, indexDir: String, df: DataFrame): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(s"$indexDir/superseded")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) df
-    else {
-      val sup = spark.read.parquet(path.toString)
-        .groupBy(col("vec_id")).agg(max(col(BatchCol)).as("live_from"))
-      df.join(broadcast(sup), Seq("vec_id"), "left")
-        .filter(col("live_from").isNull || col(BatchCol) >= col("live_from"))
-        .drop("live_from")
-    }
-  }
+  def delete(spark: SparkSession, indexDir: String, ids: Seq[Long]): Unit =
+    Lifecycle.delete(spark, indexDir, ids)
 
   def liveVectors(spark: SparkSession, indexDir: String): DataFrame =
-    withoutSuperseded(spark, indexDir,
-      withoutTombstones(spark, indexDir, vectors(spark, indexDir))).drop(BatchCol)
+    Lifecycle.live(spark, indexDir, vectors(spark, indexDir))
 
   def livePostings(spark: SparkSession, indexDir: String): DataFrame =
-    withoutSuperseded(spark, indexDir,
-      withoutTombstones(spark, indexDir, postings(spark, indexDir))).drop(BatchCol)
+    Lifecycle.live(spark, indexDir, postings(spark, indexDir))
 
   /** Rewrite `postings/` so every pkey directory holds one file again (the
     * small-file debt of repeated [[append]]s). Contents are unchanged —

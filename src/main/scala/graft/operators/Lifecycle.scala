@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Index mutation machinery shared by every persisted layout (the LSH
+  * postings index in [[Index]], the IVF cell table in [[Vectors]], the PQ
+  * code tables in [[Pq]]): parquet is immutable, so all three express the ES
+  * document lifecycle the same way —
+  *
+  *   - DELETE: ids append to `<dir>/tombstones/`; readers anti-join them out.
+  *   - UPSERT: every stored row carries [[BatchCol]], the append generation
+  *     that wrote it (0 = initial build). Re-ingesting an id records
+  *     (id, batch) in `<dir>/superseded/`; readers keep only rows at or
+  *     after the id's latest supersede point, so a newer version REPLACES
+  *     the older without rewriting anything.
+  *   - Re-adding a deleted id resurfaces it: append clears arriving ids from
+  *     the tombstone set via a crash-safe two-rename swap.
+  *
+  * Compaction-class rewrites are where dead versions and tombstoned rows get
+  * physically dropped; until then the live views pay one broadcast-small
+  * anti-join / join per read, and nothing at all while the marker dirs are
+  * absent (build-once indexes keep their plain-scan plans).
+  */
+object Lifecycle {
+
+  /** Append generation column carried by every stored row. */
+  val BatchCol = "batch"
+
+  def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Delete-by-id as TOMBSTONES (the ES delete-doc analog): O(|batch|) per
+    * delete — no index rewrite. The tombstone set stays id-only (8 bytes a
+    * row) and is broadcast into the anti-join while small — the usual
+    * deleted-fraction regime; Catalyst falls back to a shuffled anti-join if
+    * it ever isn't.
+    */
+  def delete(spark: SparkSession, indexDir: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("vec_id").write.mode(SaveMode.Append).parquet(s"$indexDir/tombstones")
+  }
+
+  /** Monotonic batch numbers via O(1) marker files (`appends/b<N>`): no
+    * corpus scan for max(batch), no coordination beyond the filesystem.
+    * Allocated (marker created) BEFORE any data is written, so a crashed
+    * append can never share a number with its successor — a gap in the
+    * sequence is harmless, a collision would merge two versions.
+    */
+  def allocateBatch(fs: FileSystem, indexDir: String): Long = {
+    val dir = new Path(s"$indexDir/appends")
+    val next =
+      if (!fs.exists(dir)) 1L
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .collect { case s if s.startsWith("b") => s.drop(1).toLong }
+        .foldLeft(0L)(math.max) + 1L
+    fs.mkdirs(dir)
+    fs.create(new Path(dir, s"b$next"), true).close()
+    next
+  }
+
+  /** Roll a crashed tombstone swap forward/back — call at append entry.
+    * States after a crash (write tmp → rename ts→old → rename tmp→ts →
+    * delete old): a complete `tmp` with no `ts` is the new set (promote);
+    * a leftover `old` beside a live `ts` is superseded garbage (drop);
+    * `tmp` beside a live `ts` is a half-written rewrite (drop).
+    */
+  def recoverTombstoneSwap(fs: FileSystem, indexDir: String): Unit = {
+    val ts = new Path(s"$indexDir/tombstones")
+    val old = new Path(s"$indexDir/tombstones_old")
+    val tmp = new Path(s"$indexDir/tombstones_rewriting")
+    if (!fs.exists(ts) && fs.exists(tmp))
+      require(fs.rename(tmp, ts), s"could not promote $tmp during recovery")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
+  /** The append bookkeeping every layout shares, run AFTER the layout's data
+    * files land:
+    *
+    * 1. Upsert markers (ES index-doc: a newer version REPLACES the older):
+    *    arriving ids that already exist in the stored layout — live,
+    *    deleted, or previously superseded — get a supersede marker at this
+    *    batch, so readers drop every older version. `stored` is the layout's
+    *    raw row set; the probe reads only (vec_id, batch) — column-pruned.
+    *    Written BEFORE the tombstone clear: a crash between the two leaves a
+    *    re-added id still deleted (conservative, nothing wrong served)
+    *    rather than serving two versions.
+    * 2. Tombstone clear (delete-then-index semantics): drop arriving ids
+    *    from the tombstone set via two renames, never a delete of the only
+    *    live copy — a crash at any point leaves either the old set (`ts`) or
+    *    the complete new set (`tmp`, which readers fall back to when `ts` is
+    *    absent). See [[recoverTombstoneSwap]].
+    */
+  def finishAppend(
+      spark: SparkSession,
+      indexDir: String,
+      newIds: DataFrame,
+      batch: Long,
+      stored: DataFrame): Unit = {
+    val fs = fsOf(spark, indexDir)
+    val reingested = newIds.select(col("vec_id")).distinct()
+      .join(stored.filter(col(BatchCol) < batch).select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .withColumn(BatchCol, lit(batch))
+    if (!reingested.isEmpty)
+      reingested.write.mode(SaveMode.Append).parquet(s"$indexDir/superseded")
+    val ts = new Path(s"$indexDir/tombstones")
+    if (fs.exists(ts)) {
+      val remaining = spark.read.parquet(ts.toString)
+        .join(newIds.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .collect() // tombstones are id-only and small by regime
+      import spark.implicits._
+      val old = new Path(s"$indexDir/tombstones_old")
+      val tmp = new Path(s"$indexDir/tombstones_rewriting")
+      remaining.map(_.getLong(0)).toSeq.toDF("vec_id")
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      require(fs.rename(ts, old), s"could not stage $ts aside")
+      require(fs.rename(tmp, ts), s"could not promote $tmp")
+      fs.delete(old, true)
+    }
+  }
+
+  private def withoutTombstones(spark: SparkSession, indexDir: String, df: DataFrame): DataFrame = {
+    // Hadoop FS, not java.io.File: indexDir may be hdfs://... on a cluster,
+    // where a File.exists check is always false and deletes would silently
+    // stop applying.
+    val fs = fsOf(spark, indexDir)
+    val path = new Path(s"$indexDir/tombstones")
+    // Crash-window fallback: the swap protocol guarantees that whenever
+    // `tombstones` is absent mid-rewrite, `tombstones_rewriting` holds the
+    // COMPLETE new set — readers never observe an empty set that isn't real.
+    val live =
+      if (fs.exists(path)) Some(path)
+      else {
+        val tmp = new Path(s"$indexDir/tombstones_rewriting")
+        if (fs.exists(tmp)) Some(tmp) else None
+      }
+    live.fold(df)(p =>
+      df.join(broadcast(spark.read.parquet(p.toString)), Seq("vec_id"), "left_anti"))
+  }
+
+  /** Keep only each id's newest version: rows whose batch predates the id's
+    * latest supersede marker are dead (replaced by a later append of the
+    * same id). The marker set is |re-ingested ids|-sized — broadcast, and
+    * absent entirely (plan untouched) for append-only or build-once indexes.
+    */
+  private def withoutSuperseded(spark: SparkSession, indexDir: String, df: DataFrame): DataFrame = {
+    val fs = fsOf(spark, indexDir)
+    val path = new Path(s"$indexDir/superseded")
+    if (!fs.exists(path)) df
+    else {
+      val sup = spark.read.parquet(path.toString)
+        .groupBy(col("vec_id")).agg(max(col(BatchCol)).as("live_from"))
+      df.join(broadcast(sup), Seq("vec_id"), "left")
+        .filter(col("live_from").isNull || col(BatchCol) >= col("live_from"))
+        .drop("live_from")
+    }
+  }
+
+  /** The live view of any stored row set: tombstoned ids out, superseded
+    * versions out, bookkeeping column dropped. Both filters are no-ops (the
+    * input plan is returned untouched) until the first delete / re-ingest.
+    */
+  def live(spark: SparkSession, indexDir: String, df: DataFrame): DataFrame =
+    withoutSuperseded(spark, indexDir,
+      withoutTombstones(spark, indexDir, df)).drop(BatchCol)
+}

@@ -275,8 +275,36 @@ object Pq {
   def buildPqIndex(spark: SparkSession, emb: DataFrame, model: PqModel, outDir: String): Unit = {
     writePqModel(spark, model, s"$outDir/model")
     encode(spark, emb, model)
+      .withColumn(Lifecycle.BatchCol, lit(0L))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$outDir/codes")
   }
+
+  /** Incremental PQ ingest: encode NEW vectors with the STORED codebooks and
+    * append their codes. Same lifecycle semantics as [[Index.append]]
+    * (upsert supersede + tombstone resurface, shared via [[Lifecycle]]).
+    * Codebooks are frozen at build time — refitting would invalidate every
+    * stored code; distribution drift is a periodic-rebuild concern.
+    */
+  def appendPqIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
+    val fs = Lifecycle.fsOf(spark, indexDir)
+    Lifecycle.recoverTombstoneSwap(fs, indexDir)
+    val batch = Lifecycle.allocateBatch(fs, indexDir)
+    val model = loadPqModel(spark, s"$indexDir/model")
+    encode(spark, newVectors, model)
+      .withColumn(Lifecycle.BatchCol, lit(batch))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$indexDir/codes")
+    Lifecycle.finishAppend(spark, indexDir, newVectors, batch,
+      spark.read.parquet(s"$indexDir/codes"))
+  }
+
+  def deleteFromPqIndex(spark: SparkSession, indexDir: String, ids: Seq[Long]): Unit =
+    Lifecycle.delete(spark, indexDir, ids)
+
+  /** The live code table (tombstones and superseded versions filtered out;
+    * plain scan until the first delete / re-ingest).
+    */
+  def liveCodes(spark: SparkSession, indexDir: String): DataFrame =
+    Lifecycle.live(spark, indexDir, spark.read.parquet(s"$indexDir/codes"))
 
   def loadPqModel(spark: SparkSession, dir: String): PqModel = {
     val r = spark.read.parquet(dir).collect()(0)
@@ -313,7 +341,7 @@ object Pq {
       k: Int = 16): DataFrame = {
     val indexDir = ensurePqIndex(spark, sfDir, m, k)
     val model = loadPqModel(spark, s"$indexDir/model")
-    val codes = spark.read.parquet(s"$indexDir/codes")
+    val codes = liveCodes(spark, indexDir)
     val emb = Tables.embeddings(spark, sfDir)
     val q = querySide(spark, emb, model, queryMaxId)
     val candidates = adcTopK1(codes.crossJoin(broadcast(q.queries)), q, k1)
@@ -326,7 +354,7 @@ object Pq {
   def adcScanPlan(spark: SparkSession, sfDir: String, queryMaxId: Long = 8): DataFrame = {
     val indexDir = ensurePqIndex(spark, sfDir)
     val model = loadPqModel(spark, s"$indexDir/model")
-    val codes = spark.read.parquet(s"$indexDir/codes")
+    val codes = liveCodes(spark, indexDir)
     val q = querySide(spark, Tables.embeddings(spark, sfDir), model, queryMaxId)
     codes.crossJoin(broadcast(q.queries))
       .select(col("query_id"), col("vec_id"),
@@ -346,22 +374,65 @@ object Pq {
       cells: Int,
       m: Int,
       k: Int,
+      outDir: String): Unit =
+    buildIvfPqIndexWith(spark, emb, Vectors.quantizer(spark, emb, cells), fit(emb, m, k), outDir)
+
+  /** Build with externally trained models — the rebuild twin of
+    * [[appendIvfPqIndex]], so append ≡ rebuild is testable under one fixed
+    * (quantizer, codebook) pair.
+    */
+  def buildIvfPqIndexWith(
+      spark: SparkSession,
+      emb: DataFrame,
+      cents: CentroidSet,
+      pq: PqModel,
       outDir: String): Unit = {
     import spark.implicits._
-    val cents = Vectors.quantizer(spark, emb, cells)
     cents.ids.zip(cents.vecs.map(_.toSeq)).toSeq
       .toDF("cell", "centroid")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$outDir/centroids")
-    val pq = fit(emb, m, k)
     writePqModel(spark, pq, s"$outDir/model")
-    val enc = udf((v: Seq[Float]) => pq.encode(v.toArray))
-    Vectors.assignCellsWith(emb, cents)
-      .select(col("vec_id"), enc(col("embedding")).as("codes"), col("cell"))
+    encodedCells(emb, cents, pq)
+      .withColumn(Lifecycle.BatchCol, lit(0L))
       .repartition(col("cell"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell")
       .parquet(s"$outDir/codes")
   }
+
+  private def encodedCells(emb: DataFrame, cents: CentroidSet, pq: PqModel): DataFrame = {
+    val enc = udf((v: Seq[Float]) => pq.encode(v.toArray))
+    Vectors.assignCellsWith(emb, cents)
+      .select(col("vec_id"), enc(col("embedding")).as("codes"), col("cell"))
+  }
+
+  /** Incremental IVF-PQ ingest: assign cells with the STORED quantizer,
+    * encode with the STORED codebooks, append to the touched cell
+    * directories only. Both models frozen at build time (see
+    * [[appendPqIndex]] / [[Vectors.appendIvfIndex]]).
+    */
+  def appendIvfPqIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
+    val fs = Lifecycle.fsOf(spark, indexDir)
+    Lifecycle.recoverTombstoneSwap(fs, indexDir)
+    val batch = Lifecycle.allocateBatch(fs, indexDir)
+    val cents = Vectors.loadCentroids(spark, s"$indexDir/centroids")
+    val pq = loadPqModel(spark, s"$indexDir/model")
+    encodedCells(newVectors, cents, pq)
+      .withColumn(Lifecycle.BatchCol, lit(batch))
+      .repartition(col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell")
+      .parquet(s"$indexDir/codes")
+    Lifecycle.finishAppend(spark, indexDir, newVectors, batch,
+      spark.read.parquet(s"$indexDir/codes"))
+  }
+
+  /** The live cell-partitioned code table — cell cast back to long (the
+    * partition column is inference-typed on read).
+    */
+  def liveCellCodes(spark: SparkSession, indexDir: String): DataFrame =
+    Lifecycle.live(spark, indexDir,
+      spark.read.parquet(s"$indexDir/codes").withColumn("cell", col("cell").cast("long")))
 
   def ensureIvfPqIndex(
       spark: SparkSession,
@@ -406,8 +477,7 @@ object Pq {
     val probes = q.rows.toSeq.flatMap { r =>
       cents.nearestArray(r.getSeq[Float](1).toArray, nprobe).map(c => (r.getLong(0), c))
     }
-    val codes = spark.read.parquet(s"$indexDir/codes")
-      .withColumn("cell", col("cell").cast("long"))
+    val codes = liveCellCodes(spark, indexDir)
       .filter(col("cell").isin(probes.map(_._2).distinct: _*))
     val probesDf = probes.toDF("query_id", "cell")
     val candidates = adcTopK1(codes.join(broadcast(probesDf), "cell"), q, k1)

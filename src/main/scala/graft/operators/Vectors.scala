@@ -253,18 +253,64 @@ object Vectors {
     * nprobe cells under a static partition prune, the IVF analog of the LSH
     * postings layout in [[Index]].
     */
-  def buildIvfIndex(spark: SparkSession, emb: DataFrame, cells: Int, outDir: String): Unit = {
+  def buildIvfIndex(spark: SparkSession, emb: DataFrame, cells: Int, outDir: String): Unit =
+    buildIvfIndexWith(spark, emb, quantizer(spark, emb, cells), outDir)
+
+  /** Build with an externally trained quantizer — the rebuild twin of
+    * [[appendIvfIndex]] (which must assign with the STORED centroids), so
+    * append ≡ rebuild is testable under one fixed model.
+    */
+  def buildIvfIndexWith(spark: SparkSession, emb: DataFrame, cents: CentroidSet, outDir: String): Unit = {
     import spark.implicits._
-    val cents = quantizer(spark, emb, cells)
     cents.ids.zip(cents.vecs.map(_.toSeq)).toSeq
       .toDF("cell", "centroid")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$outDir/centroids")
     assignCellsWith(emb, cents)
+      .withColumn(Lifecycle.BatchCol, lit(0L))
       .repartition(col("cell"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell")
       .parquet(s"$outDir/cells")
   }
+
+  /** Incremental IVF ingest: assign NEW vectors with the STORED coarse
+    * quantizer and append them to the cell-partitioned table — only the
+    * touched cell directories receive a file. Same lifecycle semantics as
+    * [[Index.append]] (upsert supersede + tombstone resurface, shared via
+    * [[Lifecycle]]).
+    *
+    * The quantizer is deliberately NOT refit: cell geometry is frozen at
+    * build time (standard IVF practice — refitting would strand every
+    * already-stored code in a stale cell). Quantizer drift under a shifting
+    * distribution is handled by periodic rebuild, not by append.
+    */
+  def appendIvfIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
+    val fs = Lifecycle.fsOf(spark, indexDir)
+    Lifecycle.recoverTombstoneSwap(fs, indexDir)
+    val batch = Lifecycle.allocateBatch(fs, indexDir)
+    val cents = loadCentroids(spark, s"$indexDir/centroids")
+    assignCellsWith(newVectors, cents)
+      .withColumn(Lifecycle.BatchCol, lit(batch))
+      .repartition(col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell")
+      .parquet(s"$indexDir/cells")
+    Lifecycle.finishAppend(spark, indexDir, newVectors, batch,
+      spark.read.parquet(s"$indexDir/cells"))
+  }
+
+  def deleteFromIvfIndex(spark: SparkSession, indexDir: String, ids: Seq[Long]): Unit =
+    Lifecycle.delete(spark, indexDir, ids)
+
+  /** The live cell table (tombstones and superseded versions filtered out;
+    * plain scan until the first delete / re-ingest). The partition column
+    * comes back inference-typed — cast to long so cell ids (seed vec_ids)
+    * survive; callers' cell-prune filters push through the lifecycle joins
+    * down to the scan.
+    */
+  def liveCells(spark: SparkSession, indexDir: String): DataFrame =
+    Lifecycle.live(spark, indexDir,
+      spark.read.parquet(s"$indexDir/cells").withColumn("cell", col("cell").cast("long")))
 
   def loadCentroids(spark: SparkSession, dir: String): CentroidSet = {
     val rows = spark.read.parquet(dir).collect()
@@ -314,8 +360,7 @@ object Vectors {
     val qvecs = qRows.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
       .toDF("query_id", "qv")
     val probesDf = probes.toDF("query_id", "cell")
-    val candidates = spark.read.parquet(s"$indexDir/cells")
-      .withColumn("cell", col("cell").cast("long"))
+    val candidates = liveCells(spark, indexDir)
       .filter(col("cell").isin(probes.map(_._2).distinct: _*))
     val wK = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id").asc)

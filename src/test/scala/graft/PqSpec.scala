@@ -104,4 +104,48 @@ class PqSpec extends SparkSpec {
     val again = Pq.annPq(spark, sf0001).collect()
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("pq index lifecycle: append equals rebuild, delete removes, upsert replaces") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // One FIXED codebook set for both layouts (append encodes with the
+    // stored model, so the rebuild twin must quantize identically).
+    val model = Pq.fit(emb.filter(col("vec_id") < 400))
+    val incr = java.nio.file.Files.createTempDirectory("graft-pq-incr").toString
+    Pq.buildPqIndex(spark, emb.filter(col("vec_id") < 400), model, incr)
+    Pq.appendPqIndex(spark, incr, emb.filter(col("vec_id") >= 400))
+    val full = java.nio.file.Files.createTempDirectory("graft-pq-full").toString
+    Pq.buildPqIndex(spark, emb, model, full)
+    def codes(dir: String) = Pq.liveCodes(spark, dir)
+      .select("vec_id", "codes").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet
+    assert(codes(incr) == codes(full),
+      "appended PQ index must hold the same live codes as a rebuild")
+    Pq.deleteFromPqIndex(spark, incr, Seq(42L))
+    assert(!codes(incr).exists(_._1 == 42L), "deleted id still live")
+    val changed = emb.filter(col("vec_id") === 7L)
+      .withColumn("embedding", transform(col("embedding"), x => (-x).cast("float")))
+    Pq.appendPqIndex(spark, incr, changed)
+    val v7 = codes(incr).filter(_._1 == 7L)
+    assert(v7.size == 1, s"expected one live version of id 7, got ${v7.size}")
+    val wantCodes = model.encode(changed.collect()(0).getSeq[Float](1).toArray).toSeq
+    assert(v7.head._2 == wantCodes, "upserted row not encoded from the new embedding")
+    assert(!codes(incr).exists(_._1 == 42L), "append resurrected an unrelated delete")
+  }
+
+  test("ivfpq index lifecycle: append equals rebuild under fixed models") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = graft.operators.Vectors.quantizer(
+      spark, emb.filter(col("vec_id") < 400), cells = 16)
+    val model = Pq.fit(emb.filter(col("vec_id") < 400))
+    val incr = java.nio.file.Files.createTempDirectory("graft-ivfpq-incr").toString
+    Pq.buildIvfPqIndexWith(spark, emb.filter(col("vec_id") < 400), cents, model, incr)
+    Pq.appendIvfPqIndex(spark, incr, emb.filter(col("vec_id") >= 400))
+    val full = java.nio.file.Files.createTempDirectory("graft-ivfpq-full").toString
+    Pq.buildIvfPqIndexWith(spark, emb, cents, model, full)
+    def rows(dir: String) = Pq.liveCellCodes(spark, dir)
+      .select("vec_id", "cell", "codes").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(rows(incr) == rows(full),
+      "appended IVF-PQ index must hold the same live rows as a rebuild")
+  }
 }

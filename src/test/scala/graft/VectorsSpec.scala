@@ -113,4 +113,35 @@ class VectorsSpec extends SparkSpec {
     assert(kept < allPairs / 2,
       s"collision threshold kept $kept of $allPairs pairs — not selective")
   }
+
+  test("ivf index lifecycle: append equals rebuild, delete removes, upsert replaces") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // One FIXED quantizer for both layouts: append assigns with the stored
+    // centroids, so the rebuild twin must use the same geometry.
+    val cents = Vectors.quantizer(spark, emb.filter(col("vec_id") < 400), cells = 16)
+    val incr = java.nio.file.Files.createTempDirectory("graft-ivf-incr").toString
+    Vectors.buildIvfIndexWith(spark, emb.filter(col("vec_id") < 400), cents, incr)
+    Vectors.appendIvfIndex(spark, incr, emb.filter(col("vec_id") >= 400))
+    val full = java.nio.file.Files.createTempDirectory("graft-ivf-full").toString
+    Vectors.buildIvfIndexWith(spark, emb, cents, full)
+    def cells(dir: String) = Vectors.liveCells(spark, dir)
+      .select("vec_id", "cell", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2))).toSet
+    assert(cells(incr) == cells(full),
+      "appended IVF index must hold the same live rows as a rebuild")
+    // Any search over identical live rows is identical; now mutate:
+    Vectors.deleteFromIvfIndex(spark, incr, Seq(42L))
+    assert(!cells(incr).exists(_._1 == 42L), "deleted id still live")
+    // Upsert: re-ingesting an id with new content leaves ONE live version,
+    // assigned to the new embedding's cell.
+    val changed = emb.filter(col("vec_id") === 7L)
+      .withColumn("embedding", transform(col("embedding"), x => (-x).cast("float")))
+    Vectors.appendIvfIndex(spark, incr, changed)
+    val v7 = cells(incr).filter(_._1 == 7L)
+    assert(v7.size == 1, s"expected one live version of id 7, got ${v7.size}")
+    val wantCell = cents.nearestArray(changed.collect()(0).getSeq[Float](1).toArray, 1)(0)
+    assert(v7.head._2 == wantCell, "upserted row not assigned by the new embedding")
+    // and the delete from before still holds after the append's tombstone pass
+    assert(!cells(incr).exists(_._1 == 42L), "append resurrected an unrelated delete")
+  }
 }
