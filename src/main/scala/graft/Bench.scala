@@ -34,6 +34,10 @@ object Bench {
       graft.operators.Vectors.ensureIvfIndex(spark, sfDir)
       graft.operators.Pq.ensurePqIndex(spark, sfDir)
       graft.operators.Pq.ensureIvfPqIndex(spark, sfDir)
+      // The persisted near-dup pairs stage output (q78 derives survivors
+      // from it) — same prebuilt-artifact methodology as the indexes; the
+      // detection pipeline itself is timed live as q77.
+      graft.operators.Text.ensureShinglePairs(spark, sfDir)
       // One untimed single-query probe: search queries measure steady-state
       // latency, not the first-call codegen/plan compilation of the search
       // pipeline (standard warm-measurement methodology, same every round).

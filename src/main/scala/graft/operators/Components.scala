@@ -18,9 +18,10 @@ import graft.Tables
   *
   * Scale notes (100 TB): each round is one equi-join of the edge list with
   * the label table plus a min-aggregate — all shuffle-partitionable on vertex
-  * id, no driver-side graph. Lineage is truncated per round
-  * (`localCheckpoint`) so the plan stays flat; on a cluster use
-  * `checkpoint` to HDFS for fault tolerance. For graphs whose diameter is
+  * id, no driver-side graph. Each round is pinned via [[Materialize]] so
+  * the plan stays flat — executor-local checkpoint by default, recomputable
+  * DISK_ONLY under `spark.graft.reliableMaterialize=true` for cluster runs
+  * where executor loss is routine. For graphs whose diameter is
   * genuinely large, the classic fix is the small-star/large-star alternation
   * (Kiveris et al., "Connected Components in MapReduce", public) — same
   * join-per-round shape, fewer rounds; unnecessary for near-dup clustering.
@@ -32,10 +33,15 @@ object Components {
     * own id.
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
-    val bidir = edges.select(col("i").as("src"), col("j").as("dst"))
-      .union(edges.select(col("j").as("src"), col("i").as("dst")))
-      .localCheckpoint(true)
-    var labels = vertices.select(col("v"), col("v").as("label")).localCheckpoint(true)
+    val bidir = Materialize.stable(
+      edges.select(col("i").as("src"), col("j").as("dst"))
+        .union(edges.select(col("j").as("src"), col("i").as("dst"))), eager = true)
+    var labels = Materialize.stable(
+      vertices.select(col("v"), col("v").as("label")), eager = true)
+    // The PINNED frame backing `labels` — released per round. (`labels`
+    // itself becomes a projection over it; releasing the projection would
+    // miss the persisted-mode cache entry, whose key is the pinned plan.)
+    var pinned = labels
     var changed = 1L
     while (changed > 0) {
       val nbrMin = bidir
@@ -54,7 +60,7 @@ object Components {
           col("v"),
           least(col("label"), coalesce(col("mn"), col("label"))).as("label"),
           coalesce(col("mn") < col("label"), lit(false)).as("chg"))
-        .localCheckpoint(false)
+        .transform(Materialize.stable(_))
       // coalesce: sum over zero rows is NULL — an empty vertex set must
       // terminate, not NPE
       changed = next.agg(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)))
@@ -62,12 +68,13 @@ object Components {
       // The fixpoint aggregate above materialized this round's blocks, so
       // the previous round's are dead — free them now, or every round of
       // every call leaks storage memory for the session's lifetime.
-      org.apache.spark.sql.graft.GraftInternals.unpersistCheckpoint(labels)
+      Materialize.release(pinned)
+      pinned = next
       labels = next.drop("chg")
     }
     // The returned labels are materialized; the edge list served its last
     // propagation round.
-    org.apache.spark.sql.graft.GraftInternals.unpersistCheckpoint(bidir)
+    Materialize.release(bidir)
     labels
   }
 

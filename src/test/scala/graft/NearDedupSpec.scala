@@ -26,4 +26,16 @@ class NearDedupSpec extends SparkSpec {
     val expected = (0L until all).filter(v => find(v) == v).toSet
     assert(kept == expected)
   }
+
+  test("reliable-materialize mode returns identical results") {
+    // spark.graft.reliableMaterialize=true swaps every pinned intermediate
+    // (shingle unit table, CC rounds) from executor-local checkpoint to
+    // recomputable DISK_ONLY persistence — same rows, different durability.
+    val default = Text.nearDedupCorpus(spark, sf0001).collect().map(_.toSeq).toSeq
+    spark.conf.set(graft.operators.Materialize.ConfKey, "true")
+    try {
+      val durable = Text.nearDedupCorpus(spark, sf0001).collect().map(_.toSeq).toSeq
+      assert(durable == default)
+    } finally spark.conf.unset(graft.operators.Materialize.ConfKey)
+  }
 }
