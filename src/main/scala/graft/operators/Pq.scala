@@ -53,6 +53,38 @@ object Pq {
       out
     }
 
+    /** [[encode]] reading catalyst array storage directly — shared by the
+      * interpreted eval and codegen paths of the PqEncode expression (no
+      * per-row Seq boxing or float-array copy; same loop order, so codes
+      * are bit-identical to the array variant — asserted in PqSpec).
+      */
+    def encodeArrayData(v: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
+      require(v.numElements() == m * subdim,
+        s"dim ${v.numElements()} != m*subdim ${m * subdim}")
+      val out = new Array[Byte](m)
+      var s = 0
+      while (s < m) {
+        val cb = codebooks(s)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          var d = 0.0
+          var i = 0
+          while (i < subdim) {
+            val x = v.getFloat(s * subdim + i).toDouble - cb(c)(i).toDouble
+            d += x * x
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = c } // strict < ⇒ lowest code wins ties
+          c += 1
+        }
+        out(s) = best.toByte
+        s += 1
+      }
+      out
+    }
+
     private def nearestCode(v: Array[Float], s: Int): Int = {
       val cb = codebooks(s)
       var best = 0
@@ -170,13 +202,13 @@ object Pq {
     cents
   }
 
-  /** (vec_id, codes) — the encoded corpus. A narrow map over the broadcast
-    * model; the output column is M bytes versus M·subdim·4 for the floats.
+  /** (vec_id, codes) — the encoded corpus. A codegen narrow map with the
+    * model riding the plan as a reference object; the output column is M
+    * bytes versus M·subdim·4 for the floats. At corpus scale this map IS
+    * the ingest cost of a PQ index — no per-row UDF boxing.
     */
-  def encode(spark: SparkSession, emb: DataFrame, model: PqModel): DataFrame = {
-    val enc = udf((v: Seq[Float]) => model.encode(v.toArray))
-    emb.select(col("vec_id"), enc(col("embedding")).as("codes"))
-  }
+  def encode(spark: SparkSession, emb: DataFrame, model: PqModel): DataFrame =
+    emb.select(col("vec_id"), VectorExpressions.pqEncode(col("embedding"), model).as("codes"))
 
   /** Query-side state shared by every PQ search path: collected query rows,
     * their ADC tables, and the two small broadcast relations. One definition
@@ -400,11 +432,10 @@ object Pq {
       .parquet(s"$outDir/codes")
   }
 
-  private def encodedCells(emb: DataFrame, cents: CentroidSet, pq: PqModel): DataFrame = {
-    val enc = udf((v: Seq[Float]) => pq.encode(v.toArray))
+  private def encodedCells(emb: DataFrame, cents: CentroidSet, pq: PqModel): DataFrame =
     Vectors.assignCellsWith(emb, cents)
-      .select(col("vec_id"), enc(col("embedding")).as("codes"), col("cell"))
-  }
+      .select(col("vec_id"),
+        VectorExpressions.pqEncode(col("embedding"), pq).as("codes"), col("cell"))
 
   /** Incremental IVF-PQ ingest: assign cells with the STORED quantizer,
     * encode with the STORED codebooks, append to the touched cell

@@ -374,22 +374,26 @@ object Text {
   /** 64-bit SimHash over the token multiset (deterministic FNV-1a token
     * hashes; per-bit majority vote weighted by token frequency).
     */
-  private[graft] def simhash64(toks: Seq[String]): Long = {
-    val votes = new Array[Int](64)
-    toks.foreach { t =>
-      var h = 0xcbf29ce484222325L // FNV-1a 64
-      var i = 0
-      while (i < t.length) {
-        h ^= t.charAt(i).toLong
-        h *= 0x100000001b3L
-        i += 1
-      }
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
+  private def fnv1a64(t: String): Long = {
+    var h = 0xcbf29ce484222325L // FNV-1a 64
+    var i = 0
+    while (i < t.length) {
+      h ^= t.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
     }
+    h
+  }
+
+  private def voteBits(votes: Array[Int], h: Long): Unit = {
+    var b = 0
+    while (b < 64) {
+      if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+      b += 1
+    }
+  }
+
+  private def majority(votes: Array[Int]): Long = {
     var out = 0L
     var b = 0
     while (b < 64) {
@@ -399,16 +403,38 @@ object Text {
     out
   }
 
+  private[graft] def simhash64(toks: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    toks.foreach(t => voteBits(votes, fnv1a64(t)))
+    majority(votes)
+  }
+
+  /** [[simhash64]] reading catalyst array storage directly — shared by the
+    * interpreted and codegen paths of the SimHash64 expression (no Seq
+    * decode per row; same per-token UTF-16 char hashing, so signatures are
+    * bit-identical to the Seq variant — the goldens and the banding
+    * exactness spec pin it).
+    */
+  def simhashArrayData(a: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var k = 0
+    val n = a.numElements()
+    while (k < n) {
+      voteBits(votes, fnv1a64(a.getUTF8String(k).toString))
+      k += 1
+    }
+    majority(votes)
+  }
+
   /** q35 — SimHash fingerprints (no oracle; golden-tested). Near-dup pairs =
     * signatures within Hamming distance d, found via 16-bit chunk banding —
     * same LSH shape as MinHash, emitted here as per-doc signatures.
     */
-  def simhashQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = udf((toks: Seq[String]) => simhash64(toks))
+  def simhashQuery(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), sh(tokens(col("text"))).as("simhash"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions.simhash(tokens(col("text"))).as("simhash"))
       .orderBy(col("doc_id"))
-  }
 
   /** q38 — SimHash near-duplicate PAIRS via chunk banding (no oracle —
     * signature-dependent; pinned by TextSpec completeness test).
@@ -433,9 +459,9 @@ object Text {
     require(64 % bandBits == 0, "bandBits must divide 64")
     val nBands = 64 / bandBits
     require(maxHamming < nBands, "pigeonhole recall guarantee needs maxHamming < nBands")
-    val sh = udf((toks: Seq[String]) => simhash64(toks))
     val sig = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), sh(tokens(col("text"))).as("simhash"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions.simhash(tokens(col("text"))).as("simhash"))
     val mask = (1L << bandBits) - 1
     val bands = sig.select(
       col("doc_id"), col("simhash"),
@@ -461,7 +487,7 @@ object Text {
     * (winnowing-style canonical fingerprint, robust to small edits at the
     * ends).
     */
-  private[graft] def fingerprint(text: String, gram: Int = 8): Long = {
+  def fingerprint(text: String, gram: Int = 8): Long = {
     if (text.length < gram) return simhash64(Seq(text))
     var minH = Long.MaxValue
     var i = 0
@@ -479,12 +505,11 @@ object Text {
   }
 
   /** q37 — document fingerprinting (no oracle; golden-tested). */
-  def fingerprintQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val fp = udf((t: String) => fingerprint(t))
+  def fingerprintQuery(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), fp(col("text")).as("fp"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
-  }
 
   /** q78 — the end-to-end near-dedup product a training pipeline ships:
     * shingle-MinHash pairs → connected components (pairs (a,b),(b,c)

@@ -1,0 +1,69 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.Text
+
+/** Native Catalyst expressions for the text-fingerprinting hot paths — the
+  * same codegen discipline as [[VectorExpressions]] (no per-row Seq decode /
+  * boxing; the loop body is a shared JVM method so interpreted eval and
+  * generated code cannot drift). These replace Scala UDFs on full-corpus
+  * narrow maps: at fixture scale the UDFs were not the bottleneck, at real
+  * corpus scale the per-row ScalaUDF encoder round-trip is pure overhead on
+  * every document.
+  *
+  * Bit-compatibility contract: each expression produces exactly the bytes of
+  * the UDF it replaces (asserted by the goldens and the brute-force banding
+  * specs), so swapping them cannot perturb gated output.
+  */
+object TextExpressions {
+
+  /** 64-bit SimHash over a token array (q35/q38 signature step). */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+
+    override def nullSafeEval(toks: Any): Any =
+      Text.simhashArrayData(toks.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.operators.Text.simhashArrayData($t);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Rolling-hash min-gram document fingerprint (q37). */
+  case class Fingerprint64(child: Expression, gram: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "fingerprint64"
+
+    override def nullSafeEval(text: Any): Any =
+      Text.fingerprint(text.asInstanceOf[UTF8String].toString, gram)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.operators.Text.fingerprint($t.toString(), $gram);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def simhash(toks: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(toks)))
+  def fingerprint(text: Column, gram: Int = 8): Column =
+    ExpressionUtils.column(Fingerprint64(ExpressionUtils.expression(text), gram))
+}

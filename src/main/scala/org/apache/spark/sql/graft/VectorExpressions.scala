@@ -209,6 +209,33 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** PQ encoding (embedding → M one-byte codes) as a native expression: at
+    * corpus scale encode IS the ingest cost of a PQ index, and the previous
+    * Scala UDF paid a Seq[Float] decode per row. The codebooks ride the plan
+    * as a reference object (like [[LshHash]]'s model); the argmin loops live
+    * in [[graft.operators.Pq.PqModel.encodeArrayData]], shared by eval and
+    * codegen — bit-identical codes (PqSpec parity).
+    */
+  case class PqEncode(child: Expression, model: graft.operators.Pq.PqModel)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "pq_encode"
+
+    override def nullSafeEval(v: Any): Any =
+      model.encodeArrayData(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqModel", model,
+        classOf[graft.operators.Pq.PqModel].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.encodeArrayData($v);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def l2(a: Column, b: Column): Column =
     ExpressionUtils.column(L2Distance(expr(a), expr(b)))
   def cosine(a: Column, b: Column): Column =
@@ -219,6 +246,8 @@ object VectorExpressions {
     ExpressionUtils.column(NearestCells(expr(v), cents, n))
   def adc(qid: Column, codes: Column, tables: AdcTables): Column =
     ExpressionUtils.column(AdcDistance(expr(qid), expr(codes), tables))
+  def pqEncode(v: Column, model: graft.operators.Pq.PqModel): Column =
+    ExpressionUtils.column(PqEncode(expr(v), model))
 
   private def expr(c: Column): Expression = ExpressionUtils.expression(c)
 }

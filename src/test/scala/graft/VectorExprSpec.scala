@@ -62,6 +62,48 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("PqEncode expression is bitwise-identical to the driver-side kernel, both eval modes") {
+    import graft.operators.Pq
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = Pq.fit(emb)
+    def driverSide = emb.orderBy("vec_id").limit(50).collect()
+      .map(r => (r.getLong(0), model.encode(r.getSeq[Float](1).toArray).toSeq))
+    def viaExpr() = emb.orderBy("vec_id").limit(50)
+      .select(col("vec_id"), VectorExpressions.pqEncode(col("embedding"), model).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq))
+    assert(viaExpr().toSeq == driverSide.toSeq)
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(viaExpr().toSeq == driverSide.toSeq)
+    }
+  }
+
+  test("SimHash64 and Fingerprint64 expressions match the Scala kernels, both eval modes") {
+    import graft.operators.Text
+    import org.apache.spark.sql.graft.TextExpressions
+    val doc = Tables.documents(spark, sf0001).orderBy("doc_id").limit(50)
+    val texts = doc.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // same tokenization as the q35/q38 queries: split on single spaces
+    val wantSim = texts.map { case (id, t) =>
+      (id, Text.simhash64(t.split(" ", -1).toSeq))
+    }.toMap
+    val wantFp = texts.map { case (id, t) => (id, Text.fingerprint(t)) }.toMap
+    def got() = doc.select(col("doc_id"),
+        TextExpressions.simhash(split(col("text"), " ")).as("sh"),
+        TextExpressions.fingerprint(col("text")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def check(): Unit = got().foreach { case (id, sh, fp) =>
+      assert(sh == wantSim(id), s"simhash mismatch for doc $id")
+      assert(fp == wantFp(id), s"fingerprint mismatch for doc $id")
+    }
+    check()
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      check()
+    }
+  }
+
   test("expressions survive both codegen and interpreted eval") {
     val emb = Tables.embeddings(spark, sf0001).limit(10)
     val base = emb.select(
