@@ -48,17 +48,20 @@ object Bench {
       // one-time cost and is equally cached by InMemoryFileIndex).
       graft.operators.Index.postings(spark, idx).count()
     } catch { case _: Throwable => () }
-    // Codegen warm pass for the two heaviest pipelines on the SMALLEST
-    // fixture: generated code is keyed by plan structure, not data size, so
-    // the tiny run populates the Janino cache and the timed queries measure
-    // execution rather than first-call compilation.
+    // Codegen warm pass on the SMALLEST fixture, one untimed run of EVERY
+    // gate query: generated code is keyed by plan structure, not data size,
+    // so the tiny runs populate the Janino cache (and memoized model fits)
+    // and the timed queries below measure steady-state execution rather than
+    // first-call compilation. Uniform warming beats hand-picking pipelines —
+    // r3's selective list silently left the PQ and window families cold.
     locally {
       val small = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
-      if (small.isDirectory) try {
-        graft.operators.Vectors.lshNearDupPairs(spark, small.getAbsolutePath).count()
-        graft.operators.Components.dedupClusters(spark, small.getAbsolutePath).count()
-        graft.operators.Text.shingleNearDups(spark, small.getAbsolutePath).count()
-      } catch { case _: Throwable => () }
+      if (small.isDirectory) {
+        val dir = small.getAbsolutePath
+        SparkEntry.queries.foreach { case (_, fn) =>
+          try fn(spark, dir).count() catch { case _: Throwable => () }
+        }
+      }
     }
     // A failing query must fail the bench run (non-zero exit + named in the
     // JSON line), never masquerade as a fast success.

@@ -126,6 +126,40 @@ object Sources {
       |GROUP BY 1, 2
       |ORDER BY lang, split""".stripMargin
 
+  /** q81 — stratified (domain-reweighted) sampling: per-source keep rates —
+    * the "domain mixing" step that rebalances web/books/code proportions
+    * before training. Same engine-independent multiplicative hash as the
+    * q70 split (deterministic membership: re-running anywhere reproduces the
+    * sample), with the per-domain rate table joined by BROADCAST — the
+    * mixing config is dozens of rows; the corpus side never shuffles and
+    * aggregates map-side. Gate output is the per-source summary; the sampled
+    * corpus itself is the same plan minus the final groupBy.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rates = Seq(
+      "src0" -> 90L, "src1" -> 90L, "src2" -> 90L, "src3" -> 90L,
+      "src4" -> 60L, "src5" -> 60L, "src6" -> 60L, "src7" -> 60L)
+      .toDF("source", "rate")
+    Tables.documents(spark, sfDir)
+      .join(broadcast(rates), Seq("source"), "left")
+      .withColumn("r", coalesce(col("rate"), lit(30L)))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when((col("doc_id") * 2654435761L) % 100 < col("r"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  val stratifiedSampleOracle: String =
+    """SELECT source, count(*) AS n_total,
+      |       CAST(sum(CASE WHEN (doc_id * 2654435761) % 100 <
+      |         (CASE WHEN source IN ('src0','src1','src2','src3') THEN 90
+      |               WHEN source IN ('src4','src5','src6','src7') THEN 60
+      |               ELSE 30 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** q49 — doc GET by id (SURVEY §2.B scans row): the point lookup the
     * parquet source serves via row-group min/max stats — the pushed
     * `doc_id = 42` predicate skips every row group whose id range excludes
@@ -149,12 +183,14 @@ object Sources {
     "q52_json_source" -> (jsonSource _),
     "q53_csv_source" -> (csvSource _),
     "q69_orc_source" -> (orcSource _),
-    "q70_train_split" -> (trainSplit _))
+    "q70_train_split" -> (trainSplit _),
+    "q81_stratified_sample" -> (stratifiedSample _))
 
   val oracles: Map[String, String] = Map(
     "q49_doc_get" -> docGetOracle,
     "q52_json_source" -> jsonSourceOracle,
     "q53_csv_source" -> csvSourceOracle,
     "q69_orc_source" -> orcSourceOracle,
-    "q70_train_split" -> trainSplitOracle)
+    "q70_train_split" -> trainSplitOracle,
+    "q81_stratified_sample" -> stratifiedSampleOracle)
 }

@@ -546,6 +546,127 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** q79 — repetition quality filters (the MassiveText/Gopher-style
+    * "repetitious document" signals a pretraining pipeline drops on):
+    * duplicate-bigram fraction and most-frequent-token fraction per doc,
+    * plus the keep/drop decision. One codegen'd projection per row — all
+    * array work is per-document (narrow map, no shuffle, no explode), so at
+    * 100 TB this is a pure scan-speed pass. Ratios are int/int single
+    * divisions rounded once (IEEE division is correctly rounded — bitwise
+    * identical across engines; only transcendentals are not).
+    *
+    * The keep thresholds (0.2 / 0.2) are calibrated to the 31-word fixture
+    * vocabulary; real corpora use the published MassiveText cut-offs.
+    */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val ts = col("ts")
+    val bigrams = transform(
+      sequence(lit(1), size(ts) - 1),
+      i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1)))
+    // mode frequency via per-doc array ops: O(distinct * n) per row beats a
+    // corpus-wide explode + two shuffled aggregations at any scale
+    val topTok = array_max(transform(array_distinct(ts),
+      x => size(filter(ts, y => y === x))))
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 200)
+      .withColumn("ts", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(ts).cast("long").as("n_tokens"),
+        (size(ts) - 1).cast("long").as("n_bigrams"),
+        size(array_distinct(bigrams)).cast("long").as("n_distinct_bigrams"),
+        topTok.cast("long").as("top_tok"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round((col("n_bigrams") - col("n_distinct_bigrams")) / col("n_bigrams"), 4)
+          .as("dup_bigram_frac"),
+        round(col("top_tok") / col("n_tokens"), 4).as("top_tok_frac"),
+        ((col("n_bigrams") - col("n_distinct_bigrams")) / col("n_bigrams") <= 0.2 &&
+          col("top_tok") / col("n_tokens") <= 0.2).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionStatsOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |  WHERE doc_id < 200),
+      |stats AS (
+      |  SELECT doc_id,
+      |         CAST(len(ts) AS BIGINT) AS n_tokens,
+      |         CAST(len(ts) - 1 AS BIGINT) AS n_bigrams,
+      |         CAST(len(list_distinct(
+      |           [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]))
+      |           AS BIGINT) AS n_distinct_bigrams,
+      |         CAST(list_max(list_transform(list_distinct(ts),
+      |           x -> len(list_filter(ts, y -> y = x)))) AS BIGINT) AS top_tok
+      |  FROM tok)
+      |SELECT doc_id, n_tokens,
+      |       round((n_bigrams - n_distinct_bigrams) / n_bigrams, 4) AS dup_bigram_frac,
+      |       round(top_tok / n_tokens, 4) AS top_tok_frac,
+      |       ((n_bigrams - n_distinct_bigrams) / n_bigrams <= 0.2
+      |        AND top_tok / n_tokens <= 0.2) AS keep
+      |FROM stats ORDER BY doc_id""".stripMargin
+
+  /** q80 — train/eval decontamination: which training documents share a
+    * verbatim token 8-gram with the held-out eval set (the published
+    * GPT-3-style n-gram-collision check; eval membership here is the
+    * deterministic `doc_id % 19 = 3` sample standing in for a benchmark
+    * suite). Output: contaminated train doc → how many distinct 8-grams
+    * leak and from how many eval docs.
+    *
+    * Scale shape: per-doc grams are deduped with `array_distinct` BEFORE the
+    * explode (narrow map — no corpus-wide distinct shuffle), grams travel as
+    * a 16-byte pair of independent xxhash64 digests (joint collision ~2^-128
+    * per pair, the content-addressing guarantee) — never the text — and the
+    * eval side (benchmark suites are thousands of docs) broadcasts, so the
+    * 100 TB train corpus is never shuffled at all: scan → hash → broadcast
+    * probe → partial agg.
+    */
+  def decontaminate(
+      spark: SparkSession,
+      sfDir: String,
+      gram: Int = 8,
+      evalMod: Long = 19,
+      evalRem: Long = 3): DataFrame = {
+    val doc = Tables.documents(spark, sfDir)
+      .withColumn("ts", tokens(col("text")))
+      .filter(size(col("ts")) >= gram)
+    def gramDigests(d: DataFrame): DataFrame = d
+      .select(
+        col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("ts")) - gram),
+          i => array_join(slice(col("ts"), i + 1, lit(gram)), " ")))).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("g64"), xxhash64(lit(0x9e3779b9L), col("g")).as("g64b"))
+    val train = gramDigests(doc.filter(col("doc_id") % evalMod =!= evalRem))
+    val heldOut = gramDigests(doc.filter(col("doc_id") % evalMod === evalRem))
+      .withColumnRenamed("doc_id", "eval_doc")
+    train.join(broadcast(heldOut), Seq("g64", "g64b"))
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("g64"), col("g64b")).as("n_shared"),
+        countDistinct(col("eval_doc")).as("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |g AS (
+      |  SELECT doc_id,
+      |         unnest([array_to_string(ts[i:i+7], ' ')
+      |                 FOR i IN range(1, len(ts)-6)]) AS g
+      |  FROM tok),
+      |tr AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 19 <> 3),
+      |ev AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 19 = 3)
+      |SELECT tr.doc_id AS doc_id,
+      |       count(DISTINCT tr.g) AS n_shared,
+      |       count(DISTINCT ev.doc_id) AS n_eval_docs
+      |FROM tr JOIN ev ON tr.g = ev.g
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** q36 — language-ID heuristic (no oracle): character n-gram marker
     * scoring. The fixture corpus is language-less word soup (31-word shared
     * vocab), so this is exercised for determinism + plumbing; on real text
@@ -587,12 +708,16 @@ object Text {
     "q38_simhash_neardups" -> ((s: SparkSession, d: String) => simhashNearDups(s, d)),
     "q39_dedup_corpus" -> (dedupCorpus _),
     "q77_shingle_neardups" -> ((s: SparkSession, d: String) => shingleNearDups(s, d)),
-    "q78_neardedup_corpus" -> ((s: SparkSession, d: String) => nearDedupCorpus(s, d)))
+    "q78_neardedup_corpus" -> ((s: SparkSession, d: String) => nearDedupCorpus(s, d)),
+    "q79_repetition_stats" -> (repetitionStats _),
+    "q80_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> tokenStatsOracle,
     "q31_quality_scores" -> qualityScoresOracle,
     "q32_exact_dedup" -> exactDedupOracle,
     "q33_jaccard_pairs" -> jaccardPairsOracle(),
-    "q39_dedup_corpus" -> dedupCorpusOracle)
+    "q39_dedup_corpus" -> dedupCorpusOracle,
+    "q79_repetition_stats" -> repetitionStatsOracle,
+    "q80_decontaminate" -> decontaminateOracle)
 }

@@ -22,7 +22,16 @@ object QueryTiming {
     spark.sparkContext.setLogLevel("ERROR")
     try { graft.operators.Index.ensure(spark, sfDir) } catch { case _: Throwable => () }
     try { graft.operators.Vectors.ensureIvfIndex(spark, sfDir) } catch { case _: Throwable => () }
+    // Optional: run each query once on a warm fixture first (mirrors the
+    // bench's untimed codegen warm pass) to separate compile cost from
+    // steady-state cost in the first timed rep.
+    val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR")
     names.foreach { n =>
+      warmDir.foreach { d =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(n)(spark, d).count() catch { case _: Throwable => () }
+        println(f"WARM $n ${(System.nanoTime() - t0) / 1e9}%.3f")
+      }
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).count()

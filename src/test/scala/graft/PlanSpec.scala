@@ -94,6 +94,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("decontamination broadcasts the eval grams; train grams never shuffle") {
+    val plan = planOf("q80_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"train-side grams must not shuffle for the join:\n$plan")
+  }
+
+  test("stratified sample broadcasts the mixing-rate table") {
+    val plan = planOf("q81_stratified_sample")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"rate table should broadcast:\n$plan")
+  }
+
   test("train split is a single aggregation pass — no join, no extra shuffle") {
     val plan = planOf("q70_train_split")
     assert(!plan.contains("Join"), s"split should not join:\n$plan")

@@ -113,6 +113,48 @@ class TextSpec extends SparkSpec {
     assert(r1.forall(r => Seq("de", "en", "es", "fr", "zh").contains(r.getString(2))))
   }
 
+  test("repetition stats match a driver-side recompute") {
+    val docs = Tables.documents(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 200)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val got = Text.repetitionStats(spark, sf0001).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val ts = docs(r.getLong(0)).split(" ").toSeq
+      val bigrams = ts.sliding(2).map(_.mkString(" ")).toSeq
+      val dupFrac = (bigrams.size - bigrams.distinct.size).toDouble / bigrams.size
+      val topFrac = ts.groupBy(identity).values.map(_.size).max.toDouble / ts.size
+      assert(r.getLong(1) == ts.size)
+      // query output is round(x, 4): allow the half-ulp of that rounding
+      assert(math.abs(r.getDouble(2) - dupFrac) <= 5.001e-5, s"doc ${r.getLong(0)} dup_bigram_frac")
+      assert(math.abs(r.getDouble(3) - topFrac) <= 5.001e-5, s"doc ${r.getLong(0)} top_tok_frac")
+      assert(r.getBoolean(4) == (dupFrac <= 0.2 && topFrac <= 0.2), s"doc ${r.getLong(0)} keep")
+    }
+    // the fixture plants at least one repetitious doc worth dropping
+    assert(got.exists(!_.getBoolean(4)), "expected a dropped doc in the fixture")
+  }
+
+  test("decontamination reports exactly the docs sharing an 8-gram with the eval set") {
+    val grams: Map[Long, Set[String]] = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val ts = r.getString(1).split(" ")
+        r.getLong(0) -> ts.sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+      }.toMap
+    val evalIds = grams.keySet.filter(_ % 19 == 3)
+    val expected = grams.collect {
+      case (id, gs) if id % 19 != 3 && gs.size > 0 =>
+        val hits = evalIds.filter(e => (grams(e) & gs).nonEmpty)
+        val shared = evalIds.flatMap(e => grams(e) & gs)
+        id -> ((shared.size.toLong, hits.size.toLong))
+    }.filter(_._2._1 > 0)
+    val got = Text.decontaminate(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(got.nonEmpty, "fixture should plant cross-split contamination")
+  }
+
   test("exact dedup: synthetic duplicates collapse to canonical id") {
     import spark.implicits._
     val df = Seq(
