@@ -222,6 +222,16 @@ object Index {
     fs.delete(old, true)
   }
 
+  /** Purging compaction: rewrite `vectors/` + `postings/` keeping only live
+    * rows and retire the tombstone/supersede markers, returning searches to
+    * the plain-scan plans of a fresh build. [[compact]] settles small-file
+    * debt; vacuum settles LIFECYCLE debt. Shared protocol + crash contract:
+    * [[Lifecycle.vacuum]].
+    */
+  def vacuum(spark: SparkSession, indexDir: String): Unit =
+    Lifecycle.vacuum(spark, indexDir,
+      Seq("vectors" -> Nil, "postings" -> Seq(PKeyCol)))
+
   def vectors(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/vectors")
 

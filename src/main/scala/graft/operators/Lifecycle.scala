@@ -159,11 +159,72 @@ object Lifecycle {
     }
   }
 
+  /** The live row set WITH its batch column — what [[vacuum]] persists. */
+  private def liveKeepBatch(spark: SparkSession, indexDir: String, df: DataFrame): DataFrame =
+    withoutSuperseded(spark, indexDir, withoutTombstones(spark, indexDir, df))
+
   /** The live view of any stored row set: tombstoned ids out, superseded
     * versions out, bookkeeping column dropped. Both filters are no-ops (the
     * input plan is returned untouched) until the first delete / re-ingest.
     */
   def live(spark: SparkSession, indexDir: String, df: DataFrame): DataFrame =
-    withoutSuperseded(spark, indexDir,
-      withoutTombstones(spark, indexDir, df)).drop(BatchCol)
+    liveKeepBatch(spark, indexDir, df).drop(BatchCol)
+
+  /** Purging compaction, shared by every layout: physically rewrite each
+    * data part keeping only LIVE rows (tombstoned ids and superseded
+    * versions dropped), then retire the marker dirs — returning reads to
+    * the plain-scan plans a build-once index has. This is the op that stops
+    * tombstone/supersede debt growing forever under daily re-ingest; without
+    * it every read pays the anti-join/join against an ever-larger marker
+    * set.
+    *
+    * `parts` lists each data subdir with its partition columns (e.g.
+    * `("postings", Seq("pkey"))`, `("cells", Seq("cell"))`); partitioned
+    * parts are re-clustered one-file-per-directory, which also settles the
+    * small-file debt of repeated appends.
+    *
+    * Crash safety, same single-writer maintenance contract as
+    * [[Index.compact]]: each part uses the write-aside / two-rename swap
+    * with explicit recovery, and the marker dirs are deleted only after
+    * EVERY part has been promoted. A crash at any intermediate point leaves
+    * readers correct: already-purged parts simply have nothing for the
+    * still-present markers to filter; a re-run recovers and finishes. The
+    * `appends/` batch markers are deliberately KEPT so post-vacuum appends
+    * keep allocating monotonically increasing batch numbers — reusing a
+    * batch number would merge two generations of the same id.
+    */
+  def vacuum(
+      spark: SparkSession,
+      indexDir: String,
+      parts: Seq[(String, Seq[String])]): Unit = {
+    val fs = fsOf(spark, indexDir)
+    // Settle a crashed append's half-finished tombstone swap first, so the
+    // tombstone set we purge against is the consistent live one.
+    recoverTombstoneSwap(fs, indexDir)
+    parts.foreach { case (sub, pcols) =>
+      val livePath = new Path(s"$indexDir/$sub")
+      val old = new Path(s"$indexDir/${sub}_old")
+      val tmp = new Path(s"$indexDir/${sub}_compacting")
+      if (fs.exists(old)) {
+        if (!fs.exists(livePath))
+          require(fs.rename(old, livePath), s"could not roll back $old")
+        else fs.delete(old, true)
+      }
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      val purged = liveKeepBatch(spark, indexDir, spark.read.parquet(livePath.toString))
+      val clustered =
+        if (pcols.nonEmpty) purged.repartition(pcols.map(col): _*)
+        else purged
+      val w = clustered.write.mode(SaveMode.Overwrite)
+      (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).parquet(tmp.toString)
+      require(fs.rename(livePath, old), s"could not stage $livePath aside")
+      require(fs.rename(tmp, livePath), s"could not promote $tmp")
+      fs.delete(old, true)
+    }
+    // All parts are physically live-only now; the markers are dead weight.
+    // (Deleting them one by one is fine mid-crash — a surviving marker set
+    // just filters rows that no longer exist.)
+    Seq("tombstones", "tombstones_rewriting", "superseded")
+      .foreach(d => fs.delete(new Path(s"$indexDir/$d"), true))
+  }
 }

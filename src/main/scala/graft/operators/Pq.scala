@@ -332,6 +332,14 @@ object Pq {
   def deleteFromPqIndex(spark: SparkSession, indexDir: String, ids: Seq[Long]): Unit =
     Lifecycle.delete(spark, indexDir, ids)
 
+  /** Purging compaction of the flat code table. See [[Lifecycle.vacuum]]. */
+  def vacuumPqIndex(spark: SparkSession, indexDir: String): Unit =
+    Lifecycle.vacuum(spark, indexDir, Seq("codes" -> Nil))
+
+  /** Purging compaction of the cell-partitioned IVF-PQ code table. */
+  def vacuumIvfPqIndex(spark: SparkSession, indexDir: String): Unit =
+    Lifecycle.vacuum(spark, indexDir, Seq("codes" -> Seq("cell")))
+
   /** The live code table (tombstones and superseded versions filtered out;
     * plain scan until the first delete / re-ingest).
     */

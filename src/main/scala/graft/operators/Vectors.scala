@@ -302,6 +302,12 @@ object Vectors {
   def deleteFromIvfIndex(spark: SparkSession, indexDir: String, ids: Seq[Long]): Unit =
     Lifecycle.delete(spark, indexDir, ids)
 
+  /** Purging compaction of the cell table — live rows only, markers retired,
+    * one file per cell directory again. See [[Lifecycle.vacuum]].
+    */
+  def vacuumIvfIndex(spark: SparkSession, indexDir: String): Unit =
+    Lifecycle.vacuum(spark, indexDir, Seq("cells" -> Seq("cell")))
+
   /** The live cell table (tombstones and superseded versions filtered out;
     * plain scan until the first delete / re-ingest). The partition column
     * comes back inference-typed — cast to long so cell ids (seed vec_ids)

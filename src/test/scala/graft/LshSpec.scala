@@ -293,6 +293,63 @@ class LshSpec extends SparkSpec {
     assert(got == ref, "upserted index must match a rebuild with the new content")
   }
 
+  test("vacuum purges dead rows, retires markers, and preserves search exactly") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = Lsh.fit(emb, tables = 8, bits = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-vac").toString
+    Index.build(spark, emb, model, dir, numBuckets = 16)
+    // lifecycle debt: one tombstoned id + one changed-content upsert
+    val deleted = 42L
+    val upserted = 43L
+    Index.delete(spark, dir, Seq(deleted))
+    val changed = emb.filter(col("vec_id") === upserted)
+      .withColumn("embedding", transform(col("embedding"), x => (-x).cast("float")))
+    Index.append(spark, dir, changed)
+    val before = Knn.searchIndex(spark, dir, 4, 100, 10).collect().map(_.toSeq).toSeq
+    val liveCount = Index.liveVectors(spark, dir).count()
+
+    Index.vacuum(spark, dir)
+
+    // markers retired; raw tables hold exactly the live rows
+    assert(!new java.io.File(s"$dir/tombstones").exists)
+    assert(!new java.io.File(s"$dir/superseded").exists)
+    assert(Index.vectors(spark, dir).count() == liveCount)
+    val rawVecs = Index.vectors(spark, dir).collect()
+    assert(!rawVecs.exists(_.getLong(0) == deleted), "tombstoned vector survived")
+    assert(rawVecs.count(_.getLong(0) == upserted) == 1, "superseded version survived")
+    assert(!Index.postings(spark, dir).collect().exists(_.getLong(0) == deleted),
+      "tombstoned postings survived")
+    // search identical to the pre-vacuum live view
+    val after = Knn.searchIndex(spark, dir, 4, 100, 10).collect().map(_.toSeq).toSeq
+    assert(after == before, "vacuum changed search results")
+    // post-vacuum append still works: fresh batch generation, id resurfaces
+    Index.append(spark, dir, emb.filter(col("vec_id") === deleted))
+    assert(Index.lookup(Index.liveVectors(spark, dir), deleted).count() == 1)
+  }
+
+  test("vacuum recovers from a crash that interrupted the part swaps") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = Lsh.fit(emb, tables = 4, bits = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-vac-crash").toString
+    Index.build(spark, emb, model, dir, numBuckets = 8)
+    Index.delete(spark, dir, Seq(42L))
+    val want = Knn.searchIndex(spark, dir, 4, 50, 5).collect().map(_.toSeq).toSeq
+    // Crash state A: vectors purged+promoted, postings staged aside and never
+    // promoted, markers still present — the worst mixed state a crash between
+    // part swaps can leave.
+    val live = new java.io.File(s"$dir/postings")
+    val old = new java.io.File(s"$dir/postings_old")
+    assert(live.renameTo(old))
+    Index.vacuum(spark, dir)
+    assert(!old.exists() && !new java.io.File(s"$dir/postings_compacting").exists())
+    assert(!new java.io.File(s"$dir/tombstones").exists)
+    val got = Knn.searchIndex(spark, dir, 4, 50, 5).collect().map(_.toSeq).toSeq
+    assert(got == want, "recovered vacuum must preserve the live results")
+    assert(!Index.postings(spark, dir).collect().exists(_.getLong(0) == 42L))
+  }
+
   test("append recovers a tombstone swap that crashed between the renames") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

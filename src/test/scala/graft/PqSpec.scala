@@ -130,6 +130,16 @@ class PqSpec extends SparkSpec {
     val wantCodes = model.encode(changed.collect()(0).getSeq[Float](1).toArray).toSeq
     assert(v7.head._2 == wantCodes, "upserted row not encoded from the new embedding")
     assert(!codes(incr).exists(_._1 == 42L), "append resurrected an unrelated delete")
+
+    // Vacuum: identical live codes, dead rows physically gone, markers
+    // retired, and the flat code table is back to a plain-scan read.
+    val liveBefore = codes(incr)
+    Pq.vacuumPqIndex(spark, incr)
+    assert(codes(incr) == liveBefore, "vacuum changed the live code set")
+    assert(!new java.io.File(s"$incr/tombstones").exists)
+    assert(!new java.io.File(s"$incr/superseded").exists)
+    assert(spark.read.parquet(s"$incr/codes").count() == liveBefore.size,
+      "dead code rows survived the vacuum")
   }
 
   test("ivfpq index lifecycle: append equals rebuild under fixed models") {

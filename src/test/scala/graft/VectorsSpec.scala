@@ -143,5 +143,19 @@ class VectorsSpec extends SparkSpec {
     assert(v7.head._2 == wantCell, "upserted row not assigned by the new embedding")
     // and the delete from before still holds after the append's tombstone pass
     assert(!cells(incr).exists(_._1 == 42L), "append resurrected an unrelated delete")
+
+    // Vacuum: live view unchanged, but physically — tombstoned / superseded
+    // rows gone from the raw cell table and the marker dirs retired.
+    val liveBefore = cells(incr)
+    Vectors.vacuumIvfIndex(spark, incr)
+    assert(cells(incr) == liveBefore, "vacuum changed the live row set")
+    assert(!new java.io.File(s"$incr/tombstones").exists)
+    assert(!new java.io.File(s"$incr/superseded").exists)
+    val raw = spark.read.parquet(s"$incr/cells")
+    assert(raw.count() == liveBefore.size, "dead rows survived the vacuum")
+    // appends still work afterwards (batch markers kept → fresh generation)
+    Vectors.appendIvfIndex(spark, incr, Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") === 42L))
+    assert(cells(incr).exists(_._1 == 42L), "post-vacuum append not served")
   }
 }
