@@ -667,6 +667,50 @@ object Text {
       |FROM tr JOIN ev ON tr.g = ev.g
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** q82 — token-rarity scoring: rank documents by how rare their vocabulary
+    * is against the CORPUS unigram distribution (the cheap stand-in for
+    * LM-perplexity quality filtering: a doc of very rare tokens is jargon /
+    * noise; a doc of only stopwords is boilerplate). Two hash aggregates and
+    * one token-keyed equi-join — the frequency table is vocabulary-sized and
+    * aggregates map-side before the shuffle; at 100 TB nothing wider than
+    * (doc_id, token) rows ever moves.
+    *
+    * Determinism discipline: each token's rarity is scaled to an integer
+    * (`round(1e6 * N / cnt)`) BEFORE the sum, so the aggregate is an
+    * order-independent BIGINT sum — only +,*,/ IEEE ops (correctly rounded,
+    * engine-identical), never a transcendental whose libm could differ.
+    */
+  def tokenRarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val totals = freq.agg(sum(col("cnt")).as("ntotal"))
+    tok.join(freq, "t")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("doc_id"),
+        round(col("ntotal") * lit(1e6) / col("cnt"), 0).cast("long").as("r"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("r")).as("rarity_sum"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("rarity_sum"),
+        round(col("rarity_sum") / col("n_tokens") / lit(1e6), 4).as("avg_rarity"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenRarityOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |freq AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS ntotal FROM freq)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       CAST(sum(CAST(round(ntotal * 1000000.0 / cnt, 0) AS BIGINT)) AS BIGINT)
+      |         AS rarity_sum,
+      |       round(CAST(sum(CAST(round(ntotal * 1000000.0 / cnt, 0) AS BIGINT)) AS BIGINT)
+      |             / count(*) / 1000000.0, 4) AS avg_rarity
+      |FROM tok JOIN freq USING (t) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q36 — language-ID heuristic (no oracle): character n-gram marker
     * scoring. The fixture corpus is language-less word soup (31-word shared
     * vocab), so this is exercised for determinism + plumbing; on real text
@@ -710,7 +754,8 @@ object Text {
     "q77_shingle_neardups" -> ((s: SparkSession, d: String) => shingleNearDups(s, d)),
     "q78_neardedup_corpus" -> ((s: SparkSession, d: String) => nearDedupCorpus(s, d)),
     "q79_repetition_stats" -> (repetitionStats _),
-    "q80_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)))
+    "q80_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
+    "q82_token_rarity" -> (tokenRarity _))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> tokenStatsOracle,
@@ -719,5 +764,6 @@ object Text {
     "q33_jaccard_pairs" -> jaccardPairsOracle(),
     "q39_dedup_corpus" -> dedupCorpusOracle,
     "q79_repetition_stats" -> repetitionStatsOracle,
-    "q80_decontaminate" -> decontaminateOracle)
+    "q80_decontaminate" -> decontaminateOracle,
+    "q82_token_rarity" -> tokenRarityOracle)
 }

@@ -117,6 +117,38 @@ object Streams {
       .start()
   }
 
+  /** Streaming IVF ingest — the [[postingsSink]] twin for the cell-
+    * partitioned layout: vectors arrive on a stream, are assigned to their
+    * coarse cell with the STORED quantizer (the same narrow codegen map the
+    * batch build uses — the centroid set rides the plan as a reference
+    * object, so assignment is executor-parallel with no join and no
+    * shuffle), and land in the SAME cell-partitioned layout
+    * [[graft.operators.Vectors.buildIvfIndexWith]] writes. Searches prune
+    * streamed cells exactly like batch-built ones. StreamingSpec proves the
+    * streamed layout is row-identical to the batch build.
+    */
+  def cellsSink(
+      spark: SparkSession,
+      srcDir: String,
+      cents: graft.operators.CentroidSet,
+      outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = true)),
+      StructField("label", IntegerType)))
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    graft.operators.Vectors.assignCellsWith(stream, cents)
+      .withColumn(graft.operators.Lifecycle.BatchCol, lit(0L))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("cell")
+      .outputMode("append")
+      .start()
+  }
+
   /** Stream-stream INTERVAL JOIN (attribution): each purchase joins the
     * same user's clicks from the preceding hour. Works unchanged on static
     * frames (the unified Dataset API) — StreamingSpec replays the fixture

@@ -89,6 +89,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 500 * 4)
   }
 
+  test("streamed cells sink writes the exact batch IVF layout") {
+    val src = Files.createTempDirectory("graft-cstream").toString
+    Files.copy(Paths.get(sf0001, "embeddings.parquet"),
+      Paths.get(src, "embeddings.parquet"))
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = graft.operators.Vectors.quantizer(spark, emb, cells = 16)
+    val outDir = Files.createTempDirectory("graft-cstream-out").toString
+    val ckpt = Files.createTempDirectory("graft-cstream-ckpt").toString
+    val q = Streams.cellsSink(spark, src, cents, outDir, ckpt)
+    try q.processAllAvailable()
+    finally q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.get(1).toString.toLong)).toSet
+    val streamed = key(spark.read.parquet(outDir))
+    val batchDir = Files.createTempDirectory("graft-cbatch").toString
+    graft.operators.Vectors.buildIvfIndexWith(spark, emb, cents, batchDir)
+    val batch = key(spark.read.parquet(s"$batchDir/cells"))
+    assert(streamed == batch)
+    assert(streamed.size == 500)
+  }
+
   test("stream-stream interval join matches the batch run of the same code") {
     val dirA = stageEventsDir()
     val dirB = stageEventsDir()
