@@ -711,6 +711,89 @@ object Text {
       |FROM tok JOIN freq USING (t) CROSS JOIN tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q83 — the end-to-end corpus-cleaning API (the single call a pretraining
+    * pipeline makes before tokenization): exact dedup + length + repetition +
+    * top-token + stopword-ratio filters composed into one pass. Survivors
+    * are the canonical copy of each distinct text that clears every quality
+    * threshold — the composition of [[dedupCorpus]] (q39), [[repetitionStats]]
+    * (q79) and [[qualityScores]] (q31), each oracle-verified separately.
+    *
+    * Scale shape: all quality stats are per-document array ops inside ONE
+    * codegen'd projection (narrow map — the corpus is scanned once, no
+    * explode); the only shuffle is the 40-byte digest-pair dedup aggregate
+    * (never the text), and the keep decision semi-joins doc ids only. At
+    * 100 TB this is one scan + one digest-keyed shuffle — the minimum any
+    * content-level dedup can do.
+    *
+    * Thresholds are calibrated to the fixtures (each filter drops >0 docs at
+    * sf0.01 so the gate exercises every stage); real corpora use the
+    * published MassiveText/Gopher cut-offs.
+    */
+  def cleanCorpus(
+      spark: SparkSession,
+      sfDir: String,
+      minTokens: Int = 15,
+      maxDupBigramFrac: Double = 0.1,
+      maxTopTokFrac: Double = 0.2,
+      maxStopRatio: Double = 0.2): DataFrame = {
+    val doc = Tables.documents(spark, sfDir)
+    val ts = col("ts")
+    val bigrams = transform(
+      sequence(lit(1), size(ts) - 1),
+      i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1)))
+    val topTok = array_max(transform(array_distinct(ts),
+      x => size(filter(ts, y => y === x))))
+    val canon = doc
+      .select(
+        col("doc_id"),
+        xxhash64(col("text")).as("h64"),
+        sha2(col("text"), 256).as("h256"))
+      .groupBy(col("h64"), col("h256"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    doc
+      .withColumn("ts", tokens(col("text")))
+      .select(
+        col("doc_id"), col("lang"),
+        size(ts).cast("long").as("n_tokens"),
+        (size(ts) - 1).cast("long").as("n_bigrams"),
+        size(array_distinct(bigrams)).cast("long").as("n_distinct_bigrams"),
+        topTok.cast("long").as("top_tok"),
+        size(filter(ts, t => t.isin(stopwords: _*))).cast("long").as("n_stop"))
+      .filter(
+        col("n_tokens") >= minTokens &&
+          (col("n_bigrams") - col("n_distinct_bigrams")) / col("n_bigrams") <= maxDupBigramFrac &&
+          col("top_tok") / col("n_tokens") <= maxTopTokFrac &&
+          col("n_stop") / col("n_tokens") <= maxStopRatio)
+      .join(canon, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val cleanCorpusOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, text, string_split(text, ' ') AS ts FROM documents),
+      |stats AS (
+      |  SELECT doc_id, lang, text,
+      |         CAST(len(ts) AS BIGINT) AS n_tokens,
+      |         CAST(len(ts) - 1 AS BIGINT) AS n_bigrams,
+      |         CAST(len(list_distinct(
+      |           [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]))
+      |           AS BIGINT) AS n_distinct_bigrams,
+      |         CAST(list_max(list_transform(list_distinct(ts),
+      |           x -> len(list_filter(ts, y -> y = x)))) AS BIGINT) AS top_tok,
+      |         CAST(len(list_filter(ts, t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+      |  FROM tok),
+      |canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+      |SELECT doc_id, lang, n_tokens
+      |FROM stats
+      |WHERE doc_id IN (SELECT doc_id FROM canon)
+      |  AND n_tokens >= 15
+      |  AND (n_bigrams - n_distinct_bigrams) / n_bigrams <= 0.1
+      |  AND top_tok / n_tokens <= 0.2
+      |  AND n_stop / n_tokens <= 0.2
+      |ORDER BY doc_id""".stripMargin
+
   /** q36 — language-ID heuristic (no oracle): character n-gram marker
     * scoring. The fixture corpus is language-less word soup (31-word shared
     * vocab), so this is exercised for determinism + plumbing; on real text
@@ -755,7 +838,8 @@ object Text {
     "q78_neardedup_corpus" -> ((s: SparkSession, d: String) => nearDedupCorpus(s, d)),
     "q79_repetition_stats" -> (repetitionStats _),
     "q80_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
-    "q82_token_rarity" -> (tokenRarity _))
+    "q82_token_rarity" -> (tokenRarity _),
+    "q83_clean_corpus" -> ((s: SparkSession, d: String) => cleanCorpus(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> tokenStatsOracle,
@@ -765,5 +849,6 @@ object Text {
     "q39_dedup_corpus" -> dedupCorpusOracle,
     "q79_repetition_stats" -> repetitionStatsOracle,
     "q80_decontaminate" -> decontaminateOracle,
-    "q82_token_rarity" -> tokenRarityOracle)
+    "q82_token_rarity" -> tokenRarityOracle,
+    "q83_clean_corpus" -> cleanCorpusOracle)
 }

@@ -155,6 +155,28 @@ class TextSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should plant cross-split contamination")
   }
 
+  test("clean corpus: survivors are exactly the canonical docs passing every filter") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val canon = docs.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    val expected = docs.filter { case (id, text) =>
+      val ts = text.split(" ").toSeq
+      val bigrams = ts.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val dupFrac =
+        if (bigrams.isEmpty) 0.0
+        else (bigrams.size - bigrams.distinct.size).toDouble / bigrams.size
+      val topFrac = ts.groupBy(identity).values.map(_.size).max.toDouble / ts.size
+      val stopFrac = ts.count(Seq("the", "a").contains).toDouble / ts.size
+      canon(id) && ts.size >= 15 && dupFrac <= 0.1 && topFrac <= 0.2 && stopFrac <= 0.2
+    }.map(_._1).toSet
+    val got = Text.cleanCorpus(spark, sf0001).collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).toSeq.sorted.take(5)} extra=${(got -- expected).toSeq.sorted.take(5)}")
+    // the gate must exercise the filters: something survives, something drops
+    assert(expected.nonEmpty && expected.size < docs.length)
+  }
+
   test("exact dedup: synthetic duplicates collapse to canonical id") {
     import spark.implicits._
     val df = Seq(
