@@ -3,6 +3,7 @@ package graft.operators
 import java.io.File
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -160,6 +161,66 @@ object Sources {
       |               ELSE 30 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** q86 — sequence packing: lay documents head-to-tail per source shard and
+    * cut fixed token-budget context windows (the GPT-style "concat and chunk
+    * every T tokens" batch-prep step; documents may straddle a cut). Gate
+    * output is the per-(source, bin) packing summary: docs started, tokens
+    * contributed, boundary straddles — the fill diagnostics a training
+    * pipeline monitors.
+    *
+    * Scale shape: the running total is a window sum PARTITIONED BY source
+    * shard ordered by the stable doc id — each shard packs independently and
+    * in parallel (a single global ordering would serialize the corpus
+    * through one sort; sharded packing is what pipelines actually do, one
+    * stream per shard). One shuffle on the shard key, then a map-side
+    * partial agg. All arithmetic is integer counts and one exact
+    * floor-division — engine-identical.
+    */
+  def packSequences(
+      spark: SparkSession,
+      sfDir: String,
+      budget: Int = 512): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(
+        col("source"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)).as("bin"),
+        (floor((col("cum") - 1) / lit(budget.toDouble)) >
+          floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)))
+          .cast("long").as("straddle"))
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("straddle")).as("n_straddle"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  val packSequencesOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+      |           AS BIGINT) AS cum
+      |  FROM tok)
+      |SELECT source,
+      |       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(sum(CASE WHEN floor((cum - 1) / 512.0) >
+      |                          floor((cum - n_tokens) / 512.0)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+      |FROM c
+      |GROUP BY source, bin
+      |ORDER BY source, bin""".stripMargin
+
   /** q49 — doc GET by id (SURVEY §2.B scans row): the point lookup the
     * parquet source serves via row-group min/max stats — the pushed
     * `doc_id = 42` predicate skips every row group whose id range excludes
@@ -184,7 +245,8 @@ object Sources {
     "q53_csv_source" -> (csvSource _),
     "q69_orc_source" -> (orcSource _),
     "q70_train_split" -> (trainSplit _),
-    "q81_stratified_sample" -> (stratifiedSample _))
+    "q81_stratified_sample" -> (stratifiedSample _),
+    "q86_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q49_doc_get" -> docGetOracle,
@@ -192,5 +254,6 @@ object Sources {
     "q53_csv_source" -> csvSourceOracle,
     "q69_orc_source" -> orcSourceOracle,
     "q70_train_split" -> trainSplitOracle,
-    "q81_stratified_sample" -> stratifiedSampleOracle)
+    "q81_stratified_sample" -> stratifiedSampleOracle,
+    "q86_pack_sequences" -> packSequencesOracle)
 }

@@ -26,6 +26,8 @@ object IndexTiming {
       r
     }
     val dir = time("ensure (cold or cached)") { Index.ensure(spark, sfDir) }
+    time("kmeans fit (cold)") { graft.operators.Vectors.kmeansModel(spark, sfDir) }
+    time("kmeans fit (memoized)") { graft.operators.Vectors.kmeansModel(spark, sfDir) }
     time("search warm 1") { Knn.searchIndex(spark, dir, 8, 100, 10).count() }
     time("search warm 2") { Knn.searchIndex(spark, dir, 8, 100, 10).count() }
     time("multiprobe search") {

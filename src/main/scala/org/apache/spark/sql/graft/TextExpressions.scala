@@ -62,8 +62,45 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** One-pass repetition/quality counters per document (q79/q83 hot path):
+    * struct(n_tokens, n_distinct_bigrams, top_tok, n_stop) from a token
+    * array. Replaces a stack of CodegenFallback higher-order functions
+    * (transform/filter/array_distinct — O(distinct·n) interpreted closure
+    * dispatch per row) with one compiled hashing pass. The stopword set
+    * rides the plan as a reference object.
+    */
+  case class RepStats(child: Expression, stop: java.util.HashSet[UTF8String])
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("n_distinct_bigrams", LongType, nullable = false),
+      StructField("top_tok", LongType, nullable = false),
+      StructField("n_stop", LongType, nullable = false)))
+    override def prettyName: String = "rep_stats"
+
+    override def nullSafeEval(toks: Any): Any =
+      Text.repStatsArrayData(toks.asInstanceOf[ArrayData], stop)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("stopSet", stop, "java.util.HashSet")
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.operators.Text.repStatsArrayData($t, $ref);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def simhash(toks: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(toks)))
   def fingerprint(text: Column, gram: Int = 8): Column =
     ExpressionUtils.column(Fingerprint64(ExpressionUtils.expression(text), gram))
+
+  def repStats(toks: Column, stopwords: Seq[String]): Column = {
+    val set = new java.util.HashSet[UTF8String]()
+    stopwords.foreach(s => set.add(UTF8String.fromString(s)))
+    ExpressionUtils.column(RepStats(ExpressionUtils.expression(toks), set))
+  }
 }

@@ -81,6 +81,80 @@ class VectorsSpec extends SparkSpec {
     assert(nCells > 1 && nCells <= 16)
   }
 
+  test("kmeans clusters: sizes cover the corpus, stats match a driver recompute") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val got = Vectors.kmeansClusters(spark, sf0001, k = 8).collect()
+    assert(got.map(_.getLong(1)).sum == emb.count(), "cluster sizes must cover the corpus")
+    // same deterministic fit → same assignment → same per-cluster mean dist
+    val cents = Vectors.quantizer(spark, emb, 8, iterations = 3)
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum)
+    val byCell = rows.groupBy { case (_, v) => cents.nearestArray(v, 1)(0) }
+    got.foreach { r =>
+      val cell = r.getLong(0)
+      val members = byCell(cell)
+      assert(r.getLong(1) == members.length, s"cluster $cell size")
+      val centroid = cents.vecs(cents.ids.indexOf(cell))
+      val want = members.map { case (_, v) =>
+        math.round(l2(v, centroid) * 1e6) }.sum.toDouble / members.length / 1e6
+      assert(math.abs(r.getDouble(2) - want) <= 5.001e-5, s"cluster $cell avg dist")
+    }
+    // determinism across invocations (DetCheck covers partitioning variance)
+    val again = Vectors.kmeansClusters(spark, sf0001, k = 8).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("semantic near-dups: intra-cluster pairs, exact sims, correct ranking") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = Vectors.quantizer(spark, emb, Vectors.deriveK(emb), iterations = 3)
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cellOf = rows.map { case (id, v) => id -> cents.nearestArray(v, 1)(0) }.toMap
+    val vecOf = rows.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val got = Vectors.semanticNearDupPairs(spark, sf0001, k = 20).collect()
+    assert(got.length == 20)
+    got.foreach { r =>
+      val (i, j) = (r.getLong(0), r.getLong(1))
+      assert(cellOf(i) == cellOf(j) && cellOf(i) == r.getLong(2), s"pair ($i,$j) not intra-cluster")
+      assert(math.abs(r.getDouble(3) - cos(vecOf(i), vecOf(j))) < 1e-3)
+    }
+    // the emitted pairs are the TRUE top-20 among all intra-cluster pairs
+    val brute = (for {
+      (i, vi) <- rows; (j, vj) <- rows
+      if i < j && cellOf(i) == cellOf(j)
+    } yield ((i, j), cos(vi, vj))).sortBy { case ((i, j), s) => (-s, i, j) }
+      .take(20).map(_._1).toSet
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == brute)
+  }
+
+  test("semantic dedup corpus: planted near-dup embeddings collapse to lowest id") {
+    import spark.implicits._
+    // 3 well-separated base directions + planted near-copies of base 0
+    val dim = 8
+    def unit(axis: Int): Array[Float] = Array.tabulate(dim)(i => if (i == axis) 1f else 0f)
+    def jitter(v: Array[Float], eps: Float): Seq[Float] =
+      v.zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) eps else -eps) }.toSeq
+    val data = Seq(
+      (0L, unit(0).toSeq), (1L, unit(1).toSeq), (2L, unit(2).toSeq),
+      (10L, jitter(unit(0), 0.01f)), // near-dup of 0
+      (11L, jitter(unit(1), 0.01f)), // near-dup of 1
+      (12L, jitter(unit(2), 0.30f))) // NOT a near-dup (cos ~0.76)
+      .toDF("vec_id", "embedding")
+    val survivors = Vectors.semanticDedupCorpus(spark, data, threshold = 0.95, clusters = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.contains(0L) && survivors.contains(1L) && survivors.contains(2L))
+    assert(!survivors.contains(10L) && !survivors.contains(11L),
+      s"planted near-dups must drop: $survivors")
+    assert(survivors.contains(12L), "a sub-threshold vector must survive")
+  }
+
   test("lsh near-dup pairs: recall vs exact top-20, exact sims, determinism") {
     // Exact top-20 cosine pairs over the FULL sf0.001 corpus (500 vectors).
     val exact = Vectors.topCosinePairs(spark, sf0001, maxId = 1000, k = 20).collect()
