@@ -209,6 +209,46 @@ object Streams {
     out.toDF()
   }
 
+  /** Streaming twin of [[graft.operators.Text.cleanCorpus]] — the corpus-
+    * cleaning pipeline applied to documents AS THEY ARRIVE: the one-pass
+    * RepStats quality counters are a stateless narrow projection (identical
+    * codegen expression as batch), and exact dedup keys state by the same
+    * 40-byte digest pair the batch canon aggregate shuffles — the document
+    * text itself is never held in state. First-arrival wins; on an id-ordered
+    * replay that is exactly the batch min-id canon (StreamingSpec proves
+    * survivor-set equality). Production bounds the dedup state with
+    * `withWatermark` + `dropDuplicatesWithinWatermark` on ingest time, the
+    * [[dedupedEvents]] pattern.
+    */
+  def cleanStream(
+      spark: SparkSession,
+      dir: String,
+      minTokens: Int = 15,
+      maxDupBigramFrac: Double = 0.1,
+      maxTopTokFrac: Double = 0.2,
+      maxStopRatio: Double = 0.2): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("rs", org.apache.spark.sql.graft.TextExpressions.repStats(
+        split(col("text"), " "), graft.operators.Text.stopwords))
+      .withColumn("n_tokens", col("rs.n_tokens"))
+      .withColumn("n_bigrams", col("rs.n_tokens") - 1)
+      .filter(
+        col("n_tokens") >= minTokens &&
+          (col("n_bigrams") - col("rs.n_distinct_bigrams")) / col("n_bigrams") <= maxDupBigramFrac &&
+          col("rs.top_tok") / col("n_tokens") <= maxTopTokFrac &&
+          col("rs.n_stop") / col("n_tokens") <= maxStopRatio)
+      .withColumn("h64", xxhash64(col("text")))
+      .withColumn("h256", sha2(col("text"), 256))
+      .dropDuplicates("h64", "h256")
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the collected result table (test/dev harness; production uses a
     * durable sink + checkpoint).

@@ -119,6 +119,42 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"funnel should not join:\n$plan")
   }
 
+  test("clean corpus: stats are one codegen pass; only digests shuffle; text pruned after hash") {
+    val plan = planOf("q83_clean_corpus")
+    // the per-doc quality counters run as the rep_stats expression inside
+    // the scan projection — no explode, no corpus-wide distinct
+    assert(plan.contains("rep_stats"), s"q83 lost the one-pass counters:\n$plan")
+    assert(!plan.contains("Generate"), s"q83 explodes the corpus:\n$plan")
+    // the canon aggregate groups by the 40-byte digest pair, never the text
+    assert(plan.contains("xxhash64") && plan.contains("sha2"), plan)
+  }
+
+  test("kmeans gate: assignment is a narrow map over broadcast-small centroid stats") {
+    val plan = planOf("q84_kmeans_clusters")
+    // one broadcast join (k-row centroid table) is allowed; no SMJ, no
+    // cartesian, no window — the corpus-side work is scan + project + agg
+    assert(!plan.contains("SortMergeJoin"), s"q84 shuffles a corpus join:\n$plan")
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("nearest_cells"), s"q84 lost the codegen argmin:\n$plan")
+  }
+
+  test("semantic near-dups: the pair join is an equi-join on cell, never a cross product") {
+    val plan = planOf("q85_semantic_neardups")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"q85 plans an all-pairs product:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"q85 sorts the full pair set:\n$plan")
+  }
+
+  test("sequence packing: one exchange on the shard key, then window + partial agg") {
+    val plan = planOf("q86_pack_sequences")
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    // one hash exchange for the per-source window; the groupBy(source, bin)
+    // reuses that partitioning (source is a prefix of the grouping key) —
+    // plus the single-partition exchange for the final presentation sort
+    assert(exchanges <= 2, s"q86 shuffles more than shard + presentation:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
   test("pq adc scan reads only the 8-byte code column, never an embedding") {
     val plan = graft.operators.Pq.adcScanPlan(spark, sf0001)
       .queryExecution.executedPlan.toString

@@ -166,6 +166,20 @@ class StreamingSpec extends SparkSpec {
       s"late row leaked into the closed window: $rows")
   }
 
+  test("streaming corpus cleaning matches the batch cleanCorpus survivors") {
+    val dir = Files.createTempDirectory("graft-stream-docs").toString
+    Files.copy(Paths.get(sf0001, "documents.parquet"),
+      Paths.get(dir, "documents.parquet"))
+    val streamed = Streams.runToMemory(
+        spark, Streams.cleanStream(spark, dir), "cleaned", outputMode = "append")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.operators.Text.cleanCorpus(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // id-ordered replay → first-arrival dedup == batch min-id canon
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup emits at most one row per (user, event_type)") {
     val dir = stageEventsDir()
     val out = Streams.runToMemory(
