@@ -9,6 +9,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The generated-class cache defaults to 100 entries; 88 gate queries
+      // compile several codegen stages each, so the warm pass's classes get
+      // evicted before their timed run and a RANDOM later query pays the
+      // Janino recompilation (observed as multi-second spikes moving between
+      // queries across otherwise-identical runs). Size the cache to the
+      // query surface.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen/parquet-reader initialization shouldn't be

@@ -34,12 +34,15 @@ object Retrieval {
   val DefaultTerms: Seq[String] = Seq("dup", "vector", "hash")
 
   /** Per-(doc, term) frequencies for the query terms only — the probe of an
-    * inverted index. The `isin` filter is pushed into the scan side before
-    * the explode, so only query-term postings reach the aggregate.
+    * inverted index. The term filter runs INSIDE the token array before the
+    * explode (Catalyst cannot push a post-Generate predicate below the
+    * Generate itself), so the row stream widens only by each doc's query-
+    * term hits — a handful of rows per doc — instead of materializing every
+    * corpus token through the Generate.
     */
   private def termFreqs(doc: DataFrame, terms: Seq[String]): DataFrame =
-    doc.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .filter(col("t").isin(terms: _*))
+    doc.select(col("doc_id"),
+        explode(filter(tokens(col("text")), t => t.isin(terms: _*))).as("t"))
       .groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).as("tf"))
 
@@ -161,11 +164,109 @@ object Retrieval {
        |ORDER BY tf.doc_id""".stripMargin
   }
 
+  /** q88 — hybrid retrieval via reciprocal-rank fusion: the lexical TF-IDF
+    * ranking (integer scores, [[tfidfTopDocs]]'s discipline) fused with an
+    * embedding-cosine ranking against a query vector — the lexical+vector
+    * hybrid every Elasticsearch-with-kNN deployment (the reference's world)
+    * serves. RRF(d) = Σ_legs round(10⁹/(60+rank_leg(d))), summed as exact
+    * BIGINTs over the union of both top-`kRank` lists; docs absent from a
+    * leg contribute 0. Constant 60 per the published RRF formulation.
+    *
+    * Scale shape: each leg ends in a global top-`kRank` — planned as
+    * TakeOrderedAndProject (per-partition partial top-k, single bounded
+    * merge; never a full sort). Ranking then runs over ≤kRank rows, and the
+    * fusion join is bounded-×-bounded. The lexical leg touches only query-
+    * term postings; the vector leg is one narrow cosine map over the
+    * embedding scan (at index scale, swap in the IVF/PQ candidates — same
+    * fusion).
+    */
+  def rrfFusion(
+      spark: SparkSession,
+      sfDir: String,
+      terms: Seq[String] = DefaultTerms,
+      queryVecId: Long = 0,
+      kRank: Int = 50,
+      k: Int = 10,
+      rrfC: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val doc = Tables.documents(spark, sfDir)
+    val tf = termFreqs(doc, terms)
+    val n = doc.agg(count(lit(1)).as("n"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val idf = dfreq.crossJoin(broadcast(n))
+      .select(col("t"), round(log(col("n") / col("df")) * 10000).cast("long").as("idf4"))
+    val lexTop = tf.join(broadcast(idf), "t")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("idf4")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(kRank)
+    val lex = lexTop
+      .withColumn("r_lex", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("r_lex"))
+    val emb = Tables.embeddings(spark, sfDir)
+    val qv = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    val vecTop = emb.crossJoin(broadcast(qv))
+      .select(
+        col("vec_id").as("doc_id"),
+        org.apache.spark.sql.graft.VectorExpressions.cosine(col("embedding"), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id").asc)
+      .limit(kRank)
+    val vec = vecTop
+      .withColumn("r_vec", row_number()
+        .over(Window.orderBy(col("sim").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("r_vec"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        (coalesce(round(lit(1e9) / (lit(rrfC) + col("r_lex"))).cast("long"), lit(0L)) +
+          coalesce(round(lit(1e9) / (lit(rrfC) + col("r_vec"))).cast("long"), lit(0L)))
+          .as("rrf9"))
+      .orderBy(col("rrf9").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def rrfOracle(
+      terms: Seq[String] = DefaultTerms,
+      queryVecId: Long = 0,
+      kRank: Int = 50,
+      k: Int = 10,
+      rrfC: Int = 60): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |tf AS (
+       |  SELECT doc_id, t, count(*) AS tf FROM tok
+       |  WHERE t IN ($termList) GROUP BY doc_id, t),
+       |idf AS (
+       |  SELECT t, CAST(round(ln((SELECT count(*) FROM documents) / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS idf4
+       |  FROM tf GROUP BY t),
+       |lex AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY CAST(sum(tf.tf * idf.idf4) AS BIGINT) DESC, doc_id ASC) AS r
+       |  FROM tf JOIN idf USING (t) GROUP BY doc_id
+       |  ORDER BY r LIMIT $kRank),
+       |vec AS (
+       |  SELECT vec_id AS doc_id,
+       |         row_number() OVER (ORDER BY list_cosine_similarity(embedding,
+       |           (SELECT embedding FROM embeddings WHERE vec_id = $queryVecId)) DESC, vec_id ASC) AS r
+       |  FROM embeddings
+       |  ORDER BY r LIMIT $kRank),
+       |fused AS (
+       |  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+       |         CAST(coalesce(CAST(round(1000000000.0 / ($rrfC + lex.r)) AS BIGINT), 0)
+       |            + coalesce(CAST(round(1000000000.0 / ($rrfC + vec.r)) AS BIGINT), 0) AS BIGINT) AS rrf9
+       |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+       |SELECT doc_id, rrf9 FROM fused ORDER BY rrf9 DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_tfidf_search" -> ((s: SparkSession, d: String) => tfidfTopDocs(s, d)),
-    "q62_bm25_scores" -> ((s: SparkSession, d: String) => bm25Scores(s, d)))
+    "q62_bm25_scores" -> ((s: SparkSession, d: String) => bm25Scores(s, d)),
+    "q88_rrf_fusion" -> ((s: SparkSession, d: String) => rrfFusion(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q61_tfidf_search" -> tfidfOracle(),
-    "q62_bm25_scores" -> bm25Oracle())
+    "q62_bm25_scores" -> bm25Oracle(),
+    "q88_rrf_fusion" -> rrfOracle())
 }

@@ -258,7 +258,10 @@ object Text {
   def minhashSignaturesOf(tok: DataFrame, k: Int): DataFrame = {
     val seeds = explode(sequence(lit(0), lit(k - 1))).as("seed")
     tok.select(col("doc_id"), col("t"), seeds)
-      .withColumn("h", xxhash64(concat(col("seed").cast("string"), lit(":"), col("t"))))
+      // hash the (seed, unit) PAIR natively — xxhash64 chains its arguments,
+      // so no per-row string building; ~20M long→string conversions saved
+      // per signature pass at sf0.1
+      .withColumn("h", xxhash64(col("seed"), col("t")))
       .groupBy(col("doc_id"), col("seed"))
       .agg(min(col("h")).as("mh"))
   }
@@ -288,7 +291,8 @@ object Text {
     * hashes, then a |docs|-group hash aggregate) — NOT by exploding every
     * unit k ways, which shuffles k·|units| rows (measured 5× slower at
     * sf0.1 for k=32). Band hashes come straight off the wide row; the
-    * "seed:mh,..." encoding matches [[minhashSignaturesOf]] exactly.
+    * per-seed hash is the chained numeric xxhash64(seed, unit), matching
+    * [[minhashSignaturesOf]] exactly.
     */
   private def bandedNearDups(
       rawTok: DataFrame,
@@ -304,7 +308,7 @@ object Text {
     // is [[Materialize]]'s conf switch.
     val tok = Materialize.stable(rawTok)
     val hashCols = (0 until k).map(s =>
-      xxhash64(concat(lit(s.toString), lit(":"), col("t"))).as(s"h$s"))
+      xxhash64(lit(s), col("t")).as(s"h$s"))
     // set size rides the same aggregate as the k minima — one pass, not two
     val sig = tok.select(col("doc_id") +: hashCols: _*)
       .groupBy(col("doc_id"))
@@ -371,10 +375,11 @@ object Text {
       k: Int = 12,
       rowsPerBand: Int = 4,
       threshold: Double = 0.9,
-      // mod-2 sampling halves every downstream stage; with ~500 sampled
-      // shingles per fixture doc the estimator SD at jac .9 is ~.013, far
-      // from the planted-pair margin.
-      sampleMod: Int = 2): DataFrame = {
+      // mod-3 sampling cuts every downstream stage to a third; with ~330
+      // sampled shingles per fixture doc the estimator SD at jac .9 is
+      // ~.016 — still well inside the planted-pair margin (TextSpec's
+      // brute-force bound re-verified at this rate).
+      sampleMod: Int = 3): DataFrame = {
     val doc = Tables.documents(spark, sfDir)
     bandedNearDups(
       doc.select(col("doc_id"), explode(shingleSet(shingleLen, sampleMod)).as("t")),
@@ -398,7 +403,7 @@ object Text {
       k: Int = 12,
       rowsPerBand: Int = 4,
       threshold: Double = 0.9,
-      sampleMod: Int = 2): String = {
+      sampleMod: Int = 3): String = {
     val src = new java.io.File(s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
       s"$sfDir:${src.lastModified}:shpairs:$shingleLen:$k:$rowsPerBand:" +
@@ -825,6 +830,56 @@ object Text {
       |  AND n_stop / n_tokens <= 0.2
       |ORDER BY doc_id""".stripMargin
 
+  /** q87 — document chunking: split each document into fixed-length token
+    * windows with overlap (the RAG / pretraining chunker: chunkLen=64,
+    * stride=48 → 16-token overlap between consecutive chunks; a trailing
+    * chunk exists only if it contributes more than the overlap in new
+    * tokens). Gate output is the chunk catalog: ids, lengths, boundary
+    * tokens.
+    *
+    * Scale shape: chunk-count arithmetic and the slice are per-document
+    * array ops; the explode multiplies rows by ~len/stride but carries only
+    * (doc_id, chunk) — a narrow Generate with no shuffle at all (the gate's
+    * final sort is presentation-only). At 100 TB this is a pure scan-
+    * transform pass, embarrassingly parallel.
+    */
+  def chunkDocuments(
+      spark: SparkSession,
+      sfDir: String,
+      chunkLen: Int = 64,
+      stride: Int = 48): DataFrame = {
+    val minTail = chunkLen - stride
+    val nChunks = ceil(greatest(size(col("ts")) - minTail, lit(1)) / lit(stride.toDouble))
+      .cast("long")
+    Tables.documents(spark, sfDir)
+      .withColumn("ts", tokens(col("text")))
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("ts"), (col("chunk_id") * stride + 1).cast("int"), lit(chunkLen)).as("chunk"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        element_at(col("chunk"), 1).as("first_tok"),
+        element_at(col("chunk"), size(col("chunk"))).as("last_tok"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val chunkDocumentsOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |chunks AS (
+      |  SELECT doc_id,
+      |         CAST(i AS BIGINT) AS chunk_id,
+      |         ts[i*48+1 : i*48+64] AS chunk
+      |  FROM tok, LATERAL unnest(
+      |    range(0, CAST(ceil(greatest(len(ts)-16,1)/48.0) AS BIGINT))) AS t(i))
+      |SELECT doc_id, chunk_id,
+      |       CAST(len(chunk) AS BIGINT) AS n_tokens,
+      |       chunk[1] AS first_tok,
+      |       chunk[len(chunk)] AS last_tok
+      |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin
+
   /** q36 — language-ID heuristic (no oracle): character n-gram marker
     * scoring. The fixture corpus is language-less word soup (31-word shared
     * vocab), so this is exercised for determinism + plumbing; on real text
@@ -870,7 +925,8 @@ object Text {
     "q79_repetition_stats" -> (repetitionStats _),
     "q80_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
     "q82_token_rarity" -> (tokenRarity _),
-    "q83_clean_corpus" -> ((s: SparkSession, d: String) => cleanCorpus(s, d)))
+    "q83_clean_corpus" -> ((s: SparkSession, d: String) => cleanCorpus(s, d)),
+    "q87_chunk_documents" -> ((s: SparkSession, d: String) => chunkDocuments(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> tokenStatsOracle,
@@ -881,5 +937,6 @@ object Text {
     "q79_repetition_stats" -> repetitionStatsOracle,
     "q80_decontaminate" -> decontaminateOracle,
     "q82_token_rarity" -> tokenRarityOracle,
-    "q83_clean_corpus" -> cleanCorpusOracle)
+    "q83_clean_corpus" -> cleanCorpusOracle,
+    "q87_chunk_documents" -> chunkDocumentsOracle)
 }

@@ -19,6 +19,7 @@ object DetCheck {
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       val out = names.map { n =>

@@ -18,6 +18,7 @@ object QueryTiming {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try { graft.operators.Index.ensure(spark, sfDir) } catch { case _: Throwable => () }

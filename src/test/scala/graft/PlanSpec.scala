@@ -155,6 +155,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("rrf fusion: both rank legs end in a bounded top-k, never a full sort") {
+    val plan = planOf("q88_rrf_fusion")
+    val takes = plan.linesIterator.count(_.contains("TakeOrderedAndProject"))
+    assert(takes >= 2, s"expected partial top-k on both legs:\n$plan")
+  }
+
+  test("chunking is a narrow generate: no shuffle before the presentation sort") {
+    val plan = planOf("q87_chunk_documents")
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"q87 shuffles beyond the final sort:\n$plan")
+  }
+
   test("pq adc scan reads only the 8-byte code column, never an embedding") {
     val plan = graft.operators.Pq.adcScanPlan(spark, sf0001)
       .queryExecution.executedPlan.toString

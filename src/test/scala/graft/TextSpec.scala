@@ -19,10 +19,10 @@ class TextSpec extends SparkSpec {
   test("shingle near-dups: match brute force, and catch pairs token methods miss") {
     import org.apache.spark.sql.functions.{col, explode}
     // brute-force ground truth over the SAME sampled shingle universe the
-    // detector uses (mod-2 digest sampling — collected via the shared
+    // detector uses (mod-3 digest sampling — collected via the shared
     // shingleSet expression, so the universes cannot drift)
     val sh: Map[Long, Set[Long]] = Tables.documents(spark, sf0001)
-      .select(col("doc_id"), explode(Text.shingleSet(8, 2)).as("t"))
+      .select(col("doc_id"), explode(Text.shingleSet(8, 3)).as("t"))
       .collect().groupBy(_.getLong(0)).view
       .mapValues(_.map(_.getLong(1)).toSet).toMap
     val ids = sh.keys.toSeq.sorted
