@@ -86,6 +86,7 @@ object Index {
       model: Lsh.LshModel,
       outDir: String,
       numBuckets: Int = 64): Unit = {
+    Lifecycle.resetMarkers(spark, outDir) // stale markers would kill batch-0 rows
     Lsh.saveModel(spark, model, numBuckets, s"$outDir/model")
     val hashed = Lsh.withHashes(spark, embeddings, model)
       .select(col("vec_id"), col("embedding"), col("hashes"), lit(0L).as(BatchCol))

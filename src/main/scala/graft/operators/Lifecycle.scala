@@ -227,4 +227,20 @@ object Lifecycle {
     Seq("tombstones", "tombstones_rewriting", "superseded")
       .foreach(d => fs.delete(new Path(s"$indexDir/$d"), true))
   }
+
+  /** Reset ALL lifecycle marker state for a from-scratch rebuild into an
+    * existing directory. A full build stamps every row batch=0; stale
+    * `superseded/(id, live_from>0)` or `tombstones/` entries from the
+    * directory's previous life would silently kill those fresh rows (an
+    * id that was only ever upserted before the rebuild would vanish from
+    * the live view). Every build entry point calls this BEFORE writing.
+    * `appends/` resets too: batch numbering restarts with the new layout
+    * generation.
+    */
+  def resetMarkers(spark: SparkSession, indexDir: String): Unit = {
+    val fs = fsOf(spark, indexDir)
+    Seq("tombstones", "tombstones_old", "tombstones_rewriting",
+        "superseded", "appends")
+      .foreach(d => fs.delete(new Path(s"$indexDir/$d"), true))
+  }
 }

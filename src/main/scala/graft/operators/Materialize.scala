@@ -28,15 +28,42 @@ object Materialize {
   def reliable(spark: SparkSession): Boolean =
     spark.conf.getOption(ConfKey).exists(_.toBoolean)
 
+  /** Every frame pinned since the last [[releaseAll]] drain. Producers whose
+    * pinned frame escapes into a lazily-consumed query (the shingle unit
+    * table in [[Text.bandedNearDups]], the final labels in
+    * [[Components.connectedComponents]]) cannot release inline — without a
+    * registry each call leaks a corpus-scale block set for the session's
+    * lifetime (the r3-ADVICE leak class, generalized). Harness drain points:
+    * Bench between timed queries, Verify between dumps.
+    */
+  private val pinnedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
   /** Pin a frame; `eager` forces materialization now (otherwise the
     * caller's first action does).
     */
-  def stable(df: DataFrame, eager: Boolean = false): DataFrame =
-    if (reliable(df.sparkSession)) {
-      val p = df.persist(StorageLevel.DISK_ONLY)
-      if (eager) p.count()
-      p
-    } else df.localCheckpoint(eager)
+  def stable(df: DataFrame, eager: Boolean = false): DataFrame = {
+    val p =
+      if (reliable(df.sparkSession)) {
+        val d = df.persist(StorageLevel.DISK_ONLY)
+        if (eager) d.count()
+        d
+      } else df.localCheckpoint(eager)
+    pinnedFrames.add(p)
+    p
+  }
+
+  /** Drop blocks of every registered pin. Safe at any point where no pinned
+    * frame is still lazily pending (both release paths are idempotent, so
+    * frames already released inline by their producer are no-ops here).
+    */
+  def releaseAll(): Unit = {
+    var d = pinnedFrames.poll()
+    while (d != null) {
+      release(d)
+      d = pinnedFrames.poll()
+    }
+  }
 
   /** Drop a pinned frame's blocks once no consumer remains. Covers both
     * modes: `unpersist` clears a persisted plan's cache entry;

@@ -305,6 +305,7 @@ object Pq {
     * never touches an embedding byte (PlanSpec asserts the ReadSchema).
     */
   def buildPqIndex(spark: SparkSession, emb: DataFrame, model: PqModel, outDir: String): Unit = {
+    Lifecycle.resetMarkers(spark, outDir) // stale markers would kill batch-0 rows
     writePqModel(spark, model, s"$outDir/model")
     encode(spark, emb, model)
       .withColumn(Lifecycle.BatchCol, lit(0L))
@@ -427,6 +428,7 @@ object Pq {
       cents: CentroidSet,
       pq: PqModel,
       outDir: String): Unit = {
+    Lifecycle.resetMarkers(spark, outDir) // stale markers would kill batch-0 rows
     import spark.implicits._
     cents.ids.zip(cents.vecs.map(_.toSeq)).toSeq
       .toDF("cell", "centroid")

@@ -179,6 +179,12 @@ object Retrieval {
     * term postings; the vector leg is one narrow cosine map over the
     * embedding scan (at index scale, swap in the IVF/PQ candidates — same
     * fusion).
+    *
+    * A `queryVecId` with no embedding row makes the vector leg EMPTY and the
+    * fusion degrade to lexical-only (the 1-row broadcast query side is
+    * empty); the oracle's CROSS JOIN form reproduces exactly that, and its
+    * cosine leg casts to DOUBLE[] so both engines rank in double precision
+    * (a float-ulp rank swap would flip the integer RRF scores).
     */
   def rrfFusion(
       spark: SparkSession,
@@ -248,9 +254,12 @@ object Retrieval {
        |  ORDER BY r LIMIT $kRank),
        |vec AS (
        |  SELECT vec_id AS doc_id,
-       |         row_number() OVER (ORDER BY list_cosine_similarity(embedding,
-       |           (SELECT embedding FROM embeddings WHERE vec_id = $queryVecId)) DESC, vec_id ASC) AS r
-       |  FROM embeddings
+       |         row_number() OVER (ORDER BY
+       |           list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv)
+       |           DESC, vec_id ASC) AS r
+       |  FROM embeddings CROSS JOIN (
+       |    SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+       |    WHERE vec_id = $queryVecId) q
        |  ORDER BY r LIMIT $kRank),
        |fused AS (
        |  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,

@@ -261,6 +261,7 @@ object Vectors {
     * append ≡ rebuild is testable under one fixed model.
     */
   def buildIvfIndexWith(spark: SparkSession, emb: DataFrame, cents: CentroidSet, outDir: String): Unit = {
+    Lifecycle.resetMarkers(spark, outDir) // stale markers would kill batch-0 rows
     import spark.implicits._
     cents.ids.zip(cents.vecs.map(_.toSeq)).toSeq
       .toDF("cell", "centroid")
@@ -453,11 +454,30 @@ object Vectors {
       sfDir: String,
       k: Int = 0,
       iterations: Int = 3): CentroidSet = {
-    val emb = Tables.embeddings(spark, sfDir)
-    val kk = if (k > 0) k else deriveK(emb)
     val mtime = new java.io.File(s"$sfDir/embeddings.parquet").lastModified
-    kmeansCache.computeIfAbsent(s"$sfDir:$mtime:$kk:$iterations",
-      _ => quantizer(spark, emb, kk, iterations))
+    // Key by "auto", not the derived value — the Index.ensure discipline:
+    // the memoized path never pays the deriveK count() job.
+    val kKey = if (k > 0) k.toString else "auto"
+    kmeansCache.computeIfAbsent(s"$sfDir:$mtime:$kKey:$iterations", _ => {
+      // persisted model artifact (the Lsh.saveModel discipline: fit once,
+      // any session/engine reads it back) + per-JVM memo on top; the "auto"
+      // key spares even a fresh JVM the deriveK count when the artifact exists
+      val key = Index.cacheKey(s"$sfDir:$mtime:kmeans:$kKey:$iterations:v${Index.LayoutVersion}")
+      val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-kmeans-$key")
+      if (new java.io.File(dir, "_SUCCESS").exists())
+        loadCentroids(spark, dir.getAbsolutePath)
+      else {
+        val emb = Tables.embeddings(spark, sfDir)
+        val kk = if (k > 0) k else deriveK(emb)
+        val cents = quantizer(spark, emb, kk, iterations)
+        import spark.implicits._
+        cents.ids.zip(cents.vecs.map(_.toSeq)).toSeq
+          .toDF("cell", "centroid")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(dir.getAbsolutePath)
+        cents
+      }
+    })
   }
 
   /** q84 — k-means clustering over the embedding corpus (no SQL oracle —

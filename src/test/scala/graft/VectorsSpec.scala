@@ -81,6 +81,27 @@ class VectorsSpec extends SparkSpec {
     assert(nCells > 1 && nCells <= 16)
   }
 
+  test("in-place rebuild clears stale lifecycle markers (upserted and deleted ids live again)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = Vectors.quantizer(spark, emb, cells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-rebuild").toString
+    Vectors.buildIvfIndexWith(spark, emb, cents, dir)
+    // Mutate the layout: delete one id, upsert another (leaves a
+    // superseded/(7, live_from>0) marker and a tombstone for 42)
+    Vectors.deleteFromIvfIndex(spark, dir, Seq(42L))
+    val changed = emb.filter(col("vec_id") === 7L)
+      .withColumn("embedding", transform(col("embedding"), x => (-x).cast("float")))
+    Vectors.appendIvfIndex(spark, dir, changed)
+    // From-scratch rebuild into the SAME directory: every row is batch 0
+    // again; stale markers from the previous life must not kill them.
+    Vectors.buildIvfIndexWith(spark, emb, cents, dir)
+    val live = Vectors.liveCells(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(live.contains(42L), "rebuild must clear the old tombstone")
+    assert(live.contains(7L), "stale supersede marker killed the rebuilt batch-0 row")
+    assert(live.size == emb.count(), "rebuild must serve exactly the corpus")
+  }
+
   test("derived k keeps expected cluster size bounded across corpus scales") {
     // mirror of Lsh.deriveBits's spec (judge r3 finding #1): the cluster
     // count must grow with the corpus so per-cell pair work stays linear
