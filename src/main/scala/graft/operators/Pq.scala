@@ -402,6 +402,92 @@ object Pq {
         VectorExpressions.adc(col("query_id"), col("codes"), q.adcTables).as("approx_dist"))
   }
 
+  /** Scalar quantization (SQ8): each float32 dimension quantized to one byte
+    * on a per-dimension [min, max] grid — 4× compression with much higher
+    * per-dimension fidelity than PQ (256 levels per dim vs 16 centroids per
+    * 8-dim subspace). The standard middle rung of the compression ladder
+    * (flat 1× / SQ8 4× / PQ 32×, as in FAISS's public IndexScalarQuantizer):
+    * pick SQ8 when memory allows 1 byte/dim and recall must stay near-exact.
+    *
+    * Search reuses the ENTIRE ADC machinery: SQ8 is exactly PQ with m=dim
+    * one-dimensional subspaces and a K=256 arithmetic codebook
+    * (codebook[i][c] = min_i + c·scale_i), so [[SqModel.asPqModel]] feeds the
+    * same LUT build, codegen ADC scan, and exact re-rank as q64/q71 — one
+    * search implementation, three compression formats. Encoding is NOT the
+    * generic O(K) argmin though: the grid is arithmetic, so the code is a
+    * direct O(1) rint((x−min)/scale) per dimension ([[SqModel
+    * .encodeArrayData]], codegen via Sq8Encode) — at 100 TB encode is the
+    * whole ingest cost and a 256× argmin would dominate it.
+    */
+  case class SqModel(dim: Int, mins: Array[Float], scales: Array[Double]) {
+
+    def encodeArrayData(v: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
+      require(v.numElements() == dim, s"dim ${v.numElements()} != $dim")
+      val out = new Array[Byte](dim)
+      var i = 0
+      while (i < dim) {
+        val s = scales(i)
+        val c =
+          if (s == 0.0) 0 // constant dimension: every value decodes to min
+          else {
+            val x = math.rint((v.getFloat(i).toDouble - mins(i).toDouble) / s)
+            if (x < 0.0) 0 else if (x > 255.0) 255 else x.toInt
+          }
+        out(i) = c.toByte
+        i += 1
+      }
+      out
+    }
+
+    /** The equivalent PQ view (decode value of code c in dim i is
+      * min_i + c·scale_i, stored as Float like every corpus value) — lets
+      * SQ8 search reuse LUTs, the ADC codegen scan, and re-rank unchanged.
+      */
+    def asPqModel: PqModel = PqModel(dim, 256, 1,
+      Array.tabulate(dim)(i =>
+        Array.tabulate(256)(c => Array((mins(i) + c * scales(i)).toFloat))))
+  }
+
+  /** Per-dimension [min, max] over the corpus: one narrow posexplode + a
+    * dim-keyed partial aggregate (map-side combined; 64 groups move per
+    * partition regardless of corpus size). min/max are order-independent, so
+    * the model is bitwise identical on any partitioning — same determinism
+    * class as [[fit]].
+    */
+  def fitSq(emb: DataFrame): SqModel = {
+    val rows = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("pos")).collect()
+    SqModel(
+      rows.length,
+      rows.map(_.getFloat(1)),
+      rows.map(r => (r.getFloat(2).toDouble - r.getFloat(1).toDouble) / 255.0))
+  }
+
+  def encodeSq(spark: SparkSession, emb: DataFrame, model: SqModel): DataFrame =
+    emb.select(col("vec_id"),
+      VectorExpressions.sq8Encode(col("embedding"), model).as("codes"))
+
+  /** q90 — SQ8 ANN (no SQL oracle — quantization-dependent; pinned by
+    * PqSpec's code-bound, near-exact-recall, and full-rank-parity tests):
+    * asymmetric-distance scan over the 1-byte-per-dim codes → top-k1 →
+    * exact re-rank → top-k2. Output shape matches the other ANN gates.
+    */
+  def annSq8(
+      spark: SparkSession,
+      sfDir: String,
+      queryMaxId: Long = 8,
+      k1: Int = 100,
+      k2: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val sq = fitSq(emb)
+    val codes = encodeSq(spark, emb, sq)
+    val q = querySide(spark, emb, sq.asPqModel, queryMaxId)
+    val candidates = adcTopK1(codes.crossJoin(broadcast(q.queries)), q, k1)
+    rerank(candidates, emb, q, k2)
+  }
+
   /** Persisted IVF-PQ index: the classic composition (Jégou et al. §IVFADC)
     * — `centroids/` (the IVF coarse quantizer), `model/` (PQ codebooks), and
     * `codes/` (vec_id, codes) PARTITIONED BY cell. A query prunes to nprobe
@@ -528,7 +614,8 @@ object Pq {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_pq_ann" -> ((s: SparkSession, d: String) => annPq(s, d)),
     "q71_pq_ann_indexed" -> ((s: SparkSession, d: String) => annPqIndexed(s, d)),
-    "q72_ivfpq_ann" -> ((s: SparkSession, d: String) => annIvfPq(s, d)))
+    "q72_ivfpq_ann" -> ((s: SparkSession, d: String) => annIvfPq(s, d)),
+    "q90_sq8_ann" -> ((s: SparkSession, d: String) => annSq8(s, d)))
 
   val oracles: Map[String, String] = Map.empty
 }

@@ -752,6 +752,72 @@ object Text {
       |FROM tok JOIN freq USING (t) CROSS JOIN tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q89 — bigram-surprisal scoring: the SEQUENCE-model counterpart of
+    * [[tokenRarity]] (q82). Each document is scored by the mean inverse
+    * conditional probability of its bigrams under the corpus bigram model:
+    * surprisal(w1 w2) = C(w1·) / C(w1 w2), averaged per document. A doc of
+    * common words in never-seen-together order (shuffled/garbled text, the
+    * failure mode unigram rarity is blind to) scores high; fluent text
+    * scores near the corpus mean. This is the cheap deterministic stand-in
+    * for the KenLM-perplexity filter of the published pipelines (CCNet,
+    * Gopher): monotone in per-bigram perplexity without taking a log —
+    * transcendental-free so the BIGINT sums are bit-identical across engines.
+    *
+    * Scale shape (100 TB): the bigram frequency table is Zipf-bounded
+    * (≤ distinct bigrams, far below corpus size); prefix totals come from a
+    * window over that SMALL table, never the corpus. The corpus-side work is
+    * one narrow bigram generate (no corpus-wide distinct) + one equi-join
+    * against the frequency table (broadcast when vocabulary-sized) + one
+    * integer-sum aggregate — nothing wider than (doc_id, bigram) ever
+    * shuffles, matching the q82 discipline.
+    */
+  def bigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val bg = Tables.documents(spark, sfDir)
+      .withColumn("ts", tokens(col("text")))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(col("ts")) - 2),
+          i => concat_ws(" ", col("ts")(i), col("ts")(i + 1)))).as("b"))
+    val bfreq = bg.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+    // Prefix totals C(w1·) as a window over the (small) frequency table:
+    // each bigram's surprisal is scaled to an integer BEFORE the per-doc sum
+    // so the aggregate is an order-independent BIGINT sum (+,*,/ only).
+    val rar = bfreq
+      .withColumn("w1", split(col("b"), " ").getItem(0))
+      .withColumn("cp", sum(col("cb")).over(Window.partitionBy(col("w1"))))
+      .select(col("b"),
+        round(col("cp") * lit(1e6) / col("cb"), 0).cast("long").as("r"))
+    bg.join(rar, "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("r")).as("surprisal_sum"))
+      .select(
+        col("doc_id"), col("n_bigrams"), col("surprisal_sum"),
+        round(col("surprisal_sum") / col("n_bigrams") / lit(1e6), 4)
+          .as("avg_inv_prob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramSurprisalOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id,
+      |         unnest([ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS b
+      |  FROM tok),
+      |bfreq AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+      |rar AS (
+      |  SELECT b, CAST(round(sum(cb) OVER (PARTITION BY string_split(b, ' ')[1])
+      |                        * 1000000.0 / cb, 0) AS BIGINT) AS r
+      |  FROM bfreq)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       CAST(sum(r) AS BIGINT) AS surprisal_sum,
+      |       round(CAST(sum(r) AS BIGINT) / count(*) / 1000000.0, 4)
+      |         AS avg_inv_prob
+      |FROM bg JOIN rar USING (b)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q83 — the end-to-end corpus-cleaning API (the single call a pretraining
     * pipeline makes before tokenization): exact dedup + length + repetition +
     * top-token + stopword-ratio filters composed into one pass. Survivors
@@ -926,7 +992,8 @@ object Text {
     "q80_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
     "q82_token_rarity" -> (tokenRarity _),
     "q83_clean_corpus" -> ((s: SparkSession, d: String) => cleanCorpus(s, d)),
-    "q87_chunk_documents" -> ((s: SparkSession, d: String) => chunkDocuments(s, d)))
+    "q87_chunk_documents" -> ((s: SparkSession, d: String) => chunkDocuments(s, d)),
+    "q89_bigram_surprisal" -> (bigramSurprisal _))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> tokenStatsOracle,
@@ -938,5 +1005,6 @@ object Text {
     "q80_decontaminate" -> decontaminateOracle,
     "q82_token_rarity" -> tokenRarityOracle,
     "q83_clean_corpus" -> cleanCorpusOracle,
-    "q87_chunk_documents" -> chunkDocumentsOracle)
+    "q87_chunk_documents" -> chunkDocumentsOracle,
+    "q89_bigram_surprisal" -> bigramSurprisalOracle)
 }

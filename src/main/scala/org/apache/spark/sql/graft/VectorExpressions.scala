@@ -236,6 +236,32 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** SQ8 encoding (embedding → 1 byte per dimension) as a native expression:
+    * like [[PqEncode]], encode is the ingest cost of the index, so the
+    * direct rint((x−min)/scale) grid quantization loop ([[graft.operators
+    * .Pq.SqModel.encodeArrayData]], shared by eval and codegen) runs inside
+    * whole-stage codegen with the model as a plan reference object.
+    */
+  case class Sq8Encode(child: Expression, model: graft.operators.Pq.SqModel)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "sq8_encode"
+
+    override def nullSafeEval(v: Any): Any =
+      model.encodeArrayData(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("sqModel", model,
+        classOf[graft.operators.Pq.SqModel].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.encodeArrayData($v);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def l2(a: Column, b: Column): Column =
     ExpressionUtils.column(L2Distance(expr(a), expr(b)))
   def cosine(a: Column, b: Column): Column =
@@ -248,6 +274,8 @@ object VectorExpressions {
     ExpressionUtils.column(AdcDistance(expr(qid), expr(codes), tables))
   def pqEncode(v: Column, model: graft.operators.Pq.PqModel): Column =
     ExpressionUtils.column(PqEncode(expr(v), model))
+  def sq8Encode(v: Column, model: graft.operators.Pq.SqModel): Column =
+    ExpressionUtils.column(Sq8Encode(expr(v), model))
 
   private def expr(c: Column): Expression = ExpressionUtils.expression(c)
 }

@@ -142,6 +142,48 @@ class PqSpec extends SparkSpec {
       "dead code rows survived the vacuum")
   }
 
+  test("sq8: one byte per dim; decode error bounded by half a grid step") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val sq = Pq.fitSq(emb)
+    assert(sq.dim == 64)
+    val codes = Pq.encodeSq(spark, emb, sq).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val vecs = emb.select(col("vec_id"), col("embedding")).limit(50).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    vecs.foreach { case (id, v) =>
+      val c = codes(id)
+      assert(c.length == sq.dim, "one code byte per dimension (4x compression)")
+      v.indices.foreach { i =>
+        // Corpus values lie inside [min, max] by construction, so rint can
+        // miss by at most half a step (+ a float ULP from the stored decode).
+        val decoded = (sq.mins(i) + (c(i) & 0xff) * sq.scales(i)).toFloat
+        val tol = sq.scales(i) / 2 * 1.001 + 1e-6
+        assert(math.abs(decoded - v(i)) <= tol,
+          s"vec $id dim $i: |$decoded - ${v(i)}| > $tol")
+      }
+    }
+  }
+
+  test("sq8 ann: full-rank scan equals exact knn; default k1 near-exact recall") {
+    val exact = KnnExact.topK(spark, sf0001, queryMaxId = 8, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // k1 = corpus size ⇒ the exact re-rank sees every vector: the pair set
+    // must equal brute force regardless of quantization error.
+    val fullRank = Pq.annSq8(spark, sf0001, k1 = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fullRank == exact, "full-rank SQ8 must reduce to exact knn")
+    val got = Pq.annSq8(spark, sf0001).collect()
+    assert(got.forall(r => r.getLong(0) != r.getLong(1)), "self-match leaked")
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & gotPairs).size.toDouble / exact.size
+    // 256 levels/dim ⇒ quantization error ≪ inter-point distances: SQ8 at
+    // k1=100 should be near-exact (measured 1.0 on the fixtures), far above
+    // PQ's 0.7 bound — that fidelity gap is the reason the rung exists.
+    assert(recall >= 0.9, s"sq8 recall=$recall over ${exact.size} exact pairs")
+    val again = Pq.annSq8(spark, sf0001).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "nondeterministic")
+  }
+
   test("ivfpq index lifecycle: append equals rebuild under fixed models") {
     val emb = Tables.embeddings(spark, sf0001)
     val cents = graft.operators.Vectors.quantizer(
