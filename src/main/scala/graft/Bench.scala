@@ -40,6 +40,7 @@ object Bench {
       val idx = graft.operators.Index.ensure(spark, sfDir)
       graft.operators.Vectors.ensureIvfIndex(spark, sfDir)
       graft.operators.Pq.ensurePqIndex(spark, sfDir)
+      graft.operators.Pq.ensureSqIndex(spark, sfDir)
       graft.operators.Pq.ensureIvfPqIndex(spark, sfDir)
       // The persisted near-dup pairs stage output (q78 derives survivors
       // from it) — same prebuilt-artifact methodology as the indexes; the

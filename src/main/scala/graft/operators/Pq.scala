@@ -488,6 +488,99 @@ object Pq {
     rerank(candidates, emb, q, k2)
   }
 
+  /** Persisted SQ8 index: `model/` (dim, mins, scales — one row) + `codes/`
+    * (vec_id, codes), 4× smaller than the vectors parquet. Same [[Lifecycle]]
+    * semantics as the PQ layout (append with frozen grid, upsert supersede,
+    * tombstone delete, purging vacuum): the grid is fixed at build time —
+    * requantizing would invalidate every stored code, so distribution drift
+    * is a periodic-rebuild concern exactly as for PQ codebooks.
+    */
+  def buildSqIndex(spark: SparkSession, emb: DataFrame, model: SqModel, outDir: String): Unit = {
+    Lifecycle.resetMarkers(spark, outDir) // stale markers would kill batch-0 rows
+    writeSqModel(spark, model, s"$outDir/model")
+    encodeSq(spark, emb, model)
+      .withColumn(Lifecycle.BatchCol, lit(0L))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$outDir/codes")
+  }
+
+  def appendSqIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
+    val fs = Lifecycle.fsOf(spark, indexDir)
+    Lifecycle.recoverTombstoneSwap(fs, indexDir)
+    val batch = Lifecycle.allocateBatch(fs, indexDir)
+    val model = loadSqModel(spark, s"$indexDir/model")
+    encodeSq(spark, newVectors, model)
+      .withColumn(Lifecycle.BatchCol, lit(batch))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$indexDir/codes")
+    Lifecycle.finishAppend(spark, indexDir, newVectors, batch,
+      spark.read.parquet(s"$indexDir/codes"))
+  }
+
+  def deleteFromSqIndex(spark: SparkSession, indexDir: String, ids: Seq[Long]): Unit =
+    Lifecycle.delete(spark, indexDir, ids)
+
+  def vacuumSqIndex(spark: SparkSession, indexDir: String): Unit =
+    Lifecycle.vacuum(spark, indexDir, Seq("codes" -> Nil))
+
+  def liveSqCodes(spark: SparkSession, indexDir: String): DataFrame =
+    Lifecycle.live(spark, indexDir, spark.read.parquet(s"$indexDir/codes"))
+
+  private def writeSqModel(spark: SparkSession, model: SqModel, dir: String): Unit = {
+    import spark.implicits._
+    Seq((model.dim, model.mins.toSeq, model.scales.toSeq))
+      .toDF("dim", "mins", "scales")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+  }
+
+  def loadSqModel(spark: SparkSession, dir: String): SqModel = {
+    val r = spark.read.parquet(dir).collect()(0)
+    SqModel(r.getInt(0), r.getSeq[Float](1).toArray, r.getSeq[Double](2).toArray)
+  }
+
+  /** Build-once cache keyed like [[ensurePqIndex]]. */
+  def ensureSqIndex(spark: SparkSession, sfDir: String): String = {
+    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    val key = Index.cacheKey(s"$sfDir:${src.lastModified}:sq8:v${Index.LayoutVersion}")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-sq-index-$key")
+    if (!new java.io.File(dir, "codes/_SUCCESS").exists()) {
+      val emb = Tables.embeddings(spark, sfDir)
+      buildSqIndex(spark, emb, fitSq(emb), dir.getAbsolutePath)
+    }
+    dir.getAbsolutePath
+  }
+
+  /** q91 — SQ8 ANN against the PERSISTED code table: identical semantics to
+    * [[annSq8]] (deterministic fit ⇒ same codes ⇒ same results, spec-pinned),
+    * but the distance pass scans `codes/` — 1 byte per dimension — and only
+    * the k1 re-rank rows read a real embedding. The 100 TB plan: a
+    * 4×-compressed scan through whole-stage codegen (PlanSpec asserts the
+    * codes-only ReadSchema), near-exact recall.
+    */
+  def annSq8Indexed(
+      spark: SparkSession,
+      sfDir: String,
+      queryMaxId: Long = 8,
+      k1: Int = 100,
+      k2: Int = 10): DataFrame = {
+    val indexDir = ensureSqIndex(spark, sfDir)
+    val model = loadSqModel(spark, s"$indexDir/model")
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = querySide(spark, emb, model.asPqModel, queryMaxId)
+    val candidates = adcTopK1(liveSqCodes(spark, indexDir).crossJoin(broadcast(q.queries)), q, k1)
+    rerank(candidates, emb, q, k2)
+  }
+
+  /** The SQ8 phase-1 scan in isolation (PlanSpec: ReadSchema must contain
+    * codes and never embedding — the 4× working-set reduction is the point).
+    */
+  def sqScanPlan(spark: SparkSession, sfDir: String, queryMaxId: Long = 8): DataFrame = {
+    val indexDir = ensureSqIndex(spark, sfDir)
+    val model = loadSqModel(spark, s"$indexDir/model")
+    val q = querySide(spark, Tables.embeddings(spark, sfDir), model.asPqModel, queryMaxId)
+    liveSqCodes(spark, indexDir).crossJoin(broadcast(q.queries))
+      .select(col("query_id"), col("vec_id"),
+        VectorExpressions.adc(col("query_id"), col("codes"), q.adcTables).as("approx_dist"))
+  }
+
   /** Persisted IVF-PQ index: the classic composition (Jégou et al. §IVFADC)
     * — `centroids/` (the IVF coarse quantizer), `model/` (PQ codebooks), and
     * `codes/` (vec_id, codes) PARTITIONED BY cell. A query prunes to nprobe
@@ -615,7 +708,8 @@ object Pq {
     "q64_pq_ann" -> ((s: SparkSession, d: String) => annPq(s, d)),
     "q71_pq_ann_indexed" -> ((s: SparkSession, d: String) => annPqIndexed(s, d)),
     "q72_ivfpq_ann" -> ((s: SparkSession, d: String) => annIvfPq(s, d)),
-    "q90_sq8_ann" -> ((s: SparkSession, d: String) => annSq8(s, d)))
+    "q90_sq8_ann" -> ((s: SparkSession, d: String) => annSq8(s, d)),
+    "q91_sq8_ann_indexed" -> ((s: SparkSession, d: String) => annSq8Indexed(s, d)))
 
   val oracles: Map[String, String] = Map.empty
 }

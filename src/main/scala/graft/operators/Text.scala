@@ -818,6 +818,75 @@ object Text {
       |FROM bg JOIN rar USING (b)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q92 — collocation extraction: the top bigrams by LIFT, the ratio of
+    * observed to expected-under-independence frequency
+    * (lift(a b) = P(ab) / (P(a)·P(b)) = C(ab)·N / (C(a)·C(b)) — the PMI
+    * statistic without the log, so no transcendental enters the gate). The
+    * classic distributional-stats op for tokenizer-merge candidates and
+    * stop-phrase mining over a pretraining corpus.
+    *
+    * Determinism discipline: the scaled lift is computed as ONE rounding of
+    * an exact-in-double ratio — C(ab)·N·10⁴ stays < 2⁵³ at gate scales (and
+    * the scaladoc'd contract is counts-bounded: promote the scale factor to
+    * the agg key side if a corpus approaches it), both operands are integer-
+    * exact doubles, so both engines round the same value. Ties at equal lift
+    * break on the bigram string.
+    *
+    * Scale shape (100 TB): corpus-side work is the narrow bigram generate +
+    * two Zipf-bounded hash aggregates (bigram + unigram counts); the lift
+    * arithmetic runs entirely on the SMALL frequency table (two vocab-keyed
+    * joins of vocab-sized relations, broadcast in practice); the global
+    * top-k is TakeOrderedAndProject — nothing corpus-sized ever sorts.
+    */
+  def tokenLift(spark: SparkSession, sfDir: String, topK: Int = 50): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("ts", tokens(col("text")))
+    val uni = tok
+      .select(explode(col("ts")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).as("ntotal"))
+    val bf = tok
+      .filter(size(col("ts")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("ts")) - 2),
+        i => concat_ws(" ", col("ts")(i), col("ts")(i + 1)))).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cab"))
+    bf
+      .withColumn("w1", split(col("b"), " ").getItem(0))
+      .withColumn("w2", split(col("b"), " ").getItem(1))
+      .join(uni.select(col("t").as("w1"), col("c").as("ca")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("cb")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("b"), col("cab"),
+        round(col("cab") * col("ntotal") * lit(10000) / (col("ca") * col("cb")), 0)
+          .cast("long").as("lift4s"))
+      .orderBy(col("lift4s").desc, col("b").asc)
+      .limit(topK)
+      .select(col("b"), col("cab"), round(col("lift4s") / lit(1e4), 4).as("lift"))
+  }
+
+  val tokenLiftOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |uni AS (
+      |  SELECT t, count(*) AS c FROM (SELECT unnest(ts) AS t FROM tok) GROUP BY t),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS ntotal FROM uni),
+      |bf AS (
+      |  SELECT b, count(*) AS cab FROM (
+      |    SELECT unnest([ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS b
+      |    FROM tok WHERE len(ts) >= 2) GROUP BY b),
+      |lift AS (
+      |  SELECT b, cab,
+      |         CAST(round(CAST(cab * ntotal * 10000 AS DOUBLE)
+      |                    / CAST(ca.c * cb.c AS DOUBLE), 0) AS BIGINT) AS lift4s
+      |  FROM bf
+      |  JOIN uni ca ON ca.t = string_split(b, ' ')[1]
+      |  JOIN uni cb ON cb.t = string_split(b, ' ')[2]
+      |  CROSS JOIN tot)
+      |SELECT b, cab, round(lift4s / 10000.0, 4) AS lift
+      |FROM lift ORDER BY lift4s DESC, b LIMIT 50""".stripMargin
+
   /** q83 — the end-to-end corpus-cleaning API (the single call a pretraining
     * pipeline makes before tokenization): exact dedup + length + repetition +
     * top-token + stopword-ratio filters composed into one pass. Survivors
@@ -993,7 +1062,8 @@ object Text {
     "q82_token_rarity" -> (tokenRarity _),
     "q83_clean_corpus" -> ((s: SparkSession, d: String) => cleanCorpus(s, d)),
     "q87_chunk_documents" -> ((s: SparkSession, d: String) => chunkDocuments(s, d)),
-    "q89_bigram_surprisal" -> (bigramSurprisal _))
+    "q89_bigram_surprisal" -> (bigramSurprisal _),
+    "q92_token_lift" -> ((s: SparkSession, d: String) => tokenLift(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> tokenStatsOracle,
@@ -1006,5 +1076,6 @@ object Text {
     "q82_token_rarity" -> tokenRarityOracle,
     "q83_clean_corpus" -> cleanCorpusOracle,
     "q87_chunk_documents" -> chunkDocumentsOracle,
-    "q89_bigram_surprisal" -> bigramSurprisalOracle)
+    "q89_bigram_surprisal" -> bigramSurprisalOracle,
+    "q92_token_lift" -> tokenLiftOracle)
 }

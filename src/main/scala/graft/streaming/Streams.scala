@@ -149,6 +149,36 @@ object Streams {
       .start()
   }
 
+  /** Streaming quantized-code ingest — the [[postingsSink]]/[[cellsSink]]
+    * twin for the flat code-table layouts (PQ q71 / SQ8 q91): vectors
+    * arrive on a stream, are encoded with the STORED frozen codebooks/grid
+    * (the same narrow codegen expression the batch build uses — the model
+    * rides the plan as a reference object, executor-parallel, no shuffle),
+    * and land in the SAME `codes/` layout the batch builders write.
+    * StreamingSpec proves the streamed code table is row-identical to the
+    * batch build for both encoders.
+    */
+  def codesSink(
+      spark: SparkSession,
+      srcDir: String,
+      encoder: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = true)),
+      StructField("label", IntegerType)))
+    spark.readStream.schema(schema).parquet(srcDir)
+      .select(col("vec_id"), encoder(col("embedding")).as("codes"))
+      .withColumn(graft.operators.Lifecycle.BatchCol, lit(0L))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+  }
+
   /** Stream-stream INTERVAL JOIN (attribution): each purchase joins the
     * same user's clicks from the preceding hour. Works unchanged on static
     * frames (the unified Dataset API) — StreamingSpec replays the fixture

@@ -28,6 +28,9 @@ object IndexTiming {
     val dir = time("ensure (cold or cached)") { Index.ensure(spark, sfDir) }
     time("kmeans fit (cold)") { graft.operators.Vectors.kmeansModel(spark, sfDir) }
     time("kmeans fit (memoized)") { graft.operators.Vectors.kmeansModel(spark, sfDir) }
+    time("pq index ensure") { graft.operators.Pq.ensurePqIndex(spark, sfDir) }
+    time("sq8 index ensure") { graft.operators.Pq.ensureSqIndex(spark, sfDir) }
+    time("ivf-pq index ensure") { graft.operators.Pq.ensureIvfPqIndex(spark, sfDir) }
     time("search warm 1") { Knn.searchIndex(spark, dir, 8, 100, 10).count() }
     time("search warm 2") { Knn.searchIndex(spark, dir, 8, 100, 10).count() }
     time("multiprobe search") {

@@ -176,4 +176,14 @@ class PlanSpec extends SparkSpec {
     assert(!scan.contains("embedding"), s"ADC scan reads embeddings: $scan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("sq8 scan reads only the 1-byte-per-dim code column, never an embedding") {
+    val plan = graft.operators.Pq.sqScanPlan(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.filter(_.contains("FileScan"))
+      .find(_.contains("codes")).getOrElse(fail(s"no codes scan:\n$plan"))
+    assert(scan.contains("codes:binary"), scan)
+    assert(!scan.contains("embedding"), s"SQ8 scan reads embeddings: $scan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

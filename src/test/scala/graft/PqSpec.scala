@@ -184,6 +184,40 @@ class PqSpec extends SparkSpec {
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "nondeterministic")
   }
 
+  test("indexed sq8 ann equals the inline path (same deterministic fit)") {
+    val inline = Pq.annSq8(spark, sf0001).collect().map(_.toSeq).toSeq
+    val indexed = Pq.annSq8Indexed(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(indexed == inline)
+  }
+
+  test("sq8 index lifecycle: append equals rebuild, delete removes, upsert replaces") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // One FIXED grid for both layouts (append quantizes with the stored
+    // model, so the rebuild twin must encode identically).
+    val model = Pq.fitSq(emb.filter(col("vec_id") < 400))
+    val incr = java.nio.file.Files.createTempDirectory("graft-sq-incr").toString
+    Pq.buildSqIndex(spark, emb.filter(col("vec_id") < 400), model, incr)
+    Pq.appendSqIndex(spark, incr, emb.filter(col("vec_id") >= 400))
+    val full = java.nio.file.Files.createTempDirectory("graft-sq-full").toString
+    Pq.buildSqIndex(spark, emb, model, full)
+    def codes(dir: String) = Pq.liveSqCodes(spark, dir)
+      .select("vec_id", "codes").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet
+    assert(codes(incr) == codes(full),
+      "appended SQ8 index must hold the same live codes as a rebuild")
+    Pq.deleteFromSqIndex(spark, incr, Seq(42L))
+    assert(!codes(incr).exists(_._1 == 42L), "deleted id still live")
+    val changed = emb.filter(col("vec_id") === 7L)
+      .withColumn("embedding", transform(col("embedding"), x => (-x).cast("float")))
+    Pq.appendSqIndex(spark, incr, changed)
+    val v7 = codes(incr).filter(_._1 == 7L)
+    assert(v7.size == 1, s"expected one live version of id 7, got ${v7.size}")
+    Pq.vacuumSqIndex(spark, incr)
+    assert(!codes(incr).exists(_._1 == 42L), "vacuum resurrected a delete")
+    assert(spark.read.parquet(s"$incr/codes").count() == codes(incr).size,
+      "dead code rows survived the vacuum")
+  }
+
   test("ivfpq index lifecycle: append equals rebuild under fixed models") {
     val emb = Tables.embeddings(spark, sf0001)
     val cents = graft.operators.Vectors.quantizer(

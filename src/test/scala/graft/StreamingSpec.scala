@@ -111,6 +111,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 500)
   }
 
+  test("streamed codes sink writes the exact batch PQ and SQ8 code tables") {
+    val emb = Tables.embeddings(spark, sf0001)
+    def streamed(encoder: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+      val src = Files.createTempDirectory("graft-qstream").toString
+      Files.copy(Paths.get(sf0001, "embeddings.parquet"),
+        Paths.get(src, "embeddings.parquet"))
+      val outDir = Files.createTempDirectory("graft-qstream-out").toString
+      val ckpt = Files.createTempDirectory("graft-qstream-ckpt").toString
+      val q = Streams.codesSink(spark, src, encoder, outDir, ckpt)
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.read.parquet(outDir).select("vec_id", "codes").collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toSet
+    }
+    val pq = graft.operators.Pq.fit(emb)
+    val pqBatch = graft.operators.Pq.encode(spark, emb, pq).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toSet
+    assert(streamed(org.apache.spark.sql.graft.VectorExpressions.pqEncode(_, pq)) == pqBatch)
+    val sq = graft.operators.Pq.fitSq(emb)
+    val sqBatch = graft.operators.Pq.encodeSq(spark, emb, sq).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toSet
+    assert(streamed(org.apache.spark.sql.graft.VectorExpressions.sq8Encode(_, sq)) == sqBatch)
+    assert(pqBatch.size == 500 && sqBatch.size == 500)
+  }
+
   test("stream-stream interval join matches the batch run of the same code") {
     val dirA = stageEventsDir()
     val dirB = stageEventsDir()
