@@ -179,6 +179,42 @@ object Streams {
       .start()
   }
 
+  /** INCREMENTAL streamed ingest into a LIVE index — the production loop
+    * that the batch-0 bootstrap sinks above feed: each arriving micro-batch
+    * of vectors is applied through [[graft.operators.Index.append]], so it
+    * allocates a fresh append generation, supersedes any re-ingested id, and
+    * resurfaces deleted ids — a concurrent [[graft.operators.Knn.searchIndex]]
+    * sees each micro-batch as soon as its append lands. This is the daily
+    * re-ingest story run continuously.
+    *
+    * Consistency contract: the file source + checkpoint give at-least-once
+    * micro-batch delivery, and append is UPSERT-CONVERGENT — a replayed
+    * micro-batch re-appends the same ids under a later generation, which
+    * supersedes the original rows, leaving the live view row-identical
+    * (spec-pinned). Replays can therefore duplicate storage rows but never
+    * search results; the storage debt is retired by the standard
+    * [[graft.operators.Index.vacuum]]. No transactional sink needed.
+    */
+  def liveAppendSink(
+      spark: SparkSession,
+      srcDir: String,
+      indexDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = true)),
+      StructField("label", IntegerType)))
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Empty triggers allocate nothing: append generations stay dense
+        // under idle polling.
+        if (!batch.isEmpty) graft.operators.Index.append(spark, indexDir, batch)
+      }
+      .start()
+  }
+
   /** Stream-stream INTERVAL JOIN (attribution): each purchase joins the
     * same user's clicks from the preceding hour. Works unchanged on static
     * frames (the unified Dataset API) — StreamingSpec replays the fixture

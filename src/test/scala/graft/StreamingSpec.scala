@@ -136,6 +136,46 @@ class StreamingSpec extends SparkSpec {
     assert(pqBatch.size == 500 && sqBatch.size == 500)
   }
 
+  test("live append sink: streamed micro-batches are searchable; replay converges") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = graft.operators.Lsh.fit(emb, tables = 4, bits = 6)
+    val idx = Files.createTempDirectory("graft-lstream-idx").toString
+    graft.operators.Index.build(
+      spark, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 300),
+      model, idx, numBuckets = 16)
+    def stage(src: String, lo: Long, hi: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-lstream-part").toString
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") >= lo)
+        .filter(org.apache.spark.sql.functions.col("vec_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(src, s"batch-$lo.parquet"))
+    }
+    val src = Files.createTempDirectory("graft-lstream-src").toString
+    val ckpt = Files.createTempDirectory("graft-lstream-ckpt").toString
+    val q = Streams.liveAppendSink(spark, src, idx, ckpt)
+    try {
+      stage(src, 300, 400) // two real micro-batches, observed in sequence
+      q.processAllAvailable()
+      stage(src, 400, 500)
+      q.processAllAvailable()
+    } finally q.stop()
+    def results(dir: String) =
+      graft.operators.Knn.searchIndex(spark, dir, 8, 100, 10)
+        .collect().map(_.toSeq).toSeq
+    val streamed = results(idx)
+    val full = Files.createTempDirectory("graft-lstream-full").toString
+    graft.operators.Index.build(spark, emb, model, full, numBuckets = 16)
+    assert(streamed == results(full),
+      "streamed appends must serve the same results as a full rebuild")
+    // A replayed micro-batch (at-least-once delivery) must not change what
+    // search serves: the replay's generation supersedes its original rows.
+    graft.operators.Index.append(spark, idx,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") >= 400))
+    assert(results(idx) == streamed, "replay changed live search results")
+  }
+
   test("stream-stream interval join matches the batch run of the same code") {
     val dirA = stageEventsDir()
     val dirB = stageEventsDir()
