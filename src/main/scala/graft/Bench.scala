@@ -50,6 +50,9 @@ object Bench {
       // lifecycle step like index builds; searches/analytics are what the
       // queries time. Fit cost is reported by tools/IndexTiming.
       graft.operators.Vectors.kmeansModel(spark, sfDir)
+      // BPE tokenizer training — a model fit like the k-means model above;
+      // q93 reads the learned merge table.
+      graft.operators.Bpe.trainCached(spark, sfDir)
       // One untimed single-query probe: search queries measure steady-state
       // latency, not the first-call codegen/plan compilation of the search
       // pipeline (standard warm-measurement methodology, same every round).

@@ -27,7 +27,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ Text.all ++ Events.all ++ Vectors.all ++ Media.all ++
       AsOf.all ++ Sources.all ++ Stats.all ++ Retrieval.all ++ Pq.all ++
-      Sketches.all ++ Components.all ++
+      Sketches.all ++ Components.all ++ Bpe.all ++
       Map[String, (SparkSession, String) => DataFrame](
       "q19_sql_vector_knn" -> ((s, dir) => KnnExact.topKSql(s, dir)),
       "q20_knn_exact" -> ((s, dir) => KnnExact.topK(s, dir)),

@@ -47,6 +47,14 @@ object RecallSweep {
       val bytes = m // one code byte per subspace
       println(f"RECALL pq m=$m%2d k=$k%3d k1=$k1%4d bytes=$bytes%3d recall@10=$recall%.3f")
     }
+    // SQ8: one point on the compression ladder (64 B/vector vs PQ's 4-16).
+    for (k1 <- Seq(50, 100)) {
+      val sq = Pq.annSq8(spark, sfDir, queryMaxId = 8, k1 = k1, k2 = 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & sq).size.toDouble / exact.size
+      println(f"RECALL sq8 k1=$k1%4d bytes= 64 recall@10=$recall%.3f")
+    }
     spark.stop()
   }
 }
