@@ -177,6 +177,41 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("selective fact-dim shuffle join takes a runtime bloom filter on the fact scan") {
+    // At cluster scale a selective dim filter should prune the FACT scan at
+    // runtime (Spark's runtime bloom filter), not just post-join — the scan
+    // reduction that matters when lineitem is 100 TB. The fixture tables sit
+    // below the default size thresholds and the dim side below the broadcast
+    // threshold, so thresholds are floored to prove our join SHAPE is
+    // eligible; at real scale the defaults fire on the same plan.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      import org.apache.spark.sql.functions._
+      val orders = Tables.orders(spark, sf001).filter(col("o_totalprice") > 500000.0)
+      val li = Tables.lineitem(spark, sf001)
+      val plan = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter on the fact side:\n$plan")
+      // The probe must sit on the FACT side, under the lineitem scan's join.
+      assert(plan.linesIterator.exists(l =>
+        l.contains("might_contain") && l.contains("l_orderkey")),
+        s"bloom probe not keyed on the fact join key:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("sq8 scan reads only the 1-byte-per-dim code column, never an embedding") {
     val plan = graft.operators.Pq.sqScanPlan(spark, sf0001)
       .queryExecution.executedPlan.toString
