@@ -116,9 +116,14 @@ object Bpe {
     */
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, Seq[Merge]]()
 
-  def trainCached(spark: SparkSession, sfDir: String, numMerges: Int = 12): Seq[Merge] =
-    memo.computeIfAbsent(s"$sfDir:$numMerges",
+  def trainCached(spark: SparkSession, sfDir: String, numMerges: Int = 12): Seq[Merge] = {
+    // Keyed on the fixture's mtime like every sibling artifact cache
+    // (kmeansModel, ensurePqIndex): an in-place regenerated corpus must
+    // retrain, not serve the old merge table.
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    memo.computeIfAbsent(s"$sfDir:${src.lastModified}:$numMerges",
       _ => train(spark, vocabulary(spark, sfDir), numMerges))
+  }
 
   /** q93 — the learned merge table (rows-only gate: the argmax loop is not
     * SQL-expressible in one query; pinned by BpeSpec determinism/golden/

@@ -149,6 +149,10 @@ object Index {
     // Clean up any crashed prior append's tombstone swap before touching
     // anything else, so this append starts from a consistent live set.
     Lifecycle.recoverTombstoneSwap(fs, indexDir)
+    // A postings dir bootstrapped by Streams.postingsSink carries a sink
+    // log that would hide batch-appended files from readers — retire it.
+    Lifecycle.adoptStreamedLayout(spark, indexDir, "postings", Seq(PKeyCol))
+    Lifecycle.adoptStreamedLayout(spark, indexDir, "vectors", Nil)
     val batch = Lifecycle.allocateBatch(fs, indexDir)
     val hashed = Lsh.withHashes(spark, newVectors, model)
       .select(col("vec_id"), col("embedding"), col("hashes"), lit(batch).as(BatchCol))

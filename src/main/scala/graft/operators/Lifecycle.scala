@@ -228,6 +228,46 @@ object Lifecycle {
       .foreach(d => fs.delete(new Path(s"$indexDir/$d"), true))
   }
 
+  /** Convert a STREAMED bootstrap layout into a plain batch layout. The
+    * streaming file sink records its committed files in `_spark_metadata`,
+    * and batch reads of such a directory list ONLY sink-committed files —
+    * so rows appended later by the batch lifecycle would be silently
+    * invisible to every reader (and to [[finishAppend]]'s stored probe).
+    * Append entry points call this first: when a sink log is present, the
+    * committed rows are rewritten aside and swapped in as a plain directory
+    * (write-aside + two-rename, the [[vacuum]] crash protocol), after which
+    * batch appends and the streamed history coexist correctly. No-op — one
+    * existence check — for batch-built layouts. Contract: call only after
+    * the bootstrap stream is STOPPED; the sink's exactly-once log is
+    * retired by the rewrite.
+    */
+  def adoptStreamedLayout(
+      spark: SparkSession,
+      indexDir: String,
+      sub: String,
+      pcols: Seq[String]): Unit = {
+    val fs = fsOf(spark, indexDir)
+    val live = new Path(s"$indexDir/$sub")
+    val old = new Path(s"$indexDir/${sub}_old")
+    val tmp = new Path(s"$indexDir/${sub}_adopting")
+    // Settle a crashed prior swap (same states as vacuum: a staged-aside
+    // copy with no live dir rolls back; leftovers beside a live dir drop).
+    if (fs.exists(old)) {
+      if (!fs.exists(live)) require(fs.rename(old, live), s"could not roll back $old")
+      else fs.delete(old, true)
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (!fs.exists(new Path(live, "_spark_metadata"))) return
+    val rows = spark.read.parquet(live.toString) // this read honors the sink log
+    val clustered =
+      if (pcols.nonEmpty) rows.repartition(pcols.map(col): _*) else rows
+    val w = clustered.write.mode(SaveMode.Overwrite)
+    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).parquet(tmp.toString)
+    require(fs.rename(live, old), s"could not stage $live aside")
+    require(fs.rename(tmp, live), s"could not promote $tmp")
+    fs.delete(old, true)
+  }
+
   /** Reset ALL lifecycle marker state for a from-scratch rebuild into an
     * existing directory. A full build stamps every row batch=0; stale
     * `superseded/(id, live_from>0)` or `tombstones/` entries from the

@@ -321,6 +321,7 @@ object Pq {
   def appendPqIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
     val fs = Lifecycle.fsOf(spark, indexDir)
     Lifecycle.recoverTombstoneSwap(fs, indexDir)
+    Lifecycle.adoptStreamedLayout(spark, indexDir, "codes", Nil) // streamed bootstrap
     val batch = Lifecycle.allocateBatch(fs, indexDir)
     val model = loadPqModel(spark, s"$indexDir/model")
     encode(spark, newVectors, model)
@@ -506,6 +507,7 @@ object Pq {
   def appendSqIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
     val fs = Lifecycle.fsOf(spark, indexDir)
     Lifecycle.recoverTombstoneSwap(fs, indexDir)
+    Lifecycle.adoptStreamedLayout(spark, indexDir, "codes", Nil) // streamed bootstrap
     val batch = Lifecycle.allocateBatch(fs, indexDir)
     val model = loadSqModel(spark, s"$indexDir/model")
     encodeSq(spark, newVectors, model)
@@ -524,7 +526,7 @@ object Pq {
   def liveSqCodes(spark: SparkSession, indexDir: String): DataFrame =
     Lifecycle.live(spark, indexDir, spark.read.parquet(s"$indexDir/codes"))
 
-  private def writeSqModel(spark: SparkSession, model: SqModel, dir: String): Unit = {
+  private[graft] def writeSqModel(spark: SparkSession, model: SqModel, dir: String): Unit = {
     import spark.implicits._
     Seq((model.dim, model.mins.toSeq, model.scales.toSeq))
       .toDF("dim", "mins", "scales")
@@ -634,6 +636,7 @@ object Pq {
   def appendIvfPqIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
     val fs = Lifecycle.fsOf(spark, indexDir)
     Lifecycle.recoverTombstoneSwap(fs, indexDir)
+    Lifecycle.adoptStreamedLayout(spark, indexDir, "codes", Seq("cell"))
     val batch = Lifecycle.allocateBatch(fs, indexDir)
     val cents = Vectors.loadCentroids(spark, s"$indexDir/centroids")
     val pq = loadPqModel(spark, s"$indexDir/model")

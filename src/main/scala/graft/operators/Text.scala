@@ -766,10 +766,11 @@ object Text {
     * Scale shape (100 TB): the bigram frequency table is Zipf-bounded
     * (≤ distinct bigrams, far below corpus size); prefix totals come from a
     * window over that SMALL table, never the corpus. The corpus-side work is
-    * one narrow bigram generate (no corpus-wide distinct) + one equi-join
-    * against the frequency table (broadcast when vocabulary-sized) + one
-    * integer-sum aggregate — nothing wider than (doc_id, bigram) ever
-    * shuffles, matching the q82 discipline.
+    * two narrow bigram generates (one feeding the frequency aggregate, one
+    * the scoring join — recomputing a narrow map beats pinning a
+    * corpus-sized intermediate) + one equi-join against the frequency table
+    * (broadcast when vocabulary-sized) + one integer-sum aggregate — nothing
+    * wider than (doc_id, bigram) ever shuffles, matching the q82 discipline.
     */
   def bigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
     val bg = Tables.documents(spark, sfDir)
@@ -825,18 +826,21 @@ object Text {
     * classic distributional-stats op for tokenizer-merge candidates and
     * stop-phrase mining over a pretraining corpus.
     *
-    * Determinism discipline: the scaled lift is computed as ONE rounding of
-    * an exact-in-double ratio — C(ab)·N·10⁴ stays < 2⁵³ at gate scales (and
-    * the scaladoc'd contract is counts-bounded: promote the scale factor to
-    * the agg key side if a corpus approaches it), both operands are integer-
-    * exact doubles, so both engines round the same value. Ties at equal lift
-    * break on the bigram string.
+    * Determinism discipline: the scaled lift is ONE rounding of a ratio of
+    * double PRODUCTS — each count is cast to double before multiplying, so
+    * nothing ever wraps (Long×Long would, silently, at pretraining-corpus
+    * magnitudes): below 2⁵³ (every gate scale) the products are exact and
+    * both engines round the same value; beyond it they degrade to half-ulp
+    * rounding, never to garbage. Ties at equal lift break on the bigram
+    * string.
     *
-    * Scale shape (100 TB): corpus-side work is the narrow bigram generate +
-    * two Zipf-bounded hash aggregates (bigram + unigram counts); the lift
-    * arithmetic runs entirely on the SMALL frequency table (two vocab-keyed
-    * joins of vocab-sized relations, broadcast in practice); the global
-    * top-k is TakeOrderedAndProject — nothing corpus-sized ever sorts.
+    * Scale shape (100 TB): corpus-side work is two narrow token scans (one
+    * feeding the unigram counts, one the bigram counts — recomputing the
+    * tokenize beats materializing a corpus-sized intermediate for a second
+    * consumer); the lift arithmetic runs entirely on the SMALL frequency
+    * table (two vocab-keyed joins of vocab-sized relations, broadcast in
+    * practice); the global top-k is TakeOrderedAndProject — nothing
+    * corpus-sized ever sorts.
     */
   def tokenLift(spark: SparkSession, sfDir: String, topK: Int = 50): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
@@ -859,7 +863,13 @@ object Text {
       .join(uni.select(col("t").as("w2"), col("c").as("cb")), "w2")
       .crossJoin(broadcast(totals))
       .select(col("b"), col("cab"),
-        round(col("cab") * col("ntotal") * lit(10000) / (col("ca") * col("cb")), 0)
+        // Each factor is cast to double BEFORE multiplying: Long×Long wraps
+        // silently past 2⁶³ (ntotal ~1e12 × cab ~1e6 at pretraining scale),
+        // while double products stay exact below 2⁵³ (all gate scales) and
+        // degrade to rounding — never to garbage — beyond it. The oracle
+        // computes the identical double expression.
+        round(col("cab").cast("double") * col("ntotal").cast("double") * lit(1e4)
+            / (col("ca").cast("double") * col("cb").cast("double")), 0)
           .cast("long").as("lift4s"))
       .orderBy(col("lift4s").desc, col("b").asc)
       .limit(topK)
@@ -878,8 +888,9 @@ object Text {
       |    FROM tok WHERE len(ts) >= 2) GROUP BY b),
       |lift AS (
       |  SELECT b, cab,
-      |         CAST(round(CAST(cab * ntotal * 10000 AS DOUBLE)
-      |                    / CAST(ca.c * cb.c AS DOUBLE), 0) AS BIGINT) AS lift4s
+      |         CAST(round(CAST(cab AS DOUBLE) * CAST(ntotal AS DOUBLE) * 10000.0
+      |                    / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 0)
+      |              AS BIGINT) AS lift4s
       |  FROM bf
       |  JOIN uni ca ON ca.t = string_split(b, ' ')[1]
       |  JOIN uni cb ON cb.t = string_split(b, ' ')[2]

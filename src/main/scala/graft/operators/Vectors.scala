@@ -288,6 +288,7 @@ object Vectors {
   def appendIvfIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
     val fs = Lifecycle.fsOf(spark, indexDir)
     Lifecycle.recoverTombstoneSwap(fs, indexDir)
+    Lifecycle.adoptStreamedLayout(spark, indexDir, "cells", Seq("cell")) // streamed bootstrap
     val batch = Lifecycle.allocateBatch(fs, indexDir)
     val cents = loadCentroids(spark, s"$indexDir/centroids")
     assignCellsWith(newVectors, cents)

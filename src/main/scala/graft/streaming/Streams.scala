@@ -36,6 +36,18 @@ object Streams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Schema of the embeddings fixture — one definition for every vector
+    * sink (a sink reading a stale inline copy after a fixture schema change
+    * would silently read nulls for the missing field).
+    */
+  val vectorSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType, containsNull = true)),
+    StructField("label", IntegerType)))
+
+  private def readVectors(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(vectorSchema).parquet(dir)
+
   /** File-based streaming read of an events directory (one file = one
     * micro-batch replay unit), ts normalized exactly like the batch reader.
     */
@@ -76,11 +88,7 @@ object Streams {
       spark: SparkSession,
       dir: String,
       model: graft.operators.Lsh.LshModel): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType, containsNull = true)),
-      StructField("label", IntegerType)))
-    val stream = spark.readStream.schema(schema).parquet(dir)
+    val stream = readVectors(spark, dir)
     stream.withColumn("hashes",
       org.apache.spark.sql.graft.VectorExpressions.lshHash(col("embedding"), model))
   }
@@ -133,12 +141,7 @@ object Streams {
       cents: graft.operators.CentroidSet,
       outDir: String,
       checkpointDir: String): StreamingQuery = {
-    val schema = StructType(Seq(
-      StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType, containsNull = true)),
-      StructField("label", IntegerType)))
-    val stream = spark.readStream.schema(schema).parquet(srcDir)
-    graft.operators.Vectors.assignCellsWith(stream, cents)
+    graft.operators.Vectors.assignCellsWith(readVectors(spark, srcDir), cents)
       .withColumn(graft.operators.Lifecycle.BatchCol, lit(0L))
       .writeStream
       .format("parquet")
@@ -164,11 +167,7 @@ object Streams {
       encoder: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       outDir: String,
       checkpointDir: String): StreamingQuery = {
-    val schema = StructType(Seq(
-      StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType, containsNull = true)),
-      StructField("label", IntegerType)))
-    spark.readStream.schema(schema).parquet(srcDir)
+    readVectors(spark, srcDir)
       .select(col("vec_id"), encoder(col("embedding")).as("codes"))
       .withColumn(graft.operators.Lifecycle.BatchCol, lit(0L))
       .writeStream
@@ -200,11 +199,7 @@ object Streams {
       srcDir: String,
       indexDir: String,
       checkpointDir: String): StreamingQuery = {
-    val schema = StructType(Seq(
-      StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType, containsNull = true)),
-      StructField("label", IntegerType)))
-    spark.readStream.schema(schema).parquet(srcDir)
+    readVectors(spark, srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>

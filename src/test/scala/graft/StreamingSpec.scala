@@ -176,6 +176,44 @@ class StreamingSpec extends SparkSpec {
     assert(results(idx) == streamed, "replay changed live search results")
   }
 
+  test("batch append onto a stream-bootstrapped code table adopts the sink layout") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val sq = graft.operators.Pq.fitSq(emb)
+    val idx = Files.createTempDirectory("graft-adopt-idx").toString
+    graft.operators.Pq.writeSqModel(spark, sq, s"$idx/model")
+    // Bootstrap codes/ via the STREAMING sink: the dir carries _spark_metadata.
+    val src = Files.createTempDirectory("graft-adopt-src").toString
+    locally {
+      val tmp = Files.createTempDirectory("graft-adopt-part").toString
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 400)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(src, "b0.parquet"))
+    }
+    val ckpt = Files.createTempDirectory("graft-adopt-ckpt").toString
+    val q = Streams.codesSink(spark,
+      src, org.apache.spark.sql.graft.VectorExpressions.sq8Encode(_, sq),
+      s"$idx/codes", ckpt)
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(new java.io.File(s"$idx/codes/_spark_metadata").exists,
+      "precondition: streamed bootstrap carries a sink log")
+    // Without adoption this append would be invisible to batch readers.
+    graft.operators.Pq.appendSqIndex(spark, idx,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") >= 400))
+    assert(!new java.io.File(s"$idx/codes/_spark_metadata").exists,
+      "append must retire the sink log before writing")
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "codes").collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet
+    val got = codes(graft.operators.Pq.liveSqCodes(spark, idx))
+    val full = Files.createTempDirectory("graft-adopt-full").toString
+    graft.operators.Pq.buildSqIndex(spark, emb, sq, full)
+    assert(got == codes(graft.operators.Pq.liveSqCodes(spark, full)),
+      "stream-bootstrapped + batch-appended index must equal a full rebuild")
+  }
+
   test("stream-stream interval join matches the batch run of the same code") {
     val dirA = stageEventsDir()
     val dirB = stageEventsDir()
