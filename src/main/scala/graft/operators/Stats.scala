@@ -292,7 +292,69 @@ object Stats {
   /** One shared k for q74's query AND oracle — they must never drift. */
   private val ZscoreK = 20
 
+  /** q94 — ANALYZE-style per-column statistics over `orders` (row count,
+    * null count, exact distinct count, numeric min/max): the stats a
+    * cost-based optimizer ingests and the first profiling query every
+    * pipeline runs on a new table. String columns report null min/max —
+    * engine-to-engine string rendering of numerics is the classic hash-gate
+    * trap, so numeric bounds stay DOUBLE typed end-to-end.
+    *
+    * Scale shape (100 TB): one scan, ONE hash-aggregate pass computing every
+    * column's counters simultaneously (partial aggregation map-side; no
+    * per-column scans, no shuffle wider than the single all-columns state
+    * row) — except distinct counts, which are per-column expand+agg by
+    * nature; Spark plans the standard count-distinct expand over the same
+    * single scan. The long output (one row per column) is a constant-width
+    * unpivot of the one aggregated row.
+    */
+  def columnStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val numeric = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val strings = Seq("o_orderstatus", "o_orderpriority")
+    val aggs = (numeric ++ strings).flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+        countDistinct(col(c)).as(s"ndv_$c")) ++
+        (if (numeric.contains(c))
+          Seq(min(col(c)).cast("double").as(s"min_$c"),
+            max(col(c)).cast("double").as(s"max_$c"))
+        else Seq(lit(null).cast("double").as(s"min_$c"),
+          lit(null).cast("double").as(s"max_$c")))
+    }
+    val wide = o.agg(aggs.head, aggs.tail: _*)
+    val rows = (numeric ++ strings).map { c =>
+      wide.select(
+        lit(c).as("column"),
+        col(s"n_$c").as("n_rows"),
+        col(s"nulls_$c").as("n_nulls"),
+        col(s"ndv_$c").as("n_distinct"),
+        col(s"min_$c").as("min_val"),
+        col(s"max_$c").as("max_val"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy(col("column"))
+  }
+
+  val columnStatsOracle: String = {
+    val numeric = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val strings = Seq("o_orderstatus", "o_orderpriority")
+    (numeric.map(c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_val, CAST(max($c) AS DOUBLE) AS max_val
+         |FROM orders""".stripMargin) ++
+      strings.map(c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_val, CAST(NULL AS DOUBLE) AS max_val
+           |FROM orders""".stripMargin))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_column_stats" -> (columnStats _),
     "q76_value_histogram" -> (valueHistogram _),
     "q74_zscore_outliers" -> ((s: SparkSession, d: String) => zscoreOutliers(s, d, ZscoreK)),
     "q57_pivot" -> (pivotEvents _),
@@ -304,6 +366,7 @@ object Stats {
     "q56_value_stats" -> (valueStats _))
 
   val oracles: Map[String, String] = Map(
+    "q94_column_stats" -> columnStatsOracle,
     "q76_value_histogram" -> valueHistogramOracle,
     "q74_zscore_outliers" -> zscoreOutliersOracle(ZscoreK),
     "q57_pivot" -> pivotEventsOracle,
