@@ -32,6 +32,7 @@ object SparkEntry {
       "q19_sql_vector_knn" -> ((s, dir) => KnnExact.topKSql(s, dir)),
       "q20_knn_exact" -> ((s, dir) => KnnExact.topK(s, dir)),
       "q21_knn_cosine" -> ((s, dir) => KnnExact.topKCosine(s, dir)),
+      "q95_knn_dot" -> ((s, dir) => KnnExact.topKDot(s, dir)),
       // Model-dependent LSH ops: no SQL oracle (driver records rows-only);
       // pinned by LshSpec golden + recall tests instead.
       "q22_lsh_hash" -> ((s, dir) => Lsh.hashQuery(s, dir)),
@@ -48,5 +49,6 @@ object SparkEntry {
       "q19_sql_vector_knn" -> KnnExact.oracle(queryMaxId = 4),
       "q20_knn_exact" -> KnnExact.oracle(),
       "q21_knn_cosine" -> KnnExact.oracleCosine(),
+      "q95_knn_dot" -> KnnExact.oracleDot(),
     )
 }

@@ -105,6 +105,45 @@ object KnnExact {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Top-k MAX-INNER-PRODUCT neighbors (the retrieval metric of
+    * dot-product-trained embedding models, where magnitude carries salience
+    * and MIPS ≠ cosine ≠ L2 ranking in general). Completes the metric triad;
+    * output is ids+rank (float-ranking discipline, like cosine).
+    */
+  def topKDot(spark: SparkSession, sfDir: String, queryMaxId: Long = 4, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb
+      .filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorExpressions.dot(col("qv"), col("embedding")).as("ip"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ip").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def oracleDot(queryMaxId: Long = 4, k: Int = 10): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < $queryMaxId
+       |), d AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) AS ip
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id <> q.query_id
+       |)
+       |SELECT query_id, neighbor_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS INTEGER) AS rank
+       |FROM d
+       |QUALIFY rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   def oracleCosine(queryMaxId: Long = 4, k: Int = 10): String =
     s"""WITH q AS (
        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -131,6 +131,51 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** a·b with codegen — the MIPS (max-inner-product) ranking metric,
+    * completing the L2 / cosine / dot triad. Same left-to-right double
+    * accumulation as the HOF formulation.
+    */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "dot_product"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Packed per-table LSH hashes (SURVEY §2.A A2) as a native expression:
     * the model rides along as a plan reference object (tens of KB), the loop
     * is shared between interpreted eval and codegen via
@@ -266,6 +311,8 @@ object VectorExpressions {
     ExpressionUtils.column(L2Distance(expr(a), expr(b)))
   def cosine(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSim(expr(a), expr(b)))
+  def dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(expr(a), expr(b)))
   def lshHash(v: Column, model: LshModel): Column =
     ExpressionUtils.column(LshHash(expr(v), model))
   def nearestCells(v: Column, cents: CentroidSet, n: Int): Column =

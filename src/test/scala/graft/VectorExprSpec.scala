@@ -32,6 +32,14 @@ class VectorExprSpec extends SparkSpec {
     assert(bad == 0, s"$bad rows differ")
   }
 
+  test("native dot expression is bitwise-identical to the HOF composition") {
+    val df = pairs().select(
+      VectorOps.dot(col("va"), col("vb")).as("hof"),
+      VectorExpressions.dot(col("va"), col("vb")).as("native"))
+    val bad = df.filter(col("hof") =!= col("native")).count()
+    assert(bad == 0, s"$bad rows differ")
+  }
+
   test("LshHash expression equals the broadcast-UDF hashing") {
     val emb = Tables.embeddings(spark, sf0001)
     val model = Lsh.fit(emb, tables = 8, bits = 4)
