@@ -123,7 +123,7 @@ object Index {
     val dir = new File(sys.props("java.io.tmpdir"), s"graft-lsh-index-$key")
     if (!new File(dir, "postings/_SUCCESS").exists()) {
       val emb = Tables.embeddings(spark, sfDir)
-      val useBits = if (bits > 0) bits else Lsh.deriveBits(emb.count())
+      val useBits = if (bits > 0) bits else Lsh.deriveBits(Tables.embeddingsCount(spark, sfDir))
       val model = Lsh.fit(emb, tables, useBits)
       build(spark, emb, model, dir.getAbsolutePath, numBuckets)
     }

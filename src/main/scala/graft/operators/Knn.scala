@@ -54,7 +54,8 @@ object Knn {
     val emb = Tables.embeddings(spark, sfDir)
     // bits = 0: derive from the corpus count, mirroring Index.ensure so the
     // inline and indexed paths stay row-identical under the shared default.
-    val useBits = if (bits > 0) bits else Lsh.deriveBits(emb.count())
+    // The count is memoized per fixture — not a job per invocation.
+    val useBits = if (bits > 0) bits else Lsh.deriveBits(Tables.embeddingsCount(spark, sfDir))
     val model = Lsh.fit(emb, tables, useBits)
     val hashed = Lsh.withHashes(spark, emb, model)
     val queries = hashed.filter(col("vec_id") < queryMaxId)

@@ -100,12 +100,18 @@ object Lifecycle {
       batch: Long,
       stored: DataFrame): Unit = {
     val fs = fsOf(spark, indexDir)
-    val reingested = newIds.select(col("vec_id")).distinct()
-      .join(stored.filter(col(BatchCol) < batch).select(col("vec_id")),
-        Seq("vec_id"), "left_semi")
-      .withColumn(BatchCol, lit(batch))
+    // Pinned eagerly: the emptiness probe AND the marker write both consume
+    // the semi-join; unpinned, the common no-upsert append would execute the
+    // full probe against the stored layout twice.
+    val reingested = Materialize.stable(
+      newIds.select(col("vec_id")).distinct()
+        .join(stored.filter(col(BatchCol) < batch).select(col("vec_id")),
+          Seq("vec_id"), "left_semi")
+        .withColumn(BatchCol, lit(batch)),
+      eager = true)
     if (!reingested.isEmpty)
       reingested.write.mode(SaveMode.Append).parquet(s"$indexDir/superseded")
+    Materialize.release(reingested)
     val ts = new Path(s"$indexDir/tombstones")
     if (fs.exists(ts)) {
       val remaining = spark.read.parquet(ts.toString)

@@ -611,6 +611,10 @@ object Text {
       .filter(col("doc_id") < 200)
       .withColumn("rs",
         org.apache.spark.sql.graft.TextExpressions.repStats(tokens(col("text")), stopwords))
+      // n_tokens ≥ 2 in BOTH engines: a single-token doc has n_bigrams = 0,
+      // where Spark's 0/0 is NULL but DuckDB's is NaN — a hash-gate break
+      // waiting on a degenerate fixture (same class as the q74 sd=0 guard).
+      .filter(col("rs.n_tokens") >= 2)
       .select(
         col("doc_id"),
         col("rs.n_tokens").as("n_tokens"),
@@ -631,7 +635,7 @@ object Text {
   val repetitionStatsOracle: String =
     """WITH tok AS (
       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
-      |  WHERE doc_id < 200),
+      |  WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 2),
       |stats AS (
       |  SELECT doc_id,
       |         CAST(len(ts) AS BIGINT) AS n_tokens,

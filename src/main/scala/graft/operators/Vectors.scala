@@ -438,8 +438,17 @@ object Vectors {
     * and pair work quadratically with corpus size). One cheap count() at fit
     * time; explicit k overrides win.
     */
+  /** Ceiling 4096: Lloyd refinement aggregates k·dim (cell, dim, sum, count)
+    * rows and COLLECTS them per iteration (plus k seed vectors), so k is
+    * bounded by driver memory, not shuffle width — 4096 × 1024-d is ~32 MB
+    * collected, comfortably safe; 65536 would be half a GB per iteration.
+    * Corpora whose count/targetCellSize exceeds the ceiling get larger cells
+    * (quality degrades gracefully); pushing k beyond it needs the refinement
+    * loop kept distributed (centroids as a joined table, not a broadcast
+    * array) — out of scope until a real corpus demands it.
+    */
   private[graft] def deriveK(emb: DataFrame, targetCellSize: Int = 64): Int =
-    math.max(8, math.min(65536, (emb.count() / targetCellSize).toInt))
+    math.max(8, math.min(4096, (emb.count() / targetCellSize).toInt))
 
   /** Per-JVM memo of the fitted k-means model over an sfDir corpus — the
     * same node-local model-cache discipline as [[Lsh.loadModelCached]] and

@@ -275,11 +275,19 @@ object Streams {
     * RepStats quality counters are a stateless narrow projection (identical
     * codegen expression as batch), and exact dedup keys state by the same
     * 40-byte digest pair the batch canon aggregate shuffles — the document
-    * text itself is never held in state. First-arrival wins; on an id-ordered
-    * replay that is exactly the batch min-id canon (StreamingSpec proves
-    * survivor-set equality). Production bounds the dedup state with
-    * `withWatermark` + `dropDuplicatesWithinWatermark` on ingest time, the
-    * [[dedupedEvents]] pattern.
+    * text itself is never held in state.
+    *
+    * Canon contract: FIRST-ARRIVAL wins — the only choice a streaming dedup
+    * can make, since a later-arriving smaller id cannot retract an
+    * append-mode emit. The surviving DIGEST set therefore always equals the
+    * batch run's; the surviving *ids* equal the batch min-id canon only when
+    * arrival is id-ordered (StreamingSpec's single-file replay — where it
+    * proves full survivor equality). On a multi-partition source the
+    * within-batch winner is shuffle-order-dependent, so downstream consumers
+    * must key on content, not survivor id — the same contract as
+    * `dropDuplicatesWithinWatermark`. Production bounds the dedup state with
+    * `withWatermark` + that operator on ingest time, the [[dedupedEvents]]
+    * pattern.
     */
   def cleanStream(
       spark: SparkSession,

@@ -112,11 +112,14 @@ class VectorsSpec extends SparkSpec {
     }
     assert(kFor(500) == 8)        // fixture floor
     assert(kFor(5000) == 78)      // sf0.1
-    assert(kFor(1000000) == 15625)
-    assert(kFor(5000000) == 65536) // clamp: the practical upper bound
-    (Seq(1000L, 10000L, 1000000L, 100000000L)).foreach { n =>
+    // Ceiling 4096 — bounded by DRIVER memory, not shuffle width: Lloyd
+    // refinement collects k·dim aggregate rows per iteration (see deriveK's
+    // scaladoc). Past the ceiling, cells grow instead of the driver heap.
+    assert(kFor(1000000) == 4096)
+    assert(kFor(5000000) == 4096)
+    (Seq(1000L, 10000L, 100000L)).foreach { n =>
       val e = n.toDouble / kFor(n)
-      assert(e <= 128.0 || kFor(n) == 65536,
+      assert(e <= 128.0 || kFor(n) == 4096,
         s"n=$n E[cell]=$e — pair work no longer linear in N")
     }
   }
