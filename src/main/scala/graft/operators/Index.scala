@@ -145,35 +145,27 @@ object Index {
     */
   def append(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
     val (model, numBuckets) = Lsh.loadModelCached(spark, s"$indexDir/model")
-    val fs = Lifecycle.fsOf(spark, indexDir)
-    // Clean up any crashed prior append's tombstone swap before touching
-    // anything else, so this append starts from a consistent live set.
-    Lifecycle.recoverTombstoneSwap(fs, indexDir)
-    // A postings dir bootstrapped by Streams.postingsSink carries a sink
-    // log that would hide batch-appended files from readers — retire it.
-    Lifecycle.adoptStreamedLayout(spark, indexDir, "postings", Seq(PKeyCol))
-    Lifecycle.adoptStreamedLayout(spark, indexDir, "vectors", Nil)
-    val batch = Lifecycle.allocateBatch(fs, indexDir)
-    val hashed = Lsh.withHashes(spark, newVectors, model)
-      .select(col("vec_id"), col("embedding"), col("hashes"), lit(batch).as(BatchCol))
-    // Postings first: a crash between the two jobs then leaves orphan
-    // postings. Orphans can still win k1 candidate slots (the vectors
-    // inner-join drops them only at re-rank), so recall degrades until a
-    // rebuild — but no wrong row is ever RETURNED, whereas the reverse
-    // order would leave vectors that silently never match any search.
-    // Recovery from a partial append is a rebuild; append is not idempotent
-    // (re-running doubles the batch's posting rows and skews collision
-    // counts).
-    withPKey(explodeWithBatch(hashed), numBuckets)
-      .repartition(col(PKeyCol))
-      .write.mode(SaveMode.Append)
-      .partitionBy(PKeyCol)
-      .parquet(s"$indexDir/postings")
-    hashed.write.mode(SaveMode.Append).parquet(s"$indexDir/vectors")
-    // Upsert markers + crash-safe tombstone clear — shared protocol, see
-    // [[Lifecycle.finishAppend]].
-    Lifecycle.finishAppend(spark, indexDir, newVectors, batch,
-      vectors(spark, indexDir))
+    Lifecycle.appendWith(spark, indexDir, newVectors,
+      adoptParts = Seq("postings" -> Seq(PKeyCol), "vectors" -> Nil),
+      stored = vectors(spark, indexDir)) { batch =>
+      val hashed = Lsh.withHashes(spark, newVectors, model)
+        .select(col("vec_id"), col("embedding"), col("hashes"), lit(batch).as(BatchCol))
+      // Postings first: a crash between the two jobs then leaves orphan
+      // postings. Orphans can still win k1 candidate slots (the vectors
+      // inner-join drops them only at re-rank), so recall degrades until a
+      // rebuild — but no wrong row is ever RETURNED, whereas the reverse
+      // order would leave vectors that silently never match any search.
+      // Recovery from a partial append is a rebuild; append is not
+      // idempotent at the STORAGE level (re-running doubles the batch's
+      // posting rows) but converges at the LIVE level (the re-run's
+      // generation supersedes — see Streams.liveAppendSink).
+      withPKey(explodeWithBatch(hashed), numBuckets)
+        .repartition(col(PKeyCol))
+        .write.mode(SaveMode.Append)
+        .partitionBy(PKeyCol)
+        .parquet(s"$indexDir/postings")
+      hashed.write.mode(SaveMode.Append).parquet(s"$indexDir/vectors")
+    }
   }
 
   /** Delete-by-id as tombstones — shared protocol, see [[Lifecycle.delete]];

@@ -76,6 +76,31 @@ object Lifecycle {
     if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
+  /** The append PROTOCOL, stated once for every layout: recover any crashed
+    * tombstone swap, retire a streamed bootstrap's sink log, allocate the
+    * batch number BEFORE data is written (a crashed append can never share a
+    * number with its successor), run the layout's own `write(batch)`, then
+    * the marker bookkeeping ([[finishAppend]]) against `stored` — evaluated
+    * by name AFTER the data lands. The ordering here is load-bearing crash
+    * safety; encoding it once means a protocol fix cannot silently miss one
+    * of the five layouts.
+    */
+  def appendWith(
+      spark: SparkSession,
+      indexDir: String,
+      newIds: DataFrame,
+      adoptParts: Seq[(String, Seq[String])],
+      stored: => DataFrame)(write: Long => Unit): Unit = {
+    val fs = fsOf(spark, indexDir)
+    recoverTombstoneSwap(fs, indexDir)
+    adoptParts.foreach { case (sub, pcols) =>
+      adoptStreamedLayout(spark, indexDir, sub, pcols)
+    }
+    val batch = allocateBatch(fs, indexDir)
+    write(batch)
+    finishAppend(spark, indexDir, newIds, batch, stored)
+  }
+
   /** The append bookkeeping every layout shares, run AFTER the layout's data
     * files land:
     *

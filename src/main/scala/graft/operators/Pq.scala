@@ -318,18 +318,15 @@ object Pq {
     * Codebooks are frozen at build time — refitting would invalidate every
     * stored code; distribution drift is a periodic-rebuild concern.
     */
-  def appendPqIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
-    val fs = Lifecycle.fsOf(spark, indexDir)
-    Lifecycle.recoverTombstoneSwap(fs, indexDir)
-    Lifecycle.adoptStreamedLayout(spark, indexDir, "codes", Nil) // streamed bootstrap
-    val batch = Lifecycle.allocateBatch(fs, indexDir)
-    val model = loadPqModel(spark, s"$indexDir/model")
-    encode(spark, newVectors, model)
-      .withColumn(Lifecycle.BatchCol, lit(batch))
-      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$indexDir/codes")
-    Lifecycle.finishAppend(spark, indexDir, newVectors, batch,
-      spark.read.parquet(s"$indexDir/codes"))
-  }
+  def appendPqIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit =
+    Lifecycle.appendWith(spark, indexDir, newVectors,
+      adoptParts = Seq("codes" -> Nil),
+      stored = spark.read.parquet(s"$indexDir/codes")) { batch =>
+      val model = loadPqModel(spark, s"$indexDir/model")
+      encode(spark, newVectors, model)
+        .withColumn(Lifecycle.BatchCol, lit(batch))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$indexDir/codes")
+    }
 
   def deleteFromPqIndex(spark: SparkSession, indexDir: String, ids: Seq[Long]): Unit =
     Lifecycle.delete(spark, indexDir, ids)
@@ -504,18 +501,15 @@ object Pq {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$outDir/codes")
   }
 
-  def appendSqIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
-    val fs = Lifecycle.fsOf(spark, indexDir)
-    Lifecycle.recoverTombstoneSwap(fs, indexDir)
-    Lifecycle.adoptStreamedLayout(spark, indexDir, "codes", Nil) // streamed bootstrap
-    val batch = Lifecycle.allocateBatch(fs, indexDir)
-    val model = loadSqModel(spark, s"$indexDir/model")
-    encodeSq(spark, newVectors, model)
-      .withColumn(Lifecycle.BatchCol, lit(batch))
-      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$indexDir/codes")
-    Lifecycle.finishAppend(spark, indexDir, newVectors, batch,
-      spark.read.parquet(s"$indexDir/codes"))
-  }
+  def appendSqIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit =
+    Lifecycle.appendWith(spark, indexDir, newVectors,
+      adoptParts = Seq("codes" -> Nil),
+      stored = spark.read.parquet(s"$indexDir/codes")) { batch =>
+      val model = loadSqModel(spark, s"$indexDir/model")
+      encodeSq(spark, newVectors, model)
+        .withColumn(Lifecycle.BatchCol, lit(batch))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$indexDir/codes")
+    }
 
   def deleteFromSqIndex(spark: SparkSession, indexDir: String, ids: Seq[Long]): Unit =
     Lifecycle.delete(spark, indexDir, ids)
@@ -633,22 +627,19 @@ object Pq {
     * directories only. Both models frozen at build time (see
     * [[appendPqIndex]] / [[Vectors.appendIvfIndex]]).
     */
-  def appendIvfPqIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
-    val fs = Lifecycle.fsOf(spark, indexDir)
-    Lifecycle.recoverTombstoneSwap(fs, indexDir)
-    Lifecycle.adoptStreamedLayout(spark, indexDir, "codes", Seq("cell"))
-    val batch = Lifecycle.allocateBatch(fs, indexDir)
-    val cents = Vectors.loadCentroids(spark, s"$indexDir/centroids")
-    val pq = loadPqModel(spark, s"$indexDir/model")
-    encodedCells(newVectors, cents, pq)
-      .withColumn(Lifecycle.BatchCol, lit(batch))
-      .repartition(col("cell"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("cell")
-      .parquet(s"$indexDir/codes")
-    Lifecycle.finishAppend(spark, indexDir, newVectors, batch,
-      spark.read.parquet(s"$indexDir/codes"))
-  }
+  def appendIvfPqIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit =
+    Lifecycle.appendWith(spark, indexDir, newVectors,
+      adoptParts = Seq("codes" -> Seq("cell")),
+      stored = spark.read.parquet(s"$indexDir/codes")) { batch =>
+      val cents = Vectors.loadCentroids(spark, s"$indexDir/centroids")
+      val pq = loadPqModel(spark, s"$indexDir/model")
+      encodedCells(newVectors, cents, pq)
+        .withColumn(Lifecycle.BatchCol, lit(batch))
+        .repartition(col("cell"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("cell")
+        .parquet(s"$indexDir/codes")
+    }
 
   /** The live cell-partitioned code table — cell cast back to long (the
     * partition column is inference-typed on read).

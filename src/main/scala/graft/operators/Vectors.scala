@@ -285,21 +285,18 @@ object Vectors {
     * already-stored code in a stale cell). Quantizer drift under a shifting
     * distribution is handled by periodic rebuild, not by append.
     */
-  def appendIvfIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
-    val fs = Lifecycle.fsOf(spark, indexDir)
-    Lifecycle.recoverTombstoneSwap(fs, indexDir)
-    Lifecycle.adoptStreamedLayout(spark, indexDir, "cells", Seq("cell")) // streamed bootstrap
-    val batch = Lifecycle.allocateBatch(fs, indexDir)
-    val cents = loadCentroids(spark, s"$indexDir/centroids")
-    assignCellsWith(newVectors, cents)
-      .withColumn(Lifecycle.BatchCol, lit(batch))
-      .repartition(col("cell"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("cell")
-      .parquet(s"$indexDir/cells")
-    Lifecycle.finishAppend(spark, indexDir, newVectors, batch,
-      spark.read.parquet(s"$indexDir/cells"))
-  }
+  def appendIvfIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit =
+    Lifecycle.appendWith(spark, indexDir, newVectors,
+      adoptParts = Seq("cells" -> Seq("cell")),
+      stored = spark.read.parquet(s"$indexDir/cells")) { batch =>
+      val cents = loadCentroids(spark, s"$indexDir/centroids")
+      assignCellsWith(newVectors, cents)
+        .withColumn(Lifecycle.BatchCol, lit(batch))
+        .repartition(col("cell"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("cell")
+        .parquet(s"$indexDir/cells")
+    }
 
   def deleteFromIvfIndex(spark: SparkSession, indexDir: String, ids: Seq[Long]): Unit =
     Lifecycle.delete(spark, indexDir, ids)
