@@ -47,7 +47,7 @@ object Index {
     * the build-once tmp caches so a stale layout from an older build can
     * never serve a newer reader.
     */
-  val LayoutVersion = 4
+  val LayoutVersion = 5 // v5: deriveK ceiling 65536→4096 (producing semantics of 'auto' k-means models)
 
   /** Collision-resistant key for build-once cache directory names: a 32-bit
     * String.hashCode collision between two (sfDir, params, mtime) keys would
@@ -145,20 +145,24 @@ object Index {
     */
   def append(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
     val (model, numBuckets) = Lsh.loadModelCached(spark, s"$indexDir/model")
+    // The supersede probe covers BOTH data dirs (column-pruned to
+    // vec_id+batch): a mid-append crash leaves orphan postings with no
+    // vectors row, and a vectors-only probe would never mark them dead.
+    // Probing postings too makes a REPLAY of the same ids (the
+    // liveAppendSink retry path) heal the orphans — the replay's generation
+    // supersedes them in every live view, and vacuum then drops them.
     Lifecycle.appendWith(spark, indexDir, newVectors,
       adoptParts = Seq("postings" -> Seq(PKeyCol), "vectors" -> Nil),
-      stored = vectors(spark, indexDir)) { batch =>
+      stored = vectors(spark, indexDir).select(col("vec_id"), col(BatchCol))
+        .unionByName(postings(spark, indexDir).select(col("vec_id"), col(BatchCol)))) { batch =>
       val hashed = Lsh.withHashes(spark, newVectors, model)
         .select(col("vec_id"), col("embedding"), col("hashes"), lit(batch).as(BatchCol))
       // Postings first: a crash between the two jobs then leaves orphan
       // postings. Orphans can still win k1 candidate slots (the vectors
-      // inner-join drops them only at re-rank), so recall degrades until a
-      // rebuild — but no wrong row is ever RETURNED, whereas the reverse
-      // order would leave vectors that silently never match any search.
-      // Recovery from a partial append is a rebuild; append is not
-      // idempotent at the STORAGE level (re-running doubles the batch's
-      // posting rows) but converges at the LIVE level (the re-run's
-      // generation supersedes — see Streams.liveAppendSink).
+      // inner-join drops them only at re-rank) until a replay of the same
+      // ids supersedes them (above) or a rebuild; no wrong row is ever
+      // RETURNED either way, whereas the reverse order would leave vectors
+      // that silently never match any search.
       withPKey(explodeWithBatch(hashed), numBuckets)
         .repartition(col(PKeyCol))
         .write.mode(SaveMode.Append)

@@ -134,9 +134,10 @@ object Lifecycle {
           Seq("vec_id"), "left_semi")
         .withColumn(BatchCol, lit(batch)),
       eager = true)
-    if (!reingested.isEmpty)
-      reingested.write.mode(SaveMode.Append).parquet(s"$indexDir/superseded")
-    Materialize.release(reingested)
+    try {
+      if (!reingested.isEmpty)
+        reingested.write.mode(SaveMode.Append).parquet(s"$indexDir/superseded")
+    } finally Materialize.release(reingested) // no leak if the write fails
     val ts = new Path(s"$indexDir/tombstones")
     if (fs.exists(ts)) {
       val remaining = spark.read.parquet(ts.toString)

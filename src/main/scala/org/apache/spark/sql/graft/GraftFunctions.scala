@@ -20,7 +20,9 @@ object GraftFunctions {
     ("l2_distance", "Euclidean distance between two float vectors",
       (es: Seq[Expression]) => VectorExpressions.L2Distance(es(0), es(1))),
     ("cosine_sim", "cosine similarity between two float vectors",
-      (es: Seq[Expression]) => VectorExpressions.CosineSim(es(0), es(1))))
+      (es: Seq[Expression]) => VectorExpressions.CosineSim(es(0), es(1))),
+    ("dot_product", "inner product between two float vectors (MIPS ranking)",
+      (es: Seq[Expression]) => VectorExpressions.DotProduct(es(0), es(1))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, _, builder) =>

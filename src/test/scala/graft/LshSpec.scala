@@ -293,6 +293,40 @@ class LshSpec extends SparkSpec {
     assert(got == ref, "upserted index must match a rebuild with the new content")
   }
 
+  test("replaying a mid-append crash supersedes the orphan postings") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = Lsh.fit(emb, tables = 4, bits = 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-crash").toString
+    Index.build(spark, emb.filter(col("vec_id") < 400), model, dir, numBuckets = 16)
+    // Simulate a crash BETWEEN the postings write and the vectors write:
+    // batch b1's postings land, nothing else does.
+    val fresh = emb.filter(col("vec_id") >= 400).filter(col("vec_id") < 450)
+    val fs = graft.operators.Lifecycle.fsOf(spark, dir)
+    val b1 = graft.operators.Lifecycle.allocateBatch(fs, dir)
+    Index.withPKey(
+      Lsh.explodeHashes(Lsh.withHashes(spark, fresh, model))
+        .select(col("vec_id"), lit(b1).as(Index.BatchCol), col("tbl"), col("hash")),
+      numBuckets = 16)
+      .repartition(col(Index.PKeyCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy(Index.PKeyCol)
+      .parquet(s"$dir/postings")
+    // The retry (liveAppendSink's replay path) must heal: its generation
+    // supersedes b1's orphan posting rows in every live view.
+    Index.append(spark, dir, fresh)
+    val perKey = Index.livePostings(spark, dir)
+      .filter(col("vec_id") >= 400)
+      .groupBy(col("vec_id"), col("tbl")).count()
+      .filter(col("count") > 1).count()
+    assert(perKey == 0, s"$perKey (vec,tbl) posting keys still duplicated by orphans")
+    val clean = java.nio.file.Files.createTempDirectory("graft-idx-crash2").toString
+    Index.build(spark, emb.filter(col("vec_id") < 450), model, clean, numBuckets = 16)
+    val got = Knn.searchIndex(spark, dir, 4, 100, 10).collect().map(_.toSeq).toSeq
+    val ref = Knn.searchIndex(spark, clean, 4, 100, 10).collect().map(_.toSeq).toSeq
+    assert(got == ref, "healed index must match a clean rebuild")
+  }
+
   test("vacuum purges dead rows, retires markers, and preserves search exactly") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sf0001)
