@@ -168,24 +168,56 @@ object Sources {
     * contributed, boundary straddles — the fill diagnostics a training
     * pipeline monitors.
     *
-    * Scale shape: the running total is a window sum PARTITIONED BY source
-    * shard ordered by the stable doc id — each shard packs independently and
-    * in parallel (a single global ordering would serialize the corpus
-    * through one sort; sharded packing is what pipelines actually do, one
-    * stream per shard). One shuffle on the shard key, then a map-side
-    * partial agg. All arithmetic is integer counts and one exact
-    * floor-division — engine-identical.
+    * Scale shape — a DISTRIBUTED prefix sum, never a per-shard serial one.
+    * A window partitioned only by `source` puts every (doc_id, n_tokens) row
+    * of a shard into ONE task; with few (or one skewed) sources the whole
+    * corpus sorts serially. Instead the running total is computed in two
+    * levels, the classic parallel scan:
+    *
+    *   1. block-local cumsums — window over (source, block) where
+    *      `block = floor(doc_id / blockWidth)`. Monotone in doc_id, so block
+    *      order IS doc order; each block sorts `blockWidth` ids' worth of
+    *      rows, in parallel across the cluster.
+    *   2. block offsets — per-(source, block) totals (one row per block,
+    *      corpus-independent size) get an exclusive prefix sum within
+    *      source; that window runs over block-count rows, not corpus rows.
+    *   3. `cum = local_cum + offset`, rejoined by BROADCAST — at 10^10 docs
+    *      and the default width the offset table is ~10^6 tiny rows.
+    *
+    * The narrow (doc_id, source, block, n_tokens) table is pinned via
+    * [[Materialize]] so the corpus text is tokenized in ONE scan feeding
+    * both levels. All arithmetic is exact integer sums plus one final
+    * floor-division — the result is bitwise identical to the serial
+    * definition (the oracle's single `sum OVER (PARTITION BY source)`)
+    * for any blockWidth, which SourcesSpec pins by comparing widths.
     */
   def packSequences(
       spark: SparkSession,
       sfDir: String,
-      budget: Int = 512): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    Tables.documents(spark, sfDir)
-      .select(
-        col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+      budget: Int = 512,
+      blockWidth: Long = 8192L): DataFrame = {
+    val tok = Materialize.stable(
+      Tables.documents(spark, sfDir)
+        .select(
+          col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("block", floor(col("doc_id") / blockWidth).cast("long")))
+
+    val wLocal = Window.partitionBy(col("source"), col("block"))
+      .orderBy(col("doc_id"))
+    val local = tok.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+
+    // Exclusive prefix of block totals within each source: tiny frame (one
+    // row per block), so this per-source window is NOT a serialization risk.
+    val wOffset = Window.partitionBy(col("source")).orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tok.groupBy(col("source"), col("block"))
+      .agg(sum(col("n_tokens")).as("block_total"))
+      .withColumn("offset", coalesce(sum(col("block_total")).over(wOffset), lit(0L)))
+      .select(col("source"), col("block"), col("offset"))
+
+    local.join(broadcast(offsets), Seq("source", "block"))
+      .withColumn("cum", col("local_cum") + col("offset"))
       .select(
         col("source"), col("n_tokens"),
         floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)).as("bin"),

@@ -7,6 +7,20 @@ import graft.operators.{Lsh, Relational, Skew}
 
 class MiscSpec extends SparkSpec {
 
+  test("sequence packing: two-level prefix sum is width-independent") {
+    // blockWidth = MaxValue degenerates to one block per source — the serial
+    // definition the DuckDB oracle computes; a tiny width forces many blocks
+    // and exercises the offset join. Results must be identical rows.
+    import graft.operators.Sources
+    def rows(width: Long) =
+      Sources.packSequences(spark, sf0001, budget = 512, blockWidth = width)
+        .collect().map(_.toSeq).toSeq
+    val serial = rows(Long.MaxValue)
+    assert(serial.nonEmpty)
+    assert(rows(7L) == serial, "blockWidth=7 diverges from serial definition")
+    assert(rows(64L) == serial, "blockWidth=64 diverges from serial definition")
+  }
+
   test("salted count equals direct groupBy count") {
     val ev = Tables.events(spark, sf0001)
     val direct = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))

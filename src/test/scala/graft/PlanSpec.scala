@@ -145,14 +145,27 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"q85 sorts the full pair set:\n$plan")
   }
 
-  test("sequence packing: one exchange on the shard key, then window + partial agg") {
+  test("sequence packing: corpus-row window is blocked — no per-source serial scan") {
     val plan = planOf("q86_pack_sequences")
+    // Two-level prefix sum: every window ordered by doc_id (corpus rows)
+    // must partition by (source, block) so no single source shard
+    // serializes; the only per-source-only window is the offset prefix over
+    // the tiny one-row-per-block totals (ordered by block, not doc_id).
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, s"q86 lost its windows:\n$plan")
+    val corpusWindows = windows.filter(_.contains("doc_id"))
+    assert(corpusWindows.nonEmpty, s"no doc_id-ordered window:\n$plan")
+    corpusWindows.foreach(w =>
+      assert(w.contains("block"),
+        s"corpus window not blocked (per-source serialization): $w"))
+    // The offset table rejoins by broadcast — the corpus side never
+    // re-shuffles for the join.
+    assert(plan.contains("BroadcastHashJoin"), s"offset join should broadcast:\n$plan")
+    // Exchange budget: corpus window on (source, block); block-totals agg;
+    // tiny offsets window; final (source, bin) agg; presentation sort.
+    // Only the first is corpus-sized.
     val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
-    // one hash exchange for the per-source window; the groupBy(source, bin)
-    // reuses that partitioning (source is a prefix of the grouping key) —
-    // plus the single-partition exchange for the final presentation sort
-    assert(exchanges <= 2, s"q86 shuffles more than shard + presentation:\n$plan")
-    assert(plan.contains("Window"), plan)
+    assert(exchanges <= 5, s"q86 shuffles beyond the two-level plan:\n$plan")
   }
 
   test("rrf fusion: both rank legs end in a bounded top-k, never a full sort") {
