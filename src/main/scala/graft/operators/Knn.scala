@@ -78,6 +78,13 @@ object Knn {
     *
     * Results are identical to [[lshTopK]] (same deterministic fit, same
     * search semantics) — asserted by LshSpec.
+    *
+    * When the derived width saturates ([[Lsh.bitsSaturated]] — the corpus
+    * outgrew the 2^16 bucket space and E[bucket] grows linearly again), the
+    * bucket cap engages AUTOMATICALLY: past the ceiling an uncapped
+    * collision join re-enters unbounded fan-out, so the default flips from
+    * "exact posting lists" to "bounded posting lists, measured recall cost".
+    * Gate fixtures sit far below the ceiling → cap 0, rows unchanged.
     */
   def lshTopKIndexed(
       spark: SparkSession,
@@ -89,7 +96,10 @@ object Knn {
       bits: Int = 0,
       multiprobe: Boolean = false): DataFrame = {
     val indexDir = Index.ensure(spark, sfDir, tables, bits)
-    searchIndex(spark, indexDir, queryMaxId, k1, k2, multiprobe)
+    val autoCap =
+      if (bits > 0) 0 // explicit width: the operator owns the tradeoff
+      else Lsh.autoBucketCap(Tables.embeddingsCount(spark, sfDir))
+    searchIndex(spark, indexDir, queryMaxId, k1, k2, multiprobe, bucketCap = autoCap)
   }
 
   /** A5–A7 against a persisted [[Index]] layout.

@@ -109,11 +109,37 @@ object Lsh {
     * fixtures' calibrated width (recall tuning), the ceiling caps model
     * size (fit needs 2·tables·bits sample vectors).
     */
-  def deriveBits(corpusSize: Long, targetBucketSize: Long = 250): Int = {
+  /** Model-size bound on derived hash width (fit needs 2·tables·bits sample
+    * vectors; 16 keeps that and the 2^bits bucket space driver-safe).
+    */
+  val BitsCeiling = 16
+
+  def deriveBits(corpusSize: Long, targetBucketSize: Long = 250): Int =
+    math.min(BitsCeiling, math.max(3, rawBits(corpusSize, targetBucketSize)))
+
+  private def rawBits(corpusSize: Long, targetBucketSize: Long): Int = {
     val ratio = math.max(corpusSize, 1L).toDouble / targetBucketSize
-    val raw = math.ceil(math.log(ratio) / math.log(2.0)).toInt
-    math.min(16, math.max(3, raw))
+    math.ceil(math.log(ratio) / math.log(2.0)).toInt
   }
+
+  /** True when the corpus outgrew the width ceiling: at bits = 16,
+    * E[bucket] = N/2^16 passes `targetBucketSize` near N ≈ 16 M and grows
+    * linearly again from there — the regime where bucket-local pair work
+    * re-enters quadratic growth.
+    */
+  def bitsSaturated(corpusSize: Long, targetBucketSize: Long = 250): Boolean =
+    rawBits(corpusSize, targetBucketSize) > BitsCeiling
+
+  /** The saturation valve: once [[deriveBits]] clamps, posting lists must be
+    * bounded EXPLICITLY ([[Skew.capBuckets]]) because the hash width no
+    * longer can. 0 below the ceiling — gate fixtures take the uncapped path
+    * and stay row-identical; past it, 4× the target bucket size (generous:
+    * an E[bucket]-sized list is never truncated, only degenerate tails are)
+    * hard-bounds collision fan-out at a measured recall cost.
+    */
+  def autoBucketCap(corpusSize: Long, targetBucketSize: Long = 250): Int =
+    if (bitsSaturated(corpusSize, targetBucketSize)) (4 * targetBucketSize).toInt
+    else 0
 
   /** Deterministic fit: sample = first 2·tables·bits vectors by id order
     * (never partition order, never unseeded `sample` — SURVEY.md §7 risk

@@ -35,15 +35,23 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("_partial")).as("total"))
 
-  /** Cap posting-list length per (tbl, hash) bucket: keep the `cap` smallest
-    * ids (deterministic). Used ahead of the LSH collision join when a bucket
-    * degenerates (e.g. all-zeros hash on sparse data).
+  /** Cap group size per key set: keep the `cap` smallest ids (deterministic).
+    * The generic valve behind [[capBuckets]]; also bounds k-means cell size
+    * for the SemDeDup pair stage once `Vectors.deriveK` saturates.
     */
-  def capBuckets(posts: DataFrame, cap: Int, idCol: String = "vec_id"): DataFrame = {
+  def capGroups(df: DataFrame, cap: Int, keys: Seq[String], idCol: String = "vec_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("tbl"), col("hash")).orderBy(col(idCol).asc)
-    posts.withColumn("_rn", row_number().over(w))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= cap)
       .drop("_rn")
   }
+
+  /** Cap posting-list length per (tbl, hash) bucket. Used ahead of the LSH
+    * collision join when a bucket degenerates (e.g. all-zeros hash on sparse
+    * data) and automatically once the derived hash width saturates
+    * ([[graft.operators.Lsh.autoBucketCap]]).
+    */
+  def capBuckets(posts: DataFrame, cap: Int, idCol: String = "vec_id"): DataFrame =
+    capGroups(posts, cap, Seq("tbl", "hash"), idCol)
 }

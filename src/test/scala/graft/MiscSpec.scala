@@ -21,6 +21,49 @@ class MiscSpec extends SparkSpec {
     assert(rows(64L) == serial, "blockWidth=64 diverges from serial definition")
   }
 
+  test("derivation valves: E[bucket]/E[cell] bounded at every scale, incl. past the clamp ceilings") {
+    import graft.operators.Vectors
+    // LSH: below the bits ceiling the derived width itself bounds E[bucket];
+    // past it autoBucketCap must engage and become the bound.
+    val bucketTarget = 250L
+    val counts = Seq(500L, 5000L, 100000L, 1000000L, 16000000L,
+      50000000L, 10000000000L, 1000000000000L)
+    counts.foreach { n =>
+      val cap = Lsh.autoBucketCap(n, bucketTarget)
+      val bound =
+        if (cap > 0) cap.toLong
+        else math.ceil(n.toDouble / (1L << Lsh.deriveBits(n, bucketTarget))).toLong
+      assert(bound <= 4 * bucketTarget, s"E[bucket] unbounded at n=$n: $bound")
+      assert(Lsh.bitsSaturated(n, bucketTarget) == (cap > 0), s"valve/flag disagree at n=$n")
+    }
+    // fixture counts sit far below the ceiling → valve off, gate rows unchanged
+    assert(Lsh.autoBucketCap(Tables.embeddingsCount(spark, sf0001)) == 0)
+
+    // k-means: same invariant for cells vs the k ceiling.
+    val cellTarget = 64
+    counts.foreach { n =>
+      val cap = Vectors.autoCellCap(n, cellTarget)
+      val bound =
+        if (cap > 0) cap.toLong
+        else math.ceil(n.toDouble / Vectors.deriveKFromCount(n, cellTarget)).toLong
+      // below the ceiling deriveK floors at 8, so tiny corpora may have
+      // cells up to n/8 — bounded by n itself, which is what matters there
+      if (n >= 8L * cellTarget)
+        assert(bound <= 4 * cellTarget, s"E[cell] unbounded at n=$n: $bound")
+      assert(Vectors.kSaturated(n, cellTarget) == (cap > 0), s"cell valve/flag disagree at n=$n")
+    }
+    assert(Vectors.autoCellCap(Tables.embeddingsCount(spark, sf0001)) == 0)
+  }
+
+  test("capGroups bounds cell size keeping smallest ids") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 20L))
+      .toDF("vec_id", "cell")
+    val capped = Skew.capGroups(df, 2, Seq("cell"))
+    assert(capped.count() == 3)
+    assert(capped.filter(col("cell") === 10L).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("salted count equals direct groupBy count") {
     val ev = Tables.events(spark, sf0001)
     val direct = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
