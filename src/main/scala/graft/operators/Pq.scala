@@ -658,8 +658,14 @@ object Pq {
     val key = Index.cacheKey(
       s"$sfDir:${src.lastModified}:ivfpq:$cells:$m:$k:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-ivfpq-index-$key")
-    if (!new java.io.File(dir, "codes/_SUCCESS").exists())
-      buildIvfPqIndex(spark, Tables.embeddings(spark, sfDir), cells, m, k, dir.getAbsolutePath)
+    if (!new java.io.File(dir, "codes/_SUCCESS").exists()) {
+      val emb = Tables.embeddings(spark, sfDir)
+      // coarse quantizer from the shared fitted-model artifact — one fit per
+      // (corpus, cells) serves q25/q29/q72; identical deterministic centroids
+      buildIvfPqIndexWith(spark, emb,
+        Vectors.kmeansModel(spark, sfDir, k = cells, iterations = 1),
+        fit(emb, m, k), dir.getAbsolutePath)
+    }
     dir.getAbsolutePath
   }
 

@@ -215,6 +215,12 @@ object Vectors {
     * set; the probe join is an equi-join on cell id — the cross product is
     * gone, and the index parquet can be partitioned by cell for static
     * pruning (same layout trick as Index.build).
+    *
+    * The quantizer routes through [[kmeansModel]]: a fitted model is an
+    * ARTIFACT (train once per corpus, reuse every call) — the previous
+    * per-invocation `quantizer(...)` re-ran seed collect + a Lloyd corpus
+    * scan on every query call, a full corpus re-scan per search at scale.
+    * Same deterministic fit → identical results (VectorsSpec inline≡indexed).
     */
   def annIvf(
       spark: SparkSession,
@@ -224,7 +230,7 @@ object Vectors {
       cells: Int = 16,
       nprobe: Int = 4): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val cents = quantizer(spark, emb, cells)
+    val cents = kmeansModel(spark, sfDir, k = cells, iterations = 1)
     val assigned = assignCellsWith(emb, cents)
 
     // Each query → its nprobe nearest cells: the same narrow-map quantizer,
@@ -331,7 +337,10 @@ object Vectors {
       s"$sfDir:${src.lastModified}:ivf:$cells:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-ivf-index-$key")
     if (!new java.io.File(dir, "cells/_SUCCESS").exists())
-      buildIvfIndex(spark, Tables.embeddings(spark, sfDir), cells, dir.getAbsolutePath)
+      // share the fitted-quantizer artifact with the inline path (annIvf):
+      // one fit per (corpus, cells) serves both, and results stay identical
+      buildIvfIndexWith(spark, Tables.embeddings(spark, sfDir),
+        kmeansModel(spark, sfDir, k = cells, iterations = 1), dir.getAbsolutePath)
     dir.getAbsolutePath
   }
 
@@ -409,7 +418,14 @@ object Vectors {
       bits: Int = 0): DataFrame = {
     val indexDir = Index.ensure(spark, sfDir, tables, bits)
     // Live views so tombstoned vectors (Index.delete) never pair up.
-    val posts = Index.livePostings(spark, indexDir).select(col("tbl"), col("hash"), col("vec_id"))
+    val rawPosts = Index.livePostings(spark, indexDir).select(col("tbl"), col("hash"), col("vec_id"))
+    // Saturation valve: once deriveBits clamps at its ceiling, Σ bucket² is
+    // no longer bounded by the width — cap posting lists so the self-join
+    // stays ≤ cap² per bucket. Below the ceiling (all gate fixtures): no-op.
+    val autoCap =
+      if (bits > 0) 0
+      else Lsh.autoBucketCap(Tables.embeddingsCount(spark, sfDir))
+    val posts = if (autoCap > 0) Skew.capBuckets(rawPosts, autoCap) else rawPosts
     val pairs = posts.as("a")
       .join(posts.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.hash") === col("b.hash") &&
@@ -439,13 +455,37 @@ object Vectors {
     * rows and COLLECTS them per iteration (plus k seed vectors), so k is
     * bounded by driver memory, not shuffle width — 4096 × 1024-d is ~32 MB
     * collected, comfortably safe; 65536 would be half a GB per iteration.
-    * Corpora whose count/targetCellSize exceeds the ceiling get larger cells
-    * (quality degrades gracefully); pushing k beyond it needs the refinement
-    * loop kept distributed (centroids as a joined table, not a broadcast
-    * array) — out of scope until a real corpus demands it.
+    * Corpora whose count/targetCellSize exceeds the ceiling get larger cells;
+    * past it the pair stages engage [[autoCellCap]] so Σ cell² stays bounded
+    * even though k no longer scales. Pushing k beyond the ceiling instead
+    * needs the refinement loop kept distributed (centroids as a joined
+    * table, not a broadcast array) — out of scope until a real corpus
+    * demands it.
     */
+  val KCeiling = 4096
+
+  private[graft] def deriveKFromCount(n: Long, targetCellSize: Int = 64): Int =
+    math.max(8L, math.min(KCeiling.toLong, n / targetCellSize)).toInt
+
   private[graft] def deriveK(emb: DataFrame, targetCellSize: Int = 64): Int =
-    math.max(8, math.min(4096, (emb.count() / targetCellSize).toInt))
+    deriveKFromCount(emb.count(), targetCellSize)
+
+  /** True when the corpus outgrew the cluster-count ceiling: at k = 4096,
+    * E[cell] = N/4096 passes `targetCellSize` near N ≈ 262 k and grows
+    * linearly from there — cell-local pair work re-enters quadratic growth.
+    */
+  def kSaturated(n: Long, targetCellSize: Int = 64): Boolean =
+    n / targetCellSize > KCeiling
+
+  /** The SemDeDup saturation valve, twin of [[Lsh.autoBucketCap]]: once
+    * [[deriveK]] clamps, cell size must be bounded explicitly
+    * ([[Skew.capGroups]] on `cell`). 0 below the ceiling — gate fixtures
+    * take the uncapped path; past it, 4× the target cell size bounds the
+    * intra-cell self-join at a measured (cap-sized-sample) dedup-recall
+    * cost.
+    */
+  def autoCellCap(n: Long, targetCellSize: Int = 64): Int =
+    if (kSaturated(n, targetCellSize)) 4 * targetCellSize else 0
 
   /** Per-JVM memo of the fitted k-means model over an sfDir corpus — the
     * same node-local model-cache discipline as [[Lsh.loadModelCached]] and
@@ -544,7 +584,13 @@ object Vectors {
       iterations: Int = 3): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val cents = kmeansModel(spark, sfDir, clusters, iterations)
-    val a = assignCellsWith(emb, cents)
+    val assigned = assignCellsWith(emb, cents)
+    // Saturation valve: once deriveK clamps, E[cell] grows with N again —
+    // cap cells so the self-join stays ≤ cap² per cell. Fixtures: no-op.
+    val cap =
+      if (clusters > 0) 0
+      else autoCellCap(Tables.embeddingsCount(spark, sfDir))
+    val a = if (cap > 0) Skew.capGroups(assigned, cap, Seq("cell")) else assigned
     a.as("x")
       .join(a.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
@@ -570,9 +616,15 @@ object Vectors {
       threshold: Double,
       clusters: Int = 0,
       iterations: Int = 3): DataFrame = {
-    val kk = if (clusters > 0) clusters else deriveK(emb)
+    val n = emb.count()
+    val kk = if (clusters > 0) clusters else deriveKFromCount(n)
     val cents = quantizer(spark, emb, kk, iterations)
-    val a = assignCellsWith(emb, cents)
+    val assigned = assignCellsWith(emb, cents)
+    // Past the deriveK ceiling, bound each cell's self-join explicitly; a
+    // vector dropped from a capped cell keeps its survivors status (the cap
+    // trades dedup recall, never correctness of kept rows).
+    val cap = if (clusters > 0) 0 else autoCellCap(n)
+    val a = if (cap > 0) Skew.capGroups(assigned, cap, Seq("cell")) else assigned
     val dead = a.as("x")
       .join(a.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
