@@ -36,8 +36,15 @@ object Bench {
     // ingest is its own lifecycle step, timed separately by
     // tools/IndexTiming). Failures here are left for the queries themselves
     // to surface so they land in the per-query error accounting.
+    // The ingest/fit wall time is MEASURED and reported as its own JSON line
+    // below ("metric":"ingest") — steady-state query latency and artifact
+    // build cost are both visible to the driver, neither hides the other.
+    // Note the ensure* calls are build-once caches: on a warm tmp dir the
+    // ingest line reports (cheap) cache validation, on a cold one the real
+    // build — BASELINE.md documents both readings.
+    val ingestT0 = System.nanoTime()
     try {
-      val idx = graft.operators.Index.ensure(spark, sfDir)
+      graft.operators.Index.ensure(spark, sfDir)
       graft.operators.Vectors.ensureIvfIndex(spark, sfDir)
       graft.operators.Pq.ensurePqIndex(spark, sfDir)
       graft.operators.Pq.ensureSqIndex(spark, sfDir)
@@ -48,11 +55,15 @@ object Bench {
       graft.operators.Text.ensureShinglePairs(spark, sfDir)
       // Fitted k-means model (q84/q85 share it) — model TRAINING is a
       // lifecycle step like index builds; searches/analytics are what the
-      // queries time. Fit cost is reported by tools/IndexTiming.
+      // queries time.
       graft.operators.Vectors.kmeansModel(spark, sfDir)
       // BPE tokenizer training — a model fit like the k-means model above;
       // q93 reads the learned merge table.
       graft.operators.Bpe.trainCached(spark, sfDir)
+    } catch { case _: Throwable => () }
+    val ingestSec = (System.nanoTime() - ingestT0) / 1e9
+    try {
+      val idx = graft.operators.Index.ensure(spark, sfDir)
       // One untimed single-query probe: search queries measure steady-state
       // latency, not the first-call codegen/plan compilation of the search
       // pipeline (standard warm-measurement methodology, same every round).
@@ -116,6 +127,10 @@ object Bench {
         .mkString(",\"errors\":{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$errJson,"sf":"$sfDir"}""")
+    // Full-cost transparency: wall time of the untimed prebuild block above
+    // (index builds, model fits, the persisted pairs stage). Emitted before
+    // the final total line so both compact lines land in the tail capture.
+    println(s"""{"metric":"ingest","value":$ingestSec,"unit":"sec","sf":"$sfDir"}""")
     // The driver captures a bounded TAIL of stdout; the detail line above is
     // ~4 KB and has been truncated past parseability two rounds running
     // (BENCH_r02/r03 "parsed": null). Repeat a compact summary LAST so a
