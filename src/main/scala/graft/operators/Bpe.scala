@@ -63,6 +63,16 @@ object Bpe {
 
   /** Train `numMerges` BPE merges over the corpus vocabulary. Stops early if
     * no adjacent pair remains (every word fully merged).
+    *
+    * Practical merge-count bound: each round is one Spark job over the
+    * vocab table plus a 1-row collect, run SERIALLY — inherent to BPE,
+    * whose merges are sequentially dependent. That is the right shape for
+    * the corpus (touched once, §scaladoc above) but bounds `numMerges` to
+    * O(hundreds) before scheduler overhead dominates: a production 30k–100k
+    * merge table needs incremental pair-count DELTAS per round (only pairs
+    * adjacent to the last merge change count — the HuggingFace trainer's
+    * in-memory strategy) layered on this same vocab table, not 30k full
+    * re-aggregations. Out of scope until a gate needs a large vocab.
     */
   def train(spark: SparkSession, vocab: DataFrame, numMerges: Int): Seq[Merge] = {
     import spark.implicits._
@@ -103,10 +113,14 @@ object Bpe {
     merges.toSeq
   }
 
-  /** The corpus word vocabulary: the single corpus-sized aggregate. */
+  /** The corpus word vocabulary: the single corpus-sized aggregate.
+    * Pre-tokenization is [[Text.tokens]] — the ONE repo-wide tokenizer —
+    * so BPE trains on exactly the token stream every other operator
+    * (quality scores, dedup shingles) sees.
+    */
   def vocabulary(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(explode(split(col("text"), " ")).as("word"))
+      .select(explode(Text.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("count"))
 
   /** Per-JVM memo: tokenizer TRAINING is a model-fit lifecycle step (the

@@ -22,7 +22,12 @@ import graft.Tables
   */
 object Text {
 
-  private def tokens(c: Column): Column = split(c, " ")
+  /** THE corpus tokenizer — every operator that token-splits text
+    * ([[Bpe.vocabulary]], quality scores, dedup shingles) must share this
+    * definition so "token" means one thing repo-wide; a drift here is a
+    * silent train/eval mismatch.
+    */
+  private[operators] def tokens(c: Column): Column = split(c, " ")
   private[graft] val stopwords = Seq("the", "a")
 
   /** One-pass per-document repetition/quality counters over a token array —
