@@ -244,4 +244,33 @@ object Index {
     */
   def lookup(index: DataFrame, id: Long): DataFrame =
     index.filter(col("vec_id") === id)
+
+  /** Cheap integrity probe for the one degradation replay cannot heal by
+    * itself: ORPHAN postings from an append that crashed between the
+    * postings write and the vectors write, whose ids are never re-ingested.
+    * Such rows win k1 candidate slots forever (the vectors join drops them
+    * only at re-rank), silently costing recall until a rebuild — this probe
+    * makes the condition DETECTABLE instead of discovered via recall drift.
+    *
+    * Returns one row per append generation holding live postings whose
+    * vec_id has no live vectors row — empty ⇔ healthy. `batch >= 0` scopes
+    * the scan to one suspect generation (pushed predicate on the batch
+    * column; the usual call after a crashed append). Cost: both scans are
+    * column-pruned to ids+batch (never an embedding), and the anti-join
+    * shuffles 16-byte rows — OK to run on a schedule next to
+    * [[vacuum]]. Remedy on hits: re-ingest the ids (replay heals them via
+    * supersede markers) or rebuild; vacuum alone keeps marker-live orphans.
+    */
+  def integrityReport(spark: SparkSession, indexDir: String, batch: Long = -1L): DataFrame = {
+    val posts = Lifecycle.liveKeepBatch(spark, indexDir, postings(spark, indexDir))
+      .select(col("vec_id"), col(BatchCol))
+    val scoped = if (batch >= 0L) posts.filter(col(BatchCol) === batch) else posts
+    scoped
+      .join(liveVectors(spark, indexDir).select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .groupBy(col(BatchCol))
+      .agg(
+        countDistinct(col("vec_id")).as("n_orphan_ids"),
+        count(lit(1)).as("n_orphan_postings"))
+      .orderBy(col(BatchCol))
+  }
 }

@@ -191,8 +191,10 @@ object Lifecycle {
     }
   }
 
-  /** The live row set WITH its batch column — what [[vacuum]] persists. */
-  private def liveKeepBatch(spark: SparkSession, indexDir: String, df: DataFrame): DataFrame =
+  /** The live row set WITH its batch column — what [[vacuum]] persists and
+    * what [[Index.integrityReport]] attributes orphans by.
+    */
+  private[operators] def liveKeepBatch(spark: SparkSession, indexDir: String, df: DataFrame): DataFrame =
     withoutSuperseded(spark, indexDir, withoutTombstones(spark, indexDir, df))
 
   /** The live view of any stored row set: tombstoned ids out, superseded
@@ -273,6 +275,26 @@ object Lifecycle {
     * the bootstrap stream is STOPPED; the sink's exactly-once log is
     * retired by the rewrite.
     */
+  /** Sentinel marking a layout subdir as adopted: `<dir>_adopted`, a SIBLING
+    * of the data dir so part rewrites (vacuum/compact swaps) can't lose it.
+    * The bootstrap streaming sinks refuse to start against an adopted dir —
+    * restarting one with its old checkpoint would recreate a
+    * `_spark_metadata` log that hides every batch-appended row from every
+    * reader, turning the doc-only "only after the stream is STOPPED"
+    * contract into a fast failure.
+    */
+  def adoptedSentinel(outDir: String): Path = new Path(s"${outDir}_adopted")
+
+  def assertNotAdopted(spark: SparkSession, outDir: String): Unit = {
+    val p = adoptedSentinel(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(p),
+      s"$outDir was adopted into the batch lifecycle (adoptStreamedLayout); " +
+        "a restarted bootstrap sink would recreate a _spark_metadata log " +
+        "that hides batch-appended rows from every reader. Bootstrap into a " +
+        "fresh directory, or ingest incrementally via Streams.liveAppendSink.")
+  }
+
   def adoptStreamedLayout(
       spark: SparkSession,
       indexDir: String,
@@ -298,6 +320,9 @@ object Lifecycle {
     require(fs.rename(live, old), s"could not stage $live aside")
     require(fs.rename(tmp, live), s"could not promote $tmp")
     fs.delete(old, true)
+    // Stamp AFTER promotion: a crash before this point leaves the sink log
+    // intact (retry re-adopts); once stamped, bootstrap sinks fast-fail.
+    fs.create(adoptedSentinel(live.toString), true).close()
   }
 
   /** Reset ALL lifecycle marker state for a from-scratch rebuild into an

@@ -304,10 +304,14 @@ object Stats {
     * per-column scans, no shuffle wider than the single all-columns state
     * row) — except distinct counts, which are per-column expand+agg by
     * nature; Spark plans the standard count-distinct expand over the same
-    * single scan. The long output (one row per column) is a constant-width
-    * unpivot of the one aggregated row.
+    * single scan. The 1-row aggregate is collected ONCE and the long output
+    * (one row per column) is built driver-side as a local relation — a
+    * unioned-selects formulation would replan the corpus aggregate per
+    * branch and only exchange-reuse *might* dedupe the five identical
+    * subtrees; a collect makes the single scan unconditional.
     */
   def columnStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val o = Tables.orders(spark, sfDir)
     val numeric = Seq("o_orderkey", "o_custkey", "o_totalprice")
     val strings = Seq("o_orderstatus", "o_orderpriority")
@@ -322,17 +326,16 @@ object Stats {
         else Seq(lit(null).cast("double").as(s"min_$c"),
           lit(null).cast("double").as(s"max_$c")))
     }
-    val wide = o.agg(aggs.head, aggs.tail: _*)
-    val rows = (numeric ++ strings).map { c =>
-      wide.select(
-        lit(c).as("column"),
-        col(s"n_$c").as("n_rows"),
-        col(s"nulls_$c").as("n_nulls"),
-        col(s"ndv_$c").as("n_distinct"),
-        col(s"min_$c").as("min_val"),
-        col(s"max_$c").as("max_val"))
-    }
-    rows.reduce(_.unionByName(_)).orderBy(col("column"))
+    val wide = o.agg(aggs.head, aggs.tail: _*).collect()(0)
+    (numeric ++ strings).map { c =>
+      (c,
+        wide.getAs[Long](s"n_$c"),
+        wide.getAs[Long](s"nulls_$c"),
+        wide.getAs[Long](s"ndv_$c"),
+        Option(wide.getAs[java.lang.Double](s"min_$c")).map(_.doubleValue),
+        Option(wide.getAs[java.lang.Double](s"max_$c")).map(_.doubleValue))
+    }.toDF("column", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+      .orderBy(col("column"))
   }
 
   val columnStatsOracle: String = {

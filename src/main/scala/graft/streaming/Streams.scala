@@ -108,6 +108,7 @@ object Streams {
       numBuckets: Int,
       outDir: String,
       checkpointDir: String): StreamingQuery = {
+    graft.operators.Lifecycle.assertNotAdopted(spark, outDir)
     // batch = 0 matches Index.build's stamp: the streamed layout is the
     // INITIAL build expressed as a stream; incremental streamed ingest into
     // a live index would thread Index.allocateBatch through here instead.
@@ -141,6 +142,7 @@ object Streams {
       cents: graft.operators.CentroidSet,
       outDir: String,
       checkpointDir: String): StreamingQuery = {
+    graft.operators.Lifecycle.assertNotAdopted(spark, outDir)
     graft.operators.Vectors.assignCellsWith(readVectors(spark, srcDir), cents)
       .withColumn(graft.operators.Lifecycle.BatchCol, lit(0L))
       .writeStream
@@ -167,6 +169,7 @@ object Streams {
       encoder: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       outDir: String,
       checkpointDir: String): StreamingQuery = {
+    graft.operators.Lifecycle.assertNotAdopted(spark, outDir)
     readVectors(spark, srcDir)
       .select(col("vec_id"), encoder(col("embedding")).as("codes"))
       .withColumn(graft.operators.Lifecycle.BatchCol, lit(0L))

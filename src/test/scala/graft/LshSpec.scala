@@ -312,9 +312,20 @@ class LshSpec extends SparkSpec {
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy(Index.PKeyCol)
       .parquet(s"$dir/postings")
+    // The integrity probe must DETECT the degraded state (orphan postings
+    // winning candidate slots with no vectors row), attributed to batch b1 —
+    // the only signal an operator gets when the crashed ids are never
+    // replayed.
+    val report = Index.integrityReport(spark, dir).collect()
+    assert(report.length == 1 && report(0).getLong(0) == b1,
+      s"orphans not attributed to batch $b1: ${report.toSeq}")
+    assert(report(0).getLong(1) == 50, s"expected 50 orphan ids: ${report.toSeq}")
+    assert(Index.integrityReport(spark, dir, batch = b1).collect().length == 1)
     // The retry (liveAppendSink's replay path) must heal: its generation
     // supersedes b1's orphan posting rows in every live view.
     Index.append(spark, dir, fresh)
+    assert(Index.integrityReport(spark, dir).isEmpty,
+      "probe must report healthy after the replay heals the orphans")
     val perKey = Index.livePostings(spark, dir)
       .filter(col("vec_id") >= 400)
       .groupBy(col("vec_id"), col("tbl")).count()

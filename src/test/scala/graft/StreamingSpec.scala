@@ -212,6 +212,16 @@ class StreamingSpec extends SparkSpec {
     graft.operators.Pq.buildSqIndex(spark, emb, sq, full)
     assert(got == codes(graft.operators.Pq.liveSqCodes(spark, full)),
       "stream-bootstrapped + batch-appended index must equal a full rebuild")
+    // The retired bootstrap must REFUSE to restart: with its old checkpoint
+    // it would recreate a _spark_metadata log hiding the batch-appended rows
+    // from every reader. The adoption sentinel turns that contract violation
+    // into a fast failure.
+    val e = intercept[IllegalArgumentException] {
+      Streams.codesSink(spark, src,
+        org.apache.spark.sql.graft.VectorExpressions.sq8Encode(_, sq),
+        s"$idx/codes", ckpt)
+    }
+    assert(e.getMessage.contains("adopted"), e.getMessage)
   }
 
   test("stream-stream interval join matches the batch run of the same code") {
