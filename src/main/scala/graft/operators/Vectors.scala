@@ -619,11 +619,23 @@ object Vectors {
     val n = emb.count()
     val kk = if (clusters > 0) clusters else deriveKFromCount(n)
     val cents = quantizer(spark, emb, kk, iterations)
-    val assigned = assignCellsWith(emb, cents)
     // Past the deriveK ceiling, bound each cell's self-join explicitly; a
     // vector dropped from a capped cell keeps its survivors status (the cap
     // trades dedup recall, never correctness of kept rows).
     val cap = if (clusters > 0) 0 else autoCellCap(n)
+    semanticDedupWith(emb, cents, threshold, cap)
+  }
+
+  /** The survivor core shared by the generic API above and the q96 gate:
+    * drop every vector cosine-similar (≥ threshold) to a lower-id vector in
+    * the same cell, keep the rest.
+    */
+  private def semanticDedupWith(
+      emb: DataFrame,
+      cents: CentroidSet,
+      threshold: Double,
+      cap: Int): DataFrame = {
+    val assigned = assignCellsWith(emb, cents)
     val a = if (cap > 0) Skew.capGroups(assigned, cap, Seq("cell")) else assigned
     val dead = a.as("x")
       .join(a.as("y"),
@@ -633,10 +645,39 @@ object Vectors {
     emb.join(dead, Seq("vec_id"), "left_anti")
   }
 
+  /** q96 — the thresholded SemDeDup survivor API as a gate row (rows-only:
+    * survivors depend on the fitted cell model). The fixtures plant no true
+    * embedding-level dups (max pairwise cosine ≈0.51), so the gate runs at a
+    * SYNTHETIC low threshold where the survivor set is non-trivial — the
+    * point is to pin the end-to-end survivor pipeline (assign → intra-cell
+    * pair filter → distinct dead set → anti-join), not to claim the
+    * fixtures contain dups; the 0.95-threshold semantics are pinned by the
+    * VectorsSpec planted-dup test. Output is the per-label survivor summary
+    * with an id checksum, deterministic under any partitioning (DetCheck).
+    *
+    * Scale shape: identical to [[semanticNearDupPairs]] (the same Σ cell²
+    * bound, the same saturation valve) plus one distinct on dead ids and an
+    * id anti-join — both shuffle 8-byte keys, never embeddings.
+    */
+  def semanticDedupSummary(
+      spark: SparkSession,
+      sfDir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    // the shared fitted-model artifact (q84/q85/q96: one fit per corpus)
+    val cents = kmeansModel(spark, sfDir)
+    val cap = autoCellCap(Tables.embeddingsCount(spark, sfDir))
+    semanticDedupWith(emb, cents, threshold, cap)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_survivors"), sum(col("vec_id")).as("id_sum"))
+      .orderBy(col("label"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d)),
     "q84_kmeans_clusters" -> ((s: SparkSession, d: String) => kmeansClusters(s, d)),
     "q85_semantic_neardups" -> ((s: SparkSession, d: String) => semanticNearDupPairs(s, d)),
+    "q96_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedupSummary(s, d)),
     "q63_lsh_neardup_pairs" -> ((s: SparkSession, d: String) => lshNearDupPairs(s, d)),
     "q29_ann_ivf_indexed" -> ((s: SparkSession, d: String) => annIvfIndexed(s, d)),
     "q26_top_cosine_pairs" -> ((s: SparkSession, d: String) => topCosinePairs(s, d)),

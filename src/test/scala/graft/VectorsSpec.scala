@@ -198,6 +198,16 @@ class VectorsSpec extends SparkSpec {
     assert(survivors.contains(12L), "a sub-threshold vector must survive")
   }
 
+  test("q96 semantic dedup gate: survivor set is non-trivial and deterministic") {
+    val out = Vectors.semanticDedupSummary(spark, sf0001).collect()
+    val survivors = out.map(_.getLong(1)).sum
+    val n = Tables.embeddingsCount(spark, sf0001)
+    // the synthetic threshold must actually drop rows AND actually keep rows
+    assert(survivors > 0 && survivors < n, s"trivial survivor set: $survivors of $n")
+    val again = Vectors.semanticDedupSummary(spark, sf0001).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("lsh near-dup pairs: recall vs exact top-20, exact sims, determinism") {
     // Exact top-20 cosine pairs over the FULL sf0.001 corpus (500 vectors).
     val exact = Vectors.topCosinePairs(spark, sf0001, maxId = 1000, k = 20).collect()
