@@ -228,6 +228,129 @@ object Text {
        |WHERE common / (sa.sz + sb.sz - common) >= $threshold
        |ORDER BY i, j""".stripMargin
 
+  /** q97 — exact token-set CONTAINMENT pairs on a bounded sample: the
+    * asymmetric near-dup relation Jaccard misses. A short document quoted
+    * wholesale inside a long one has containment(A→B) = |A∩B|/|A| ≈ 1 but
+    * Jaccard ≈ |A|/|B| ≈ 0 — exactly the subset/quote-inclusion dups a
+    * training-data pipeline must catch (the long doc carries the short
+    * one's content; keeping both double-counts it). Emits both directed
+    * containments for pairs where either direction clears the threshold.
+    * O(sample²) baseline by design — the corpus-scale path is
+    * [[containmentNearDups]], verified against this on the shared sample.
+    */
+  def containmentPairs(
+      spark: SparkSession,
+      sfDir: String,
+      maxDocId: Long = 100,
+      threshold: Double = 0.95): DataFrame = {
+    val doc = Tables.documents(spark, sfDir).filter(col("doc_id") < maxDocId)
+    val tok = doc.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
+    scoreContainment(tok, candidatesAllPairs(tok), threshold)
+  }
+
+  def containmentPairsOracle(maxDocId: Long = 100, threshold: Double = 0.95): String =
+    s"""WITH doc AS (SELECT * FROM documents WHERE doc_id < $maxDocId),
+       |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM doc),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+       |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i, j,
+       |       round(common / sa.sz, 4) AS cont_ij4,
+       |       round(common / sb.sz, 4) AS cont_ji4
+       |FROM pairs
+       |JOIN sz sa ON i = sa.doc_id
+       |JOIN sz sb ON j = sb.doc_id
+       |WHERE greatest(common / sa.sz, common / sb.sz) >= $threshold
+       |ORDER BY i, j""".stripMargin
+
+  /** q98 — corpus-scale containment near-dups via RARE-UNIT BLOCKING (no
+    * SQL oracle — the blocking set depends on the df cap; pinned by the
+    * TextSpec parity + planted-subset tests). MinHash banding is the wrong
+    * scale mechanism here: band-collision probability tracks JACCARD, so a
+    * high-containment low-Jaccard pair (the short-inside-long case that
+    * motivates containment) is precisely the pair banding misses. Instead,
+    * candidates come from the classic similarity-join blocking (the
+    * AllPairs/prefix-filter family, Bayardo et al. WWW'07): only units
+    * whose document frequency is ≤ `dfCap` generate candidate pairs.
+    *
+    * Scale shape: the posting-list self-join's width is Σ_{df(t)≤cap} df²
+    * ≤ cap · |unit table| — LINEAR in corpus size at fixed cap, never N².
+    * Verification (exact containment on candidates only) is the same
+    * candidate-fan-out join the banded pipeline uses. Recall contract: a
+    * pair is missed only if EVERY shared unit is more common than dfCap —
+    * for high-containment pairs that means every token of the contained
+    * doc is corpus-ubiquitous, in which case its content carries no signal
+    * worth deduping on (the same bounded-loss argument as
+    * [[Skew.capBuckets]]). At the gate fixtures every df ≤ dfCap, so the
+    * gate path has FULL recall and must equal [[containmentPairs]] exactly
+    * (spec-pinned parity).
+    */
+  def containmentNearDups(
+      spark: SparkSession,
+      sfDir: String,
+      maxDocId: Long = 100,
+      dfCap: Int = 1024,
+      threshold: Double = 0.95): DataFrame = {
+    val doc = Tables.documents(spark, sfDir).filter(col("doc_id") < maxDocId)
+    containmentNearDupsOf(
+      doc.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t")),
+      dfCap, threshold)
+  }
+
+  private[graft] def containmentNearDupsOf(
+      rawTok: DataFrame,
+      dfCap: Int,
+      threshold: Double): DataFrame = {
+    // One materialized unit table feeds blocking, verification (both
+    // sides), and sizes — the bandedNearDups discipline.
+    val tok = Materialize.stable(rawTok)
+    val dfOfT = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val rare = tok.join(dfOfT.filter(col("df") <= dfCap).select(col("t")), "t")
+    val cands = rare.as("x")
+      .join(rare.as("y"),
+        col("x.t") === col("y.t") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    scoreContainment(tok, cands, threshold)
+  }
+
+  /** All candidate pairs with ≥1 shared unit — the exact-baseline candidate
+    * set (bounded-sample only; the scale paths block candidates first).
+    */
+  private def candidatesAllPairs(tok: DataFrame): DataFrame =
+    tok.as("a")
+      .join(tok.as("b"), col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+
+  /** Exact directed-containment scoring of a candidate pair set: fan each
+    * pair out to i's units, keep those also in j's set, count — cost is
+    * |cands|·|units/doc|. Shared by the exact baseline and the blocked
+    * scale path, so their outputs can only differ by candidate RECALL,
+    * never by scoring.
+    */
+  private def scoreContainment(
+      tok: DataFrame,
+      cands: DataFrame,
+      threshold: Double): DataFrame = {
+    val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val common = cands
+      .join(tok.select(col("doc_id").as("i"), col("t")), "i")
+      .join(tok.select(col("doc_id").as("j"), col("t")), Seq("j", "t"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sz.select(col("doc_id").as("i"), col("sz").as("si")), "i")
+      .join(sz.select(col("doc_id").as("j"), col("sz").as("sj")), "j")
+      .filter(greatest(col("common") / col("si"), col("common") / col("sj")) >= threshold)
+      .select(col("i"), col("j"),
+        round(col("common") / col("si"), 4).as("cont_ij4"),
+        round(col("common") / col("sj"), 4).as("cont_ji4"))
+      .orderBy(col("i"), col("j"))
+  }
+
   /** Distinct character n-gram shingles of the `text` column — the unit set
     * for SEQUENCE-level near-dup detection (word-order permutations that
     * fool nothing at the token-set level destroy shingle similarity, and
@@ -1069,6 +1192,8 @@ object Text {
     "q31_quality_scores" -> (qualityScores _),
     "q32_exact_dedup" -> (exactDedup _),
     "q33_jaccard_pairs" -> ((s: SparkSession, d: String) => jaccardPairs(s, d)),
+    "q97_containment_pairs" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
+    "q98_containment_neardups" -> ((s: SparkSession, d: String) => containmentNearDups(s, d)),
     "q34_minhash_neardups" -> ((s: SparkSession, d: String) => minhashNearDups(s, d)),
     "q35_simhash" -> (simhashQuery _),
     "q36_langid" -> (langIdQuery _),
@@ -1090,6 +1215,7 @@ object Text {
     "q31_quality_scores" -> qualityScoresOracle,
     "q32_exact_dedup" -> exactDedupOracle,
     "q33_jaccard_pairs" -> jaccardPairsOracle(),
+    "q97_containment_pairs" -> containmentPairsOracle(),
     "q39_dedup_corpus" -> dedupCorpusOracle,
     "q79_repetition_stats" -> repetitionStatsOracle,
     "q80_decontaminate" -> decontaminateOracle,

@@ -16,6 +16,34 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("containment: blocked scale path equals the exact baseline at full recall") {
+    // at the fixtures every token's df is far below the default dfCap, so
+    // the rare-unit blocking has FULL candidate recall and the two paths
+    // share exact scoring — outputs must be identical rows
+    val exact = Text.containmentPairs(spark, sf0001).collect().map(_.toSeq).toSeq
+    val blocked = Text.containmentNearDups(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(exact.nonEmpty, "fixture should contain high-containment pairs")
+    assert(blocked == exact)
+  }
+
+  test("containment: catches a planted subset pair Jaccard misses; dfCap blocks as contracted") {
+    import spark.implicits._
+    // doc 1 = 3 rare tokens, all inside doc 2's 30-token set:
+    // containment(1->2) = 1.0 but jaccard = 3/30 = 0.1
+    val big = (0 until 30).map(i => (2L, s"tok$i"))
+    val tok = ((0 until 3).map(i => (1L, s"tok$i")) ++ big).toDF("doc_id", "t")
+    val got = Text.containmentNearDupsOf(tok, dfCap = 1024, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0, 0.1)),
+      s"planted subset pair not found exactly: ${got.toSeq}")
+    // the same pair is invisible at jaccard >= 0.95 (the relation q33/q34 test)
+    // — directed containment is a genuinely different detector
+    // blocking contract: with dfCap 1 every shared unit (df=2) is "too
+    // common", so the pair is deliberately missed — the documented recall
+    // tradeoff, not a bug
+    assert(Text.containmentNearDupsOf(tok, dfCap = 1, threshold = 0.95).isEmpty)
+  }
+
   test("shingle near-dups: match brute force, and catch pairs token methods miss") {
     import org.apache.spark.sql.functions.{col, explode}
     // brute-force ground truth over the SAME sampled shingle universe the
