@@ -253,6 +253,40 @@ object Sources {
       |GROUP BY source, bin
       |ORDER BY source, bin""".stripMargin
 
+  /** q99 — deterministic FIXED-SIZE per-source sample: exactly `n` docs per
+    * domain (the "pin the eval slice" / "inspect n examples per source"
+    * primitive; q81's rate-based sampling can't hit an exact count). Rank
+    * within source by the same engine-independent multiplicative hash as
+    * the q70 split — reproducible anywhere, no `rand()` — with the stable
+    * doc id as tie-break.
+    *
+    * Scale shape: rank-≤-n over a window triggers Spark's WindowGroupLimit
+    * pushdown (PlanSpec-locked): each input partition keeps only its own
+    * top-n per source BEFORE the shuffle, so the exchange carries
+    * O(n · sources · partitions) rows, never the corpus.
+    */
+  def fixedSample(spark: SparkSession, sfDir: String, n: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("hkey").asc, col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .withColumn("hkey", pmod(col("doc_id") * 2654435761L, lit(1000000007L)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select(col("source"), col("rn"), col("doc_id"), col("lang"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  def fixedSampleOracle(n: Int = 10): String =
+    s"""SELECT source, rn, doc_id, lang FROM (
+       |  SELECT source, doc_id, lang,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY source
+       |           ORDER BY (doc_id * 2654435761) % 1000000007, doc_id)
+       |           AS INTEGER) AS rn
+       |  FROM documents)
+       |WHERE rn <= $n
+       |ORDER BY source, rn""".stripMargin
+
   /** q49 — doc GET by id (SURVEY §2.B scans row): the point lookup the
     * parquet source serves via row-group min/max stats — the pushed
     * `doc_id = 42` predicate skips every row group whose id range excludes
@@ -278,6 +312,7 @@ object Sources {
     "q69_orc_source" -> (orcSource _),
     "q70_train_split" -> (trainSplit _),
     "q81_stratified_sample" -> (stratifiedSample _),
+    "q99_fixed_sample" -> ((s: SparkSession, d: String) => fixedSample(s, d)),
     "q86_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -287,5 +322,6 @@ object Sources {
     "q69_orc_source" -> orcSourceOracle,
     "q70_train_split" -> trainSplitOracle,
     "q81_stratified_sample" -> stratifiedSampleOracle,
+    "q99_fixed_sample" -> fixedSampleOracle(),
     "q86_pack_sequences" -> packSequencesOracle)
 }

@@ -58,6 +58,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"rank filter not pushed:\n$plan")
   }
 
+  test("fixed per-source sample pushes the rank limit below the shuffle") {
+    val plan = planOf("q99_fixed_sample")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=n not pushed; the exchange carries the corpus:\n$plan")
+  }
+
   test("global top-10 uses TakeOrderedAndProject, not a full sort") {
     val plan = planOf("q12_global_top_orders")
     assert(plan.contains("TakeOrderedAndProject"), plan)
