@@ -47,6 +47,13 @@ object Lifecycle {
     * Allocated (marker created) BEFORE any data is written, so a crashed
     * append can never share a number with its successor — a gap in the
     * sequence is harmless, a collision would merge two versions.
+    *
+    * The marker create is EXCLUSIVE (`overwrite = false`): two appenders
+    * racing to the same number both list max = N, but only one wins the
+    * atomic create of `bN+1`; the loser walks forward until its create
+    * succeeds. On HDFS/POSIX, create-exclusive is atomic, making concurrent
+    * appends collision-free; on eventually-consistent object stores the
+    * single-writer contract of the other maintenance ops still applies.
     */
   def allocateBatch(fs: FileSystem, indexDir: String): Long = {
     val dir = new Path(s"$indexDir/appends")
@@ -56,8 +63,17 @@ object Lifecycle {
         .collect { case s if s.startsWith("b") => s.drop(1).toLong }
         .foldLeft(0L)(math.max) + 1L
     fs.mkdirs(dir)
-    fs.create(new Path(dir, s"b$next"), true).close()
-    next
+    var n = next
+    var won = false
+    while (!won) {
+      try {
+        fs.create(new Path(dir, s"b$n"), false).close()
+        won = true
+      } catch {
+        case _: java.io.IOException => n += 1 // raced: try the next number
+      }
+    }
+    n
   }
 
   /** Roll a crashed tombstone swap forward/back — call at append entry.

@@ -64,6 +64,17 @@ class MiscSpec extends SparkSpec {
     assert(capped.filter(col("cell") === 10L).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("batch allocation: monotonic, and an existing marker is never reused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-alloc").toString
+    val fs = graft.operators.Lifecycle.fsOf(spark, dir)
+    assert(graft.operators.Lifecycle.allocateBatch(fs, dir) == 1L)
+    assert(graft.operators.Lifecycle.allocateBatch(fs, dir) == 2L)
+    // a marker created by a concurrent winner: the allocator must move past
+    // it (exclusive create), never hand out the same generation twice
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/appends/b3"), false).close()
+    assert(graft.operators.Lifecycle.allocateBatch(fs, dir) == 4L)
+  }
+
   test("salted count equals direct groupBy count") {
     val ev = Tables.events(spark, sf0001)
     val direct = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
