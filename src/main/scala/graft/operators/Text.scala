@@ -187,6 +187,61 @@ object Text {
       |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
       |ORDER BY doc_id""".stripMargin
 
+  /** q100 — QUALITY-AWARE dedup canonical selection: keep the copy from the
+    * most-trusted SOURCE per duplicate group, not the lowest id. Real
+    * pipelines rank domains (curated > web crawl); when the same text
+    * appears in both, the curated copy should carry the provenance. Source
+    * trust is a broadcast-small config table (the q81 discipline); ranking
+    * is a per-digest-group window — rank 1 per group survives, ties broken
+    * by doc_id so the choice is total and engine-independent.
+    *
+    * Scale shape: identical to [[dedupCorpus]] (text never shuffles — the
+    * 40-byte digest pair does) plus the broadcast trust join; the rank-1
+    * filter takes the WindowGroupLimit pushdown, so each input partition
+    * forwards at most one row per digest group to the shuffle.
+    */
+  def dedupCorpusBest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val trust = Seq("src4" -> 0L, "src5" -> 0L, "src1" -> 1L, "src2" -> 1L)
+      .toDF("source", "trust")
+    dedupBestOf(Tables.documents(spark, sfDir), trust)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The survivor core: rank each duplicate group by (trust, doc_id), keep
+    * rank 1. `trust` maps source → rank (lower = more trusted; unlisted
+    * sources rank 9).
+    */
+  private[graft] def dedupBestOf(doc: DataFrame, trust: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col("h64"), col("h256"))
+      .orderBy(col("trust").asc, col("doc_id").asc)
+    val canon = doc
+      .select(col("doc_id"), col("source"),
+        xxhash64(col("text")).as("h64"), sha2(col("text"), 256).as("h256"))
+      .join(broadcast(trust), Seq("source"), "left")
+      .withColumn("trust", coalesce(col("trust"), lit(9L)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"))
+    doc.join(canon, Seq("doc_id"), "left_semi")
+  }
+
+  val dedupCorpusBestOracle: String =
+    """WITH ranked AS (
+      |  SELECT doc_id,
+      |         row_number() OVER (
+      |           PARTITION BY text
+      |           ORDER BY CASE WHEN source IN ('src4','src5') THEN 0
+      |                         WHEN source IN ('src1','src2') THEN 1
+      |                         ELSE 9 END, doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, source, lang
+      |FROM documents
+      |WHERE doc_id IN (SELECT doc_id FROM ranked WHERE rn = 1)
+      |ORDER BY doc_id""".stripMargin
+
   /** q33 — exact token-set Jaccard near-dup pairs on a bounded sample
     * (doc_id < 100): the posting-list self-join baseline the approximate
     * methods are verified against. O(sample²) by design — the corpus-scale
@@ -1200,6 +1255,7 @@ object Text {
     "q37_fingerprint" -> (fingerprintQuery _),
     "q38_simhash_neardups" -> ((s: SparkSession, d: String) => simhashNearDups(s, d)),
     "q39_dedup_corpus" -> (dedupCorpus _),
+    "q100_dedup_best" -> (dedupCorpusBest _),
     "q77_shingle_neardups" -> ((s: SparkSession, d: String) => shingleNearDups(s, d)),
     "q78_neardedup_corpus" -> ((s: SparkSession, d: String) => nearDedupCorpus(s, d)),
     "q79_repetition_stats" -> (repetitionStats _),
@@ -1217,6 +1273,7 @@ object Text {
     "q33_jaccard_pairs" -> jaccardPairsOracle(),
     "q97_containment_pairs" -> containmentPairsOracle(),
     "q39_dedup_corpus" -> dedupCorpusOracle,
+    "q100_dedup_best" -> dedupCorpusBestOracle,
     "q79_repetition_stats" -> repetitionStatsOracle,
     "q80_decontaminate" -> decontaminateOracle,
     "q82_token_rarity" -> tokenRarityOracle,

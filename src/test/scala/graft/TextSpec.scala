@@ -205,6 +205,20 @@ class TextSpec extends SparkSpec {
     assert(expected.nonEmpty && expected.size < docs.length)
   }
 
+  test("quality-aware dedup keeps the most-trusted copy, not the lowest id") {
+    import spark.implicits._
+    val doc = Seq(
+      (1L, "web", "aaa bbb"),   // same text, untrusted source, LOWER id
+      (2L, "wiki", "aaa bbb"),  // same text, trusted source — must win
+      (3L, "web", "ccc ddd"),   // singleton survives regardless of trust
+      (4L, "wiki", "aaa bbb"))  // trusted but higher id — loses the tie
+      .toDF("doc_id", "source", "text")
+    val trust = Seq("wiki" -> 0L).toDF("source", "trust")
+    val got = Text.dedupBestOf(doc, trust)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(2L, 3L), s"expected trusted copy 2 and singleton 3: $got")
+  }
+
   test("exact dedup: synthetic duplicates collapse to canonical id") {
     import spark.implicits._
     val df = Seq(
