@@ -64,6 +64,16 @@ class PlanSpec extends SparkSpec {
       s"rank<=n not pushed; the exchange carries the corpus:\n$plan")
   }
 
+  test("quality-aware dedup pushes rank-1 below the shuffle; text never shuffles") {
+    val plan = planOf("q100_dedup_best")
+    assert(plan.contains("WindowGroupLimit"), s"rank=1 not pushed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"trust table should broadcast:\n$plan")
+    // the digest-group exchange must carry hashes, never the text column
+    val exchanges = plan.linesIterator.filter(_.trim.startsWith("Exchange")).toSeq
+    exchanges.foreach(e => assert(!e.contains("text"),
+      s"document text crosses an exchange: $e"))
+  }
+
   test("global top-10 uses TakeOrderedAndProject, not a full sort") {
     val plan = planOf("q12_global_top_orders")
     assert(plan.contains("TakeOrderedAndProject"), plan)
