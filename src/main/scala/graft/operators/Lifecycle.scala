@@ -70,7 +70,10 @@ object Lifecycle {
         fs.create(new Path(dir, s"b$n"), false).close()
         won = true
       } catch {
-        case _: java.io.IOException => n += 1 // raced: try the next number
+        // ONLY the lost-race signal advances; any other IOException (quota,
+        // permissions, safe-mode) must propagate, not spin the loop forever.
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => n += 1
+        case _: java.nio.file.FileAlreadyExistsException => n += 1
       }
     }
     n
@@ -328,6 +331,15 @@ object Lifecycle {
     }
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (!fs.exists(new Path(live, "_spark_metadata"))) return
+    // Stamp BEFORE the swap (overwrite-idempotent for retries): a crash
+    // after the promotion renames has already retired the sink log, so the
+    // retry's metadata check above would early-return without ever
+    // stamping — the one window where the guard could be lost forever.
+    // Stamping first is merely conservative: if we crash before the swap
+    // completes, the sink log is still present and the NEXT append's
+    // adoption retry finishes the job; bootstrap sinks refuse a little
+    // early, which is the safe direction.
+    fs.create(adoptedSentinel(live.toString), true).close()
     val rows = spark.read.parquet(live.toString) // this read honors the sink log
     val clustered =
       if (pcols.nonEmpty) rows.repartition(pcols.map(col): _*) else rows
@@ -336,9 +348,6 @@ object Lifecycle {
     require(fs.rename(live, old), s"could not stage $live aside")
     require(fs.rename(tmp, live), s"could not promote $tmp")
     fs.delete(old, true)
-    // Stamp AFTER promotion: a crash before this point leaves the sink log
-    // intact (retry re-adopts); once stamped, bootstrap sinks fast-fail.
-    fs.create(adoptedSentinel(live.toString), true).close()
   }
 
   /** Reset ALL lifecycle marker state for a from-scratch rebuild into an
@@ -355,5 +364,13 @@ object Lifecycle {
     Seq("tombstones", "tombstones_old", "tombstones_rewriting",
         "superseded", "appends")
       .foreach(d => fs.delete(new Path(s"$indexDir/$d"), true))
+    // Adoption sentinels describe the PREVIOUS layout generation — a rebuilt
+    // directory may legitimately be bootstrapped by a fresh streaming sink
+    // again, so "ALL marker state" includes them.
+    val root = new Path(indexDir)
+    if (fs.exists(root))
+      fs.listStatus(root).map(_.getPath)
+        .filter(_.getName.endsWith("_adopted"))
+        .foreach(p => fs.delete(p, false))
   }
 }

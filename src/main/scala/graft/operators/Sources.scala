@@ -258,7 +258,11 @@ object Sources {
     * primitive; q81's rate-based sampling can't hit an exact count). Rank
     * within source by the same engine-independent multiplicative hash as
     * the q70 split — reproducible anywhere, no `rand()` — with the stable
-    * doc id as tie-break.
+    * doc id as tie-break. The id is reduced mod the prime BEFORE the
+    * multiply, so the product is ≤ ~2.7e18 and never overflows BIGINT on
+    * any engine (unreduced, ids past ~3.5e9 would wrap in Spark, throw
+    * under ANSI mode, and error in DuckDB — three engines, three
+    * orderings).
     *
     * Scale shape: rank-≤-n over a window triggers Spark's WindowGroupLimit
     * pushdown (PlanSpec-locked): each input partition keeps only its own
@@ -269,7 +273,8 @@ object Sources {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("hkey").asc, col("doc_id").asc)
     Tables.documents(spark, sfDir)
-      .withColumn("hkey", pmod(col("doc_id") * 2654435761L, lit(1000000007L)))
+      .withColumn("hkey",
+        pmod((col("doc_id") % 1000000007L) * 2654435761L, lit(1000000007L)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= n)
       .select(col("source"), col("rn"), col("doc_id"), col("lang"))
@@ -281,7 +286,8 @@ object Sources {
        |  SELECT source, doc_id, lang,
        |         CAST(row_number() OVER (
        |           PARTITION BY source
-       |           ORDER BY (doc_id * 2654435761) % 1000000007, doc_id)
+       |           ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007,
+       |                    doc_id)
        |           AS INTEGER) AS rn
        |  FROM documents)
        |WHERE rn <= $n

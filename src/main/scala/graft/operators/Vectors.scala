@@ -616,13 +616,15 @@ object Vectors {
       threshold: Double,
       clusters: Int = 0,
       iterations: Int = 3): DataFrame = {
-    val n = emb.count()
-    val kk = if (clusters > 0) clusters else deriveKFromCount(n)
-    val cents = quantizer(spark, emb, kk, iterations)
+    // Count only when k must be derived — an explicit clusters caller has
+    // already chosen, and the count is a full corpus scan.
     // Past the deriveK ceiling, bound each cell's self-join explicitly; a
     // vector dropped from a capped cell keeps its survivors status (the cap
     // trades dedup recall, never correctness of kept rows).
-    val cap = if (clusters > 0) 0 else autoCellCap(n)
+    val (kk, cap) =
+      if (clusters > 0) (clusters, 0)
+      else { val n = emb.count(); (deriveKFromCount(n), autoCellCap(n)) }
+    val cents = quantizer(spark, emb, kk, iterations)
     semanticDedupWith(emb, cents, threshold, cap)
   }
 

@@ -222,6 +222,11 @@ class StreamingSpec extends SparkSpec {
         s"$idx/codes", ckpt)
     }
     assert(e.getMessage.contains("adopted"), e.getMessage)
+    // A from-scratch rebuild resets ALL marker state including the adoption
+    // sentinel — the rebuilt directory may legitimately be bootstrapped by a
+    // fresh streaming sink again.
+    graft.operators.Pq.buildSqIndex(spark, emb, sq, idx)
+    graft.operators.Lifecycle.assertNotAdopted(spark, s"$idx/codes")
   }
 
   test("stream-stream interval join matches the batch run of the same code") {
