@@ -321,6 +321,107 @@ object Streams {
       .select(col("doc_id"), col("lang"), col("n_tokens"))
   }
 
+  // --------------------------------------------------------------------
+  // A9: the Kafka transport (SURVEY §2.A — producer → extractor → indexer).
+  //
+  // The `kafka` data source resolves at RUNTIME (format("kafka") is a
+  // string lookup against spark-sql-kafka-0-10), so this wiring compiles
+  // and ships without the connector jar; [[kafkaAvailable]] reports whether
+  // the provider is on the classpath, and every entry point fails fast with
+  // a clear message when it is not. This sandbox has no Kafka jar and no
+  // network — the parse/transform stages below are therefore factored
+  // TRANSPORT-FREE (tested on static frames in StreamingSpec); only the
+  // `.format("kafka")` edges themselves are env-gated.
+  // --------------------------------------------------------------------
+
+  /** True when the Kafka connector is on the classpath. */
+  def kafkaAvailable: Boolean =
+    try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  private def requireKafka(): Unit =
+    require(kafkaAvailable,
+      "spark-sql-kafka-0-10 is not on the classpath; add the connector jar " +
+        "to use the Kafka transport (the file-source twins cover every " +
+        "pipeline stage without it)")
+
+  /** Decode a Kafka-shaped frame (binary `value` column) of JSON vector
+    * records into the [[vectorSchema]] rows every sink consumes. Transport-
+    * free: the exact stage a Kafka source feeds, testable on any static
+    * frame with a `value` column. Records that fail to parse yield null
+    * vec_id and are dropped (poison-pill tolerance — a malformed record
+    * must not kill the ingest stream).
+    */
+  def parseVectorRecords(records: DataFrame): DataFrame =
+    records
+      .select(from_json(col("value").cast("string"),
+        StructType(vectorSchema.fields.toSeq)).as("v"))
+      .select(col("v.vec_id"), col("v.embedding"), col("v.label"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+
+  /** Encode result rows to Kafka-shaped (key, value) JSON — the inverse
+    * edge, shared by the result sink and its tests.
+    */
+  def encodeResultRecords(results: DataFrame, keyCol: String): DataFrame =
+    results.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(results.columns.map(col): _*)).as("value"))
+
+  /** A9 source: subscribe to a topic of JSON vector records. */
+  def kafkaVectorSource(
+      spark: SparkSession,
+      brokers: String,
+      topic: String,
+      startingOffsets: String = "earliest"): DataFrame = {
+    requireKafka()
+    parseVectorRecords(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .load())
+  }
+
+  /** A9 closed loop over Kafka: vectors arrive on a topic and are applied
+    * through [[graft.operators.Index.append]] per micro-batch — the Kafka
+    * twin of [[liveAppendSink]], with the same delivered guarantee
+    * (effective exactly-once search results over at-least-once replay via
+    * generation supersede; see README).
+    */
+  def kafkaLiveAppendSink(
+      spark: SparkSession,
+      brokers: String,
+      topic: String,
+      indexDir: String,
+      checkpointDir: String): StreamingQuery = {
+    kafkaVectorSource(spark, brokers, topic)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) graft.operators.Index.append(spark, indexDir, batch)
+      }
+      .start()
+  }
+
+  /** A9 result sink: publish a streaming result frame to a topic as JSON
+    * (at-least-once; consumers dedupe on the key, the standard Kafka sink
+    * contract).
+    */
+  def kafkaResultSink(
+      results: DataFrame,
+      brokers: String,
+      topic: String,
+      checkpointDir: String,
+      keyCol: String): StreamingQuery = {
+    requireKafka()
+    encodeResultRecords(results, keyCol)
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the collected result table (test/dev harness; production uses a
     * durable sink + checkpoint).

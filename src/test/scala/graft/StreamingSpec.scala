@@ -229,6 +229,43 @@ class StreamingSpec extends SparkSpec {
     graft.operators.Lifecycle.assertNotAdopted(spark, s"$idx/codes")
   }
 
+  test("kafka transport: parse/encode stages round-trip; startup is env-gated") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Transport-free parse stage on a Kafka-shaped static frame: three good
+    // JSON records and one poison pill.
+    val good = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") < 3)
+      .select(to_json(struct(col("vec_id"), col("embedding"), col("label")))
+        .cast("binary").as("value"))
+    val poison = Seq("not json at all").toDF("s")
+      .select(col("s").cast("binary").as("value"))
+    val parsed = Streams.parseVectorRecords(good.unionByName(poison))
+      .orderBy(col("vec_id")).collect()
+    val expect = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 3)
+      .orderBy(col("vec_id")).collect()
+    assert(parsed.length == 3, "malformed record must be dropped, not fatal")
+    parsed.zip(expect).foreach { case (p, e) =>
+      assert(p.getLong(0) == e.getLong(0))
+      assert(p.getSeq[Float](1) == e.getSeq[Float](1))
+      assert(p.getInt(2) == e.getInt(2))
+    }
+    // Encode edge: key is the stringified id, value round-trips through the
+    // same JSON schema.
+    val enc = Streams.encodeResultRecords(
+      Seq((7L, 2, 0.5)).toDF("query_id", "rank", "dist"), "query_id").collect()(0)
+    assert(enc.getString(0) == "7")
+    assert(enc.getString(1).contains("\"rank\":2"))
+    // This sandbox ships no Kafka connector: entry points must fail fast
+    // with an actionable message, not a deep ClassNotFound at start().
+    if (!Streams.kafkaAvailable) {
+      val e = intercept[IllegalArgumentException] {
+        Streams.kafkaVectorSource(spark, "broker:9092", "vectors")
+      }
+      assert(e.getMessage.contains("classpath"), e.getMessage)
+    }
+  }
+
   test("stream-stream interval join matches the batch run of the same code") {
     val dirA = stageEventsDir()
     val dirB = stageEventsDir()
