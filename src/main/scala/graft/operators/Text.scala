@@ -1139,6 +1139,40 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** q101 — the END-TO-END training-corpus preparation recipe, one call
+    * (rows-only gate: the near-dedup stage is hash-dependent; TextSpec pins
+    * exact equality to the independent composition of its stages, each of
+    * which is separately oracle- or spec-verified):
+    *
+    *   1. restrict to the TRAIN side of the held-out split (the eval docs
+    *      must never enter the training corpus);
+    *   2. [[cleanCorpus]] — exact dedup + length/repetition/top-token/
+    *      stopword quality filters (q83, oracle-checked);
+    *   3. drop non-canonical members of shingle-MinHash near-dup clusters
+    *      ([[nearDedupCorpus]], q78);
+    *   4. drop docs sharing a verbatim 8-gram with the eval set
+    *      ([[decontaminate]], q80, oracle-checked).
+    *
+    * This is the MassiveText/C4-shaped pipeline a pretraining team actually
+    * runs, as a product API instead of four queries. Scale shape: every
+    * stage is id-keyed once its own corpus pass is done, so the composition
+    * adds only doc-id semi/anti joins (8-byte keys) on top of the stages'
+    * audited plans — document text never joins or shuffles here.
+    */
+  def prepareCorpus(
+      spark: SparkSession,
+      sfDir: String,
+      evalMod: Long = 19,
+      evalRem: Long = 3): DataFrame = {
+    val trainSide = col("doc_id") % evalMod =!= evalRem
+    cleanCorpus(spark, sfDir)
+      .filter(trainSide)
+      .join(nearDedupCorpus(spark, sfDir).select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(decontaminate(spark, sfDir, evalMod = evalMod, evalRem = evalRem)
+        .select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   val cleanCorpusOracle: String =
     """WITH tok AS (
       |  SELECT doc_id, lang, text, string_split(text, ' ') AS ts FROM documents),
@@ -1256,6 +1290,7 @@ object Text {
     "q38_simhash_neardups" -> ((s: SparkSession, d: String) => simhashNearDups(s, d)),
     "q39_dedup_corpus" -> (dedupCorpus _),
     "q100_dedup_best" -> (dedupCorpusBest _),
+    "q101_prepare_corpus" -> ((s: SparkSession, d: String) => prepareCorpus(s, d)),
     "q77_shingle_neardups" -> ((s: SparkSession, d: String) => shingleNearDups(s, d)),
     "q78_neardedup_corpus" -> ((s: SparkSession, d: String) => nearDedupCorpus(s, d)),
     "q79_repetition_stats" -> (repetitionStats _),

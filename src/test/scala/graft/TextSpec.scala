@@ -205,6 +205,26 @@ class TextSpec extends SparkSpec {
     assert(expected.nonEmpty && expected.size < docs.length)
   }
 
+  test("prepareCorpus equals the independent composition of its stages, each doing work") {
+    import org.apache.spark.sql.functions.col
+    val clean = Text.cleanCorpus(spark, sf0001)
+      .filter(col("doc_id") % 19 =!= 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val nearSurvivors = Text.nearDedupCorpus(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val contaminated = Text.decontaminate(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = (clean & nearSurvivors) -- contaminated
+    val got = Text.prepareCorpus(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // every stage must bite at the fixture, or the composition gate is
+    // vacuously the clean set
+    assert((clean -- nearSurvivors).nonEmpty, "near-dedup stage dropped nothing")
+    assert((clean & contaminated).nonEmpty, "decontamination stage dropped nothing")
+    assert(got.nonEmpty && got.size < clean.size)
+  }
+
   test("quality-aware dedup keeps the most-trusted copy, not the lowest id") {
     import spark.implicits._
     val doc = Seq(
