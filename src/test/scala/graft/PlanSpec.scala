@@ -184,6 +184,13 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 5, s"q86 shuffles beyond the two-level plan:\n$plan")
   }
 
+  test("prepare-corpus composition: document text never crosses an exchange") {
+    val plan = planOf("q101_prepare_corpus")
+    plan.linesIterator.filter(_.trim.startsWith("Exchange")).foreach(e =>
+      assert(!e.contains("text"), s"text shuffles in the prep pipeline: $e"))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("rrf fusion: both rank legs end in a bounded top-k, never a full sort") {
     val plan = planOf("q88_rrf_fusion")
     val takes = plan.linesIterator.count(_.contains("TakeOrderedAndProject"))
