@@ -44,6 +44,31 @@ class TextSpec extends SparkSpec {
     assert(Text.containmentNearDupsOf(tok, dfCap = 1, threshold = 0.95).isEmpty)
   }
 
+  test("containment: randomized corpus matches a driver-side brute force exactly") {
+    import spark.implicits._
+    // seeded random token-set corpus — not the fixtures, so the detector is
+    // pinned on arbitrary overlap structure, not one planted shape
+    val rng = new scala.util.Random(1234)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs: Seq[(Long, Set[String])] = (0 until 30).map { id =>
+      val sz = 3 + rng.nextInt(12)
+      (id.toLong, Seq.fill(sz)(vocab(rng.nextInt(vocab.size))).toSet)
+    }
+    val threshold = 0.6
+    val brute = (for {
+      (i, a) <- docs; (j, b) <- docs if i < j
+      common = (a & b).size.toDouble if common > 0
+      ci = common / a.size; cj = common / b.size
+      if math.max(ci, cj) >= threshold
+    } yield ((i, j), (math.rint(ci * 10000) / 10000, math.rint(cj * 10000) / 10000))).toMap
+    assert(brute.nonEmpty, "generator should produce containment pairs")
+    val tok = docs.flatMap { case (id, ts) => ts.map(t => (id, t)) }.toDF("doc_id", "t")
+    val got = Text.containmentNearDupsOf(tok, dfCap = 1000, threshold = threshold)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == brute, s"mismatch: extra=${got.keySet -- brute.keySet} missing=${brute.keySet -- got.keySet}")
+  }
+
   test("shingle near-dups: match brute force, and catch pairs token methods miss") {
     import org.apache.spark.sql.functions.{col, explode}
     // brute-force ground truth over the SAME sampled shingle universe the
