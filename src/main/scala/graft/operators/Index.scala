@@ -91,9 +91,19 @@ object Index {
     val hashed = Lsh.withHashes(spark, embeddings, model)
       .select(col("vec_id"), col("embedding"), col("hashes"), lit(0L).as(BatchCol))
     hashed.write.mode(SaveMode.Overwrite).parquet(s"$outDir/vectors")
+    // Derive postings from the vectors JUST WRITTEN, not from the source
+    // frame: the corpus is hashed ONCE (during the vectors write), and this
+    // pass is a 3-column columnar read of the persisted hashes — reusing
+    // `hashed` here would re-run the hash projection over the raw
+    // embeddings a second time. At the 64-d fixtures the gain is modest
+    // (~10% cold build; the postings shuffle/write dominates) but it scales
+    // with dim × tables × bits — at MobileNet-scale 1024-d vectors the
+    // second hash pass is the build's dominant compute.
     // repartition on the partition column: clusters each pkey into one task
     // so every directory gets exactly one file, written in parallel.
-    withPKey(explodeWithBatch(hashed), numBuckets)
+    val stored = spark.read.parquet(s"$outDir/vectors")
+      .select(col("vec_id"), col(BatchCol), col("hashes"))
+    withPKey(explodeWithBatch(stored), numBuckets)
       .repartition(col(PKeyCol))
       .write.mode(SaveMode.Overwrite)
       .partitionBy(PKeyCol)
@@ -155,20 +165,28 @@ object Index {
       adoptParts = Seq("postings" -> Seq(PKeyCol), "vectors" -> Nil),
       stored = vectors(spark, indexDir).select(col("vec_id"), col(BatchCol))
         .unionByName(postings(spark, indexDir).select(col("vec_id"), col(BatchCol)))) { batch =>
-      val hashed = Lsh.withHashes(spark, newVectors, model)
-        .select(col("vec_id"), col("embedding"), col("hashes"), lit(batch).as(BatchCol))
+      // Pinned: both writes consume the hashed batch, and the crash-safety
+      // ordering below (postings BEFORE vectors) rules out the build()'s
+      // read-back trick — unpinned, the hash projection would run twice
+      // over the arriving vectors. |batch|-sized, released after the writes.
+      val hashed = Materialize.stable(
+        Lsh.withHashes(spark, newVectors, model)
+          .select(col("vec_id"), col("embedding"), col("hashes"), lit(batch).as(BatchCol)),
+        eager = true)
       // Postings first: a crash between the two jobs then leaves orphan
       // postings. Orphans can still win k1 candidate slots (the vectors
       // inner-join drops them only at re-rank) until a replay of the same
       // ids supersedes them (above) or a rebuild; no wrong row is ever
       // RETURNED either way, whereas the reverse order would leave vectors
       // that silently never match any search.
-      withPKey(explodeWithBatch(hashed), numBuckets)
-        .repartition(col(PKeyCol))
-        .write.mode(SaveMode.Append)
-        .partitionBy(PKeyCol)
-        .parquet(s"$indexDir/postings")
-      hashed.write.mode(SaveMode.Append).parquet(s"$indexDir/vectors")
+      try {
+        withPKey(explodeWithBatch(hashed), numBuckets)
+          .repartition(col(PKeyCol))
+          .write.mode(SaveMode.Append)
+          .partitionBy(PKeyCol)
+          .parquet(s"$indexDir/postings")
+        hashed.write.mode(SaveMode.Append).parquet(s"$indexDir/vectors")
+      } finally Materialize.release(hashed)
     }
   }
 
