@@ -69,8 +69,17 @@ object Materialize {
     * modes: `unpersist` clears a persisted plan's cache entry;
     * checkpointed plans hold their blocks on the backing RDD, reachable
     * only through the internal accessor.
+    *
+    * Also removes the frame from the registry (Dataset has no `equals`
+    * override, so `remove` matches by identity — exactly the instance
+    * [[stable]] enqueued). Without this, producers that DO release inline
+    * (e.g. [[graft.operators.Index.append]], called once per micro-batch by
+    * the streaming append sinks, forever) still grow the queue by one
+    * released-but-referenced plan graph per call — an unbounded driver-heap
+    * leak in long-running streams that no harness drain point ever serves.
     */
   def release(df: DataFrame): Unit = {
+    pinnedFrames.remove(df)
     df.unpersist(blocking = false)
     org.apache.spark.sql.graft.GraftInternals.unpersistCheckpoint(df)
   }

@@ -1109,8 +1109,23 @@ object Text {
       minTokens: Int = 15,
       maxDupBigramFrac: Double = 0.1,
       maxTopTokFrac: Double = 0.2,
+      maxStopRatio: Double = 0.2): DataFrame =
+    cleanCorpusOf(Tables.documents(spark, sfDir),
+      minTokens, maxDupBigramFrac, maxTopTokFrac, maxStopRatio)
+      .orderBy(col("doc_id"))
+
+  /** [[cleanCorpus]] over an arbitrary document frame (doc_id, text, lang),
+    * unordered — the composition building block: [[prepareCorpus]] feeds it
+    * the TRAIN-side restriction so exact-dedup canonicals are chosen among
+    * the docs actually eligible for the corpus, not absorbed by an
+    * excluded copy.
+    */
+  def cleanCorpusOf(
+      doc: DataFrame,
+      minTokens: Int = 15,
+      maxDupBigramFrac: Double = 0.1,
+      maxTopTokFrac: Double = 0.2,
       maxStopRatio: Double = 0.2): DataFrame = {
-    val doc = Tables.documents(spark, sfDir)
     val canon = doc
       .select(
         col("doc_id"),
@@ -1136,7 +1151,6 @@ object Text {
           col("n_stop") / col("n_tokens") <= maxStopRatio)
       .join(canon, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"), col("n_tokens"))
-      .orderBy(col("doc_id"))
   }
 
   /** q101 — the END-TO-END training-corpus preparation recipe, one call
@@ -1146,18 +1160,32 @@ object Text {
     *
     *   1. restrict to the TRAIN side of the held-out split (the eval docs
     *      must never enter the training corpus);
-    *   2. [[cleanCorpus]] — exact dedup + length/repetition/top-token/
-    *      stopword quality filters (q83, oracle-checked);
+    *   2. [[cleanCorpusOf]] — exact dedup + length/repetition/top-token/
+    *      stopword quality filters (q83's logic, oracle-checked there) over
+    *      the train side only;
     *   3. drop non-canonical members of shingle-MinHash near-dup clusters
-    *      ([[nearDedupCorpus]], q78);
+    *      AMONG THE STAGE-2 SURVIVORS (q78's pair artifact, restricted);
     *   4. drop docs sharing a verbatim 8-gram with the eval set
     *      ([[decontaminate]], q80, oracle-checked).
+    *
+    * Each stage operates on the previous stage's survivor set, so a
+    * canonical can never be a doc the pipeline already excluded. Picking
+    * exact-dedup / near-dup canonicals over the FULL corpus instead would
+    * silently delete every cluster whose min-id member is an eval-side or
+    * quality-rejected doc — content loss with no contamination to justify
+    * it. The restriction of the near-dup stage is exact, not approximate:
+    * pair emission is a pure function of the two docs' shingle signatures
+    * (banding buckets don't depend on other docs), so the full-corpus pair
+    * artifact semi-joined to surviving endpoints IS the pair set of the
+    * restricted corpus, and connected components over those live edges
+    * cannot merge clusters through an excluded doc.
     *
     * This is the MassiveText/C4-shaped pipeline a pretraining team actually
     * runs, as a product API instead of four queries. Scale shape: every
     * stage is id-keyed once its own corpus pass is done, so the composition
     * adds only doc-id semi/anti joins (8-byte keys) on top of the stages'
-    * audited plans — document text never joins or shuffles here.
+    * audited plans — document text never joins or shuffles here, and the
+    * iterative CC stage still runs over pair endpoints only.
     */
   def prepareCorpus(
       spark: SparkSession,
@@ -1165,9 +1193,21 @@ object Text {
       evalMod: Long = 19,
       evalRem: Long = 3): DataFrame = {
     val trainSide = col("doc_id") % evalMod =!= evalRem
-    cleanCorpus(spark, sfDir)
-      .filter(trainSide)
-      .join(nearDedupCorpus(spark, sfDir).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val cleaned =
+      cleanCorpusOf(Tables.documents(spark, sfDir).filter(trainSide))
+    val alive = cleaned.select(col("doc_id"))
+    val pairs = spark.read
+      .parquet(ensureShinglePairs(spark, sfDir))
+      .select(col("i"), col("j"))
+      .join(alive.withColumnRenamed("doc_id", "i"), Seq("i"), "left_semi")
+      .join(alive.withColumnRenamed("doc_id", "j"), Seq("j"), "left_semi")
+    val endpoints = pairs.select(col("i").as("v"))
+      .union(pairs.select(col("j").as("v"))).distinct()
+    val dead = Components.connectedComponents(endpoints, pairs)
+      .filter(col("v") =!= col("label"))
+      .select(col("v").as("doc_id"))
+    cleaned
+      .join(dead, Seq("doc_id"), "left_anti")
       .join(decontaminate(spark, sfDir, evalMod = evalMod, evalRem = evalRem)
         .select(col("doc_id")), Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))

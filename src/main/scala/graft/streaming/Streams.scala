@@ -334,10 +334,21 @@ object Streams {
   // `.format("kafka")` edges themselves are env-gated.
   // --------------------------------------------------------------------
 
-  /** True when the Kafka connector is on the classpath. */
-  def kafkaAvailable: Boolean =
-    try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
-    catch { case _: ClassNotFoundException => false }
+  /** True when the Kafka connector is on the classpath. Probed on the
+    * context classloader (falling back to ours): Spark resolves
+    * `format("kafka")` through its mutable context/session classloader, so
+    * a connector shipped via `--jars` is visible there but NOT to this
+    * class's own defining loader — a bare `Class.forName` would refuse a
+    * correctly configured deployment.
+    */
+  def kafkaAvailable: Boolean = {
+    val loader = Option(Thread.currentThread().getContextClassLoader)
+      .getOrElse(getClass.getClassLoader)
+    try {
+      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider", false, loader)
+      true
+    } catch { case _: ClassNotFoundException => false }
+  }
 
   private def requireKafka(): Unit =
     require(kafkaAvailable,
@@ -354,8 +365,7 @@ object Streams {
     */
   def parseVectorRecords(records: DataFrame): DataFrame =
     records
-      .select(from_json(col("value").cast("string"),
-        StructType(vectorSchema.fields.toSeq)).as("v"))
+      .select(from_json(col("value").cast("string"), vectorSchema).as("v"))
       .select(col("v.vec_id"), col("v.embedding"), col("v.label"))
       .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
 

@@ -9,6 +9,17 @@ class PlanSpec extends SparkSpec {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
 
+  /** Shuffle-Exchange lines of a plan. Plan-tree lines carry connector
+    * prefixes (`+- `, `:  `), so `trim.startsWith("Exchange")` never matches
+    * anything — strip the connectors first. Matches `Exchange hashpartitioning`
+    * / `rangepartitioning` / `SinglePartition` but NOT BroadcastExchange or
+    * ReusedExchange (those don't start with "Exchange" after the strip).
+    */
+  private def shuffleExchanges(plan: String): Seq[String] =
+    plan.linesIterator
+      .filter(_.dropWhile("+-: *".contains(_)).startsWith("Exchange"))
+      .toSeq
+
   test("no gate query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
       val plan = planOf(name)
@@ -69,7 +80,8 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"rank=1 not pushed:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"trust table should broadcast:\n$plan")
     // the digest-group exchange must carry hashes, never the text column
-    val exchanges = plan.linesIterator.filter(_.trim.startsWith("Exchange")).toSeq
+    val exchanges = shuffleExchanges(plan)
+    assert(exchanges.nonEmpty, s"matcher broken — q100 must shuffle for the digest group:\n$plan")
     exchanges.foreach(e => assert(!e.contains("text"),
       s"document text crosses an exchange: $e"))
   }
@@ -126,7 +138,7 @@ class PlanSpec extends SparkSpec {
   test("train split is a single aggregation pass — no join, no extra shuffle") {
     val plan = planOf("q70_train_split")
     assert(!plan.contains("Join"), s"split should not join:\n$plan")
-    assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 2,
+    assert(shuffleExchanges(plan).size <= 2,
       s"split should shuffle once for the aggregate (plus AQE reads):\n$plan")
   }
 
@@ -180,13 +192,16 @@ class PlanSpec extends SparkSpec {
     // Exchange budget: corpus window on (source, block); block-totals agg;
     // tiny offsets window; final (source, bin) agg; presentation sort.
     // Only the first is corpus-sized.
-    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
-    assert(exchanges <= 5, s"q86 shuffles beyond the two-level plan:\n$plan")
+    val exchanges = shuffleExchanges(plan)
+    assert(exchanges.nonEmpty, s"matcher broken — q86 must shuffle for its windows:\n$plan")
+    assert(exchanges.size <= 5, s"q86 shuffles beyond the two-level plan:\n$plan")
   }
 
   test("prepare-corpus composition: document text never crosses an exchange") {
     val plan = planOf("q101_prepare_corpus")
-    plan.linesIterator.filter(_.trim.startsWith("Exchange")).foreach(e =>
+    val exchanges = shuffleExchanges(plan)
+    assert(exchanges.nonEmpty, s"matcher broken — q101 must shuffle for its stages:\n$plan")
+    exchanges.foreach(e =>
       assert(!e.contains("text"), s"text shuffles in the prep pipeline: $e"))
     assert(!plan.contains("CartesianProduct"), plan)
   }
@@ -199,8 +214,8 @@ class PlanSpec extends SparkSpec {
 
   test("chunking is a narrow generate: no shuffle before the presentation sort") {
     val plan = planOf("q87_chunk_documents")
-    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
-    assert(exchanges <= 1, s"q87 shuffles beyond the final sort:\n$plan")
+    assert(shuffleExchanges(plan).size <= 1,
+      s"q87 shuffles beyond the final sort:\n$plan")
   }
 
   test("pq adc scan reads only the 8-byte code column, never an embedding") {

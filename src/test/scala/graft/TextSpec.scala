@@ -232,14 +232,27 @@ class TextSpec extends SparkSpec {
 
   test("prepareCorpus equals the independent composition of its stages, each doing work") {
     import org.apache.spark.sql.functions.col
-    val clean = Text.cleanCorpus(spark, sf0001)
-      .filter(col("doc_id") % 19 =!= 3)
+    // Stage order is restrict-FIRST: canonicals (exact and near-dup) are
+    // chosen among the docs still eligible, never absorbed by an eval-side
+    // or quality-rejected copy. Ground truth re-derives stage 3 with a
+    // driver-side union-find over the pair artifact restricted to the
+    // stage-2 survivor set — independent of the distributed CC path.
+    val clean = Text.cleanCorpusOf(
+      Tables.documents(spark, sf0001).filter(col("doc_id") % 19 =!= 3))
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    val nearSurvivors = Text.nearDedupCorpus(spark, sf0001)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairs = spark.read.parquet(Text.ensureShinglePairs(spark, sf0001))
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (i, j) => clean(i) && clean(j) }
+    val parent = scala.collection.mutable.Map(clean.toSeq.map(v => v -> v): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nearSurvivors = clean.filter(v => find(v) == v)
     val contaminated = Text.decontaminate(spark, sf0001)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    val expected = (clean & nearSurvivors) -- contaminated
+    val expected = nearSurvivors -- contaminated
     val got = Text.prepareCorpus(spark, sf0001)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == expected)
