@@ -150,8 +150,56 @@ object Bpe {
       .orderBy(col("rank"))
   }
 
+  /** Per-executor word→subword-count cache, keyed by the merge table's
+    * content hash so tables for different corpora/merge counts never mix.
+    * This is exactly how a production tokenizer encodes: segment each
+    * DISTINCT word once, serve repeats from the cache — the cache is
+    * Zipf-bounded (distinct words), not corpus-bounded.
+    */
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Int]()
+
+  private[operators] def subwordCount(word: String, merges: Seq[Merge]): Int =
+    segCache.computeIfAbsent((merges.hashCode, word),
+      _ => segment(word, merges).length)
+
+  /** The tokenizer's ENCODE pass over the corpus — the consumer half of the
+    * q93 trainer: apply the learned merge table to every document and report
+    * per-doc token/subword counts and the fertility ratio (subwords per
+    * word, the tokenizer-quality number reported in the BPE literature;
+    * emitted parts-per-million as an exact integer division so the gate is
+    * engine- and partitioning-independent).
+    *
+    * Scale shape (100 TB): the merge table is the MODEL — a few kB to a few
+    * hundred kB — broadcast to every executor; encoding is then a narrow
+    * per-document map (no shuffle, no explode, no join) with the
+    * [[segCache]] memoizing segmentation per distinct word per executor.
+    * The only shuffle in the gate is the presentation sort.
+    */
+  def encodeCorpus(spark: SparkSession, sfDir: String, numMerges: Int = 12): DataFrame = {
+    val merges = trainCached(spark, sfDir, numMerges)
+    val mergesB = spark.sparkContext.broadcast(merges)
+    val counts = udf { (ts: Seq[String]) =>
+      val m = mergesB.value
+      var subs = 0L
+      ts.foreach(w => subs += subwordCount(w, m))
+      (ts.length.toLong, subs)
+    }
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), counts(Text.tokens(col("text"))).as("c"))
+      .select(
+        col("doc_id"),
+        col("c._1").as("n_words"),
+        col("c._2").as("n_subwords"))
+      .filter(col("n_words") > 0)
+      .withColumn("fertility_ppm",
+        expr("n_subwords * 1000000L div n_words"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q93_bpe_merges" -> ((s: SparkSession, d: String) => mergesQuery(s, d)))
+    "q93_bpe_merges" -> ((s: SparkSession, d: String) => mergesQuery(s, d)),
+    "q102_bpe_encode" -> ((s: SparkSession, d: String) => encodeCorpus(s, d)))
 
   val oracles: Map[String, String] = Map.empty
 }

@@ -293,6 +293,77 @@ object Sources {
        |WHERE rn <= $n
        |ORDER BY source, rn""".stripMargin
 
+  /** q103 — temperature-weighted source mixing: allocate a document budget
+    * across sources proportional to p_i^α with α = 1/2 (the
+    * multilingual-corpus "sampling temperature" recipe: upsample the tail,
+    * downsample the head, published in the XLM-R / mC4 line of work). The
+    * gate emits the allocation table a sampler executes: per source, its
+    * corpus count, normalized weight, and the exact integer document
+    * allocation.
+    *
+    * Determinism discipline: α = 1/2 is computed as `sqrt`, which IEEE 754
+    * requires to be CORRECTLY ROUNDED (like +,×,÷ and unlike pow/exp/log —
+    * the reason the α knob is fixed at 1/2 here rather than exposed as an
+    * arbitrary exponent), then immediately scaled to an exact integer
+    * weight `w = floor(sqrt(n) · 2^20)`. Everything after is integer
+    * arithmetic — Hamilton (largest-remainder) apportionment: floor quotas
+    * `B·w div Σw`, then one extra doc to the largest remainders (source
+    * tie-break) until the budget is spent. Bit-identical on any engine and
+    * any partitioning; no double ever crosses a sum.
+    *
+    * Overflow bounds: n ≤ 10^12 docs → w ≤ ~2^40; B·w at the default
+    * budget ≤ ~2^54; Σw over 10^5 sources ≤ ~2^57 — all inside BIGINT.
+    *
+    * Scale shape: ONE corpus-sized count aggregate; every later step runs
+    * on source-cardinality rows (the two whole-frame windows see thousands
+    * of rows at most, post-aggregation).
+    */
+  def sourceMixing(spark: SparkSession, sfDir: String, budget: Long = 10000L): DataFrame =
+    mixingAllocation(
+      Tables.documents(spark, sfDir)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs")),
+      budget)
+
+  /** The apportionment core of [[sourceMixing]], over any (source, n_docs)
+    * counts frame — unit-testable against hand-computed allocations.
+    */
+  def mixingAllocation(counts: DataFrame, budget: Long): DataFrame = {
+    val wAll = Window.partitionBy()
+    counts
+      .withColumn("w", floor(sqrt(col("n_docs")) * (1L << 20)).cast("long"))
+      .withColumn("s", sum(col("w")).over(wAll))
+      .withColumn("base", expr(s"$budget * w div s"))
+      .withColumn("rem", expr(s"($budget * w) % s"))
+      .withColumn("deficit", lit(budget) - sum(col("base")).over(wAll))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, col("source").asc)))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+      .select(
+        col("source"), col("n_docs"),
+        expr("w * 1000000L div s").as("weight_ppm"),
+        col("alloc"))
+      .orderBy(col("source"))
+  }
+
+  def sourceMixingOracle(budget: Long = 10000L): String =
+    s"""WITH counts AS (
+       |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+       |w AS (
+       |  SELECT source, n_docs,
+       |         CAST(floor(sqrt(n_docs) * 1048576) AS BIGINT) AS w
+       |  FROM counts),
+       |t AS (SELECT *, CAST(sum(w) OVER () AS BIGINT) AS s FROM w),
+       |q AS (SELECT *, ($budget * w) // s AS base, ($budget * w) % s AS rem
+       |      FROM t),
+       |d AS (
+       |  SELECT *, $budget - CAST(sum(base) OVER () AS BIGINT) AS deficit,
+       |         row_number() OVER (ORDER BY rem DESC, source) AS rk
+       |  FROM q)
+       |SELECT source, n_docs, (w * 1000000) // s AS weight_ppm,
+       |       base + (CASE WHEN rk <= deficit THEN 1 ELSE 0 END) AS alloc
+       |FROM d ORDER BY source""".stripMargin
+
   /** q49 — doc GET by id (SURVEY §2.B scans row): the point lookup the
     * parquet source serves via row-group min/max stats — the pushed
     * `doc_id = 42` predicate skips every row group whose id range excludes
@@ -319,7 +390,8 @@ object Sources {
     "q70_train_split" -> (trainSplit _),
     "q81_stratified_sample" -> (stratifiedSample _),
     "q99_fixed_sample" -> ((s: SparkSession, d: String) => fixedSample(s, d)),
-    "q86_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)))
+    "q86_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
+    "q103_source_mixing" -> ((s: SparkSession, d: String) => sourceMixing(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q49_doc_get" -> docGetOracle,
@@ -329,5 +401,6 @@ object Sources {
     "q70_train_split" -> trainSplitOracle,
     "q81_stratified_sample" -> stratifiedSampleOracle,
     "q99_fixed_sample" -> fixedSampleOracle(),
-    "q86_pack_sequences" -> packSequencesOracle)
+    "q86_pack_sequences" -> packSequencesOracle,
+    "q103_source_mixing" -> sourceMixingOracle())
 }

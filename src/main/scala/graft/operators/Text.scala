@@ -1213,6 +1213,96 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** q104 — the per-source corpus DATASHEET: the "data card" table a
+    * pretraining team publishes and monitors per ingested source — volume
+    * (docs, tokens), exact-duplicate count, quality-pass count (the q83
+    * thresholds), and eval-contamination count (the q80 8-gram collision).
+    * One row per source; the drill-downs are the stage gates themselves.
+    *
+    * Scale shape: ONE corpus scan computes digests + the one-pass `rep_stats`
+    * quality counters per doc; the text column is dropped before the only
+    * corpus-sized shuffle (the digest window — ~60-byte rows), the
+    * contamination leg reuses q80's broadcast-eval join, and the final
+    * aggregate groups source-cardinality keys map-side.
+    */
+  def corpusDatasheet(spark: SparkSession, sfDir: String): DataFrame = {
+    val wDig = Window.partitionBy(col("h64"), col("h256"))
+    val doc = Tables.documents(spark, sfDir)
+      .withColumn("rs",
+        org.apache.spark.sql.graft.TextExpressions.repStats(tokens(col("text")), stopwords))
+      .select(
+        col("doc_id"), col("source"),
+        xxhash64(col("text")).as("h64"),
+        sha2(col("text"), 256).as("h256"),
+        col("rs.n_tokens").as("n_tokens"),
+        (col("rs.n_tokens") - 1).as("n_bigrams"),
+        col("rs.n_distinct_bigrams").as("n_distinct_bigrams"),
+        col("rs.top_tok").as("top_tok"),
+        col("rs.n_stop").as("n_stop"))
+      .withColumn("is_dup",
+        (col("doc_id") =!= min(col("doc_id")).over(wDig)).cast("long"))
+      .withColumn("quality_ok",
+        (col("n_tokens") >= 15 &&
+          (col("n_bigrams") - col("n_distinct_bigrams")) / col("n_bigrams") <= 0.1 &&
+          col("top_tok") / col("n_tokens") <= 0.2 &&
+          col("n_stop") / col("n_tokens") <= 0.2).cast("long"))
+    doc
+      .join(decontaminate(spark, sfDir).select(col("doc_id"), lit(1L).as("contam")),
+        Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("is_dup")).as("n_exact_dups"),
+        sum(col("quality_ok")).as("n_quality_ok"),
+        sum(coalesce(col("contam"), lit(0L))).as("n_contaminated"))
+      .orderBy(col("source"))
+  }
+
+  val corpusDatasheetOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, text, string_split(text, ' ') AS ts
+      |  FROM documents),
+      |stats AS (
+      |  SELECT doc_id, source,
+      |         min(doc_id) OVER (PARTITION BY text) AS canon,
+      |         CAST(len(ts) AS BIGINT) AS n_tokens,
+      |         CAST(len(ts) - 1 AS BIGINT) AS n_bigrams,
+      |         CAST(len(list_distinct(
+      |           [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]))
+      |           AS BIGINT) AS n_distinct_bigrams,
+      |         CAST(list_max(list_transform(list_distinct(ts),
+      |           x -> len(list_filter(ts, y -> y = x)))) AS BIGINT) AS top_tok,
+      |         CAST(len(list_filter(ts, t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+      |  FROM tok),
+      |gtok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |g AS (
+      |  SELECT doc_id,
+      |         unnest([array_to_string(ts[i:i+7], ' ')
+      |                 FOR i IN range(1, len(ts)-6)]) AS g
+      |  FROM gtok),
+      |contam AS (
+      |  SELECT DISTINCT tr.doc_id
+      |  FROM (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 19 <> 3) tr
+      |  JOIN (SELECT DISTINCT g FROM g WHERE doc_id % 19 = 3) ev
+      |    ON tr.g = ev.g)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(sum(CASE WHEN doc_id <> canon THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_exact_dups,
+      |       CAST(sum(CASE WHEN n_tokens >= 15
+      |         AND (n_bigrams - n_distinct_bigrams) / n_bigrams <= 0.1
+      |         AND top_tok / n_tokens <= 0.2
+      |         AND n_stop / n_tokens <= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_quality_ok,
+      |       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM contam)
+      |         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+      |FROM stats
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val cleanCorpusOracle: String =
     """WITH tok AS (
       |  SELECT doc_id, lang, text, string_split(text, ' ') AS ts FROM documents),
@@ -1339,7 +1429,8 @@ object Text {
     "q83_clean_corpus" -> ((s: SparkSession, d: String) => cleanCorpus(s, d)),
     "q87_chunk_documents" -> ((s: SparkSession, d: String) => chunkDocuments(s, d)),
     "q89_bigram_surprisal" -> (bigramSurprisal _),
-    "q92_token_lift" -> ((s: SparkSession, d: String) => tokenLift(s, d)))
+    "q92_token_lift" -> ((s: SparkSession, d: String) => tokenLift(s, d)),
+    "q104_corpus_datasheet" -> (corpusDatasheet _))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> tokenStatsOracle,
@@ -1355,5 +1446,6 @@ object Text {
     "q83_clean_corpus" -> cleanCorpusOracle,
     "q87_chunk_documents" -> chunkDocumentsOracle,
     "q89_bigram_surprisal" -> bigramSurprisalOracle,
-    "q92_token_lift" -> tokenLiftOracle)
+    "q92_token_lift" -> tokenLiftOracle,
+    "q104_corpus_datasheet" -> corpusDatasheetOracle)
 }

@@ -35,6 +35,28 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("encodeCorpus matches driver-side segmentation for every document") {
+    import org.apache.spark.sql.functions.col
+    val merges = Bpe.trainCached(spark, sf0001)
+    val got = Bpe.encodeCorpus(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.nonEmpty && got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      // mirror Text.tokens = split(text, " ") exactly: -1 keeps trailing empties
+      val words = text.split(" ", -1).toSeq
+      val subs = words.map(w => Bpe.segment(w, merges).length.toLong).sum
+      val (gw, gs, gppm) = got(id)
+      assert(gw == words.length && gs == subs, s"doc $id: got ($gw,$gs) want (${words.length},$subs)")
+      assert(gppm == subs * 1000000L / words.length, s"doc $id fertility mismatch")
+      // merges must actually compress: strictly fewer subwords than chars
+      assert(subs < words.map(_.length.toLong).sum, s"doc $id: no merge ever applied")
+      assert(subs >= words.length, s"doc $id: fewer subwords than words")
+    }
+  }
+
   test("bpe training is deterministic across runs") {
     val a = Bpe.train(spark, Bpe.vocabulary(spark, sf0001), numMerges = 8)
     val b = Bpe.train(spark, Bpe.vocabulary(spark, sf0001), numMerges = 8)

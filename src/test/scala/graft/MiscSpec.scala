@@ -130,6 +130,25 @@ class MiscSpec extends SparkSpec {
     assert(rows.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-9))
   }
 
+  test("mixing allocation apportions the exact budget by sqrt weight, largest remainder") {
+    import spark.implicits._
+    // sqrt(100)=10, sqrt(25)=5, sqrt(4)=2 → integer weights 10:5:2 of 17.
+    // Budget 7: floor quotas 4/2/0 (sum 6), remainders .117/.058/.823 →
+    // the one leftover doc goes to the tail source C — the temperature
+    // upsample working as designed.
+    val counts = Seq(("A", 100L), ("B", 25L), ("C", 4L)).toDF("source", "n_docs")
+    val got = graft.operators.Sources.mixingAllocation(counts, budget = 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got == Map("A" -> 4L, "B" -> 2L, "C" -> 1L), s"$got")
+  }
+
+  test("source mixing allocation always sums to the budget on the fixture") {
+    val alloc = graft.operators.Sources.sourceMixing(spark, sf0001, budget = 997L)
+      .collect().map(_.getLong(3))
+    assert(alloc.sum == 997L)
+    assert(alloc.forall(_ >= 0L))
+  }
+
   test("csv and json sources round-trip the documents table") {
     val doc = Tables.documents(spark, sf0001).select("doc_id", "lang", "n_chars")
     val base = java.nio.file.Files.createTempDirectory("graft-src").toString

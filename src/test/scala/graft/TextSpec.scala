@@ -263,6 +263,22 @@ class TextSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < clean.size)
   }
 
+  test("corpus datasheet cross-foots the stage gates") {
+    val ds = Text.corpusDatasheet(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+    val totalDocs = docs.count()
+    val distinctTexts = docs.select("text").distinct().count()
+    // every doc lands in exactly one source row
+    assert(ds.map(_.getLong(1)).sum == totalDocs)
+    // exact-dup count = docs minus distinct texts (each group keeps one canonical)
+    assert(ds.map(_.getLong(3)).sum == totalDocs - distinctTexts)
+    // contamination column sums to the q80 gate's row count
+    assert(ds.map(_.getLong(5)).sum == Text.decontaminate(spark, sf0001).count())
+    // quality filter must bite but not annihilate at the fixture
+    val ok = ds.map(_.getLong(4)).sum
+    assert(ok > 0 && ok < totalDocs)
+  }
+
   test("quality-aware dedup keeps the most-trusted copy, not the lowest id") {
     import spark.implicits._
     val doc = Seq(
