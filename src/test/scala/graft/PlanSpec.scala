@@ -206,6 +206,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("bpe encode is a narrow map: only the presentation sort shuffles") {
+    val plan = planOf("q102_bpe_encode")
+    assert(shuffleExchanges(plan).size <= 1,
+      s"encode should not shuffle before the sort:\n$plan")
+    assert(!plan.contains("Join"), s"encode should not join:\n$plan")
+  }
+
+  test("source mixing: one corpus aggregate, no join, tiny windows after") {
+    val plan = planOf("q103_source_mixing")
+    assert(!plan.contains("Join"), s"mixing should not join:\n$plan")
+    // corpus-sized: the source-count aggregate's exchange. The whole-frame
+    // windows and sort run on source-cardinality rows.
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("corpus datasheet: document text never crosses an exchange") {
+    val plan = planOf("q104_corpus_datasheet")
+    val exchanges = shuffleExchanges(plan)
+    assert(exchanges.nonEmpty, s"matcher broken — q104 must shuffle for the digest window:\n$plan")
+    exchanges.foreach(e => assert(!e.contains("text"),
+      s"document text crosses an exchange: $e"))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("rrf fusion: both rank legs end in a bounded top-k, never a full sort") {
     val plan = planOf("q88_rrf_fusion")
     val takes = plan.linesIterator.count(_.contains("TakeOrderedAndProject"))
