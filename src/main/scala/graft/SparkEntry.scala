@@ -33,6 +33,7 @@ object SparkEntry {
       "q20_knn_exact" -> ((s, dir) => KnnExact.topK(s, dir)),
       "q21_knn_cosine" -> ((s, dir) => KnnExact.topKCosine(s, dir)),
       "q95_knn_dot" -> ((s, dir) => KnnExact.topKDot(s, dir)),
+      "q105_matryoshka_knn" -> ((s, dir) => KnnExact.topKCosineTrunc(s, dir)),
       // Model-dependent LSH ops: no SQL oracle (driver records rows-only);
       // pinned by LshSpec golden + recall tests instead.
       "q22_lsh_hash" -> ((s, dir) => Lsh.hashQuery(s, dir)),
@@ -50,5 +51,6 @@ object SparkEntry {
       "q20_knn_exact" -> KnnExact.oracle(),
       "q21_knn_cosine" -> KnnExact.oracleCosine(),
       "q95_knn_dot" -> KnnExact.oracleDot(),
+      "q105_matryoshka_knn" -> KnnExact.oracleCosineTrunc(),
     )
 }

@@ -128,6 +128,61 @@ object KnnExact {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q105 — MATRYOSHKA-style truncated-dimension search: rank by cosine over
+    * only the first `dims` of the embedding (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning": MRL-trained models pack the
+    * salient signal into the leading dimensions, so a prefix of the vector
+    * is a usable lower-cost representation). The cheapest rung of the scale
+    * ladder next to SQ8/PQ: at 100 TB, halving `dims` halves both the
+    * scanned bytes (columnar slice) and the per-pair FLOPs with NO codebook
+    * to train — and composes with either (truncate, then quantize).
+    *
+    * Cosine over a prefix renormalizes by the PREFIX norms (a prefix of a
+    * unit vector is not unit), which the cosine expression does by
+    * definition. Output ids+rank (float-ranking discipline, like q21);
+    * recall vs the full-dim ranking is measured in [[graft.tools.RecallSweep]]
+    * and bounded in VectorsSpec.
+    */
+  def topKCosineTrunc(
+      spark: SparkSession,
+      sfDir: String,
+      dims: Int = 32,
+      queryMaxId: Long = 4,
+      k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb
+      .filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), slice(col("embedding"), 1, dims).as("qv"))
+    val scored = emb
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorExpressions.cosine(col("qv"), slice(col("embedding"), 1, dims)).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def oracleCosineTrunc(dims: Int = 32, queryMaxId: Long = 4, k: Int = 10): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id,
+       |         CAST(embedding[1:$dims] AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < $queryMaxId
+       |), d AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         list_cosine_similarity(CAST(e.embedding[1:$dims] AS DOUBLE[]), q.qv) AS sim
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id <> q.query_id
+       |)
+       |SELECT query_id, neighbor_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+       |FROM d
+       |QUALIFY rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   def oracleDot(queryMaxId: Long = 4, k: Int = 10): String =
     s"""WITH q AS (
        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

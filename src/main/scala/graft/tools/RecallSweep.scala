@@ -55,6 +55,18 @@ object RecallSweep {
       val recall = (exact & sq).size.toDouble / exact.size
       println(f"RECALL sq8 k1=$k1%4d bytes= 64 recall@10=$recall%.3f")
     }
+    // Matryoshka truncation: prefix-dim cosine vs the FULL-dim cosine
+    // ranking (same metric on both sides, unlike the L2 ladder above).
+    val fullCos = KnnExact.topKCosine(spark, sfDir, queryMaxId = 8, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (dims <- Seq(8, 16, 32, 48)) {
+      val t = KnnExact.topKCosineTrunc(spark, sfDir, dims = dims, queryMaxId = 8, k = 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (fullCos & t).size.toDouble / fullCos.size
+      println(f"RECALL trunc dims=$dims%2d bytes=${4 * dims}%4d recall@10=$recall%.3f")
+    }
     spark.stop()
   }
 }

@@ -6,6 +6,25 @@ import graft.operators.{KnnExact, Vectors}
 
 class VectorsSpec extends SparkSpec {
 
+  test("matryoshka truncation: full-width is identity; half-width recalls above floor") {
+    import graft.operators.KnnExact
+    // dims = 64 slices the whole vector — the ranking must equal full
+    // cosine EXACTLY (same expression, same tie-breaks), pinning that the
+    // truncated path differs from q21 only by the slice.
+    val full = KnnExact.topKCosine(spark, sf0001).collect().toSeq
+    val id64 = KnnExact.topKCosineTrunc(spark, sf0001, dims = 64).collect().toSeq
+    assert(id64 == full, "dims=64 truncation must be the identity ranking")
+    // The fixture embeddings are RANDOM (signal uniform across dims), the
+    // worst case for prefix truncation — MRL-trained vectors concentrate
+    // salience up front. Floor is accordingly loose; the RecallSweep rows
+    // document the measured ladder (0.275 at dims=32 on sf0.001).
+    val fullSet = full.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val half = KnnExact.topKCosineTrunc(spark, sf0001, dims = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (fullSet & half).size.toDouble / fullSet.size
+    assert(recall >= 0.1, f"half-dim recall collapsed: $recall%.3f")
+  }
+
   test("ivf ann: recall@10 vs exact, and never returns self") {
     val exact = KnnExact.topK(spark, sf0001, queryMaxId = 8, k = 10)
       .select("query_id", "neighbor_id").collect()
