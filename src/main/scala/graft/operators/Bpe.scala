@@ -150,18 +150,45 @@ object Bpe {
       .orderBy(col("rank"))
   }
 
-  /** Per-executor word→subword-count cache, keyed by the merge table's
-    * content hash so tables for different corpora/merge counts never mix.
-    * This is exactly how a production tokenizer encodes: segment each
-    * DISTINCT word once, serve repeats from the cache — the cache is
-    * Zipf-bounded (distinct words), not corpus-bounded.
+  /** Per-executor word→subword-count cache, keyed by the merge table's full
+    * CONTENT (not a 32-bit hash — a hash collision between two merge tables
+    * would silently serve one table's segmentation for the other; exact
+    * string keys cannot collide) so tables for different corpora/merge
+    * counts never mix. This is exactly how a production tokenizer encodes:
+    * segment each DISTINCT word once, serve repeats from the cache — the
+    * cache is Zipf-bounded (distinct words) PER MERGE TABLE, not
+    * corpus-bounded. A long-lived executor serving many corpora would still
+    * accumulate one vocabulary per merge table, so the cache self-clears at
+    * a size ceiling (costing only recomputation) rather than growing
+    * without bound — the [[Materialize]] registry lesson applied here.
+    * The ceiling probe and segmentation run on the MISS path only; a hit
+    * is one lock-free get (no size() traversal per token). The clear runs
+    * outside any map callback (clear() inside computeIfAbsent would
+    * self-lock bins).
     */
+  private val SegCacheCeiling = 1 << 21
   private val segCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Int]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
 
-  private[operators] def subwordCount(word: String, merges: Seq[Merge]): Int =
-    segCache.computeIfAbsent((merges.hashCode, word),
-      _ => segment(word, merges).length)
+  /** Canonical content key of a merge table, computed ONCE per encode
+    * call on the driver and broadcast. Control-char separators (below any
+    * symbol character) make the encoding unambiguous: without them,
+    * [(1,"ab","c")] and [(1,"a","bc")] would encode identically.
+    */
+  private[operators] def mergeKey(merges: Seq[Merge]): String =
+    merges.map(m => s"${m.rank}\u0001${m.left}\u0001${m.right}").mkString("\u0002")
+
+  private[operators] def subwordCount(word: String, merges: Seq[Merge], tableKey: String): Int = {
+    val key = tableKey + "\u0000" + word
+    val hit = segCache.get(key)
+    if (hit ne null) hit.intValue
+    else {
+      if (segCache.size > SegCacheCeiling) segCache.clear()
+      val n = segment(word, merges).length
+      segCache.put(key, n)
+      n
+    }
+  }
 
   /** The tokenizer's ENCODE pass over the corpus — the consumer half of the
     * q93 trainer: apply the learned merge table to every document and report
@@ -178,11 +205,11 @@ object Bpe {
     */
   def encodeCorpus(spark: SparkSession, sfDir: String, numMerges: Int = 12): DataFrame = {
     val merges = trainCached(spark, sfDir, numMerges)
-    val mergesB = spark.sparkContext.broadcast(merges)
+    val mergesB = spark.sparkContext.broadcast((merges, mergeKey(merges)))
     val counts = udf { (ts: Seq[String]) =>
-      val m = mergesB.value
+      val (m, tableKey) = mergesB.value
       var subs = 0L
-      ts.foreach(w => subs += subwordCount(w, m))
+      ts.foreach(w => subs += subwordCount(w, m, tableKey))
       (ts.length.toLong, subs)
     }
     Tables.documents(spark, sfDir)

@@ -21,26 +21,46 @@ import org.apache.spark.sql.graft.VectorExpressions
   */
 object KnnExact {
 
-  /** Top-k L2 neighbors for each query vector, self excluded.
-    * Output: (query_id, neighbor_id, rank, dist4).
+  import org.apache.spark.sql.Column
+
+  /** The one brute-force scaffold every metric variant shares: project the
+    * query side (optionally transformed), broadcast it against the corpus,
+    * score with the given expression, window-rank with the deterministic
+    * (score, id) tie-break, keep top-k. Variants differ ONLY in the
+    * embedding projection, the scoring expression, and the sort direction —
+    * a tie-break or join-shape fix lands once, for all of them.
     */
-  def topK(spark: SparkSession, sfDir: String, queryMaxId: Long = 8, k: Int = 10): DataFrame = {
+  private def topKScaffold(
+      spark: SparkSession,
+      sfDir: String,
+      queryMaxId: Long,
+      k: Int,
+      proj: Column => Column,
+      score: (Column, Column) => Column,
+      ascending: Boolean): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb
       .filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), proj(col("embedding")).as("qv"))
     val scored = emb
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
-        VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("neighbor_id").asc)
+        score(col("qv"), proj(col("embedding"))).as("score"))
+    val ord = if (ascending) col("score").asc else col("score").desc
+    val w = Window.partitionBy(col("query_id")).orderBy(ord, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("dist"), 4).as("dist4"))
-      .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Top-k L2 neighbors for each query vector, self excluded.
+    * Output: (query_id, neighbor_id, rank, dist4).
+    */
+  def topK(spark: SparkSession, sfDir: String, queryMaxId: Long = 8, k: Int = 10): DataFrame =
+    topKScaffold(spark, sfDir, queryMaxId, k, identity, VectorExpressions.l2, ascending = true)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("score"), 4).as("dist4"))
+      .orderBy(col("query_id"), col("rank"))
 
   def oracle(queryMaxId: Long = 8, k: Int = 10): String =
     s"""WITH q AS (
@@ -87,46 +107,20 @@ object KnnExact {
   /** Top-k cosine-similarity neighbors (embeddings are unit-norm, so the rank
     * order matches L2, but the expression path — dot/norm — differs).
     */
-  def topKCosine(spark: SparkSession, sfDir: String, queryMaxId: Long = 4, k: Int = 10): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-    val q = emb
-      .filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val scored = emb
-      .join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(
-        col("query_id"), col("vec_id").as("neighbor_id"),
-        VectorExpressions.cosine(col("qv"), col("embedding")).as("sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+  def topKCosine(spark: SparkSession, sfDir: String, queryMaxId: Long = 4, k: Int = 10): DataFrame =
+    topKScaffold(spark, sfDir, queryMaxId, k, identity, VectorExpressions.cosine, ascending = false)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
-  }
 
   /** Top-k MAX-INNER-PRODUCT neighbors (the retrieval metric of
     * dot-product-trained embedding models, where magnitude carries salience
     * and MIPS ≠ cosine ≠ L2 ranking in general). Completes the metric triad;
     * output is ids+rank (float-ranking discipline, like cosine).
     */
-  def topKDot(spark: SparkSession, sfDir: String, queryMaxId: Long = 4, k: Int = 10): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-    val q = emb
-      .filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val scored = emb
-      .join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(
-        col("query_id"), col("vec_id").as("neighbor_id"),
-        VectorExpressions.dot(col("qv"), col("embedding")).as("ip"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("ip").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+  def topKDot(spark: SparkSession, sfDir: String, queryMaxId: Long = 4, k: Int = 10): DataFrame =
+    topKScaffold(spark, sfDir, queryMaxId, k, identity, VectorExpressions.dot, ascending = false)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
-  }
 
   /** q105 — MATRYOSHKA-style truncated-dimension search: rank by cosine over
     * only the first `dims` of the embedding (Kusupati et al. 2022,
@@ -148,23 +142,11 @@ object KnnExact {
       sfDir: String,
       dims: Int = 32,
       queryMaxId: Long = 4,
-      k: Int = 10): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-    val q = emb
-      .filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("query_id"), slice(col("embedding"), 1, dims).as("qv"))
-    val scored = emb
-      .join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(
-        col("query_id"), col("vec_id").as("neighbor_id"),
-        VectorExpressions.cosine(col("qv"), slice(col("embedding"), 1, dims)).as("sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      k: Int = 10): DataFrame =
+    topKScaffold(spark, sfDir, queryMaxId, k,
+      e => slice(e, 1, dims), VectorExpressions.cosine, ascending = false)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
-  }
 
   def oracleCosineTrunc(dims: Int = 32, queryMaxId: Long = 4, k: Int = 10): String =
     s"""WITH q AS (

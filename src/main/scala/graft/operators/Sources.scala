@@ -313,6 +313,12 @@ object Sources {
     *
     * Overflow bounds: n ≤ 10^12 docs → w ≤ ~2^40; B·w at the default
     * budget ≤ ~2^54; Σw over 10^5 sources ≤ ~2^57 — all inside BIGINT.
+    * B·w is the binding product, so the quota column GUARDS it: any row
+    * where `budget > Long.Max / w` raises instead of silently wrapping
+    * (non-ANSI Spark wraps multiplies). Budgets that trip the guard should
+    * allocate in coarser units — e.g. thousands of documents — and scale
+    * the result back up; the apportionment is scale-equivariant up to the
+    * unit's rounding.
     *
     * Scale shape: ONE corpus-sized count aggregate; every later step runs
     * on source-cardinality rows (the two whole-frame windows see thousands
@@ -328,12 +334,20 @@ object Sources {
     * counts frame — unit-testable against hand-computed allocations.
     */
   def mixingAllocation(counts: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
     val wAll = Window.partitionBy()
     counts
       .withColumn("w", floor(sqrt(col("n_docs")) * (1L << 20)).cast("long"))
       .withColumn("s", sum(col("w")).over(wAll))
-      .withColumn("base", expr(s"$budget * w div s"))
-      .withColumn("rem", expr(s"($budget * w) % s"))
+      // the guard lives INSIDE the quota expression (a free-standing check
+      // column would be pruned by Catalyst and never evaluated)
+      .withColumn("q",
+        when(col("w") > lit(Long.MaxValue / budget),
+          raise_error(concat(lit("sourceMixing: budget * weight overflows BIGINT for source "),
+            col("source"), lit(" — allocate in coarser units and scale up"))))
+          .otherwise(expr(s"$budget * w")))
+      .withColumn("base", expr("q div s"))
+      .withColumn("rem", expr("q % s"))
       .withColumn("deficit", lit(budget) - sum(col("base")).over(wAll))
       .withColumn("rk",
         row_number().over(Window.orderBy(col("rem").desc, col("source").asc)))

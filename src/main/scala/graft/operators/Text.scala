@@ -1106,13 +1106,23 @@ object Text {
   def cleanCorpus(
       spark: SparkSession,
       sfDir: String,
-      minTokens: Int = 15,
-      maxDupBigramFrac: Double = 0.1,
-      maxTopTokFrac: Double = 0.2,
-      maxStopRatio: Double = 0.2): DataFrame =
+      minTokens: Int = QualityMinTokens,
+      maxDupBigramFrac: Double = QualityMaxDupBigramFrac,
+      maxTopTokFrac: Double = QualityMaxTopTokFrac,
+      maxStopRatio: Double = QualityMaxStopRatio): DataFrame =
     cleanCorpusOf(Tables.documents(spark, sfDir),
       minTokens, maxDupBigramFrac, maxTopTokFrac, maxStopRatio)
       .orderBy(col("doc_id"))
+
+  /** The q83 quality cut-offs, shared by every consumer (cleanCorpus,
+    * prepareCorpus, the q104 datasheet, and their oracle SQL) so a
+    * recalibration cannot silently diverge the datasheet from the stage
+    * gate it documents.
+    */
+  val QualityMinTokens = 15
+  val QualityMaxDupBigramFrac = 0.1
+  val QualityMaxTopTokFrac = 0.2
+  val QualityMaxStopRatio = 0.2
 
   /** [[cleanCorpus]] over an arbitrary document frame (doc_id, text, lang),
     * unordered — the composition building block: [[prepareCorpus]] feeds it
@@ -1122,10 +1132,10 @@ object Text {
     */
   def cleanCorpusOf(
       doc: DataFrame,
-      minTokens: Int = 15,
-      maxDupBigramFrac: Double = 0.1,
-      maxTopTokFrac: Double = 0.2,
-      maxStopRatio: Double = 0.2): DataFrame = {
+      minTokens: Int = QualityMinTokens,
+      maxDupBigramFrac: Double = QualityMaxDupBigramFrac,
+      maxTopTokFrac: Double = QualityMaxTopTokFrac,
+      maxStopRatio: Double = QualityMaxStopRatio): DataFrame = {
     val canon = doc
       .select(
         col("doc_id"),
@@ -1242,10 +1252,10 @@ object Text {
       .withColumn("is_dup",
         (col("doc_id") =!= min(col("doc_id")).over(wDig)).cast("long"))
       .withColumn("quality_ok",
-        (col("n_tokens") >= 15 &&
-          (col("n_bigrams") - col("n_distinct_bigrams")) / col("n_bigrams") <= 0.1 &&
-          col("top_tok") / col("n_tokens") <= 0.2 &&
-          col("n_stop") / col("n_tokens") <= 0.2).cast("long"))
+        (col("n_tokens") >= QualityMinTokens &&
+          (col("n_bigrams") - col("n_distinct_bigrams")) / col("n_bigrams") <= QualityMaxDupBigramFrac &&
+          col("top_tok") / col("n_tokens") <= QualityMaxTopTokFrac &&
+          col("n_stop") / col("n_tokens") <= QualityMaxStopRatio).cast("long"))
     doc
       .join(decontaminate(spark, sfDir).select(col("doc_id"), lit(1L).as("contam")),
         Seq("doc_id"), "left")
@@ -1260,7 +1270,7 @@ object Text {
   }
 
   val corpusDatasheetOracle: String =
-    """WITH tok AS (
+    s"""WITH tok AS (
       |  SELECT doc_id, source, text, string_split(text, ' ') AS ts
       |  FROM documents),
       |stats AS (
@@ -1292,10 +1302,10 @@ object Text {
       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
       |       CAST(sum(CASE WHEN doc_id <> canon THEN 1 ELSE 0 END) AS BIGINT)
       |         AS n_exact_dups,
-      |       CAST(sum(CASE WHEN n_tokens >= 15
-      |         AND (n_bigrams - n_distinct_bigrams) / n_bigrams <= 0.1
-      |         AND top_tok / n_tokens <= 0.2
-      |         AND n_stop / n_tokens <= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+      |       CAST(sum(CASE WHEN n_tokens >= $QualityMinTokens
+      |         AND (n_bigrams - n_distinct_bigrams) / n_bigrams <= $QualityMaxDupBigramFrac
+      |         AND top_tok / n_tokens <= $QualityMaxTopTokFrac
+      |         AND n_stop / n_tokens <= $QualityMaxStopRatio THEN 1 ELSE 0 END) AS BIGINT)
       |         AS n_quality_ok,
       |       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM contam)
       |         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
@@ -1304,7 +1314,7 @@ object Text {
       |ORDER BY source""".stripMargin
 
   val cleanCorpusOracle: String =
-    """WITH tok AS (
+    s"""WITH tok AS (
       |  SELECT doc_id, lang, text, string_split(text, ' ') AS ts FROM documents),
       |stats AS (
       |  SELECT doc_id, lang, text,
@@ -1321,10 +1331,10 @@ object Text {
       |SELECT doc_id, lang, n_tokens
       |FROM stats
       |WHERE doc_id IN (SELECT doc_id FROM canon)
-      |  AND n_tokens >= 15
-      |  AND (n_bigrams - n_distinct_bigrams) / n_bigrams <= 0.1
-      |  AND top_tok / n_tokens <= 0.2
-      |  AND n_stop / n_tokens <= 0.2
+      |  AND n_tokens >= $QualityMinTokens
+      |  AND (n_bigrams - n_distinct_bigrams) / n_bigrams <= $QualityMaxDupBigramFrac
+      |  AND top_tok / n_tokens <= $QualityMaxTopTokFrac
+      |  AND n_stop / n_tokens <= $QualityMaxStopRatio
       |ORDER BY doc_id""".stripMargin
 
   /** q87 — document chunking: split each document into fixed-length token
