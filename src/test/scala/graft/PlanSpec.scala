@@ -252,6 +252,20 @@ class PlanSpec extends SparkSpec {
     assert(!planOf("q104_corpus_datasheet").contains("CartesianProduct"), "cartesian")
   }
 
+  test("no corpus-text gate ever shuffles the text column; exact knn never shuffles embeddings") {
+    // The scale contract of the whole dedup/cleaning family: document text
+    // is hashed/tokenized in the scan and only digests/ids/stats cross
+    // exchanges. Enforced on exchange child outputs, not plan strings.
+    Seq(
+      "q32_exact_dedup", "q39_dedup_corpus", "q77_shingle_neardups",
+      "q78_neardedup_corpus", "q83_clean_corpus")
+      .foreach(assertNeverShuffled(_, "text"))
+    // The exact-kNN family broadcasts the query side and scores in the
+    // scan projection; only (ids, score) rows reach the rank shuffle.
+    Seq("q20_knn_exact", "q21_knn_cosine", "q95_knn_dot", "q105_matryoshka_knn")
+      .foreach(assertNeverShuffled(_, "embedding"))
+  }
+
   test("rrf fusion: both rank legs end in a bounded top-k, never a full sort") {
     val plan = planOf("q88_rrf_fusion")
     val takes = plan.linesIterator.count(_.contains("TakeOrderedAndProject"))
