@@ -1223,6 +1223,58 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** q106 — INCREMENTAL exact dedup: dedup an ARRIVING batch against the
+    * already-ingested corpus (the "new crawl vs. existing data" primitive a
+    * continuously-fed training pipeline runs on every delivery — q39 dedups
+    * a corpus against itself; this is the asymmetric complement). A batch
+    * doc survives iff (a) it is the min-id canonical of its content WITHIN
+    * the batch and (b) its content does not already exist in the corpus.
+    * The fixture batch is the deterministic `doc_id % batchMod = batchRem`
+    * slice standing in for a delivery.
+    *
+    * Scale shape: both sides hash text in their scans; the anti-join runs
+    * on 40-byte digest pairs, never text (payload-asserted like the rest of
+    * the dedup family). The corpus side of the anti-join is the big one, so
+    * the exchange carries corpus digests once per increment — the
+    * deployment remedy is the same as the vector index: persist the corpus
+    * digest table bucketed by digest (the [[graft.operators.Index]]
+    * lifecycle pattern) and each increment joins zero-shuffle against the
+    * bucketed store, appending its own surviving digests.
+    */
+  def dedupIncrement(
+      spark: SparkSession,
+      sfDir: String,
+      batchMod: Long = 7,
+      batchRem: Long = 0): DataFrame = {
+    val doc = Tables.documents(spark, sfDir)
+    def digests(d: DataFrame): DataFrame = d.select(
+      col("doc_id"),
+      xxhash64(col("text")).as("h64"),
+      sha2(col("text"), 256).as("h256"))
+    val batch = digests(doc.filter(col("doc_id") % batchMod === batchRem))
+    val existing = digests(doc.filter(col("doc_id") % batchMod =!= batchRem))
+    batch
+      .groupBy(col("h64"), col("h256"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(existing.select(col("h64"), col("h256")), Seq("h64", "h256"), "left_anti")
+      .select(col("doc_id"))
+      .join(doc, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupIncrementOracle: String =
+    """WITH batch AS (
+      |  SELECT min(doc_id) AS doc_id, text FROM documents
+      |  WHERE doc_id % 7 = 0 GROUP BY text),
+      |survivors AS (
+      |  SELECT doc_id FROM batch
+      |  WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 7 <> 0))
+      |SELECT d.doc_id, d.lang, d.n_chars
+      |FROM documents d
+      |WHERE d.doc_id IN (SELECT doc_id FROM survivors)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** q104 — the per-source corpus DATASHEET: the "data card" table a
     * pretraining team publishes and monitors per ingested source — volume
     * (docs, tokens), exact-duplicate count, quality-pass count (the q83
@@ -1440,7 +1492,8 @@ object Text {
     "q87_chunk_documents" -> ((s: SparkSession, d: String) => chunkDocuments(s, d)),
     "q89_bigram_surprisal" -> (bigramSurprisal _),
     "q92_token_lift" -> ((s: SparkSession, d: String) => tokenLift(s, d)),
-    "q104_corpus_datasheet" -> (corpusDatasheet _))
+    "q104_corpus_datasheet" -> (corpusDatasheet _),
+    "q106_dedup_increment" -> ((s: SparkSession, d: String) => dedupIncrement(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> tokenStatsOracle,
@@ -1457,5 +1510,6 @@ object Text {
     "q87_chunk_documents" -> chunkDocumentsOracle,
     "q89_bigram_surprisal" -> bigramSurprisalOracle,
     "q92_token_lift" -> tokenLiftOracle,
-    "q104_corpus_datasheet" -> corpusDatasheetOracle)
+    "q104_corpus_datasheet" -> corpusDatasheetOracle,
+    "q106_dedup_increment" -> dedupIncrementOracle)
 }

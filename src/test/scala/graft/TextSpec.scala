@@ -263,6 +263,21 @@ class TextSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < clean.size)
   }
 
+  test("incremental dedup: batch survivors are exactly the new-content canonicals") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    val existing = docs.filter(_._1 % 7 != 0).map(_._2).toSet
+    val batch = docs.filter(_._1 % 7 == 0)
+    val expected = batch.groupBy(_._2)
+      .map { case (text, xs) => xs.map(_._1).min -> text }
+      .collect { case (id, text) if !existing(text) => id }
+      .toSet
+    val got = Text.dedupIncrement(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size <= batch.length)
+  }
+
   test("corpus datasheet cross-foots the stage gates") {
     val ds = Text.corpusDatasheet(spark, sf0001).collect()
     val docs = Tables.documents(spark, sf0001)
