@@ -261,8 +261,13 @@ class PlanSpec extends SparkSpec {
       "q78_neardedup_corpus", "q83_clean_corpus", "q106_dedup_increment")
       .foreach(assertNeverShuffled(_, "text"))
     // The exact-kNN family broadcasts the query side and scores in the
-    // scan projection; only (ids, score) rows reach the rank shuffle.
-    Seq("q20_knn_exact", "q21_knn_cosine", "q95_knn_dot", "q105_matryoshka_knn")
+    // scan projection; only (ids, score) rows reach the rank shuffle. The
+    // indexed two-phase searches likewise keep embeddings out of every
+    // shuffle: candidates travel as (ids, counts), and the re-rank join's
+    // embedding side moves only via broadcast (whichever side is small).
+    Seq(
+      "q20_knn_exact", "q21_knn_cosine", "q95_knn_dot", "q105_matryoshka_knn",
+      "q23_lsh_knn", "q28_lsh_multiprobe", "q25_ann_ivf", "q29_ann_ivf_indexed")
       .foreach(assertNeverShuffled(_, "embedding"))
   }
 
