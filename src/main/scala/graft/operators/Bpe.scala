@@ -150,42 +150,55 @@ object Bpe {
       .orderBy(col("rank"))
   }
 
-  /** Per-executor word→subword-count cache, keyed by the merge table's full
-    * CONTENT (not a 32-bit hash — a hash collision between two merge tables
-    * would silently serve one table's segmentation for the other; exact
-    * string keys cannot collide) so tables for different corpora/merge
-    * counts never mix. This is exactly how a production tokenizer encodes:
-    * segment each DISTINCT word once, serve repeats from the cache — the
-    * cache is Zipf-bounded (distinct words) PER MERGE TABLE, not
-    * corpus-bounded. A long-lived executor serving many corpora would still
-    * accumulate one vocabulary per merge table, so the cache self-clears at
-    * a size ceiling (costing only recomputation) rather than growing
-    * without bound — the [[Materialize]] registry lesson applied here.
-    * The ceiling probe and segmentation run on the MISS path only; a hit
-    * is one lock-free get (no size() traversal per token). The clear runs
-    * outside any map callback (clear() inside computeIfAbsent would
-    * self-lock bins).
+  /** Per-executor word→subword-count cache, TWO-LEVEL: the outer map is
+    * keyed by the merge table's full CONTENT (not a 32-bit hash — a hash
+    * collision between two merge tables would silently serve one table's
+    * segmentation for the other; exact string keys cannot collide), the
+    * inner map by the bare word. The table-content string is therefore
+    * stored ONCE per table, not embedded in every cached word's key — a
+    * production merge table runs to hundreds of kB, so a flat
+    * `tableKey+word` key space would grow with |table|×|vocabulary| bytes
+    * and could exhaust executor memory long before any entry-count ceiling
+    * fired. This is exactly how a production tokenizer encodes: segment
+    * each DISTINCT word once, serve repeats from the cache — each inner
+    * cache is Zipf-bounded (distinct words) per merge table. A long-lived
+    * executor serving many corpora would still accumulate one vocabulary
+    * per merge table, so each inner cache self-clears at an entry ceiling
+    * and the outer map at a table ceiling (costing only recomputation)
+    * rather than growing without bound — the [[Materialize]] registry
+    * lesson applied here. The ceiling probes and segmentation run on the
+    * MISS path only; a hit is two lock-free gets (no size() traversal per
+    * token). Clears run outside any map callback (clear() inside
+    * computeIfAbsent would self-lock bins).
     */
-  private val SegCacheCeiling = 1 << 21
-  private val segCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+  private val SegCachePerTableCeiling = 1 << 20
+  private val SegCacheTableCeiling = 64
+  private val segCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]]()
 
   /** Canonical content key of a merge table, computed ONCE per encode
-    * call on the driver and broadcast. Control-char separators (below any
-    * symbol character) make the encoding unambiguous: without them,
-    * [(1,"ab","c")] and [(1,"a","bc")] would encode identically.
+    * call on the driver and broadcast. Every variable-length symbol is
+    * LENGTH-PREFIXED (decimal header fields joined by ':', then the raw
+    * symbol characters), so the encoding is injective even when the
+    * symbols themselves contain separator or control characters — raw
+    * crawl text can contain any code point, so separator-only framing
+    * would let two distinct tables encode to the same key.
     */
   private[operators] def mergeKey(merges: Seq[Merge]): String =
-    merges.map(m => s"${m.rank}\u0001${m.left}\u0001${m.right}").mkString("\u0002")
+    merges.map { m =>
+      s"${m.rank}:${m.left.length}:${m.right.length}:${m.left}${m.right}"
+    }.mkString("")
 
   private[operators] def subwordCount(word: String, merges: Seq[Merge], tableKey: String): Int = {
-    val key = tableKey + "\u0000" + word
-    val hit = segCache.get(key)
+    if (segCache.size > SegCacheTableCeiling) segCache.clear()
+    val table = segCache.computeIfAbsent(tableKey,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]())
+    val hit = table.get(word)
     if (hit ne null) hit.intValue
     else {
-      if (segCache.size > SegCacheCeiling) segCache.clear()
+      if (table.size > SegCachePerTableCeiling) table.clear()
       val n = segment(word, merges).length
-      segCache.put(key, n)
+      table.put(word, n)
       n
     }
   }

@@ -1268,8 +1268,13 @@ object Text {
       |  SELECT min(doc_id) AS doc_id, text FROM documents
       |  WHERE doc_id % 7 = 0 GROUP BY text),
       |survivors AS (
-      |  SELECT doc_id FROM batch
-      |  WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 7 <> 0))
+      |  -- NOT EXISTS, not NOT IN: NOT IN returns NULL (drops every batch
+      |  -- row) as soon as the corpus side contains one NULL text, while
+      |  -- the Spark implementation's left_anti digest join keeps a
+      |  -- NULL-text batch canonical. NOT EXISTS has anti-join semantics.
+      |  SELECT doc_id FROM batch b
+      |  WHERE NOT EXISTS (SELECT 1 FROM documents d2
+      |                    WHERE d2.doc_id % 7 <> 0 AND d2.text = b.text))
       |SELECT d.doc_id, d.lang, d.n_chars
       |FROM documents d
       |WHERE d.doc_id IN (SELECT doc_id FROM survivors)
