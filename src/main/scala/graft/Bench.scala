@@ -60,6 +60,9 @@ object Bench {
       // BPE tokenizer training — a model fit like the k-means model above;
       // q93 reads the learned merge table.
       graft.operators.Bpe.trainCached(spark, sfDir)
+      // Corpus digest store — ingest-time hashing is a lifecycle step like
+      // the index builds; q107 measures the per-delivery increment probe.
+      graft.operators.Text.ensureDigestStore(spark, sfDir)
     } catch { case _: Throwable => () }
     val ingestSec = (System.nanoTime() - ingestT0) / 1e9
     try {

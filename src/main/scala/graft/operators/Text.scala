@@ -1280,6 +1280,133 @@ object Text {
       |WHERE d.doc_id IN (SELECT doc_id FROM survivors)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Build-once persisted corpus DIGEST STORE — the deployment remedy the
+    * [[dedupIncrement]] scaladoc names: hash each ingested document ONCE at
+    * ingest time and persist (doc_id, sh64, sh256), so later increments
+    * probe 40-byte digest columns instead of re-hashing (or even reading)
+    * the corpus text. Store columns carry the `s` prefix so plan tests can
+    * assert store-side digests never cross an exchange. The build is a pure
+    * narrow scan→write (no shuffle); cached per (fixture mtime, split) like
+    * every sibling artifact ([[graft.operators.Index.ensure]]).
+    */
+  def ensureDigestStore(
+      spark: SparkSession,
+      sfDir: String,
+      batchMod: Long = 7,
+      batchRem: Long = 0): String = {
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val key = Index.cacheKey(
+      s"$sfDir:${src.lastModified}:digest-store:$batchMod:$batchRem:v1")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-digest-store-$key")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % batchMod =!= batchRem)
+        .select(
+          col("doc_id").as("sdoc_id"),
+          xxhash64(col("text")).as("sh64"),
+          sha2(col("text"), 256).as("sh256"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(dir.getAbsolutePath)
+    }
+    dir.getAbsolutePath
+  }
+
+  /** q107 — [[dedupIncrement]] served from the persisted digest store: the
+    * shape an operator actually runs per delivery at 100 TB. Same result set
+    * as q106 (same oracle), different plan economics:
+    *
+    *   - the corpus is NEVER re-hashed and its text never read — the store
+    *     scan is two fixed-width digest columns;
+    *   - the corpus side never crosses an exchange at all: the arriving
+    *     batch's digest set broadcasts into a left-semi probe that STREAMS
+    *     the store (hits ≤ |batch|), survivors are the batch anti the
+    *     broadcast hits, and the final detail join broadcasts the survivor
+    *     ids into the documents scan. The only shuffles in the plan are
+    *     batch-sized (canonical groupBy) and survivor-sized (presentation
+    *     sort) — PlanSpec-asserted via the `sh64` column and an exchange
+    *     budget.
+    *
+    * Contract: one increment must fit the broadcast ceiling (it is a
+    * micro-batch/delivery, the same boundedness the streaming sinks assume);
+    * an unbounded "increment" is a corpus merge — use [[dedupCorpus]].
+    * After accepting a delivery, append its survivors' digests to the store
+    * (narrow write, mirrors [[graft.operators.Index.append]]).
+    */
+  def dedupIncrementStored(
+      spark: SparkSession,
+      sfDir: String,
+      batchMod: Long = 7,
+      batchRem: Long = 0): DataFrame = {
+    val storeDir = ensureDigestStore(spark, sfDir, batchMod, batchRem)
+    val doc = Tables.documents(spark, sfDir)
+    val batchRaw = doc.filter(col("doc_id") % batchMod === batchRem)
+      .select(
+        col("doc_id"),
+        xxhash64(col("text")).as("h64"),
+        sha2(col("text"), 256).as("h256"))
+    val batch = batchRaw
+      .groupBy(col("h64"), col("h256"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val store = spark.read.parquet(storeDir).select(col("sh64"), col("sh256"))
+    // the semi probe's build side is the RAW batch digests (a narrow
+    // scan→broadcast): a semi-join is insensitive to build-side duplicates,
+    // and reusing the canonical aggregate here would plan its exchange a
+    // second time under the broadcast
+    val hits = store.join(
+      broadcast(batchRaw.select(col("h64"), col("h256"))),
+      col("sh64") === col("h64") && col("sh256") === col("h256"), "left_semi")
+    val survivors = batch.join(
+      broadcast(hits),
+      col("h64") === col("sh64") && col("h256") === col("sh256"), "left_anti")
+    doc.join(broadcast(survivors.select(col("doc_id"))), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Default denylist for [[redactDenylist]] — terms present in the fixture
+    * vocabulary so the gate exercises real replacements (one frequent, one
+    * mid, one rare).
+    */
+  val DefaultDenylist: Seq[String] = Seq("customer", "value", "dup")
+
+  /** q108 — DENYLIST REDACTION: replace every whole-word occurrence of a
+    * configured term set with a placeholder and report the per-doc
+    * replacement count — the pipeline stage that scrubs known-bad strings
+    * (PII patterns, eval-set markers, poisoned canaries) from training text
+    * without dropping the document. Emits only affected docs.
+    *
+    * Scale shape (100 TB): the denylist compiles into ONE alternation regex
+    * evaluated in the scan projection — a narrow per-doc map with no
+    * shuffle, no join, no explode; the only exchange is the presentation
+    * sort. Word-boundary alternation over literal terms keeps Java regex
+    * (Spark) and RE2 (DuckDB) semantics identical, which is what the oracle
+    * hash-compare pins.
+    */
+  def redactDenylist(
+      spark: SparkSession,
+      sfDir: String,
+      denylist: Seq[String] = DefaultDenylist): DataFrame = {
+    val pat = denylist.mkString("\\b(", "|", ")\\b")
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .cast("long").as("n_redacted"),
+        regexp_replace(col("text"), pat, "[REDACTED]").as("redacted"))
+      .filter(col("n_redacted") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val redactDenylistOracle: String =
+    """SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text, '\b(customer|value|dup)\b'))
+      |            AS BIGINT) AS n_redacted,
+      |       regexp_replace(text, '\b(customer|value|dup)\b', '[REDACTED]', 'g')
+      |         AS redacted
+      |FROM documents
+      |WHERE len(regexp_extract_all(text, '\b(customer|value|dup)\b')) > 0
+      |ORDER BY doc_id""".stripMargin
+
   /** q104 — the per-source corpus DATASHEET: the "data card" table a
     * pretraining team publishes and monitors per ingested source — volume
     * (docs, tokens), exact-duplicate count, quality-pass count (the q83
@@ -1498,7 +1625,9 @@ object Text {
     "q89_bigram_surprisal" -> (bigramSurprisal _),
     "q92_token_lift" -> ((s: SparkSession, d: String) => tokenLift(s, d)),
     "q104_corpus_datasheet" -> (corpusDatasheet _),
-    "q106_dedup_increment" -> ((s: SparkSession, d: String) => dedupIncrement(s, d)))
+    "q106_dedup_increment" -> ((s: SparkSession, d: String) => dedupIncrement(s, d)),
+    "q107_dedup_increment_stored" -> ((s: SparkSession, d: String) => dedupIncrementStored(s, d)),
+    "q108_redact_denylist" -> ((s: SparkSession, d: String) => redactDenylist(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> tokenStatsOracle,
@@ -1516,5 +1645,8 @@ object Text {
     "q89_bigram_surprisal" -> bigramSurprisalOracle,
     "q92_token_lift" -> tokenLiftOracle,
     "q104_corpus_datasheet" -> corpusDatasheetOracle,
-    "q106_dedup_increment" -> dedupIncrementOracle)
+    "q106_dedup_increment" -> dedupIncrementOracle,
+    // same semantics as q106, served from the persisted digest store
+    "q107_dedup_increment_stored" -> dedupIncrementOracle,
+    "q108_redact_denylist" -> redactDenylistOracle)
 }

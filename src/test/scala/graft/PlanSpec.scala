@@ -284,6 +284,29 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"q104 plans a cartesian:\n$plan")
   }
 
+  test("stored-increment dedup: corpus digests and text never shuffle; joins broadcast") {
+    val df = SparkEntry.queries("q107_dedup_increment_stored")(spark, sf001)
+    // the store side (sh64/sh256) must stream: semi-probe and anti both
+    // take the batch side as the broadcast build
+    assertNeverShuffled(df, "q107_dedup_increment_stored", "sh64")
+    assertNeverShuffled(df, "q107_dedup_increment_stored", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"q107 joins must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q107 shuffles a corpus-sized join side:\n$plan")
+    // batch-sized canonical groupBy + survivor-sized presentation sort only
+    assert(shuffleExchanges(plan).size <= 2,
+      s"q107 shuffles beyond the batch aggregate and the sort:\n$plan")
+  }
+
+  test("denylist redaction is a narrow map: no join, only the presentation sort shuffles") {
+    val plan = planOf("q108_redact_denylist")
+    assert(!plan.contains("Join"), s"redaction should not join:\n$plan")
+    assert(shuffleExchanges(plan).size <= 1,
+      s"redaction should not shuffle before the sort:\n$plan")
+    assert(!plan.contains("Generate"), s"redaction should not explode:\n$plan")
+  }
+
   test("no corpus-text gate ever shuffles the text column; exact knn never shuffles embeddings") {
     // The scale contract of the whole dedup/cleaning family: document text
     // is hashed/tokenized in the scan and only digests/ids/stats cross

@@ -278,6 +278,30 @@ class TextSpec extends SparkSpec {
     assert(got.nonEmpty && got.size <= batch.length)
   }
 
+  test("stored-increment dedup returns exactly the direct increment's rows") {
+    val direct = Text.dedupIncrement(spark, sf0001).collect().toSeq
+    val stored = Text.dedupIncrementStored(spark, sf0001).collect().toSeq
+    assert(stored == direct,
+      s"store path diverged: ${stored.size} vs ${direct.size} rows")
+    assert(direct.nonEmpty)
+  }
+
+  test("denylist redaction matches driver-side regex replacement and bites") {
+    val pat = Text.DefaultDenylist.mkString("\\b(", "|", ")\\b")
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.flatMap { case (id, text) =>
+      val m = pat.r.findAllIn(text).size
+      if (m > 0) Some((id, m.toLong, text.replaceAll(pat, "[REDACTED]"))) else None
+    }.sortBy(_._1).toSeq
+    val got = Text.redactDenylist(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == expected)
+    // the gate must exercise real replacements, including the rare term
+    assert(got.nonEmpty, "denylist never matched — vacuous gate")
+    assert(got.exists(_._3.contains("[REDACTED]")))
+  }
+
   test("corpus datasheet cross-foots the stage gates") {
     val ds = Text.corpusDatasheet(spark, sf0001).collect()
     val docs = Tables.documents(spark, sf0001)
