@@ -63,6 +63,9 @@ object Bench {
       // Corpus digest store — ingest-time hashing is a lifecycle step like
       // the index builds; q107 measures the per-delivery increment probe.
       graft.operators.Text.ensureDigestStore(spark, sfDir)
+      // Corpus band store — ingest-time signing; q109 measures the
+      // per-delivery near-dup probe.
+      graft.operators.Text.ensureBandStore(spark, sfDir)
     } catch { case _: Throwable => () }
     val ingestSec = (System.nanoTime() - ingestT0) / 1e9
     try {

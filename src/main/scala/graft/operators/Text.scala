@@ -477,22 +477,25 @@ object Text {
     * per-seed hash is the chained numeric xxhash64(seed, unit), matching
     * [[minhashSignaturesOf]] exactly.
     */
-  private def bandedNearDups(
-      rawTok: DataFrame,
-      k: Int,
-      rowsPerBand: Int,
-      threshold: Double): DataFrame = {
+  /** (doc_id, band, bh) band-hash rows and (doc_id, sz) set sizes for a
+    * (doc_id, t) unit table — the signature stage of the banding pipeline,
+    * shared verbatim by [[bandedNearDups]], the [[ensureBandStore]] build,
+    * and the [[nearDupIncrement]] batch side so all three produce
+    * bit-identical band hashes (identical unit sets MUST collide across
+    * store and increment). The k per-seed minima are computed as k
+    * aggregate columns over ONE pass of the unit table (a narrow projection
+    * of k hashes, then a |docs|-group hash aggregate) — NOT by exploding
+    * every unit k ways, which shuffles k·|units| rows (measured 5× slower
+    * at sf0.1 for k=32). Band hashes come straight off the wide row; the
+    * per-seed hash is the chained numeric xxhash64(seed, unit), matching
+    * [[minhashSignaturesOf]] exactly. Set size rides the same aggregate as
+    * the k minima — one pass, not two.
+    */
+  private def signatureBands(
+      tok: DataFrame, k: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
     require(k % rowsPerBand == 0, "k must be a multiple of rowsPerBand")
-    // The unit table feeds four consumers (signatures, sizes, both sides of
-    // the verification join); materialize it once — the shingle explode is
-    // the most expensive projection in the pipeline and would otherwise be
-    // recomputed per consumer (measured 4× the cost at sf0.1). Durability
-    // policy (localCheckpoint vs recomputable DISK_ONLY for cluster runs)
-    // is [[Materialize]]'s conf switch.
-    val tok = Materialize.stable(rawTok)
     val hashCols = (0 until k).map(s =>
       xxhash64(lit(s), col("t")).as(s"h$s"))
-    // set size rides the same aggregate as the k minima — one pass, not two
     val sig = tok.select(col("doc_id") +: hashCols: _*)
       .groupBy(col("doc_id"))
       .agg(min(col("h0")).as("m0"),
@@ -504,13 +507,29 @@ object Text {
     }
     val bands = sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    (bands, sig.select(col("doc_id"), col("sz")))
+  }
+
+  private def bandedNearDups(
+      rawTok: DataFrame,
+      k: Int,
+      rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    // The unit table feeds four consumers (signatures, sizes, both sides of
+    // the verification join); materialize it once — the shingle explode is
+    // the most expensive projection in the pipeline and would otherwise be
+    // recomputed per consumer (measured 4× the cost at sf0.1). Durability
+    // policy (localCheckpoint vs recomputable DISK_ONLY for cluster runs)
+    // is [[Materialize]]'s conf switch.
+    val tok = Materialize.stable(rawTok)
+    val (bands, sizes) = signatureBands(tok, k, rowsPerBand)
     val cands = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
-    val sz = sig.select(col("doc_id"), col("sz"))
+    val sz = sizes
     val common = cands
       .join(tok.select(col("doc_id").as("i"), col("t")), "i")
       .join(tok.select(col("doc_id").as("j"), col("t")), Seq("j", "t"))
@@ -1407,6 +1426,113 @@ object Text {
       |WHERE len(regexp_extract_all(text, '\b(customer|value|dup)\b')) > 0
       |ORDER BY doc_id""".stripMargin
 
+  /** Build-once persisted MinHash BAND STORE over the ingested corpus —
+    * [[ensureDigestStore]]'s near-duplicate sibling: sign each document
+    * ONCE at ingest and persist (sdoc_id, sband, sbh). Units and
+    * parameters are q77's corpus-wide operating point (sampled char-8
+    * shingles, k=12 minima → 3 band hashes via [[signatureBands]], the
+    * exact shared expressions), so a pair that band-collides in the
+    * whole-corpus detector collides identically across store and increment
+    * — and shingle units stay discriminative on vocabularies where token
+    * SETS saturate (measured: token-set banding on this fixture's 31-word
+    * vocabulary put most of the corpus in shared buckets, 6.4 s at sf0.1;
+    * shingle banding holds the candidate set to the true near-dups).
+    * Build cost is one corpus shingle pass + one |docs|-group aggregate,
+    * paid once; store size is 3 fixed-width rows per document regardless
+    * of document length.
+    */
+  def ensureBandStore(
+      spark: SparkSession,
+      sfDir: String,
+      batchMod: Long = 7,
+      batchRem: Long = 0,
+      shingleLen: Int = 8,
+      k: Int = 12,
+      rowsPerBand: Int = 4,
+      sampleMod: Int = 3): String = {
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val key = Index.cacheKey(
+      s"$sfDir:${src.lastModified}:band-store:$batchMod:$batchRem:" +
+        s"$shingleLen:$k:$rowsPerBand:$sampleMod:v1")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-band-store-$key")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val tok = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % batchMod =!= batchRem)
+        .select(col("doc_id"), explode(shingleSet(shingleLen, sampleMod)).as("t"))
+      val (bands, _) = signatureBands(tok, k, rowsPerBand)
+      bands.select(
+          col("doc_id").as("sdoc_id"),
+          col("band").as("sband"),
+          col("bh").as("sbh"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(dir.getAbsolutePath)
+    }
+    dir.getAbsolutePath
+  }
+
+  /** q109 — INCREMENTAL near-duplicate detection: which documents of an
+    * arriving delivery are near-copies of something already ingested? The
+    * per-delivery complement of q78's whole-corpus pass and the
+    * near-duplicate sibling of q107 — what a production pipeline actually
+    * runs on every delivery (rows-only gate: candidate generation is
+    * hash-banding-dependent; precision, planted-copy recall, and the
+    * candidate contract are spec-pinned).
+    *
+    * Scale shape (100 TB corpus, bounded delivery): the corpus contributes
+    * its PREBUILT band rows (8 fixed-width rows/doc — the store scan reads
+    * no text and no signatures are recomputed) streamed through a broadcast
+    * probe of the batch's band hashes, so the corpus side never crosses an
+    * exchange; exact-Jaccard verification fans out CANDIDATE docs only —
+    * the corpus text read is pruned to candidate ids by a broadcast
+    * semi-join before the shingler runs. Every shuffle in the plan is
+    * batch- or candidate-sized. Units/parameters are q77's operating
+    * point, so the increment's result set is EXACTLY the cross-split
+    * subset of the corpus-wide q77 pairs (same band rows, same exact
+    * verification) — spec-pinned as set equality.
+    */
+  def nearDupIncrement(
+      spark: SparkSession,
+      sfDir: String,
+      batchMod: Long = 7,
+      batchRem: Long = 0,
+      shingleLen: Int = 8,
+      k: Int = 12,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.9,
+      sampleMod: Int = 3): DataFrame = {
+    val storeDir = ensureBandStore(
+      spark, sfDir, batchMod, batchRem, shingleLen, k, rowsPerBand, sampleMod)
+    val doc = Tables.documents(spark, sfDir)
+    // batch unit table feeds signatures, sizes, and the verification join
+    val batchTok = Materialize.stable(
+      doc.filter(col("doc_id") % batchMod === batchRem)
+        .select(col("doc_id"), explode(shingleSet(shingleLen, sampleMod)).as("t")))
+    val (bands, sizes) = signatureBands(batchTok, k, rowsPerBand)
+    val store = spark.read.parquet(storeDir)
+    val cands = store.join(
+        broadcast(bands),
+        col("sband") === col("band") && col("sbh") === col("bh"))
+      .select(col("doc_id").as("i"), col("sdoc_id").as("j"))
+      .distinct()
+    // corpus text pruned to candidate docs BEFORE the shingler runs
+    val jIds = cands.select(col("j")).distinct()
+    val jTok = doc.join(broadcast(jIds), col("doc_id") === col("j"), "left_semi")
+      .select(col("doc_id").as("jd"), explode(shingleSet(shingleLen, sampleMod)).as("t"))
+    val jSz = jTok.groupBy(col("jd")).agg(count(lit(1)).as("sj"))
+    val common = cands
+      .join(batchTok.select(col("doc_id").as("i"), col("t")), "i")
+      .join(jTok.select(col("jd").as("j"), col("t")), Seq("j", "t"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("i"), col("sz").as("si")), "i")
+      .join(jSz.select(col("jd").as("j"), col("sj")), "j")
+      .withColumn("jac", col("common") / (col("si") + col("sj") - col("common")))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), round(col("jac"), 4).as("jac4"))
+      .orderBy(col("i"), col("j"))
+  }
+
   /** q104 — the per-source corpus DATASHEET: the "data card" table a
     * pretraining team publishes and monitors per ingested source — volume
     * (docs, tokens), exact-duplicate count, quality-pass count (the q83
@@ -1627,7 +1753,9 @@ object Text {
     "q104_corpus_datasheet" -> (corpusDatasheet _),
     "q106_dedup_increment" -> ((s: SparkSession, d: String) => dedupIncrement(s, d)),
     "q107_dedup_increment_stored" -> ((s: SparkSession, d: String) => dedupIncrementStored(s, d)),
-    "q108_redact_denylist" -> ((s: SparkSession, d: String) => redactDenylist(s, d)))
+    "q108_redact_denylist" -> ((s: SparkSession, d: String) => redactDenylist(s, d)),
+    // rows-only: candidate generation is hash-banding-dependent (like q34/q77)
+    "q109_neardup_increment" -> ((s: SparkSession, d: String) => nearDupIncrement(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> tokenStatsOracle,

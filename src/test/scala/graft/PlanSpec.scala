@@ -299,6 +299,19 @@ class PlanSpec extends SparkSpec {
       s"q107 shuffles beyond the batch aggregate and the sort:\n$plan")
   }
 
+  test("near-dup increment: the band store streams through a broadcast probe") {
+    val df = SparkEntry.queries("q109_neardup_increment")(spark, sf001)
+    // store-side band hashes and document text must never cross a shuffle:
+    // candidates come from a broadcast of the batch bands into the store
+    // scan, and the corpus text read is pruned to candidate ids by a
+    // broadcast semi-join before tokenization
+    assertNeverShuffled(df, "q109_neardup_increment", "sbh")
+    assertNeverShuffled(df, "q109_neardup_increment", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"q109 probes must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q109 plans a cartesian:\n$plan")
+  }
+
   test("denylist redaction is a narrow map: no join, only the presentation sort shuffles") {
     val plan = planOf("q108_redact_denylist")
     assert(!plan.contains("Join"), s"redaction should not join:\n$plan")

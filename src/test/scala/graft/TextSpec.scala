@@ -286,6 +286,28 @@ class TextSpec extends SparkSpec {
     assert(direct.nonEmpty)
   }
 
+  test("near-dup increment equals the cross-split subset of the corpus-wide detector") {
+    // Same units, same seeds, same band construction, same exact-Jaccard
+    // verification: a pair band-collides in the increment iff it collides
+    // in the whole-corpus q77 run, so the increment's result must be
+    // EXACTLY the q77 pairs with one side in the batch split and one in
+    // the corpus split (reoriented batch-first).
+    val corpusWide = Text.shingleNearDups(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = corpusWide.flatMap { case (i, j, jac4) =>
+      if (i % 7 == 0 && j % 7 != 0) Some((i, j, jac4))
+      else if (j % 7 == 0 && i % 7 != 0) Some((j, i, jac4))
+      else None
+    }.toSet
+    assert(expected.nonEmpty, "no cross-split near-dup pairs at the fixture — vacuous")
+    val got = Text.nearDupIncrement(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"increment diverged from corpus-wide cross-split pairs: " +
+        s"${got.size} vs ${expected.size}; " +
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("denylist redaction matches driver-side regex replacement and bites") {
     val pat = Text.DefaultDenylist.mkString("\\b(", "|", ")\\b")
     val docs = Tables.documents(spark, sf0001)
