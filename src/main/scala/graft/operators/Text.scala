@@ -1308,6 +1308,37 @@ object Text {
     * narrow scan→write (no shuffle); cached per (fixture mtime, split) like
     * every sibling artifact ([[graft.operators.Index.ensure]]).
     */
+  /** Write the digest store for a corpus frame — the ingest-time "hash
+    * once" pass: a pure narrow scan→write, no shuffle.
+    */
+  def buildDigestStore(spark: SparkSession, corpusDocs: DataFrame, dir: String): Unit =
+    corpusDocs
+      .select(
+        col("doc_id").as("sdoc_id"),
+        xxhash64(col("text")).as("sh64"),
+        sha2(col("text"), 256).as("sh256"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(dir)
+
+  /** Append accepted survivors' digests to the store — the narrow write a
+    * pipeline runs after admitting a delivery ([[graft.operators.Index.append]]'s
+    * digest-table analog). At-least-once replays may duplicate store ROWS;
+    * the increment probes are insensitive to right-side duplicates (a
+    * semi-join build and an anti-join build both collapse them), so a
+    * replayed append never changes any future increment's survivors —
+    * upsert-convergent, the [[graft.streaming.Streams.liveAppendSink]]
+    * guarantee. Storage debt only; compact by rewriting distinct rows.
+    */
+  def appendToDigestStore(
+      spark: SparkSession, storeDir: String, survivors: DataFrame): Unit =
+    survivors
+      .select(
+        col("doc_id").as("sdoc_id"),
+        col("h64").as("sh64"),
+        col("h256").as("sh256"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(storeDir)
+
   def ensureDigestStore(
       spark: SparkSession,
       sfDir: String,
@@ -1317,17 +1348,39 @@ object Text {
     val key = Index.cacheKey(
       s"$sfDir:${src.lastModified}:digest-store:$batchMod:$batchRem:v1")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-digest-store-$key")
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
-      Tables.documents(spark, sfDir)
-        .filter(col("doc_id") % batchMod =!= batchRem)
-        .select(
-          col("doc_id").as("sdoc_id"),
-          xxhash64(col("text")).as("sh64"),
-          sha2(col("text"), 256).as("sh256"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(dir.getAbsolutePath)
-    }
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      buildDigestStore(spark,
+        Tables.documents(spark, sfDir).filter(col("doc_id") % batchMod =!= batchRem),
+        dir.getAbsolutePath)
     dir.getAbsolutePath
+  }
+
+  /** The per-delivery probe at the heart of q107 and the streaming twin:
+    * batch doc rows → surviving in-batch canonicals whose content is not in
+    * the store, as (h64, h256, doc_id). The store side streams through the
+    * broadcast semi/anti pair — see [[dedupIncrementStored]] for the plan
+    * economics.
+    */
+  def dedupBatchAgainstStore(
+      spark: SparkSession, batchDocs: DataFrame, storeDir: String): DataFrame = {
+    val batchRaw = batchDocs.select(
+      col("doc_id"),
+      xxhash64(col("text")).as("h64"),
+      sha2(col("text"), 256).as("h256"))
+    val canon = batchRaw
+      .groupBy(col("h64"), col("h256"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val store = spark.read.parquet(storeDir).select(col("sh64"), col("sh256"))
+    // the semi probe's build side is the RAW batch digests (a narrow
+    // scan→broadcast): a semi-join is insensitive to build-side duplicates,
+    // and reusing the canonical aggregate here would plan its exchange a
+    // second time under the broadcast
+    val hits = store.join(
+      broadcast(batchRaw.select(col("h64"), col("h256"))),
+      col("sh64") === col("h64") && col("sh256") === col("h256"), "left_semi")
+    canon.join(
+      broadcast(hits),
+      col("h64") === col("sh64") && col("h256") === col("sh256"), "left_anti")
   }
 
   /** q107 — [[dedupIncrement]] served from the persisted digest store: the
@@ -1358,25 +1411,8 @@ object Text {
       batchRem: Long = 0): DataFrame = {
     val storeDir = ensureDigestStore(spark, sfDir, batchMod, batchRem)
     val doc = Tables.documents(spark, sfDir)
-    val batchRaw = doc.filter(col("doc_id") % batchMod === batchRem)
-      .select(
-        col("doc_id"),
-        xxhash64(col("text")).as("h64"),
-        sha2(col("text"), 256).as("h256"))
-    val batch = batchRaw
-      .groupBy(col("h64"), col("h256"))
-      .agg(min(col("doc_id")).as("doc_id"))
-    val store = spark.read.parquet(storeDir).select(col("sh64"), col("sh256"))
-    // the semi probe's build side is the RAW batch digests (a narrow
-    // scan→broadcast): a semi-join is insensitive to build-side duplicates,
-    // and reusing the canonical aggregate here would plan its exchange a
-    // second time under the broadcast
-    val hits = store.join(
-      broadcast(batchRaw.select(col("h64"), col("h256"))),
-      col("sh64") === col("h64") && col("sh256") === col("h256"), "left_semi")
-    val survivors = batch.join(
-      broadcast(hits),
-      col("h64") === col("sh64") && col("h256") === col("sh256"), "left_anti")
+    val survivors = dedupBatchAgainstStore(
+      spark, doc.filter(col("doc_id") % batchMod === batchRem), storeDir)
     doc.join(broadcast(survivors.select(col("doc_id"))), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))

@@ -321,6 +321,59 @@ object Streams {
       .select(col("doc_id"), col("lang"), col("n_tokens"))
   }
 
+  /** Streaming twin of [[graft.operators.Text.dedupIncrementStored]] — the
+    * per-delivery incremental dedup loop a production ingest actually runs:
+    * each micro-batch probes the persisted digest store
+    * ([[graft.operators.Text.dedupBatchAgainstStore]], the same broadcast
+    * semi/anti plan as q107), emits its surviving documents to `outDir`,
+    * and then appends the survivors' digests to the store so LATER
+    * micro-batches (and every future batch increment) dedup against them.
+    *
+    * Crash-safety ordering: survivors are emitted BEFORE their digests are
+    * committed to the store. A crash between the two writes makes the
+    * replayed micro-batch re-emit the same survivors (duplicate OUTPUT
+    * rows, deduped downstream by content — the at-least-once contract every
+    * sink here delivers); the reverse order would let a replay find its own
+    * digests already in the store and silently drop the delivery — data
+    * loss, not duplication. Store-side duplicate rows from replayed appends
+    * are harmless ([[graft.operators.Text.appendToDigestStore]]).
+    *
+    * Canon contract: first-arrival wins across micro-batches (a later
+    * delivery cannot retract an emitted survivor); within a micro-batch the
+    * min-id canonical, exactly the batch semantics.
+    */
+  def dedupIncrementSink(
+      spark: SparkSession,
+      srcDir: String,
+      storeDir: String,
+      outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // one probe, two consumers (emit + digest append): pin it so the
+          // store scan and the batch hash run once per micro-batch
+          val survivors = graft.operators.Materialize.stable(
+            graft.operators.Text.dedupBatchAgainstStore(spark, batch, storeDir),
+            eager = true)
+          try {
+            batch.join(survivors.select(col("doc_id")), Seq("doc_id"))
+              .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+            graft.operators.Text.appendToDigestStore(spark, storeDir, survivors)
+          } finally graft.operators.Materialize.release(survivors)
+        }
+      }
+      .start()
+  }
+
   // --------------------------------------------------------------------
   // A9: the Kafka transport (SURVEY §2.A — producer → extractor → indexer).
   //
