@@ -522,14 +522,13 @@ object Text {
     // policy (localCheckpoint vs recomputable DISK_ONLY for cluster runs)
     // is [[Materialize]]'s conf switch.
     val tok = Materialize.stable(rawTok)
-    val (bands, sizes) = signatureBands(tok, k, rowsPerBand)
+    val (bands, sz) = signatureBands(tok, k, rowsPerBand)
     val cands = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
-    val sz = sizes
     val common = cands
       .join(tok.select(col("doc_id").as("i"), col("t")), "i")
       .join(tok.select(col("doc_id").as("j"), col("t")), Seq("j", "t"))
@@ -1266,12 +1265,8 @@ object Text {
       batchMod: Long = 7,
       batchRem: Long = 0): DataFrame = {
     val doc = Tables.documents(spark, sfDir)
-    def digests(d: DataFrame): DataFrame = d.select(
-      col("doc_id"),
-      xxhash64(col("text")).as("h64"),
-      sha2(col("text"), 256).as("h256"))
-    val batch = digests(doc.filter(col("doc_id") % batchMod === batchRem))
-    val existing = digests(doc.filter(col("doc_id") % batchMod =!= batchRem))
+    val batch = docDigests(doc.filter(col("doc_id") % batchMod === batchRem))
+    val existing = docDigests(doc.filter(col("doc_id") % batchMod =!= batchRem))
     batch
       .groupBy(col("h64"), col("h256"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -1299,24 +1294,31 @@ object Text {
       |WHERE d.doc_id IN (SELECT doc_id FROM survivors)
       |ORDER BY d.doc_id""".stripMargin
 
-  /** Build-once persisted corpus DIGEST STORE — the deployment remedy the
+  /** The canonical content-digest projection (doc_id, h64, h256) — ONE
+    * definition shared by the direct increment, the store build, and the
+    * store probe. The whole store/probe contract rests on every site
+    * hashing identically; a drifted copy would make probes silently miss
+    * (invisible on fixtures, which plant no exact-dup texts).
+    */
+  private[graft] def docDigests(d: DataFrame): DataFrame = d.select(
+    col("doc_id"),
+    xxhash64(col("text")).as("h64"),
+    sha2(col("text"), 256).as("h256"))
+
+  /** Write the DIGEST STORE for a corpus frame — the deployment remedy the
     * [[dedupIncrement]] scaladoc names: hash each ingested document ONCE at
-    * ingest time and persist (doc_id, sh64, sh256), so later increments
+    * ingest time and persist (sdoc_id, sh64, sh256), so later increments
     * probe 40-byte digest columns instead of re-hashing (or even reading)
     * the corpus text. Store columns carry the `s` prefix so plan tests can
     * assert store-side digests never cross an exchange. The build is a pure
-    * narrow scan→write (no shuffle); cached per (fixture mtime, split) like
-    * every sibling artifact ([[graft.operators.Index.ensure]]).
-    */
-  /** Write the digest store for a corpus frame — the ingest-time "hash
-    * once" pass: a pure narrow scan→write, no shuffle.
+    * narrow scan→write (no shuffle).
     */
   def buildDigestStore(spark: SparkSession, corpusDocs: DataFrame, dir: String): Unit =
-    corpusDocs
+    docDigests(corpusDocs)
       .select(
         col("doc_id").as("sdoc_id"),
-        xxhash64(col("text")).as("sh64"),
-        sha2(col("text"), 256).as("sh256"))
+        col("h64").as("sh64"),
+        col("h256").as("sh256"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(dir)
 
@@ -1363,10 +1365,7 @@ object Text {
     */
   def dedupBatchAgainstStore(
       spark: SparkSession, batchDocs: DataFrame, storeDir: String): DataFrame = {
-    val batchRaw = batchDocs.select(
-      col("doc_id"),
-      xxhash64(col("text")).as("h64"),
-      sha2(col("text"), 256).as("h256"))
+    val batchRaw = docDigests(batchDocs)
     val canon = batchRaw
       .groupBy(col("h64"), col("h256"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -1378,8 +1377,12 @@ object Text {
     val hits = store.join(
       broadcast(batchRaw.select(col("h64"), col("h256"))),
       col("sh64") === col("h64") && col("sh256") === col("h256"), "left_semi")
+    // distinct BEFORE the broadcast: the semi emits one row per matching
+    // STORE row, and the store legally carries duplicate digests (replayed
+    // appends, corpora with repeated boilerplate) — without the dedup the
+    // broadcast would scale with store-side copies, not with the batch
     canon.join(
-      broadcast(hits),
+      broadcast(hits.distinct()),
       col("h64") === col("sh64") && col("h256") === col("sh256"), "left_anti")
   }
 
@@ -1389,14 +1392,16 @@ object Text {
     *
     *   - the corpus is NEVER re-hashed and its text never read — the store
     *     scan is two fixed-width digest columns;
-    *   - the corpus side never crosses an exchange at all: the arriving
+    *   - the corpus side never crosses an exchange at scale: the arriving
     *     batch's digest set broadcasts into a left-semi probe that STREAMS
-    *     the store (hits ≤ |batch|), survivors are the batch anti the
-    *     broadcast hits, and the final detail join broadcasts the survivor
-    *     ids into the documents scan. The only shuffles in the plan are
-    *     batch-sized (canonical groupBy) and survivor-sized (presentation
-    *     sort) — PlanSpec-asserted via the `sh64` column and an exchange
-    *     budget.
+    *     the store, the matching hit digests are deduped (map-side combined,
+    *     so the dedup exchange carries at most |batch distinct| 40-byte
+    *     pairs per partition even when the store holds duplicate digest
+    *     rows) and broadcast into the anti-join, and the final detail join
+    *     broadcasts the survivor ids into the documents scan. Every shuffle
+    *     is batch-bounded: canonical groupBy, hit-digest dedup,
+    *     presentation sort — PlanSpec-asserted via an exchange budget and a
+    *     digest-only payload check on the sh64 exchange.
     *
     * Contract: one increment must fit the broadcast ceiling (it is a
     * micro-batch/delivery, the same boundedness the streaming sinks assume);
@@ -1441,7 +1446,13 @@ object Text {
       spark: SparkSession,
       sfDir: String,
       denylist: Seq[String] = DefaultDenylist): DataFrame = {
-    val pat = denylist.mkString("\\b(", "|", ")\\b")
+    require(denylist.nonEmpty,
+      "empty denylist would match the empty string at every word boundary")
+    // terms are LITERALS: quote each one so metacharacters in real denylist
+    // entries (dotted emails, c++, parenthesized markers) neither break the
+    // pattern nor over-match
+    val pat = denylist.map(java.util.regex.Pattern.quote)
+      .mkString("\\b(", "|", ")\\b")
     Tables.documents(spark, sfDir)
       .select(
         col("doc_id"),
@@ -1515,8 +1526,9 @@ object Text {
     * candidate contract are spec-pinned).
     *
     * Scale shape (100 TB corpus, bounded delivery): the corpus contributes
-    * its PREBUILT band rows (8 fixed-width rows/doc — the store scan reads
-    * no text and no signatures are recomputed) streamed through a broadcast
+    * its PREBUILT band rows (3 fixed-width rows/doc at k=12, r=4 — the
+    * store scan reads no text and no signatures are recomputed) streamed
+    * through a broadcast
     * probe of the batch's band hashes, so the corpus side never crosses an
     * exchange; exact-Jaccard verification fans out CANDIDATE docs only —
     * the corpus text read is pruned to candidate ids by a broadcast
@@ -1550,10 +1562,13 @@ object Text {
         col("sband") === col("band") && col("sbh") === col("bh"))
       .select(col("doc_id").as("i"), col("sdoc_id").as("j"))
       .distinct()
-    // corpus text pruned to candidate docs BEFORE the shingler runs
+    // corpus text pruned to candidate docs BEFORE the shingler runs; two
+    // consumers (sizes + verification join), so pin it like batchTok — the
+    // candidate semi-join and shingle explode must not run twice
     val jIds = cands.select(col("j")).distinct()
-    val jTok = doc.join(broadcast(jIds), col("doc_id") === col("j"), "left_semi")
-      .select(col("doc_id").as("jd"), explode(shingleSet(shingleLen, sampleMod)).as("t"))
+    val jTok = Materialize.stable(
+      doc.join(broadcast(jIds), col("doc_id") === col("j"), "left_semi")
+        .select(col("doc_id").as("jd"), explode(shingleSet(shingleLen, sampleMod)).as("t")))
     val jSz = jTok.groupBy(col("jd")).agg(count(lit(1)).as("sj"))
     val common = cands
       .join(batchTok.select(col("doc_id").as("i"), col("t")), "i")

@@ -284,19 +284,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"q104 plans a cartesian:\n$plan")
   }
 
-  test("stored-increment dedup: corpus digests and text never shuffle; joins broadcast") {
+  test("stored-increment dedup: text never shuffles; store digests cross only the hit dedup") {
     val df = SparkEntry.queries("q107_dedup_increment_stored")(spark, sf001)
-    // the store side (sh64/sh256) must stream: semi-probe and anti both
-    // take the batch side as the broadcast build
-    assertNeverShuffled(df, "q107_dedup_increment_stored", "sh64")
     assertNeverShuffled(df, "q107_dedup_increment_stored", "text")
+    // the store side streams through the broadcast semi probe; the ONE
+    // exchange allowed to carry store digests is the hit-dedup distinct,
+    // whose payload must be exactly the 40-byte digest pair (map-side
+    // combined to ≤|batch distinct| rows per partition) — never doc payload
+    val shExchanges = shuffledAttrSets(df).filter(_.exists(_.name == "sh64"))
+    assert(shExchanges.size <= 1,
+      s"store digests cross ${shExchanges.size} exchanges")
+    shExchanges.foreach(attrs =>
+      assert(attrs.map(_.name).toSet == Set("sh64", "sh256"),
+        s"hit-dedup exchange carries extra payload: ${attrs.map(_.name)}"))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"q107 joins must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"q107 shuffles a corpus-sized join side:\n$plan")
-    // batch-sized canonical groupBy + survivor-sized presentation sort only
-    assert(shuffleExchanges(plan).size <= 2,
-      s"q107 shuffles beyond the batch aggregate and the sort:\n$plan")
+    // batch canonical groupBy + hit dedup + survivor presentation sort only
+    assert(shuffleExchanges(plan).size <= 3,
+      s"q107 shuffles beyond the batch-bounded trio:\n$plan")
   }
 
   test("near-dup increment: the band store streams through a broadcast probe") {
