@@ -1488,6 +1488,124 @@ object Text {
     * paid once; store size is 3 fixed-width rows per document regardless
     * of document length.
     */
+  private def bandParamsTag(
+      shingleLen: Int, k: Int, rowsPerBand: Int, sampleMod: Int): String =
+    s"shingleLen=$shingleLen,k=$k,rowsPerBand=$rowsPerBand,sampleMod=$sampleMod"
+
+  private def bandStoreRows(
+      docs: DataFrame, shingleLen: Int, k: Int, rowsPerBand: Int,
+      sampleMod: Int): DataFrame = {
+    val tok = docs.select(
+      col("doc_id"), explode(shingleSet(shingleLen, sampleMod)).as("t"))
+    val (bands, _) = signatureBands(tok, k, rowsPerBand)
+    bands.select(
+      col("doc_id").as("sdoc_id"),
+      col("band").as("sband"),
+      col("bh").as("sbh"))
+  }
+
+  private def writeMarker(
+      fs: org.apache.hadoop.fs.FileSystem, path: org.apache.hadoop.fs.Path,
+      content: String): Unit = {
+    val out = fs.create(path, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(path)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  /** Write the band store for a corpus frame and record its signing
+    * parameters in a `_params` marker — the parameters are part of the
+    * artifact's identity (the [[graft.operators.Index]] model-doc
+    * discipline): rows signed under different parameters can never
+    * band-collide correctly, so [[appendToBandStore]] refuses a mismatched
+    * append instead of silently corrupting recall.
+    */
+  def buildBandStore(
+      spark: SparkSession,
+      corpusDocs: DataFrame,
+      dir: String,
+      shingleLen: Int = 8,
+      k: Int = 12,
+      rowsPerBand: Int = 4,
+      sampleMod: Int = 3): Unit = {
+    bandStoreRows(corpusDocs, shingleLen, k, rowsPerBand, sampleMod)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(dir)
+    writeMarker(Lifecycle.fsOf(spark, dir),
+      new org.apache.hadoop.fs.Path(s"$dir/_params"),
+      bandParamsTag(shingleLen, k, rowsPerBand, sampleMod))
+  }
+
+  /** Append accepted documents' band rows to the store —
+    * [[appendToDigestStore]]'s near-dup analog, with the same
+    * at-least-once contract: replayed appends duplicate store ROWS, which
+    * only duplicate candidate pairs ahead of the increment's `distinct`,
+    * never change its survivors. Refuses a store signed under different
+    * parameters.
+    */
+  def appendToBandStore(
+      spark: SparkSession,
+      storeDir: String,
+      accepted: DataFrame,
+      shingleLen: Int = 8,
+      k: Int = 12,
+      rowsPerBand: Int = 4,
+      sampleMod: Int = 3): Unit = {
+    val fs = Lifecycle.fsOf(spark, storeDir)
+    val p = new org.apache.hadoop.fs.Path(s"$storeDir/_params")
+    require(fs.exists(p), s"band store $storeDir has no _params marker")
+    val have = readMarker(fs, p)
+    val want = bandParamsTag(shingleLen, k, rowsPerBand, sampleMod)
+    require(have == want,
+      s"band store signed under [$have], append requested [$want] " +
+        "- rows signed under different parameters can never band-collide correctly")
+    bandStoreRows(accepted, shingleLen, k, rowsPerBand, sampleMod)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(storeDir)
+  }
+
+  /** Compact a digest/band store in place: rewrite the DISTINCT row set via
+    * write-aside + two-rename (the [[Lifecycle.vacuum]] crash protocol on a
+    * flat store dir) - retiring the duplicate-row storage debt that
+    * at-least-once appends accumulate. Correct at every crash point: a
+    * half-finished prior swap is settled first (roll `_old` back when the
+    * live dir is missing, drop stale `_old`/`_compacting` otherwise), then
+    * the swap itself is two renames. A band store's `_params` marker is
+    * copied into the rewritten directory before the swap so the compacted
+    * store keeps its identity.
+    */
+  def compactStore(spark: SparkSession, storeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = Lifecycle.fsOf(spark, storeDir)
+    val live = new Path(storeDir)
+    val old = new Path(s"${storeDir}_old")
+    val tmp = new Path(s"${storeDir}_compacting")
+    if (fs.exists(old)) {
+      if (!fs.exists(live)) require(fs.rename(old, live), s"could not roll back $old")
+      else fs.delete(old, true)
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val params = new Path(s"$storeDir/_params")
+    val tag = if (fs.exists(params)) Some(readMarker(fs, params)) else None
+    spark.read.parquet(storeDir).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+    tag.foreach(t => writeMarker(fs, new Path(s"$tmp/_params"), t))
+    require(fs.rename(live, old), s"could not stage $live aside")
+    require(fs.rename(tmp, live), s"could not promote $tmp")
+    fs.delete(old, true)
+  }
+
   def ensureBandStore(
       spark: SparkSession,
       sfDir: String,
@@ -1500,20 +1618,12 @@ object Text {
     val src = new java.io.File(s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
       s"$sfDir:${src.lastModified}:band-store:$batchMod:$batchRem:" +
-        s"$shingleLen:$k:$rowsPerBand:$sampleMod:v1")
+        s"$shingleLen:$k:$rowsPerBand:$sampleMod:v2") // v2: _params marker
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-band-store-$key")
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
-      val tok = Tables.documents(spark, sfDir)
-        .filter(col("doc_id") % batchMod =!= batchRem)
-        .select(col("doc_id"), explode(shingleSet(shingleLen, sampleMod)).as("t"))
-      val (bands, _) = signatureBands(tok, k, rowsPerBand)
-      bands.select(
-          col("doc_id").as("sdoc_id"),
-          col("band").as("sband"),
-          col("bh").as("sbh"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(dir.getAbsolutePath)
-    }
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      buildBandStore(spark,
+        Tables.documents(spark, sfDir).filter(col("doc_id") % batchMod =!= batchRem),
+        dir.getAbsolutePath, shingleLen, k, rowsPerBand, sampleMod)
     dir.getAbsolutePath
   }
 

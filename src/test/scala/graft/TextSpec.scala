@@ -308,6 +308,55 @@ class TextSpec extends SparkSpec {
         s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
 
+  test("band store: append equals rebuild; params guard refuses a drifted append; compact dedups") {
+    import org.apache.spark.sql.functions.col
+    val doc = Tables.documents(spark, sf0001)
+    val a = doc.filter(col("doc_id") < 250)
+    val b = doc.filter(col("doc_id") >= 250)
+    def rows(dir: String) = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val inc = java.nio.file.Files.createTempDirectory("graft-bstore-inc").toString + "/s"
+    Text.buildBandStore(spark, a, inc)
+    Text.appendToBandStore(spark, inc, b)
+    val full = java.nio.file.Files.createTempDirectory("graft-bstore-full").toString + "/s"
+    Text.buildBandStore(spark, doc, full)
+    assert(rows(inc) == rows(full), "append+build must equal a full rebuild")
+    // parameter drift must fail fast, not silently mis-sign
+    val e = intercept[IllegalArgumentException] {
+      Text.appendToBandStore(spark, inc, b, k = 8)
+    }
+    assert(e.getMessage.contains("signed under"), e.getMessage)
+    // a replayed append duplicates rows; compaction retires the debt and
+    // keeps the row SET and the params marker
+    Text.appendToBandStore(spark, inc, b)
+    assert(spark.read.parquet(inc).count() > rows(full).size)
+    Text.compactStore(spark, inc)
+    assert(rows(inc) == rows(full), "compaction changed the row set")
+    assert(spark.read.parquet(inc).count() == rows(full).size,
+      "compaction left duplicate rows")
+    Text.appendToBandStore(spark, inc, b.limit(0)) // params marker survived
+  }
+
+  test("digest store compaction preserves increment survivors") {
+    import org.apache.spark.sql.functions.col
+    val doc = Tables.documents(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dstore").toString + "/s"
+    Text.buildDigestStore(spark, doc.filter(col("doc_id") % 7 =!= 0), dir)
+    val batch = doc.filter(col("doc_id") % 7 === 0)
+    def survivors() = Text.dedupBatchAgainstStore(spark, batch, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val before = survivors()
+    // simulate replayed appends: duplicate digest rows in the store
+    Text.appendToDigestStore(spark, dir,
+      Text.docDigests(doc.filter(col("doc_id") % 7 === 1)))
+    Text.appendToDigestStore(spark, dir,
+      Text.docDigests(doc.filter(col("doc_id") % 7 === 1)))
+    val dupped = survivors()
+    Text.compactStore(spark, dir)
+    assert(survivors() == dupped, "compaction changed survivors")
+    assert(dupped.subsetOf(before), "appends can only shrink the survivor set")
+  }
+
   test("denylist redaction matches driver-side regex replacement and bites") {
     val pat = Text.DefaultDenylist.mkString("\\b(", "|", ")\\b")
     val docs = Tables.documents(spark, sf0001)
