@@ -1332,14 +1332,16 @@ object Text {
     * guarantee. Storage debt only; compact by rewriting distinct rows.
     */
   def appendToDigestStore(
-      spark: SparkSession, storeDir: String, survivors: DataFrame): Unit =
+      spark: SparkSession, storeDir: String, survivors: DataFrame): Unit = {
+    val dir = settleStoreSwap(spark, storeDir)
     survivors
       .select(
         col("doc_id").as("sdoc_id"),
         col("h64").as("sh64"),
         col("h256").as("sh256"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(storeDir)
+      .parquet(dir)
+  }
 
   def ensureDigestStore(
       spark: SparkSession,
@@ -1365,11 +1367,12 @@ object Text {
     */
   def dedupBatchAgainstStore(
       spark: SparkSession, batchDocs: DataFrame, storeDir: String): DataFrame = {
+    val dir = settleStoreSwap(spark, storeDir)
     val batchRaw = docDigests(batchDocs)
     val canon = batchRaw
       .groupBy(col("h64"), col("h256"))
       .agg(min(col("doc_id")).as("doc_id"))
-    val store = spark.read.parquet(storeDir).select(col("sh64"), col("sh256"))
+    val store = spark.read.parquet(dir).select(col("sh64"), col("sh256"))
     // the semi probe's build side is the RAW batch digests (a narrow
     // scan→broadcast): a semi-join is insensitive to build-side duplicates,
     // and reusing the canonical aggregate here would plan its exchange a
@@ -1524,6 +1527,26 @@ object Text {
     } finally in.close()
   }
 
+  /** Settle a crashed [[compactStore]] swap: when the previous compaction
+    * died between its two renames, the only complete copy of the store sits
+    * in `_old` and the live dir is missing — roll it forward. EVERY store
+    * entry point (append, probe, compact) settles first, so no writer can
+    * blindly recreate a missing live dir and trick a later compaction's
+    * recovery into deleting the real store in `_old`. Returns the
+    * slash-normalized store path (a trailing slash would turn the `_old` /
+    * `_compacting` siblings into CHILDREN of the live dir and make the
+    * swap rename a directory into itself).
+    */
+  private def settleStoreSwap(spark: SparkSession, storeDir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val norm = storeDir.replaceAll("/+$", "")
+    val fs = Lifecycle.fsOf(spark, norm)
+    val old = new Path(s"${norm}_old")
+    if (fs.exists(old) && !fs.exists(new Path(norm)))
+      require(fs.rename(old, new Path(norm)), s"could not roll $old forward")
+    norm
+  }
+
   /** Write the band store for a corpus frame and record its signing
     * parameters in a `_params` marker — the parameters are part of the
     * artifact's identity (the [[graft.operators.Index]] model-doc
@@ -1562,9 +1585,10 @@ object Text {
       k: Int = 12,
       rowsPerBand: Int = 4,
       sampleMod: Int = 3): Unit = {
-    val fs = Lifecycle.fsOf(spark, storeDir)
-    val p = new org.apache.hadoop.fs.Path(s"$storeDir/_params")
-    require(fs.exists(p), s"band store $storeDir has no _params marker")
+    val dir = settleStoreSwap(spark, storeDir)
+    val fs = Lifecycle.fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_params")
+    require(fs.exists(p), s"band store $dir has no _params marker")
     val have = readMarker(fs, p)
     val want = bandParamsTag(shingleLen, k, rowsPerBand, sampleMod)
     require(have == want,
@@ -1572,33 +1596,36 @@ object Text {
         "- rows signed under different parameters can never band-collide correctly")
     bandStoreRows(accepted, shingleLen, k, rowsPerBand, sampleMod)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(storeDir)
+      .parquet(dir)
   }
 
   /** Compact a digest/band store in place: rewrite the DISTINCT row set via
     * write-aside + two-rename (the [[Lifecycle.vacuum]] crash protocol on a
     * flat store dir) - retiring the duplicate-row storage debt that
-    * at-least-once appends accumulate. Correct at every crash point: a
-    * half-finished prior swap is settled first (roll `_old` back when the
-    * live dir is missing, drop stale `_old`/`_compacting` otherwise), then
-    * the swap itself is two renames. A band store's `_params` marker is
-    * copied into the rewritten directory before the swap so the compacted
-    * store keeps its identity.
+    * at-least-once appends accumulate. Crash-correct under the same
+    * SINGLE-WRITER MAINTENANCE CONTRACT as [[Lifecycle.vacuum]]: pause
+    * appends and streaming sinks while compacting — an append landing
+    * between the snapshot read and the swap would be staged aside with the
+    * old directory and dropped. A crashed swap is settled by the next
+    * store operation ([[settleStoreSwap]] rolls `_old` forward when live
+    * is missing); `_old` is deleted here only as post-promote cleanup,
+    * which is unambiguous because every writer settles before touching the
+    * store. A band store's `_params` marker is copied into the rewritten
+    * directory before the swap so the compacted store keeps its identity.
     */
   def compactStore(spark: SparkSession, storeDir: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val fs = Lifecycle.fsOf(spark, storeDir)
-    val live = new Path(storeDir)
-    val old = new Path(s"${storeDir}_old")
-    val tmp = new Path(s"${storeDir}_compacting")
-    if (fs.exists(old)) {
-      if (!fs.exists(live)) require(fs.rename(old, live), s"could not roll back $old")
-      else fs.delete(old, true)
-    }
+    val dir = settleStoreSwap(spark, storeDir)
+    val fs = Lifecycle.fsOf(spark, dir)
+    val live = new Path(dir)
+    val old = new Path(s"${dir}_old")
+    val tmp = new Path(s"${dir}_compacting")
+    // post-promote cleanup from a crash after the second rename
+    if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    val params = new Path(s"$storeDir/_params")
+    val params = new Path(s"$dir/_params")
     val tag = if (fs.exists(params)) Some(readMarker(fs, params)) else None
-    spark.read.parquet(storeDir).distinct()
+    spark.read.parquet(dir).distinct()
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
     tag.foreach(t => writeMarker(fs, new Path(s"$tmp/_params"), t))
     require(fs.rename(live, old), s"could not stage $live aside")
@@ -1620,7 +1647,11 @@ object Text {
       s"$sfDir:${src.lastModified}:band-store:$batchMod:$batchRem:" +
         s"$shingleLen:$k:$rowsPerBand:$sampleMod:v2") // v2: _params marker
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-band-store-$key")
-    if (!new java.io.File(dir, "_SUCCESS").exists())
+    // completion sentinel is _params — buildBandStore writes it LAST, so a
+    // crash between the parquet commit and the marker leaves no sentinel
+    // and the next ensure call rebuilds instead of caching a store that
+    // permanently refuses appends
+    if (!new java.io.File(dir, "_params").exists())
       buildBandStore(spark,
         Tables.documents(spark, sfDir).filter(col("doc_id") % batchMod =!= batchRem),
         dir.getAbsolutePath, shingleLen, k, rowsPerBand, sampleMod)
@@ -1666,7 +1697,7 @@ object Text {
       doc.filter(col("doc_id") % batchMod === batchRem)
         .select(col("doc_id"), explode(shingleSet(shingleLen, sampleMod)).as("t")))
     val (bands, sizes) = signatureBands(batchTok, k, rowsPerBand)
-    val store = spark.read.parquet(storeDir)
+    val store = spark.read.parquet(settleStoreSwap(spark, storeDir))
     val cands = store.join(
         broadcast(bands),
         col("sband") === col("band") && col("sbh") === col("bh"))

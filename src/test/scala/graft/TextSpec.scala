@@ -355,6 +355,17 @@ class TextSpec extends SparkSpec {
     Text.compactStore(spark, dir)
     assert(survivors() == dupped, "compaction changed survivors")
     assert(dupped.subsetOf(before), "appends can only shrink the survivor set")
+    // crash between the swap's two renames: live dir gone, the only
+    // complete copy in _old — the next store operation must roll it
+    // forward, not let an append recreate a near-empty live dir
+    val fs = graft.operators.Lifecycle.fsOf(spark, dir)
+    require(fs.rename(
+      new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "_old")))
+    assert(survivors() == dupped, "crashed swap not settled by the probe")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "_old")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(dir)),
+      "settle left the store in _old")
   }
 
   test("denylist redaction matches driver-side regex replacement and bites") {
