@@ -31,6 +31,50 @@ object Lifecycle {
   def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The write-aside / two-rename swap protocol, stated ONCE for every
+    * swap-managed directory ([[vacuum]] parts, [[adoptStreamedLayout]],
+    * `Text.compactStore` on digest/band stores). Three helpers so a
+    * protocol fix can never silently miss one copy:
+    *
+    * [[settleSwap]] rolls a crashed swap forward — when a maintenance op
+    * died between its stage and promote renames, the only complete copy of
+    * the data sits in `old` and `live` is missing. EVERY entry point of a
+    * swap-managed directory (read probes included) settles first, so no
+    * writer can blindly recreate a missing live dir and trick a later
+    * swap's recovery into deleting the real data staged in `old`.
+    * Race-tolerant: settle runs on read paths too, so when two concurrent
+    * operations race to settle the same crashed swap, the rename loser
+    * re-checks for the winner's result instead of failing a recovery that
+    * actually succeeded.
+    */
+  def settleSwap(fs: FileSystem, live: Path, old: Path): Unit =
+    if (fs.exists(old) && !fs.exists(live) && !fs.rename(old, live))
+      require(fs.exists(live), s"could not roll $old forward to $live")
+
+  /** Clear leftover swap staging: a post-promote `old` (crash after the
+    * second rename) and a half-written `tmp`. Maintenance-op entry ONLY
+    * (single-writer contract) — a read-path settle must never delete a
+    * concurrent maintenance op's in-flight staging. Call after
+    * [[settleSwap]], which disambiguates a leftover `old` (live present →
+    * stale cleanup debt) from the sole surviving copy (live absent).
+    */
+  def clearSwapStaging(fs: FileSystem, old: Path, tmp: Path): Unit = {
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
+  /** Stage-aside + promote + cleanup. `tmp` must be fully written. Crash
+    * windows: before the first rename → `live` intact, `tmp` garbage;
+    * between the renames → the only complete copy is `old`, which
+    * [[settleSwap]] rolls forward; after the promote → a stale `old` that
+    * the next [[clearSwapStaging]] drops.
+    */
+  def promoteSwap(fs: FileSystem, live: Path, old: Path, tmp: Path): Unit = {
+    require(fs.rename(live, old), s"could not stage $live aside")
+    require(fs.rename(tmp, live), s"could not promote $tmp")
+    fs.delete(old, true)
+  }
+
   /** Delete-by-id as TOMBSTONES (the ES delete-doc analog): O(|batch|) per
     * delete — no index rewrite. The tombstone set stays id-only (8 bytes a
     * row) and is broadcast into the anti-join while small — the usual
@@ -258,21 +302,15 @@ object Lifecycle {
       val livePath = new Path(s"$indexDir/$sub")
       val old = new Path(s"$indexDir/${sub}_old")
       val tmp = new Path(s"$indexDir/${sub}_compacting")
-      if (fs.exists(old)) {
-        if (!fs.exists(livePath))
-          require(fs.rename(old, livePath), s"could not roll back $old")
-        else fs.delete(old, true)
-      }
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+      settleSwap(fs, livePath, old)
+      clearSwapStaging(fs, old, tmp)
       val purged = liveKeepBatch(spark, indexDir, spark.read.parquet(livePath.toString))
       val clustered =
         if (pcols.nonEmpty) purged.repartition(pcols.map(col): _*)
         else purged
       val w = clustered.write.mode(SaveMode.Overwrite)
       (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).parquet(tmp.toString)
-      require(fs.rename(livePath, old), s"could not stage $livePath aside")
-      require(fs.rename(tmp, livePath), s"could not promote $tmp")
-      fs.delete(old, true)
+      promoteSwap(fs, livePath, old, tmp)
     }
     // All parts are physically live-only now; the markers are dead weight.
     // (Deleting them one by one is fine mid-crash — a surviving marker set
@@ -324,12 +362,9 @@ object Lifecycle {
     val old = new Path(s"$indexDir/${sub}_old")
     val tmp = new Path(s"$indexDir/${sub}_adopting")
     // Settle a crashed prior swap (same states as vacuum: a staged-aside
-    // copy with no live dir rolls back; leftovers beside a live dir drop).
-    if (fs.exists(old)) {
-      if (!fs.exists(live)) require(fs.rename(old, live), s"could not roll back $old")
-      else fs.delete(old, true)
-    }
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // copy with no live dir rolls forward; leftovers beside a live dir drop).
+    settleSwap(fs, live, old)
+    clearSwapStaging(fs, old, tmp)
     if (!fs.exists(new Path(live, "_spark_metadata"))) return
     // Stamp BEFORE the swap (overwrite-idempotent for retries): a crash
     // after the promotion renames has already retired the sink log, so the
@@ -345,9 +380,7 @@ object Lifecycle {
       if (pcols.nonEmpty) rows.repartition(pcols.map(col): _*) else rows
     val w = clustered.write.mode(SaveMode.Overwrite)
     (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).parquet(tmp.toString)
-    require(fs.rename(live, old), s"could not stage $live aside")
-    require(fs.rename(tmp, live), s"could not promote $tmp")
-    fs.delete(old, true)
+    promoteSwap(fs, live, old, tmp)
   }
 
   /** Reset ALL lifecycle marker state for a from-scratch rebuild into an

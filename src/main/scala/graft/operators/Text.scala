@@ -1313,14 +1313,19 @@ object Text {
     * assert store-side digests never cross an exchange. The build is a pure
     * narrow scan→write (no shuffle).
     */
-  def buildDigestStore(spark: SparkSession, corpusDocs: DataFrame, dir: String): Unit =
+  def buildDigestStore(spark: SparkSession, corpusDocs: DataFrame, dir: String): Unit = {
+    // A build REPLACES the store, but settling first still matters: it
+    // retires a crashed compaction's `_old` sibling so no stale staging
+    // survives beside the fresh store.
+    val norm = settleStoreSwap(spark, dir)
     docDigests(corpusDocs)
       .select(
         col("doc_id").as("sdoc_id"),
         col("h64").as("sh64"),
         col("h256").as("sh256"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(dir)
+      .parquet(norm)
+  }
 
   /** Append accepted survivors' digests to the store — the narrow write a
     * pipeline runs after admitting a delivery ([[graft.operators.Index.append]]'s
@@ -1334,6 +1339,12 @@ object Text {
   def appendToDigestStore(
       spark: SparkSession, storeDir: String, survivors: DataFrame): Unit = {
     val dir = settleStoreSwap(spark, storeDir)
+    // Refuse a never-built path (the band-store twin refuses via _params):
+    // SaveMode.Append would silently create a near-empty store there, and a
+    // probe later pointed at it would admit every duplicate.
+    require(Lifecycle.fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(dir)),
+      s"digest store $dir does not exist - build it first " +
+        "(buildDigestStore / ensureDigestStore)")
     survivors
       .select(
         col("doc_id").as("sdoc_id"),
@@ -1352,6 +1363,11 @@ object Text {
     val key = Index.cacheKey(
       s"$sfDir:${src.lastModified}:digest-store:$batchMod:$batchRem:v1")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-digest-store-$key")
+    // Settle a crashed compaction swap BEFORE the sentinel check: with the
+    // live dir missing, the sentinel is absent and an unsettled rebuild
+    // would recreate a corpus-only store beside `_old` (losing every row
+    // appended since the build when the next compaction clears staging).
+    settleStoreSwap(spark, dir.getAbsolutePath)
     if (!new java.io.File(dir, "_SUCCESS").exists())
       buildDigestStore(spark,
         Tables.documents(spark, sfDir).filter(col("doc_id") % batchMod =!= batchRem),
@@ -1527,23 +1543,22 @@ object Text {
     } finally in.close()
   }
 
-  /** Settle a crashed [[compactStore]] swap: when the previous compaction
-    * died between its two renames, the only complete copy of the store sits
-    * in `_old` and the live dir is missing — roll it forward. EVERY store
-    * entry point (append, probe, compact) settles first, so no writer can
-    * blindly recreate a missing live dir and trick a later compaction's
-    * recovery into deleting the real store in `_old`. Returns the
-    * slash-normalized store path (a trailing slash would turn the `_old` /
-    * `_compacting` siblings into CHILDREN of the live dir and make the
-    * swap rename a directory into itself).
+  /** Settle a crashed [[compactStore]] swap via [[Lifecycle.settleSwap]]
+    * (the shared write-aside/two-rename protocol): when the previous
+    * compaction died between its two renames, the only complete copy of the
+    * store sits in `_old` and the live dir is missing — roll it forward.
+    * EVERY store entry point (build, append, probe, compact) settles first,
+    * so no writer can blindly recreate a missing live dir and trick a later
+    * compaction's recovery into deleting the real store in `_old`. Returns
+    * the slash-normalized store path (a trailing slash would turn the
+    * `_old` / `_compacting` siblings into CHILDREN of the live dir and make
+    * the swap rename a directory into itself).
     */
   private def settleStoreSwap(spark: SparkSession, storeDir: String): String = {
     import org.apache.hadoop.fs.Path
     val norm = storeDir.replaceAll("/+$", "")
-    val fs = Lifecycle.fsOf(spark, norm)
-    val old = new Path(s"${norm}_old")
-    if (fs.exists(old) && !fs.exists(new Path(norm)))
-      require(fs.rename(old, new Path(norm)), s"could not roll $old forward")
+    Lifecycle.settleSwap(Lifecycle.fsOf(spark, norm),
+      new Path(norm), new Path(s"${norm}_old"))
     norm
   }
 
@@ -1562,11 +1577,12 @@ object Text {
       k: Int = 12,
       rowsPerBand: Int = 4,
       sampleMod: Int = 3): Unit = {
+    val norm = settleStoreSwap(spark, dir) // see buildDigestStore
     bandStoreRows(corpusDocs, shingleLen, k, rowsPerBand, sampleMod)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(dir)
-    writeMarker(Lifecycle.fsOf(spark, dir),
-      new org.apache.hadoop.fs.Path(s"$dir/_params"),
+      .parquet(norm)
+    writeMarker(Lifecycle.fsOf(spark, norm),
+      new org.apache.hadoop.fs.Path(s"$norm/_params"),
       bandParamsTag(shingleLen, k, rowsPerBand, sampleMod))
   }
 
@@ -1620,17 +1636,13 @@ object Text {
     val live = new Path(dir)
     val old = new Path(s"${dir}_old")
     val tmp = new Path(s"${dir}_compacting")
-    // post-promote cleanup from a crash after the second rename
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    Lifecycle.clearSwapStaging(fs, old, tmp)
     val params = new Path(s"$dir/_params")
     val tag = if (fs.exists(params)) Some(readMarker(fs, params)) else None
     spark.read.parquet(dir).distinct()
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
     tag.foreach(t => writeMarker(fs, new Path(s"$tmp/_params"), t))
-    require(fs.rename(live, old), s"could not stage $live aside")
-    require(fs.rename(tmp, live), s"could not promote $tmp")
-    fs.delete(old, true)
+    Lifecycle.promoteSwap(fs, live, old, tmp)
   }
 
   def ensureBandStore(
@@ -1647,10 +1659,12 @@ object Text {
       s"$sfDir:${src.lastModified}:band-store:$batchMod:$batchRem:" +
         s"$shingleLen:$k:$rowsPerBand:$sampleMod:v2") // v2: _params marker
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-band-store-$key")
-    // completion sentinel is _params — buildBandStore writes it LAST, so a
-    // crash between the parquet commit and the marker leaves no sentinel
-    // and the next ensure call rebuilds instead of caching a store that
+    // Settle BEFORE the sentinel check (see ensureDigestStore); completion
+    // sentinel is _params — buildBandStore writes it LAST, so a crash
+    // between the parquet commit and the marker leaves no sentinel and the
+    // next ensure call rebuilds instead of caching a store that
     // permanently refuses appends
+    settleStoreSwap(spark, dir.getAbsolutePath)
     if (!new java.io.File(dir, "_params").exists())
       buildBandStore(spark,
         Tables.documents(spark, sfDir).filter(col("doc_id") % batchMod =!= batchRem),

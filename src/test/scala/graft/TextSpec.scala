@@ -368,6 +368,43 @@ class TextSpec extends SparkSpec {
       "settle left the store in _old")
   }
 
+  test("ensure* settles a crashed swap instead of rebuilding; digest append refuses a never-built path") {
+    // appendToDigestStore on a never-built path must refuse (the band twin
+    // refuses via _params): SaveMode.Append would otherwise silently create
+    // a near-empty store whose probes admit every duplicate.
+    val missing =
+      java.nio.file.Files.createTempDirectory("graft-dstore-missing").toString + "/nope"
+    val e = intercept[IllegalArgumentException] {
+      Text.appendToDigestStore(spark, missing,
+        Text.docDigests(Tables.documents(spark, sf0001).limit(1)))
+    }
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+    // A crashed compaction swap on an ensure-managed store: live dir gone,
+    // only complete copy in _old, sentinel check false — ensure must settle
+    // and roll the store forward, NOT blindly rebuild a corpus-only store
+    // beside _old. A _canary marker distinguishes roll-forward (canary
+    // survives) from rebuild (canary gone); underscore files are invisible
+    // to parquet reads.
+    for ((ensure, sentinel) <- Seq(
+        (() => Text.ensureBandStore(spark, sf0001), "_params"),
+        (() => Text.ensureDigestStore(spark, sf0001), "_SUCCESS"))) {
+      val dir = ensure()
+      val fs = graft.operators.Lifecycle.fsOf(spark, dir)
+      val canary = new org.apache.hadoop.fs.Path(s"$dir/_canary")
+      fs.create(canary, true).close()
+      require(fs.rename(
+        new org.apache.hadoop.fs.Path(dir),
+        new org.apache.hadoop.fs.Path(dir + "_old")))
+      val again = ensure()
+      assert(again == dir)
+      assert(fs.exists(canary),
+        s"ensure rebuilt over a crashed swap instead of settling it ($sentinel store)")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "_old")) ||
+        fs.exists(new org.apache.hadoop.fs.Path(dir)))
+      fs.delete(canary, false)
+    }
+  }
+
   test("denylist redaction matches driver-side regex replacement and bites") {
     val pat = Text.DefaultDenylist.mkString("\\b(", "|", ")\\b")
     val docs = Tables.documents(spark, sf0001)
