@@ -66,6 +66,9 @@ object Bench {
       // Corpus band store — ingest-time signing; q109 measures the
       // per-delivery near-dup probe.
       graft.operators.Text.ensureBandStore(spark, sfDir)
+      // Corpus cell store — ingest-time fit + cell assignment; q110
+      // measures the per-delivery semantic probe.
+      graft.operators.Vectors.ensureCellStore(spark, sfDir)
     } catch { case _: Throwable => () }
     val ingestSec = (System.nanoTime() - ingestT0) / 1e9
     try {

@@ -75,6 +75,39 @@ object Lifecycle {
     fs.delete(old, true)
   }
 
+  /** Settle a crashed store-compaction swap at a store entry point:
+    * slash-normalize the dir (the `_old`/`_compacting` sibling naming
+    * breaks on a trailing slash) and roll a crashed [[promoteSwap]]
+    * forward via [[settleSwap]]. Returns the normalized dir. Shared by
+    * ALL persisted store families (digest/band/cell) so a protocol fix
+    * can never silently miss one copy.
+    */
+  def settleStore(spark: SparkSession, storeDir: String): String = {
+    val norm = storeDir.replaceAll("/+$", "")
+    settleSwap(fsOf(spark, norm), new Path(norm), new Path(s"${norm}_old"))
+    norm
+  }
+
+  /** Tiny whole-file marker I/O for store/layout identity sentinels
+    * (`_params`, `_adopted`): single-block metadata files written by one
+    * writer, read whole.
+    */
+  def writeMarker(fs: FileSystem, path: Path, content: String): Unit = {
+    val out = fs.create(path, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readMarker(fs: FileSystem, path: Path): String = {
+    val in = fs.open(path)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
   /** Delete-by-id as TOMBSTONES (the ES delete-doc analog): O(|batch|) per
     * delete — no index rewrite. The tombstone set stays id-only (8 bytes a
     * row) and is broadcast into the anti-join while small — the usual

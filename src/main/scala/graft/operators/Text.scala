@@ -1523,25 +1523,14 @@ object Text {
       col("bh").as("sbh"))
   }
 
+  // marker I/O shared with the cell store — see Lifecycle.writeMarker
   private def writeMarker(
       fs: org.apache.hadoop.fs.FileSystem, path: org.apache.hadoop.fs.Path,
-      content: String): Unit = {
-    val out = fs.create(path, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-  }
+      content: String): Unit = Lifecycle.writeMarker(fs, path, content)
 
   private def readMarker(
       fs: org.apache.hadoop.fs.FileSystem,
-      path: org.apache.hadoop.fs.Path): String = {
-    val in = fs.open(path)
-    try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](4096)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      new String(buf.toByteArray, "UTF-8")
-    } finally in.close()
-  }
+      path: org.apache.hadoop.fs.Path): String = Lifecycle.readMarker(fs, path)
 
   /** Settle a crashed [[compactStore]] swap via [[Lifecycle.settleSwap]]
     * (the shared write-aside/two-rename protocol): when the previous
@@ -1554,13 +1543,8 @@ object Text {
     * `_old` / `_compacting` siblings into CHILDREN of the live dir and make
     * the swap rename a directory into itself).
     */
-  private def settleStoreSwap(spark: SparkSession, storeDir: String): String = {
-    import org.apache.hadoop.fs.Path
-    val norm = storeDir.replaceAll("/+$", "")
-    Lifecycle.settleSwap(Lifecycle.fsOf(spark, norm),
-      new Path(norm), new Path(s"${norm}_old"))
-    norm
-  }
+  private def settleStoreSwap(spark: SparkSession, storeDir: String): String =
+    Lifecycle.settleStore(spark, storeDir)
 
   /** Write the band store for a corpus frame and record its signing
     * parameters in a `_params` marker — the parameters are part of the

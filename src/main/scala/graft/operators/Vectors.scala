@@ -675,11 +675,195 @@ object Vectors {
       .orderBy(col("label"))
   }
 
+  // ------------------------------------------------------------------
+  // Incremental semantic dedup: the persisted CELL STORE (q110) — the
+  // semantic member of the per-delivery increment trio (exact: digest
+  // store / q107, textual: band store / q109).
+  // ------------------------------------------------------------------
+
+  /** Settle a crashed [[compactCellStore]] swap via the shared
+    * [[Lifecycle.settleStore]] — see that scaladoc for the protocol and
+    * the slash-normalization rationale.
+    */
+  private def settleCellStore(spark: SparkSession, storeDir: String): String =
+    Lifecycle.settleStore(spark, storeDir)
+
+  private def cellStoreRows(emb: DataFrame, cents: CentroidSet): DataFrame =
+    assignCellsWith(emb, cents).select(
+      col("vec_id").as("svec_id"),
+      col("embedding").as("sembedding"),
+      col("cell").as("scell"))
+
+  /** Write the CELL STORE for an embedding corpus: ingest-time work done
+    * once — fit the coarse k-means model on the ingested corpus, persist the
+    * centroids INSIDE the store (`_centroids/`, an underscore dir invisible
+    * to parquet reads of the store root), assign every vector its cell, and
+    * write (svec_id, sembedding) partitioned BY cell, so a probe touching
+    * few cells prunes partitions. Centroid identity travels with the store:
+    * [[appendToCellStore]] assigns with the store's OWN centroids, so no
+    * caller-supplied parameter can drift (unlike the band store's signing
+    * params) and `_params` is a completion sentinel + provenance record
+    * only. Write order matters: data (root Overwrite wipes the dir) →
+    * centroids → `_params` LAST, so a crash mid-build leaves no sentinel
+    * and [[ensureCellStore]] rebuilds.
+    */
+  def buildCellStore(
+      spark: SparkSession,
+      emb: DataFrame,
+      dir: String,
+      k: Int = 0,
+      iterations: Int = 3): Unit = {
+    import org.apache.hadoop.fs.Path
+    val norm = settleCellStore(spark, dir)
+    val kk = if (k > 0) k else deriveK(emb)
+    val cents = quantizer(spark, emb, kk, iterations)
+    cellStoreRows(emb, cents)
+      .write.partitionBy("scell")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(norm)
+    import spark.implicits._
+    cents.ids.zip(cents.vecs.map(_.toSeq)).toSeq.toDF("cell", "centroid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$norm/_centroids")
+    Lifecycle.writeMarker(Lifecycle.fsOf(spark, norm),
+      new Path(s"$norm/_params"), s"k=$kk,iterations=$iterations")
+  }
+
+  /** Append accepted embeddings' cell rows to the store — the
+    * at-least-once contract of the digest/band twins: a replayed append
+    * duplicates store ROWS, which only duplicate candidate pairs ahead of
+    * the increment's `distinct`, never change its output set. Assignment
+    * uses the STORE's persisted centroids (never a fresh fit): cell ids are
+    * only comparable under the centroid set that defined them.
+    */
+  def appendToCellStore(
+      spark: SparkSession, storeDir: String, accepted: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = settleCellStore(spark, storeDir)
+    val fs = Lifecycle.fsOf(spark, dir)
+    require(fs.exists(new Path(s"$dir/_params")),
+      s"cell store $dir does not exist or is incomplete - build it first " +
+        "(buildCellStore / ensureCellStore)")
+    val cents = loadCentroids(spark, s"$dir/_centroids")
+    cellStoreRows(accepted, cents)
+      .write.partitionBy("scell")
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+  }
+
+  /** Compact the cell store: distinct-rewrite via the shared write-aside /
+    * two-rename protocol ([[Lifecycle.promoteSwap]]), re-clustered one file
+    * per cell partition — Text.compactStore's partitioned twin, under the
+    * same single-writer maintenance contract. The store's identity (the
+    * `_centroids` model and the `_params` sentinel) is copied into the
+    * rewrite before the swap.
+    */
+  def compactCellStore(spark: SparkSession, storeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = settleCellStore(spark, storeDir)
+    val fs = Lifecycle.fsOf(spark, dir)
+    require(fs.exists(new Path(s"$dir/_params")),
+      s"cell store $dir does not exist or is incomplete - build it first " +
+        "(buildCellStore / ensureCellStore)")
+    val live = new Path(dir)
+    val old = new Path(s"${dir}_old")
+    val tmp = new Path(s"${dir}_compacting")
+    Lifecycle.clearSwapStaging(fs, old, tmp)
+    spark.read.parquet(dir).distinct()
+      .repartition(col("scell"))
+      .write.partitionBy("scell")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new Path(s"$dir/_centroids"), fs, new Path(s"$tmp/_centroids"),
+      false, spark.sparkContext.hadoopConfiguration)
+    Lifecycle.writeMarker(fs, new Path(s"$tmp/_params"),
+      Lifecycle.readMarker(fs, new Path(s"$dir/_params")))
+    Lifecycle.promoteSwap(fs, live, old, tmp)
+  }
+
+  /** Build-once cache of the gate cell store (corpus minus the arriving
+    * batch split), keyed like [[Index.ensure]]. Settles a crashed
+    * compaction swap BEFORE the sentinel check — see Text.ensureDigestStore
+    * for why an unsettled rebuild would lose appended rows.
+    */
+  def ensureCellStore(
+      spark: SparkSession,
+      sfDir: String,
+      batchMod: Long = 7,
+      batchRem: Long = 0): String = {
+    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    val key = Index.cacheKey(
+      s"$sfDir:${src.lastModified}:cell-store:$batchMod:$batchRem:v${Index.LayoutVersion}")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-cell-store-$key")
+    settleCellStore(spark, dir.getAbsolutePath)
+    if (!new java.io.File(dir, "_params").exists())
+      buildCellStore(spark,
+        Tables.embeddings(spark, sfDir).filter(col("vec_id") % batchMod =!= batchRem),
+        dir.getAbsolutePath)
+    dir.getAbsolutePath
+  }
+
+  /** The per-delivery semantic probe: which arriving embeddings are
+    * cosine-similar (≥ threshold) to an already-ingested vector? SemDeDup's
+    * cell restriction applied incrementally: the batch assigns to the
+    * STORE's centroids (narrow codegen argmin over a broadcast model), and
+    * only store partitions for the batch's cells are read at all.
+    *
+    * Scale shape: the batch's distinct cell ids collect to a driver-side
+    * literal list — bounded by min(|batch|, k ≤ [[KCeiling]]) — so the
+    * store scan PARTITION-PRUNES to those cells (PlanSpec-locked); the
+    * pruned store side then streams through a broadcast of the (delivery-
+    * sized) batch. The corpus-sized store never shuffles, never re-fits,
+    * and never reads partitions the batch doesn't touch. Duplicate store
+    * rows from replayed appends collapse in the pair `distinct`.
+    */
+  def semanticIncrementAgainstStore(
+      spark: SparkSession,
+      batchEmb: DataFrame,
+      storeDir: String,
+      threshold: Double): DataFrame = {
+    val dir = settleCellStore(spark, storeDir)
+    val cents = loadCentroids(spark, s"$dir/_centroids")
+    // pinned: the assignment has two consumers (the cells collect and the
+    // broadcast build) and must not run the k×dim argmin twice per delivery
+    val assigned = Materialize.stable(assignCellsWith(batchEmb, cents))
+    val cells = assigned.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val store = spark.read.parquet(dir)
+      .filter(col("scell").isin(cells: _*))
+    store.join(broadcast(assigned), col("scell") === col("cell"))
+      .select(
+        col("vec_id").as("i"), col("svec_id").as("j"), col("cell"),
+        VectorExpressions.cosine(col("embedding"), col("sembedding")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("i"), col("j"), col("cell"), round(col("sim"), 4).as("sim4"))
+      .distinct()
+      .orderBy(col("sim4").desc, col("i").asc, col("j").asc)
+  }
+
+  /** q110 — INCREMENTAL semantic near-dup detection (rows-only gate:
+    * cell-model-dependent; pinned by the VectorsSpec same-centroid
+    * brute-force equality and planted-copy tests). The fixtures plant no
+    * true embedding dups (max cross-split cosine ≈0.49), so the gate runs
+    * at a synthetic threshold where the pair set is non-trivial — the
+    * 0.95-regime semantics are pinned by the planted-copy spec.
+    */
+  def semanticIncrement(
+      spark: SparkSession,
+      sfDir: String,
+      batchMod: Long = 7,
+      batchRem: Long = 0,
+      threshold: Double = 0.35): DataFrame = {
+    val store = ensureCellStore(spark, sfDir, batchMod, batchRem)
+    val batch = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % batchMod === batchRem)
+    semanticIncrementAgainstStore(spark, batch, store, threshold)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d)),
     "q84_kmeans_clusters" -> ((s: SparkSession, d: String) => kmeansClusters(s, d)),
     "q85_semantic_neardups" -> ((s: SparkSession, d: String) => semanticNearDupPairs(s, d)),
     "q96_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedupSummary(s, d)),
+    "q110_semantic_increment" -> ((s: SparkSession, d: String) => semanticIncrement(s, d)),
     "q63_lsh_neardup_pairs" -> ((s: SparkSession, d: String) => lshNearDupPairs(s, d)),
     "q29_ann_ivf_indexed" -> ((s: SparkSession, d: String) => annIvfIndexed(s, d)),
     "q26_top_cosine_pairs" -> ((s: SparkSession, d: String) => topCosinePairs(s, d)),

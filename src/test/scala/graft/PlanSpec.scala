@@ -346,8 +346,20 @@ class PlanSpec extends SparkSpec {
     // array), so a renamed copy (`qv`) cannot slip through under an alias.
     Seq(
       "q20_knn_exact", "q21_knn_cosine", "q95_knn_dot", "q105_matryoshka_knn",
-      "q23_lsh_knn", "q28_lsh_multiprobe", "q25_ann_ivf", "q29_ann_ivf_indexed")
+      "q23_lsh_knn", "q28_lsh_multiprobe", "q25_ann_ivf", "q29_ann_ivf_indexed",
+      "q110_semantic_increment")
       .foreach(assertNoVectorShuffled)
+  }
+
+  test("semantic increment prunes the store scan to the batch's cells") {
+    val plan = planOf("q110_semantic_increment")
+    val scan = plan.linesIterator.filter(_.contains("FileScan"))
+      .find(_.contains("sembedding")).getOrElse(fail(s"no cell-store scan:\n$plan"))
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(!scan.contains("PartitionFilters: []"),
+      s"cell-store scan reads every partition: $scan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   test("rrf fusion: both rank legs end in a bounded top-k, never a full sort") {

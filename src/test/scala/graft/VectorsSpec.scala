@@ -304,4 +304,87 @@ class VectorsSpec extends SparkSpec {
       .filter(col("vec_id") === 42L))
     assert(cells(incr).exists(_._1 == 42L), "post-vacuum append not served")
   }
+
+  /** Driver-side replica of the CosineSim codegen loop (same index order,
+    * same float→double widening) so >=-threshold comparisons match bitwise.
+    */
+  private def cosF(x: Array[Float], y: Array[Float]): Double = {
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xv = x(i).toDouble; val yv = y(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("semantic increment equals same-centroid cross-split brute force and bites") {
+    val TH = 0.35
+    val got = Vectors.semanticIncrement(spark, sf0001, threshold = TH).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Ground truth under the SAME centroid model: assign every vector with
+    // the store's persisted centroids (the identical codegen expression),
+    // then brute-force cross-split same-cell cosine pairs driver-side.
+    val store = Vectors.ensureCellStore(spark, sf0001)
+    val cents = Vectors.loadCentroids(spark, s"$store/_centroids")
+    val assigned =
+      Vectors.assignCellsWith(Tables.embeddings(spark, sf0001), cents)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+    val batch = assigned.filter(_._1 % 7 == 0)
+    val corp = assigned.filter(_._1 % 7 != 0)
+    val expected = (for {
+      (bi, bv, bc) <- batch
+      (ci, cv, cc) <- corp
+      if bc == cc && cosF(bv, cv) >= TH
+    } yield (bi, ci)).toSet
+    assert(expected.nonEmpty, "no cross-split same-cell pairs at the fixture — vacuous")
+    assert(got == expected,
+      s"increment diverged from same-centroid brute force: ${got.size} vs " +
+        s"${expected.size}; missing=${(expected -- got).take(5)} " +
+        s"extra=${(got -- expected).take(5)}")
+  }
+
+  test("cell store: planted copy flagged; append uses store centroids; compaction keeps identity") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cstore").toString + "/s"
+    val corpus = emb.filter(col("vec_id") % 7 =!= 0)
+    Vectors.buildCellStore(spark, dir = dir, emb = corpus)
+    // an exact copy of stored vector 1 arriving under a new id must be
+    // flagged in the production 0.95 regime (cosine 1.0, same cell by the
+    // same assignment expression)
+    val batch = emb.filter(col("vec_id") === 1)
+      .select(lit(900001L).as("vec_id"), col("embedding"), col("label"))
+    val hits = Vectors.semanticIncrementAgainstStore(spark, batch, dir, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((900001L, 1L)), s"planted copy not flagged: $hits")
+    // append assigns with the STORE's centroids, never a fresh fit: the
+    // appended store must equal assignCellsWith(corpus ∪ batch) under the
+    // store model
+    val cents = Vectors.loadCentroids(spark, s"$dir/_centroids")
+    Vectors.appendToCellStore(spark, dir, batch)
+    def rows() = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Number]("svec_id").longValue,
+        r.getAs[Number]("scell").longValue)).toSet
+    val expAll = Vectors.assignCellsWith(corpus.unionByName(batch), cents)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rows() == expAll, "append rows diverge from store-centroid assignment")
+    // a replayed append duplicates rows; the probe is insensitive and
+    // compaction retires the debt while keeping the store's identity
+    Vectors.appendToCellStore(spark, dir, batch)
+    assert(spark.read.parquet(dir).count() > expAll.size)
+    val before = Vectors.semanticIncrementAgainstStore(spark, batch, dir, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    Vectors.compactCellStore(spark, dir)
+    val after = Vectors.semanticIncrementAgainstStore(spark, batch, dir, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(after == before, "compaction changed probe results")
+    assert(spark.read.parquet(dir).count() == expAll.size,
+      "compaction left duplicate rows")
+    Vectors.appendToCellStore(spark, dir, batch.limit(0)) // identity survived
+    // a never-built path refuses, like the digest/band twins
+    val e = intercept[IllegalArgumentException] {
+      Vectors.appendToCellStore(spark, dir + "-nope", batch)
+    }
+    assert(e.getMessage.contains("build it first"), e.getMessage)
+  }
 }
