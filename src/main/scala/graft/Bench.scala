@@ -69,6 +69,9 @@ object Bench {
       // Corpus cell store — ingest-time fit + cell assignment; q110
       // measures the per-delivery semantic probe.
       graft.operators.Vectors.ensureCellStore(spark, sfDir)
+      // Eval gram store — suite registration-time hashing; q113 measures
+      // the per-delivery decontamination probe.
+      graft.operators.Text.ensureGramStore(spark, sfDir)
     } catch { case _: Throwable => () }
     val ingestSec = (System.nanoTime() - ingestT0) / 1e9
     try {

@@ -195,13 +195,26 @@ object Sources {
       spark: SparkSession,
       sfDir: String,
       budget: Int = 512,
-      blockWidth: Long = 8192L): DataFrame = {
-    val tok = Materialize.stable(
+      blockWidth: Long = 8192L): DataFrame =
+    packCounts(
       Tables.documents(spark, sfDir)
         .select(
           col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
-        .withColumn("block", floor(col("doc_id") / blockWidth).cast("long")))
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      budget, blockWidth)
+
+  /** The two-level prefix-sum packing core over ANY (doc_id, source,
+    * n_tokens) counts frame — q86 feeds whitespace token counts, q112 feeds
+    * the BPE encoder's subword counts. Same distributed-scan shape and the
+    * same bitwise-equals-serial guarantee for any blockWidth (see
+    * [[packSequences]] scaladoc).
+    */
+  private[operators] def packCounts(
+      counts: DataFrame,
+      budget: Int,
+      blockWidth: Long): DataFrame = {
+    val tok = Materialize.stable(
+      counts.withColumn("block", floor(col("doc_id") / blockWidth).cast("long")))
 
     val wLocal = Window.partitionBy(col("source"), col("block"))
       .orderBy(col("doc_id"))
@@ -378,6 +391,73 @@ object Sources {
        |       base + (CASE WHEN rk <= deficit THEN 1 ELSE 0 END) AS alloc
        |FROM d ORDER BY source""".stripMargin
 
+  /** q111 — deterministic TRAINING-ORDER shuffle: give every document a
+    * (shard, position) under a pseudo-random but fully reproducible global
+    * permutation — the "shuffle the corpus before training" step every run
+    * needs (and needs to be able to REPLAY for a restarted or elastically
+    * re-sharded job). No `rand()` anywhere: the order key is the same
+    * engine-independent multiplicative hash as the q70/q99 family (id
+    * reduced mod the prime BEFORE the multiply, so the product never
+    * overflows BIGINT on any engine), with the stable id as tie-break.
+    * Global training order is (shard asc, position asc) — a deterministic
+    * permutation of the corpus.
+    *
+    * Scale shape: the shard assignment is a narrow map; the only corpus
+    * exchange is the hash partition BY SHARD — which is exactly the write
+    * partitioning a training pipeline wants, so the shuffle does double
+    * duty. Positions are a per-shard rank: one window per shard, all shards
+    * sorting in parallel, each over corpus/numShards rows. `numShards`
+    * scales with the corpus (pick shards of a few hundred MB each), so
+    * per-shard sort memory AND the position values stay bounded — at 10^10
+    * docs and 10^4 shards each window ranks ~10^6 rows. No global sort, no
+    * single-partition window anywhere. The gate emits the per-shard summary
+    * with an order-sensitive checksum (`Σ position·n_chars` — any
+    * transposition of two docs with different lengths changes it), plus the
+    * head doc id; bounded positions keep the checksum terms ≤ ~2^41 and the
+    * per-shard sum ≤ ~2^61, inside BIGINT.
+    */
+  def trainingOrderAssignments(
+      spark: SparkSession, sfDir: String, numShards: Int = 16): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    Tables.documents(spark, sfDir)
+      .withColumn("hkey",
+        pmod((col("doc_id") % 1000000007L) * 2654435761L, lit(1000000007L)))
+      .withColumn("shard", pmod(col("hkey"), lit(numShards.toLong)))
+      .withColumn("position",
+        row_number().over(
+          Window.partitionBy(col("shard"))
+            .orderBy(col("hkey").asc, col("doc_id").asc)).cast("long"))
+  }
+
+  def trainingOrder(
+      spark: SparkSession, sfDir: String, numShards: Int = 16): DataFrame =
+    trainingOrderAssignments(spark, sfDir, numShards)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("position") * col("n_chars")).as("order_check"),
+        sum(when(col("position") === 1L, col("doc_id"))).as("first_doc"),
+        sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("shard"))
+
+  def trainingOrderOracle(numShards: Int = 16): String =
+    s"""WITH a AS (
+       |  SELECT doc_id, n_chars,
+       |         ((doc_id % 1000000007) * 2654435761) % 1000000007 AS hkey
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, n_chars, hkey % $numShards AS shard,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY hkey % $numShards ORDER BY hkey, doc_id)
+       |           AS BIGINT) AS position
+       |  FROM a)
+       |SELECT shard, count(*) AS n_docs,
+       |       CAST(sum(position * n_chars) AS BIGINT) AS order_check,
+       |       CAST(sum(CASE WHEN position = 1 THEN doc_id END) AS BIGINT)
+       |         AS first_doc,
+       |       CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |FROM p GROUP BY shard ORDER BY shard""".stripMargin
+
   /** q49 — doc GET by id (SURVEY §2.B scans row): the point lookup the
     * parquet source serves via row-group min/max stats — the pushed
     * `doc_id = 42` predicate skips every row group whose id range excludes
@@ -405,7 +485,8 @@ object Sources {
     "q81_stratified_sample" -> (stratifiedSample _),
     "q99_fixed_sample" -> ((s: SparkSession, d: String) => fixedSample(s, d)),
     "q86_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
-    "q103_source_mixing" -> ((s: SparkSession, d: String) => sourceMixing(s, d)))
+    "q103_source_mixing" -> ((s: SparkSession, d: String) => sourceMixing(s, d)),
+    "q111_training_order" -> ((s: SparkSession, d: String) => trainingOrder(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q49_doc_get" -> docGetOracle,
@@ -416,5 +497,6 @@ object Sources {
     "q81_stratified_sample" -> stratifiedSampleOracle,
     "q99_fixed_sample" -> fixedSampleOracle(),
     "q86_pack_sequences" -> packSequencesOracle,
-    "q103_source_mixing" -> sourceMixingOracle())
+    "q103_source_mixing" -> sourceMixingOracle(),
+    "q111_training_order" -> trainingOrderOracle())
 }

@@ -876,17 +876,8 @@ object Text {
       evalMod: Long = 19,
       evalRem: Long = 3): DataFrame = {
     val doc = Tables.documents(spark, sfDir)
-      .withColumn("ts", tokens(col("text")))
-      .filter(size(col("ts")) >= gram)
-    def gramDigests(d: DataFrame): DataFrame = d
-      .select(
-        col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(0), size(col("ts")) - gram),
-          i => array_join(slice(col("ts"), i + 1, lit(gram)), " ")))).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("g64"), xxhash64(lit(0x9e3779b9L), col("g")).as("g64b"))
-    val train = gramDigests(doc.filter(col("doc_id") % evalMod =!= evalRem))
-    val heldOut = gramDigests(doc.filter(col("doc_id") % evalMod === evalRem))
+    val train = gramDigestsOf(doc.filter(col("doc_id") % evalMod =!= evalRem), gram)
+    val heldOut = gramDigestsOf(doc.filter(col("doc_id") % evalMod === evalRem), gram)
       .withColumnRenamed("doc_id", "eval_doc")
     train.join(broadcast(heldOut), Seq("g64", "g64b"))
       .groupBy(col("doc_id"))
@@ -906,6 +897,31 @@ object Text {
       |                 FOR i IN range(1, len(ts)-6)]) AS g
       |  FROM tok),
       |tr AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 19 <> 3),
+      |ev AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 19 = 3)
+      |SELECT tr.doc_id AS doc_id,
+      |       count(DISTINCT tr.g) AS n_shared,
+      |       count(DISTINCT ev.doc_id) AS n_eval_docs
+      |FROM tr JOIN ev ON tr.g = ev.g
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** q113's oracle: q80's gram-collision SQL with the train side restricted
+    * to the arriving delivery (`doc_id % 2 = 1` — the fixture split whose
+    * batch contains contaminated docs at BOTH sf0.001 and sf0.01, so the
+    * gate is never vacuous) — the store path must
+    * reproduce the direct computation exactly (digest-pair collisions stand
+    * in for string equality on both engines at joint collision ~2^-128).
+    */
+  val decontaminateIncrementOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |g AS (
+      |  SELECT doc_id,
+      |         unnest([array_to_string(ts[i:i+7], ' ')
+      |                 FOR i IN range(1, len(ts)-6)]) AS g
+      |  FROM tok),
+      |tr AS (SELECT DISTINCT doc_id, g FROM g
+      |       WHERE doc_id % 19 <> 3 AND doc_id % 2 = 1),
       |ev AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 19 = 3)
       |SELECT tr.doc_id AS doc_id,
       |       count(DISTINCT tr.g) AS n_shared,
@@ -1723,6 +1739,158 @@ object Text {
       .orderBy(col("i"), col("j"))
   }
 
+  /** The distinct 8-gram digest pairs of each document — the shared unit
+    * table of q80 ([[decontaminate]]), the q104 contamination leg, and the
+    * q113 eval-gram store, so store rows and direct runs collide on
+    * IDENTICAL digests by construction. Per-doc grams are deduped with
+    * `array_distinct` BEFORE the explode (narrow map, no corpus-wide
+    * distinct shuffle); grams travel as a 16-byte pair of independent
+    * xxhash64 digests (joint collision ~2^-128), never the text.
+    */
+  private[graft] def gramDigestsOf(d: DataFrame, gram: Int): DataFrame = d
+    .withColumn("ts", tokens(col("text")))
+    .filter(size(col("ts")) >= gram)
+    .select(
+      col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(0), size(col("ts")) - gram),
+        i => array_join(slice(col("ts"), i + 1, lit(gram)), " ")))).as("g"))
+    .select(col("doc_id"), xxhash64(col("g")).as("g64"),
+      xxhash64(lit(0x9e3779b9L), col("g")).as("g64b"))
+
+  private def gramParamsTag(gram: Int): String = s"gram=$gram"
+
+  /** Write the EVAL-GRAM STORE: tokenize + hash each held-out eval document
+    * ONCE at suite registration and persist its distinct 8-gram digest pairs
+    * as (seval_doc, sg64, sg64b) — [[ensureDigestStore]]'s decontamination
+    * sibling. Eval suites are benchmark-sized (thousands of docs), so the
+    * store is broadcast-sized by construction; what it buys at 100 TB is on
+    * the OTHER side: q80 re-reads and re-tokenizes the eval text on every
+    * run, while the store probe ships pre-hashed digests straight into the
+    * broadcast. The `gram` parameter is part of the artifact's identity
+    * (`_params` marker, the band-store discipline): grams of different
+    * lengths can never collide correctly, so mismatched appends/probes are
+    * refused instead of silently reporting zero contamination.
+    */
+  def buildGramStore(
+      spark: SparkSession, evalDocs: DataFrame, dir: String, gram: Int = 8): Unit = {
+    val norm = settleStoreSwap(spark, dir) // see buildDigestStore
+    gramDigestsOf(evalDocs, gram)
+      .select(
+        col("doc_id").as("seval_doc"),
+        col("g64").as("sg64"),
+        col("g64b").as("sg64b"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(norm)
+    writeMarker(Lifecycle.fsOf(spark, norm),
+      new org.apache.hadoop.fs.Path(s"$norm/_params"), gramParamsTag(gram))
+  }
+
+  /** Append a newly registered eval suite's grams to the store. At-least-once
+    * replays duplicate store ROWS only; both probe aggregates are
+    * `countDistinct`, so a replay never changes any increment's counts —
+    * upsert-convergent, storage debt retired by [[compactStore]]. Refuses a
+    * store built under a different gram length.
+    */
+  def appendToGramStore(
+      spark: SparkSession, storeDir: String, evalDocs: DataFrame,
+      gram: Int = 8): Unit = {
+    val dir = settleStoreSwap(spark, storeDir)
+    requireGramParams(spark, dir, gram, "append")
+    gramDigestsOf(evalDocs, gram)
+      .select(
+        col("doc_id").as("seval_doc"),
+        col("g64").as("sg64"),
+        col("g64b").as("sg64b"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(dir)
+  }
+
+  private def requireGramParams(
+      spark: SparkSession, dir: String, gram: Int, op: String): Unit = {
+    val fs = Lifecycle.fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_params")
+    require(fs.exists(p), s"gram store $dir has no _params marker - build it first")
+    val have = readMarker(fs, p)
+    val want = gramParamsTag(gram)
+    require(have == want,
+      s"gram store signed under [$have], $op requested [$want] " +
+        "- grams of different lengths can never collide correctly")
+  }
+
+  def ensureGramStore(
+      spark: SparkSession,
+      sfDir: String,
+      gram: Int = 8,
+      evalMod: Long = 19,
+      evalRem: Long = 3): String = {
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val key = Index.cacheKey(
+      s"$sfDir:${src.lastModified}:gram-store:$gram:$evalMod:$evalRem:v1")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-gram-store-$key")
+    // settle BEFORE the sentinel check; _params is written LAST and is the
+    // completion sentinel (see ensureBandStore)
+    settleStoreSwap(spark, dir.getAbsolutePath)
+    if (!new java.io.File(dir, "_params").exists())
+      buildGramStore(spark,
+        Tables.documents(spark, sfDir).filter(col("doc_id") % evalMod === evalRem),
+        dir.getAbsolutePath, gram)
+    dir.getAbsolutePath
+  }
+
+  /** The per-delivery probe of q113: arriving train docs → per-doc
+    * contamination counts against the persisted eval-gram store. The store
+    * (broadcast-sized by construction) is deduped and BROADCAST; the batch's
+    * gram digests stream through the hash join, so the delivery text never
+    * crosses an exchange — the only shuffles are the per-doc countDistinct
+    * aggregate (digest-pair rows, hit-bounded) and the caller's presentation
+    * sort.
+    */
+  def decontaminateBatchAgainstStore(
+      spark: SparkSession, batchDocs: DataFrame, storeDir: String,
+      gram: Int = 8): DataFrame = {
+    val dir = settleStoreSwap(spark, storeDir)
+    requireGramParams(spark, dir, gram, "probe")
+    // distinct BEFORE the broadcast: replayed appends legally duplicate
+    // store rows; without the dedup the broadcast scales with the copies
+    val store = spark.read.parquet(dir)
+      .select(col("seval_doc"), col("sg64"), col("sg64b")).distinct()
+    gramDigestsOf(batchDocs, gram)
+      .join(broadcast(store),
+        col("g64") === col("sg64") && col("g64b") === col("sg64b"))
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("g64"), col("g64b")).as("n_shared"),
+        countDistinct(col("seval_doc")).as("n_eval_docs"))
+  }
+
+  /** q113 — INCREMENTAL train/eval decontamination: check one arriving
+    * delivery against the registered eval suites — the per-delivery
+    * complement of q80's whole-corpus pass, completing the increment family
+    * (exact q107, textual q109, semantic q110, decontamination q113). Same
+    * 8-gram collision semantics as q80 restricted to the batch (same oracle
+    * family, hash-checked), different economics: eval suites are tokenized
+    * and hashed ONCE at registration ([[ensureGramStore]]), new suites
+    * append without touching old ones, and each delivery is scanned once
+    * with nothing corpus-sized anywhere — at 100 TB the decontamination
+    * cost per delivery is the delivery scan, full stop.
+    */
+  def decontaminateIncrement(
+      spark: SparkSession,
+      sfDir: String,
+      gram: Int = 8,
+      evalMod: Long = 19,
+      evalRem: Long = 3,
+      batchMod: Long = 2,
+      batchRem: Long = 1): DataFrame = {
+    val storeDir = ensureGramStore(spark, sfDir, gram, evalMod, evalRem)
+    val batch = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % evalMod =!= evalRem &&
+        col("doc_id") % batchMod === batchRem)
+    decontaminateBatchAgainstStore(spark, batch, storeDir, gram)
+      .orderBy(col("doc_id"))
+  }
+
   /** q104 — the per-source corpus DATASHEET: the "data card" table a
     * pretraining team publishes and monitors per ingested source — volume
     * (docs, tokens), exact-duplicate count, quality-pass count (the q83
@@ -1945,7 +2113,8 @@ object Text {
     "q107_dedup_increment_stored" -> ((s: SparkSession, d: String) => dedupIncrementStored(s, d)),
     "q108_redact_denylist" -> ((s: SparkSession, d: String) => redactDenylist(s, d)),
     // rows-only: candidate generation is hash-banding-dependent (like q34/q77)
-    "q109_neardup_increment" -> ((s: SparkSession, d: String) => nearDupIncrement(s, d)))
+    "q109_neardup_increment" -> ((s: SparkSession, d: String) => nearDupIncrement(s, d)),
+    "q113_decontaminate_increment" -> ((s: SparkSession, d: String) => decontaminateIncrement(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> tokenStatsOracle,
@@ -1966,5 +2135,6 @@ object Text {
     "q106_dedup_increment" -> dedupIncrementOracle,
     // same semantics as q106, served from the persisted digest store
     "q107_dedup_increment_stored" -> dedupIncrementOracle,
-    "q108_redact_denylist" -> redactDenylistOracle)
+    "q108_redact_denylist" -> redactDenylistOracle,
+    "q113_decontaminate_increment" -> decontaminateIncrementOracle)
 }

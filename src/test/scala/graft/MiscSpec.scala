@@ -21,6 +21,23 @@ class MiscSpec extends SparkSpec {
     assert(rows(64L) == serial, "blockWidth=64 diverges from serial definition")
   }
 
+  test("training order is a permutation: contiguous positions, every doc exactly once") {
+    import graft.operators.Sources
+    val a = Sources.trainingOrderAssignments(spark, sf0001, numShards = 8)
+      .select(col("shard"), col("position"), col("doc_id"), col("hkey"))
+      .collect()
+    val all = Tables.documents(spark, sf0001).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(a.map(_.getLong(2)).toSet == all, "assignment is not a bijection on doc ids")
+    a.groupBy(_.getLong(0)).foreach { case (shard, rows) =>
+      val pos = rows.map(_.getLong(1)).sorted.toSeq
+      assert(pos == (1L to rows.length.toLong), s"shard $shard positions not contiguous")
+      // position order IS (hkey, doc_id) order — the deterministic permutation
+      val byPos = rows.sortBy(_.getLong(1)).map(r => (r.getLong(3), r.getLong(2))).toSeq
+      assert(byPos == byPos.sorted, s"shard $shard order diverges from the hash key")
+    }
+  }
+
   test("derivation valves: E[bucket]/E[cell] bounded at every scale, incl. past the clamp ceilings") {
     import graft.operators.Vectors
     // LSH: below the bits ceiling the derived width itself bounds E[bucket];

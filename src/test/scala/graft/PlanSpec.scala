@@ -319,6 +319,32 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"q109 plans a cartesian:\n$plan")
   }
 
+  test("training order: one shard exchange reused by the aggregate; scan prunes text") {
+    val plan = planOf("q111_training_order")
+    val ex = shuffleExchanges(plan)
+    // hash partition BY SHARD feeding the window (and reused by the
+    // groupBy, which aggregates on the same key) + the presentation sort —
+    // the permutation never globally sorts and never single-partitions
+    assert(ex.size <= 2, s"q111 shuffles beyond shard partition + sort:\n$plan")
+    assert(!ex.exists(_.contains("SinglePartition")),
+      s"q111 plans a single-partition exchange:\n$plan")
+    val scan = plan.linesIterator.filter(_.contains("FileScan"))
+      .find(_.contains("documents")).getOrElse(fail("no documents scan"))
+    assert(!scan.contains("text"), s"q111 reads the text column: $scan")
+  }
+
+  test("decontamination increment: delivery text never shuffles; the gram store broadcasts") {
+    val df = SparkEntry.queries("q113_decontaminate_increment")(spark, sf001)
+    assertNeverShuffled(df, "q113_decontaminate_increment", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"q113 store probe must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q113 shuffles a delivery-sized join side:\n$plan")
+    // store-dedup distinct + countDistinct agg pair + presentation sort
+    assert(shuffleExchanges(plan).size <= 4,
+      s"q113 shuffles beyond the store-dedup + agg + sort budget:\n$plan")
+  }
+
   test("denylist redaction is a narrow map: no join, only the presentation sort shuffles") {
     val plan = planOf("q108_redact_denylist")
     assert(!plan.contains("Join"), s"redaction should not join:\n$plan")

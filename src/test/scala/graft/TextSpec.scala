@@ -286,6 +286,48 @@ class TextSpec extends SparkSpec {
     assert(direct.nonEmpty)
   }
 
+  test("decontamination increment equals the direct computation restricted to the batch") {
+    import org.apache.spark.sql.functions.col
+    val direct = Text.decontaminate(spark, sf0001)
+      .filter(col("doc_id") % 2 === 1).collect().toSeq
+    val inc = Text.decontaminateIncrement(spark, sf0001).collect().toSeq
+    assert(direct.nonEmpty, "no contaminated docs in the batch at the fixture — vacuous")
+    assert(inc == direct,
+      s"store path diverged from direct: ${inc.size} vs ${direct.size} rows")
+  }
+
+  test("gram store: replayed appends and compaction never change counts; params guard bites") {
+    import org.apache.spark.sql.functions.col
+    val doc = Tables.documents(spark, sf0001)
+    val ev = doc.filter(col("doc_id") % 19 === 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-gstore").toString + "/s"
+    Text.buildGramStore(spark, ev, dir)
+    val batch = doc.filter(col("doc_id") % 19 =!= 3 && col("doc_id") % 2 === 1)
+    def counts() = Text.decontaminateBatchAgainstStore(spark, batch, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = counts()
+    assert(before.nonEmpty)
+    // at-least-once replay: the same suite registered twice must be invisible
+    Text.appendToGramStore(spark, dir, ev)
+    assert(counts() == before, "replayed append changed increment counts")
+    Text.compactStore(spark, dir)
+    assert(counts() == before, "compaction changed increment counts")
+    // gram-length drift must fail fast (append AND probe)
+    val e = intercept[IllegalArgumentException] {
+      Text.appendToGramStore(spark, dir, ev, gram = 4)
+    }
+    assert(e.getMessage.contains("signed under"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Text.decontaminateBatchAgainstStore(spark, batch, dir, gram = 4)
+    }
+    assert(e2.getMessage.contains("signed under"), e2.getMessage)
+    // a never-built path must refuse, not report zero contamination
+    val e3 = intercept[IllegalArgumentException] {
+      Text.decontaminateBatchAgainstStore(spark, batch, dir + "-nope")
+    }
+    assert(e3.getMessage.contains("build it first"), e3.getMessage)
+  }
+
   test("near-dup increment equals the cross-split subset of the corpus-wide detector") {
     // Same units, same seeds, same band construction, same exact-Jaccard
     // verification: a pair band-collides in the increment iff it collides
