@@ -237,9 +237,59 @@ object Bpe {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-doc (doc_id, source, n_subwords) under the learned merge table —
+    * the counts frame [[tokenizePack]] feeds the packer. Same broadcast
+    * model + narrow-map shape as [[encodeCorpus]] (no shuffle, no explode).
+    */
+  private def subwordCounts(spark: SparkSession, sfDir: String, numMerges: Int): DataFrame = {
+    val merges = trainCached(spark, sfDir, numMerges)
+    val mergesB = spark.sparkContext.broadcast((merges, mergeKey(merges)))
+    val counts = udf { (ts: Seq[String]) =>
+      val (m, tableKey) = mergesB.value
+      var subs = 0L
+      ts.foreach(w => subs += subwordCount(w, m, tableKey))
+      subs
+    }
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        counts(Text.tokens(col("text"))).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+  }
+
+  /** q112 — TOKENIZE-AND-PACK, the end-to-end "make training batches" step:
+    * encode every document with the learned BPE merge table (q93's model,
+    * q102's encoder) and lay the SUBWORD streams head-to-tail into fixed
+    * token-budget context windows (q86's packer) — per-(source, bin) fill
+    * diagnostics over model-token counts rather than whitespace counts,
+    * which is what an actual pretraining batch pipeline packs by.
+    *
+    * Scale shape: the encode is a broadcast-model narrow map (q102's shape);
+    * the packing is the shared TWO-LEVEL distributed prefix sum (q86's
+    * shape) — composing them adds no new shuffle class: nothing corpus-sized
+    * ever serializes. Rows-only gate (BPE segmentation is not
+    * SQL-expressible); pinned by spec instead: corpus-total subwords equal
+    * q102's totals, and blockWidth-independence via the shared
+    * [[graft.operators.Sources.packCounts]] core.
+    */
+  def tokenizePack(
+      spark: SparkSession,
+      sfDir: String,
+      budget: Int = 512,
+      numMerges: Int = 12,
+      blockWidth: Long = 8192L): DataFrame =
+    Sources.packCounts(subwordCounts(spark, sfDir, numMerges), budget, blockWidth)
+
+  /** Spec hook: q112 with an explicit blockWidth (the gate uses the default). */
+  private[graft] def tokenizePackAt(
+      spark: SparkSession, sfDir: String, blockWidth: Long): DataFrame =
+    tokenizePack(spark, sfDir, blockWidth = blockWidth)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q93_bpe_merges" -> ((s: SparkSession, d: String) => mergesQuery(s, d)),
-    "q102_bpe_encode" -> ((s: SparkSession, d: String) => encodeCorpus(s, d)))
+    "q102_bpe_encode" -> ((s: SparkSession, d: String) => encodeCorpus(s, d)),
+    // rows-only: BPE segmentation is not SQL-expressible; spec-pinned
+    // (totals equal q102, width-independence) instead
+    "q112_tokenize_pack" -> ((s: SparkSession, d: String) => tokenizePack(s, d)))
 
   val oracles: Map[String, String] = Map.empty
 }

@@ -35,6 +35,25 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("tokenize-pack: bin totals equal the encoder's subword totals; width-independent") {
+    import org.apache.spark.sql.functions.sum
+    // packed columns: source, bin, n_docs, n_tokens, n_straddle
+    val packed = Bpe.tokenizePack(spark, sf0001).collect()
+    assert(packed.nonEmpty)
+    val packTotal = packed.map(_.getLong(3)).sum
+    val encTotal = Bpe.encodeCorpus(spark, sf0001)
+      .agg(sum("n_subwords")).collect()(0).getLong(0)
+    assert(packTotal == encTotal,
+      s"packer lost tokens: packed=$packTotal encoded=$encTotal")
+    // the shared two-level prefix sum must be bitwise blockWidth-independent
+    // on model-token counts exactly as on whitespace counts (MiscSpec)
+    val serial = Bpe.tokenizePackAt(spark, sf0001, Long.MaxValue)
+      .collect().map(_.toSeq).toSeq
+    assert(packed.map(_.toSeq).toSeq == serial, "default width diverges from serial")
+    assert(Bpe.tokenizePackAt(spark, sf0001, 64L).collect().map(_.toSeq).toSeq == serial,
+      "blockWidth=64 diverges from serial definition")
+  }
+
   test("encodeCorpus matches driver-side segmentation for every document") {
     import org.apache.spark.sql.functions.col
     val merges = Bpe.trainCached(spark, sf0001)
