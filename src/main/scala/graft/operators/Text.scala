@@ -1891,6 +1891,123 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** The duplicated-window hit table shared by [[duplicatedSpans]] and
+    * [[duplicatedSpanRanges]]: every length-`spanLen` character window (as a
+    * 16-byte digest pair — the text never leaves the scan projection) that
+    * occurs in >= 2 distinct documents, with its position. `sampleMod` > 1
+    * thins the window universe by CONTENT (keep windows whose digest ≡ 0
+    * mod s — the q77 shingle discipline): content sampling is
+    * alignment-independent (two copies of a run at different offsets keep
+    * exactly the same windows), where a fixed position grid would only
+    * match copies whose offsets agree mod s. Kept-window df equals
+    * full-universe df for kept content, so the sampled detector's doc set
+    * is a SUBSET of the exact one — precision 1 at the doc level, recall
+    * (1-1/s)^(R-L+1) miss probability for a duplicated run of length R.
+    */
+  private def duplicatedSpanHits(
+      spark: SparkSession, sfDir: String, spanLen: Int, sampleMod: Int): DataFrame = {
+    require(spanLen >= 2, s"spanLen must be >= 2: $spanLen")
+    val win = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= spanLen)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length(text) - ${spanLen - 1}), " +
+          s"i -> struct(i AS pos, xxhash64(substring(text, i, $spanLen)) AS h1, " +
+          s"xxhash64(2654435769, substring(text, i, $spanLen)) AS h2))")).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"),
+        col("w.h1").as("h1"), col("w.h2").as("h2"))
+    val sampled =
+      if (sampleMod <= 1) win
+      else win.filter(pmod(col("h1"), lit(sampleMod.toLong)) === 0)
+    // two consumers (the df>=2 aggregate + the hit join) — pin so the
+    // window/digest scan runs once
+    val winM = Materialize.stable(sampled)
+    val dups = winM.groupBy(col("h1"), col("h2"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h1"), col("h2"))
+    winM.join(dups, Seq("h1", "h2"))
+  }
+
+  private def withSpanBreaks(hits: DataFrame, spanLen: Int): DataFrame = {
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("lagp", lag(col("pos"), 1).over(wd))
+      .withColumn("cov",
+        coalesce(least(col("pos") - col("lagp"), lit(spanLen)), lit(spanLen))
+          .cast("long"))
+      .withColumn("newspan",
+        when(col("lagp").isNull || col("pos") - col("lagp") > spanLen, 1L)
+          .otherwise(0L))
+  }
+
+  /** q114 — DUPLICATED-SPAN detection: exact-substring dedup, the
+    * "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+    * operation re-expressed for a cluster. Doc-level dedup (q77/q78) keeps
+    * or drops WHOLE documents; this finds the boilerplate headers, footers,
+    * license blocks, and long quotes duplicated INSIDE otherwise-unique
+    * docs — per affected doc: duplicated-window count, merged-span count,
+    * and the union character coverage a cleaning pass would cut
+    * ([[duplicatedSpanRanges]] emits the actual cut list).
+    *
+    * Scale shape: windows travel as (doc_id, pos, 16-byte digest pair) —
+    * never text; the df>=2 grouping is ONE corpus×len digest shuffle, the
+    * distributed analog of the paper's suffix array (which is inherently
+    * single-node); `sampleMod` thins that shuffle by s at the documented
+    * recall cost above (the 100 TB operating point — runs shorter than
+    * ~L+3s are below the cleaning threshold anyway). Span merging is a
+    * document-bounded window: the union length is Σ min(gap, L) — exact
+    * integer arithmetic, engine-identical. Gate runs sampleMod=1 (exact,
+    * DuckDB hash-checked); the sampled path is
+    * subset-of-exact + planted-run-recall spec-pinned.
+    */
+  def duplicatedSpans(
+      spark: SparkSession, sfDir: String,
+      spanLen: Int = 40, sampleMod: Int = 1): DataFrame =
+    withSpanBreaks(duplicatedSpanHits(spark, sfDir, spanLen, sampleMod), spanLen)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_dup_windows"),
+        sum(col("newspan")).as("n_spans"),
+        sum(col("cov")).as("n_dup_chars"))
+      .orderBy(col("doc_id"))
+
+  /** The cut list behind q114: one row per merged duplicated span —
+    * (doc_id, span_start, span_end) inclusive character positions. Span ids
+    * come from a running sum of break flags over the same document-bounded
+    * window; consistency with [[duplicatedSpans]]' per-doc summary is
+    * spec-pinned (count and union coverage cross-foot).
+    */
+  def duplicatedSpanRanges(
+      spark: SparkSession, sfDir: String,
+      spanLen: Int = 40, sampleMod: Int = 1): DataFrame = {
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    withSpanBreaks(duplicatedSpanHits(spark, sfDir, spanLen, sampleMod), spanLen)
+      .withColumn("span_id", sum(col("newspan")).over(wd))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(spanLen - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_id"), col("span_start"), col("span_end"))
+      .orderBy(col("doc_id"), col("span_id"))
+  }
+
+  val duplicatedSpansOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, i AS pos, substring(text, i, 40) AS s
+      |  FROM documents, LATERAL unnest(range(1, len(text) - 38)) AS t(i)
+      |  WHERE len(text) >= 40),
+      |d AS (SELECT s FROM w GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+      |hit AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (s)),
+      |r AS (SELECT doc_id, pos,
+      |        coalesce(least(pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 40), 40) AS cov,
+      |        CASE WHEN pos - coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -99999) > 40
+      |             THEN 1 ELSE 0 END AS newspan
+      |      FROM hit)
+      |SELECT doc_id, count(*) AS n_dup_windows,
+      |       CAST(sum(newspan) AS BIGINT) AS n_spans,
+      |       CAST(sum(cov) AS BIGINT) AS n_dup_chars
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q104 — the per-source corpus DATASHEET: the "data card" table a
     * pretraining team publishes and monitors per ingested source — volume
     * (docs, tokens), exact-duplicate count, quality-pass count (the q83
@@ -2114,7 +2231,8 @@ object Text {
     "q108_redact_denylist" -> ((s: SparkSession, d: String) => redactDenylist(s, d)),
     // rows-only: candidate generation is hash-banding-dependent (like q34/q77)
     "q109_neardup_increment" -> ((s: SparkSession, d: String) => nearDupIncrement(s, d)),
-    "q113_decontaminate_increment" -> ((s: SparkSession, d: String) => decontaminateIncrement(s, d)))
+    "q113_decontaminate_increment" -> ((s: SparkSession, d: String) => decontaminateIncrement(s, d)),
+    "q114_duplicated_spans" -> ((s: SparkSession, d: String) => duplicatedSpans(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> tokenStatsOracle,
@@ -2136,5 +2254,6 @@ object Text {
     // same semantics as q106, served from the persisted digest store
     "q107_dedup_increment_stored" -> dedupIncrementOracle,
     "q108_redact_denylist" -> redactDenylistOracle,
-    "q113_decontaminate_increment" -> decontaminateIncrementOracle)
+    "q113_decontaminate_increment" -> decontaminateIncrementOracle,
+    "q114_duplicated_spans" -> duplicatedSpansOracle)
 }

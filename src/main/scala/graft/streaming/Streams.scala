@@ -374,6 +374,47 @@ object Streams {
       .start()
   }
 
+  /** Streamed q113 — per-micro-batch decontamination of arriving train
+    * deliveries against the persisted eval-gram store
+    * ([[graft.operators.Text.decontaminateBatchAgainstStore]]): each batch
+    * emits its contaminated docs' (doc_id, n_shared, n_eval_docs) rows to
+    * `outDir` — the quarantine feed a pipeline joins against before
+    * admitting a delivery.
+    *
+    * Delivery guarantee: the gram store is READ-ONLY to this sink (train
+    * deliveries never modify the eval side), and per-doc counts are a
+    * deterministic function of (batch content, store content) — so an
+    * at-least-once replay can only re-emit IDENTICAL rows. Distinct-on-read
+    * converges under any replay, the [[liveAppendSink]] guarantee with a
+    * simpler proof: there is no store mutation to make convergent in the
+    * first place. Storage debt from replayed rows is retired by rewriting
+    * the output distinct (it is a plain parquet dir, not a store).
+    */
+  def decontaminateSink(
+      spark: SparkSession,
+      srcDir: String,
+      storeDir: String,
+      outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Text
+            .decontaminateBatchAgainstStore(spark, batch, storeDir)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+        }
+      }
+      .start()
+  }
+
   // --------------------------------------------------------------------
   // A9: the Kafka transport (SURVEY §2.A — producer → extractor → indexer).
   //

@@ -359,7 +359,8 @@ class PlanSpec extends SparkSpec {
     // exchanges. Enforced on exchange child outputs, not plan strings.
     Seq(
       "q32_exact_dedup", "q39_dedup_corpus", "q77_shingle_neardups",
-      "q78_neardedup_corpus", "q83_clean_corpus", "q106_dedup_increment")
+      "q78_neardedup_corpus", "q83_clean_corpus", "q106_dedup_increment",
+      "q114_duplicated_spans")
       .foreach(assertNeverShuffled(_, "text"))
     // The exact-kNN family broadcasts the query side and scores in the
     // scan projection; only (ids, score) rows reach the rank shuffle. The

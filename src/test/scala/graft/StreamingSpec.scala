@@ -275,6 +275,52 @@ class StreamingSpec extends SparkSpec {
     assert(emitted() == Seq(11L, 14L), s"replay changed emissions: ${emitted()}")
   }
 
+  test("decontamination sink: per-delivery quarantine rows; replay re-emits only identical rows") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def docs(rows: (Long, String)*) =
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"),
+          org.apache.spark.sql.functions.lit("xx").as("lang"),
+          org.apache.spark.sql.functions.lit("s").as("source"),
+          org.apache.spark.sql.functions.length(col("text")).cast("long").as("n_chars"))
+    // eval suite: one 9-token doc → two distinct 8-grams
+    val evalText = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    val store = Files.createTempDirectory("graft-gstore-sink").toString + "/s"
+    graft.operators.Text.buildGramStore(spark, docs(1L -> evalText), store)
+    def stage(src: String, name: String, rows: (Long, String)*): Unit = {
+      val tmp = Files.createTempDirectory("graft-gsinkpart").toString
+      docs(rows: _*).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(src, name))
+    }
+    val src = Files.createTempDirectory("graft-gsinksrc").toString
+    val out = Files.createTempDirectory("graft-gsinkout").toString
+    val ckpt = Files.createTempDirectory("graft-gsinkckpt").toString
+    val q = Streams.decontaminateSink(spark, src, store, out, ckpt)
+    try {
+      // delivery 1: full eval copy (both grams) + clean doc
+      stage(src, "d1.parquet", 10L -> evalText, 11L -> "x1 x2 x3 x4 x5 x6 x7 x8")
+      q.processAllAvailable()
+      // delivery 2: shares exactly the first 8-gram
+      stage(src, "d2.parquet", 12L -> "w1 w2 w3 w4 w5 w6 w7 w8 z9")
+      q.processAllAvailable()
+    } finally q.stop()
+    def emitted() = spark.read.parquet(out).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(emitted() == Set((10L, 2L, 1L), (12L, 1L, 1L)), s"got ${emitted()}")
+    // at-least-once replay over the same files: counts are a deterministic
+    // function of (batch, store) and the store is read-only to the sink, so
+    // the replay appends only IDENTICAL rows — distinct-on-read converges
+    val ckpt2 = Files.createTempDirectory("graft-gsinkckpt2").toString
+    val q2 = Streams.decontaminateSink(spark, src, store, out, ckpt2)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(emitted() == Set((10L, 2L, 1L), (12L, 1L, 1L)),
+      s"replay changed the distinct emission set: ${emitted()}")
+    assert(spark.read.parquet(out).count() > 2, "replay should append duplicate rows")
+  }
+
   test("kafka transport: parse/encode stages round-trip; startup is env-gated") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

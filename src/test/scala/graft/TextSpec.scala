@@ -328,6 +328,47 @@ class TextSpec extends SparkSpec {
     assert(e3.getMessage.contains("build it first"), e3.getMessage)
   }
 
+  test("duplicated spans: ranges cross-foot the summary; sampled path is subset-of-exact with recall") {
+    import org.apache.spark.sql.functions.col
+    val L = 40
+    val summary = Text.duplicatedSpans(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(summary.nonEmpty, "no duplicated spans at the fixture — vacuous")
+    // the cut list must cross-foot the summary exactly: span count and
+    // union coverage per doc; ranges orderly, disjoint with >L-char gaps
+    // (adjacent-or-overlapping runs would have merged), inside the doc
+    val ranges = Text.duplicatedSpanRanges(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val byDoc = ranges.groupBy(_._1)
+    assert(byDoc.keySet == summary.keySet)
+    val lens = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), org.apache.spark.sql.functions.length(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (doc, rs) =>
+      val (_, nSpans, nChars) = summary(doc)
+      assert(rs.length.toLong == nSpans, s"doc $doc: ${rs.length} ranges vs $nSpans spans")
+      assert(rs.map(r => r._4 - r._3 + 1).sum.toLong == nChars,
+        s"doc $doc: range coverage does not cross-foot n_dup_chars")
+      val sorted = rs.sortBy(_._3)
+      sorted.foreach { case (_, _, s, e) =>
+        assert(s >= 1 && e >= s + L - 1 && e <= lens(doc), s"doc $doc bad range [$s,$e]")
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, e1), (_, _, s2, _)) =>
+          assert(s2 > e1 + 1, s"doc $doc: unmerged adjacent spans $e1 -> $s2")
+        case _ => ()
+      }
+    }
+    // content-sampled detector: doc-level precision 1 (subset of exact),
+    // high recall on the fixture's long planted runs
+    val sampled = Text.duplicatedSpans(spark, sf0001, sampleMod = 3).collect()
+      .map(_.getLong(0)).toSet
+    assert(sampled.nonEmpty)
+    assert(sampled.subsetOf(summary.keySet), s"sampled found non-dup docs: ${sampled -- summary.keySet}")
+    val recall = sampled.size.toDouble / summary.keySet.size
+    assert(recall >= 0.7, s"sampled recall=$recall over ${summary.keySet.size} docs")
+  }
+
   test("near-dup increment equals the cross-split subset of the corpus-wide detector") {
     // Same units, same seeds, same band construction, same exact-Jaccard
     // verification: a pair band-collides in the increment iff it collides
