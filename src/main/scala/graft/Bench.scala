@@ -72,6 +72,9 @@ object Bench {
       // Eval gram store — suite registration-time hashing; q113 measures
       // the per-delivery decontamination probe.
       graft.operators.Text.ensureGramStore(spark, sfDir)
+      // Cluster label store — ingest-time corpus clustering; q115 measures
+      // the per-delivery collapsed-graph increment.
+      graft.operators.Components.ensureLabelStore(spark, sfDir)
     } catch { case _: Throwable => () }
     val ingestSec = (System.nanoTime() - ingestT0) / 1e9
     try {

@@ -127,9 +127,201 @@ object Components {
        |GROUP BY src
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Incremental clustering (q115): assign an arriving delivery to existing
+  // dedup clusters without recomputing corpus-wide components.
+  // --------------------------------------------------------------------
+
+  /** Write the LABEL STORE: (sdoc_id, slabel) cluster assignments of the
+    * ingested corpus — the clustering sibling of the digest/band/cell/gram
+    * stores, under the same swap/settle crash protocol. Labels are the min
+    * doc id of each component, so a cluster's label row doubles as its
+    * canonical-doc record.
+    */
+  def buildLabelStore(spark: SparkSession, labels: DataFrame, dir: String): Unit = {
+    val norm = Lifecycle.settleStore(spark, dir)
+    labels.select(col("doc_id").as("sdoc_id"), col("cluster_id").as("slabel"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(norm)
+  }
+
+  def ensureLabelStore(
+      spark: SparkSession,
+      sfDir: String,
+      maxDocId: Long = 100,
+      threshold: Double = 0.8,
+      batchMod: Long = 2,
+      batchRem: Long = 1): String = {
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val key = Index.cacheKey(
+      s"$sfDir:${src.lastModified}:label-store:$maxDocId:$threshold:$batchMod:$batchRem:v1")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-label-store-$key")
+    Lifecycle.settleStore(spark, dir.getAbsolutePath) // see ensureDigestStore
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val corpus = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < maxDocId && col("doc_id") % batchMod =!= batchRem)
+        .select(col("doc_id").as("v"))
+      val edges = Text.jaccardPairs(spark, sfDir, maxDocId, threshold)
+        .filter(col("i") % batchMod =!= batchRem && col("j") % batchMod =!= batchRem)
+        .select(col("i"), col("j"))
+      val labels = connectedComponents(corpus, edges)
+        .select(col("v").as("doc_id"), col("label").as("cluster_id"))
+      buildLabelStore(spark, labels, dir.getAbsolutePath)
+    }
+    dir.getAbsolutePath
+  }
+
+  /** The collapsed-graph components at the heart of q115. Corpus endpoints
+    * of the delivery's pairs are REPLACED BY THEIR STORED CLUSTER LABELS —
+    * valid because a stored cluster is internally connected, and exact for
+    * the min-label semantics because a cluster's label IS the min doc id of
+    * its members. The graph that remains is (batch docs ∪ touched cluster
+    * labels) with (batch-batch ∪ batch-label) edges — DELIVERY-sized plus
+    * touched clusters, never corpus-sized: the whole point of the store.
+    * Returns (v, label) for every vertex of that collapsed graph.
+    */
+  private[graft] def collapsedIncrement(
+      batchDocs: DataFrame, pairs: DataFrame, store: DataFrame): DataFrame = {
+    val si = store.select(col("sdoc_id").as("i"), col("slabel").as("li"))
+    val sj = store.select(col("sdoc_id").as("j"), col("slabel").as("lj"))
+    val collapsed = pairs
+      .join(si, Seq("i"), "left")
+      .join(sj, Seq("j"), "left")
+      .select(
+        coalesce(col("li"), col("i")).as("i"),
+        coalesce(col("lj"), col("j")).as("j"))
+      // a batch pair whose endpoints land in the SAME stored cluster is a
+      // self-loop after collapsing — drop it before propagation
+      .filter(col("i") =!= col("j"))
+    val verts = batchDocs.select(col("doc_id").as("v"))
+      .union(collapsed.select(col("i").as("v")))
+      .union(collapsed.select(col("j").as("v")))
+      .distinct()
+    connectedComponents(verts, collapsed)
+  }
+
+  /** q115 — INCREMENTAL dedup clustering: which existing cluster does each
+    * document of an arriving delivery join (and which docs seed new
+    * clusters)? The per-delivery complement of q68's whole-corpus
+    * components and the CLUSTERING member of the increment-store family
+    * (exact q107, textual q109, semantic q110, decontamination q113).
+    *
+    * Output per batch doc: its final cluster id — EXACTLY the label a full
+    * recompute over corpus+batch would assign (the collapse argument in
+    * [[collapsedIncrement]]; DuckDB recursive-CTE oracle) — and whether it
+    * joined an existing corpus cluster. Deliveries can also MERGE existing
+    * clusters (a batch doc bridging two of them); [[incrementMerges]]
+    * emits those records and [[commitIncrement]] applies them to the store
+    * with the appended assignments in one crash-safe swap, after which the
+    * next delivery's increment sees the merged world — sequential-delivery
+    * convergence to the full-graph clustering is spec-pinned.
+    *
+    * Scale shape: the corpus contributes only the stored labels of clusters
+    * the delivery TOUCHES; propagation runs on a delivery-sized graph.
+    * Merge application rewrites the store (a corpus-sized narrow map) only
+    * when merges occur; merge-free deliveries commit append-only. At
+    * extreme scale the rewrite alternative is a broadcast merge log applied
+    * lazily at probe time and folded in at compaction — same contract,
+    * documented here, not needed at gate scale.
+    */
+  def clusterIncrement(
+      spark: SparkSession,
+      sfDir: String,
+      maxDocId: Long = 100,
+      threshold: Double = 0.8,
+      batchMod: Long = 2,
+      batchRem: Long = 1): DataFrame = {
+    val storeDir = ensureLabelStore(spark, sfDir, maxDocId, threshold, batchMod, batchRem)
+    val store = spark.read.parquet(Lifecycle.settleStore(spark, storeDir))
+    val batchDocs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < maxDocId && col("doc_id") % batchMod === batchRem)
+      .select(col("doc_id"))
+    val pairs = Text.jaccardPairs(spark, sfDir, maxDocId, threshold)
+      .filter(col("i") % batchMod === batchRem || col("j") % batchMod === batchRem)
+      .select(col("i"), col("j"))
+    val cc = collapsedIncrement(batchDocs, pairs, store)
+    val lbl = store.select(col("slabel").as("v")).distinct()
+      .withColumn("is_lbl", lit(1L))
+    val compFlag = cc.join(lbl, Seq("v"), "left")
+      .groupBy(col("label"))
+      .agg((sum(coalesce(col("is_lbl"), lit(0L))) > 0).as("joined_existing"))
+    cc.filter(col("v") % batchMod === batchRem)
+      .join(compFlag, Seq("label"))
+      .select(col("v").as("doc_id"), col("label").as("cluster_id"), col("joined_existing"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Existing cluster labels this delivery collapses into a new canonical:
+    * (old_label, new_label) — the store-label vertices whose component min
+    * is no longer themselves.
+    */
+  private[graft] def incrementMerges(cc: DataFrame, store: DataFrame): DataFrame =
+    cc.join(store.select(col("slabel").as("v")).distinct(), Seq("v"))
+      .filter(col("v") =!= col("label"))
+      .select(col("v").as("old_label"), col("label").as("new_label"))
+
+  /** Commit an admitted delivery: remap merged labels across the store and
+    * append the batch assignments, in ONE write-aside + two-rename swap
+    * (the [[Text.compactStore]] crash protocol — a crash between the
+    * renames is settled forward by the next store operation). Single-writer
+    * maintenance contract, like every store compaction.
+    */
+  def commitIncrement(
+      spark: SparkSession,
+      storeDir: String,
+      assignments: DataFrame,
+      merges: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = Lifecycle.settleStore(spark, storeDir)
+    val fs = Lifecycle.fsOf(spark, dir)
+    val live = new Path(dir)
+    val old = new Path(s"${dir}_old")
+    val tmp = new Path(s"${dir}_compacting")
+    Lifecycle.clearSwapStaging(fs, old, tmp)
+    val remapped = spark.read.parquet(dir)
+      .join(broadcast(merges.withColumnRenamed("old_label", "slabel")),
+        Seq("slabel"), "left")
+      .select(
+        col("sdoc_id"),
+        coalesce(col("new_label"), col("slabel")).as("slabel"))
+      .unionByName(assignments.select(
+        col("doc_id").as("sdoc_id"), col("cluster_id").as("slabel")))
+    remapped.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+    Lifecycle.promoteSwap(fs, live, old, tmp)
+  }
+
+  def clusterIncrementOracle(
+      maxDocId: Long = 100, threshold: Double = 0.8): String =
+    s"""WITH RECURSIVE doc AS (SELECT * FROM documents WHERE doc_id < $maxDocId),
+       |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM doc),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+       |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT i, j FROM pairs
+       |  JOIN sz sa ON i = sa.doc_id
+       |  JOIN sz sb ON j = sb.doc_id
+       |  WHERE common / (sa.sz + sb.sz - common) >= $threshold),
+       |bidir AS (SELECT i AS src, j AS dst FROM edges
+       |          UNION ALL SELECT j, i FROM edges),
+       |reach AS (
+       |  SELECT doc_id AS src, doc_id AS dst FROM doc
+       |  UNION
+       |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src)
+       |SELECT src AS doc_id, min(dst) AS cluster_id,
+       |       (sum(CASE WHEN dst % 2 = 0 THEN 1 ELSE 0 END) > 0)
+       |         AS joined_existing
+       |FROM reach WHERE src % 2 = 1
+       |GROUP BY src
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q68_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)))
+    "q68_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
+    "q115_cluster_increment" -> ((s: SparkSession, d: String) => clusterIncrement(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "q68_dedup_clusters" -> dedupClustersOracle())
+    "q68_dedup_clusters" -> dedupClustersOracle(),
+    "q115_cluster_increment" -> clusterIncrementOracle())
 }

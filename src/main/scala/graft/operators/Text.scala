@@ -750,6 +750,54 @@ object Text {
     minH
   }
 
+  /** One-pass rolling window digests for [[duplicatedSpans]] (q114 hot
+    * path): every length-`spanLen` character window of `text` as
+    * (pos, h1, h2) — two independent-base polynomial rolling hashes, O(len)
+    * total instead of O(len·spanLen) rehashing per window (and instead of
+    * the interpreted higher-order-function transform the first cut used —
+    * Spark's lambda functions don't participate in whole-stage codegen).
+    * Grouping is digest-internal, so ANY injective-whp hash matches the
+    * substring-equality oracle: equal windows get equal digests by
+    * construction; distinct windows collide at ~2^-128 across the pair.
+    * Shared by interpreted eval and generated code (the
+    * [[org.apache.spark.sql.graft.TextExpressions]] discipline).
+    */
+  def spanDigestArrayData(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      spanLen: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val m = n - spanLen + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val B1 = 31L
+    val B2 = 1000003L
+    var p1 = 1L; var p2 = 1L
+    var i = 0
+    while (i < spanLen - 1) { p1 *= B1; p2 *= B2; i += 1 }
+    var h1 = 0L; var h2 = 0L
+    i = 0
+    while (i < spanLen) {
+      val c = s.charAt(i).toLong
+      h1 = h1 * B1 + c; h2 = h2 * B2 + c
+      i += 1
+    }
+    val rows = new Array[Any](m)
+    rows(0) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](1, h1, h2))
+    var p = 1
+    while (p < m) {
+      val out = s.charAt(p - 1).toLong
+      val in = s.charAt(p + spanLen - 1).toLong
+      h1 = (h1 - out * p1) * B1 + in
+      h2 = (h2 - out * p2) * B2 + in
+      rows(p) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](p + 1, h1, h2))
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
   /** q37 — document fingerprinting (no oracle; golden-tested). */
   def fingerprintQuery(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -1909,10 +1957,8 @@ object Text {
     require(spanLen >= 2, s"spanLen must be >= 2: $spanLen")
     val win = Tables.documents(spark, sfDir)
       .filter(length(col("text")) >= spanLen)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, length(text) - ${spanLen - 1}), " +
-          s"i -> struct(i AS pos, xxhash64(substring(text, i, $spanLen)) AS h1, " +
-          s"xxhash64(2654435769, substring(text, i, $spanLen)) AS h2))")).as("w"))
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.TextExpressions.spanDigests(col("text"), spanLen)).as("w"))
       .select(col("doc_id"), col("w.pos").as("pos"),
         col("w.h1").as("h1"), col("w.h2").as("h2"))
     val sampled =

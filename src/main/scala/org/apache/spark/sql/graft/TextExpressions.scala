@@ -93,6 +93,34 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** All length-`spanLen` window digests of a document in one rolling pass
+    * (q114 hot path): array of (pos, h1, h2). See
+    * [[graft.operators.Text.spanDigestArrayData]] for the hash contract.
+    */
+  case class SpanDigests(child: Expression, spanLen: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("h1", LongType, nullable = false),
+      StructField("h2", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "span_digests"
+
+    override def nullSafeEval(text: Any): Any =
+      Text.spanDigestArrayData(text.asInstanceOf[UTF8String], spanLen)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.operators.Text.spanDigestArrayData($t, $spanLen);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def spanDigests(text: Column, spanLen: Int): Column =
+    ExpressionUtils.column(SpanDigests(ExpressionUtils.expression(text), spanLen))
+
   def simhash(toks: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(toks)))
   def fingerprint(text: Column, gram: Int = 8): Column =

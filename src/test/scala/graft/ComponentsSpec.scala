@@ -56,6 +56,67 @@ class ComponentsSpec extends SparkSpec {
     assert(out.collect().isEmpty)
   }
 
+  test("cluster increment equals the full recompute restricted to the batch") {
+    import org.apache.spark.sql.functions.col
+    val full = Components.dedupClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inc = Components.clusterIncrement(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(inc.nonEmpty)
+    inc.foreach { case (doc, cid, _) =>
+      assert(doc % 2 == 1, s"non-batch doc $doc in increment output")
+      assert(full(doc) == cid, s"doc $doc: increment label $cid vs full ${full(doc)}")
+    }
+    assert(inc.map(_._1).toSet == full.keySet.filter(_ % 2 == 1),
+      "increment must cover every batch doc")
+    // both flag values must occur, or the fixture is vacuous for the flag
+    assert(inc.exists(_._3) && inc.exists(!_._3),
+      "fixture should contain both joined and new-cluster batch docs")
+  }
+
+  test("sequential deliveries with commit converge to the full clustering") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 100)
+    val pairs = graft.operators.Text.jaccardPairs(spark, sf0001, 100, 0.8)
+      .select(col("i"), col("j"))
+    // corpus = even ids; delivery A = ids ≡ 1 (mod 4); delivery B = ids ≡ 3
+    val dir = java.nio.file.Files.createTempDirectory("graft-lstore").toString + "/s"
+    val corpus = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("v"))
+    val corpusEdges = pairs.filter(col("i") % 2 === 0 && col("j") % 2 === 0)
+    Components.buildLabelStore(spark,
+      Components.connectedComponents(corpus, corpusEdges)
+        .select(col("v").as("doc_id"), col("label").as("cluster_id")), dir)
+    def delivery(rem: Long): Unit = {
+      val store = spark.read.parquet(dir)
+      val batch = docs.filter(col("doc_id") % 4 === rem).select(col("doc_id"))
+      // pairs touching this delivery whose other endpoint has ARRIVED
+      // (corpus, a committed delivery, or this batch) — never a future one
+      val arrived = (c: org.apache.spark.sql.Column) =>
+        if (rem == 3L) c % 2 === 0 || c % 4 === 1 || c % 4 === 3
+        else c % 2 === 0 || c % 4 === rem
+      val bp = pairs.filter(
+        (col("i") % 4 === rem || col("j") % 4 === rem) &&
+          arrived(col("i")) && arrived(col("j")))
+      val cc = graft.operators.Materialize.stable(
+        Components.collapsedIncrement(batch, bp, store), eager = true)
+      try {
+        val assigns = cc.join(batch.withColumnRenamed("doc_id", "v"), Seq("v"))
+          .select(col("v").as("doc_id"), col("label").as("cluster_id"))
+        Components.commitIncrement(spark, dir, assigns,
+          Components.incrementMerges(cc, store))
+      } finally graft.operators.Materialize.release(cc)
+    }
+    delivery(1L)
+    delivery(3L)
+    val got = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Components.dedupClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full,
+      s"committed store diverged from full clustering: " +
+        s"diff=${(got.toSet diff full.toSet).take(5)} / ${(full.toSet diff got.toSet).take(5)}")
+  }
+
   test("transitivity: clusters merge through shared members; canonicals are minima") {
     val rows = Components.dedupClusters(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))

@@ -328,6 +328,30 @@ class TextSpec extends SparkSpec {
     assert(e3.getMessage.contains("build it first"), e3.getMessage)
   }
 
+  test("span digests: rolling pass equals direct per-window hashing; equal windows collide") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val s = "abcabcabcxyzabcabc"
+    val L = 5
+    val arr = Text.spanDigestArrayData(UTF8String.fromString(s), L)
+    assert(arr.numElements() == s.length - L + 1)
+    val direct = (0 until arr.numElements()).map { k =>
+      val sub = s.substring(k, k + L)
+      var h1 = 0L; var h2 = 0L
+      sub.foreach { c => h1 = h1 * 31L + c; h2 = h2 * 1000003L + c }
+      (k + 1, h1, h2)
+    }
+    (0 until arr.numElements()).foreach { k =>
+      val row = arr.getStruct(k, 3)
+      assert((row.getInt(0), row.getLong(1), row.getLong(2)) == direct(k),
+        s"rolling digest diverges from direct at pos ${k + 1}")
+    }
+    // identical windows ("abcab" at pos 1 and 4) collide; the full digest
+    // set is otherwise distinct on this string
+    assert(direct(0)._2 == direct(3)._2 && direct(0)._3 == direct(3)._3)
+    // shorter-than-L text yields no windows, not a crash
+    assert(Text.spanDigestArrayData(UTF8String.fromString("abc"), L).numElements() == 0)
+  }
+
   test("duplicated spans: ranges cross-foot the summary; sampled path is subset-of-exact with recall") {
     import org.apache.spark.sql.functions.col
     val L = 40
