@@ -171,6 +171,53 @@ object Components {
     dir.getAbsolutePath
   }
 
+  /** Union-find components for a DELIVERY-bounded graph — same (v, label)
+    * contract as [[connectedComponents]] (label = component min), different
+    * execution: collect the graph, solve on the driver, return a local
+    * relation. The increment path's collapsed graph is delivery-sized by
+    * the store-family contract (the same boundedness every broadcast probe
+    * assumes), so the collect is micro-batch-sized and union-find replaces
+    * O(diameter) propagation ROUNDS — each a join+aggregate Spark job —
+    * with microseconds. This is what a 1000-executor operator does too:
+    * nothing corpus-sized is collected, and [[connectedComponents]] remains
+    * the corpus-scale path (q68). Falls back to the distributed propagation
+    * if the graph exceeds `maxLocal` vertices or edges (contract violation;
+    * correct either way).
+    */
+  private[graft] def componentsAuto(
+      vertices: DataFrame, edges: DataFrame, maxLocal: Int = 2000000): DataFrame = {
+    val spark = vertices.sparkSession
+    val vs = vertices.select(col("v")).limit(maxLocal + 1).collect().map(_.getLong(0))
+    val es = edges.select(col("i"), col("j")).limit(maxLocal + 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (vs.length > maxLocal || es.length > maxLocal)
+      return connectedComponents(vertices, edges)
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    // min root wins every union, so find() IS the component minimum
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    es.foreach { case (i, j) => union(i, j) }
+    val allVs = (vs.iterator ++ es.iterator.flatMap(e => Iterator(e._1, e._2)))
+      .toArray.distinct
+    import scala.jdk.CollectionConverters._
+    val rows = allVs.sorted.map(v =>
+      org.apache.spark.sql.Row(v, find(v))).toSeq.asJava
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** The collapsed-graph components at the heart of q115. Corpus endpoints
     * of the delivery's pairs are REPLACED BY THEIR STORED CLUSTER LABELS —
     * valid because a stored cluster is internally connected, and exact for
@@ -197,7 +244,7 @@ object Components {
       .union(collapsed.select(col("i").as("v")))
       .union(collapsed.select(col("j").as("v")))
       .distinct()
-    connectedComponents(verts, collapsed)
+    componentsAuto(verts, collapsed)
   }
 
   /** q115 — INCREMENTAL dedup clustering: which existing cluster does each
@@ -217,7 +264,9 @@ object Components {
     * convergence to the full-graph clustering is spec-pinned.
     *
     * Scale shape: the corpus contributes only the stored labels of clusters
-    * the delivery TOUCHES; propagation runs on a delivery-sized graph.
+    * the delivery TOUCHES; components are solved by driver union-find on
+    * the delivery-sized collapsed graph ([[componentsAuto]] — distributed
+    * propagation is the guarded fallback, never the per-delivery cost).
     * Merge application rewrites the store (a corpus-sized narrow map) only
     * when merges occur; merge-free deliveries commit append-only. At
     * extreme scale the rewrite alternative is a broadcast merge log applied

@@ -1964,14 +1964,18 @@ object Text {
     val sampled =
       if (sampleMod <= 1) win
       else win.filter(pmod(col("h1"), lit(sampleMod.toLong)) === 0)
-    // two consumers (the df>=2 aggregate + the hit join) — pin so the
-    // window/digest scan runs once
-    val winM = Materialize.stable(sampled)
-    val dups = winM.groupBy(col("h1"), col("h2"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("h1"), col("h2"))
-    winM.join(dups, Seq("h1", "h2"))
+    // ">= 2 distinct docs" as a WINDOW aggregate: min(doc)≠max(doc) over the
+    // digest partition is exactly the df>=2 predicate, computed inside the
+    // ONE corpus×len digest exchange — no second countDistinct exchange, no
+    // hit join, no pinned 28-byte-per-window cache (the previous
+    // agg+self-join shape cost two full-window exchanges + an SMJ + a
+    // corpus×len persist for the same rows)
+    val wdig = Window.partitionBy(col("h1"), col("h2"))
+    sampled
+      .withColumn("mn", min(col("doc_id")).over(wdig))
+      .withColumn("mx", max(col("doc_id")).over(wdig))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("doc_id"), col("pos"), col("h1"), col("h2"))
   }
 
   private def withSpanBreaks(hits: DataFrame, spanLen: Int): DataFrame = {
