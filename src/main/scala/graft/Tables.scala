@@ -40,18 +40,28 @@ object Tables {
       _ => embeddings(spark, sfDir).count())
   }
 
-  /** events.ts is nanosecond-precision in parquet, which Spark's scanner
-    * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong=true` so it
-    * arrives as Long ns-since-epoch, and this reader converts to a proper
-    * micros timestamp at the scan boundary (FIXTURES.md caveat). Downstream
-    * event-time ops see a stable TimestampType.
+  /** The events fixture's `ts` physical type has varied across driver
+    * rounds: nanosecond-precision parquet (arrives as Long ns-since-epoch
+    * under `spark.sql.legacy.parquet.nanosAsLong=true`, which Spark's
+    * scanner otherwise rejects) and plain `timestamp[us]` without UTC
+    * adjustment (arrives as TIMESTAMP_NTZ). This normalizer gives
+    * downstream event-time ops one stable TimestampType regardless of
+    * which shape the scan produced. Sessions pin timeZone=UTC, so the
+    * NTZ wall clock IS the epoch instant and the cast is lossless.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    // NB: `ts div 1000` (integer division) — a double division here would
-    // round: epoch-ns values exceed double's 53-bit mantissa by ~2 decimal
-    // digits, which showed up as ±1µs drift vs the DuckDB oracle.
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      // NB: `ts div 1000` (integer division) — a double division here would
+      // round: epoch-ns values exceed double's 53-bit mantissa by ~2 decimal
+      // digits, which showed up as ±1µs drift vs the DuckDB oracle.
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(load(spark, sfDir, "events"))
 }

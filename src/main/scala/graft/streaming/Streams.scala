@@ -25,12 +25,15 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** Schema of the events fixture once ts is normalized to micros
-    * (nanosAsLong reads the parquet ns column as Long).
+  /** Fallback schema of the events fixture as the current driver round
+    * generates it (`timestamp[us]` without UTC adjustment → TIMESTAMP_NTZ).
+    * [[readEvents]] prefers probing the directory's real footer schema so a
+    * fixture-type change (e.g. back to ns-as-Long) can't silently misread;
+    * this constant only covers the empty-directory bootstrap case.
     */
   val rawEventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -49,13 +52,18 @@ object Streams {
     spark.readStream.schema(vectorSchema).parquet(dir)
 
   /** File-based streaming read of an events directory (one file = one
-    * micro-batch replay unit), ts normalized exactly like the batch reader.
+    * micro-batch replay unit), ts normalized exactly like the batch reader
+    * ([[graft.Tables.normalizeTs]] — handles ns-as-Long and TIMESTAMP_NTZ
+    * fixture generations alike). Streaming sources require a declared
+    * schema, so probe the directory's actual parquet footers first; an
+    * empty bootstrap directory falls back to [[rawEventSchema]].
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawEventSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema =
+      try spark.read.parquet(dir).schema
+      catch { case _: Exception => rawEventSchema }
+    graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(dir))
+  }
 
   /** Watermarked tumbling hourly counts per event type — the streaming twin
     * of Events.tumbling.
