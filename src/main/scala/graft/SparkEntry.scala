@@ -27,7 +27,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ Text.all ++ Events.all ++ Vectors.all ++ Media.all ++
       AsOf.all ++ Sources.all ++ Stats.all ++ Retrieval.all ++ Pq.all ++
-      Sketches.all ++ Components.all ++ Bpe.all ++
+      Sketches.all ++ Components.all ++ Bpe.all ++ Curation.all ++
       Map[String, (SparkSession, String) => DataFrame](
       "q19_sql_vector_knn" -> ((s, dir) => KnnExact.topKSql(s, dir)),
       "q20_knn_exact" -> ((s, dir) => KnnExact.topK(s, dir)),
@@ -46,7 +46,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Text.oracles ++ Events.oracles ++ Vectors.oracles ++
       Media.oracles ++ AsOf.oracles ++ Sources.oracles ++ Stats.oracles ++
-      Retrieval.oracles ++ Components.oracles ++ Map(
+      Retrieval.oracles ++ Components.oracles ++ Curation.oracles ++ Map(
       "q19_sql_vector_knn" -> KnnExact.oracle(queryMaxId = 4),
       "q20_knn_exact" -> KnnExact.oracle(),
       "q21_knn_cosine" -> KnnExact.oracleCosine(),

@@ -28,11 +28,71 @@ import graft.Tables
   */
 object Components {
 
+  /** Edge-count bound for the driver union-find fast path: 200 k edges is
+    * ~3 MB collected (two longs each) — the same bounded-collect budget as
+    * the k-means centroid and BPE argmax collects. Below it, solving on the
+    * driver replaces O(diameter) join-rounds (each a full shuffle + job,
+    * the dominant cost of every CC call at gate scale) with one collect and
+    * one broadcast join; above it, the distributed min-label loop runs
+    * unchanged. The VERTEX set never collects on either path — only edges.
+    */
+  val DriverSolveMaxEdges = 200000
+
+  /** Min-label union-find over a collected edge list: union by smaller
+    * root, so a component's root is always its min vertex id — exactly the
+    * label the distributed loop converges to.
+    */
+  private def unionFindLabels(es: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, java.lang.Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c): Long; parent.put(c, r); c = n }
+      r
+    }
+    es.foreach { case (i, j) =>
+      if (!parent.containsKey(i)) parent.put(i, i)
+      if (!parent.containsKey(j)) parent.put(j, j)
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent.put(math.max(ri, rj), math.min(ri, rj))
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    parent.keySet.forEach(v => out += ((v: Long, find(v))))
+    out.toSeq
+  }
+
   /** (vertex, component) for every vertex, component = min vertex id
     * reachable through `edges` (i, j). Vertices not in any edge keep their
     * own id.
+    *
+    * Two physical paths, one contract: edge lists at or under
+    * [[DriverSolveMaxEdges]] collect once and solve via union-find (the
+    * labels return as a broadcast join against the still-distributed
+    * vertex set); larger graphs take the iterative min-label loop below.
+    * Both produce identical (v, label) rows.
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    // limit(bound+1) caps the collect: if the cap comes back full, the
+    // graph outgrew the fast path — recompute distributed (rare, and the
+    // probe cost is one bounded scan of the edge list).
+    val probe = edges.select(col("i"), col("j"))
+      .limit(DriverSolveMaxEdges + 1).collect()
+    if (probe.length <= DriverSolveMaxEdges) {
+      val spark = vertices.sparkSession
+      import spark.implicits._
+      val labels = unionFindLabels(probe.map(r => (r.getLong(0), r.getLong(1))))
+      val lbl = labels.toDF("v", "uf_label")
+      return vertices.select(col("v"))
+        .join(broadcast(lbl), Seq("v"), "left")
+        .select(col("v"), coalesce(col("uf_label"), col("v")).as("label"))
+    }
+    connectedComponentsIterative(vertices, edges)
+  }
+
+  /** The distributed min-label propagation loop — the 100 TB path. */
+  private[graft] def connectedComponentsIterative(
+      vertices: DataFrame, edges: DataFrame): DataFrame = {
     val bidir = Materialize.stable(
       edges.select(col("i").as("src"), col("j").as("dst"))
         .union(edges.select(col("j").as("src"), col("i").as("dst"))), eager = true)

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators that manage a training corpus ACROSS versions
+  * and calibration passes — the iterate-on-the-dataset loop (curate →
+  * train → measure → re-curate) that sits above the single-snapshot
+  * cleaning pipeline in [[Text]]:
+  *
+  *   - [[snapshotDelta]]: added/removed/changed/unchanged between two
+  *     corpus snapshots by content digest — the "what actually changed"
+  *     audit before re-spending training compute on a new crawl drop.
+  *   - [[lengthAnomalies]]: distributed least-squares fit of chars-on-
+  *     tokens, then the largest |residual| documents — the cheap
+  *     formatting-anomaly screen (minified code, base64 blobs, tables)
+  *     whose chars-per-token ratio breaks from corpus prose.
+  *
+  * Both follow SURVEY §2's LLM-pipeline mandate (dedup/quality families)
+  * and the repo determinism discipline: exact integer sums, IEEE-identical
+  * double expressions on both engines, id tie-breaks.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------- q116
+
+  /** q116 — LENGTH-ANOMALY DETECTION (quality screen). Fit the corpus-wide
+    * ordinary-least-squares line `n_chars ≈ icept + slope · n_tokens` and
+    * return the k documents with the largest |residual| — documents whose
+    * character count is most unexplained by their token count (unusually
+    * long "words": minified/binary/base64 payloads; unusually short:
+    * single-char token streams).
+    *
+    * Scale shape (100 TB): pass 1 is ONE hash-aggregate producing five
+    * integer sums (n, Σx, Σy, Σx², Σxy) — partial-aggregated map-side, a
+    * 40-byte final row; the closed-form slope/intercept derive from it in a
+    * 1-row projection that BROADCASTS into pass 2, a narrow per-doc
+    * residual map feeding TakeOrderedAndProject top-k. No corpus-sized
+    * shuffle anywhere; the only wide exchange is the 1-row broadcast.
+    *
+    * Determinism: the sums are exact BIGINTs (token and char counts are
+    * integers — no scaling needed), so slope/intercept are doubles derived
+    * from identical integer operands by the identical expression tree on
+    * both engines, and the per-doc residual `y - (icept + slope·x)` is the
+    * same IEEE sequence both sides. `+ 0.0` canonicalizes -0.0. At 100 TB
+    * the BIGINT products `n·Σxy` overflow ~2^63 — swap the sums to
+    * DECIMAL(38,0) there; the gate keeps BIGINT to match DuckDB's exact
+    * HUGEINT-free plan.
+    */
+  def lengthAnomalies(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("n_chars").cast("long").as("y"),
+        size(Text.tokens(col("text"))).cast("long").as("x"))
+    val sums = docs.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    val fit = sums
+      .select(
+        col("n"), col("sx"), col("sy"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          nullif((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            lit(0.0))).as("slope"))
+      .select(
+        col("slope"),
+        ((col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+          col("n").cast("double")).as("icept"))
+    docs
+      .crossJoin(broadcast(fit))
+      .select(
+        col("doc_id"),
+        col("x").as("n_tokens"),
+        (round(col("y").cast("double") -
+          (col("icept") + col("slope") * col("x").cast("double")), 4) + lit(0.0))
+          .as("resid"))
+      .orderBy(abs(col("resid")).desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def lengthAnomaliesOracle(k: Int = 20): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS y,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+       |  FROM documents),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy
+       |  FROM t),
+       |f0 AS (
+       |  SELECT n, sx, sy,
+       |         CAST(n*sxy - sx*sy AS DOUBLE)
+       |           / nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0.0) AS slope
+       |  FROM s),
+       |f AS (
+       |  SELECT slope,
+       |         (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+       |           / CAST(n AS DOUBLE) AS icept
+       |  FROM f0),
+       |r AS (
+       |  SELECT doc_id, x AS n_tokens,
+       |         round(CAST(y AS DOUBLE)
+       |               - (icept + slope * CAST(x AS DOUBLE)), 4) + 0.0 AS resid
+       |  FROM t, f)
+       |SELECT doc_id, n_tokens, resid
+       |FROM r
+       |ORDER BY abs(resid) DESC, doc_id ASC
+       |LIMIT $k""".stripMargin
+
+  // ---------------------------------------------------------------- q117
+
+  /** Snapshot diff by content digest: classify every doc_id present in
+    * either snapshot as added / removed / changed / unchanged. Texts hash
+    * to 8-byte xxhash64 digests AT THE SCAN, so the full-outer join
+    * shuffles only (doc_id, digest, n_chars) — the corpus text itself
+    * never crosses an exchange (PlanSpec-locked), which is what makes the
+    * diff affordable when each snapshot is tens of TB. Digest equality
+    * stands in for text equality (collision odds 2^-64 per pair, same
+    * contract as the q106/q107 incremental-dedup gates).
+    */
+  def snapshotDelta(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(
+      col("doc_id"), xxhash64(col("text")).as("old_digest"),
+      col("n_chars").cast("long").as("old_chars"))
+    val n = newSnap.select(
+      col("doc_id"), xxhash64(col("text")).as("new_digest"),
+      col("n_chars").cast("long").as("new_chars"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        when(col("old_digest").isNull, lit("added"))
+          .when(col("new_digest").isNull, lit("removed"))
+          .when(col("old_digest") === col("new_digest"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        coalesce(col("new_chars"), col("old_chars")).as("chars"))
+  }
+
+  /** q117 — CORPUS SNAPSHOT DELTA (gate wrapper). The two snapshots derive
+    * deterministically from the one fixture table so DuckDB can replay the
+    * identical construction: the OLD snapshot lacks doc_id ≡ 3 (mod 13)
+    * (those are "added" in the new drop) and carries reversed text for
+    * doc_id ≡ 2 (mod 7) ("changed"); the NEW snapshot lacks doc_id ≡ 5
+    * (mod 17) ("removed"). Output is the per-status audit row: doc count,
+    * total chars, id range.
+    */
+  def corpusDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val oldSnap = docs
+      .filter(col("doc_id") % 13 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 2, reverse(col("text"))).otherwise(col("text")))
+    val newSnap = docs.filter(col("doc_id") % 17 =!= 5)
+    snapshotDelta(oldSnap, newSnap)
+      .groupBy(col("status"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("chars")).cast("long").as("n_chars"),
+        min(col("doc_id")).cast("long").as("first_doc"),
+        max(col("doc_id")).cast("long").as("last_doc"))
+      .orderBy(col("status"))
+  }
+
+  val corpusDeltaOracle: String =
+    """WITH o AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 7 = 2 THEN reverse(text) ELSE text END AS text,
+      |         CAST(n_chars AS BIGINT) AS n_chars
+      |  FROM documents WHERE doc_id % 13 <> 3),
+      |n AS (
+      |  SELECT doc_id, text, CAST(n_chars AS BIGINT) AS n_chars
+      |  FROM documents WHERE doc_id % 17 <> 5),
+      |d AS (
+      |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |         CASE WHEN o.doc_id IS NULL THEN 'added'
+      |              WHEN n.doc_id IS NULL THEN 'removed'
+      |              WHEN o.text = n.text THEN 'unchanged'
+      |              ELSE 'changed' END AS status,
+      |         coalesce(n.n_chars, o.n_chars) AS chars
+      |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(chars) AS BIGINT) AS n_chars,
+      |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+      |       CAST(max(doc_id) AS BIGINT) AS last_doc
+      |FROM d GROUP BY status ORDER BY status""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_length_anomalies" -> ((s: SparkSession, d: String) => lengthAnomalies(s, d)),
+    "q117_corpus_delta" -> ((s: SparkSession, d: String) => corpusDelta(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "q116_length_anomalies" -> lengthAnomaliesOracle(),
+    "q117_corpus_delta" -> corpusDeltaOracle)
+}

@@ -141,6 +141,18 @@ object Lsh {
     if (bitsSaturated(corpusSize, targetBucketSize)) (4 * targetBucketSize).toInt
     else 0
 
+  /** Bucket-size target for PAIR MINING ([[Vectors.lshNearDupPairs]]) —
+    * deliberately narrower than the search default (250). Search amortizes
+    * a fat posting list over one probe per query (recall per probe);
+    * pair mining pays Σ bucket² in its bucket-local self-join AND needs a
+    * random pair's expected collision count (tables / 2^bits with uniform
+    * buckets) well below minCollisions, or the candidate filter stops
+    * filtering. 64 keeps the sf0.001 recall-spec fixture at the same
+    * 3-bit width as before (500/64 → 3 bits: row-identical gates) while
+    * growing the width with N instead of letting buckets fatten.
+    */
+  val PairTargetBucket = 64L
+
   /** Deterministic fit: sample = first 2·tables·bits vectors by id order
     * (never partition order, never unseeded `sample` — SURVEY.md §7 risk
     * list). Hyperplane i comes from sample pair (2i, 2i+1).

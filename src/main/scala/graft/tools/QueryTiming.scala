@@ -13,9 +13,10 @@ object QueryTiming {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val names = if (args.nonEmpty) args.toSeq else Seq("q23_lsh_knn", "q28_lsh_multiprobe")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
@@ -36,7 +37,11 @@ object QueryTiming {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // mirror the bench's per-query cache drain so reps measure the
+        // same cold-intermediate cost the bench reports
+        graft.operators.Materialize.releaseAll()
+        dt
       }
       println(f"TIMING $n reps=${times.map(t => f"$t%.3f").mkString(",")}")
     }

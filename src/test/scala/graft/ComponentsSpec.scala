@@ -29,7 +29,7 @@ class ComponentsSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("property: random graphs match union-find (seeded, 6 shapes)") {
+  test("property: random graphs match union-find (seeded, 6 shapes, BOTH paths)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val rng = new scala.util.Random(42)
@@ -48,6 +48,14 @@ class ComponentsSpec extends SparkSpec {
           edges.toDF("i", "j"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want, s"trial $trial: n=$n edges=${edges.size}")
+      // The ITERATIVE (100 TB) path must agree on the same graph — the
+      // public entry point takes the driver fast path at these sizes, so
+      // exercise the loop explicitly or it silently loses coverage.
+      val gotIter = Components.connectedComponentsIterative(
+          vertices.toDF("v"),
+          edges.toDF("i", "j"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotIter == want, s"iterative trial $trial: n=$n edges=${edges.size}")
     }
   }
 

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+
+  test("length anomalies: fit and residuals match a driver-side OLS exactly") {
+    // Brute-force the same closed form in Scala from collected (x, y) pairs;
+    // the distributed result must be bit-identical (exact integer sums in,
+    // identical IEEE expression out).
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("n_chars").cast("long"),
+        size(split(col("text"), " ")).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = docs.length.toLong
+    val sx = docs.map(_._3).sum
+    val sy = docs.map(_._2).sum
+    val sxx = docs.map(d => d._3 * d._3).sum
+    val sxy = docs.map(d => d._3 * d._2).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val icept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+    def resid(y: Long, x: Long): Double = {
+      val r = BigDecimal(y.toDouble - (icept + slope * x.toDouble))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      r + 0.0
+    }
+    val expect = docs
+      .map { case (id, y, x) => (id, x, resid(y, x)) }
+      .sortBy { case (id, _, r) => (-math.abs(r), id) }
+      .take(20)
+    val got = Curation.lengthAnomalies(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expect.toSeq)
+    // slope must be physically sensible: chars grow with tokens, roughly
+    // (mean word length + 1 separator) chars per token.
+    assert(slope > 1.0 && slope < 20.0, s"implausible slope $slope")
+  }
+
+  test("length anomalies: OLS residuals over the whole corpus sum to ~zero") {
+    // The defining property of least squares with an intercept. Run the
+    // un-truncated residual map by reusing the operator at k = corpus size.
+    val all = Curation.lengthAnomalies(spark, sf0001, k = Int.MaxValue).collect()
+    val total = all.map(_.getDouble(2)).sum
+    assert(math.abs(total) < 1.0, s"residual sum $total not ~0")
+  }
+
+  test("snapshot delta: statuses match a driver-side diff of the same snapshots") {
+    val base = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val oldSnap = base.filter(_._1 % 13 != 3)
+      .map { case (id, t, c) => (id, if (id % 7 == 2) t.reverse else t, c) }
+    val newSnap = base.filter(_._1 % 17 != 5)
+    val oldById = oldSnap.map(d => d._1 -> d).toMap
+    val newById = newSnap.map(d => d._1 -> d).toMap
+    val expect = (oldById.keySet ++ newById.keySet).toSeq.map { id =>
+      val status = (oldById.get(id), newById.get(id)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(o), Some(n)) => if (o._2 == n._2) "unchanged" else "changed"
+        case _ => fail("unreachable")
+      }
+      val chars = newById.get(id).orElse(oldById.get(id)).get._3
+      (status, id, chars)
+    }
+    val expectAgg = expect.groupBy(_._1).map { case (s, rows) =>
+      (s, rows.size.toLong, rows.map(_._3).sum,
+        rows.map(_._2).min, rows.map(_._2).max)
+    }.toSet
+    val got = Curation.corpusDelta(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expectAgg)
+    // all four statuses must actually occur, or the gate is vacuous
+    assert(got.map(_._1) == Set("added", "removed", "changed", "unchanged"))
+  }
+
+  test("snapshot delta API: disjoint snapshots are pure added + removed") {
+    val docs = Tables.documents(spark, sf0001)
+    val o = docs.filter(col("doc_id") < 100)
+    val n = docs.filter(col("doc_id") >= 100)
+    val counts = Curation.snapshotDelta(o, n)
+      .groupBy(col("status")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("added", "removed"))
+    assert(counts.values.sum == docs.count())
+  }
+}

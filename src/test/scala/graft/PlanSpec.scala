@@ -149,6 +149,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q116 length anomalies: 1-row fit broadcasts, top-k never full-sorts") {
+    val plan = planOf("q116_length_anomalies")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"OLS fit row should broadcast into the residual map:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k |residual| should not full-sort the corpus:\n$plan")
+  }
+
+  test("q117 corpus delta: the full-outer diff shuffles digests, never text") {
+    assertNeverShuffled("q117_corpus_delta", "text")
+  }
+
   test("lsh knn joins posting lists with a broadcast of the query side") {
     val plan = planOf("q23_lsh_knn")
     assert(plan.contains("BroadcastHashJoin"), plan)
