@@ -529,9 +529,20 @@ object Text {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
+    // Verification reads ONLY candidate documents' units: semi-join each
+    // side of the pair join down to candidate ids before it becomes a join
+    // build side. Without the restriction the (j, t) equi-join builds a
+    // hash relation over the FULL unit table (corpus-sized build work and
+    // memory); with it the builds are |candidate docs| · units/doc. The
+    // candidate subtree re-executes inside the broadcast id lists, but the
+    // banding side is signature-sized and its exchange is reused.
+    val iIds = cands.select(col("i").as("doc_id")).distinct()
+    val jIds = cands.select(col("j").as("doc_id")).distinct()
+    val tokI = tok.join(broadcast(iIds), Seq("doc_id"), "left_semi")
+    val tokJ = tok.join(broadcast(jIds), Seq("doc_id"), "left_semi")
     val common = cands
-      .join(tok.select(col("doc_id").as("i"), col("t")), "i")
-      .join(tok.select(col("doc_id").as("j"), col("t")), Seq("j", "t"))
+      .join(tokI.select(col("doc_id").as("i"), col("t")), "i")
+      .join(tokJ.select(col("doc_id").as("j"), col("t")), Seq("j", "t"))
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("common"))
     common
