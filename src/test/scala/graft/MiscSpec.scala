@@ -166,6 +166,30 @@ class MiscSpec extends SparkSpec {
     assert(alloc.forall(_ >= 0L))
   }
 
+  test("normalizeTs: ns-as-long, TIMESTAMP_NTZ, and TimestampType all land on the same instant") {
+    import org.apache.spark.sql.types._
+    import java.time.{Instant, LocalDateTime, ZoneOffset}
+    // one instant, three fixture-generation arrival shapes
+    val instant = Instant.parse("2024-01-15T10:30:00.123456Z")
+    val micros = instant.getEpochSecond * 1000000L + instant.getNano / 1000L
+    val asLongNs = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(micros * 1000L)),
+      StructType(Seq(StructField("ts", LongType))))
+    val asNtz = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        LocalDateTime.ofInstant(instant, ZoneOffset.UTC))),
+      StructType(Seq(StructField("ts", TimestampNTZType))))
+    val asTs = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        java.sql.Timestamp.from(instant))),
+      StructType(Seq(StructField("ts", TimestampType))))
+    val outs = Seq(asLongNs, asNtz, asTs).map(Tables.normalizeTs)
+    outs.foreach(df => assert(df.schema("ts").dataType == TimestampType))
+    val vals = outs.map(_.collect().head.getTimestamp(0).toInstant)
+    assert(vals.toSet == Set(instant),
+      s"arrival shapes disagree: $vals (session tz must be UTC)")
+  }
+
   test("csv and json sources round-trip the documents table") {
     val doc = Tables.documents(spark, sf0001).select("doc_id", "lang", "n_chars")
     val base = java.nio.file.Files.createTempDirectory("graft-src").toString
