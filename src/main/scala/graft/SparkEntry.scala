@@ -34,6 +34,8 @@ object SparkEntry {
       "q21_knn_cosine" -> ((s, dir) => KnnExact.topKCosine(s, dir)),
       "q95_knn_dot" -> ((s, dir) => KnnExact.topKDot(s, dir)),
       "q105_matryoshka_knn" -> ((s, dir) => KnnExact.topKCosineTrunc(s, dir)),
+      "q118_knn_filtered" -> ((s, dir) => KnnExact.topKFiltered(s, dir)),
+      "q119_range_search" -> ((s, dir) => KnnExact.rangeSearch(s, dir)),
       // Model-dependent LSH ops: no SQL oracle (driver records rows-only);
       // pinned by LshSpec golden + recall tests instead.
       "q22_lsh_hash" -> ((s, dir) => Lsh.hashQuery(s, dir)),
@@ -52,5 +54,7 @@ object SparkEntry {
       "q21_knn_cosine" -> KnnExact.oracleCosine(),
       "q95_knn_dot" -> KnnExact.oracleDot(),
       "q105_matryoshka_knn" -> KnnExact.oracleCosineTrunc(),
+      "q118_knn_filtered" -> KnnExact.oracleFiltered(),
+      "q119_range_search" -> KnnExact.oracleRange(),
     )
 }

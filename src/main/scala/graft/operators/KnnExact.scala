@@ -37,12 +37,14 @@ object KnnExact {
       k: Int,
       proj: Column => Column,
       score: (Column, Column) => Column,
-      ascending: Boolean): DataFrame = {
+      ascending: Boolean,
+      corpusFilter: Column = lit(true)): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb
       .filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), proj(col("embedding")).as("qv"))
     val scored = emb
+      .filter(corpusFilter)
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
@@ -196,4 +198,83 @@ object KnnExact {
        |FROM d
        |QUALIFY rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+
+  /** q118 — FILTERED kNN: exact top-k L2 neighbors restricted to a metadata
+    * predicate (label ∈ `labels`) — the "bool filter + knn" composition an
+    * Elasticsearch user of the reference writes (metadata narrows the
+    * candidate space, THEN similarity ranks it). The predicate applies
+    * BEFORE scoring, so the top-k is exact over the filtered population —
+    * post-filtering an unfiltered k-list under-fills whenever more than
+    * zero of the k fail the predicate — and the label filter is a pushed
+    * parquet scan predicate (PlanSpec-locked): at 100 TB with
+    * label-partitioned or stats-clustered files, pruning happens before a
+    * single vector is read.
+    */
+  def topKFiltered(
+      spark: SparkSession,
+      sfDir: String,
+      queryMaxId: Long = 8,
+      k: Int = 10,
+      labels: Seq[Int] = Seq(1, 2, 3)): DataFrame =
+    topKScaffold(spark, sfDir, queryMaxId, k, identity, VectorExpressions.l2,
+      ascending = true, corpusFilter = col("label").isin(labels.map(Integer.valueOf): _*))
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("score"), 4).as("dist4"))
+      .orderBy(col("query_id"), col("rank"))
+
+  def oracleFiltered(queryMaxId: Long = 8, k: Int = 10, labels: Seq[Int] = Seq(1, 2, 3)): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < $queryMaxId
+       |), d AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         list_distance(CAST(e.embedding AS DOUBLE[]), q.qv) AS dist
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id <> q.query_id AND e.label IN (${labels.mkString(", ")})
+       |)
+       |SELECT query_id, neighbor_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rank,
+       |       round(dist, 4) AS dist4
+       |FROM d
+       |QUALIFY rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** q119 — RANGE SEARCH: every neighbor within L2 `radius` of each query
+    * (the fixed-threshold dual of top-k — "all matches above a similarity
+    * bar", the shape deduplication and recommendation filters want when the
+    * match COUNT is the unknown). No window, no rank: score, filter,
+    * order — the filter is a scan-side predicate on the scored expression,
+    * so the result size is data-driven and the plan has no per-query state
+    * at all. Radius 1.2 on unit-norm vectors ≡ cosine ≥ 0.28 — chosen to
+    * return a non-trivial, non-exhaustive row set on the fixtures.
+    */
+  def rangeSearch(
+      spark: SparkSession,
+      sfDir: String,
+      queryMaxId: Long = 8,
+      radius: Double = 1.2): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb
+      .filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    emb
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))
+      .filter(col("dist") <= radius)
+      .select(col("query_id"), col("neighbor_id"), round(col("dist"), 4).as("dist4"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  def oracleRange(queryMaxId: Long = 8, radius: Double = 1.2): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < $queryMaxId
+       |)
+       |SELECT q.query_id, e.vec_id AS neighbor_id,
+       |       round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS dist4
+       |FROM embeddings e, q
+       |WHERE e.vec_id <> q.query_id
+       |  AND list_distance(CAST(e.embedding AS DOUBLE[]), q.qv) <= $radius
+       |ORDER BY query_id, neighbor_id""".stripMargin
 }

@@ -149,6 +149,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q118 filtered knn: the label predicate reaches the parquet scan") {
+    val plan = planOf("q118_knn_filtered")
+    val scan = plan.linesIterator.filter(_.contains("FileScan"))
+      .find(_.contains("PushedFilters: [In(label")).orElse(
+        plan.linesIterator.filter(_.contains("FileScan"))
+          .find(_.contains("label")))
+    assert(scan.exists(_.contains("In(label")),
+      s"label filter not pushed to the scan:\n$plan")
+  }
+
   test("q116 length anomalies: 1-row fit broadcasts, top-k never full-sorts") {
     val plan = planOf("q116_length_anomalies")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),

@@ -387,4 +387,46 @@ class VectorsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("build it first"), e.getMessage)
   }
+
+  test("filtered knn: every neighbor wears an allowed label; exact over the filtered set") {
+    val labels = Set(1, 2, 3)
+    val got = KnnExact.topKFiltered(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    val labelOf = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach(r => assert(labels.contains(labelOf(r.getLong(1)))))
+    // brute-force cross-check for one query: the rank-1 neighbor is the
+    // true filtered minimum, not a post-filtered survivor of the
+    // unfiltered list
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) =>
+        val d = x.toDouble - y.toDouble; d * d }.sum)
+    val q0 = got.filter(_.getLong(0) == 0L).minBy(_.getInt(2))
+    val want = vecs.keys
+      .filter(id => id != 0L && labels.contains(labelOf(id)))
+      .minBy(id => (l2(vecs(0L), vecs(id)), id))
+    assert(q0.getLong(1) == want)
+  }
+
+  test("range search: complete and sound vs a driver brute force") {
+    val radius = 1.2
+    val got = KnnExact.rangeSearch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) =>
+        val d = x.toDouble - y.toDouble; d * d }.sum)
+    val want = (for {
+      q <- 0L until 8L
+      n <- vecs.keys if n != q && l2(vecs(q), vecs(n)) <= radius
+    } yield (q, n)).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "radius 1.2 should match some pairs on the fixture")
+  }
 }
