@@ -41,6 +41,7 @@ object SparkEntry {
       "q22_lsh_hash" -> ((s, dir) => Lsh.hashQuery(s, dir)),
       "q23_lsh_knn" -> ((s, dir) => Knn.lshTopKIndexed(s, dir)),
       "q28_lsh_multiprobe" -> ((s, dir) => Knn.lshTopKIndexed(s, dir, multiprobe = true)),
+      "q120_knn_filtered_indexed" -> ((s, dir) => Knn.lshTopKFilteredIndexed(s, dir)),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -102,6 +102,36 @@ object Knn {
     searchIndex(spark, indexDir, queryMaxId, k1, k2, multiprobe, bucketCap = autoCap)
   }
 
+  /** q120 — FILTERED search against the persisted index (the indexed twin
+    * of [[KnnExact.topKFiltered]], A5–A7 composed with a metadata
+    * predicate). The index layout stores no attributes beyond the vector,
+    * so the label predicate is a METADATA JOIN: candidate ids from the
+    * collision count join the (vec_id, label) projection of the source
+    * table, and disallowed candidates drop BEFORE the k1 cut — k1 slots
+    * only ever hold servable candidates (pure post-filtering of a k2 list
+    * under-fills; pre-filtering the postings would need label-aware
+    * partitioning). At 100 TB the metadata side is a 2-column columnar
+    * scan joined on vec_id against the bucket-sized candidate set —
+    * broadcast whichever side is small; candidate sets from a point query
+    * are tiny, so AQE picks them. Rows-only gate; pinned by the LshSpec
+    * filtered-recall + label-soundness spec.
+    */
+  def lshTopKFilteredIndexed(
+      spark: SparkSession,
+      sfDir: String,
+      queryMaxId: Long = 8,
+      k1: Int = 100,
+      k2: Int = 10,
+      labels: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    val indexDir = Index.ensure(spark, sfDir)
+    val autoCap = Lsh.autoBucketCap(Tables.embeddingsCount(spark, sfDir))
+    val meta = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"))
+      .filter(col("label").isin(labels.map(Integer.valueOf): _*))
+    searchIndex(spark, indexDir, queryMaxId, k1, k2,
+      bucketCap = autoCap, candidateFilter = Some(meta.select(col("vec_id"))))
+  }
+
   /** A5–A7 against a persisted [[Index]] layout.
     *
     * `bucketCap` (0 = off, the gate default) bounds the posting-list length
@@ -118,7 +148,8 @@ object Knn {
       k1: Int,
       k2: Int,
       multiprobe: Boolean = false,
-      bucketCap: Int = 0): DataFrame = {
+      bucketCap: Int = 0,
+      candidateFilter: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val (model, numBuckets) = Lsh.loadModelCached(spark, s"$indexDir/model")
     // Live views: tombstoned ids (Index.delete) are anti-joined out; with no
@@ -154,11 +185,19 @@ object Knn {
     // 3. A5: collision counting, then A6: exact re-rank — identical shape to
     // lshSearch but over the pruned stored postings (deduplicated above, so
     // a plain count IS the distinct-table collision count).
-    val collisions = postings
+    val rawCollisions = postings
       .join(broadcast(qposts), Seq("tbl", "hash"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(count(lit(1)).as("collisions"))
+    // Metadata predicate (filtered search): drop disallowed candidates
+    // BEFORE the k1 cut so every k1 slot holds a servable candidate — see
+    // [[lshTopKFilteredIndexed]].
+    val collisions = candidateFilter match {
+      case Some(allowed) =>
+        rawCollisions.join(allowed.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      case None => rawCollisions
+    }
     val wK1 = Window.partitionBy(col("query_id"))
       .orderBy(col("collisions").desc, col("vec_id").asc)
     val k1set = collisions

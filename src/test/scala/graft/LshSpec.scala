@@ -88,6 +88,27 @@ class LshSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall@10 = $recall")
   }
 
+  test("filtered indexed search: label-sound, and recall >= 0.7 vs exact filtered") {
+    val labels = Set(1, 2, 3)
+    val got = Knn.lshTopKFilteredIndexed(spark, sf0001, queryMaxId = 8).collect()
+    assert(got.nonEmpty)
+    // soundness: every served neighbor wears an allowed label
+    val labelOf = Tables.embeddings(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach(r => assert(labels.contains(labelOf(r.getLong(1))),
+      s"neighbor ${r.getLong(1)} has label ${labelOf(r.getLong(1))}"))
+    // recall vs the exact filtered baseline (the filter keeps ~30% of the
+    // corpus, so k1=100 of ~150 eligible docs covers it well)
+    val exact = KnnExact.topKFiltered(spark, sf0001, queryMaxId = 8, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.7, s"filtered recall@10 = $recall")
+  }
+
   test("multiprobe lifts recall at identical index size") {
     val exact = KnnExact.topK(spark, sf0001, queryMaxId = 8, k = 10)
       .select("query_id", "neighbor_id").collect()
