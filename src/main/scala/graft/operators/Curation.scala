@@ -49,8 +49,15 @@ object Curation {
     * DECIMAL(38,0) there; the gate keeps BIGINT to match DuckDB's exact
     * HUGEINT-free plan.
     */
-  def lengthAnomalies(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+  def lengthAnomalies(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
+    lengthAnomaliesOf(Tables.documents(spark, sfDir), k)
+
+  /** The OLS-residual core over ANY (doc_id, text, n_chars) frame — the
+    * gate wrapper binds it to the fixture table; specs drive it with
+    * synthetic frames (incl. the zero-variance corpus the nullif guards).
+    */
+  def lengthAnomaliesOf(documents: DataFrame, k: Int): DataFrame = {
+    val docs = documents
       .select(
         col("doc_id"),
         col("n_chars").cast("long").as("y"),

@@ -79,6 +79,52 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_._1) == Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("length anomalies: zero-variance corpus yields null residuals, not a crash") {
+    import spark.implicits._
+    // every doc has the same token count -> the OLS denominator is zero;
+    // the nullif guard must surface null residuals instead of dividing
+    val degenerate = Seq(
+      (1L, "a b c", 5L), (2L, "d e f", 9L), (3L, "g h i", 7L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = graft.operators.Curation.lengthAnomaliesOf(degenerate, k = 10).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.isNullAt(2)), "residuals must be null when x has no variance")
+  }
+
+  test("property: snapshot delta statuses partition the id universe (seeded shapes)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 20 + rng.nextInt(60)
+      val base = (0L until n.toLong).map(id =>
+        (id, s"text-$id-${rng.nextInt(3)}", 10L + id % 7))
+      val oldSnap = base.filter(_ => rng.nextDouble() > 0.2)
+        .map { case (id, t, c) =>
+          if (rng.nextDouble() < 0.3) (id, t + "-mutated", c) else (id, t, c) }
+      val newSnap = base.filter(_ => rng.nextDouble() > 0.2)
+      val got = graft.operators.Curation.snapshotDelta(
+          oldSnap.toDF("doc_id", "text", "n_chars"),
+          newSnap.toDF("doc_id", "text", "n_chars"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // partition law: every id in either snapshot appears exactly once...
+      val oldIds = oldSnap.map(_._1).toSet
+      val newIds = newSnap.map(_._1).toSet
+      assert(got.keySet == (oldIds ++ newIds), s"trial $trial id coverage")
+      // ...and its status is determined by membership + text equality
+      val oldByIdT = oldSnap.map(d => d._1 -> d._2).toMap
+      val newByIdT = newSnap.map(d => d._1 -> d._2).toMap
+      got.foreach { case (id, status) =>
+        val want = (oldByIdT.get(id), newByIdT.get(id)) match {
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "removed"
+          case (Some(o), Some(nw)) => if (o == nw) "unchanged" else "changed"
+          case _ => fail("unreachable")
+        }
+        assert(status == want, s"trial $trial id=$id")
+      }
+    }
+  }
+
   test("snapshot delta API: disjoint snapshots are pure added + removed") {
     val docs = Tables.documents(spark, sf0001)
     val o = docs.filter(col("doc_id") < 100)
