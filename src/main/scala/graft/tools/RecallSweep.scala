@@ -55,6 +55,21 @@ object RecallSweep {
       val recall = (exact & sq).size.toDouble / exact.size
       println(f"RECALL sq8 k1=$k1%4d bytes= 64 recall@10=$recall%.3f")
     }
+    // Filtered indexed search vs the exact FILTERED baseline (q118/q120
+    // pair): the filter keeps ~30% of the corpus, so k1 covers a larger
+    // fraction of the eligible population than the unfiltered rows above.
+    locally {
+      val exactF = KnnExact.topKFiltered(spark, sfDir, queryMaxId = 8, k = 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (k1 <- Seq(50, 100)) {
+        val got = Knn.lshTopKFilteredIndexed(spark, sfDir, queryMaxId = 8, k1 = k1, k2 = 10)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = (exactF & got).size.toDouble / exactF.size
+        println(f"RECALL filtered k1=$k1%4d recall@10=$recall%.3f")
+      }
+    }
     // Matryoshka truncation: prefix-dim cosine vs the FULL-dim cosine
     // ranking (same metric on both sides, unlike the L2 ladder above).
     val fullCos = KnnExact.topKCosine(spark, sfDir, queryMaxId = 8, k = 10)
