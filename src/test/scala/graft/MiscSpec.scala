@@ -70,6 +70,19 @@ class MiscSpec extends SparkSpec {
       assert(Vectors.kSaturated(n, cellTarget) == (cap > 0), s"cell valve/flag disagree at n=$n")
     }
     assert(Vectors.autoCellCap(Tables.embeddingsCount(spark, sf0001)) == 0)
+
+    // pair mining (q63): the SAME valve functions at the narrower
+    // PairTargetBucket — E[bucket] bounded at every count, and the gate
+    // fixtures must resolve to the calibrated 3-bit width (rows unchanged)
+    counts.foreach { n =>
+      val cap = Lsh.autoBucketCap(n, Lsh.PairTargetBucket)
+      val bound =
+        if (cap > 0) cap.toLong
+        else math.ceil(n.toDouble / (1L << Lsh.deriveBits(n, Lsh.PairTargetBucket))).toLong
+      assert(bound <= 4 * Lsh.PairTargetBucket, s"pair E[bucket] unbounded at n=$n: $bound")
+    }
+    assert(Lsh.deriveBits(500L, Lsh.PairTargetBucket) == 3,
+      "sf0.001/sf0.01 pair width must stay at the recall-calibrated 3 bits")
   }
 
   test("capGroups bounds cell size keeping smallest ids") {
