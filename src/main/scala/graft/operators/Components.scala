@@ -38,28 +38,30 @@ object Components {
     */
   val DriverSolveMaxEdges = 200000
 
-  /** Min-label union-find over a collected edge list: union by smaller
-    * root, so a component's root is always its min vertex id — exactly the
-    * label the distributed loop converges to.
+  /** Min-root union-find over an edge list — the ONE driver-side CC core
+    * shared by the [[connectedComponents]] fast path and [[componentsAuto]]
+    * (a tie-break or compression fix lands once). Union by smaller root,
+    * so a component's root is always its minimum member id — exactly the
+    * label the distributed loop converges to. Returns the (endpoint →
+    * root) map for every vertex touched by an edge.
     */
-  private def unionFindLabels(es: Array[(Long, Long)]): Seq[(Long, Long)] = {
-    val parent = new java.util.HashMap[Long, java.lang.Long]()
+  private[graft] def unionFind(
+      es: Iterable[(Long, Long)]): scala.collection.mutable.HashMap[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
-      while (parent.get(r) != r) r = parent.get(r)
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
       var c = x
-      while (c != r) { val n = parent.get(c): Long; parent.put(c, r); c = n }
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
     es.foreach { case (i, j) =>
-      if (!parent.containsKey(i)) parent.put(i, i)
-      if (!parent.containsKey(j)) parent.put(j, j)
       val (ri, rj) = (find(i), find(j))
-      if (ri != rj) parent.put(math.max(ri, rj), math.min(ri, rj))
+      if (ri < rj) parent(rj) = ri else if (rj < ri) parent(ri) = rj
     }
-    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-    parent.keySet.forEach(v => out += ((v: Long, find(v))))
-    out.toSeq
+    val out = scala.collection.mutable.HashMap.empty[Long, Long]
+    es.foreach { case (i, j) => out(i) = find(i); out(j) = find(j) }
+    out
   }
 
   /** (vertex, component) for every vertex, component = min vertex id
@@ -70,18 +72,28 @@ object Components {
     * [[DriverSolveMaxEdges]] collect once and solve via union-find (the
     * labels return as a broadcast join against the still-distributed
     * vertex set); larger graphs take the iterative min-label loop below.
-    * Both produce identical (v, label) rows.
+    * Both produce identical (v, label) rows — including for edges touching
+    * ids OUTSIDE `vertices`: the iterative loop never propagates through a
+    * label-less endpoint, so the fast path restricts edges to the vertex
+    * set BEFORE solving (without the restriction a non-vertex id would
+    * bridge two components the loop keeps separate).
+    *
+    * Probe cost: the limit(bound+1) collect executes the edge pipeline
+    * once; a graph that overflows the bound pays that bounded probe and
+    * recomputes edges inside the loop — acceptable because the loop's
+    * O(diameter) rounds dominate the duplicated edge pass, and callers
+    * with expensive edge pipelines materialize them first ([[Materialize]]).
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
-    // limit(bound+1) caps the collect: if the cap comes back full, the
-    // graph outgrew the fast path — recompute distributed (rare, and the
-    // probe cost is one bounded scan of the edge list).
-    val probe = edges.select(col("i"), col("j"))
-      .limit(DriverSolveMaxEdges + 1).collect()
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val vset = vertices.select(col("v"))
+    val restricted = edges.select(col("i"), col("j"))
+      .join(vset.withColumnRenamed("v", "i"), Seq("i"), "left_semi")
+      .join(vset.withColumnRenamed("v", "j"), Seq("j"), "left_semi")
+    val probe = restricted.limit(DriverSolveMaxEdges + 1).collect()
     if (probe.length <= DriverSolveMaxEdges) {
-      val spark = vertices.sparkSession
-      import spark.implicits._
-      val labels = unionFindLabels(probe.map(r => (r.getLong(0), r.getLong(1))))
+      val labels = unionFind(probe.map(r => (r.getLong(0), r.getLong(1)))).toSeq
       val lbl = labels.toDF("v", "uf_label")
       return vertices.select(col("v"))
         .join(broadcast(lbl), Seq("v"), "left")
@@ -252,25 +264,14 @@ object Components {
       .map(r => (r.getLong(0), r.getLong(1)))
     if (vs.length > maxLocal || es.length > maxLocal)
       return connectedComponents(vertices, edges)
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      var c = x
-      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
-      r
-    }
-    // min root wins every union, so find() IS the component minimum
-    def union(a: Long, b: Long): Unit = {
-      val (ra, rb) = (find(a), find(b))
-      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
-    }
-    es.foreach { case (i, j) => union(i, j) }
+    // shared min-root union-find core (see [[unionFind]]): find() IS the
+    // component minimum
+    val labels = unionFind(es)
     val allVs = (vs.iterator ++ es.iterator.flatMap(e => Iterator(e._1, e._2)))
       .toArray.distinct
     import scala.jdk.CollectionConverters._
     val rows = allVs.sorted.map(v =>
-      org.apache.spark.sql.Row(v, find(v))).toSeq.asJava
+      org.apache.spark.sql.Row(v, labels.getOrElse(v, v))).toSeq.asJava
     spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("v",
         org.apache.spark.sql.types.LongType, nullable = false),

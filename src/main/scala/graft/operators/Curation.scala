@@ -132,17 +132,24 @@ object Curation {
     * contract as the q106/q107 incremental-dedup gates).
     */
   def snapshotDelta(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    // Presence comes from per-side markers, NOT digest nullness: a NULL
+    // text hashes to NULL, and testing the digest would misclassify a
+    // present-but-null-text doc as added/removed (the SQL oracle's
+    // presence test is on the join side's doc_id). A null digest on
+    // either side of the equality makes the comparison null -> the
+    // `otherwise` branch fires -> "changed", matching SQL's
+    // `o.text = n.text` three-valued fall-through to ELSE.
     val o = oldSnap.select(
       col("doc_id"), xxhash64(col("text")).as("old_digest"),
-      col("n_chars").cast("long").as("old_chars"))
+      col("n_chars").cast("long").as("old_chars"), lit(1).as("in_old"))
     val n = newSnap.select(
       col("doc_id"), xxhash64(col("text")).as("new_digest"),
-      col("n_chars").cast("long").as("new_chars"))
+      col("n_chars").cast("long").as("new_chars"), lit(1).as("in_new"))
     o.join(n, Seq("doc_id"), "full_outer")
       .select(
         col("doc_id"),
-        when(col("old_digest").isNull, lit("added"))
-          .when(col("new_digest").isNull, lit("removed"))
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
           .when(col("old_digest") === col("new_digest"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"),
         coalesce(col("new_chars"), col("old_chars")).as("chars"))

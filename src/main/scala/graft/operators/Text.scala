@@ -536,10 +536,15 @@ object Text {
     // memory); with it the builds are |candidate docs| · units/doc. The
     // candidate subtree re-executes inside the broadcast id lists, but the
     // banding side is signature-sized and its exchange is reused.
+    // no broadcast() hint: a hint would bypass AQE's size check and
+    // force-collect a candidate set that banding does not bound; the
+    // unhinted semi lets Spark broadcast when small (the fixture case)
+    // and fall back to a shuffle join when a skewed corpus blows the
+    // candidate set up
     val iIds = cands.select(col("i").as("doc_id")).distinct()
     val jIds = cands.select(col("j").as("doc_id")).distinct()
-    val tokI = tok.join(broadcast(iIds), Seq("doc_id"), "left_semi")
-    val tokJ = tok.join(broadcast(jIds), Seq("doc_id"), "left_semi")
+    val tokI = tok.join(iIds, Seq("doc_id"), "left_semi")
+    val tokJ = tok.join(jIds, Seq("doc_id"), "left_semi")
     val common = cands
       .join(tokI.select(col("doc_id").as("i"), col("t")), "i")
       .join(tokJ.select(col("doc_id").as("j"), col("t")), Seq("j", "t"))

@@ -59,9 +59,18 @@ object Streams {
     * empty bootstrap directory falls back to [[rawEventSchema]].
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    // Narrow catch: only the empty-directory "unable to infer schema"
+    // AnalysisException falls back to the guessed schema — a corrupt
+    // footer or FS error must surface at definition time, not turn into a
+    // silently wrong declared schema.
     val schema =
       try spark.read.parquet(dir).schema
-      catch { case _: Exception => rawEventSchema }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.toLowerCase.contains("infer") ||
+              e.getMessage.toLowerCase.contains("empty") =>
+          rawEventSchema
+      }
     graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(dir))
   }
 

@@ -22,12 +22,16 @@ object Q63Probe2 {
       val n = f
       println(f"PROBE $label rows=$n%,d t=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
+    // mirror lshNearDupPairs' DEFAULTS (tables/minCollisions) so the stage
+    // breakdown decomposes the same pipeline "full q63" times
+    val tables = 16
+    val minCollisions = 3
     val n = Tables.embeddingsCount(spark, sfDir)
     val bits = Lsh.deriveBits(n, Lsh.PairTargetBucket)
-    println(s"PROBE n=$n bits=$bits")
+    println(s"PROBE n=$n bits=$bits tables=$tables")
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val t0 = System.nanoTime()
-    val model = Lsh.fit(emb, 32, bits)
+    val model = Lsh.fit(emb, tables, bits)
     println(f"PROBE fit t=${(System.nanoTime() - t0) / 1e9}%.2f")
     val posts = Lsh.explodeHashes(Lsh.withHashes(spark, emb, model))
     time("hash+explode")(posts.count())
@@ -38,7 +42,7 @@ object Q63Probe2 {
     val pairs = joined
       .groupBy(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
       .agg(count(lit(1)).as("collisions"))
-      .filter(col("collisions") >= 6)
+      .filter(col("collisions") >= minCollisions)
     time("pair agg >=6")(pairs.count())
     time("full q63")(Vectors.lshNearDupPairs(spark, sfDir).count())
     time("full q63 again")(Vectors.lshNearDupPairs(spark, sfDir).count())

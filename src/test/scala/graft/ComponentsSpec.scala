@@ -59,6 +59,23 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("edges touching non-vertex ids never bridge components (both paths)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 2 is NOT a vertex: the iterative loop never propagates through a
+    // label-less endpoint, so 5 and 9 must stay separate — the fast path
+    // has to restrict edges to the vertex set or the driver union-find
+    // would merge them through 2.
+    val vertices = Seq(5L, 9L).toDF("v")
+    val edges = Seq((5L, 2L), (9L, 2L)).toDF("i", "j")
+    val fast = Components.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val iter = Components.connectedComponentsIterative(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == Map(5L -> 5L, 9L -> 9L), s"fast path bridged: $fast")
+    assert(iter == fast)
+  }
+
   test("empty vertex set terminates with an empty result, not an NPE") {
     val out = Components.dedupClusters(spark, sf0001, maxDocId = 0)
     assert(out.collect().isEmpty)

@@ -125,6 +125,20 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("snapshot delta: null text is presence-classified, not added/removed") {
+    import spark.implicits._
+    // doc 1 present in BOTH snapshots with a null text on one side: the
+    // status must come from membership (changed), never from the null
+    // digest (which would misread it as added/removed)
+    val o = Seq((1L, Option.empty[String], 5L), (2L, Some("x"), 1L))
+      .toDF("doc_id", "text", "n_chars")
+    val n = Seq((1L, Some("now"), 3L), (2L, Some("x"), 1L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = graft.operators.Curation.snapshotDelta(o, n)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed", 2L -> "unchanged"), got.toString)
+  }
+
   test("snapshot delta API: disjoint snapshots are pure added + removed") {
     val docs = Tables.documents(spark, sf0001)
     val o = docs.filter(col("doc_id") < 100)
