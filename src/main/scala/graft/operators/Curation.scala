@@ -203,13 +203,114 @@ object Curation {
       |       CAST(max(doc_id) AS BIGINT) AS last_doc
       |FROM d GROUP BY status ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q121
+
+  /** q121 — IMPORTANCE-WEIGHTED DATA SELECTION (DSIR-style). Given a TARGET
+    * slice of the corpus (the distribution you want more of — here the
+    * fixture's `lang = 'en'` docs stand in for "high-quality reference
+    * text"), score every NON-target document by how much its vocabulary
+    * resembles the target distribution relative to the raw-corpus
+    * distribution, and keep the top `budget`. This is the deterministic
+    * top-k analog of Data Selection via Importance Resampling (DSIR — Xie
+    * et al. 2023, NeurIPS, public paper): DSIR samples with Gumbel noise
+    * proportional to the importance weight p_target(x)/p_raw(x); a batch
+    * curation gate wants the reproducible argmax instead, so we rank by the
+    * weight and cut.
+    *
+    * Per-token score with add-one smoothing (a target-unseen token must not
+    * zero a whole document): r(t) = (tc+1)(rtot+V) / ((rc+1)(ttot+V)),
+    * scaled by 1e6 and rounded to an integer BEFORE the per-doc sum — the
+    * q82/q89 discipline: the aggregate is an order-independent BIGINT sum,
+    * the only double ops are one correctly-rounded multiply+divide over
+    * exact BIGINT operands (identical on both engines), never a
+    * transcendental. DSIR's log-importance sum ranks identically to any
+    * monotone transform per token only in aggregate spirit; we define the
+    * operator's contract as the MEAN RATIO score, which is what the oracle
+    * pins.
+    *
+    * Scale shape (100 TB): the frequency table is Zipf-bounded (distinct
+    * tokens, far below corpus size) and aggregates map-side; the score
+    * table broadcasts into the corpus-side scoring join, so the corpus work
+    * is two narrow token generates + one broadcast join + one per-doc
+    * integer-sum aggregate — nothing wider than (doc_id, token) ever
+    * shuffles, and the final cut is a TakeOrderedAndProject, never a global
+    * sort. DSIR's hashed-n-gram buckets (fixed 2^k feature space) are the
+    * escape valve if the vocabulary itself outgrows executor memory: swap
+    * the join key for `pmod(xxhash64(t), buckets)` and every shape above is
+    * unchanged — the gate keeps exact tokens so DuckDB can replay it.
+    *
+    * BIGINT overflow guard: (tc+1)·(rtot+V) ≤ (ttot+V)·(rtot+V); the gate
+    * corpus keeps both ≲ 1e6 so the product is ≪ 2^63. At real scale the
+    * counts are ≤ ~1e13 tokens — move the two products to DECIMAL(38,0)
+    * there (same note as [[lengthAnomalies]]).
+    */
+  def importanceSelect(spark: SparkSession, sfDir: String, budget: Int = 50): DataFrame =
+    importanceSelectOf(Tables.documents(spark, sfDir), col("lang") === "en", budget)
+
+  /** The scoring core over ANY (doc_id, text) frame + target predicate —
+    * the gate wrapper binds the fixture table and the lang target; specs
+    * drive it with planted distribution shifts.
+    */
+  def importanceSelectOf(documents: DataFrame, isTarget: Column, budget: Int): DataFrame = {
+    val tok = documents.select(
+      col("doc_id"), isTarget.as("is_target"),
+      explode(Text.tokens(col("text"))).as("t"))
+    val freq = tok.groupBy(col("t")).agg(
+      count(lit(1)).as("rc"),
+      sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("tc"))
+    val tot = freq.agg(
+      sum(col("rc")).as("rtot"), sum(col("tc")).as("ttot"),
+      count(lit(1)).as("v"))
+    val scores = freq
+      .crossJoin(broadcast(tot))
+      .select(col("t"),
+        round((col("tc") + 1) * (col("rtot") + col("v")) * lit(1e6) /
+          ((col("rc") + 1) * (col("ttot") + col("v"))), 0).cast("long").as("r"))
+    tok.filter(!col("is_target"))
+      .join(broadcast(scores), "t")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("r")).as("imp_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("imp_sum"),
+        round(col("imp_sum") / col("n_tokens") / lit(1e6), 4).as("avg_imp"))
+      .orderBy(col("avg_imp").desc, col("doc_id").asc)
+      .limit(budget)
+  }
+
+  def importanceSelectOracle(budget: Int = 50): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, (lang = 'en') AS is_target,
+       |         unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |freq AS (
+       |  SELECT t, CAST(count(*) AS BIGINT) AS rc,
+       |         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS tc
+       |  FROM tok GROUP BY t),
+       |tot AS (
+       |  SELECT CAST(sum(rc) AS BIGINT) AS rtot, CAST(sum(tc) AS BIGINT) AS ttot,
+       |         CAST(count(*) AS BIGINT) AS v
+       |  FROM freq),
+       |sc AS (
+       |  SELECT t, CAST(round((tc + 1) * (rtot + v) * 1000000.0
+       |                        / ((rc + 1) * (ttot + v)), 0) AS BIGINT) AS r
+       |  FROM freq CROSS JOIN tot)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(sum(r) AS BIGINT) AS imp_sum,
+       |       round(CAST(sum(r) AS BIGINT) / count(*) / 1000000.0, 4) AS avg_imp
+       |FROM tok JOIN sc USING (t)
+       |WHERE NOT is_target
+       |GROUP BY doc_id
+       |ORDER BY avg_imp DESC, doc_id ASC
+       |LIMIT $budget""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_length_anomalies" -> ((s: SparkSession, d: String) => lengthAnomalies(s, d)),
-    "q117_corpus_delta" -> ((s: SparkSession, d: String) => corpusDelta(s, d)))
+    "q117_corpus_delta" -> ((s: SparkSession, d: String) => corpusDelta(s, d)),
+    "q121_importance_select" -> ((s: SparkSession, d: String) => importanceSelect(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q116_length_anomalies" -> lengthAnomaliesOracle(),
-    "q117_corpus_delta" -> corpusDeltaOracle)
+    "q117_corpus_delta" -> corpusDeltaOracle,
+    "q121_importance_select" -> importanceSelectOracle())
 }

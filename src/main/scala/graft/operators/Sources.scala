@@ -458,6 +458,90 @@ object Sources {
        |       CAST(sum(n_chars) AS BIGINT) AS n_chars
        |FROM p GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** q122 — QUALITY-AWARE BUDGET FILL: execute the [[sourceMixing]]
+    * allocation against a quality ranking — per source, keep its `alloc`
+    * highest-quality documents (quality = integer-ppm type-token ratio, the
+    * q31 diversity heuristic: boilerplate and word-soup repetition rank
+    * low). This is the step that turns the q103 allocation TABLE into an
+    * actual training-mix document set: temperature mixing says how many
+    * docs each source contributes, the quality rank says WHICH ones.
+    *
+    * Determinism discipline: quality is `n_distinct·1e6 div n_tokens` —
+    * pure BIGINT arithmetic, no doubles anywhere (the sqrt inside the
+    * allocation is the one correctly-rounded exception, same as q103);
+    * ranking ties break on doc_id.
+    *
+    * Scale shape (100 TB): the quality score is a narrow per-doc map; the
+    * one corpus exchange is the hash partition by source feeding the
+    * per-source rank windows (all sources rank in parallel). The rank
+    * filter is applied in two stages: first against the PLAN-TIME literal
+    * `max(alloc)` — a bounded driver-side collect of the source-cardinality
+    * allocation table, which lets Catalyst rewrite the window into a
+    * WindowGroupLimit (per-partition top-k heap: executors keep max-alloc
+    * rows per source in memory instead of sorting whole source shards —
+    * PlanSpec-locked), then exactly against the broadcast per-source
+    * `alloc` column. A source with fewer documents than its allocation
+    * under-fills (no reallocation round; the allocation is the CAP, the
+    * contract a sampler executing q103's table has anyway).
+    */
+  def qualityBudgetFill(
+      spark: SparkSession, sfDir: String, budget: Long = 200L): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val alloc = mixingAllocation(
+        docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs")), budget)
+      .select(col("source"), col("alloc"))
+    val maxAlloc = alloc.agg(max(col("alloc"))).collect()(0).getLong(0)
+    val toks = Text.tokens(col("text"))
+    docs
+      .select(col("source"), col("doc_id"),
+        (size(array_distinct(toks)).cast("long") * 1000000L).as("qn"),
+        size(toks).cast("long").as("qd"))
+      .select(col("source"), col("doc_id"), expr("qn div qd").as("q_ppm"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("q_ppm").desc, col("doc_id").asc)))
+      .filter(col("rn") <= lit(maxAlloc.toInt))
+      .join(broadcast(alloc), "source")
+      .filter(col("rn") <= col("alloc"))
+      .select(col("source"), col("doc_id"), col("q_ppm"), col("rn"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  def qualityBudgetFillOracle(budget: Long = 200L): String =
+    s"""WITH counts AS (
+       |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+       |w AS (
+       |  SELECT source, n_docs,
+       |         CAST(floor(sqrt(n_docs) * 1048576) AS BIGINT) AS w
+       |  FROM counts),
+       |t AS (SELECT *, CAST(sum(w) OVER () AS BIGINT) AS s FROM w),
+       |q AS (SELECT *, ($budget * w) // s AS base, ($budget * w) % s AS rem
+       |      FROM t),
+       |d AS (
+       |  SELECT *, $budget - CAST(sum(base) OVER () AS BIGINT) AS deficit,
+       |         row_number() OVER (ORDER BY rem DESC, source) AS rk
+       |  FROM q),
+       |a AS (
+       |  SELECT source,
+       |         base + (CASE WHEN rk <= deficit THEN 1 ELSE 0 END) AS alloc
+       |  FROM d),
+       |sc AS (
+       |  SELECT source, doc_id,
+       |         (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+       |            * 1000000)
+       |           // CAST(len(string_split(text, ' ')) AS BIGINT) AS q_ppm
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, doc_id, q_ppm,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY source ORDER BY q_ppm DESC, doc_id)
+       |           AS INTEGER) AS rn
+       |  FROM sc)
+       |SELECT r.source, doc_id, q_ppm, rn
+       |FROM r JOIN a ON r.source = a.source
+       |WHERE rn <= alloc
+       |ORDER BY r.source, rn""".stripMargin
+
   /** q49 — doc GET by id (SURVEY §2.B scans row): the point lookup the
     * parquet source serves via row-group min/max stats — the pushed
     * `doc_id = 42` predicate skips every row group whose id range excludes
@@ -486,7 +570,8 @@ object Sources {
     "q99_fixed_sample" -> ((s: SparkSession, d: String) => fixedSample(s, d)),
     "q86_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "q103_source_mixing" -> ((s: SparkSession, d: String) => sourceMixing(s, d)),
-    "q111_training_order" -> ((s: SparkSession, d: String) => trainingOrder(s, d)))
+    "q111_training_order" -> ((s: SparkSession, d: String) => trainingOrder(s, d)),
+    "q122_quality_fill" -> ((s: SparkSession, d: String) => qualityBudgetFill(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q49_doc_get" -> docGetOracle,
@@ -498,5 +583,6 @@ object Sources {
     "q99_fixed_sample" -> fixedSampleOracle(),
     "q86_pack_sequences" -> packSequencesOracle,
     "q103_source_mixing" -> sourceMixingOracle(),
-    "q111_training_order" -> trainingOrderOracle())
+    "q111_training_order" -> trainingOrderOracle(),
+    "q122_quality_fill" -> qualityBudgetFillOracle())
 }

@@ -139,6 +139,62 @@ class CurationSpec extends SparkSpec {
     assert(got == Map(1L -> "changed", 2L -> "unchanged"), got.toString)
   }
 
+  test("importance select: scores match a driver-side DSIR recompute exactly") {
+    // Recompute the smoothed frequency-ratio scores in Scala from collected
+    // tokens; the distributed result must be bit-identical (integer-scaled
+    // per-token scores in, exact BIGINT sums out).
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1) == "en", r.getString(2).split(" ", -1).toSeq))
+    val rc = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val tc = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    docs.foreach { case (_, isT, ts) =>
+      ts.foreach { t => rc(t) += 1; if (isT) tc(t) += 1 }
+    }
+    val rtot = rc.values.sum; val ttot = tc.values.sum; val v = rc.size.toLong
+    def score(t: String): Long =
+      BigDecimal((tc(t) + 1) * (rtot + v) * 1e6 / ((rc(t) + 1) * (ttot + v)))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = docs.filter(!_._2).map { case (id, _, ts) =>
+      val s = ts.map(score).sum
+      (id, ts.size.toLong, s, round4(s.toDouble / ts.size / 1e6))
+    }.sortBy { case (id, _, _, a) => (-a, id) }.take(50)
+    val got = Curation.importanceSelect(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expect.toSeq)
+    // non-vacuity: scores must actually vary across the selected docs
+    assert(got.map(_._4).distinct.size > 1, "flat importance scores")
+  }
+
+  test("importance select: planted distribution shift ranks target-like docs first") {
+    import spark.implicits._
+    // target docs are saturated with "aa"; among the raw pool, the doc made
+    // of "aa" must outrank the doc sharing no vocabulary mass with target
+    val frame = Seq(
+      (1L, "tgt", "aa aa aa aa aa bb"),
+      (2L, "tgt", "aa aa aa aa cc aa"),
+      (10L, "raw", "aa aa aa aa aa aa"),
+      (11L, "raw", "zz zz zz zz zz zz"),
+      (12L, "raw", "aa zz aa zz aa zz"))
+      .toDF("doc_id", "lang", "text")
+    val got = Curation.importanceSelectOf(frame, col("lang") === "tgt", budget = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(10L, 12L, 11L), got.toString)
+  }
+
+  test("importance select: target documents never appear in the selection") {
+    val targets = Tables.documents(spark, sf0001)
+      .filter(col("lang") === "en").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val sel = Curation.importanceSelect(spark, sf0001, budget = Int.MaxValue)
+      .collect().map(_.getLong(0)).toSet
+    assert(sel.intersect(targets).isEmpty)
+    val nonTarget = Tables.documents(spark, sf0001).count() - targets.size
+    assert(sel.size == nonTarget, "uncapped selection must cover the raw pool")
+  }
+
   test("snapshot delta API: disjoint snapshots are pure added + removed") {
     val docs = Tables.documents(spark, sf0001)
     val o = docs.filter(col("doc_id") < 100)

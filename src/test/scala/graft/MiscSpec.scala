@@ -179,6 +179,43 @@ class MiscSpec extends SparkSpec {
     assert(alloc.forall(_ >= 0L))
   }
 
+  test("quality budget fill matches a driver-side allocation + rank recompute") {
+    import org.apache.spark.sql.functions.col
+    val budget = 200L
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split(" ", -1).toSeq))
+    // Hamilton apportionment over sqrt weights, exactly as mixingAllocation
+    val counts = docs.groupBy(_._1).map { case (s, d) => s -> d.size.toLong }
+    val w = counts.map { case (s, n) => s -> math.floor(math.sqrt(n.toDouble) * (1L << 20)).toLong }
+    val sw = w.values.sum
+    val base = w.map { case (s, wt) => s -> budget * wt / sw }
+    val rem = w.map { case (s, wt) => s -> budget * wt % sw }
+    val deficit = budget - base.values.sum
+    val extras = rem.toSeq.sortBy { case (s, r) => (-r, s) }.take(deficit.toInt).map(_._1).toSet
+    val alloc = base.map { case (s, b) => s -> (b + (if (extras(s)) 1L else 0L)) }
+    val expect = docs
+      .map { case (s, id, ts) => (s, id, ts.distinct.size.toLong * 1000000L / ts.size) }
+      .groupBy(_._1).toSeq.flatMap { case (s, rows) =>
+        rows.sortBy { case (_, id, q) => (-q, id) }
+          .zipWithIndex.map { case ((_, id, q), i) => (s, id, q, i + 1) }
+          .take(alloc(s).toInt)
+      }
+      .sortBy { case (s, _, _, rn) => (s, rn) }
+    val got = graft.operators.Sources.qualityBudgetFill(spark, sf0001, budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == expect)
+    assert(got.size == budget, s"fixture sources must fill the full budget, got ${got.size}")
+  }
+
+  test("quality budget fill underfills rather than crashing when a source runs dry") {
+    // budget far above corpus size -> every source allocation exceeds its
+    // doc count -> the whole corpus is selected, nothing more
+    val n = Tables.documents(spark, sf0001).count()
+    val got = graft.operators.Sources.qualityBudgetFill(spark, sf0001, budget = 100000L)
+    assert(got.count() == n)
+  }
+
   test("normalizeTs: ns-as-long, TIMESTAMP_NTZ, and TimestampType all land on the same instant") {
     import org.apache.spark.sql.types._
     import java.time.{Instant, LocalDateTime, ZoneOffset}

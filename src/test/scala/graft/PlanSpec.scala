@@ -134,6 +134,24 @@ class PlanSpec extends SparkSpec {
       s"rank<=n not pushed; the exchange carries the corpus:\n$plan")
   }
 
+  test("quality budget fill bounds the rank window with the max-alloc literal") {
+    val plan = planOf("q122_quality_fill")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=maxAlloc literal not pushed; source shards sort whole:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"allocation table should broadcast:\n$plan")
+    assertNeverShuffled("q122_quality_fill", "text")
+  }
+
+  test("importance select: score table broadcasts; corpus text never shuffles") {
+    val plan = planOf("q121_importance_select")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"token-score table should broadcast into the scoring join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"budget cut should be a bounded top-k, not a global sort:\n$plan")
+    assertNeverShuffled("q121_importance_select", "text")
+  }
+
   test("quality-aware dedup pushes rank-1 below the shuffle; text never shuffles") {
     val plan = planOf("q100_dedup_best")
     assert(plan.contains("WindowGroupLimit"), s"rank=1 not pushed:\n$plan")
