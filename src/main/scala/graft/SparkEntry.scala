@@ -36,12 +36,18 @@ object SparkEntry {
       "q105_matryoshka_knn" -> ((s, dir) => KnnExact.topKCosineTrunc(s, dir)),
       "q118_knn_filtered" -> ((s, dir) => KnnExact.topKFiltered(s, dir)),
       "q119_range_search" -> ((s, dir) => KnnExact.rangeSearch(s, dir)),
+      // Greedy-sequential re-rank: rows-only (recursion not SQL-expressible);
+      // pinned by RetrievalSpec λ=1-parity / planted-dup / recompute tests.
+      "q123_mmr_rerank" -> ((s, dir) => KnnExact.mmrRerank(s, dir)),
       // Model-dependent LSH ops: no SQL oracle (driver records rows-only);
       // pinned by LshSpec golden + recall tests instead.
       "q22_lsh_hash" -> ((s, dir) => Lsh.hashQuery(s, dir)),
       "q23_lsh_knn" -> ((s, dir) => Knn.lshTopKIndexed(s, dir)),
       "q28_lsh_multiprobe" -> ((s, dir) => Knn.lshTopKIndexed(s, dir, multiprobe = true)),
       "q120_knn_filtered_indexed" -> ((s, dir) => Knn.lshTopKFilteredIndexed(s, dir)),
+      // A10 recall measurement: rows-only (LSH leg model-dependent);
+      // recall floor pinned in MiscSpec.
+      "q125_recall_benchmark" -> ((s, dir) => Knn.recallBenchmark(s, dir)),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -291,4 +291,43 @@ object Knn {
         col("collisions"), round(col("dist"), 4).as("dist4"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  // ---------------------------------------------------------------- q125
+
+  /** q125 — RECALL BENCHMARK as a first-class query (SURVEY §2.A A10: the
+    * reference validated its ANN empirically by sweeping recall@k of
+    * `_aknn_search` against brute force; this is that measurement as a
+    * DataFrame op a user can run over any index). Per query: the exact
+    * top-k set, the indexed two-phase LSH top-k set, their overlap, and
+    * the integer recall percentage.
+    *
+    * Both inputs are k-bounded per query (k·|Q| rows total), so the
+    * overlap join and the per-query aggregate are trivially sized whatever
+    * the corpus is — the expensive parts are the two searches themselves,
+    * which keep their own audited plan shapes. Rows-only gate (the LSH leg
+    * is model-dependent); the recall floor itself is spec-pinned
+    * (MiscSpec: mean recall ≥ the LshSpec 0.7 floor, exact leg always
+    * full).
+    */
+  def recallBenchmark(
+      spark: SparkSession,
+      sfDir: String,
+      queryMaxId: Long = 8,
+      k: Int = 10,
+      k1: Int = 100): DataFrame = {
+    val exact = KnnExact.topK(spark, sfDir, queryMaxId, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = lshTopKIndexed(spark, sfDir, queryMaxId, k1, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_pct", expr("n_hits * 100 div n_exact"))
+      .orderBy(col("query_id"))
+  }
 }

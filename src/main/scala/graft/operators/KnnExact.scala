@@ -277,4 +277,105 @@ object KnnExact {
        |WHERE e.vec_id <> q.query_id
        |  AND list_distance(CAST(e.embedding AS DOUBLE[]), q.qv) <= $radius
        |ORDER BY query_id, neighbor_id""".stripMargin
+
+  // ---------------------------------------------------------------- q123
+
+  /** q123 — MMR DIVERSE RE-RANK (Maximal Marginal Relevance, Carbonell &
+    * Goldstein 1998, public paper): re-rank a relevance-ordered candidate
+    * pool so each pick balances relevance against redundancy with what was
+    * already picked — `argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s)`. The
+    * RAG / context-selection step after retrieval: a plain top-k hands the
+    * model k near-copies of the best hit; MMR hands it k DIFFERENT
+    * relevant passages.
+    *
+    * Two stages, matching the repo's bounded-collect budget:
+    *  1. POOL (distributed): top-`pool` candidates by cosine relevance to
+    *     the query — a broadcast-query scan + TakeOrderedAndProject, the
+    *     same class as the A6 re-rank. This is the only corpus-sized work.
+    *  2. GREEDY (driver): MMR selection is inherently sequential (pick i+1
+    *     depends on picks 1..i), so it runs on the collected pool — `pool`
+    *     rows by `dim` floats, the same k1-bounded budget as the A6 rerank
+    *     set and the BPE argmax collects. O(k·pool) driver cosines.
+    *
+    * Determinism: relevance and pairwise similarities are scaled to integer
+    * ppm (half-away-from-zero, the CentroidAgg convention) BEFORE the
+    * argmax, so selection compares exact longs — `λppm·rel_ppm −
+    * (1e6−λppm)·maxsim_ppm` — with smaller-id tie-breaks; the driver loop
+    * is single-threaded. Rows-only gate (greedy recursion is not
+    * reasonably SQL-expressible); pinned by RetrievalSpec: λ=1 ≡ pure
+    * relevance ranking, planted-duplicate eviction, pool-subset, and a
+    * driver recompute.
+    */
+  def mmrRerank(
+      spark: SparkSession,
+      sfDir: String,
+      queryId: Long = 0L,
+      pool: Int = 50,
+      k: Int = 10,
+      lambdaPpm: Long = 500000L): DataFrame =
+    mmrRerankOf(spark, Tables.embeddings(spark, sfDir), queryId, pool, k, lambdaPpm)
+
+  /** The pool + greedy core over ANY (vec_id, embedding) frame — the gate
+    * wrapper binds the fixture table; specs drive it with planted pools.
+    */
+  def mmrRerankOf(
+      spark: SparkSession,
+      emb: DataFrame,
+      queryId: Long,
+      pool: Int,
+      k: Int,
+      lambdaPpm: Long): DataFrame = {
+    require(lambdaPpm >= 0L && lambdaPpm <= 1000000L, s"lambdaPpm out of [0,1e6]: $lambdaPpm")
+    import spark.implicits._
+    val qdf = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    val cand = emb
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qdf))
+      .select(col("vec_id"),
+        col("embedding"),
+        VectorExpressions.cosine(col("embedding"), col("qv")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(pool)
+      .collect()
+    def ppm(x: Double): Long = {
+      val d = x * 1e6
+      (if (d >= 0) math.floor(d + 0.5) else math.ceil(d - 0.5)).toLong
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val remaining = scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Long)]()
+    cand.foreach(r =>
+      remaining += ((r.getLong(0), r.getSeq[Float](1).toArray, ppm(r.getDouble(2)))))
+    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
+    var rank = 1
+    while (rank <= k && remaining.nonEmpty) {
+      var bestIdx = -1
+      var bestScore = Long.MinValue
+      var bestId = Long.MaxValue
+      var i = 0
+      while (i < remaining.length) {
+        val (id, v, relPpm) = remaining(i)
+        val maxSim = if (chosen.isEmpty) 0L else chosen.map(s => ppm(cos(v, s._2))).max
+        val score = lambdaPpm * relPpm - (1000000L - lambdaPpm) * maxSim
+        if (score > bestScore || (score == bestScore && id < bestId)) {
+          bestIdx = i; bestScore = score; bestId = id
+        }
+        i += 1
+      }
+      val (id, v, relPpm) = remaining.remove(bestIdx)
+      chosen += ((id, v))
+      out += ((rank, id, relPpm, bestScore))
+      rank += 1
+    }
+    out.toSeq.toDF("rank", "vec_id", "rel_ppm", "mmr_score")
+  }
 }

@@ -891,6 +891,66 @@ object Vectors {
     semanticIncrementAgainstStore(spark, batch, store, threshold)
   }
 
+  // ---------------------------------------------------------------- q124
+
+  /** q124 — CENTROID-AFFINITY QUALITY FILTER: score every embedding outside
+    * a curated SEED class by its cosine affinity to the seed class's mean
+    * embedding, and keep the top k. This is the nearest-class-mean stand-in
+    * for classifier-score data filtering (the FineWeb-Edu / quality-
+    * classifier recipe: a small trusted seed set induces a scoring
+    * direction in embedding space; the corpus is ranked against it and the
+    * tail dropped). The fixture's `label = 0` embeddings play the seed set.
+    *
+    * Determinism discipline: the centroid comes from [[CentroidAgg]]'s
+    * scaled-long per-dimension sums (order-independent BIGINT arithmetic →
+    * the same doubles on both engines — the q27 contract), and the cosine
+    * is the q19-family HOF expression: doubles accumulated in ARRAY ORDER,
+    * which DuckDB's list_dot_product replays, rounded to 4 decimals with
+    * vec_id tie-breaks.
+    *
+    * Scale shape (100 TB): one seed-sized aggregate produces a 1-row
+    * centroid that BROADCASTS into a narrow per-row scoring map over the
+    * corpus; the cut is a TakeOrderedAndProject. No corpus-sized shuffle,
+    * no pairwise work — this is the cheapest vector-curation op in the
+    * file, linear with a broadcast scalar, and the contrast to [[
+    * semanticNearDupPairs]]'s within-cell pair generation.
+    */
+  def centroidAffinity(
+      spark: SparkSession, sfDir: String, seedLabel: Int = 0, k: Int = 40): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroidUdaf = udaf(CentroidAgg)
+    val centroid = emb.filter(col("label") === seedLabel)
+      .agg(centroidUdaf(col("embedding")).as("c"))
+    emb.filter(col("label") =!= seedLabel)
+      .crossJoin(broadcast(centroid))
+      .select(col("vec_id"), col("label"),
+        round(graft.functions.VectorOps.cosine(col("embedding"), col("c")), 4)
+          .as("affinity"))
+      .orderBy(col("affinity").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  def centroidAffinityOracle(seedLabel: Int = 0, k: Int = 40): String =
+    s"""WITH x AS (
+       |  SELECT unnest(embedding) AS e, generate_subscripts(embedding, 1) AS dim
+       |  FROM embeddings WHERE label = $seedLabel),
+       |cd AS (
+       |  SELECT dim,
+       |         CAST(sum(CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+       |           / 1000000.0 / count(*) AS cv
+       |  FROM x GROUP BY dim),
+       |cl AS (SELECT list(cv ORDER BY dim) AS c FROM cd),
+       |s AS (
+       |  SELECT vec_id, label,
+       |         round(list_dot_product(CAST(embedding AS DOUBLE[]), c)
+       |               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                                        CAST(embedding AS DOUBLE[])))
+       |                  * sqrt(list_dot_product(c, c))), 4) AS affinity
+       |  FROM embeddings CROSS JOIN cl
+       |  WHERE label <> $seedLabel)
+       |SELECT vec_id, label, affinity
+       |FROM s ORDER BY affinity DESC, vec_id ASC LIMIT $k""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d)),
     "q84_kmeans_clusters" -> ((s: SparkSession, d: String) => kmeansClusters(s, d)),
@@ -900,9 +960,11 @@ object Vectors {
     "q63_lsh_neardup_pairs" -> ((s: SparkSession, d: String) => lshNearDupPairs(s, d)),
     "q29_ann_ivf_indexed" -> ((s: SparkSession, d: String) => annIvfIndexed(s, d)),
     "q26_top_cosine_pairs" -> ((s: SparkSession, d: String) => topCosinePairs(s, d)),
-    "q27_label_centroids" -> (labelCentroids _))
+    "q27_label_centroids" -> (labelCentroids _),
+    "q124_centroid_affinity" -> ((s: SparkSession, d: String) => centroidAffinity(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q26_top_cosine_pairs" -> topCosinePairsOracle(),
-    "q27_label_centroids" -> labelCentroidsOracle)
+    "q27_label_centroids" -> labelCentroidsOracle,
+    "q124_centroid_affinity" -> centroidAffinityOracle())
 }

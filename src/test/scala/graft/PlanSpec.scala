@@ -415,6 +415,10 @@ class PlanSpec extends SparkSpec {
       "q20_knn_exact", "q21_knn_cosine", "q95_knn_dot", "q105_matryoshka_knn",
       "q23_lsh_knn", "q28_lsh_multiprobe", "q25_ann_ivf", "q29_ann_ivf_indexed",
       "q110_semantic_increment",
+      // seed-centroid scoring: the 1-row centroid moves by broadcast; the
+      // corpus embedding is scored in the scan projection and only
+      // (vec_id, label, affinity) reaches the top-k
+      "q124_centroid_affinity",
       // pair mining: only (tbl, hash, vec_id) crosses the co-partitioning
       // exchange; verify-side embeddings move by broadcast only
       "q63_lsh_neardup_pairs")

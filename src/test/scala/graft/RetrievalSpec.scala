@@ -42,6 +42,66 @@ class RetrievalSpec extends SparkSpec {
     assert(top.forall(dupDocs), "every top-5 tfidf doc should contain the rare term")
   }
 
+  test("mmr: lambda=1 reduces to pure relevance ranking of the pool") {
+    import graft.operators.KnnExact
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = emb.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = emb.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSeq
+    val got = KnnExact.mmrRerank(spark, sf0001, lambdaPpm = 1000000L)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(got == expect)
+  }
+
+  test("mmr: planted duplicate of the top hit is evicted in favor of a diverse pick") {
+    import spark.implicits._
+    import graft.operators.KnnExact
+    // query id 0 = e1; ids 10/11 identical near-duplicates of the top hit;
+    // id 12 diverse but still relevant. Plain top-2 = (10, 11); MMR at
+    // λ=0.3 must pick 10 then 12.
+    val frame = Seq(
+      (0L, Array(1f, 0f)),
+      (10L, Array(0.999f, 0.0447f)),
+      (11L, Array(0.999f, 0.0447f)),
+      (12L, Array(0.5f, 0.866f)))
+      .toDF("vec_id", "embedding")
+    val got = KnnExact.mmrRerankOf(spark, frame, queryId = 0L,
+        pool = 10, k = 2, lambdaPpm = 300000L)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(10L, 12L), got.toString)
+    val pure = KnnExact.mmrRerankOf(spark, frame, queryId = 0L,
+        pool = 10, k = 2, lambdaPpm = 1000000L)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(pure == Seq(10L, 11L), pure.toString)
+  }
+
+  test("mmr: selection is a subset of the relevance pool and deterministic") {
+    import graft.operators.KnnExact
+    val a = KnnExact.mmrRerank(spark, sf0001).collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val b = KnnExact.mmrRerank(spark, sf0001).collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(a == b, "repeated invocations must agree bitwise")
+    assert(a.size == 10)
+    val poolIds = KnnExact.mmrRerank(spark, sf0001, lambdaPpm = 1000000L, k = 50)
+      .collect().map(_.getLong(1)).toSet
+    assert(a.map(_._2).forall(poolIds), "every MMR pick must come from the pool")
+    // rank 1 is always the pure-relevance argmax (empty selected set)
+    assert(a.head._3 == a.map(_._3).max, "first pick must be the relevance max")
+  }
+
   test("bm25: positive scores, one row per matching doc, ranking favors rare term") {
     val rows = Retrieval.bm25Scores(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -25,6 +25,40 @@ class VectorsSpec extends SparkSpec {
     assert(recall >= 0.1, f"half-dim recall collapsed: $recall%.3f")
   }
 
+  test("centroid affinity matches a driver-side recompute exactly") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    // seed centroid from scaled-long sums, the CentroidAgg contract
+    val seed = emb.filter(_._2 == 0)
+    val dim = seed.head._3.length
+    val sums = new Array[Long](dim)
+    seed.foreach { case (_, _, v) =>
+      var i = 0
+      while (i < dim) {
+        val d = v(i).toDouble * 1e6
+        sums(i) += (if (d >= 0) math.floor(d + 0.5) else math.ceil(d - 0.5)).toLong
+        i += 1
+      }
+    }
+    val c = sums.map(s => s / 1e6 / seed.length)
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = emb.filter(_._2 != 0).map { case (id, lbl, v) =>
+      var dot = 0.0; var nv = 0.0; var nc = 0.0; var i = 0
+      while (i < dim) {
+        dot += v(i).toDouble * c(i); nv += v(i).toDouble * v(i).toDouble
+        nc += c(i) * c(i); i += 1
+      }
+      (id, lbl, round4(dot / (math.sqrt(nv) * math.sqrt(nc))))
+    }.sortBy { case (id, _, a) => (-a, id) }.take(40).toSeq
+    val got = Vectors.centroidAffinity(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got == expect)
+    // affinity to one class centroid must spread, or the screen is vacuous
+    assert(got.map(_._3).distinct.size > 1)
+  }
+
   test("ivf ann: recall@10 vs exact, and never returns self") {
     val exact = KnnExact.topK(spark, sf0001, queryMaxId = 8, k = 10)
       .select("query_id", "neighbor_id").collect()
