@@ -318,15 +318,15 @@ object Knn {
     val exact = KnnExact.topK(spark, sfDir, queryMaxId, k)
       .select(col("query_id"), col("neighbor_id"))
     val approx = lshTopKIndexed(spark, sfDir, queryMaxId, k1, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    // ONE exact leg: a left join marks each exact neighbor found by the LSH
+    // leg, and a single aggregate counts both totals — two legs total, not
+    // three (a separate semi-join hits branch would re-plan and re-execute
+    // the O(|Q|·N) brute-force subtree with no exchange reuse).
     exact
-      .groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
-      .join(hits, Seq("query_id"), "left")
-      .select(
-        col("query_id"), col("n_exact"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hits"))
       .withColumn("recall_pct", expr("n_hits * 100 div n_exact"))
       .orderBy(col("query_id"))
   }

@@ -354,7 +354,12 @@ object KnnExact {
     val remaining = scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Long)]()
     cand.foreach(r =>
       remaining += ((r.getLong(0), r.getSeq[Float](1).toArray, ppm(r.getDouble(2)))))
-    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+    // Per-candidate running max similarity to the chosen set, updated with
+    // ONLY the newly chosen vector each round — O(k·pool) driver cosines
+    // total; recomputing the full chosen set per candidate per round would
+    // be O(k²·pool) for identical selections.
+    val maxSimPpm = scala.collection.mutable.ArrayBuffer.fill(remaining.length)(Long.MinValue)
+    var anyChosen = false
     val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
     var rank = 1
     while (rank <= k && remaining.nonEmpty) {
@@ -363,8 +368,8 @@ object KnnExact {
       var bestId = Long.MaxValue
       var i = 0
       while (i < remaining.length) {
-        val (id, v, relPpm) = remaining(i)
-        val maxSim = if (chosen.isEmpty) 0L else chosen.map(s => ppm(cos(v, s._2))).max
+        val (id, _, relPpm) = remaining(i)
+        val maxSim = if (!anyChosen) 0L else maxSimPpm(i)
         val score = lambdaPpm * relPpm - (1000000L - lambdaPpm) * maxSim
         if (score > bestScore || (score == bestScore && id < bestId)) {
           bestIdx = i; bestScore = score; bestId = id
@@ -372,7 +377,14 @@ object KnnExact {
         i += 1
       }
       val (id, v, relPpm) = remaining.remove(bestIdx)
-      chosen += ((id, v))
+      maxSimPpm.remove(bestIdx)
+      anyChosen = true
+      var j = 0
+      while (j < remaining.length) {
+        val s = ppm(cos(remaining(j)._2, v))
+        if (s > maxSimPpm(j)) maxSimPpm(j) = s
+        j += 1
+      }
       out += ((rank, id, relPpm, bestScore))
       rank += 1
     }

@@ -373,8 +373,14 @@ object Sources {
       .orderBy(col("source"))
   }
 
-  def sourceMixingOracle(budget: Long = 10000L): String =
-    s"""WITH counts AS (
+  /** The Hamilton-apportionment CTE chain shared by [[sourceMixingOracle]]
+    * and [[qualityBudgetFillOracle]] — one source of truth for the sqrt
+    * weights, quotas, and the deficit/remainder tie-break, so a change to
+    * the allocation SQL cannot land in one oracle and silently miss the
+    * other.
+    */
+  private def hamiltonCtes(budget: Long): String =
+    s"""counts AS (
        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
        |w AS (
        |  SELECT source, n_docs,
@@ -386,7 +392,10 @@ object Sources {
        |d AS (
        |  SELECT *, $budget - CAST(sum(base) OVER () AS BIGINT) AS deficit,
        |         row_number() OVER (ORDER BY rem DESC, source) AS rk
-       |  FROM q)
+       |  FROM q)""".stripMargin
+
+  def sourceMixingOracle(budget: Long = 10000L): String =
+    s"""WITH ${hamiltonCtes(budget)}
        |SELECT source, n_docs, (w * 1000000) // s AS weight_ppm,
        |       base + (CASE WHEN rk <= deficit THEN 1 ELSE 0 END) AS alloc
        |FROM d ORDER BY source""".stripMargin
@@ -486,11 +495,19 @@ object Sources {
     */
   def qualityBudgetFill(
       spark: SparkSession, sfDir: String, budget: Long = 200L): DataFrame = {
+    import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
-    val alloc = mixingAllocation(
+    // ONE corpus pass for the allocation: collect the source-cardinality
+    // allocation table (the same bounded-collect budget that funds
+    // maxAlloc) and rebuild it as a local relation, so the corpus count
+    // aggregate is not re-executed inside the join subtree of the main
+    // query.
+    val allocRows = mixingAllocation(
         docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs")), budget)
-      .select(col("source"), col("alloc"))
-    val maxAlloc = alloc.agg(max(col("alloc"))).collect()(0).getLong(0)
+      .select(col("source"), col("alloc")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val maxAlloc = (0L +: allocRows.map(_._2)).max
+    val alloc = allocRows.toDF("source", "alloc")
     val toks = Text.tokens(col("text"))
     docs
       .select(col("source"), col("doc_id"),
@@ -500,7 +517,10 @@ object Sources {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("source"))
           .orderBy(col("q_ppm").desc, col("doc_id").asc)))
-      .filter(col("rn") <= lit(maxAlloc.toInt))
+      // row_number is Int, so the plan-time bound clamps at Int.MaxValue —
+      // a larger allocation cannot wrap the literal (the exact per-source
+      // cut below still applies the full Long alloc)
+      .filter(col("rn") <= lit(math.min(maxAlloc, Int.MaxValue.toLong).toInt))
       .join(broadcast(alloc), "source")
       .filter(col("rn") <= col("alloc"))
       .select(col("source"), col("doc_id"), col("q_ppm"), col("rn"))
@@ -508,19 +528,7 @@ object Sources {
   }
 
   def qualityBudgetFillOracle(budget: Long = 200L): String =
-    s"""WITH counts AS (
-       |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
-       |w AS (
-       |  SELECT source, n_docs,
-       |         CAST(floor(sqrt(n_docs) * 1048576) AS BIGINT) AS w
-       |  FROM counts),
-       |t AS (SELECT *, CAST(sum(w) OVER () AS BIGINT) AS s FROM w),
-       |q AS (SELECT *, ($budget * w) // s AS base, ($budget * w) % s AS rem
-       |      FROM t),
-       |d AS (
-       |  SELECT *, $budget - CAST(sum(base) OVER () AS BIGINT) AS deficit,
-       |         row_number() OVER (ORDER BY rem DESC, source) AS rk
-       |  FROM q),
+    s"""WITH ${hamiltonCtes(budget)},
        |a AS (
        |  SELECT source,
        |         base + (CASE WHEN rk <= deficit THEN 1 ELSE 0 END) AS alloc

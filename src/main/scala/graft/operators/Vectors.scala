@@ -919,8 +919,13 @@ object Vectors {
       spark: SparkSession, sfDir: String, seedLabel: Int = 0, k: Int = 40): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val centroidUdaf = udaf(CentroidAgg)
+    // An absent seed class yields an EMPTY centroid array (CentroidAgg's
+    // zero buffer); the size guard turns that into an empty result instead
+    // of k rows of null affinity (zip_with against an empty array pads
+    // nulls — garbage selection with no error).
     val centroid = emb.filter(col("label") === seedLabel)
       .agg(centroidUdaf(col("embedding")).as("c"))
+      .filter(size(col("c")) > 0)
     emb.filter(col("label") =!= seedLabel)
       .crossJoin(broadcast(centroid))
       .select(col("vec_id"), col("label"),

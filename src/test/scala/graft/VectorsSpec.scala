@@ -59,6 +59,11 @@ class VectorsSpec extends SparkSpec {
     assert(got.map(_._3).distinct.size > 1)
   }
 
+  test("centroid affinity: an absent seed label yields an empty result, not null garbage") {
+    val out = Vectors.centroidAffinity(spark, sf0001, seedLabel = 99).collect()
+    assert(out.isEmpty, s"expected empty selection for an empty seed class, got ${out.length} rows")
+  }
+
   test("ivf ann: recall@10 vs exact, and never returns self") {
     val exact = KnnExact.topK(spark, sf0001, queryMaxId = 8, k = 10)
       .select("query_id", "neighbor_id").collect()
