@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -302,15 +303,150 @@ object Curation {
        |ORDER BY avg_imp DESC, doc_id ASC
        |LIMIT $budget""".stripMargin
 
+  // ---------------------------------------------------------------- q126
+
+  /** q126 — CLUSTER KEYWORD LABELING (c-TF-IDF style, the BERTopic recipe in
+    * public form): for each k-means cluster of the embedding space, the
+    * tokens most DISTINCTIVE of that cluster's documents — per-cluster
+    * relative frequency divided by corpus relative frequency (lift), top-n
+    * per cluster. This is the "what is this cluster about" readout that
+    * turns q84's anonymous cell ids into an inspectable corpus map; the
+    * embeddings↔documents id join is the q88 fixture convention.
+    *
+    * Determinism: counts are exact BIGINTs and lift is ONE integer division
+    * `cnt·ctot·1e6 div (clustTot·corpusCnt)` — no doubles anywhere; rank
+    * ties break on token. Rows-only gate (cluster assignment is
+    * model-dependent); pinned by CurationSpec's driver recompute against
+    * the operator's own assignments.
+    *
+    * Scale shape (100 TB): corpus work is one narrow token generate into a
+    * (cluster, token) aggregate — Zipf-bounded per cluster — plus a
+    * broadcast join of the Zipf-bounded corpus frequency table; the top-n
+    * rank windows run over the aggregated table only (WindowGroupLimit,
+    * rank literal). Document text never crosses an exchange. The BIGINT
+    * product `cnt·ctot·1e6` needs DECIMAL(38,0) once corpora pass ~10^9
+    * tokens (the [[lengthAnomalies]] note).
+    */
+  def clusterKeywords(
+      spark: SparkSession, sfDir: String, topN: Int = 5, minCount: Int = 3): DataFrame = {
+    val assigned = Vectors.assignCellsWith(
+        Tables.embeddings(spark, sfDir), Vectors.kmeansModel(spark, sfDir))
+      .select(col("vec_id").as("doc_id"), col("cell").as("cluster"))
+    // tokens explode BEFORE the cluster join, so the join (and any exchange
+    // under it) carries (doc_id, token) rows — document text never meets an
+    // exchange, the q82/q89 width discipline
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+      .join(assigned, "doc_id")
+      .select(col("cluster"), col("t"))
+    val clustered = tok.groupBy(col("cluster"), col("t"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("clust_tot",
+        sum(col("cnt")).over(Window.partitionBy(col("cluster"))))
+    val corpus = tok.groupBy(col("t")).agg(count(lit(1)).as("ccnt"))
+      .crossJoin(broadcast(tok.agg(count(lit(1)).as("ctot"))))
+    clustered
+      .join(broadcast(corpus), "t")
+      .filter(col("cnt") >= minCount)
+      .withColumn("lift_ppm",
+        expr("cnt * ctot * 1000000L div (clust_tot * ccnt)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("lift_ppm").desc, col("t").asc)))
+      .filter(col("rn") <= topN)
+      .select(col("cluster"), col("rn"), col("t").as("token"),
+        col("cnt"), col("lift_ppm"))
+      .orderBy(col("cluster"), col("rn"))
+  }
+
+  // ---------------------------------------------------------------- q127
+
+  /** q127 — TOKEN-DISTRIBUTION DRIFT between two corpus snapshots: the
+    * token-level complement of [[snapshotDelta]] (q117 says WHICH documents
+    * changed; this says what the change DID to the language distribution —
+    * the monitoring statistic a curate→train→re-curate loop alerts on
+    * before re-spending training compute). Per token: counts and relative
+    * frequencies (integer ppm) in each snapshot, ranked by absolute ppm
+    * drift. The two snapshots derive from the fixture exactly as in q117
+    * so DuckDB replays the identical construction.
+    *
+    * Determinism: relative frequencies are integer divisions
+    * (`cnt·1e6 div tot`), drift is an exact BIGINT difference, ties break
+    * on token. Scale shape: two corpus-sized token generates feeding
+    * Zipf-bounded per-token aggregates; the full-outer drift join runs on
+    * the vocabulary table, never the corpus; the cut is a
+    * TakeOrderedAndProject. Text never shuffles.
+    */
+  def tokenDrift(spark: SparkSession, sfDir: String, k: Int = 30): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val oldSnap = docs
+      .filter(col("doc_id") % 13 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 2, reverse(col("text"))).otherwise(col("text")))
+    val newSnap = docs.filter(col("doc_id") % 17 =!= 5)
+    def freqs(snap: DataFrame, pfx: String): DataFrame =
+      snap.select(explode(Text.tokens(col("text"))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as(s"${pfx}_n"))
+        .crossJoin(broadcast(
+          snap.select(explode(Text.tokens(col("text"))).as("t"))
+            .agg(count(lit(1)).as(s"${pfx}_tot"))))
+        .withColumn(s"${pfx}_ppm", expr(s"${pfx}_n * 1000000L div ${pfx}_tot"))
+        .select(col("t"), col(s"${pfx}_n"), col(s"${pfx}_ppm"))
+    freqs(oldSnap, "old")
+      .join(freqs(newSnap, "new"), Seq("t"), "full_outer")
+      .select(col("t").as("token"),
+        coalesce(col("old_n"), lit(0L)).as("old_n"),
+        coalesce(col("new_n"), lit(0L)).as("new_n"),
+        coalesce(col("old_ppm"), lit(0L)).as("old_ppm"),
+        coalesce(col("new_ppm"), lit(0L)).as("new_ppm"))
+      .withColumn("drift_ppm", abs(col("new_ppm") - col("old_ppm")))
+      .orderBy(col("drift_ppm").desc, col("token").asc)
+      .limit(k)
+  }
+
+  def tokenDriftOracle(k: Int = 30): String =
+    s"""WITH o AS (
+       |  SELECT CASE WHEN doc_id % 7 = 2 THEN reverse(text) ELSE text END AS text
+       |  FROM documents WHERE doc_id % 13 <> 3),
+       |n AS (SELECT text FROM documents WHERE doc_id % 17 <> 5),
+       |ot AS (SELECT unnest(string_split(text, ' ')) AS t FROM o),
+       |nt AS (SELECT unnest(string_split(text, ' ')) AS t FROM n),
+       |oc AS (
+       |  SELECT t, CAST(count(*) AS BIGINT) AS old_n FROM ot GROUP BY t),
+       |nc AS (
+       |  SELECT t, CAST(count(*) AS BIGINT) AS new_n FROM nt GROUP BY t),
+       |osum AS (SELECT CAST(count(*) AS BIGINT) AS old_tot FROM ot),
+       |nsum AS (SELECT CAST(count(*) AS BIGINT) AS new_tot FROM nt),
+       |of2 AS (
+       |  SELECT t, old_n, (old_n * 1000000) // old_tot AS old_ppm
+       |  FROM oc CROSS JOIN osum),
+       |nf2 AS (
+       |  SELECT t, new_n, (new_n * 1000000) // new_tot AS new_ppm
+       |  FROM nc CROSS JOIN nsum),
+       |j AS (
+       |  SELECT coalesce(of2.t, nf2.t) AS token,
+       |         coalesce(old_n, 0) AS old_n, coalesce(new_n, 0) AS new_n,
+       |         coalesce(old_ppm, 0) AS old_ppm, coalesce(new_ppm, 0) AS new_ppm
+       |  FROM of2 FULL OUTER JOIN nf2 ON of2.t = nf2.t)
+       |SELECT token, old_n, new_n, old_ppm, new_ppm,
+       |       abs(new_ppm - old_ppm) AS drift_ppm
+       |FROM j
+       |ORDER BY drift_ppm DESC, token ASC
+       |LIMIT $k""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_length_anomalies" -> ((s: SparkSession, d: String) => lengthAnomalies(s, d)),
     "q117_corpus_delta" -> ((s: SparkSession, d: String) => corpusDelta(s, d)),
-    "q121_importance_select" -> ((s: SparkSession, d: String) => importanceSelect(s, d)))
+    "q121_importance_select" -> ((s: SparkSession, d: String) => importanceSelect(s, d)),
+    // rows-only: cluster assignment is k-means-model-dependent (like q84)
+    "q126_cluster_keywords" -> ((s: SparkSession, d: String) => clusterKeywords(s, d)),
+    "q127_token_drift" -> ((s: SparkSession, d: String) => tokenDrift(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q116_length_anomalies" -> lengthAnomaliesOracle(),
     "q117_corpus_delta" -> corpusDeltaOracle,
-    "q121_importance_select" -> importanceSelectOracle())
+    "q121_importance_select" -> importanceSelectOracle(),
+    "q127_token_drift" -> tokenDriftOracle())
 }

@@ -195,6 +195,73 @@ class CurationSpec extends SparkSpec {
     assert(sel.size == nonTarget, "uncapped selection must cover the raw pool")
   }
 
+  test("cluster keywords match a driver-side lift recompute over the model's assignments") {
+    import graft.operators.Vectors
+    // Take the operator's own cluster assignment as given (model-dependent),
+    // then recompute counts and integer lift independently.
+    val assigned = Vectors.assignCellsWith(
+        Tables.embeddings(spark, sf0001), Vectors.kmeansModel(spark, sf0001))
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.get(1).asInstanceOf[Number].intValue).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+      .filter { case (id, _) => assigned.contains(id) }
+    val clustCnt = scala.collection.mutable.Map[(Int, String), Long]().withDefaultValue(0L)
+    val clustTot = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+    val corpusCnt = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    var ctot = 0L
+    docs.foreach { case (id, ts) =>
+      val c = assigned(id)
+      ts.foreach { t =>
+        clustCnt((c, t)) += 1; clustTot(c) += 1; corpusCnt(t) += 1; ctot += 1
+      }
+    }
+    val expect = clustCnt.toSeq
+      .filter(_._2 >= 3)
+      .map { case ((c, t), cnt) =>
+        (c, t, cnt, cnt * ctot * 1000000L / (clustTot(c) * corpusCnt(t)))
+      }
+      .groupBy(_._1).toSeq.flatMap { case (c, rows) =>
+        rows.sortBy { case (_, t, _, lift) => (-lift, t) }
+          .zipWithIndex.take(5)
+          .map { case ((_, t, cnt, lift), i) => (c, i + 1, t, cnt, lift) }
+      }
+      .sortBy { case (c, rn, _, _, _) => (c, rn) }
+    val got = Curation.clusterKeywords(spark, sf0001).collect()
+      .map(r => (r.get(0).asInstanceOf[Number].intValue, r.getInt(1),
+        r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expect)
+    assert(got.nonEmpty && got.map(_._1).distinct.size > 1,
+      "keyword table must cover multiple clusters")
+  }
+
+  test("token drift matches a driver-side recompute of the two snapshots") {
+    val base = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def counts(texts: Seq[String]): (Map[String, Long], Long) = {
+      val m = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      var tot = 0L
+      texts.foreach(_.split(" ", -1).foreach { t => m(t) += 1; tot += 1 })
+      (m.toMap.withDefaultValue(0L), tot)
+    }
+    val (oc, otot) = counts(base.filter(_._1 % 13 != 3)
+      .map { case (id, t) => if (id % 7 == 2) t.reverse else t }.toSeq)
+    val (nc, ntot) = counts(base.filter(_._1 % 17 != 5).map(_._2).toSeq)
+    val expect = (oc.keySet ++ nc.keySet).toSeq.map { t =>
+      val op = oc(t) * 1000000L / otot
+      val np = nc(t) * 1000000L / ntot
+      (t, oc(t), nc(t), op, np, math.abs(np - op))
+    }.sortBy { case (t, _, _, _, _, d) => (-d, t) }.take(30)
+    val got = graft.operators.Curation.tokenDrift(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect)
+    // the reversed-text docs guarantee genuinely drifted tokens
+    assert(got.head._6 > 0, "top drift must be non-zero")
+  }
+
   test("snapshot delta API: disjoint snapshots are pure added + removed") {
     val docs = Tables.documents(spark, sf0001)
     val o = docs.filter(col("doc_id") < 100)

@@ -152,6 +152,19 @@ class PlanSpec extends SparkSpec {
     assertNeverShuffled("q121_importance_select", "text")
   }
 
+  test("cluster keywords: top-n pushed as WindowGroupLimit; text never shuffles") {
+    val plan = planOf("q126_cluster_keywords")
+    assert(plan.contains("WindowGroupLimit"), s"rank<=n not pushed:\n$plan")
+    assertNeverShuffled("q126_cluster_keywords", "text")
+  }
+
+  test("token drift: vocabulary-table cut is a bounded top-k; text never shuffles") {
+    val plan = planOf("q127_token_drift")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"drift cut should be a bounded top-k, not a global sort:\n$plan")
+    assertNeverShuffled("q127_token_drift", "text")
+  }
+
   test("quality-aware dedup pushes rank-1 below the shuffle; text never shuffles") {
     val plan = planOf("q100_dedup_best")
     assert(plan.contains("WindowGroupLimit"), s"rank=1 not pushed:\n$plan")
