@@ -339,13 +339,18 @@ object Curation {
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
       .join(assigned, "doc_id")
       .select(col("cluster"), col("t"))
-    val clustered = tok.groupBy(col("cluster"), col("t"))
-      .agg(count(lit(1)).as("cnt"))
+    // ONE corpus pass: the (cluster, token) aggregate is pinned
+    // (Zipf-bounded × clusters rows), and the corpus frequency table, the
+    // corpus total, and the per-cluster totals all DERIVE from it — naively
+    // reusing `tok` would re-run the corpus explode+join subtree three
+    // times.
+    val clustered = Materialize.stable(
+      tok.groupBy(col("cluster"), col("t")).agg(count(lit(1)).as("cnt")))
+    val corpus = clustered.groupBy(col("t")).agg(sum(col("cnt")).as("ccnt"))
+      .crossJoin(broadcast(clustered.agg(sum(col("cnt")).as("ctot"))))
+    clustered
       .withColumn("clust_tot",
         sum(col("cnt")).over(Window.partitionBy(col("cluster"))))
-    val corpus = tok.groupBy(col("t")).agg(count(lit(1)).as("ccnt"))
-      .crossJoin(broadcast(tok.agg(count(lit(1)).as("ctot"))))
-    clustered
       .join(broadcast(corpus), "t")
       .filter(col("cnt") >= minCount)
       .withColumn("lift_ppm",
