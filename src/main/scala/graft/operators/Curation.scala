@@ -164,13 +164,23 @@ object Curation {
     * (mod 17) ("removed"). Output is the per-status audit row: doc count,
     * total chars, id range.
     */
-  def corpusDelta(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+  /** The deterministic two-snapshot derivation shared by q117 (doc-level
+    * delta) and q127 (token-level drift) — ONE definition, so the
+    * documented "q127 uses exactly q117's snapshots" complement relation
+    * cannot silently diverge: the OLD snapshot lacks doc_id ≡ 3 (mod 13)
+    * and reverses text for doc_id ≡ 2 (mod 7); the NEW lacks ≡ 5 (mod 17).
+    */
+  private def fixtureSnapshots(docs: DataFrame): (DataFrame, DataFrame) = {
     val oldSnap = docs
       .filter(col("doc_id") % 13 =!= 3)
       .withColumn("text",
         when(col("doc_id") % 7 === 2, reverse(col("text"))).otherwise(col("text")))
     val newSnap = docs.filter(col("doc_id") % 17 =!= 5)
+    (oldSnap, newSnap)
+  }
+
+  def corpusDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val (oldSnap, newSnap) = fixtureSnapshots(Tables.documents(spark, sfDir))
     snapshotDelta(oldSnap, newSnap)
       .groupBy(col("status"))
       .agg(
@@ -327,25 +337,31 @@ object Curation {
     * product `cnt·ctot·1e6` needs DECIMAL(38,0) once corpora pass ~10^9
     * tokens (the [[lengthAnomalies]] note).
     */
-  def clusterKeywords(
-      spark: SparkSession, sfDir: String, topN: Int = 5, minCount: Int = 3): DataFrame = {
+  /** The corpus-side (cluster, token) count aggregate of [[clusterKeywords]]
+    * UN-pinned — exposed so PlanSpec can assert the text-never-shuffles
+    * contract on the real subtree (the gate wrapper localCheckpoints it,
+    * which truncates lineage and would blind a plan assertion on the outer
+    * query). Tokens explode BEFORE the cluster join, so the join and every
+    * exchange under it carry (doc_id, token) rows only.
+    */
+  private[graft] def clusterTokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val assigned = Vectors.assignCellsWith(
         Tables.embeddings(spark, sfDir), Vectors.kmeansModel(spark, sfDir))
       .select(col("vec_id").as("doc_id"), col("cell").as("cluster"))
-    // tokens explode BEFORE the cluster join, so the join (and any exchange
-    // under it) carries (doc_id, token) rows — document text never meets an
-    // exchange, the q82/q89 width discipline
-    val tok = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
       .join(assigned, "doc_id")
-      .select(col("cluster"), col("t"))
+      .groupBy(col("cluster"), col("t")).agg(count(lit(1)).as("cnt"))
+  }
+
+  def clusterKeywords(
+      spark: SparkSession, sfDir: String, topN: Int = 5, minCount: Int = 3): DataFrame = {
     // ONE corpus pass: the (cluster, token) aggregate is pinned
     // (Zipf-bounded × clusters rows), and the corpus frequency table, the
     // corpus total, and the per-cluster totals all DERIVE from it — naively
-    // reusing `tok` would re-run the corpus explode+join subtree three
-    // times.
-    val clustered = Materialize.stable(
-      tok.groupBy(col("cluster"), col("t")).agg(count(lit(1)).as("cnt")))
+    // reusing the token frame would re-run the corpus explode+join subtree
+    // three times.
+    val clustered = Materialize.stable(clusterTokenCounts(spark, sfDir))
     val corpus = clustered.groupBy(col("t")).agg(sum(col("cnt")).as("ccnt"))
       .crossJoin(broadcast(clustered.agg(sum(col("cnt")).as("ctot"))))
     clustered
@@ -382,21 +398,26 @@ object Curation {
     * the vocabulary table, never the corpus; the cut is a
     * TakeOrderedAndProject. Text never shuffles.
     */
+  /** One snapshot's per-token count aggregate UN-pinned — exposed for the
+    * PlanSpec text-never-shuffles assertion (the gate pins it, truncating
+    * lineage; see [[clusterTokenCounts]]).
+    */
+  private[graft] def snapshotTokenCounts(snap: DataFrame, pfx: String): DataFrame =
+    snap.select(explode(Text.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as(s"${pfx}_n"))
+
   def tokenDrift(spark: SparkSession, sfDir: String, k: Int = 30): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val oldSnap = docs
-      .filter(col("doc_id") % 13 =!= 3)
-      .withColumn("text",
-        when(col("doc_id") % 7 === 2, reverse(col("text"))).otherwise(col("text")))
-    val newSnap = docs.filter(col("doc_id") % 17 =!= 5)
-    def freqs(snap: DataFrame, pfx: String): DataFrame =
-      snap.select(explode(Text.tokens(col("text"))).as("t"))
-        .groupBy(col("t")).agg(count(lit(1)).as(s"${pfx}_n"))
-        .crossJoin(broadcast(
-          snap.select(explode(Text.tokens(col("text"))).as("t"))
-            .agg(count(lit(1)).as(s"${pfx}_tot"))))
+    val (oldSnap, newSnap) = fixtureSnapshots(Tables.documents(spark, sfDir))
+    // ONE tokenize pass per snapshot: the Zipf-bounded per-token aggregate
+    // is pinned and the snapshot total DERIVES from it (a separate
+    // corpus-level count subtree would re-scan and re-tokenize every
+    // document a second time per snapshot).
+    def freqs(snap: DataFrame, pfx: String): DataFrame = {
+      val f = Materialize.stable(snapshotTokenCounts(snap, pfx))
+      f.crossJoin(broadcast(f.agg(sum(col(s"${pfx}_n")).as(s"${pfx}_tot"))))
         .withColumn(s"${pfx}_ppm", expr(s"${pfx}_n * 1000000L div ${pfx}_tot"))
         .select(col("t"), col(s"${pfx}_n"), col(s"${pfx}_ppm"))
+    }
     freqs(oldSnap, "old")
       .join(freqs(newSnap, "new"), Seq("t"), "full_outer")
       .select(col("t").as("token"),

@@ -155,14 +155,24 @@ class PlanSpec extends SparkSpec {
   test("cluster keywords: top-n pushed as WindowGroupLimit; text never shuffles") {
     val plan = planOf("q126_cluster_keywords")
     assert(plan.contains("WindowGroupLimit"), s"rank<=n not pushed:\n$plan")
-    assertNeverShuffled("q126_cluster_keywords", "text")
+    // The gate pins the (cluster, token) aggregate (localCheckpoint
+    // truncates lineage), so the text contract must be asserted on the
+    // UN-pinned corpus subtree — the outer plan cannot see it.
+    assertNeverShuffled(
+      graft.operators.Curation.clusterTokenCounts(spark, sf001),
+      "q126_cluster_keywords(inner)", "text")
   }
 
   test("token drift: vocabulary-table cut is a bounded top-k; text never shuffles") {
     val plan = planOf("q127_token_drift")
     assert(plan.contains("TakeOrderedAndProject"),
       s"drift cut should be a bounded top-k, not a global sort:\n$plan")
-    assertNeverShuffled("q127_token_drift", "text")
+    // same pinning caveat as q126: assert on the un-pinned snapshot
+    // aggregate, which is where document text could meet an exchange
+    assertNeverShuffled(
+      graft.operators.Curation.snapshotTokenCounts(
+        Tables.documents(spark, sf001), "old"),
+      "q127_token_drift(inner)", "text")
   }
 
   test("quality-aware dedup pushes rank-1 below the shuffle; text never shuffles") {
