@@ -432,6 +432,80 @@ object Streams {
       .start()
   }
 
+  /** Write the reference token-frequency table the [[driftSink]] monitors
+    * against: (t, ref_ppm) rows from ONE tokenize pass over the reference
+    * corpus (the [[graft.operators.Curation.tokenDrift]] pin-then-derive
+    * shape). Refresh it whenever the accepted corpus is re-snapshotted.
+    */
+  def buildRefFreqs(spark: SparkSession, docs: DataFrame, outDir: String): Unit = {
+    val f = graft.operators.Materialize.stable(
+      graft.operators.Curation.snapshotTokenCounts(docs, "ref"), eager = true)
+    try f.crossJoin(broadcast(f.agg(sum(col("ref_n")).as("ref_tot"))))
+      .withColumn("ref_ppm", expr("ref_n * 1000000L div ref_tot"))
+      .select(col("t"), col("ref_ppm"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+    finally graft.operators.Materialize.release(f)
+  }
+
+  /** Streamed q127 — DISTRIBUTION-DRIFT MONITOR on the ingest path: each
+    * arriving micro-batch's token distribution is compared against the
+    * persisted reference corpus distribution ([[buildRefFreqs]]) and the
+    * top-k drifted tokens are emitted as (token, batch_ppm, ref_ppm,
+    * drift_ppm) alarm rows — the "this crawl drop doesn't look like our
+    * corpus" tripwire a curation loop watches before admitting a delivery
+    * (a spam wave, an encoding regression, or a language shift all surface
+    * here before any quality gate fires doc-by-doc).
+    *
+    * Delivery guarantee: the reference table is READ-ONLY to this sink and
+    * the drift rows are a deterministic function of (delivery content,
+    * reference content), so an at-least-once replay — which re-runs the
+    * SAME micro-batch file set, pinned by the checkpoint's WAL — re-emits
+    * only identical rows; distinct-on-read converges. NOTE the guarantee is
+    * per-DELIVERY, unlike [[decontaminateSink]]'s per-document rows: drift
+    * is a batch-aggregate statistic, so starting over with a FRESH
+    * checkpoint may re-batch the backlog differently and score the merged
+    * deliveries as one — that is a new monitoring run, not a replay.
+    * Per-batch cost: one tokenize pass over the delivery (batch-sized,
+    * pinned) + one vocabulary-table join.
+    */
+  def driftSink(
+      spark: SparkSession,
+      srcDir: String,
+      refFreqDir: String,
+      outDir: String,
+      checkpointDir: String,
+      topK: Int = 20): StreamingQuery = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val bf = graft.operators.Materialize.stable(
+            graft.operators.Curation.snapshotTokenCounts(batch, "b"), eager = true)
+          try {
+            bf.crossJoin(broadcast(bf.agg(sum(col("b_n")).as("b_tot"))))
+              .withColumn("batch_ppm", expr("b_n * 1000000L div b_tot"))
+              .select(col("t"), col("batch_ppm"))
+              .join(spark.read.parquet(refFreqDir), Seq("t"), "full_outer")
+              .select(col("t").as("token"),
+                coalesce(col("batch_ppm"), lit(0L)).as("batch_ppm"),
+                coalesce(col("ref_ppm"), lit(0L)).as("ref_ppm"))
+              .withColumn("drift_ppm", abs(col("batch_ppm") - col("ref_ppm")))
+              .orderBy(col("drift_ppm").desc, col("token").asc)
+              .limit(topK)
+              .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+          } finally graft.operators.Materialize.release(bf)
+        }
+      }
+      .start()
+  }
+
   // --------------------------------------------------------------------
   // A9: the Kafka transport (SURVEY §2.A — producer → extractor → indexer).
   //

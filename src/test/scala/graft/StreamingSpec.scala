@@ -437,4 +437,55 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == rows.toSet.size, "duplicates leaked through")
     assert(rows.nonEmpty)
   }
+
+  test("drift sink: per-delivery alarm rows match a batch-vs-reference recompute") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def docs(rows: (Long, String)*) =
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"),
+          org.apache.spark.sql.functions.lit("xx").as("lang"),
+          org.apache.spark.sql.functions.lit("s").as("source"),
+          org.apache.spark.sql.functions.length(col("text")).cast("long").as("n_chars"))
+    // reference corpus: uniform over aa/bb; delivery 1 matches it,
+    // delivery 2 is a spam wave of zz
+    val ref = Files.createTempDirectory("graft-drift-ref").toString + "/f"
+    Streams.buildRefFreqs(spark, docs(1L -> "aa bb", 2L -> "aa bb"), ref)
+    def stage(src: String, name: String, rows: (Long, String)*): Unit = {
+      val tmp = Files.createTempDirectory("graft-driftpart").toString
+      docs(rows: _*).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(src, name))
+    }
+    val src = Files.createTempDirectory("graft-driftsrc").toString
+    val out = Files.createTempDirectory("graft-driftout").toString
+    val ckpt = Files.createTempDirectory("graft-driftckpt").toString
+    val q = Streams.driftSink(spark, src, ref, out, ckpt, topK = 2)
+    try {
+      stage(src, "d1.parquet", 10L -> "aa bb aa bb")
+      q.processAllAvailable()
+      stage(src, "d2.parquet", 11L -> "zz zz zz aa")
+      q.processAllAvailable()
+    } finally q.stop()
+    def emitted() = spark.read.parquet(out)
+      .select("token", "batch_ppm", "ref_ppm", "drift_ppm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // delivery 1: identical distribution -> top-2 drift rows are both 0
+    // delivery 2: zz spikes to 750000 ppm vs 0 in reference, and bb
+    // DISAPPEARS (0 vs 500000) — the full-outer side of the monitor
+    val expect = Set(
+      ("aa", 500000L, 500000L, 0L), ("bb", 500000L, 500000L, 0L),
+      ("zz", 750000L, 0L, 750000L), ("bb", 0L, 500000L, 500000L))
+    assert(emitted() == expect, s"got ${emitted()}")
+    // determinism by content: a later delivery with d1's exact content
+    // (restarted stream, SAME checkpoint — batch composition pinned by the
+    // WAL) emits rows identical to d1's, so the distinct set is unchanged
+    val q2 = Streams.driftSink(spark, src, ref, out, ckpt, topK = 2)
+    try {
+      stage(src, "d3.parquet", 12L -> "aa bb aa bb")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(emitted() == expect, s"identical-content delivery changed the distinct set: ${emitted()}")
+  }
 }
