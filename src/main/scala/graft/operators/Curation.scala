@@ -406,28 +406,44 @@ object Curation {
     snap.select(explode(Text.tokens(col("text"))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as(s"${pfx}_n"))
 
+  /** ppm-normalize a (t, <pfx>_n) count table, deriving the total from the
+    * table itself (pass a PINNED frame, or the count subtree runs twice).
+    * ONE definition of the statistic, shared by [[tokenDrift]] and the
+    * streamed monitor ([[graft.streaming.Streams.driftSink]] /
+    * `buildRefFreqs`) — a rounding or scaling change lands once or the
+    * streamed monitor silently diverges from the oracle-checked q127.
+    */
+  private[graft] def tokenPpm(f: DataFrame, pfx: String): DataFrame =
+    f.crossJoin(broadcast(f.agg(sum(col(s"${pfx}_n")).as(s"${pfx}_tot"))))
+      .withColumn(s"${pfx}_ppm", expr(s"${pfx}_n * 1000000L div ${pfx}_tot"))
+      .select(col("t"), col(s"${pfx}_n"), col(s"${pfx}_ppm"))
+
+  /** The full-outer drift join over two [[tokenPpm]] tables: absent tokens
+    * coalesce to 0, drift = |b − a| ppm, top-k movers with token
+    * tie-breaks. Shared with the streamed monitor (same reason as
+    * [[tokenPpm]]).
+    */
+  private[graft] def driftJoin(
+      aF: DataFrame, bF: DataFrame, aPfx: String, bPfx: String, k: Int): DataFrame =
+    aF.join(bF, Seq("t"), "full_outer")
+      .select(col("t").as("token"),
+        coalesce(col(s"${aPfx}_n"), lit(0L)).as(s"${aPfx}_n"),
+        coalesce(col(s"${bPfx}_n"), lit(0L)).as(s"${bPfx}_n"),
+        coalesce(col(s"${aPfx}_ppm"), lit(0L)).as(s"${aPfx}_ppm"),
+        coalesce(col(s"${bPfx}_ppm"), lit(0L)).as(s"${bPfx}_ppm"))
+      .withColumn("drift_ppm", abs(col(s"${bPfx}_ppm") - col(s"${aPfx}_ppm")))
+      .orderBy(col("drift_ppm").desc, col("token").asc)
+      .limit(k)
+
   def tokenDrift(spark: SparkSession, sfDir: String, k: Int = 30): DataFrame = {
     val (oldSnap, newSnap) = fixtureSnapshots(Tables.documents(spark, sfDir))
     // ONE tokenize pass per snapshot: the Zipf-bounded per-token aggregate
     // is pinned and the snapshot total DERIVES from it (a separate
     // corpus-level count subtree would re-scan and re-tokenize every
     // document a second time per snapshot).
-    def freqs(snap: DataFrame, pfx: String): DataFrame = {
-      val f = Materialize.stable(snapshotTokenCounts(snap, pfx))
-      f.crossJoin(broadcast(f.agg(sum(col(s"${pfx}_n")).as(s"${pfx}_tot"))))
-        .withColumn(s"${pfx}_ppm", expr(s"${pfx}_n * 1000000L div ${pfx}_tot"))
-        .select(col("t"), col(s"${pfx}_n"), col(s"${pfx}_ppm"))
-    }
-    freqs(oldSnap, "old")
-      .join(freqs(newSnap, "new"), Seq("t"), "full_outer")
-      .select(col("t").as("token"),
-        coalesce(col("old_n"), lit(0L)).as("old_n"),
-        coalesce(col("new_n"), lit(0L)).as("new_n"),
-        coalesce(col("old_ppm"), lit(0L)).as("old_ppm"),
-        coalesce(col("new_ppm"), lit(0L)).as("new_ppm"))
-      .withColumn("drift_ppm", abs(col("new_ppm") - col("old_ppm")))
-      .orderBy(col("drift_ppm").desc, col("token").asc)
-      .limit(k)
+    def freqs(snap: DataFrame, pfx: String): DataFrame =
+      tokenPpm(Materialize.stable(snapshotTokenCounts(snap, pfx)), pfx)
+    driftJoin(freqs(oldSnap, "old"), freqs(newSnap, "new"), "old", "new", k)
   }
 
   def tokenDriftOracle(k: Int = 30): String =

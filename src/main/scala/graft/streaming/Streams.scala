@@ -48,6 +48,16 @@ object Streams {
     StructField("embedding", ArrayType(FloatType, containsNull = true)),
     StructField("label", IntegerType)))
 
+  /** Schema of the documents fixture — same one-definition rule as
+    * [[vectorSchema]] for every document-stream sink.
+    */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
   private def readVectors(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(vectorSchema).parquet(dir)
 
@@ -316,13 +326,7 @@ object Streams {
       maxDupBigramFrac: Double = 0.1,
       maxTopTokFrac: Double = 0.2,
       maxStopRatio: Double = 0.2): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("text", StringType),
-      StructField("lang", StringType),
-      StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    spark.readStream.schema(schema).parquet(dir)
+    spark.readStream.schema(docSchema).parquet(dir)
       .withColumn("rs", org.apache.spark.sql.graft.TextExpressions.repStats(
         split(col("text"), " "), graft.operators.Text.stopwords))
       .withColumn("n_tokens", col("rs.n_tokens"))
@@ -365,13 +369,7 @@ object Streams {
       storeDir: String,
       outDir: String,
       checkpointDir: String): StreamingQuery = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("text", StringType),
-      StructField("lang", StringType),
-      StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    spark.readStream.schema(schema).parquet(srcDir)
+    spark.readStream.schema(docSchema).parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -413,13 +411,7 @@ object Streams {
       storeDir: String,
       outDir: String,
       checkpointDir: String): StreamingQuery = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("text", StringType),
-      StructField("lang", StringType),
-      StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    spark.readStream.schema(schema).parquet(srcDir)
+    spark.readStream.schema(docSchema).parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -433,16 +425,21 @@ object Streams {
   }
 
   /** Write the reference token-frequency table the [[driftSink]] monitors
-    * against: (t, ref_ppm) rows from ONE tokenize pass over the reference
-    * corpus (the [[graft.operators.Curation.tokenDrift]] pin-then-derive
-    * shape). Refresh it whenever the accepted corpus is re-snapshotted.
+    * against: (t, ref_n, ref_ppm) rows from ONE tokenize pass over the
+    * reference corpus (the [[graft.operators.Curation.tokenDrift]]
+    * pin-then-derive shape, via the SAME shared `tokenPpm` statistic).
+    *
+    * Refresh protocol: write the new snapshot's table to a NEW
+    * (versioned) path and restart the sink pointing at it. Never
+    * overwrite a live sink's reference in place — the overwrite deletes
+    * part files out from under in-flight reads, and a post-crash WAL
+    * replay would score the replayed delivery against DIFFERENT reference
+    * content, breaking the replay-identity guarantee.
     */
   def buildRefFreqs(spark: SparkSession, docs: DataFrame, outDir: String): Unit = {
     val f = graft.operators.Materialize.stable(
       graft.operators.Curation.snapshotTokenCounts(docs, "ref"), eager = true)
-    try f.crossJoin(broadcast(f.agg(sum(col("ref_n")).as("ref_tot"))))
-      .withColumn("ref_ppm", expr("ref_n * 1000000L div ref_tot"))
-      .select(col("t"), col("ref_ppm"))
+    try graft.operators.Curation.tokenPpm(f, "ref")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
     finally graft.operators.Materialize.release(f)
   }
@@ -456,17 +453,22 @@ object Streams {
     * (a spam wave, an encoding regression, or a language shift all surface
     * here before any quality gate fires doc-by-doc).
     *
-    * Delivery guarantee: the reference table is READ-ONLY to this sink and
-    * the drift rows are a deterministic function of (delivery content,
-    * reference content), so an at-least-once replay — which re-runs the
-    * SAME micro-batch file set, pinned by the checkpoint's WAL — re-emits
-    * only identical rows; distinct-on-read converges. NOTE the guarantee is
-    * per-DELIVERY, unlike [[decontaminateSink]]'s per-document rows: drift
-    * is a batch-aggregate statistic, so starting over with a FRESH
-    * checkpoint may re-batch the backlog differently and score the merged
-    * deliveries as one — that is a new monitoring run, not a replay.
-    * Per-batch cost: one tokenize pass over the delivery (batch-sized,
-    * pinned) + one vocabulary-table join.
+    * Delivery guarantee: the reference table is READ-ONLY to this sink
+    * (loaded ONCE at start — see [[buildRefFreqs]]'s versioned-refresh
+    * protocol) and the drift rows are a deterministic function of
+    * (delivery content, reference content), so an at-least-once replay —
+    * which re-runs the SAME micro-batch file set under the SAME batch id,
+    * both pinned by the checkpoint's WAL — re-emits only identical rows;
+    * distinct-on-read converges. Every row carries `batch_id` (the
+    * foreachBatch epoch), so alarms are ATTRIBUTABLE to the delivery they
+    * should block, and a later delivery that happens to repeat an earlier
+    * drift signature still raises its own distinct rows. NOTE the
+    * guarantee is per-DELIVERY, unlike [[decontaminateSink]]'s
+    * per-document rows: drift is a batch-aggregate statistic, so starting
+    * over with a FRESH checkpoint may re-batch the backlog differently
+    * and score merged deliveries as one — that is a new monitoring run,
+    * not a replay. Per-batch cost: one tokenize pass over the delivery
+    * (batch-sized, pinned) + one vocabulary-table join.
     */
   def driftSink(
       spark: SparkSession,
@@ -475,30 +477,20 @@ object Streams {
       outDir: String,
       checkpointDir: String,
       topK: Int = 20): StreamingQuery = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("text", StringType),
-      StructField("lang", StringType),
-      StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    spark.readStream.schema(schema).parquet(srcDir)
+    // one listing/read of the read-only reference for the sink's lifetime
+    val ref = spark.read.parquet(refFreqDir)
+    spark.readStream.schema(docSchema).parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
         if (!batch.isEmpty) {
           val bf = graft.operators.Materialize.stable(
-            graft.operators.Curation.snapshotTokenCounts(batch, "b"), eager = true)
+            graft.operators.Curation.snapshotTokenCounts(batch, "batch"), eager = true)
           try {
-            bf.crossJoin(broadcast(bf.agg(sum(col("b_n")).as("b_tot"))))
-              .withColumn("batch_ppm", expr("b_n * 1000000L div b_tot"))
-              .select(col("t"), col("batch_ppm"))
-              .join(spark.read.parquet(refFreqDir), Seq("t"), "full_outer")
-              .select(col("t").as("token"),
-                coalesce(col("batch_ppm"), lit(0L)).as("batch_ppm"),
-                coalesce(col("ref_ppm"), lit(0L)).as("ref_ppm"))
-              .withColumn("drift_ppm", abs(col("batch_ppm") - col("ref_ppm")))
-              .orderBy(col("drift_ppm").desc, col("token").asc)
-              .limit(topK)
+            graft.operators.Curation
+              .driftJoin(graft.operators.Curation.tokenPpm(bf, "batch"), ref,
+                "batch", "ref", topK)
+              .withColumn("batch_id", lit(epochId))
               .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
           } finally graft.operators.Materialize.release(bf)
         }

@@ -469,23 +469,31 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     def emitted() = spark.read.parquet(out)
-      .select("token", "batch_ppm", "ref_ppm", "drift_ppm").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    // delivery 1: identical distribution -> top-2 drift rows are both 0
-    // delivery 2: zz spikes to 750000 ppm vs 0 in reference, and bb
+      .select("token", "batch_n", "ref_n", "batch_ppm", "ref_ppm", "drift_ppm", "batch_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    // delivery 0: identical distribution -> top-2 drift rows are both 0
+    // delivery 1: zz spikes to 750000 ppm vs 0 in reference, and bb
     // DISAPPEARS (0 vs 500000) — the full-outer side of the monitor
     val expect = Set(
-      ("aa", 500000L, 500000L, 0L), ("bb", 500000L, 500000L, 0L),
-      ("zz", 750000L, 0L, 750000L), ("bb", 0L, 500000L, 500000L))
+      ("aa", 2L, 2L, 500000L, 500000L, 0L, 0L),
+      ("bb", 2L, 2L, 500000L, 500000L, 0L, 0L),
+      ("zz", 3L, 0L, 750000L, 0L, 750000L, 1L),
+      ("bb", 0L, 2L, 0L, 500000L, 500000L, 1L))
     assert(emitted() == expect, s"got ${emitted()}")
-    // determinism by content: a later delivery with d1's exact content
-    // (restarted stream, SAME checkpoint — batch composition pinned by the
-    // WAL) emits rows identical to d1's, so the distinct set is unchanged
+    // attribution: a later delivery repeating d1's exact content
+    // (restarted stream, SAME checkpoint) alarms AGAIN under its own
+    // batch_id — identical drift signatures are not silently collapsed
     val q2 = Streams.driftSink(spark, src, ref, out, ckpt, topK = 2)
     try {
       stage(src, "d3.parquet", 12L -> "aa bb aa bb")
       q2.processAllAvailable()
     } finally q2.stop()
-    assert(emitted() == expect, s"identical-content delivery changed the distinct set: ${emitted()}")
+    val expect3 = expect ++ Set(
+      ("aa", 2L, 2L, 500000L, 500000L, 0L, 2L),
+      ("bb", 2L, 2L, 500000L, 500000L, 0L, 2L))
+    assert(emitted() == expect3,
+      s"repeat delivery must alarm under its own batch_id: ${emitted()}")
   }
 }
