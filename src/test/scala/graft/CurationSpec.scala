@@ -262,6 +262,56 @@ class CurationSpec extends SparkSpec {
     assert(got.head._6 > 0, "top drift must be non-zero")
   }
 
+  test("property: importance select matches the driver recompute on seeded random corpora") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val alphabet = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    for (trial <- 1 to 3) {
+      val n = 15 + rng.nextInt(25)
+      val frame = (0L until n.toLong).map { id =>
+        val len = 3 + rng.nextInt(10)
+        val text = Seq.fill(len)(alphabet(rng.nextInt(alphabet.size))).mkString(" ")
+        (id, rng.nextDouble() < 0.3, text)
+      }
+      val df = frame.toDF("doc_id", "is_tgt", "text")
+      val rc = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      val tc = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      frame.foreach { case (_, isT, text) =>
+        text.split(" ", -1).foreach { t => rc(t) += 1; if (isT) tc(t) += 1 }
+      }
+      val rtot = rc.values.sum; val ttot = tc.values.sum; val v = rc.size.toLong
+      def score(t: String): Long =
+        BigDecimal((tc(t) + 1) * (rtot + v) * 1e6 / ((rc(t) + 1) * (ttot + v)))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val expect = frame.filter(!_._2).map { case (id, _, text) =>
+        val ts = text.split(" ", -1).toSeq
+        val s = ts.map(score).sum
+        val avg = BigDecimal(s.toDouble / ts.size / 1e6)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, ts.size.toLong, s, avg)
+      }.sortBy { case (id, _, _, a) => (-a, id) }.take(10)
+      val got = Curation.importanceSelectOf(df, col("is_tgt"), budget = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("property: drift of a corpus against itself is zero for every token") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val frame = (0L until 25L).map { id =>
+      (id, Seq.fill(4 + rng.nextInt(8))(s"t${rng.nextInt(9)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val a = Curation.tokenPpm(Curation.snapshotTokenCounts(frame, "old"), "old")
+    val b = Curation.tokenPpm(Curation.snapshotTokenCounts(frame, "new"), "new")
+    val rows = Curation.driftJoin(a, b, "old", "new", k = 1000).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(5) == 0L, s"token ${r.getString(0)} drifted against itself")
+      assert(r.getLong(1) == r.getLong(2), "counts must agree side-to-side")
+    }
+  }
+
   test("snapshot delta API: disjoint snapshots are pure added + removed") {
     val docs = Tables.documents(spark, sf0001)
     val o = docs.filter(col("doc_id") < 100)
