@@ -447,9 +447,10 @@ object Streams {
   /** Streamed q127 — DISTRIBUTION-DRIFT MONITOR on the ingest path: each
     * arriving micro-batch's token distribution is compared against the
     * persisted reference corpus distribution ([[buildRefFreqs]]) and the
-    * top-k drifted tokens are emitted as (token, batch_ppm, ref_ppm,
-    * drift_ppm) alarm rows — the "this crawl drop doesn't look like our
-    * corpus" tripwire a curation loop watches before admitting a delivery
+    * top-k drifted tokens are emitted as (token, batch_n, ref_n,
+    * batch_ppm, ref_ppm, drift_ppm, batch_id) alarm rows — the "this
+    * crawl drop doesn't look like our corpus" tripwire a curation loop
+    * watches before admitting a delivery
     * (a spam wave, an encoding regression, or a language shift all surface
     * here before any quality gate fires doc-by-doc).
     *
@@ -477,8 +478,14 @@ object Streams {
       outDir: String,
       checkpointDir: String,
       topK: Int = 20): StreamingQuery = {
-    // one listing/read of the read-only reference for the sink's lifetime
-    val ref = spark.read.parquet(refFreqDir)
+    // the read-only reference is resolved once and CACHED for the sink's
+    // lifetime (vocabulary-sized by the Zipf-bound argument) — without the
+    // cache every micro-batch would re-read the reference parquet for its
+    // join; blocks live as long as the sink, the documented lifetime
+    val ref = spark.read.parquet(refFreqDir).cache()
+    require(Seq("t", "ref_n", "ref_ppm").forall(ref.columns.contains),
+      s"reference table at $refFreqDir must have (t, ref_n, ref_ppm) columns " +
+        s"(got ${ref.columns.mkString(", ")}) — rebuild it with buildRefFreqs")
     spark.readStream.schema(docSchema).parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)

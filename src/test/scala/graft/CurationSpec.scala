@@ -302,14 +302,19 @@ class CurationSpec extends SparkSpec {
     val frame = (0L until 25L).map { id =>
       (id, Seq.fill(4 + rng.nextInt(8))(s"t${rng.nextInt(9)}").mkString(" "))
     }.toDF("doc_id", "text")
-    val a = Curation.tokenPpm(Curation.snapshotTokenCounts(frame, "old"), "old")
-    val b = Curation.tokenPpm(Curation.snapshotTokenCounts(frame, "new"), "new")
-    val rows = Curation.driftJoin(a, b, "old", "new", k = 1000).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      assert(r.getLong(5) == 0L, s"token ${r.getString(0)} drifted against itself")
-      assert(r.getLong(1) == r.getLong(2), "counts must agree side-to-side")
-    }
+    // honor tokenPpm's pass-a-PINNED-frame contract (the shape callers copy)
+    val a = Curation.tokenPpm(graft.operators.Materialize.stable(
+      Curation.snapshotTokenCounts(frame, "old")), "old")
+    val b = Curation.tokenPpm(graft.operators.Materialize.stable(
+      Curation.snapshotTokenCounts(frame, "new")), "new")
+    try {
+      val rows = Curation.driftJoin(a, b, "old", "new", k = 1000).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getLong(5) == 0L, s"token ${r.getString(0)} drifted against itself")
+        assert(r.getLong(1) == r.getLong(2), "counts must agree side-to-side")
+      }
+    } finally graft.operators.Materialize.releaseAll()
   }
 
   test("snapshot delta API: disjoint snapshots are pure added + removed") {
