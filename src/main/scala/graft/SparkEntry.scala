@@ -36,6 +36,7 @@ object SparkEntry {
       "q105_matryoshka_knn" -> ((s, dir) => KnnExact.topKCosineTrunc(s, dir)),
       "q118_knn_filtered" -> ((s, dir) => KnnExact.topKFiltered(s, dir)),
       "q119_range_search" -> ((s, dir) => KnnExact.rangeSearch(s, dir)),
+      "q128_hard_negatives" -> ((s, dir) => KnnExact.hardNegatives(s, dir)),
       // Greedy-sequential re-rank: rows-only (recursion not SQL-expressible);
       // pinned by RetrievalSpec λ=1-parity / planted-dup / recompute tests.
       "q123_mmr_rerank" -> ((s, dir) => KnnExact.mmrRerank(s, dir)),
@@ -63,5 +64,6 @@ object SparkEntry {
       "q105_matryoshka_knn" -> KnnExact.oracleCosineTrunc(),
       "q118_knn_filtered" -> KnnExact.oracleFiltered(),
       "q119_range_search" -> KnnExact.oracleRange(),
+      "q128_hard_negatives" -> KnnExact.oracleHardNegatives(),
     )
 }

@@ -174,7 +174,12 @@ object Components {
       .orderBy(col("doc_id"))
   }
 
-  def dedupClustersOracle(maxDocId: Long = 100, threshold: Double = 0.8): String =
+  /** The recursive-CTE connected-components chain shared by the q68 and
+    * q129 oracles — one source of truth for the Jaccard edges and the
+    * reachability closure (the [[graft.operators.Sources]] hamiltonCtes
+    * discipline).
+    */
+  private def ccCtes(maxDocId: Long, threshold: Double): String =
     s"""WITH RECURSIVE doc AS (SELECT * FROM documents WHERE doc_id < $maxDocId),
        |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM doc),
        |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
@@ -192,11 +197,58 @@ object Components {
        |reach AS (
        |  SELECT doc_id AS src, doc_id AS dst FROM doc
        |  UNION
-       |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src)
+       |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src)""".stripMargin
+
+  def dedupClustersOracle(maxDocId: Long = 100, threshold: Double = 0.8): String =
+    s"""${ccCtes(maxDocId, threshold)}
        |SELECT src AS doc_id, min(dst) AS cluster_id,
        |       (src = min(dst)) AS is_canonical
        |FROM reach
        |GROUP BY src
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q129
+
+  /** q129 — LEAKAGE-FREE (dedup-aware) train/eval split: the q70 split
+    * keyed on the document's DEDUP-CLUSTER label instead of its own id, so
+    * a near-duplicate pair can never straddle the train/eval boundary —
+    * the eval-hygiene step that closes the classic duplicate-leakage hole
+    * (an id-keyed split puts two copies of one document on opposite sides
+    * and the model is scored on memorized training text). The label IS the
+    * cluster's min doc id (q68's contract), so singleton docs split
+    * exactly as q70 would split them, and every multi-member cluster moves
+    * as a unit under its canonical id's bucket.
+    *
+    * Scale shape: the clustering is the q68 component pass (or the
+    * persisted q115 label store in a real deployment — labels are an
+    * ingest-time artifact); the split itself is a narrow map over
+    * (doc_id, label) with the same engine-independent multiplicative hash
+    * as q70. Oracle-checked against the shared recursive-CTE chain.
+    */
+  def leakFreeSplit(
+      spark: SparkSession,
+      sfDir: String,
+      maxDocId: Long = 100,
+      threshold: Double = 0.8): DataFrame =
+    dedupClusters(spark, sfDir, maxDocId, threshold)
+      .withColumn("bucket", (col("cluster_id") * 2654435761L) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy(col("doc_id"))
+
+  def leakFreeSplitOracle(maxDocId: Long = 100, threshold: Double = 0.8): String =
+    s"""${ccCtes(maxDocId, threshold)},
+       |lab AS (
+       |  SELECT src AS doc_id, min(dst) AS cluster_id
+       |  FROM reach GROUP BY src)
+       |SELECT doc_id, cluster_id,
+       |       CASE WHEN (cluster_id * 2654435761) % 100 < 80 THEN 'train'
+       |            WHEN (cluster_id * 2654435761) % 100 < 90 THEN 'valid'
+       |            ELSE 'test' END AS split
+       |FROM lab
        |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
@@ -429,9 +481,11 @@ object Components {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
-    "q115_cluster_increment" -> ((s: SparkSession, d: String) => clusterIncrement(s, d)))
+    "q115_cluster_increment" -> ((s: SparkSession, d: String) => clusterIncrement(s, d)),
+    "q129_leakfree_split" -> ((s: SparkSession, d: String) => leakFreeSplit(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q68_dedup_clusters" -> dedupClustersOracle(),
-    "q115_cluster_increment" -> clusterIncrementOracle())
+    "q115_cluster_increment" -> clusterIncrementOracle(),
+    "q129_leakfree_split" -> leakFreeSplitOracle())
 }

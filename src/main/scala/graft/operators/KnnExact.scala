@@ -278,6 +278,70 @@ object KnnExact {
        |  AND list_distance(CAST(e.embedding AS DOUBLE[]), q.qv) <= $radius
        |ORDER BY query_id, neighbor_id""".stripMargin
 
+  // ---------------------------------------------------------------- q128
+
+  /** q128 — HARD-NEGATIVE MINING: for each anchor, the k most-similar
+    * vectors whose cosine falls in a similarity BAND `[lo, hi)` — close
+    * enough to be informative negatives for contrastive embedding
+    * training, but below the near-duplicate bar where they'd be false
+    * negatives (the standard dense-retrieval recipe: mine negatives near
+    * the decision boundary, exclude probable positives). The band is the
+    * q119 range-search predicate composed with the q21 top-k rank; ids and
+    * ranks out, so no float crosses the oracle compare (band boundary
+    * comparisons are single IEEE ops on identically-derived doubles, the
+    * q119 contract).
+    *
+    * Scale shape: identical to the exact-kNN scaffold — broadcast anchor
+    * set, score in the scan projection, band filter BEFORE the rank
+    * window so only in-band (ids, score) rows reach the exchange.
+    */
+  def hardNegatives(
+      spark: SparkSession,
+      sfDir: String,
+      queryMaxId: Long = 4,
+      k: Int = 10,
+      lo: Double = 0.05,
+      hi: Double = 0.25): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb
+      .filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorExpressions.cosine(col("qv"), col("embedding")).as("sim"))
+      .filter(col("sim") >= lo && col("sim") < hi)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def oracleHardNegatives(
+      queryMaxId: Long = 4, k: Int = 10,
+      lo: Double = 0.05, hi: Double = 0.25): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < $queryMaxId
+       |), s AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id <> q.query_id
+       |)
+       |SELECT query_id, neighbor_id,
+       |       CAST(row_number() OVER (
+       |         PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+       |         AS INTEGER) AS rank
+       |FROM s
+       |WHERE sim >= $lo AND sim < $hi
+       |QUALIFY rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- q123
 
   /** q123 — MMR DIVERSE RE-RANK (Maximal Marginal Relevance, Carbonell &

@@ -156,4 +156,33 @@ class ComponentsSpec extends SparkSpec {
     assert(byCluster.values.exists(_.length > 2),
       "fixture should produce a chained cluster; threshold may be off")
   }
+
+  test("leak-free split: clusters never straddle a boundary; singletons match the id split") {
+    import org.apache.spark.sql.functions.col
+    val clusters = graft.operators.Components.dedupClusters(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = graft.operators.Components.leakFreeSplit(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == clusters.size)
+    // (a) exact split formula over the cluster label
+    got.foreach { case (doc, cl, split) =>
+      assert(cl == clusters(doc))
+      val b = cl * 2654435761L % 100
+      val want = if (b < 80) "train" else if (b < 90) "valid" else "test"
+      assert(split == want, s"doc $doc")
+    }
+    // (b) the defining invariant: one split per cluster
+    got.groupBy(_._2).foreach { case (cl, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"cluster $cl straddles splits")
+    }
+    // (c) the leakage this op exists to prevent is REAL on the fixture: at
+    // least one multi-member cluster would straddle under the raw id split
+    val leaky = got.groupBy(_._2).values.exists { rows =>
+      rows.length > 1 && rows.map { case (doc, _, _) =>
+        val b = doc * 2654435761L % 100
+        if (b < 80) "train" else if (b < 90) "valid" else "test"
+      }.distinct.length > 1
+    }
+    assert(leaky, "fixture has no cluster the id-keyed split would leak — gate is vacuous")
+  }
 }

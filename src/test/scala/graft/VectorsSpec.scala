@@ -59,6 +59,34 @@ class VectorsSpec extends SparkSpec {
     assert(got.map(_._3).distinct.size > 1)
   }
 
+  test("hard negatives: band and ranking match a driver-side brute force") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = emb.filter(_._1 < 4)
+    val expect = queries.flatMap { case (qid, qv) =>
+      emb.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .filter { case (_, s) => s >= 0.05 && s < 0.25 }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(10).zipWithIndex
+        .map { case ((id, _), i) => (qid, id, i + 1) }
+    }.sortBy { case (q, _, r) => (q, r) }.toSeq
+    val got = KnnExact.hardNegatives(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == expect)
+    assert(got.nonEmpty && got.groupBy(_._1).size == 4, "every anchor must mine negatives")
+  }
+
   test("centroid affinity: an absent seed label yields an empty result, not null garbage") {
     val out = Vectors.centroidAffinity(spark, sf0001, seedLabel = 99).collect()
     assert(out.isEmpty, s"expected empty selection for an empty seed class, got ${out.length} rows")
