@@ -38,7 +38,8 @@ object KnnExact {
       proj: Column => Column,
       score: (Column, Column) => Column,
       ascending: Boolean,
-      corpusFilter: Column = lit(true)): DataFrame = {
+      corpusFilter: Column = lit(true),
+      scoreFilter: Column => Column = _ => lit(true)): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb
       .filter(col("vec_id") < queryMaxId)
@@ -49,6 +50,10 @@ object KnnExact {
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
         score(col("qv"), proj(col("embedding"))).as("score"))
+      // score-band predicate (hard-negative mining) applies BEFORE the
+      // rank window, so only qualifying (ids, score) rows reach the
+      // exchange
+      .filter(scoreFilter(col("score")))
     val ord = if (ascending) col("score").asc else col("score").desc
     val w = Window.partitionBy(col("query_id")).orderBy(ord, col("neighbor_id").asc)
     scored
@@ -301,25 +306,12 @@ object KnnExact {
       queryMaxId: Long = 4,
       k: Int = 10,
       lo: Double = 0.05,
-      hi: Double = 0.25): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-    val q = emb
-      .filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val scored = emb
-      .join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(
-        col("query_id"), col("vec_id").as("neighbor_id"),
-        VectorExpressions.cosine(col("qv"), col("embedding")).as("sim"))
-      .filter(col("sim") >= lo && col("sim") < hi)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      hi: Double = 0.25): DataFrame =
+    topKScaffold(spark, sfDir, queryMaxId, k, identity,
+        VectorExpressions.cosine, ascending = false,
+        scoreFilter = s => s >= lo && s < hi)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
-  }
 
   def oracleHardNegatives(
       queryMaxId: Long = 4, k: Int = 10,

@@ -158,10 +158,9 @@ class ComponentsSpec extends SparkSpec {
   }
 
   test("leak-free split: clusters never straddle a boundary; singletons match the id split") {
-    import org.apache.spark.sql.functions.col
-    val clusters = graft.operators.Components.dedupClusters(spark, sf0001)
+    val clusters = Components.dedupClusters(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    val got = graft.operators.Components.leakFreeSplit(spark, sf0001)
+    val got = Components.leakFreeSplit(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(got.length == clusters.size)
     // (a) exact split formula over the cluster label

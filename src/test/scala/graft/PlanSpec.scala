@@ -436,6 +436,7 @@ class PlanSpec extends SparkSpec {
     // array), so a renamed copy (`qv`) cannot slip through under an alias.
     Seq(
       "q20_knn_exact", "q21_knn_cosine", "q95_knn_dot", "q105_matryoshka_knn",
+      "q128_hard_negatives",
       "q23_lsh_knn", "q28_lsh_multiprobe", "q25_ann_ivf", "q29_ann_ivf_indexed",
       "q110_semantic_increment",
       // seed-centroid scoring: the 1-row centroid moves by broadcast; the
