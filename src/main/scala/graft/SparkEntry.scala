@@ -27,7 +27,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ Text.all ++ Events.all ++ Vectors.all ++ Media.all ++
       AsOf.all ++ Sources.all ++ Stats.all ++ Retrieval.all ++ Pq.all ++
-      Sketches.all ++ Components.all ++ Bpe.all ++ Curation.all ++
+      Sketches.all ++ Components.all ++ Bpe.all ++ Curation.all ++ Audit.all ++
       Map[String, (SparkSession, String) => DataFrame](
       "q19_sql_vector_knn" -> ((s, dir) => KnnExact.topKSql(s, dir)),
       "q20_knn_exact" -> ((s, dir) => KnnExact.topK(s, dir)),
@@ -37,6 +37,7 @@ object SparkEntry {
       "q118_knn_filtered" -> ((s, dir) => KnnExact.topKFiltered(s, dir)),
       "q119_range_search" -> ((s, dir) => KnnExact.rangeSearch(s, dir)),
       "q128_hard_negatives" -> ((s, dir) => KnnExact.hardNegatives(s, dir)),
+      "q130_knn_label_eval" -> ((s, dir) => KnnExact.knnLabelEval(s, dir)),
       // Greedy-sequential re-rank: rows-only (recursion not SQL-expressible);
       // pinned by RetrievalSpec λ=1-parity / planted-dup / recompute tests.
       "q123_mmr_rerank" -> ((s, dir) => KnnExact.mmrRerank(s, dir)),
@@ -56,7 +57,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Text.oracles ++ Events.oracles ++ Vectors.oracles ++
       Media.oracles ++ AsOf.oracles ++ Sources.oracles ++ Stats.oracles ++
-      Retrieval.oracles ++ Components.oracles ++ Curation.oracles ++ Map(
+      Retrieval.oracles ++ Components.oracles ++ Curation.oracles ++
+      Audit.oracles ++ Map(
       "q19_sql_vector_knn" -> KnnExact.oracle(queryMaxId = 4),
       "q20_knn_exact" -> KnnExact.oracle(),
       "q21_knn_cosine" -> KnnExact.oracleCosine(),
@@ -65,5 +67,6 @@ object SparkEntry {
       "q118_knn_filtered" -> KnnExact.oracleFiltered(),
       "q119_range_search" -> KnnExact.oracleRange(),
       "q128_hard_negatives" -> KnnExact.oracleHardNegatives(),
+      "q130_knn_label_eval" -> KnnExact.oracleLabelEval(),
     )
 }

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import org.apache.spark.sql.graft.VectorExpressions
+
+/** Corpus/embedding-store AUDIT operators — the cheap invariants a pipeline
+  * checks BEFORE spending compute on indexing, dedup, or training (SURVEY §2
+  * LLM-pipeline mandate: at 100 TB a silent contract violation — an
+  * unnormalized vector batch, an embedding job that skipped a shard — costs a
+  * full re-run of everything downstream, so the audits that catch it must be
+  * first-class operators, not ad-hoc notebooks):
+  *
+  *   - [[embeddingNorms]] (q131): per-label unit-norm conformance — cosine
+  *     search, SemDeDup thresholds, and centroid math all assume unit
+  *     vectors; a model drop that ships raw (unnormalized) vectors skews
+  *     every similarity silently.
+  *   - [[embeddingCoverage]] (q133): doc↔vector alignment — documents with
+  *     no embedding row (semantic dedup silently skips them) and orphan
+  *     vectors with no document (stale embeddings of deleted docs that still
+  *     win candidate slots).
+  *
+  * Determinism discipline (repo-wide): norms are integer-ppm via
+  * floor-of-identical-IEEE-expression on both engines; counts are exact
+  * integer sums; no float crosses an oracle compare.
+  */
+object Audit {
+
+  // ---------------------------------------------------------------- q131
+
+  /** q131 — EMBEDDING NORM AUDIT: per-label vector count, min/max L2 norm
+    * (integer ppm), and the number of vectors violating the unit-norm
+    * contract by more than `tolPpm`. The norm is computed as
+    * `floor(sqrt(dot(v,v)) · 1e6)`: the dot product is the same codegen
+    * expression the kNN family ranks with (sequential float-pair
+    * accumulation in double, IEEE-identical to DuckDB's
+    * `list_dot_product` over `CAST(... AS DOUBLE[])` — the q95/q20 proven
+    * path), `sqrt` is correctly rounded by IEEE 754, and the floor lands
+    * both engines on the same integer.
+    *
+    * Scale shape: ONE narrow scan — the 64-float dot is a per-row codegen
+    * map, the aggregate is a 10-label hash agg with map-side partials.
+    * Nothing corpus-sized shuffles; output is label-cardinality rows.
+    */
+  def embeddingNorms(
+      spark: SparkSession,
+      sfDir: String,
+      tolPpm: Long = 5000L): DataFrame =
+    embeddingNormsOf(Tables.embeddings(spark, sfDir), tolPpm)
+
+  /** The norm-audit core over ANY (label, embedding) frame — the gate
+    * wrapper binds the fixture table; specs drive it with planted
+    * zero/scaled vectors the (all-unit-norm) fixtures cannot produce.
+    */
+  def embeddingNormsOf(emb: DataFrame, tolPpm: Long): DataFrame =
+    emb
+      .select(col("label"),
+        floor(sqrt(VectorExpressions.dot(col("embedding"), col("embedding")))
+          * 1000000d).cast("long").as("norm_ppm"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        min(col("norm_ppm")).as("min_norm_ppm"),
+        max(col("norm_ppm")).as("max_norm_ppm"),
+        sum(when(abs(col("norm_ppm") - 1000000L) > tolPpm, 1L).otherwise(0L))
+          .as("n_off_unit"))
+      .orderBy(col("label"))
+
+  def embeddingNormsOracle(tolPpm: Long = 5000L): String =
+    s"""WITH n AS (
+       |  SELECT label,
+       |         CAST(floor(sqrt(list_dot_product(
+       |             CAST(embedding AS DOUBLE[]),
+       |             CAST(embedding AS DOUBLE[]))) * 1000000) AS BIGINT)
+       |           AS norm_ppm
+       |  FROM embeddings)
+       |SELECT label, count(*) AS n_vectors,
+       |       min(norm_ppm) AS min_norm_ppm,
+       |       max(norm_ppm) AS max_norm_ppm,
+       |       CAST(sum(CASE WHEN abs(norm_ppm - 1000000) > $tolPpm
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_off_unit
+       |FROM n GROUP BY label ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------- q133
+
+  /** q133 — EMBEDDING COVERAGE AUDIT: full-outer join of document ids
+    * against embedding-store ids, summarized per source — how many
+    * documents have a vector, how many are missing one (they silently drop
+    * out of every semantic operator), and how many vectors are orphans of
+    * no current document (rows under the synthetic `(orphan)` source:
+    * stale embeddings of deleted/re-ingested docs — the same degradation
+    * class [[Index.integrityReport]] probes inside the LSH layout, here
+    * caught at the store boundary).
+    *
+    * Scale shape: both join legs are id+source projections (pruned scans,
+    * no text/vector bytes move); the full-outer equi-join is ONE hash
+    * exchange on the id — the unavoidable minimum for set reconciliation —
+    * and on id-bucketed layouts it degrades to a zero-exchange SMJ. The
+    * summary aggregates to source cardinality before anything returns.
+    */
+  def embeddingCoverage(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingCoverageOf(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
+      Tables.embeddings(spark, sfDir).select(col("vec_id")))
+
+  /** The reconciliation core over ANY (doc_id, source) × (vec_id) pair of
+    * id frames — specs drive it with planted gaps and orphans.
+    */
+  def embeddingCoverageOf(d: DataFrame, e: DataFrame): DataFrame = {
+    d.join(e, col("doc_id") === col("vec_id"), "full_outer")
+      .groupBy(coalesce(col("source"), lit("(orphan)")).as("source"))
+      .agg(
+        sum(when(col("doc_id").isNotNull, 1L).otherwise(0L)).as("n_docs"),
+        sum(when(col("doc_id").isNotNull && col("vec_id").isNotNull, 1L)
+          .otherwise(0L)).as("n_with_vec"),
+        sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("n_orphan_vecs"))
+      .orderBy(col("source"))
+  }
+
+  val embeddingCoverageOracle: String =
+    """SELECT coalesce(source, '(orphan)') AS source,
+      |       CAST(sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_vec,
+      |       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_orphan_vecs
+      |FROM documents d
+      |FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+      |GROUP BY 1 ORDER BY source""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_embedding_norms" -> ((s: SparkSession, d: String) => embeddingNorms(s, d)),
+    "q133_embedding_coverage" -> (embeddingCoverage _))
+
+  val oracles: Map[String, String] = Map(
+    "q131_embedding_norms" -> embeddingNormsOracle(),
+    "q133_embedding_coverage" -> embeddingCoverageOracle)
+}

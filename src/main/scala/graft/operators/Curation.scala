@@ -478,17 +478,83 @@ object Curation {
 
   // ------------------------------------------------------------ registry
 
+  // ---------------------------------------------------------------- q132
+
+  /** q132 — PER-SOURCE QUALITY DECILES: bucket each source's documents into
+    * `buckets` equal-depth quality tiers (quality = the integer-ppm
+    * type-token ratio shared with q122's budget fill) and report each
+    * tier's document count and quality bounds. This is the calibration
+    * table BEHIND every percentile-style quality cut (the FineWeb/DCLM
+    * recipe filters each dump at a quality percentile, not an absolute
+    * threshold, because score distributions drift across sources and
+    * crawls): before committing to "drop the bottom 30% of src5", a
+    * curator reads this table to see what the bottom 30% of src5 IS.
+    *
+    * Determinism: quality is pure BIGINT arithmetic (`n_distinct·1e6 div
+    * n_tokens`); `ntile` over the (q_ppm desc, doc_id asc) total order is
+    * the SQL-standard equal-depth split (larger buckets first), identical
+    * on both engines given the identical total order; counts/bounds are
+    * exact integers.
+    *
+    * Scale shape: the quality score is a narrow per-doc map (no text
+    * leaves the scan); the one corpus exchange is the hash partition by
+    * source feeding per-source rank windows — all sources rank in
+    * parallel, same shape as q99/q122 (a skewed single source serializes
+    * its own shard only; salt by a doc_id range block and merge deciles if
+    * one source dominates the corpus). Output is sources×buckets rows.
+    */
+  def qualityDeciles(
+      spark: SparkSession,
+      sfDir: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val toks = Text.tokens(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        (size(array_distinct(toks)).cast("long") * 1000000L).as("qn"),
+        size(toks).cast("long").as("qd"))
+      .select(col("source"), col("doc_id"), expr("qn div qd").as("q_ppm"))
+      .withColumn("decile", ntile(buckets).over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("q_ppm").desc, col("doc_id").asc)).cast("long"))
+      .groupBy(col("source"), col("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("q_ppm")).as("min_q_ppm"),
+        max(col("q_ppm")).as("max_q_ppm"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  def qualityDecilesOracle(buckets: Int = 10): String =
+    s"""WITH sc AS (
+       |  SELECT source, doc_id,
+       |         (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+       |            * 1000000)
+       |           // CAST(len(string_split(text, ' ')) AS BIGINT) AS q_ppm
+       |  FROM documents),
+       |d AS (
+       |  SELECT source, q_ppm,
+       |         CAST(ntile($buckets) OVER (
+       |           PARTITION BY source ORDER BY q_ppm DESC, doc_id)
+       |           AS BIGINT) AS decile
+       |  FROM sc)
+       |SELECT source, decile, count(*) AS n_docs,
+       |       min(q_ppm) AS min_q_ppm, max(q_ppm) AS max_q_ppm
+       |FROM d GROUP BY source, decile ORDER BY source, decile""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_length_anomalies" -> ((s: SparkSession, d: String) => lengthAnomalies(s, d)),
     "q117_corpus_delta" -> ((s: SparkSession, d: String) => corpusDelta(s, d)),
     "q121_importance_select" -> ((s: SparkSession, d: String) => importanceSelect(s, d)),
     // rows-only: cluster assignment is k-means-model-dependent (like q84)
     "q126_cluster_keywords" -> ((s: SparkSession, d: String) => clusterKeywords(s, d)),
-    "q127_token_drift" -> ((s: SparkSession, d: String) => tokenDrift(s, d)))
+    "q127_token_drift" -> ((s: SparkSession, d: String) => tokenDrift(s, d)),
+    "q132_quality_deciles" -> ((s: SparkSession, d: String) => qualityDeciles(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q116_length_anomalies" -> lengthAnomaliesOracle(),
     "q117_corpus_delta" -> corpusDeltaOracle,
     "q121_importance_select" -> importanceSelectOracle(),
-    "q127_token_drift" -> tokenDriftOracle())
+    "q127_token_drift" -> tokenDriftOracle(),
+    "q132_quality_deciles" -> qualityDecilesOracle())
 }

@@ -39,8 +39,21 @@ object KnnExact {
       score: (Column, Column) => Column,
       ascending: Boolean,
       corpusFilter: Column = lit(true),
-      scoreFilter: Column => Column = _ => lit(true)): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
+      scoreFilter: Column => Column = _ => lit(true),
+      carry: Seq[Column] = Nil): DataFrame =
+    topKScaffoldOf(Tables.embeddings(spark, sfDir), queryMaxId, k, proj,
+      score, ascending, corpusFilter, scoreFilter, carry)
+
+  private[operators] def topKScaffoldOf(
+      emb: DataFrame,
+      queryMaxId: Long,
+      k: Int,
+      proj: Column => Column,
+      score: (Column, Column) => Column,
+      ascending: Boolean,
+      corpusFilter: Column = lit(true),
+      scoreFilter: Column => Column = _ => lit(true),
+      carry: Seq[Column] = Nil): DataFrame = {
     val q = emb
       .filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), proj(col("embedding")).as("qv"))
@@ -48,8 +61,8 @@ object KnnExact {
       .filter(corpusFilter)
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(
-        col("query_id"), col("vec_id").as("neighbor_id"),
-        score(col("qv"), proj(col("embedding"))).as("score"))
+        Seq(col("query_id"), col("vec_id").as("neighbor_id"),
+          score(col("qv"), proj(col("embedding"))).as("score")) ++ carry: _*)
       // score-band predicate (hard-negative mining) applies BEFORE the
       // rank window, so only qualifying (ids, score) rows reach the
       // exchange
@@ -333,6 +346,98 @@ object KnnExact {
        |WHERE sim >= $lo AND sim < $hi
        |QUALIFY rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q130
+
+  /** q130 — kNN LABEL-VOTE EVALUATION: classify each held-out query vector
+    * by the majority label of its k nearest cosine neighbors and report
+    * per-label accuracy — the standard embedding-quality probe (Fix &
+    * Hodges' classic kNN classifier as an EVAL, the "linear probe"
+    * companion every embedding pipeline runs before trusting a new model
+    * drop: if nearest-neighbor labels can't predict a vector's own label,
+    * the space is not organized enough to dedup or retrieve against).
+    * Complements A10: recall measures how well the APPROXIMATE index
+    * reproduces exact neighbors; this measures whether the exact neighbors
+    * are any good.
+    *
+    * Scale shape: the corpus-sized work is the one scaffold scan (broadcast
+    * query set, score in the scan projection, per-query top-k window) with
+    * the neighbor LABEL carried through the projection — no corpus-sized
+    * label join afterward; everything past the scaffold runs on |Q|·k
+    * rows, and the query-label join broadcasts the |Q|-row query side.
+    *
+    * Determinism: neighbor sets are the q21 (sim, id)-tie-broken ranking;
+    * votes are integer counts with (count desc, label asc) tie-break;
+    * accuracy is integer ppm — no float crosses the oracle compare.
+    */
+  def knnLabelEval(
+      spark: SparkSession,
+      sfDir: String,
+      queryMaxId: Long = 32,
+      k: Int = 10): DataFrame =
+    knnLabelEvalOf(Tables.embeddings(spark, sfDir), queryMaxId, k)
+
+  /** The vote-eval core over ANY (vec_id, embedding, label) frame — the
+    * gate wrapper binds the fixture table; specs drive it with planted
+    * tight clusters (accuracy must be 100%) and planted mislabels.
+    */
+  def knnLabelEvalOf(emb: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    val hits = topKScaffoldOf(emb, queryMaxId, k, identity,
+      VectorExpressions.cosine, ascending = false,
+      carry = Seq(col("label").as("n_label")))
+    val queryLabels = emb
+      .filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("n_label").asc)
+    hits
+      .groupBy(col("query_id"), col("n_label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .join(broadcast(queryLabels), "query_id")
+      .groupBy(col("q_label").as("label"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_ppm", expr("n_correct * 1000000L div n_queries"))
+      .orderBy(col("label"))
+  }
+
+  def oracleLabelEval(queryMaxId: Long = 32, k: Int = 10): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, label AS q_label,
+       |         CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < $queryMaxId
+       |), d AS (
+       |  SELECT q.query_id, q.q_label, e.label AS n_label,
+       |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim,
+       |         e.vec_id AS neighbor_id
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id <> q.query_id
+       |), topk AS (
+       |  SELECT query_id, q_label, n_label,
+       |         row_number() OVER (
+       |           PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM d QUALIFY rank <= $k
+       |), v AS (
+       |  SELECT query_id, q_label, n_label, count(*) AS n_votes
+       |  FROM topk GROUP BY query_id, q_label, n_label
+       |), p AS (
+       |  SELECT query_id, q_label, n_label,
+       |         row_number() OVER (
+       |           PARTITION BY query_id ORDER BY n_votes DESC, n_label) AS vr
+       |  FROM v
+       |)
+       |SELECT q_label AS label, count(*) AS n_queries,
+       |       CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_correct,
+       |       (CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+       |          AS BIGINT) * 1000000)
+       |         // count(*) AS acc_ppm
+       |FROM p WHERE vr = 1
+       |GROUP BY q_label ORDER BY label""".stripMargin
 
   // ---------------------------------------------------------------- q123
 

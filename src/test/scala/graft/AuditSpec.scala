@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Audit, Curation, KnnExact}
+
+class AuditSpec extends SparkSpec {
+
+  private def unit(dim: Int, axis: Int, scale: Float = 1f): Array[Float] = {
+    val v = Array.fill(dim)(0f); v(axis) = scale; v
+  }
+
+  test("q131 norms: fixture embeddings are unit-norm; planted violations flagged") {
+    import spark.implicits._
+    val fixture = Audit.embeddingNorms(spark, sf0001).collect()
+    assert(fixture.nonEmpty)
+    fixture.foreach { r =>
+      assert(r.getAs[Long]("n_off_unit") == 0L, s"fixture off-unit: $r")
+      assert(math.abs(r.getAs[Long]("min_norm_ppm") - 1000000L) <= 5000L)
+      assert(math.abs(r.getAs[Long]("max_norm_ppm") - 1000000L) <= 5000L)
+    }
+    // Planted: one unit vector, one zero vector, one 2x-norm vector.
+    val planted = Seq(
+      (0L, unit(4, 0), 0),
+      (1L, Array.fill(4)(0f), 0),
+      (2L, unit(4, 1, 2f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Audit.embeddingNormsOf(planted, tolPpm = 5000L).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("n_vectors") == 3L)
+    assert(got.head.getAs[Long]("n_off_unit") == 2L)
+    assert(got.head.getAs[Long]("min_norm_ppm") == 0L)
+    assert(got.head.getAs[Long]("max_norm_ppm") == 2000000L)
+  }
+
+  test("q133 coverage: planted missing vector and orphan vector are attributed") {
+    import spark.implicits._
+    val docs = Seq((1L, "web"), (2L, "web"), (3L, "books"))
+      .toDF("doc_id", "source")
+    val vecs = Seq(1L, 3L, 99L).toDF("vec_id")
+    val got = Audit.embeddingCoverageOf(docs, vecs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("web") == ((2L, 1L, 0L)))       // doc 2 has no vector
+    assert(got("books") == ((1L, 1L, 0L)))
+    assert(got("(orphan)") == ((0L, 0L, 1L)))  // vec 99 has no doc
+  }
+
+  test("q130 label eval: planted tight clusters classify perfectly; a planted mislabel fails") {
+    import spark.implicits._
+    // Three tight clusters on distinct axes, 5 members each; queries are
+    // ids 0-2, one per cluster. Members of a cluster are tiny rotations of
+    // the axis vector so neighbors are unambiguous.
+    def member(axis: Int, i: Int): Array[Float] = {
+      val v = Array.fill(6)(0.001f * (i + 1)); v(axis) = 1f
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rows = for (axis <- 0 until 3; i <- 0 until 5)
+      yield ((axis + 3 * i).toLong, member(axis, i), axis)
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val got = KnnExact.knnLabelEvalOf(emb, queryMaxId = 3, k = 4).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_queries") == 1L)
+      assert(r.getAs[Long]("n_correct") == 1L, s"cluster misclassified: $r")
+      assert(r.getAs[Long]("acc_ppm") == 1000000L)
+    }
+    // Flip query 0's label: its neighbors still vote the TRUE cluster, so
+    // it must now be counted incorrect under its (wrong) stored label.
+    val flipped = emb.withColumn("label",
+      when(col("vec_id") === 0L, lit(9)).otherwise(col("label")))
+    val got2 = KnnExact.knnLabelEvalOf(flipped, queryMaxId = 3, k = 4)
+      .filter(col("label") === 9).collect()
+    assert(got2.length == 1 && got2.head.getAs[Long]("n_correct") == 0L)
+  }
+
+  test("q130 fixture: every query classified exactly once, counts consistent") {
+    val got = KnnExact.knnLabelEval(spark, sf0001).collect()
+    assert(got.map(_.getAs[Long]("n_queries")).sum == 32L)
+    got.foreach { r =>
+      val (nq, nc, acc) = (r.getAs[Long]("n_queries"),
+        r.getAs[Long]("n_correct"), r.getAs[Long]("acc_ppm"))
+      assert(nc >= 0L && nc <= nq)
+      assert(acc == nc * 1000000L / nq)
+    }
+  }
+
+  test("q132 deciles: equal-depth per source, full coverage, nested bounds") {
+    val docs = Tables.documents(spark, sf0001)
+    val total = docs.count()
+    val got = Curation.qualityDeciles(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("min_q_ppm"), r.getAs[Long]("max_q_ppm")))
+    assert(got.map(_._3).sum == total)
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val counts = rows.sortBy(_._2).map(_._3)
+      // ntile contract: bucket sizes differ by at most one, larger first
+      assert(counts.max - counts.min <= 1L, s"$src: $counts")
+      assert(counts.sameElements(counts.sortBy(-_)), s"$src larger-first: $counts")
+      // quality bounds nest: decile i's floor >= decile i+1's ceiling
+      val ordered = rows.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Array(hi, lo) => assert(hi._4 >= lo._5, s"$src bounds: $hi vs $lo")
+        case _ =>
+      }
+    }
+  }
+}
