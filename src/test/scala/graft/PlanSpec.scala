@@ -423,7 +423,9 @@ class PlanSpec extends SparkSpec {
     Seq(
       "q32_exact_dedup", "q39_dedup_corpus", "q77_shingle_neardups",
       "q78_neardedup_corpus", "q83_clean_corpus", "q106_dedup_increment",
-      "q114_duplicated_spans")
+      "q114_duplicated_spans",
+      // quality deciles: only (source, doc_id, q_ppm) feeds the rank window
+      "q132_quality_deciles")
       .foreach(assertNeverShuffled(_, "text"))
     // The exact-kNN family broadcasts the query side and scores in the
     // scan projection; only (ids, score) rows reach the rank shuffle. The
@@ -437,6 +439,9 @@ class PlanSpec extends SparkSpec {
     Seq(
       "q20_knn_exact", "q21_knn_cosine", "q95_knn_dot", "q105_matryoshka_knn",
       "q128_hard_negatives",
+      // label eval: votes travel as (query_id, n_label) pairs; the norm
+      // audit reduces each vector to an integer ppm inside the scan
+      "q130_knn_label_eval", "q131_embedding_norms",
       "q23_lsh_knn", "q28_lsh_multiprobe", "q25_ann_ivf", "q29_ann_ivf_indexed",
       "q110_semantic_increment",
       // seed-centroid scoring: the 1-row centroid moves by broadcast; the
@@ -470,6 +475,21 @@ class PlanSpec extends SparkSpec {
     val plan = planOf("q87_chunk_documents")
     assert(shuffleExchanges(plan).size <= 1,
       s"q87 shuffles beyond the final sort:\n$plan")
+  }
+
+  test("coverage audit: both scans are id+source projections; no payload read") {
+    // The reconciliation join must move ids, never text or vectors — the
+    // difference between a metadata-sized exchange and re-shipping 100 TB.
+    val plan = planOf("q133_embedding_coverage")
+    val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.size == 2, s"expected two scans:\n$plan")
+    val docScan = scans.find(_.contains("documents"))
+      .getOrElse(fail(s"no documents scan:\n$plan"))
+    val embScan = scans.find(_.contains("embeddings"))
+      .getOrElse(fail(s"no embeddings scan:\n$plan"))
+    assert(!docScan.contains("text"), s"coverage reads document text: $docScan")
+    assert(!embScan.contains("embedding:"),
+      s"coverage reads embedding payloads: $embScan")
   }
 
   test("pq adc scan reads only the 8-byte code column, never an embedding") {
