@@ -505,6 +505,43 @@ object Streams {
       .start()
   }
 
+  /** Streamed q131 — EMBEDDING NORM GUARD on the vector-ingest path: every
+    * arriving micro-batch is norm-audited ([[graft.operators.Audit
+    * .embeddingNormsOf]]) BEFORE an index sink would consume it, and the
+    * per-label audit rows land with `batch_id` attribution — so an
+    * unnormalized model drop is caught at the delivery boundary it arrived
+    * in (and can be quarantined by delivery), not discovered later as
+    * silently skewed cosines across the whole index. The operational
+    * pairing for [[liveAppendSink]]: run the guard on the same source
+    * directory and admit a delivery to the live index only when its audit
+    * rows show `n_off_unit = 0`.
+    *
+    * Delivery guarantee (the [[driftSink]] argument): audit rows are a
+    * deterministic pure function of delivery content, and an
+    * at-least-once replay re-runs the same WAL-pinned file set under the
+    * same batch id — replays re-emit identical rows; distinct-on-read
+    * converges. Per-batch cost: one narrow codegen pass over the delivery
+    * (norms reduce to integer ppm inside the scan) + a label-cardinality
+    * aggregate — no state store, no corpus-sized anything.
+    */
+  def normGuardSink(
+      spark: SparkSession,
+      srcDir: String,
+      outDir: String,
+      checkpointDir: String,
+      tolPpm: Long = 5000L): StreamingQuery =
+    readVectors(spark, srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Audit.embeddingNormsOf(batch, tolPpm)
+            .withColumn("batch_id", lit(epochId))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+        }
+      }
+      .start()
+
   // --------------------------------------------------------------------
   // A9: the Kafka transport (SURVEY §2.A — producer → extractor → indexer).
   //

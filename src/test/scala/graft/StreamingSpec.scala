@@ -496,4 +496,47 @@ class StreamingSpec extends SparkSpec {
     assert(emitted() == expect3,
       s"repeat delivery must alarm under its own batch_id: ${emitted()}")
   }
+
+  test("norm guard sink: per-delivery audit rows flag the bad model drop's batch") {
+    import spark.implicits._
+    def vecs(rows: (Long, Array[Float], Int)*) =
+      rows.toDF("vec_id", "embedding", "label")
+    def stage(src: String, name: String, rows: (Long, Array[Float], Int)*): Unit = {
+      val tmp = Files.createTempDirectory("graft-normpart").toString
+      vecs(rows: _*).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(src, name))
+    }
+    val unit = Array(1f, 0f, 0f, 0f)
+    val doubled = Array(0f, 2f, 0f, 0f)
+    val src = Files.createTempDirectory("graft-normsrc").toString
+    val out = Files.createTempDirectory("graft-normout").toString
+    val ckpt = Files.createTempDirectory("graft-normckpt").toString
+    val q = Streams.normGuardSink(spark, src, out, ckpt)
+    try {
+      // delivery 0: healthy unit vectors; delivery 1: an unnormalized drop
+      stage(src, "d1.parquet", (1L, unit, 0), (2L, unit, 0))
+      q.processAllAvailable()
+      stage(src, "d2.parquet", (3L, unit, 0), (4L, doubled, 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select("batch_id", "label", "n_vectors", "n_off_unit")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((0L, 0, 2L, 0L), (1L, 0, 2L, 1L)), s"got $got")
+    // replay: a restarted stream on the same checkpoint re-audits only NEW
+    // deliveries; re-emitted rows for a replayed one would be identical
+    val q2 = Streams.normGuardSink(spark, src, out, ckpt)
+    try {
+      stage(src, "d3.parquet", (5L, unit, 1))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got2 = spark.read.parquet(out)
+      .select("batch_id", "label", "n_vectors", "n_off_unit")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got2 == got + ((2L, 1, 1L, 0L)), s"got $got2")
+  }
 }
