@@ -379,9 +379,11 @@ object Sources {
     * the allocation SQL cannot land in one oracle and silently miss the
     * other.
     */
-  private def hamiltonCtes(budget: Long): String =
+  private def hamiltonCtes(
+      budget: Long,
+      countExpr: String = "count(*)"): String =
     s"""counts AS (
-       |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+       |  SELECT source, $countExpr AS n_docs FROM documents GROUP BY source),
        |w AS (
        |  SELECT source, n_docs,
        |         CAST(floor(sqrt(n_docs) * 1048576) AS BIGINT) AS w
@@ -393,6 +395,65 @@ object Sources {
        |  SELECT *, $budget - CAST(sum(base) OVER () AS BIGINT) AS deficit,
        |         row_number() OVER (ORDER BY rem DESC, source) AS rk
        |  FROM q)""".stripMargin
+
+  /** q134 — TOKEN-BUDGET EPOCH PLAN: turn a total training-token budget
+    * into per-source token allocations AND repeat counts ("epochs", integer
+    * permille) — the "4 epochs of Wikipedia, 0.3 epochs of CommonCrawl"
+    * table of published LLM training recipes (repeating small high-quality
+    * sources while subsampling the head is standard practice, and
+    * data-constrained scaling work shows a few epochs of repetition trade
+    * nearly at par with fresh tokens). The q103 temperature apportionment
+    * re-run in the TOKEN domain: weights are sqrt of per-source token
+    * counts, Hamilton largest-remainder assigns exact token quotas, and
+    * `epochs_permille = alloc_tokens·1000 div n_tokens` states how many
+    * passes over the source its quota implies (>1000 = repetition).
+    *
+    * Determinism: the one sqrt is correctly rounded then floored to an
+    * integer weight (the q103 argument); every other step is BIGINT
+    * arithmetic with source tie-breaks. A zero-token source yields NULL
+    * epochs (its allocation is unschedulable, surfaced rather than
+    * divided-by-zero) on both engines.
+    *
+    * Scale shape: ONE corpus aggregate (per-source exact token sums,
+    * map-side partials); apportionment and the epoch division run on
+    * source-cardinality rows — identical to q103's shape, nothing
+    * corpus-sized past the first aggregate.
+    */
+  def epochPlan(
+      spark: SparkSession,
+      sfDir: String,
+      budgetTokens: Long = 50000L): DataFrame =
+    epochAllocation(
+      Tables.documents(spark, sfDir)
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_docs")),
+      budgetTokens)
+
+  /** The epoch-plan core over any (source, n_docs = token count) frame —
+    * [[mixingAllocation]]'s apportionment re-labeled to the token domain
+    * plus the repeats division (shared code path: an apportionment fix
+    * lands in both q103 and q134).
+    */
+  def epochAllocation(tokenCounts: DataFrame, budgetTokens: Long): DataFrame =
+    mixingAllocation(tokenCounts, budgetTokens)
+      .withColumn("epochs_permille",
+        when(col("n_docs") === 0L, lit(null).cast("long"))
+          .otherwise(expr("alloc * 1000L div n_docs")))
+      .select(
+        col("source"), col("n_docs").as("n_tokens"), col("weight_ppm"),
+        col("alloc").as("alloc_tokens"), col("epochs_permille"))
+      .orderBy(col("source"))
+
+  def epochPlanOracle(budgetTokens: Long = 50000L): String =
+    s"""WITH ${hamiltonCtes(budgetTokens,
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT)")}
+       |SELECT source, n_docs AS n_tokens, (w * 1000000) // s AS weight_ppm,
+       |       base + (CASE WHEN rk <= deficit THEN 1 ELSE 0 END)
+       |         AS alloc_tokens,
+       |       CASE WHEN n_docs = 0 THEN NULL ELSE
+       |         ((base + (CASE WHEN rk <= deficit THEN 1 ELSE 0 END)) * 1000)
+       |           // n_docs END AS epochs_permille
+       |FROM d ORDER BY source""".stripMargin
 
   def sourceMixingOracle(budget: Long = 10000L): String =
     s"""WITH ${hamiltonCtes(budget)}
@@ -578,6 +639,7 @@ object Sources {
     "q99_fixed_sample" -> ((s: SparkSession, d: String) => fixedSample(s, d)),
     "q86_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "q103_source_mixing" -> ((s: SparkSession, d: String) => sourceMixing(s, d)),
+    "q134_epoch_plan" -> ((s: SparkSession, d: String) => epochPlan(s, d)),
     "q111_training_order" -> ((s: SparkSession, d: String) => trainingOrder(s, d)),
     "q122_quality_fill" -> ((s: SparkSession, d: String) => qualityBudgetFill(s, d)))
 
@@ -591,6 +653,7 @@ object Sources {
     "q99_fixed_sample" -> fixedSampleOracle(),
     "q86_pack_sequences" -> packSequencesOracle,
     "q103_source_mixing" -> sourceMixingOracle(),
+    "q134_epoch_plan" -> epochPlanOracle(),
     "q111_training_order" -> trainingOrderOracle(),
     "q122_quality_fill" -> qualityBudgetFillOracle())
 }

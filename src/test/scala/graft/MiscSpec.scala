@@ -172,6 +172,29 @@ class MiscSpec extends SparkSpec {
     assert(got == Map("A" -> 4L, "B" -> 2L, "C" -> 1L), s"$got")
   }
 
+  test("epoch plan: token quotas sum to the budget; repeats and zero-token guard behave") {
+    import spark.implicits._
+    // Fixture: allocations sum to the budget; epochs_permille is the exact
+    // floor-division of each quota by the source's token count.
+    val got = graft.operators.Sources.epochPlan(spark, sf0001, budgetTokens = 50000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(got.map(_._3).sum == 50000L)
+    got.foreach { case (s, toks, alloc, epm) =>
+      assert(epm == alloc * 1000L / toks, s"$s epochs mismatch")
+    }
+    // A budget twice the corpus token total forces repetition on average.
+    val corpusToks = got.map(_._2).sum
+    val rep = graft.operators.Sources.epochPlan(spark, sf0001, 2L * corpusToks)
+      .collect().map(_.getLong(4))
+    assert(rep.sum > rep.length * 1000L, "no repetition despite 2x budget")
+    // A zero-token source yields NULL epochs, never a division error.
+    val counts = Seq(("A", 100L), ("B", 0L)).toDF("source", "n_docs")
+    val z = graft.operators.Sources.epochAllocation(counts, budgetTokens = 10L)
+      .collect().map(r => r.getString(0) -> r.isNullAt(4)).toMap
+    assert(z == Map("A" -> false, "B" -> true), s"$z")
+  }
+
   test("source mixing allocation always sums to the budget on the fixture") {
     val alloc = graft.operators.Sources.sourceMixing(spark, sf0001, budget = 997L)
       .collect().map(_.getLong(3))
