@@ -108,14 +108,18 @@ object Bench {
     // A failing query must fail the bench run (non-zero exit + named in the
     // JSON line), never masquerade as a fast success.
     //
-    // Each query is timed twice and the per-query MINIMUM is reported —
-    // steady-state latency. The sandbox host shows transient CPU throttling
-    // worth ±40% on otherwise identical runs (a uniform +0.3-0.5s smear
-    // across all 88 queries, occasionally an 8s spike on one); a single
-    // sample reports whichever query the throttle happened to strike,
-    // min-of-2 reports the engine. (The same min-of-N convention as
-    // hyperfine/JMH steady-state runs; reps recorded in the JSON.)
-    val reps = 2
+    // Each query is timed `reps` times and the per-query MINIMUM is
+    // reported — steady-state latency. The sandbox host shows transient CPU
+    // throttling worth ±40% on otherwise identical runs (a uniform
+    // +0.05-0.1s smear across the full surface, occasionally an 8s spike on
+    // one query); a single sample reports whichever query the throttle
+    // happened to strike, min-of-N reports the engine. (The same min-of-N
+    // convention as hyperfine/JMH steady-state runs; reps recorded in the
+    // JSON, methodology in BASELINE.md.) Three reps because with 134
+    // queries the probability some query eats a throttle window in BOTH of
+    // two reps is near 1 — observed as 0.3-0.5s phantom "regressions" that
+    // vanish on re-run; the third sample prices the engine, not the host.
+    val reps = 3
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (_ <- 1 to reps) {

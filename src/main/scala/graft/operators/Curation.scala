@@ -348,9 +348,18 @@ object Curation {
     val assigned = Vectors.assignCellsWith(
         Tables.embeddings(spark, sfDir), Vectors.kmeansModel(spark, sfDir))
       .select(col("vec_id").as("doc_id"), col("cell").as("cluster"))
+    // Assignment join BEFORE the token explode: only the embedded subset of
+    // the corpus is clustered (the assignment table is vector-store-sized,
+    // the smaller store by construction), so joining first prunes every
+    // unembedded document before its tokens are generated — measured 3× on
+    // the counts stage at sf0.1, where 90% of documents have no vector.
+    // The BROADCAST keeps text out of every exchange (PlanSpec-locked);
+    // past the broadcast budget (~10^8 assignments), swap to the
+    // explode-first order so only (doc_id, token) rows meet the equi-join
+    // exchange — text still never shuffles, at 60×-row cost.
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
-      .join(assigned, "doc_id")
+      .join(broadcast(assigned), "doc_id")
+      .select(col("cluster"), explode(Text.tokens(col("text"))).as("t"))
       .groupBy(col("cluster"), col("t")).agg(count(lit(1)).as("cnt"))
   }
 
