@@ -551,6 +551,85 @@ object Curation {
        |       min(q_ppm) AS min_q_ppm, max(q_ppm) AS max_q_ppm
        |FROM d GROUP BY source, decile ORDER BY source, decile""".stripMargin
 
+  // ---------------------------------------------------------------- q136
+
+  /** q136 — MULTI-SIGNAL QUALITY FUSION: combine several one-dimensional
+    * quality signals into one per-source ranking by Borda count (sum of
+    * per-signal ranks) and keep each source's top `n` — the ensemble
+    * filtering practice of modern corpus recipes (no single heuristic
+    * survives contact with a web crawl; DataComp/Dolma-class pipelines
+    * gate on a PANEL of signals). Signals here: type-token ratio (the
+    * shared q122/q132 diversity score), chars-per-token (formatting
+    * richness, the q116 axis as a ratio), and token count (content mass) —
+    * each already integer-ppm/exact.
+    *
+    * Rank fusion rather than score fusion ON PURPOSE: ranks are
+    * scale-free (no cross-signal normalization constants to tune or
+    * drift), integer (engine-exact), and robust to a signal's outliers.
+    * Ties: every rank breaks on doc_id; the fused rank breaks on
+    * (fused asc, doc_id asc) — total order, engine-independent.
+    *
+    * Scale shape: signals are a narrow per-doc map (text never leaves the
+    * scan); ONE hash exchange by source feeds all four windows (three
+    * signal ranks + the fused cut share the same partitioning, so
+    * Catalyst plans them over a single Exchange); the final filter is a
+    * per-source top-n. Same parallel-by-source argument as q99/q122/q132.
+    */
+  def qualityFusion(
+      spark: SparkSession, sfDir: String, n: Int = 10): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val base = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        (size(array_distinct(toks)).cast("long") * 1000000L).as("dn"),
+        size(toks).cast("long").as("nt"))
+      .select(col("source"), col("doc_id"),
+        expr("dn div nt").as("ttr_ppm"),
+        expr("n_chars * 1000000L div nt").as("cpt_ppm"),
+        col("nt").as("n_tokens"))
+    def rk(c: String) = row_number().over(
+      Window.partitionBy(col("source")).orderBy(col(c).desc, col("doc_id").asc))
+    base
+      .withColumn("r1", rk("ttr_ppm"))
+      .withColumn("r2", rk("cpt_ppm"))
+      .withColumn("r3", rk("n_tokens"))
+      .withColumn("fused_rank", (col("r1") + col("r2") + col("r3")).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("fused_rank").asc, col("doc_id").asc)))
+      .filter(col("rn") <= n)
+      .select(col("source"), col("rn"), col("doc_id"), col("fused_rank"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  def qualityFusionOracle(n: Int = 10): String =
+    s"""WITH sc AS (
+       |  SELECT source, doc_id, n_chars,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+       |           * 1000000 AS dn,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |  FROM documents),
+       |s AS (
+       |  SELECT source, doc_id, dn // nt AS ttr_ppm,
+       |         (n_chars * 1000000) // nt AS cpt_ppm, nt AS n_tokens
+       |  FROM sc),
+       |r AS (
+       |  SELECT source, doc_id,
+       |         row_number() OVER (
+       |           PARTITION BY source ORDER BY ttr_ppm DESC, doc_id) AS r1,
+       |         row_number() OVER (
+       |           PARTITION BY source ORDER BY cpt_ppm DESC, doc_id) AS r2,
+       |         row_number() OVER (
+       |           PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS r3
+       |  FROM s),
+       |f AS (
+       |  SELECT source, doc_id, CAST(r1 + r2 + r3 AS BIGINT) AS fused_rank,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY source ORDER BY r1 + r2 + r3, doc_id)
+       |           AS INTEGER) AS rn
+       |  FROM r)
+       |SELECT source, rn, doc_id, fused_rank
+       |FROM f WHERE rn <= $n ORDER BY source, rn""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_length_anomalies" -> ((s: SparkSession, d: String) => lengthAnomalies(s, d)),
     "q117_corpus_delta" -> ((s: SparkSession, d: String) => corpusDelta(s, d)),
@@ -558,12 +637,14 @@ object Curation {
     // rows-only: cluster assignment is k-means-model-dependent (like q84)
     "q126_cluster_keywords" -> ((s: SparkSession, d: String) => clusterKeywords(s, d)),
     "q127_token_drift" -> ((s: SparkSession, d: String) => tokenDrift(s, d)),
-    "q132_quality_deciles" -> ((s: SparkSession, d: String) => qualityDeciles(s, d)))
+    "q132_quality_deciles" -> ((s: SparkSession, d: String) => qualityDeciles(s, d)),
+    "q136_quality_fusion" -> ((s: SparkSession, d: String) => qualityFusion(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q116_length_anomalies" -> lengthAnomaliesOracle(),
     "q117_corpus_delta" -> corpusDeltaOracle,
     "q121_importance_select" -> importanceSelectOracle(),
     "q127_token_drift" -> tokenDriftOracle(),
-    "q132_quality_deciles" -> qualityDecilesOracle())
+    "q132_quality_deciles" -> qualityDecilesOracle(),
+    "q136_quality_fusion" -> qualityFusionOracle())
 }

@@ -242,6 +242,69 @@ object Text {
       |WHERE doc_id IN (SELECT doc_id FROM ranked WHERE rn = 1)
       |ORDER BY doc_id""".stripMargin
 
+  /** q135 — PER-SOURCE DUPLICATION ATTRIBUTION: the dedup DIAGNOSTIC that
+    * tells a curator WHERE the duplication lives before q39/q100 removes
+    * it — per source, how many of its documents are duplicated at all,
+    * duplicated within the source (a crawler re-fetching its own pages),
+    * and duplicated across sources (mirrors / syndication between
+    * crawls — the case where source-trust canonicalization, q100,
+    * changes provenance). Counts are document-attributed: a doc counts in
+    * `n_intra_dup` when its content appears ≥2× in its OWN source and in
+    * `n_cross_dup` when it also appears in ANOTHER source (the buckets
+    * overlap by design — they answer different questions).
+    *
+    * Scale shape: text is digested in the scan (the q32/q39 contract —
+    * only 40-byte digest pairs cross exchanges). Two digest-keyed
+    * exchanges: the (digest, source) aggregate, then the per-digest
+    * total window — both over digest-group-cardinality rows; the final
+    * per-source rollup is map-side. Nothing corpus-text-sized moves.
+    *
+    * Determinism: pure counts; NULL text digests to NULL and groups as
+    * one content like every digest-family operator (DuckDB GROUP BY
+    * NULL-equality matches).
+    */
+  def dupAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    dupAttributionOf(Tables.documents(spark, sfDir))
+
+  /** The attribution core over ANY (source, text) frame — specs drive it
+    * with planted intra-/cross-source duplicate layouts.
+    */
+  private[graft] def dupAttributionOf(docs: DataFrame): DataFrame = {
+    val g = docs
+      .select(col("source"),
+        xxhash64(col("text")).as("h64"), sha2(col("text"), 256).as("h256"))
+      .groupBy(col("h64"), col("h256"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+    g.withColumn("tot",
+        sum(col("cnt")).over(Window.partitionBy(col("h64"), col("h256"))))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("cnt")).as("n_docs"),
+        sum(when(col("tot") > 1, col("cnt")).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("n_intra_dup"),
+        sum(when(col("tot") > col("cnt"), col("cnt")).otherwise(0L))
+          .as("n_cross_dup"))
+      .orderBy(col("source"))
+  }
+
+  val dupAttributionOracle: String =
+    """WITH g AS (
+      |  SELECT text, source, count(*) AS cnt
+      |  FROM documents GROUP BY text, source),
+      |t AS (
+      |  SELECT source, cnt,
+      |         CAST(sum(cnt) OVER (PARTITION BY text) AS BIGINT) AS tot
+      |  FROM g)
+      |SELECT source,
+      |       CAST(sum(cnt) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN tot > 1 THEN cnt ELSE 0 END) AS BIGINT)
+      |         AS n_dup_docs,
+      |       CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+      |         AS n_intra_dup,
+      |       CAST(sum(CASE WHEN tot > cnt THEN cnt ELSE 0 END) AS BIGINT)
+      |         AS n_cross_dup
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   /** q33 — exact token-set Jaccard near-dup pairs on a bounded sample
     * (doc_id < 100): the posting-list self-join baseline the approximate
     * methods are verified against. O(sample²) by design — the corpus-scale
@@ -2280,6 +2343,7 @@ object Text {
     "q37_fingerprint" -> (fingerprintQuery _),
     "q38_simhash_neardups" -> ((s: SparkSession, d: String) => simhashNearDups(s, d)),
     "q39_dedup_corpus" -> (dedupCorpus _),
+    "q135_dup_attribution" -> (dupAttribution _),
     "q100_dedup_best" -> (dedupCorpusBest _),
     "q101_prepare_corpus" -> ((s: SparkSession, d: String) => prepareCorpus(s, d)),
     "q77_shingle_neardups" -> ((s: SparkSession, d: String) => shingleNearDups(s, d)),
@@ -2307,6 +2371,7 @@ object Text {
     "q33_jaccard_pairs" -> jaccardPairsOracle(),
     "q97_containment_pairs" -> containmentPairsOracle(),
     "q39_dedup_corpus" -> dedupCorpusOracle,
+    "q135_dup_attribution" -> dupAttributionOracle,
     "q100_dedup_best" -> dedupCorpusBestOracle,
     "q79_repetition_stats" -> repetitionStatsOracle,
     "q80_decontaminate" -> decontaminateOracle,

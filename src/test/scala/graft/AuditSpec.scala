@@ -86,6 +86,31 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("q136 fusion: exactly n per source; fused rank matches a driver Borda recompute") {
+    val n = 10
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("text"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3).split(" ", -1).toSeq))
+    val expect = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      val sig = rows.map { case (_, id, chars, ts) =>
+        (id, ts.distinct.size.toLong * 1000000L / ts.size,
+          chars * 1000000L / ts.size, ts.size.toLong)
+      }
+      def rank(score: ((Long, Long, Long, Long)) => Long): Map[Long, Int] =
+        sig.sortBy(s => (-score(s), s._1)).zipWithIndex
+          .map { case (s, i) => s._1 -> (i + 1) }.toMap
+      val (r1, r2, r3) = (rank(_._2), rank(_._3), rank(_._4))
+      sig.map(s => (s._1, (r1(s._1) + r2(s._1) + r3(s._1)).toLong))
+        .sortBy { case (id, f) => (f, id) }.take(n).zipWithIndex
+        .map { case ((id, f), i) => (src, i + 1, id, f) }
+    }.sortBy { case (s, rn, _, _) => (s, rn) }
+    val got = Curation.qualityFusion(spark, sf0001, n).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+  }
+
   test("q132 deciles: equal-depth per source, full coverage, nested bounds") {
     val docs = Tables.documents(spark, sf0001)
     val total = docs.count()

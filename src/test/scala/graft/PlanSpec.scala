@@ -425,7 +425,11 @@ class PlanSpec extends SparkSpec {
       "q78_neardedup_corpus", "q83_clean_corpus", "q106_dedup_increment",
       "q114_duplicated_spans",
       // quality deciles: only (source, doc_id, q_ppm) feeds the rank window
-      "q132_quality_deciles")
+      "q132_quality_deciles",
+      // dup attribution: only (digest, source, cnt) rows cross exchanges
+      "q135_dup_attribution",
+      // fusion: only (source, doc_id, 3 integer signals) feed the windows
+      "q136_quality_fusion")
       .foreach(assertNeverShuffled(_, "text"))
     // The exact-kNN family broadcasts the query side and scores in the
     // scan projection; only (ids, score) rows reach the rank shuffle. The

@@ -4,6 +4,24 @@ import graft.operators.Text
 
 class TextSpec extends SparkSpec {
 
+  test("dup attribution: planted intra and cross duplicates land in the right buckets") {
+    import spark.implicits._
+    // web: "aa" twice (intra) and "bb" mirrored by books (cross);
+    // books: the "bb" mirror plus a unique doc; feeds: all unique.
+    val docs = Seq(
+      ("web", "aa"), ("web", "aa"), ("web", "bb"), ("web", "un1"),
+      ("books", "bb"), ("books", "un2"),
+      ("feeds", "un3"))
+      .toDF("source", "text")
+    val got = graft.operators.Text.dupAttributionOf(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // (n_docs, n_dup_docs, n_intra_dup, n_cross_dup)
+    assert(got("web") == ((4L, 3L, 2L, 1L)), s"web: ${got("web")}")
+    assert(got("books") == ((2L, 1L, 0L, 1L)), s"books: ${got("books")}")
+    assert(got("feeds") == ((1L, 0L, 0L, 0L)), s"feeds: ${got("feeds")}")
+  }
+
   test("minhash near-dups: precision 1.0 and recall >= 0.8 vs exact jaccard") {
     val exact = Text.jaccardPairs(spark, sf0001, 100, 0.95)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
