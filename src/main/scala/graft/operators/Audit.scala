@@ -131,11 +131,103 @@ object Audit {
       |FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
       |GROUP BY 1 ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q137
+
+  /** q137 — CENTROID DRIFT between two embedding snapshots: per label, the
+    * L1 displacement of the class centroid from snapshot A to snapshot B
+    * (scaled-integer ppm) — the vector-space twin of q127's token drift and
+    * the audit run on a NEW MODEL DROP before re-pointing search at it
+    * (centroids that moved mean every stored threshold — SemDeDup cosine
+    * bars, IVF cell boundaries, affinity cuts — was calibrated in a space
+    * that no longer exists). The fixture splits by vec_id parity as the
+    * two-snapshot stand-in, exactly like q117/q127's derived snapshots.
+    *
+    * Determinism: components are scaled to integer ppm in the scan (the
+    * q27 CentroidAgg convention), per-(label, dim) sums are exact BIGINTs,
+    * and the drift numerator `Σ_dim |sa·nb − sb·na|` stays integer (the
+    * cross-multiplication avoids dividing into doubles); one final integer
+    * division lands the ppm. A label missing from either snapshot reports
+    * NULL drift rather than dividing by zero, on both engines.
+    *
+    * Overflow bounds: |s| ≤ 1e6·n per dim; |sa·nb| ≤ 1e6·na·nb — safe
+    * while na·nb ≤ ~9e12 (3 M × 3 M vectors per label); past that, scale
+    * the per-dim sums to per-vector means first or sum in DECIMAL(38,0).
+    *
+    * Scale shape: ONE pass over each snapshot's vectors — the 64-way
+    * posexplode is a narrow generate feeding a partial-aggregated
+    * (label, dim) hash agg, so the exchange carries labels×dims rows of
+    * longs, never vectors; the count aggregate reads two pruned columns;
+    * the final rollup is label-cardinality.
+    */
+  def centroidDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    centroidDriftOf(
+      emb.filter(col("vec_id") % 2 === 0).select(col("label"), col("embedding")),
+      emb.filter(col("vec_id") % 2 =!= 0).select(col("label"), col("embedding")))
+  }
+
+  /** The drift core over ANY two (label, embedding) snapshot frames —
+    * specs drive it with planted shifts of known magnitude.
+    */
+  def centroidDriftOf(a: DataFrame, b: DataFrame): DataFrame = {
+    def tagged(df: DataFrame, isA: Boolean) =
+      df.select(col("label"), lit(isA).as("is_a"), col("embedding"))
+    val x = tagged(a, isA = true).unionByName(tagged(b, isA = false))
+      .select(col("label"), col("is_a"),
+        posexplode(col("embedding")).as(Seq("dim0", "ev")))
+      .select(col("label"), col("is_a"), col("dim0"),
+        expr("CAST(round(CAST(ev AS DOUBLE) * 1000000) AS BIGINT)").as("s"))
+    val byDim = x.groupBy(col("label"), col("dim0"))
+      .agg(
+        sum(when(col("is_a"), col("s")).otherwise(0L)).as("sa"),
+        sum(when(!col("is_a"), col("s")).otherwise(0L)).as("sb"))
+    val counts = tagged(a, isA = true).unionByName(tagged(b, isA = false))
+      .groupBy(col("label"))
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+    byDim.join(broadcast(counts), "label")
+      .groupBy(col("label"), col("na"), col("nb"))
+      .agg(sum(abs(col("sa") * col("nb") - col("sb") * col("na"))).as("num"))
+      .select(col("label"), col("na"), col("nb"),
+        when(col("na") === 0L || col("nb") === 0L, lit(null).cast("long"))
+          .otherwise(expr("num div (na * nb)")).as("l1_drift_ppm"))
+      .orderBy(col("label"))
+  }
+
+  val centroidDriftOracle: String =
+    """WITH x AS (
+      |  SELECT label, vec_id % 2 = 0 AS is_a,
+      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+      |           AS BIGINT) AS s,
+      |         generate_subscripts(embedding, 1) AS dim
+      |  FROM embeddings),
+      |d AS (
+      |  SELECT label, dim,
+      |         CAST(sum(CASE WHEN is_a THEN s ELSE 0 END) AS BIGINT) AS sa,
+      |         CAST(sum(CASE WHEN NOT is_a THEN s ELSE 0 END) AS BIGINT) AS sb
+      |  FROM x GROUP BY label, dim),
+      |c AS (
+      |  SELECT label,
+      |         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS na,
+      |         CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS nb
+      |  FROM embeddings GROUP BY label)
+      |SELECT d.label, na, nb,
+      |       CASE WHEN na = 0 OR nb = 0 THEN NULL
+      |            ELSE CAST(sum(abs(sa * nb - sb * na)) AS BIGINT)
+      |              // (na * nb) END AS l1_drift_ppm
+      |FROM d JOIN c ON d.label = c.label
+      |GROUP BY d.label, na, nb ORDER BY d.label""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_embedding_norms" -> ((s: SparkSession, d: String) => embeddingNorms(s, d)),
-    "q133_embedding_coverage" -> (embeddingCoverage _))
+    "q133_embedding_coverage" -> (embeddingCoverage _),
+    "q137_centroid_drift" -> (centroidDrift _))
 
   val oracles: Map[String, String] = Map(
     "q131_embedding_norms" -> embeddingNormsOracle(),
-    "q133_embedding_coverage" -> embeddingCoverageOracle)
+    "q133_embedding_coverage" -> embeddingCoverageOracle,
+    "q137_centroid_drift" -> centroidDriftOracle)
 }

@@ -86,6 +86,29 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("q137 centroid drift: planted shift lands exactly; identical and missing labels behave") {
+    import spark.implicits._
+    // label 0: centroid moves (1,0) -> (0,1): L1 drift 2.0 = 2,000,000 ppm
+    // label 1: identical snapshots -> 0
+    // label 2: present only in A -> NULL (unschedulable, not a crash)
+    val a = Seq(
+      (0, Array(1f, 0f)), (0, Array(1f, 0f)),
+      (1, Array(0.5f, 0.5f)),
+      (2, Array(1f, 1f)))
+      .toDF("label", "embedding")
+    val b = Seq(
+      (0, Array(0f, 1f)), (0, Array(0f, 1f)),
+      (1, Array(0.5f, 0.5f)))
+      .toDF("label", "embedding")
+    val got = Audit.centroidDriftOf(a, b).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))))
+      .toMap
+    assert(got(0) == ((2L, 2L, 2000000L)), s"label0: ${got(0)}")
+    assert(got(1) == ((1L, 1L, 0L)), s"label1: ${got(1)}")
+    assert(got(2) == ((1L, 0L, -1L)), s"label2: ${got(2)}")
+  }
+
   test("q136 fusion: exactly n per source; fused rank matches a driver Borda recompute") {
     val n = 10
     val docs = Tables.documents(spark, sf0001)

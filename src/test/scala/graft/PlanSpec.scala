@@ -444,8 +444,9 @@ class PlanSpec extends SparkSpec {
       "q20_knn_exact", "q21_knn_cosine", "q95_knn_dot", "q105_matryoshka_knn",
       "q128_hard_negatives",
       // label eval: votes travel as (query_id, n_label) pairs; the norm
-      // audit reduces each vector to an integer ppm inside the scan
-      "q130_knn_label_eval", "q131_embedding_norms",
+      // audit reduces each vector to an integer ppm inside the scan; drift
+      // explodes to scaled longs before its (label, dim) exchange
+      "q130_knn_label_eval", "q131_embedding_norms", "q137_centroid_drift",
       "q23_lsh_knn", "q28_lsh_multiprobe", "q25_ann_ivf", "q29_ann_ivf_indexed",
       "q110_semantic_increment",
       // seed-centroid scoring: the 1-row centroid moves by broadcast; the
