@@ -177,10 +177,53 @@ object Media {
       |GROUP BY 1
       |ORDER BY kind""".stripMargin
 
+  /** q138 — MEDIA PAYLOAD DEDUP: exact duplicate detection over the BINARY
+    * payload column, summarized per kind — the multimodal twin of q32/q135
+    * (web image corpora duplicate heavily: re-hosted thumbnails, CDN
+    * copies; every curation pipeline digest-dedups payloads before the
+    * expensive decode). The digest (`sha2` over `BinaryType`) runs in the
+    * scan projection, so only (kind, 32-byte digest) rows cross the
+    * exchange — the payload bytes never shuffle, the same contract as the
+    * text-dedup family (PlanSpec-locked). Perceptual (near-) dedup of
+    * decoded content composes the q50 feature stub with the embedding
+    * near-dup family instead; this gate pins the byte-exact tier.
+    *
+    * The oracle replays the same statistic by grouping the payload's
+    * source text (UTF-8 encoding is injective, so text equality IS payload
+    * equality on the derived table); the Spark side hashes the actual
+    * binary column.
+    */
+  def mediaDedup(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir)
+      .select(col("kind"), sha2(col("payload"), 256).as("h"))
+      .groupBy(col("kind"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("kind"))
+      .agg(
+        sum(col("cnt")).as("n_media"),
+        count(lit(1)).as("n_unique"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("n_dup_media"))
+      .orderBy(col("kind"))
+
+  val mediaDedupOracle: String =
+    """WITH m AS (
+      |  SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+      |              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |         text
+      |  FROM documents),
+      |g AS (SELECT kind, text, count(*) AS cnt FROM m GROUP BY kind, text)
+      |SELECT kind, CAST(sum(cnt) AS BIGINT) AS n_media,
+      |       count(*) AS n_unique,
+      |       CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+      |         AS n_dup_media
+      |FROM g GROUP BY kind ORDER BY kind""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_media_features" -> (mediaFeaturesQuery _),
-    "q51_media_meta" -> (mediaMetaQuery _))
+    "q51_media_meta" -> (mediaMetaQuery _),
+    "q138_media_dedup" -> (mediaDedup _))
 
   val oracles: Map[String, String] = Map(
-    "q51_media_meta" -> mediaMetaOracle)
+    "q51_media_meta" -> mediaMetaOracle,
+    "q138_media_dedup" -> mediaDedupOracle)
 }

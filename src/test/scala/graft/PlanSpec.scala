@@ -431,6 +431,8 @@ class PlanSpec extends SparkSpec {
       // fusion: only (source, doc_id, 3 integer signals) feed the windows
       "q136_quality_fusion")
       .foreach(assertNeverShuffled(_, "text"))
+    // the multimodal twin: binary payloads digest in the scan, never shuffle
+    assertNeverShuffled("q138_media_dedup", "payload")
     // The exact-kNN family broadcasts the query side and scores in the
     // scan projection; only (ids, score) rows reach the rank shuffle. The
     // indexed two-phase SEARCH plans likewise keep embeddings out of every
