@@ -22,6 +22,31 @@ class TextSpec extends SparkSpec {
     assert(got("feeds") == ((1L, 0L, 0L, 0L)), s"feeds: ${got("feeds")}")
   }
 
+  test("property: dup attribution matches a driver recompute on seeded random corpora") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    for (round <- 1 to 3) {
+      // 200 docs over 4 sources and 40 contents — heavy collision rates so
+      // every bucket (unique / intra / cross / both) is exercised
+      val docs = (1 to 200).map { _ =>
+        (s"src${rng.nextInt(4)}", s"t${rng.nextInt(40)}")
+      }
+      val got = graft.operators.Text.dupAttributionOf(docs.toDF("source", "text"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val tot = docs.groupBy(_._2).map { case (t, rs) => t -> rs.size }
+      val bySrcText = docs.groupBy(identity).map { case (k, rs) => k -> rs.size }
+      val expect = docs.groupBy(_._1).map { case (s, rows) =>
+        s -> ((rows.size.toLong,
+          rows.count(r => tot(r._2) > 1).toLong,
+          rows.count(r => bySrcText((s, r._2)) > 1).toLong,
+          rows.count(r => tot(r._2) > bySrcText((s, r._2))).toLong))
+      }
+      assert(got == expect, s"round $round")
+    }
+  }
+
   test("minhash near-dups: precision 1.0 and recall >= 0.8 vs exact jaccard") {
     val exact = Text.jaccardPairs(spark, sf0001, 100, 0.95)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
