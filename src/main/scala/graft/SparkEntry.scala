@@ -38,6 +38,7 @@ object SparkEntry {
       "q119_range_search" -> ((s, dir) => KnnExact.rangeSearch(s, dir)),
       "q128_hard_negatives" -> ((s, dir) => KnnExact.hardNegatives(s, dir)),
       "q130_knn_label_eval" -> ((s, dir) => KnnExact.knnLabelEval(s, dir)),
+      "q139_ndcg_eval" -> ((s, dir) => KnnExact.ndcgEval(s, dir)),
       // Greedy-sequential re-rank: rows-only (recursion not SQL-expressible);
       // pinned by RetrievalSpec λ=1-parity / planted-dup / recompute tests.
       "q123_mmr_rerank" -> ((s, dir) => KnnExact.mmrRerank(s, dir)),
@@ -68,5 +69,6 @@ object SparkEntry {
       "q119_range_search" -> KnnExact.oracleRange(),
       "q128_hard_negatives" -> KnnExact.oracleHardNegatives(),
       "q130_knn_label_eval" -> KnnExact.oracleLabelEval(),
+      "q139_ndcg_eval" -> KnnExact.oracleNdcgEval(),
     )
 }

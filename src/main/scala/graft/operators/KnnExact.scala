@@ -439,6 +439,114 @@ object KnnExact {
        |FROM p WHERE vr = 1
        |GROUP BY q_label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- q139
+
+  /** Scaled-integer DCG position weights, `floor(1e6 / log2(i+1))` for
+    * ranks 1..10, and their prefix sums (the ideal-DCG table). Computed
+    * ONCE here and injected as literals into BOTH the Spark plan and the
+    * oracle SQL — the transcendental log never runs on either engine at
+    * query time, so nDCG stays bit-exact despite its real-valued
+    * definition (the same fixed-constant trick as the q103 sqrt scaling).
+    */
+  private val dcgW: Seq[Long] =
+    (1 to 10).map(i => (1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+  private val dcgCum: Seq[Long] = dcgW.scanLeft(0L)(_ + _).tail
+
+  /** q139 — nDCG@k RETRIEVAL EVALUATION: for each query vector, the
+    * normalized discounted cumulative gain of its cosine top-k under
+    * binary same-label relevance — the standard graded retrieval metric
+    * completing the eval triad (q125 recall: does the index reproduce
+    * exact neighbors; q130 accuracy: do neighbor labels vote right; q139:
+    * are the relevant hits ranked EARLY, which is what a RAG context
+    * window actually consumes). Ideal DCG counts the query's corpus
+    * relevant population (label size − self), capped at k; a query whose
+    * label is a singleton has no achievable ideal and reports NULL.
+    *
+    * Determinism: neighbor sets are the q21 tie-broken ranking; gains and
+    * ideals are sums of the fixed integer literals above; the one division
+    * is integer ppm at the end.
+    *
+    * Scale shape: the q130 scaffold scan (label carried through the
+    * projection) plus two broadcast-tiny joins (|Q| query labels,
+    * label-cardinality corpus counts); everything past the scan is |Q|·k
+    * rows.
+    */
+  def ndcgEval(
+      spark: SparkSession,
+      sfDir: String,
+      queryMaxId: Long = 32,
+      k: Int = 10): DataFrame =
+    ndcgEvalOf(Tables.embeddings(spark, sfDir), queryMaxId, k)
+
+  /** The eval core over ANY (vec_id, embedding, label) frame — specs
+    * drive it with planted rankings of known gain.
+    */
+  def ndcgEvalOf(emb: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    require(k == dcgW.length, s"weight table is pinned for k=${dcgW.length}")
+    val hits = topKScaffoldOf(emb, queryMaxId, k, identity,
+      VectorExpressions.cosine, ascending = false,
+      carry = Seq(col("label").as("n_label")))
+    val queryLabels = emb
+      .filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val labelCounts = emb.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("lbl_n"))
+    hits
+      .join(broadcast(queryLabels), "query_id")
+      .withColumn("w", element_at(array(dcgW.map(lit): _*), col("rank")))
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(sum(when(col("n_label") === col("q_label"), col("w"))
+        .otherwise(0L)).as("dcg"))
+      .join(broadcast(labelCounts), "q_label")
+      .withColumn("r", least(col("lbl_n") - 1, lit(k.toLong)).cast("int"))
+      .withColumn("ndcg_ppm",
+        when(col("r") <= 0, lit(null).cast("long"))
+          .otherwise(expr("dcg * 1000000L div " +
+            s"element_at(array(${dcgCum.mkString("L,")}L), r)")))
+      .select(col("query_id"), col("q_label").as("label"),
+        col("dcg"), col("ndcg_ppm"))
+      .orderBy(col("query_id"))
+  }
+
+  def oracleNdcgEval(queryMaxId: Long = 32, k: Int = 10): String = {
+    require(k == dcgW.length, s"weight table is pinned for k=${dcgW.length}")
+    val wCase = dcgW.zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }.mkString(" ")
+    val cumCase = dcgCum.zipWithIndex
+      .map { case (c, i) => s"WHEN ${i + 1} THEN $c" }.mkString(" ")
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, label AS q_label,
+       |         CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < $queryMaxId
+       |), d AS (
+       |  SELECT q.query_id, q.q_label, e.label AS n_label,
+       |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim,
+       |         e.vec_id AS neighbor_id
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id <> q.query_id
+       |), topk AS (
+       |  SELECT query_id, q_label, n_label,
+       |         row_number() OVER (
+       |           PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM d QUALIFY rank <= $k
+       |), g AS (
+       |  SELECT query_id, q_label,
+       |         CAST(sum(CASE WHEN n_label = q_label
+       |                       THEN CASE rank $wCase ELSE 0 END
+       |                       ELSE 0 END) AS BIGINT) AS dcg
+       |  FROM topk GROUP BY query_id, q_label
+       |), c AS (
+       |  SELECT label, count(*) AS lbl_n FROM embeddings GROUP BY label
+       |)
+       |SELECT query_id, q_label AS label, dcg,
+       |       CASE WHEN least(lbl_n - 1, $k) <= 0 THEN NULL
+       |            ELSE (dcg * 1000000)
+       |              // (CASE least(lbl_n - 1, $k) $cumCase END) END
+       |         AS ndcg_ppm
+       |FROM g JOIN c ON c.label = g.q_label
+       |ORDER BY query_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q123
 
   /** q123 — MMR DIVERSE RE-RANK (Maximal Marginal Relevance, Carbonell &

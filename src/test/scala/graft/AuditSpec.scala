@@ -75,6 +75,36 @@ class AuditSpec extends SparkSpec {
     assert(got2.length == 1 && got2.head.getAs[Long]("n_correct") == 0L)
   }
 
+  test("q139 ndcg: perfect neighborhood scores 1e6; singleton label is NULL; fixture bounded") {
+    import spark.implicits._
+    // Query 0's label (0) has >= k tight same-label neighbors on axis 0, so
+    // all top-k hits are relevant -> dcg = ideal -> ndcg exactly 1e6.
+    // Label 9 is a singleton: no achievable ideal -> NULL.
+    def member(axis: Int, i: Int): Array[Float] = {
+      val v = Array.fill(4)(0.0001f * (i + 1)); v(axis) = 1f
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val cluster = (0 until 12).map(i => (i.toLong, member(0, i), 0))
+    val singleton = Seq((100L, member(1, 0), 9))
+    val emb = (cluster ++ singleton).toDF("vec_id", "embedding", "label")
+    val got = KnnExact.ndcgEvalOf(emb, queryMaxId = 1, k = 10).collect()
+    assert(got.length == 1 && got.head.getAs[Long]("ndcg_ppm") == 1000000L, got.toSeq)
+    val got9 = KnnExact.ndcgEvalOf(
+      emb.withColumn("vec_id",
+        when(col("vec_id") === 100L, 0L).otherwise(col("vec_id") + 100L)),
+      queryMaxId = 1, k = 10).collect()
+    assert(got9.length == 1 && got9.head.isNullAt(3),
+      s"singleton label must yield NULL ndcg: ${got9.toSeq}")
+    // Fixture sanity: every ndcg in [0, 1e6], one row per query.
+    val fx = KnnExact.ndcgEval(spark, sf0001).collect()
+    assert(fx.length == 32)
+    fx.filterNot(_.isNullAt(3)).foreach { r =>
+      val v = r.getAs[Long]("ndcg_ppm")
+      assert(v >= 0L && v <= 1000000L, s"ndcg out of range: $r")
+    }
+  }
+
   test("q130 fixture: every query classified exactly once, counts consistent") {
     val got = KnnExact.knnLabelEval(spark, sf0001).collect()
     assert(got.map(_.getAs[Long]("n_queries")).sum == 32L)
