@@ -51,6 +51,7 @@ object SparkEntry {
       // A10 recall measurement: rows-only (LSH leg model-dependent);
       // recall floor pinned in MiscSpec.
       "q125_recall_benchmark" -> ((s, dir) => Knn.recallBenchmark(s, dir)),
+      "q140_recall_ivf" -> ((s, dir) => Knn.recallBenchmarkIvf(s, dir)),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -314,20 +314,43 @@ object Knn {
       sfDir: String,
       queryMaxId: Long = 8,
       k: Int = 10,
-      k1: Int = 100): DataFrame = {
-    val exact = KnnExact.topK(spark, sfDir, queryMaxId, k)
+      k1: Int = 100): DataFrame =
+    recallOf(
+      KnnExact.topK(spark, sfDir, queryMaxId, k),
+      lshTopKIndexed(spark, sfDir, queryMaxId, k1, k))
+
+  /** q140 — the A10 recall measurement against the PERSISTED IVF index
+    * (the q125 twin for the second index family): per-query exact-vs-IVF
+    * overlap and integer recall%. Same two-leg shape; the approximate leg
+    * is the cell-partition-pruned search a production deployment actually
+    * serves, so this row tells an operator what the nprobe setting costs
+    * in recall on THEIR corpus (RecallSweep sweeps the wider ladder).
+    */
+  def recallBenchmarkIvf(
+      spark: SparkSession,
+      sfDir: String,
+      queryMaxId: Long = 8,
+      k: Int = 10,
+      cells: Int = 16,
+      nprobe: Int = 4): DataFrame =
+    recallOf(
+      KnnExact.topK(spark, sfDir, queryMaxId, k),
+      Vectors.annIvfIndexed(spark, sfDir, queryMaxId, k, cells, nprobe))
+
+  /** The overlap-count core shared by every recall row. ONE exact leg: a
+    * left join marks each exact neighbor found by the approximate leg, and
+    * a single aggregate counts both totals — two legs total, not three (a
+    * separate semi-join hits branch would re-plan and re-execute the
+    * O(|Q|·N) brute-force subtree with no exchange reuse).
+    */
+  private def recallOf(exactDf: DataFrame, approxDf: DataFrame): DataFrame =
+    exactDf
       .select(col("query_id"), col("neighbor_id"))
-    val approx = lshTopKIndexed(spark, sfDir, queryMaxId, k1, k)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-    // ONE exact leg: a left join marks each exact neighbor found by the LSH
-    // leg, and a single aggregate counts both totals — two legs total, not
-    // three (a separate semi-join hits branch would re-plan and re-execute
-    // the O(|Q|·N) brute-force subtree with no exchange reuse).
-    exact
-      .join(approx, Seq("query_id", "neighbor_id"), "left")
+      .join(
+        approxDf.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hits"))
       .withColumn("recall_pct", expr("n_hits * 100 div n_exact"))
       .orderBy(col("query_id"))
-  }
 }

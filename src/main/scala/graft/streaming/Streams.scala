@@ -542,6 +542,48 @@ object Streams {
       }
       .start()
 
+  /** Schema of the [[graft.operators.Media.mediaTable]] rows — the declared
+    * schema every media-stream sink reads with (one definition, like
+    * [[vectorSchema]]).
+    */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType),
+    StructField("payload", BinaryType)))
+
+  /** Streamed q50 — MEDIA FEATURE-EXTRACTION on the ingest path: each
+    * arriving micro-batch of media rows runs the decode→feature stage
+    * ([[graft.operators.Media.extractFeatures]] — codec stubbed, plumbing
+    * real) and lands feature rows with `batch_id` attribution. This is the
+    * reference's A9 pipeline shape with media in place of ready-made
+    * vectors: payload bytes arrive → features extract batch-parallel →
+    * the feature vectors feed an index sink ([[liveAppendSink]] /
+    * [[cellsSink]]) downstream. Per-delivery guarantee as [[driftSink]]:
+    * extraction is a deterministic pure function of the delivery, so
+    * WAL-pinned replays re-emit identical rows. Per-batch cost: one
+    * narrow decode pass over the delivery's payloads — no state store,
+    * nothing corpus-sized.
+    */
+  def mediaFeaturesSink(
+      spark: SparkSession,
+      srcDir: String,
+      outDir: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(mediaSchema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Media.extractFeatures(spark, batch).toDF()
+            .withColumn("batch_id", lit(epochId))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+        }
+      }
+      .start()
+
   // --------------------------------------------------------------------
   // A9: the Kafka transport (SURVEY §2.A — producer → extractor → indexer).
   //

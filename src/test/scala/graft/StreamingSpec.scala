@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Events
 import graft.streaming.Streams
 
@@ -495,6 +497,39 @@ class StreamingSpec extends SparkSpec {
       ("bb", 2L, 2L, 500000L, 500000L, 0L, 2L))
     assert(emitted() == expect3,
       s"repeat delivery must alarm under its own batch_id: ${emitted()}")
+  }
+
+  test("media features sink: per-delivery extraction matches the batch stage") {
+    val src = Files.createTempDirectory("graft-mediasrc").toString
+    val out = Files.createTempDirectory("graft-mediaout").toString
+    val ckpt = Files.createTempDirectory("graft-mediackpt").toString
+    def stage(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-mediapart").toString
+      graft.operators.Media.mediaTable(spark, sf0001)
+        .filter(col("media_id") >= lo && col("media_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(src, name))
+    }
+    val q = Streams.mediaFeaturesSink(spark, src, out, ckpt)
+    try {
+      stage(0L, 20L, "d1.parquet")
+      q.processAllAvailable()
+      stage(20L, 40L, "d2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+        r.getAs[Int]("n_frames"), r.getAs[Seq[Double]]("features"))
+    val streamed = spark.read.parquet(out)
+    assert(streamed.select("batch_id").distinct().count() == 2,
+      "each delivery must land under its own batch id")
+    val batchRun = graft.operators.Media.extractFeatures(spark,
+        graft.operators.Media.mediaTable(spark, sf0001)
+          .filter(col("media_id") < 40L)).toDF()
+    assert(streamed.collect().map(key).toSet == batchRun.collect().map(key).toSet,
+      "streamed features must equal the batch stage on the same rows")
   }
 
   test("norm guard sink: per-delivery audit rows flag the bad model drop's batch") {
