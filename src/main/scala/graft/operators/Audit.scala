@@ -131,6 +131,37 @@ object Audit {
       |FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
       |GROUP BY 1 ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q141
+
+  /** q141 — INDEX HEALTH SUMMARY: one always-present row over the persisted
+    * LSH index — live vector and posting counts plus the
+    * [[Index.integrityReport]] orphan totals (zero ⇔ healthy). The
+    * scheduled health check an operator runs next to vacuum: the raw
+    * integrity report is EMPTY when healthy (per-generation rows exist
+    * only on damage), so this wrapper aggregates it under coalesce-to-zero
+    * and joins the live-size context a dashboard actually plots. Rows-only
+    * gate (counts depend on the index layout/lifecycle state); LshSpec
+    * pins the orphan mechanics, AuditSpec pins the healthy-zeros shape.
+    *
+    * Scale shape: three column-pruned scans of the index layout (ids +
+    * batch only — never an embedding), the probe's 16-byte anti-join, and
+    * 1-row aggregates. Safe on a schedule at any index size.
+    */
+  def indexHealth(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Index.ensure(spark, sfDir)
+    val nVec = Index.liveVectors(spark, dir)
+      .agg(count(lit(1)).as("n_vectors"))
+    val nPost = Lifecycle
+      .liveKeepBatch(spark, dir, Index.postings(spark, dir))
+      .agg(count(lit(1)).as("n_postings"))
+    val orphans = Index.integrityReport(spark, dir)
+      .agg(
+        coalesce(sum(col("n_orphan_ids")), lit(0L)).as("n_orphan_ids"),
+        coalesce(sum(col("n_orphan_postings")), lit(0L)).as("n_orphan_postings"))
+    nVec.crossJoin(nPost).crossJoin(orphans)
+      .withColumn("healthy", col("n_orphan_postings") === 0L)
+  }
+
   // ---------------------------------------------------------------- q137
 
   /** q137 — CENTROID DRIFT between two embedding snapshots: per label, the
@@ -224,7 +255,9 @@ object Audit {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_embedding_norms" -> ((s: SparkSession, d: String) => embeddingNorms(s, d)),
     "q133_embedding_coverage" -> (embeddingCoverage _),
-    "q137_centroid_drift" -> (centroidDrift _))
+    "q137_centroid_drift" -> (centroidDrift _),
+    // rows-only: counts depend on the persisted index layout state
+    "q141_index_health" -> (indexHealth _))
 
   val oracles: Map[String, String] = Map(
     "q131_embedding_norms" -> embeddingNormsOracle(),

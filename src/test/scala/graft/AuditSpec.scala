@@ -164,6 +164,17 @@ class AuditSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("q141 index health: healthy fixture index reports zeros and full counts") {
+    val got = Audit.indexHealth(spark, sf0001).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_vectors") == 500L)
+    assert(r.getAs[Long]("n_postings") > 0L)
+    assert(r.getAs[Long]("n_orphan_ids") == 0L)
+    assert(r.getAs[Long]("n_orphan_postings") == 0L)
+    assert(r.getAs[Boolean]("healthy"))
+  }
+
   test("q132 deciles: equal-depth per source, full coverage, nested bounds") {
     val docs = Tables.documents(spark, sf0001)
     val total = docs.count()
