@@ -269,13 +269,109 @@ object Retrieval {
        |SELECT doc_id, rrf9 FROM fused ORDER BY rrf9 DESC, doc_id ASC LIMIT $k""".stripMargin
   }
 
+  // ------------------------------------------------- q142/q143/q144
+  // The remaining Elasticsearch QUERY-DSL surface a user of the reference
+  // (an ES plugin) writes daily, beyond bool/term-set (✪ row) and the
+  // TF-IDF/BM25 rankers: match_phrase, fuzzy, and wildcard/regexp.
+
+  /** q142 — PHRASE SEARCH (ES `match_phrase`): documents containing the
+    * query terms CONSECUTIVELY in order. On the whitespace-token corpus,
+    * phrase containment is exact substring containment of the
+    * space-padded phrase in the space-padded text — one narrow predicate,
+    * no tokenize/explode, pushable toward the scan. At index scale ES
+    * serves this from positional postings; the scan-shaped equivalent
+    * here composes with any of the corpus filters (and a positional
+    * posting table is one explode+groupBy away if phrase volume ever
+    * warrants it).
+    */
+  def phraseSearch(
+      spark: SparkSession,
+      sfDir: String,
+      phrase: String = "join order"): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(concat(lit(" "), col("text"), lit(" "))
+        .contains(s" $phrase "))
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  def phraseSearchOracle(phrase: String = "join order"): String =
+    s"""SELECT doc_id, source, lang FROM documents
+       |WHERE contains(' ' || text || ' ', ' $phrase ')
+       |ORDER BY doc_id""".stripMargin
+
+  /** q143 — FUZZY TERM SEARCH (ES `fuzzy`, fuzziness=1): corpus terms
+    * within Levenshtein distance 1 of the query term, with hit and
+    * document counts — typo-tolerant lookup. Both engines implement the
+    * identical unit-cost edit distance, so the predicate is
+    * engine-exact. Shape: tokens explode narrow, the distance filter runs
+    * in the scan projection, and only surviving (term, doc_id) rows reach
+    * the aggregate — at 100 TB the same query runs against a persisted
+    * vocabulary table (Zipf-bounded) instead of re-exploding the corpus.
+    */
+  def fuzzySearch(
+      spark: SparkSession,
+      sfDir: String,
+      term: String = "star",
+      maxDist: Int = 2): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .filter(levenshtein(col("t"), lit(term)) <= maxDist)
+      .groupBy(col("t").as("term"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("term"))
+
+  def fuzzySearchOracle(term: String = "star", maxDist: Int = 2): String =
+    s"""WITH x AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents)
+       |SELECT t AS term, count(*) AS n_hits,
+       |       count(DISTINCT doc_id) AS n_docs
+       |FROM x WHERE levenshtein(t, '$term') <= $maxDist
+       |GROUP BY t ORDER BY term""".stripMargin
+
+  /** q144 — REGEXP/WILDCARD TERM SEARCH (ES `regexp` / `wildcard`):
+    * corpus terms matching an anchored regular expression, with counts.
+    * The pattern is kept inside the POSIX-ERE intersection both engines
+    * (Java regex / RE2) interpret identically — anchors, `.`, `*`,
+    * character classes; engine-divergent syntax (lookaround,
+    * backreferences) is out of contract, as documented for ES's own RE
+    * dialect. Same vocabulary-table scale remedy as q143.
+    */
+  def regexSearch(
+      spark: SparkSession,
+      sfDir: String,
+      pattern: String = "^s.*a.*$"): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .filter(col("t").rlike(pattern))
+      .groupBy(col("t").as("term"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("term"))
+
+  def regexSearchOracle(pattern: String = "^s.*a.*$"): String =
+    s"""WITH x AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents)
+       |SELECT t AS term, count(*) AS n_hits,
+       |       count(DISTINCT doc_id) AS n_docs
+       |FROM x WHERE regexp_matches(t, '$pattern')
+       |GROUP BY t ORDER BY term""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_tfidf_search" -> ((s: SparkSession, d: String) => tfidfTopDocs(s, d)),
     "q62_bm25_scores" -> ((s: SparkSession, d: String) => bm25Scores(s, d)),
-    "q88_rrf_fusion" -> ((s: SparkSession, d: String) => rrfFusion(s, d)))
+    "q88_rrf_fusion" -> ((s: SparkSession, d: String) => rrfFusion(s, d)),
+    "q142_phrase_search" -> ((s: SparkSession, d: String) => phraseSearch(s, d)),
+    "q143_fuzzy_search" -> ((s: SparkSession, d: String) => fuzzySearch(s, d)),
+    "q144_regex_search" -> ((s: SparkSession, d: String) => regexSearch(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q61_tfidf_search" -> tfidfOracle(),
     "q62_bm25_scores" -> bm25Oracle(),
-    "q88_rrf_fusion" -> rrfOracle())
+    "q88_rrf_fusion" -> rrfOracle(),
+    "q142_phrase_search" -> phraseSearchOracle(),
+    "q143_fuzzy_search" -> fuzzySearchOracle(),
+    "q144_regex_search" -> regexSearchOracle())
 }
