@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -359,13 +360,141 @@ object Retrieval {
        |FROM x WHERE regexp_matches(t, '$pattern')
        |GROUP BY t ORDER BY term""".stripMargin
 
+  /** q145 — SEARCH HIGHLIGHTING (ES `highlight`): for each phrase-matching
+    * document, the match position and a fixed-width snippet around the
+    * first occurrence — what a search UI renders. Every string op
+    * (pad/instr/substr, all 1-based) evaluates the IDENTICAL expression on
+    * both engines, so the snippet is byte-exact; the position guard
+    * (`greatest(pos-15, 1)`) keeps the window in range near the text
+    * start. Narrow scan-side projection; same pushable containment
+    * predicate as q142.
+    */
+  def highlightSearch(
+      spark: SparkSession,
+      sfDir: String,
+      phrase: String = "join order",
+      context: Int = 15): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val needle = s" $phrase "
+    val width = needle.length + 2 * context
+    Tables.documents(spark, sfDir)
+      .withColumn("pos", instr(padded, needle))
+      .filter(col("pos") > 0)
+      .select(col("doc_id"), col("pos"),
+        // substr(padded, max(pos-context,1), width) — the same 1-based
+        // formula the oracle evaluates
+        expr(s"substring(concat(' ', text, ' '), " +
+          s"greatest(pos - $context, 1), $width)").as("snippet"))
+      .orderBy(col("doc_id"))
+  }
+
+  def highlightSearchOracle(
+      phrase: String = "join order", context: Int = 15): String = {
+    val needle = s" $phrase "
+    val width = needle.length + 2 * context
+    s"""SELECT doc_id, pos,
+       |       substr(' ' || text || ' ', greatest(pos - $context, 1), $width)
+       |         AS snippet
+       |FROM (
+       |  SELECT doc_id, text,
+       |         CAST(strpos(' ' || text || ' ', ' $phrase ') AS INTEGER) AS pos
+       |  FROM documents)
+       |WHERE pos > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q146 — KEYSET PAGINATION (ES `search_after`): page 2 of the TF-IDF
+    * ranking, fetched NOT by offset but by the strict-after predicate on
+    * the (score desc, doc_id asc) total order — the only pagination that
+    * stays correct and cheap when the corpus changes between pages and
+    * when page N's offset would otherwise re-rank everything before it.
+    * The cursor (page 1's last row) is computed in-plan as a 1-row
+    * broadcast subquery, not collected; the after-predicate
+    * `score < s0 OR (score = s0 AND doc_id > d0)` is exact because scores
+    * are BIGINT (the q61 discipline — float scores would make the
+    * boundary engine-dependent).
+    */
+  def searchAfter(
+      spark: SparkSession,
+      sfDir: String,
+      terms: Seq[String] = DefaultTerms,
+      pageSize: Int = 10): DataFrame = {
+    val ranked = tfidfTopDocs(spark, sfDir, terms, k = Int.MaxValue)
+    val cursor = ranked
+      .withColumn("rn", row_number().over(Window.orderBy(
+        col("score").desc, col("doc_id").asc)))
+      .filter(col("rn") === pageSize)
+      .select(col("score").as("s0"), col("doc_id").as("d0"))
+    ranked.crossJoin(broadcast(cursor))
+      .filter(col("score") < col("s0") ||
+        (col("score") === col("s0") && col("doc_id") > col("d0")))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(pageSize)
+      .select(col("doc_id"), col("score"))
+  }
+
+  def searchAfterOracle(
+      terms: Seq[String] = DefaultTerms, pageSize: Int = 10): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, t, count(*) AS tf FROM tok
+       |  WHERE t IN ($termList) GROUP BY doc_id, t),
+       |idf AS (
+       |  SELECT t, CAST(round(ln((SELECT count(*) FROM documents)
+       |           / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS idf4
+       |  FROM tf GROUP BY t),
+       |ranked AS (
+       |  SELECT doc_id, CAST(sum(tf.tf * idf.idf4) AS BIGINT) AS score
+       |  FROM tf JOIN idf USING (t) GROUP BY doc_id),
+       |cursor AS (
+       |  SELECT score AS s0, doc_id AS d0 FROM ranked
+       |  ORDER BY score DESC, doc_id ASC LIMIT 1 OFFSET ${pageSize - 1})
+       |SELECT doc_id, score FROM ranked, cursor
+       |WHERE score < s0 OR (score = s0 AND doc_id > d0)
+       |ORDER BY score DESC, doc_id ASC LIMIT $pageSize""".stripMargin
+  }
+
+  /** q147 — FACETED SEARCH (ES `aggs` beside `query`): one pass computes
+    * the per-source and per-language facet counts of the documents
+    * matching a term query — GROUPING SETS over the filtered scan, the
+    * exact relational shape ES aggregations compile to. A NULL facet
+    * column marks the other dimension's rows (standard grouping-sets
+    * output; NULLS FIRST ordering pinned on both engines).
+    */
+  def facetedSearch(
+      spark: SparkSession,
+      sfDir: String,
+      term: String = "vector"): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .filter(array_contains(tokens(col("text")), term))
+      .createOrReplaceTempView("facet_docs")
+    spark.sql(
+      """SELECT source, lang, count(*) AS n_docs
+        |FROM facet_docs
+        |GROUP BY GROUPING SETS ((source), (lang))
+        |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin)
+  }
+
+  def facetedSearchOracle(term: String = "vector"): String =
+    s"""SELECT source, lang, count(*) AS n_docs
+       |FROM documents
+       |WHERE list_contains(string_split(text, ' '), '$term')
+       |GROUP BY GROUPING SETS ((source), (lang))
+       |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_tfidf_search" -> ((s: SparkSession, d: String) => tfidfTopDocs(s, d)),
     "q62_bm25_scores" -> ((s: SparkSession, d: String) => bm25Scores(s, d)),
     "q88_rrf_fusion" -> ((s: SparkSession, d: String) => rrfFusion(s, d)),
     "q142_phrase_search" -> ((s: SparkSession, d: String) => phraseSearch(s, d)),
     "q143_fuzzy_search" -> ((s: SparkSession, d: String) => fuzzySearch(s, d)),
-    "q144_regex_search" -> ((s: SparkSession, d: String) => regexSearch(s, d)))
+    "q144_regex_search" -> ((s: SparkSession, d: String) => regexSearch(s, d)),
+    "q145_highlight" -> ((s: SparkSession, d: String) => highlightSearch(s, d)),
+    "q146_search_after" -> ((s: SparkSession, d: String) => searchAfter(s, d)),
+    "q147_faceted_search" -> ((s: SparkSession, d: String) => facetedSearch(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q61_tfidf_search" -> tfidfOracle(),
@@ -373,5 +502,8 @@ object Retrieval {
     "q88_rrf_fusion" -> rrfOracle(),
     "q142_phrase_search" -> phraseSearchOracle(),
     "q143_fuzzy_search" -> fuzzySearchOracle(),
-    "q144_regex_search" -> regexSearchOracle())
+    "q144_regex_search" -> regexSearchOracle(),
+    "q145_highlight" -> highlightSearchOracle(),
+    "q146_search_after" -> searchAfterOracle(),
+    "q147_faceted_search" -> facetedSearchOracle())
 }
