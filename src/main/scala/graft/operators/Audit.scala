@@ -131,6 +131,43 @@ object Audit {
       |FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
       |GROUP BY 1 ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q148
+
+  /** q148 — CORPUS FINGERPRINT: an order-independent content fingerprint
+    * per source (and a rolled-up `(all)` row) — XOR-fold of
+    * `xxhash64(doc_id, text)` over the group. THE reproducibility
+    * primitive: two pipeline runs (different cluster, different
+    * partitioning, different row order) produced the same corpus iff
+    * their fingerprints match, without shipping either corpus anywhere.
+    * XOR is commutative/associative AND overflow-free (a wrapping sum
+    * trips ANSI mode), so the value is independent of row order and
+    * partitioning by construction (DetCheck covers the gate; the spec
+    * pins single-character sensitivity and permutation invariance). The
+    * id is hashed WITH the text so two identical keyed rows — impossible
+    * in a keyed corpus — are the only way rows cancel; sensitivity is
+    * that of a 64-bit fold: collisions need an adversary, which the
+    * operational "did my rerun drift" question doesn't face (use the
+    * q117 digest delta to locate WHAT drifted). Rows-only gate: xxhash64
+    * is Spark-native (DuckDB carries no compatible hash).
+    *
+    * Scale shape: one narrow scan (hash in the projection), a rollup
+    * aggregate with map-side partials — the cheapest corpus-level
+    * equality check that exists.
+    */
+  def corpusFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    corpusFingerprintOf(Tables.documents(spark, sfDir))
+
+  /** The fingerprint core over ANY (doc_id, source, text) frame. */
+  def corpusFingerprintOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), xxhash64(col("doc_id"), col("text")).as("h"))
+      .rollup(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(h)").as("fingerprint"))
+      .select(coalesce(col("source"), lit("(all)")).as("source"),
+        col("n_docs"), col("fingerprint"))
+      .orderBy(col("source"))
+
   // ---------------------------------------------------------------- q141
 
   /** q141 — INDEX HEALTH SUMMARY: one always-present row over the persisted
@@ -257,7 +294,10 @@ object Audit {
     "q133_embedding_coverage" -> (embeddingCoverage _),
     "q137_centroid_drift" -> (centroidDrift _),
     // rows-only: counts depend on the persisted index layout state
-    "q141_index_health" -> (indexHealth _))
+    "q141_index_health" -> (indexHealth _),
+    // rows-only: xxhash64 has no DuckDB twin; invariance/sensitivity
+    // spec-pinned, partitioning-independence DetCheck-pinned
+    "q148_corpus_fingerprint" -> (corpusFingerprint _))
 
   val oracles: Map[String, String] = Map(
     "q131_embedding_norms" -> embeddingNormsOracle(),

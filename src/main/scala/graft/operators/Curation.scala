@@ -630,6 +630,91 @@ object Curation {
        |SELECT source, rn, doc_id, fused_rank
        |FROM f WHERE rn <= $n ORDER BY source, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q149
+
+  /** q149 — FILTER-FUNNEL ATTRIBUTION: run the cleaning rule chain in
+    * priority order and report, per rule, how many documents it killed
+    * FIRST plus the running survivor count — the rejection-accounting
+    * report every production filtering pipeline publishes beside its
+    * output (q83 removes documents; this says WHY each removal happened
+    * and which rule dominates, the number a curator tunes thresholds
+    * against). First-kill attribution on purpose: a doc failing three
+    * rules charges the highest-priority one, so the stage counts sum to
+    * exactly the kill total and the funnel is monotone.
+    *
+    * Determinism: rules are integer/set predicates over exact per-doc
+    * stats; the stage table is a literal 5-row frame joined in so a rule
+    * that kills nothing still reports 0 (a vanished row reads as "rule
+    * not run"). Scale shape: ONE corpus scan computing stats + stage in
+    * the projection, a 5-group aggregate, and windows over the 5-row
+    * stage table. Nothing corpus-sized past the scan.
+    */
+  def filterFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Text.tokens(col("text"))
+    val tagged = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars"),
+        size(toks).cast("long").as("nt"),
+        (size(array_distinct(toks)).cast("long") * 1000000L).as("dn"))
+      .select(col("lang"), col("n_chars"), col("nt"),
+        expr("dn div nt").as("ttr"))
+      .select(
+        when(col("nt") < 20L, 1)
+          .when(col("n_chars") > 500L, 2)
+          .when(col("ttr") < 350000L, 3)
+          .when(!col("lang").isin("en", "de", "es", "zh"), 4)
+          .otherwise(5).as("stage_no"))
+    val counts = tagged.groupBy(col("stage_no"))
+      .agg(count(lit(1)).as("n"))
+    val stages = Seq(
+      (1, "too_short"), (2, "too_long"), (3, "low_diversity"),
+      (4, "lang_excluded"), (5, "survived")).toDF("stage_no", "stage")
+    val total = tagged.agg(count(lit(1)).as("n_total"))
+    val wCum = Window.orderBy(col("stage_no"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stages
+      .join(counts, Seq("stage_no"), "left")
+      .withColumn("n_docs", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("n_remaining",
+        col("n_total") -
+          sum(when(col("stage_no") <= 4, col("n_docs")).otherwise(0L))
+            .over(wCum))
+      .select(col("stage_no"), col("stage"), col("n_docs"), col("n_remaining"))
+      .orderBy(col("stage_no"))
+  }
+
+  val filterFunnelOracle: String =
+    """WITH base AS (
+      |  SELECT lang, n_chars,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |           * 1000000
+      |           // CAST(len(string_split(text, ' ')) AS BIGINT) AS ttr
+      |  FROM documents),
+      |tagged AS (
+      |  SELECT CASE WHEN nt < 20 THEN 1
+      |              WHEN n_chars > 500 THEN 2
+      |              WHEN ttr < 350000 THEN 3
+      |              WHEN lang NOT IN ('en','de','es','zh') THEN 4
+      |              ELSE 5 END AS stage_no
+      |  FROM base),
+      |counts AS (SELECT stage_no, count(*) AS n FROM tagged GROUP BY stage_no),
+      |stages AS (
+      |  SELECT * FROM (VALUES (1,'too_short'), (2,'too_long'),
+      |    (3,'low_diversity'), (4,'lang_excluded'), (5,'survived'))
+      |    AS t(stage_no, stage)),
+      |f AS (
+      |  SELECT s.stage_no, s.stage,
+      |         CAST(COALESCE(n, 0) AS BIGINT) AS n_docs
+      |  FROM stages s LEFT JOIN counts USING (stage_no))
+      |SELECT stage_no, stage, n_docs,
+      |       CAST((SELECT count(*) FROM documents)
+      |         - sum(CASE WHEN stage_no <= 4 THEN n_docs ELSE 0 END)
+      |             OVER (ORDER BY stage_no ROWS UNBOUNDED PRECEDING)
+      |         AS BIGINT) AS n_remaining
+      |FROM f ORDER BY stage_no""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_length_anomalies" -> ((s: SparkSession, d: String) => lengthAnomalies(s, d)),
     "q117_corpus_delta" -> ((s: SparkSession, d: String) => corpusDelta(s, d)),
@@ -638,7 +723,8 @@ object Curation {
     "q126_cluster_keywords" -> ((s: SparkSession, d: String) => clusterKeywords(s, d)),
     "q127_token_drift" -> ((s: SparkSession, d: String) => tokenDrift(s, d)),
     "q132_quality_deciles" -> ((s: SparkSession, d: String) => qualityDeciles(s, d)),
-    "q136_quality_fusion" -> ((s: SparkSession, d: String) => qualityFusion(s, d)))
+    "q136_quality_fusion" -> ((s: SparkSession, d: String) => qualityFusion(s, d)),
+    "q149_filter_funnel" -> (filterFunnel _))
 
   val oracles: Map[String, String] = Map(
     "q116_length_anomalies" -> lengthAnomaliesOracle(),
@@ -646,5 +732,6 @@ object Curation {
     "q121_importance_select" -> importanceSelectOracle(),
     "q127_token_drift" -> tokenDriftOracle(),
     "q132_quality_deciles" -> qualityDecilesOracle(),
-    "q136_quality_fusion" -> qualityFusionOracle())
+    "q136_quality_fusion" -> qualityFusionOracle(),
+    "q149_filter_funnel" -> filterFunnelOracle)
 }

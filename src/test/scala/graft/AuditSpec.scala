@@ -175,6 +175,26 @@ class AuditSpec extends SparkSpec {
     assert(r.getAs[Boolean]("healthy"))
   }
 
+  test("q148 fingerprint: permutation-invariant, single-char-sensitive, source-attributed") {
+    import spark.implicits._
+    val a = Seq((1L, "web", "aa bb"), (2L, "web", "cc"), (3L, "books", "dd"))
+      .toDF("doc_id", "source", "text")
+    val permuted = Seq((3L, "books", "dd"), (1L, "web", "aa bb"), (2L, "web", "cc"))
+      .toDF("doc_id", "source", "text")
+    val mutated = Seq((1L, "web", "aa bc"), (2L, "web", "cc"), (3L, "books", "dd"))
+      .toDF("doc_id", "source", "text")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Audit.corpusFingerprintOf(df).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val base = fp(a)
+    assert(fp(permuted) == base, "row order must not change the fingerprint")
+    val mut = fp(mutated)
+    assert(mut("web") != base("web") && mut("(all)") != base("(all)"),
+      "a one-character change must flip the affected fingerprints")
+    assert(mut("books") == base("books"),
+      "an untouched source's fingerprint must not move")
+  }
+
   test("q132 deciles: equal-depth per source, full coverage, nested bounds") {
     val docs = Tables.documents(spark, sf0001)
     val total = docs.count()

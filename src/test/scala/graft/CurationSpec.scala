@@ -6,6 +6,20 @@ import graft.operators.Curation
 
 class CurationSpec extends SparkSpec {
 
+  test("filter funnel: stages partition the corpus; survivor count closes the funnel") {
+    val total = Tables.documents(spark, sf0001).count()
+    val rows = Curation.filterFunnel(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 4, 5), "stable 5-row shape")
+    assert(rows.map(_._3).sum == total, "first-kill attribution partitions the corpus")
+    val remaining = rows.map(_._4)
+    assert(remaining.zip(remaining.tail).forall { case (a, b) => a >= b },
+      "funnel must be monotone non-increasing")
+    assert(remaining.last == rows.last._3,
+      "final n_remaining equals the survivor count")
+    assert(rows.init.exists(_._3 > 0L), "at least one rule fires on the fixture")
+  }
+
   test("length anomalies: fit and residuals match a driver-side OLS exactly") {
     // Brute-force the same closed form in Scala from collected (x, y) pairs;
     // the distributed result must be bit-identical (exact integer sums in,
