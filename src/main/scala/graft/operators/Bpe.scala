@@ -237,6 +237,48 @@ object Bpe {
       .orderBy(col("doc_id"))
   }
 
+  /** q150 — TOKENIZER EVALUATION by source: fertility (subwords per word)
+    * and compression (chars per subword) of the TRAINED merge table, in
+    * integer ppm — the two numbers a tokenizer is judged by before a
+    * training run commits to it (high fertility on one source means its
+    * text fragments into shards and burns context budget; the per-SOURCE
+    * split is the point, since a tokenizer trained on web text routinely
+    * over-fragments code or low-resource languages). Rows-only gate
+    * (model-dependent, like q102); BpeSpec pins totals equal to the q102
+    * per-doc encode and the fertility ≥ 1.0 invariant.
+    *
+    * Scale shape: the q102 broadcast-model narrow map (per-distinct-word
+    * memoized encode, no explode, no shuffle) feeding a
+    * source-cardinality aggregate.
+    */
+  def tokenizerEval(
+      spark: SparkSession, sfDir: String, numMerges: Int = 12): DataFrame = {
+    val merges = trainCached(spark, sfDir, numMerges)
+    val mergesB = spark.sparkContext.broadcast((merges, mergeKey(merges)))
+    val counts = udf { (ts: Seq[String]) =>
+      val (m, tableKey) = mergesB.value
+      var subs = 0L
+      ts.foreach(w => subs += subwordCount(w, m, tableKey))
+      (ts.length.toLong, subs)
+    }
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars"),
+        counts(Text.tokens(col("text"))).as("c"))
+      .select(col("source"), col("n_chars"),
+        col("c._1").as("n_words"), col("c._2").as("n_subwords"))
+      .filter(col("n_words") > 0)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_subwords"),
+        expr("n_subwords * 1000000L div n_words").as("fertility_ppm"),
+        expr("n_chars * 1000000L div n_subwords").as("chars_per_subword_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** Per-doc (doc_id, source, n_subwords) under the learned merge table —
     * the counts frame [[tokenizePack]] feeds the packer. Same broadcast
     * model + narrow-map shape as [[encodeCorpus]] (no shuffle, no explode).
@@ -289,7 +331,9 @@ object Bpe {
     "q102_bpe_encode" -> ((s: SparkSession, d: String) => encodeCorpus(s, d)),
     // rows-only: BPE segmentation is not SQL-expressible; spec-pinned
     // (totals equal q102, width-independence) instead
-    "q112_tokenize_pack" -> ((s: SparkSession, d: String) => tokenizePack(s, d)))
+    "q112_tokenize_pack" -> ((s: SparkSession, d: String) => tokenizePack(s, d)),
+    // rows-only: model-dependent like q102; totals pinned vs q102 in BpeSpec
+    "q150_tokenizer_eval" -> ((s: SparkSession, d: String) => tokenizerEval(s, d)))
 
   val oracles: Map[String, String] = Map.empty
 }

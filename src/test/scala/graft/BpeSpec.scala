@@ -54,6 +54,23 @@ class BpeSpec extends SparkSpec {
       "blockWidth=64 diverges from serial definition")
   }
 
+  test("tokenizer eval: source totals reconcile with the per-doc encode; fertility >= 1") {
+    import org.apache.spark.sql.functions.sum
+    val eval = Bpe.tokenizerEval(spark, sf0001).collect()
+    assert(eval.nonEmpty)
+    val Seq(words, subs) = Seq("n_words", "n_subwords").map(c =>
+      eval.map(_.getAs[Long](c)).sum)
+    val enc = Bpe.encodeCorpus(spark, sf0001)
+      .agg(sum("n_words"), sum("n_subwords")).collect()(0)
+    assert(words == enc.getLong(0) && subs == enc.getLong(1),
+      "per-source totals must reconcile with the per-doc encode")
+    eval.foreach { r =>
+      assert(r.getAs[Long]("fertility_ppm") >= 1000000L,
+        s"a word segments into at least one subword: $r")
+      assert(r.getAs[Long]("chars_per_subword_ppm") > 0L)
+    }
+  }
+
   test("encodeCorpus matches driver-side segmentation for every document") {
     import org.apache.spark.sql.functions.col
     val merges = Bpe.trainCached(spark, sf0001)
