@@ -485,6 +485,228 @@ object Retrieval {
        |GROUP BY GROUPING SETS ((source), (lang))
        |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin
 
+  // ------------------------------------------------- q151/q152/q153/q154
+  // The query-BY-EXAMPLE / scoring-modifier / reverse-search / completion
+  // corners of the ES DSL — the last daily-driver query classes a reference
+  // user writes that the engine did not yet serve.
+
+  /** q151 — MORE LIKE THIS (ES `more_like_this`): retrieve documents
+    * similar to an EXAMPLE document. ES's published algorithm: pick the
+    * example's `max_query_terms` most interesting terms (tf·idf within the
+    * example), then run them as a disjunctive TF-IDF query. Both stages
+    * here are the q61 integer discipline — idf scaled to 1e4 once, scores
+    * exact BIGINT sums, ties on term/doc_id ASC — so the selection AND the
+    * ranking are engine-exact.
+    *
+    * Scale shape (100 TB): the example's term profile is a one-document
+    * explode (tiny); corpus postings are restricted to those terms by a
+    * BROADCAST join before any aggregate, so only the example's terms' hit
+    * rows — not the corpus token stream — reach the two digest-sized
+    * exchanges. The term-selection window orders a table bounded by the
+    * example document's own vocabulary (driver-bounded by doc length, the
+    * same budget class as the BPE argmax); at index scale the tf explode
+    * is served from the persisted vocabulary/posting table exactly as
+    * q143/q144 note.
+    */
+  def moreLikeThis(
+      spark: SparkSession,
+      sfDir: String,
+      exampleId: Long = 7,
+      maxTerms: Int = 12,
+      k: Int = 20): DataFrame = {
+    val doc = Tables.documents(spark, sfDir)
+    val exTf = doc.filter(col("doc_id") === exampleId)
+      .select(explode(tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("tf_ex"))
+    val tf = doc.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .join(broadcast(exTf.select(col("t"))), "t")
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val n = doc.agg(count(lit(1)).as("n"))
+    val dfreq = tf.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
+    val idf = dfreq.crossJoin(broadcast(n))
+      .select(col("t"), round(log(col("n") / col("df")) * 10000).cast("long").as("idf4"))
+    // ES max_query_terms: the example's most interesting terms. The window
+    // is unpartitioned but runs over ≤ |example vocabulary| rows.
+    val wSel = Window.orderBy((col("tf_ex") * col("idf4")).desc, col("t").asc)
+    val sel = exTf.join(idf, "t")
+      .withColumn("rn", row_number().over(wSel))
+      .filter(col("rn") <= maxTerms)
+      .select(col("t"), col("idf4"))
+    tf.join(broadcast(sel), "t")
+      .filter(col("doc_id") =!= exampleId)
+      .groupBy(col("doc_id")).agg(sum(col("tf") * col("idf4")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("score"))
+  }
+
+  def moreLikeThisOracle(exampleId: Long = 7, maxTerms: Int = 12, k: Int = 20): String =
+    s"""WITH extf AS (
+       |  SELECT t, count(*) AS tf_ex FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS t
+       |    FROM documents WHERE doc_id = $exampleId)
+       |  GROUP BY t),
+       |tf AS (
+       |  SELECT doc_id, t, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE t IN (SELECT t FROM extf) GROUP BY doc_id, t),
+       |idf AS (
+       |  SELECT t, CAST(round(ln((SELECT count(*) FROM documents)
+       |           / CAST(count(DISTINCT doc_id) AS DOUBLE)) * 10000) AS BIGINT) AS idf4
+       |  FROM tf GROUP BY t),
+       |sel AS (
+       |  SELECT t, idf4 FROM (
+       |    SELECT extf.t AS t, idf.idf4 AS idf4,
+       |           row_number() OVER (ORDER BY extf.tf_ex * idf.idf4 DESC, extf.t ASC) AS rn
+       |    FROM extf JOIN idf ON extf.t = idf.t)
+       |  WHERE rn <= $maxTerms)
+       |SELECT doc_id, CAST(sum(tf.tf * sel.idf4) AS BIGINT) AS score
+       |FROM tf JOIN sel ON tf.t = sel.t
+       |WHERE doc_id <> $exampleId
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC
+       |LIMIT $k""".stripMargin
+
+  /** q152 — FUNCTION SCORE (ES `function_score` with `field_value_factor`):
+    * the lexical relevance score multiplied by a document-field boost —
+    * here ln(1+n_chars), the "longer documents carry more evidence" factor
+    * (ES modifier `ln1p`). The factor is rounded ONCE to a 1e4-scaled
+    * BIGINT exactly like idf, so the combined score is an exact integer
+    * product and the ranking is engine-total.
+    *
+    * Scale shape: the q61 scoring legs unchanged (broadcast idf into the
+    * term-restricted postings), then one doc_id-keyed join of the
+    * pre-aggregated scores against the narrow (doc_id, n_chars) projection
+    * — both sides are already reduced, nothing corpus-wide shuffles twice.
+    */
+  def functionScore(
+      spark: SparkSession,
+      sfDir: String,
+      terms: Seq[String] = DefaultTerms,
+      k: Int = 20): DataFrame = {
+    val doc = Tables.documents(spark, sfDir)
+    val tf = termFreqs(doc, terms)
+    val n = doc.agg(count(lit(1)).as("n"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val idf = dfreq.crossJoin(broadcast(n))
+      .select(col("t"), round(log(col("n") / col("df")) * 10000).cast("long").as("idf4"))
+    val scores = tf.join(broadcast(idf), "t")
+      .groupBy(col("doc_id")).agg(sum(col("tf") * col("idf4")).as("score"))
+    val fvf = doc.select(col("doc_id"),
+      round(log(lit(1.0) + col("n_chars")) * 10000).cast("long").as("fvf4"))
+    scores.join(fvf, "doc_id")
+      .select(col("doc_id"), (col("score") * col("fvf4")).as("fscore"))
+      .orderBy(col("fscore").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def functionScoreOracle(terms: Seq[String] = DefaultTerms, k: Int = 20): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, t, count(*) AS tf FROM tok
+       |  WHERE t IN ($termList) GROUP BY doc_id, t),
+       |idf AS (
+       |  SELECT t, CAST(round(ln((SELECT count(*) FROM documents)
+       |           / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS idf4
+       |  FROM tf GROUP BY t),
+       |scores AS (
+       |  SELECT doc_id, CAST(sum(tf.tf * idf.idf4) AS BIGINT) AS score
+       |  FROM tf JOIN idf USING (t) GROUP BY doc_id)
+       |SELECT s.doc_id,
+       |       s.score * CAST(round(ln(1.0 + d.n_chars) * 10000) AS BIGINT) AS fscore
+       |FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+       |ORDER BY fscore DESC, s.doc_id ASC
+       |LIMIT $k""".stripMargin
+  }
+
+  /** Stored percolator queries: (query_id, all-of-these-terms). Chosen so
+    * the fixtures exercise multi-term conjunction, a rare term, overlap
+    * between queries, and one query with zero matches (kept visible).
+    */
+  val DefaultPercolators: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("vector", "hash"),
+    2 -> Seq("join", "order"),
+    3 -> Seq("dup"),
+    4 -> Seq("dup", "vector"),
+    5 -> Seq("zebra"))
+
+  /** q153 — PERCOLATE (ES percolator): the REVERSE search — a registry of
+    * stored term-conjunction queries matched against the document corpus,
+    * answering "which saved searches / alert rules does each document
+    * trigger". Output is the per-query match count with zero-match queries
+    * kept visible (the q149 zero-kill-rules discipline).
+    *
+    * Scale shape: the query registry is small by nature (alert rules, not
+    * documents) and BROADCASTS into one corpus scan; each document
+    * evaluates every query's conjunction as a narrow `forall` containment
+    * predicate over the space-padded text (the q142 phrase trick — no
+    * tokenize, no explode). The only exchange is the query-cardinality
+    * count aggregate. The registry being data (not plan literals) is the
+    * point: percolation registries update without replanning, and the
+    * streaming twin runs the same broadcast-registry scan per micro-batch.
+    */
+  def percolate(
+      spark: SparkSession,
+      sfDir: String,
+      queries: Seq[(Int, Seq[String])] = DefaultPercolators): DataFrame = {
+    import spark.implicits._
+    val doc = Tables.documents(spark, sfDir)
+    val q = queries.toDF("query_id", "terms")
+      .select(col("query_id").cast("long"), col("terms"))
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val matches = doc.crossJoin(broadcast(q))
+      .filter(forall(col("terms"),
+        t => padded.contains(concat(lit(" "), t, lit(" ")))))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_docs"))
+    q.select(col("query_id")).join(matches, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy(col("query_id"))
+  }
+
+  def percolateOracle(queries: Seq[(Int, Seq[String])] = DefaultPercolators): String =
+    queries.map { case (id, ts) =>
+      val pred = ts.map(t => s"contains(' ' || text || ' ', ' $t ')").mkString(" AND ")
+      s"""SELECT CAST($id AS BIGINT) AS query_id,
+         |  (SELECT count(*) FROM documents WHERE $pred) AS n_docs""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
+
+  /** q154 — COMPLETION SUGGEST (ES `completion` / `terms` suggester):
+    * corpus terms with a given prefix ranked by frequency — the
+    * autocomplete dropdown. Frequencies are exact counts so the
+    * (n_hits DESC, term ASC) order is total on both engines.
+    *
+    * Scale shape: tokens explode narrow and the prefix predicate runs in
+    * the scan projection, so only matching (term, doc_id) rows reach the
+    * Zipf-bounded aggregate; at index scale the same query runs against
+    * the persisted vocabulary table (the q143/q144 remedy), where it is a
+    * range scan on the term-sorted primary key.
+    */
+  def suggest(
+      spark: SparkSession,
+      sfDir: String,
+      prefix: String = "s",
+      k: Int = 10): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .filter(col("t").startsWith(prefix))
+      .groupBy(col("t").as("term"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_hits").desc, col("term").asc)
+      .limit(k)
+
+  def suggestOracle(prefix: String = "s", k: Int = 10): String =
+    s"""WITH x AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents)
+       |SELECT t AS term, count(*) AS n_hits,
+       |       count(DISTINCT doc_id) AS n_docs
+       |FROM x WHERE t LIKE '$prefix%'
+       |GROUP BY t ORDER BY n_hits DESC, term ASC LIMIT $k""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_tfidf_search" -> ((s: SparkSession, d: String) => tfidfTopDocs(s, d)),
     "q62_bm25_scores" -> ((s: SparkSession, d: String) => bm25Scores(s, d)),
@@ -494,7 +716,11 @@ object Retrieval {
     "q144_regex_search" -> ((s: SparkSession, d: String) => regexSearch(s, d)),
     "q145_highlight" -> ((s: SparkSession, d: String) => highlightSearch(s, d)),
     "q146_search_after" -> ((s: SparkSession, d: String) => searchAfter(s, d)),
-    "q147_faceted_search" -> ((s: SparkSession, d: String) => facetedSearch(s, d)))
+    "q147_faceted_search" -> ((s: SparkSession, d: String) => facetedSearch(s, d)),
+    "q151_more_like_this" -> ((s: SparkSession, d: String) => moreLikeThis(s, d)),
+    "q152_function_score" -> ((s: SparkSession, d: String) => functionScore(s, d)),
+    "q153_percolate" -> ((s: SparkSession, d: String) => percolate(s, d)),
+    "q154_suggest" -> ((s: SparkSession, d: String) => suggest(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q61_tfidf_search" -> tfidfOracle(),
@@ -505,5 +731,9 @@ object Retrieval {
     "q144_regex_search" -> regexSearchOracle(),
     "q145_highlight" -> highlightSearchOracle(),
     "q146_search_after" -> searchAfterOracle(),
-    "q147_faceted_search" -> facetedSearchOracle())
+    "q147_faceted_search" -> facetedSearchOracle(),
+    "q151_more_like_this" -> moreLikeThisOracle(),
+    "q152_function_score" -> functionScoreOracle(),
+    "q153_percolate" -> percolateOracle(),
+    "q154_suggest" -> suggestOracle())
 }

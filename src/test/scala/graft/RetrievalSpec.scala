@@ -114,4 +114,78 @@ class RetrievalSpec extends SparkSpec {
     assert(byScore.take(3).forall(dupDocs),
       "bm25 top hits should be the rare-term docs")
   }
+
+  test("mlt: scores match a scala-side recomputation of ES's two-stage algorithm") {
+    val exampleId = 7L
+    val maxTerms = 12
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val n = docs.length.toDouble
+    val exToks = docs.find(_._1 == exampleId).get._2
+    val exTf: Map[String, Long] =
+      exToks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val df: Map[String, Long] = exTf.keys.map { t =>
+      t -> docs.count(_._2.contains(t)).toLong
+    }.toMap
+    val idf4: Map[String, Long] = df.map { case (t, d) =>
+      t -> BigDecimal(math.log(n / d) * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val selected = exTf.keys.toSeq
+      .sortBy(t => (-(exTf(t) * idf4(t)), t)).take(maxTerms)
+    val expected = docs.filter(_._1 != exampleId).map { case (id, toks) =>
+      id -> selected.map(t => toks.count(_ == t).toLong * idf4(t)).sum
+    }.filter { case (id, _) =>
+      selected.exists(t => docs.find(_._1 == id).get._2.contains(t))
+    }.sortBy { case (id, s) => (-s, id) }.take(20).toSeq
+    val got = Retrieval.moreLikeThis(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("mlt: the example document never retrieves itself") {
+    val ids = Retrieval.moreLikeThis(spark, sf0001, exampleId = 7L)
+      .collect().map(_.getLong(0))
+    assert(!ids.contains(7L))
+    assert(ids.nonEmpty)
+  }
+
+  test("function score: fscore is exactly score × ln1p-factor for every row") {
+    val base = Retrieval.tfidfTopDocs(spark, sf0001, k = Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chars = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Retrieval.functionScore(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, fscore) = (r.getLong(0), r.getLong(1))
+      val fvf4 = BigDecimal(math.log(1.0 + chars(id)) * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(fscore == base(id) * fvf4, s"doc $id")
+    }
+  }
+
+  test("percolate: conjunction counts are monotone and zero-match queries stay visible") {
+    val counts = Retrieval.percolate(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(1L, 2L, 3L, 4L, 5L),
+      "every registered query gets a row")
+    assert(counts(5L) == 0L, "the no-match query reports zero, not absence")
+    assert(counts(4L) <= counts(3L),
+      "adding a conjunct can only shrink the match set")
+    assert(counts(1L) > 0 && counts(2L) > 0 && counts(3L) > 0)
+  }
+
+  test("suggest: every completion carries the prefix and counts are exact") {
+    val rows = Retrieval.suggest(spark, sf0001, prefix = "s").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(0).startsWith("s")))
+    val vocab = Tables.documents(spark, sf0001)
+      .select(col("text")).collect().flatMap(_.getString(0).split(" "))
+    val hits = vocab.count(_.startsWith("s")).toLong
+    assert(rows.map(_.getLong(1)).sum == hits,
+      "suggest hit counts must cross-foot with a raw token count")
+  }
 }
