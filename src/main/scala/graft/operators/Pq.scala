@@ -255,12 +255,12 @@ object Pq {
   /** Phase 2: exact re-rank of the k1 candidates — only these rows ever read
     * a real embedding. Output shape matches the other ANN gates.
     */
-  private def rerank(candidates: DataFrame, emb: DataFrame, q: QuerySide, k2: Int): DataFrame = {
+  private def rerank(candidates: DataFrame, emb: DataFrame, qvecs: DataFrame, k2: Int): DataFrame = {
     val wK2 = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id").asc)
     candidates
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-      .join(broadcast(q.qvecs), "query_id")
+      .join(broadcast(qvecs), "query_id")
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
         VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))
@@ -296,7 +296,7 @@ object Pq {
     val q = querySide(spark, emb, model, queryMaxId)
     // ADC scan: |Q| passes over the CODE column only (queries broadcast).
     val candidates = adcTopK1(codes.crossJoin(broadcast(q.queries)), q, k1)
-    rerank(candidates, emb, q, k2)
+    rerank(candidates, emb, q.qvecs, k2)
   }
 
   /** Persisted PQ index: `model/` (codebooks, one row) + `codes/`
@@ -384,7 +384,7 @@ object Pq {
     val emb = Tables.embeddings(spark, sfDir)
     val q = querySide(spark, emb, model, queryMaxId)
     val candidates = adcTopK1(codes.crossJoin(broadcast(q.queries)), q, k1)
-    rerank(candidates, emb, q, k2)
+    rerank(candidates, emb, q.qvecs, k2)
   }
 
   /** The phase-1 ADC candidate scan in isolation (plan-inspection surface
@@ -483,7 +483,7 @@ object Pq {
     val codes = encodeSq(spark, emb, sq)
     val q = querySide(spark, emb, sq.asPqModel, queryMaxId)
     val candidates = adcTopK1(codes.crossJoin(broadcast(q.queries)), q, k1)
-    rerank(candidates, emb, q, k2)
+    rerank(candidates, emb, q.qvecs, k2)
   }
 
   /** Persisted SQ8 index: `model/` (dim, mins, scales — one row) + `codes/`
@@ -562,7 +562,7 @@ object Pq {
     val emb = Tables.embeddings(spark, sfDir)
     val q = querySide(spark, emb, model.asPqModel, queryMaxId)
     val candidates = adcTopK1(liveSqCodes(spark, indexDir).crossJoin(broadcast(q.queries)), q, k1)
-    rerank(candidates, emb, q, k2)
+    rerank(candidates, emb, q.qvecs, k2)
   }
 
   /** The SQ8 phase-1 scan in isolation (PlanSpec: ReadSchema must contain
@@ -701,7 +701,223 @@ object Pq {
       .filter(col("cell").isin(probes.map(_._2).distinct: _*))
     val probesDf = probes.toDF("query_id", "cell")
     val candidates = adcTopK1(codes.join(broadcast(probesDf), "cell"), q, k1)
-    rerank(candidates, emb, q, k2)
+    rerank(candidates, emb, q.qvecs, k2)
+  }
+
+  // ------------------------------------------------------------------ BQ
+
+  /** Binary quantization (BQ): ONE SIGN BIT per dimension against the
+    * corpus per-dimension mean — the 64-d corpus packs into a single
+    * 64-bit word, the 256×-per-float rung below PQ on the compression
+    * ladder (flat 1× / SQ8 4× / PQ 32× / BQ 256× per byte-pair — at dim 64
+    * BQ matches PQ's 8-byte footprint but its distance is ONE xor +
+    * popcount instead of 8 table lookups, the reason Lucene/ES ship it as
+    * their default coarse pass). Mean-centering balances the bit
+    * distribution so each bit carries ~1 bit of entropy even when the
+    * embedding model leaves a dimension offset.
+    *
+    * Determinism discipline: thresholds are SCALED-LONG means
+    * (`sum((x·10⁶)::long) div n`, the q84 k-means treatment) so the model
+    * is bitwise identical on any partitioning, and the encode comparison
+    * `(x·10⁶)::long > thr6` runs in exact integers on both the codegen and
+    * driver paths. Search is Hamming distance `bit_count(code ^ qcode)` —
+    * pure integer — followed by the shared exact re-rank, so the whole
+    * operator is model-deterministic (spec-pinned full-rank ≡ exact knn,
+    * recall floor, indexed ≡ inline).
+    */
+  case class BqModel(dim: Int, thr6: Array[Long]) {
+    require(dim <= 64, s"BQ packs into one long: dim $dim > 64")
+
+    def encodeArrayData(v: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+      require(v.numElements() == dim, s"dim ${v.numElements()} != $dim")
+      var code = 0L
+      var i = 0
+      while (i < dim) {
+        if ((v.getFloat(i).toDouble * 1e6).toLong > thr6(i)) code |= (1L << i)
+        i += 1
+      }
+      code
+    }
+
+    /** Driver-side twin of [[encodeArrayData]] — same comparison, same bit
+      * layout (used for query-side codes and spec recomputes).
+      */
+    def encodeSeq(v: Seq[Float]): Long = {
+      require(v.length == dim, s"dim ${v.length} != $dim")
+      var code = 0L
+      var i = 0
+      while (i < dim) {
+        if ((v(i).toDouble * 1e6).toLong > thr6(i)) code |= (1L << i)
+        i += 1
+      }
+      code
+    }
+  }
+
+  /** Per-dimension scaled-long mean thresholds: one narrow posexplode +
+    * dim-keyed integer aggregate (64 groups move per partition regardless
+    * of corpus size; exact BIGINT sums ⇒ partition-independent, the same
+    * determinism class as [[fitSq]]).
+    */
+  def fitBq(emb: DataFrame): BqModel = {
+    val rows = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum((col("x") * 1e6).cast("long")).as("s"), count(lit(1)).as("n"))
+      .select(col("pos"), expr("s div n").as("thr6"))
+      .orderBy(col("pos")).collect()
+    BqModel(rows.length, rows.map(_.getLong(1)))
+  }
+
+  def encodeBq(spark: SparkSession, emb: DataFrame, model: BqModel): DataFrame =
+    emb.select(col("vec_id"),
+      VectorExpressions.bqEncode(col("embedding"), model).as("code"))
+
+  /** Query-side codes + vectors for the BQ scan (both driver-bounded by
+    * queryMaxId, broadcast into the plan).
+    */
+  private def bqQuerySide(
+      spark: SparkSession,
+      emb: DataFrame,
+      model: BqModel,
+      queryMaxId: Long): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val qRows = emb.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id"), col("embedding")).collect()
+    val qcodes = qRows.toSeq
+      .map(r => (r.getLong(0), model.encodeSeq(r.getSeq[Float](1))))
+      .toDF("query_id", "qcode")
+    val qvecs = qRows.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .toDF("query_id", "qv")
+    (qcodes, qvecs)
+  }
+
+  /** Phase 1: Hamming-score a (query_id, vec_id, code) frame, keep top-k1
+    * per query (ties by vec_id). `bit_count(xor)` is a codegen'd integer
+    * intrinsic — the cheapest approximate-distance scan the engine has.
+    */
+  private def hammingTopK1(paired: DataFrame, k1: Int): DataFrame = {
+    val wK1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham").asc, col("vec_id").asc)
+    paired
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        bit_count(col("code").bitwiseXOR(col("qcode"))).as("ham"))
+      .withColumn("r1", row_number().over(wK1))
+      .filter(col("r1") <= k1)
+  }
+
+  /** q155 — BQ ANN (no SQL oracle — quantization-dependent; pinned by
+    * PqSpec full-rank-parity, recall-floor, and indexed≡inline tests):
+    * Hamming scan over the 1-long-per-vector codes → top-k1 → exact
+    * re-rank → top-k2. Output shape matches the other ANN gates.
+    */
+  def annBq(
+      spark: SparkSession,
+      sfDir: String,
+      queryMaxId: Long = 8,
+      k1: Int = 100,
+      k2: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = fitBq(emb)
+    val codes = encodeBq(spark, emb, model)
+    val (qcodes, qvecs) = bqQuerySide(spark, emb, model, queryMaxId)
+    val candidates = hammingTopK1(codes.crossJoin(broadcast(qcodes)), k1)
+    rerank(candidates, emb, qvecs, k2)
+  }
+
+  /** Persisted BQ index: `model/` (dim, thr6 — one row) + `codes/`
+    * (vec_id, code LONG), 32× smaller than the vectors parquet. Same
+    * [[Lifecycle]] semantics as the PQ/SQ8 layouts: thresholds freeze at
+    * build time (re-deriving them would flip stored sign bits), so
+    * distribution drift is a periodic-rebuild concern — [[Audit
+    * .centroidDrift]] is the probe that says when.
+    */
+  def buildBqIndex(spark: SparkSession, emb: DataFrame, model: BqModel, outDir: String): Unit = {
+    Lifecycle.resetMarkers(spark, outDir)
+    writeBqModel(spark, model, s"$outDir/model")
+    encodeBq(spark, emb, model)
+      .withColumn(Lifecycle.BatchCol, lit(0L))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$outDir/codes")
+  }
+
+  def appendBqIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit =
+    Lifecycle.appendWith(spark, indexDir, newVectors,
+      adoptParts = Seq("codes" -> Nil),
+      stored = spark.read.parquet(s"$indexDir/codes")) { batch =>
+      val model = loadBqModel(spark, s"$indexDir/model")
+      encodeBq(spark, newVectors, model)
+        .withColumn(Lifecycle.BatchCol, lit(batch))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$indexDir/codes")
+    }
+
+  def deleteFromBqIndex(spark: SparkSession, indexDir: String, ids: Seq[Long]): Unit =
+    Lifecycle.delete(spark, indexDir, ids)
+
+  def vacuumBqIndex(spark: SparkSession, indexDir: String): Unit =
+    Lifecycle.vacuum(spark, indexDir, Seq("codes" -> Nil))
+
+  def liveBqCodes(spark: SparkSession, indexDir: String): DataFrame =
+    Lifecycle.live(spark, indexDir, spark.read.parquet(s"$indexDir/codes"))
+
+  private[graft] def writeBqModel(spark: SparkSession, model: BqModel, dir: String): Unit = {
+    import spark.implicits._
+    Seq((model.dim, model.thr6.toSeq))
+      .toDF("dim", "thr6")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+  }
+
+  def loadBqModel(spark: SparkSession, dir: String): BqModel = {
+    val r = spark.read.parquet(dir).collect()(0)
+    BqModel(r.getInt(0), r.getSeq[Long](1).toArray)
+  }
+
+  /** Build-once cache keyed like [[ensureSqIndex]]. */
+  def ensureBqIndex(spark: SparkSession, sfDir: String): String = {
+    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    val key = Index.cacheKey(s"$sfDir:${src.lastModified}:bq:v${Index.LayoutVersion}")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-bq-index-$key")
+    if (!new java.io.File(dir, "codes/_SUCCESS").exists()) {
+      val emb = Tables.embeddings(spark, sfDir)
+      buildBqIndex(spark, emb, fitBq(emb), dir.getAbsolutePath)
+    }
+    dir.getAbsolutePath
+  }
+
+  /** q156 — BQ ANN against the PERSISTED code table: identical semantics
+    * to [[annBq]] (deterministic fit ⇒ same codes ⇒ same results,
+    * spec-pinned), but the Hamming pass scans `codes/` — 8 bytes per
+    * vector — and only the k1 re-rank rows read a real embedding. The
+    * 100 TB plan: a 32×-compressed whole-stage-codegen scan whose distance
+    * kernel is a single xor+popcount (PlanSpec asserts the code-only
+    * ReadSchema).
+    */
+  def annBqIndexed(
+      spark: SparkSession,
+      sfDir: String,
+      queryMaxId: Long = 8,
+      k1: Int = 100,
+      k2: Int = 10): DataFrame = {
+    val indexDir = ensureBqIndex(spark, sfDir)
+    val model = loadBqModel(spark, s"$indexDir/model")
+    val emb = Tables.embeddings(spark, sfDir)
+    val (qcodes, qvecs) = bqQuerySide(spark, emb, model, queryMaxId)
+    val candidates = hammingTopK1(
+      liveBqCodes(spark, indexDir).crossJoin(broadcast(qcodes)), k1)
+    rerank(candidates, emb, qvecs, k2)
+  }
+
+  /** The BQ phase-1 scan in isolation (PlanSpec: ReadSchema must contain
+    * code and never embedding — the 32× working-set reduction is the
+    * point).
+    */
+  def bqScanPlan(spark: SparkSession, sfDir: String, queryMaxId: Long = 8): DataFrame = {
+    val indexDir = ensureBqIndex(spark, sfDir)
+    val model = loadBqModel(spark, s"$indexDir/model")
+    val (qcodes, _) = bqQuerySide(spark, Tables.embeddings(spark, sfDir), model, queryMaxId)
+    liveBqCodes(spark, indexDir).crossJoin(broadcast(qcodes))
+      .select(col("query_id"), col("vec_id"),
+        bit_count(col("code").bitwiseXOR(col("qcode"))).as("ham"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -709,7 +925,9 @@ object Pq {
     "q71_pq_ann_indexed" -> ((s: SparkSession, d: String) => annPqIndexed(s, d)),
     "q72_ivfpq_ann" -> ((s: SparkSession, d: String) => annIvfPq(s, d)),
     "q90_sq8_ann" -> ((s: SparkSession, d: String) => annSq8(s, d)),
-    "q91_sq8_ann_indexed" -> ((s: SparkSession, d: String) => annSq8Indexed(s, d)))
+    "q91_sq8_ann_indexed" -> ((s: SparkSession, d: String) => annSq8Indexed(s, d)),
+    "q155_bq_ann" -> ((s: SparkSession, d: String) => annBq(s, d)),
+    "q156_bq_ann_indexed" -> ((s: SparkSession, d: String) => annBqIndexed(s, d)))
 
   val oracles: Map[String, String] = Map.empty
 }

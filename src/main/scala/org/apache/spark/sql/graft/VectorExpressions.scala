@@ -307,6 +307,31 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Binary-quantization encode: 64-d float vector → one 64-bit sign-bit
+    * word against the model's scaled-long per-dimension thresholds. The
+    * comparison is exact-integer (`(x·10⁶)::long > thr6`), so codegen and
+    * interpreted eval are bitwise identical by construction.
+    */
+  case class BqEncode(child: Expression, model: graft.operators.Pq.BqModel)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "bq_encode"
+
+    override def nullSafeEval(v: Any): Any =
+      model.encodeArrayData(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bqModel", model,
+        classOf[graft.operators.Pq.BqModel].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.encodeArrayData($v);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def l2(a: Column, b: Column): Column =
     ExpressionUtils.column(L2Distance(expr(a), expr(b)))
   def cosine(a: Column, b: Column): Column =
@@ -323,6 +348,8 @@ object VectorExpressions {
     ExpressionUtils.column(PqEncode(expr(v), model))
   def sq8Encode(v: Column, model: graft.operators.Pq.SqModel): Column =
     ExpressionUtils.column(Sq8Encode(expr(v), model))
+  def bqEncode(v: Column, model: graft.operators.Pq.BqModel): Column =
+    ExpressionUtils.column(BqEncode(expr(v), model))
 
   private def expr(c: Column): Expression = ExpressionUtils.expression(c)
 }

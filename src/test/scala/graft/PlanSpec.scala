@@ -553,4 +553,14 @@ class PlanSpec extends SparkSpec {
     assert(!scan.contains("embedding"), s"SQ8 scan reads embeddings: $scan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("bq scan reads only the one-long code column, never an embedding") {
+    val plan = graft.operators.Pq.bqScanPlan(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.filter(_.contains("FileScan"))
+      .find(_.contains("code")).getOrElse(fail(s"no code scan:\n$plan"))
+    assert(scan.contains("code:bigint"), scan)
+    assert(!scan.contains("embedding"), s"BQ scan reads embeddings: $scan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -218,6 +218,82 @@ class PqSpec extends SparkSpec {
       "dead code rows survived the vacuum")
   }
 
+  test("bq: one long per vector; fit is partition-independent scaled-long means") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = Pq.fitBq(emb)
+    assert(model.dim == 64)
+    val again = Pq.fitBq(emb.repartition(7))
+    assert(model.thr6.toSeq == again.thr6.toSeq,
+      "thresholds must be bitwise partition-independent")
+    // codegen encode ≡ driver encode for every vector
+    val codes = Pq.encodeBq(spark, emb, model).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    emb.select(col("vec_id"), col("embedding")).collect().foreach { r =>
+      assert(codes(r.getLong(0)) == model.encodeSeq(r.getSeq[Float](1)),
+        s"vec ${r.getLong(0)}: codegen and driver encode disagree")
+    }
+    // mean-centering balances bits: no bit position is constant corpus-wide
+    (0 until 64).foreach { i =>
+      val ones = codes.values.count(c => (c >> i & 1L) == 1L)
+      assert(ones > 0 && ones < codes.size, s"bit $i is degenerate")
+    }
+  }
+
+  test("bq ann: full-rank scan equals exact knn; default k1 recall floor") {
+    val exact = KnnExact.topK(spark, sf0001, queryMaxId = 8, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // k1 = corpus size ⇒ the exact re-rank sees every vector: the pair set
+    // must equal brute force regardless of how lossy the sign bits are.
+    val fullRank = Pq.annBq(spark, sf0001, k1 = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fullRank == exact, "full-rank BQ must reduce to exact knn")
+    val got = Pq.annBq(spark, sf0001).collect()
+    assert(got.forall(r => r.getLong(0) != r.getLong(1)), "self-match leaked")
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & gotPairs).size.toDouble / exact.size
+    // One sign bit per dimension is the lossiest rung on the ladder: 64-bit
+    // Hamming at k1=100-of-500 candidates. Floor set from the measured
+    // fixture value with margin — the ladder story (BQ coarse pass, exact
+    // re-rank recovers) needs recall well above chance (k1/N = 0.2).
+    assert(recall >= 0.5, s"bq recall=$recall over ${exact.size} exact pairs")
+    val again = Pq.annBq(spark, sf0001).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "nondeterministic")
+  }
+
+  test("indexed bq ann equals the inline path (same deterministic fit)") {
+    val inline = Pq.annBq(spark, sf0001).collect().map(_.toSeq).toSeq
+    val indexed = Pq.annBqIndexed(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(indexed == inline)
+  }
+
+  test("bq index lifecycle: append equals rebuild, delete removes, upsert replaces") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // One FIXED threshold set for both layouts (append encodes with the
+    // stored model, so the rebuild twin must encode identically).
+    val model = Pq.fitBq(emb.filter(col("vec_id") < 400))
+    val incr = java.nio.file.Files.createTempDirectory("graft-bq-incr").toString
+    Pq.buildBqIndex(spark, emb.filter(col("vec_id") < 400), model, incr)
+    Pq.appendBqIndex(spark, incr, emb.filter(col("vec_id") >= 400))
+    val full = java.nio.file.Files.createTempDirectory("graft-bq-full").toString
+    Pq.buildBqIndex(spark, emb, model, full)
+    def codes(dir: String) = Pq.liveBqCodes(spark, dir)
+      .select("vec_id", "code").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(codes(incr) == codes(full),
+      "appended BQ index must hold the same live codes as a rebuild")
+    Pq.deleteFromBqIndex(spark, incr, Seq(42L))
+    assert(!codes(incr).exists(_._1 == 42L), "deleted id still live")
+    val changed = emb.filter(col("vec_id") === 7L)
+      .withColumn("embedding", transform(col("embedding"), x => (-x).cast("float")))
+    Pq.appendBqIndex(spark, incr, changed)
+    val v7 = codes(incr).filter(_._1 == 7L)
+    assert(v7.size == 1, s"expected one live version of id 7, got ${v7.size}")
+    Pq.vacuumBqIndex(spark, incr)
+    assert(!codes(incr).exists(_._1 == 42L), "vacuum resurrected a delete")
+    assert(spark.read.parquet(s"$incr/codes").count() == codes(incr).size,
+      "dead code rows survived the vacuum")
+  }
+
   test("ivfpq index lifecycle: append equals rebuild under fixed models") {
     val emb = Tables.embeddings(spark, sf0001)
     val cents = graft.operators.Vectors.quantizer(
