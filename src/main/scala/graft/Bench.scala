@@ -49,6 +49,7 @@ object Bench {
       graft.operators.Pq.ensurePqIndex(spark, sfDir)
       graft.operators.Pq.ensureSqIndex(spark, sfDir)
       graft.operators.Pq.ensureIvfPqIndex(spark, sfDir)
+      graft.operators.Pq.ensureBqIndex(spark, sfDir)
       // The persisted near-dup pairs stage output (q78 derives survivors
       // from it) — same prebuilt-artifact methodology as the indexes; the
       // detection pipeline itself is timed live as q77.

@@ -773,6 +773,21 @@ object Pq {
     emb.select(col("vec_id"),
       VectorExpressions.bqEncode(col("embedding"), model).as("code"))
 
+  /** Per-JVM memo of the fitted BQ thresholds over an sfDir corpus — the
+    * [[Vectors.kmeansModel]] discipline: a fitted model is an ARTIFACT
+    * (train once, reuse across every query in the session), so the inline
+    * gate never re-scans the corpus per invocation (the q25 lesson). Keyed
+    * by corpus identity (path + mtime).
+    */
+  private val bqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, BqModel]()
+
+  def bqModelCached(spark: SparkSession, sfDir: String): BqModel = {
+    val mtime = new java.io.File(s"$sfDir/embeddings.parquet").lastModified
+    bqCache.computeIfAbsent(s"$sfDir:$mtime",
+      _ => fitBq(Tables.embeddings(spark, sfDir)))
+  }
+
   /** Query-side codes + vectors for the BQ scan (both driver-bounded by
     * queryMaxId, broadcast into the plan).
     */
@@ -819,7 +834,7 @@ object Pq {
       k1: Int = 100,
       k2: Int = 10): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val model = fitBq(emb)
+    val model = bqModelCached(spark, sfDir)
     val codes = encodeBq(spark, emb, model)
     val (qcodes, qvecs) = bqQuerySide(spark, emb, model, queryMaxId)
     val candidates = hammingTopK1(codes.crossJoin(broadcast(qcodes)), k1)
