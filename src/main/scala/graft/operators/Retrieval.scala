@@ -648,16 +648,24 @@ object Retrieval {
     * point: percolation registries update without replanning, and the
     * streaming twin runs the same broadcast-registry scan per micro-batch.
     */
-  def percolate(
+  /** The percolator registry as a DataFrame — shared by the batch gate and
+    * the streaming sink so both match with the one implementation.
+    */
+  def percolatorTable(
       spark: SparkSession,
-      sfDir: String,
       queries: Seq[(Int, Seq[String])] = DefaultPercolators): DataFrame = {
     import spark.implicits._
-    val doc = Tables.documents(spark, sfDir)
-    val q = queries.toDF("query_id", "terms")
+    queries.toDF("query_id", "terms")
       .select(col("query_id").cast("long"), col("terms"))
+  }
+
+  /** The matching core: per-query match counts of `docs` against the
+    * registry `q`, zero-match queries kept visible. Broadcast-registry
+    * corpus scan; the only exchange is the query-cardinality aggregate.
+    */
+  def percolateCounts(docs: DataFrame, q: DataFrame): DataFrame = {
     val padded = concat(lit(" "), col("text"), lit(" "))
-    val matches = doc.crossJoin(broadcast(q))
+    val matches = docs.crossJoin(broadcast(q))
       .filter(forall(col("terms"),
         t => padded.contains(concat(lit(" "), t, lit(" ")))))
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_docs"))
@@ -665,6 +673,12 @@ object Retrieval {
       .select(col("query_id"), coalesce(col("n_docs"), lit(0L)).as("n_docs"))
       .orderBy(col("query_id"))
   }
+
+  def percolate(
+      spark: SparkSession,
+      sfDir: String,
+      queries: Seq[(Int, Seq[String])] = DefaultPercolators): DataFrame =
+    percolateCounts(Tables.documents(spark, sfDir), percolatorTable(spark, queries))
 
   def percolateOracle(queries: Seq[(Int, Seq[String])] = DefaultPercolators): String =
     queries.map { case (id, ts) =>

@@ -584,6 +584,44 @@ object Streams {
       }
       .start()
 
+  /** Streamed q153 — PERCOLATE on the document-ingest path: every arriving
+    * micro-batch is matched against the stored-query registry and the
+    * per-query match counts land with `batch_id` attribution — the actual
+    * deployment shape of a percolator (saved searches / alert rules firing
+    * on NEW documents as they arrive, not on the resting corpus). The
+    * registry is resolved once from the caller and broadcast per batch;
+    * matching is [[graft.operators.Retrieval.percolateCounts]] — the ONE
+    * implementation the batch gate uses, so streamed alerts and corpus
+    * percolation can never drift.
+    *
+    * Delivery guarantee (the [[driftSink]] argument): counts are a
+    * deterministic pure function of delivery content, and an at-least-once
+    * replay re-runs the same WAL-pinned file set under the same batch id —
+    * replays re-emit identical rows; distinct-on-read converges. Per-batch
+    * cost: one delivery scan × |registry| narrow predicates + a
+    * query-cardinality aggregate.
+    */
+  def percolateSink(
+      spark: SparkSession,
+      srcDir: String,
+      outDir: String,
+      checkpointDir: String,
+      queries: Seq[(Int, Seq[String])] =
+        graft.operators.Retrieval.DefaultPercolators): StreamingQuery = {
+    val registry = graft.operators.Retrieval.percolatorTable(spark, queries)
+    spark.readStream.schema(docSchema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Retrieval.percolateCounts(batch, registry)
+            .withColumn("batch_id", lit(epochId))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+        }
+      }
+      .start()
+  }
+
   // --------------------------------------------------------------------
   // A9: the Kafka transport (SURVEY §2.A — producer → extractor → indexer).
   //

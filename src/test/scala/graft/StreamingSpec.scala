@@ -574,4 +574,46 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
     assert(got2 == got + ((2L, 1, 1L, 0L)), s"got $got2")
   }
+
+  test("percolate sink: per-delivery alert counts match the batch core, zeros visible") {
+    import org.apache.spark.sql.functions.{col, length, lit}
+    import spark.implicits._
+    def docs(rows: (Long, String)*) =
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("xx").as("lang"),
+          lit("s").as("source"), length(col("text")).cast("long").as("n_chars"))
+    def stage(src: String, name: String, rows: (Long, String)*): Unit = {
+      val tmp = Files.createTempDirectory("graft-percpart").toString
+      docs(rows: _*).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(src, name))
+    }
+    val registry = Seq(1 -> Seq("alert", "fraud"), 2 -> Seq("ok"), 3 -> Seq("ghost"))
+    val src = Files.createTempDirectory("graft-percsrc").toString
+    val out = Files.createTempDirectory("graft-percout").toString
+    val ckpt = Files.createTempDirectory("graft-percckpt").toString
+    val q = Streams.percolateSink(spark, src, out, ckpt, registry)
+    try {
+      // delivery 0: one doc trips the conjunction, one trips 'ok'
+      stage(src, "d1.parquet", 1L -> "fraud alert now", 2L -> "all ok here")
+      q.processAllAvailable()
+      // delivery 1: conjunction NOT satisfied by 'alert' alone
+      stage(src, "d2.parquet", 3L -> "alert only", 4L -> "ok ok")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select("batch_id", "query_id", "n_docs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = Set(
+      (0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 0L),
+      (1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 0L))
+    assert(got == expect, s"got $got")
+    // the streamed counts are the batch core verbatim: recompute delivery 1
+    val reg = graft.operators.Retrieval.percolatorTable(spark, registry)
+    val batchCounts = graft.operators.Retrieval
+      .percolateCounts(docs(3L -> "alert only", 4L -> "ok ok"), reg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchCounts == Set((1L, 0L), (2L, 1L), (3L, 0L)))
+  }
 }
