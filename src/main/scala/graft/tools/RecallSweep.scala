@@ -55,6 +55,15 @@ object RecallSweep {
       val recall = (exact & sq).size.toDouble / exact.size
       println(f"RECALL sq8 k1=$k1%4d bytes= 64 recall@10=$recall%.3f")
     }
+    // BQ: the bottom rung (8 B/vector, xor+popcount distance) — what one
+    // sign bit per dimension costs in k1 for a given recall.
+    for (k1 <- Seq(50, 100, 200)) {
+      val bq = Pq.annBq(spark, sfDir, queryMaxId = 8, k1 = k1, k2 = 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & bq).size.toDouble / exact.size
+      println(f"RECALL bq k1=$k1%4d bytes=  8 recall@10=$recall%.3f")
+    }
     // Filtered indexed search vs the exact FILTERED baseline (q118/q120
     // pair): the filter keeps ~30% of the corpus, so k1 covers a larger
     // fraction of the eligible population than the unfiltered rows above.
