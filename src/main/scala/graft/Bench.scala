@@ -54,6 +54,9 @@ object Bench {
       // from it) — same prebuilt-artifact methodology as the indexes; the
       // detection pipeline itself is timed live as q77.
       graft.operators.Text.ensureShinglePairs(spark, sfDir)
+      // Corpus vocabulary store — the term dictionary is an ingest-time
+      // artifact; q143/q144/q154/q157 measure dictionary-probe latency.
+      graft.operators.Retrieval.ensureVocabStore(spark, sfDir)
       // Fitted k-means model (q84/q85 share it) — model TRAINING is a
       // lifecycle step like index builds; searches/analytics are what the
       // queries time.

@@ -300,26 +300,56 @@ object Retrieval {
        |WHERE contains(' ' || text || ' ', ' $phrase ')
        |ORDER BY doc_id""".stripMargin
 
+  /** The persisted corpus VOCABULARY table — ES's term dictionary as an
+    * artifact: (term, n_hits, n_docs), built in ONE corpus explode +
+    * Zipf-bounded aggregate and reused by every term-level query (fuzzy,
+    * regexp, suggest, significant-terms background). This is the "run
+    * against the vocabulary table instead of re-exploding the corpus"
+    * remedy the q143/q144 scaladocs promise, made real: at 100 TB the
+    * dictionary is gigabytes where the corpus is terabytes, and term
+    * queries become dictionary scans. Built once per corpus version
+    * (keyed by path + mtime, the [[graft.operators.Text
+    * .ensureShinglePairs]] discipline); exact counts ⇒ the probe queries'
+    * results are IDENTICAL to the corpus-explode formulation, which is why
+    * the oracle SQL (which does re-explode) still hash-matches.
+    */
+  def buildVocabStore(spark: SparkSession, docs: DataFrame, outDir: String): Unit =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_hits"), countDistinct(col("doc_id")).as("n_docs"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+
+  def ensureVocabStore(spark: SparkSession, sfDir: String): String = {
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val key = graft.operators.Index.cacheKey(
+      s"$sfDir:${src.lastModified}:vocab:v${graft.operators.Index.LayoutVersion}")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-vocab-$key")
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      buildVocabStore(spark, Tables.documents(spark, sfDir), dir.getAbsolutePath)
+    dir.getAbsolutePath
+  }
+
+  /** The vocabulary as a DataFrame (term, n_hits, n_docs). */
+  def vocab(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(ensureVocabStore(spark, sfDir))
+
   /** q143 — FUZZY TERM SEARCH (ES `fuzzy`, fuzziness=1): corpus terms
     * within Levenshtein distance 1 of the query term, with hit and
     * document counts — typo-tolerant lookup. Both engines implement the
-    * identical unit-cost edit distance, so the predicate is
-    * engine-exact. Shape: tokens explode narrow, the distance filter runs
-    * in the scan projection, and only surviving (term, doc_id) rows reach
-    * the aggregate — at 100 TB the same query runs against a persisted
-    * vocabulary table (Zipf-bounded) instead of re-exploding the corpus.
+    * identical unit-cost edit distance, so the predicate is engine-exact.
+    * Served from the persisted [[vocab]] store: the edit-distance filter
+    * runs over the Zipf-bounded term dictionary — the corpus is never
+    * re-exploded per query (counts are exact in the store, so the result
+    * is bitwise the corpus-explode formulation the oracle runs).
     */
   def fuzzySearch(
       spark: SparkSession,
       sfDir: String,
       term: String = "star",
       maxDist: Int = 2): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .filter(levenshtein(col("t"), lit(term)) <= maxDist)
-      .groupBy(col("t").as("term"))
-      .agg(count(lit(1)).as("n_hits"),
-        countDistinct(col("doc_id")).as("n_docs"))
+    vocab(spark, sfDir)
+      .filter(levenshtein(col("term"), lit(term)) <= maxDist)
+      .select(col("term"), col("n_hits"), col("n_docs"))
       .orderBy(col("term"))
 
   def fuzzySearchOracle(term: String = "star", maxDist: Int = 2): String =
@@ -337,18 +367,15 @@ object Retrieval {
     * (Java regex / RE2) interpret identically — anchors, `.`, `*`,
     * character classes; engine-divergent syntax (lookaround,
     * backreferences) is out of contract, as documented for ES's own RE
-    * dialect. Same vocabulary-table scale remedy as q143.
+    * dialect. Served from the persisted [[vocab]] store like q143.
     */
   def regexSearch(
       spark: SparkSession,
       sfDir: String,
       pattern: String = "^s.*a.*$"): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .filter(col("t").rlike(pattern))
-      .groupBy(col("t").as("term"))
-      .agg(count(lit(1)).as("n_hits"),
-        countDistinct(col("doc_id")).as("n_docs"))
+    vocab(spark, sfDir)
+      .filter(col("term").rlike(pattern))
+      .select(col("term"), col("n_hits"), col("n_docs"))
       .orderBy(col("term"))
 
   def regexSearchOracle(pattern: String = "^s.*a.*$"): String =
@@ -690,27 +717,77 @@ object Retrieval {
   /** q154 — COMPLETION SUGGEST (ES `completion` / `terms` suggester):
     * corpus terms with a given prefix ranked by frequency — the
     * autocomplete dropdown. Frequencies are exact counts so the
-    * (n_hits DESC, term ASC) order is total on both engines.
-    *
-    * Scale shape: tokens explode narrow and the prefix predicate runs in
-    * the scan projection, so only matching (term, doc_id) rows reach the
-    * Zipf-bounded aggregate; at index scale the same query runs against
-    * the persisted vocabulary table (the q143/q144 remedy), where it is a
-    * range scan on the term-sorted primary key.
+    * (n_hits DESC, term ASC) order is total on both engines. Served from
+    * the persisted [[vocab]] store: a prefix filter + top-k over the term
+    * dictionary — the latency class an autocomplete box needs, and on a
+    * term-sorted dictionary layout a range scan.
     */
   def suggest(
       spark: SparkSession,
       sfDir: String,
       prefix: String = "s",
       k: Int = 10): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .filter(col("t").startsWith(prefix))
-      .groupBy(col("t").as("term"))
-      .agg(count(lit(1)).as("n_hits"),
-        countDistinct(col("doc_id")).as("n_docs"))
+    vocab(spark, sfDir)
+      .filter(col("term").startsWith(prefix))
+      .select(col("term"), col("n_hits"), col("n_docs"))
       .orderBy(col("n_hits").desc, col("term").asc)
       .limit(k)
+
+  /** q157 — SIGNIFICANT TERMS (ES `significant_terms` aggregation): terms
+    * unusually frequent in a query's result set (the FOREGROUND) relative
+    * to the whole corpus (the BACKGROUND) — "what is this result set
+    * about". The significance statistic is integer lift in ppm,
+    * `n_fg·b_tot·10⁶ div (n_bg·f_tot)` — the q92/q126 exact-BIGINT
+    * treatment of observed/expected ratios, so ranking ties are impossible
+    * to perturb; ES's JLH/chi² variants are the same two frequency tables
+    * under a different final formula.
+    *
+    * Scale shape: the background frequencies come from the persisted
+    * [[vocab]] store (built once per corpus version); only the FOREGROUND
+    * — the query's own result set — explodes live, and its term table is
+    * Zipf-bounded before the broadcast-sized join against the dictionary.
+    * `minFg` plays ES's `min_doc_count` role, cutting the
+    * one-occurrence-in-a-small-foreground noise floor.
+    */
+  def significantTerms(
+      spark: SparkSession,
+      sfDir: String,
+      term: String = "dup",
+      topN: Int = 10,
+      minFg: Int = 3): DataFrame = {
+    val fgc = Tables.documents(spark, sfDir)
+      .filter(array_contains(tokens(col("text")), term))
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n_fg"))
+    val bgc = vocab(spark, sfDir).select(col("term"), col("n_hits").as("n_bg"))
+    val ftot = fgc.agg(sum(col("n_fg")).as("f"))
+    val btot = bgc.agg(sum(col("n_bg")).as("b"))
+    fgc.join(bgc, "term")
+      .crossJoin(broadcast(ftot)).crossJoin(broadcast(btot))
+      .filter(col("n_fg") >= minFg)
+      .select(col("term"), col("n_fg"), col("n_bg"),
+        expr("n_fg * b * 1000000L div (n_bg * f)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("term").asc)
+      .limit(topN)
+  }
+
+  def significantTermsOracle(
+      term: String = "dup", topN: Int = 10, minFg: Int = 3): String =
+    s"""WITH fg AS (
+       |  SELECT text FROM documents
+       |  WHERE list_contains(string_split(text, ' '), '$term')),
+       |fgtok AS (SELECT unnest(string_split(text, ' ')) AS t FROM fg),
+       |fgc AS (SELECT t, count(*) AS n_fg FROM fgtok GROUP BY t),
+       |bgtok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+       |bgc AS (SELECT t, count(*) AS n_bg FROM bgtok GROUP BY t),
+       |tot AS (SELECT (SELECT count(*) FROM fgtok) AS f,
+       |               (SELECT count(*) FROM bgtok) AS b)
+       |SELECT fgc.t AS term, n_fg, CAST(n_bg AS BIGINT) AS n_bg,
+       |       CAST((n_fg * b * 1000000) // (CAST(n_bg AS BIGINT) * f) AS BIGINT) AS lift_ppm
+       |FROM fgc JOIN bgc ON fgc.t = bgc.t CROSS JOIN tot
+       |WHERE n_fg >= $minFg
+       |ORDER BY lift_ppm DESC, term ASC
+       |LIMIT $topN""".stripMargin
 
   def suggestOracle(prefix: String = "s", k: Int = 10): String =
     s"""WITH x AS (
@@ -734,7 +811,8 @@ object Retrieval {
     "q151_more_like_this" -> ((s: SparkSession, d: String) => moreLikeThis(s, d)),
     "q152_function_score" -> ((s: SparkSession, d: String) => functionScore(s, d)),
     "q153_percolate" -> ((s: SparkSession, d: String) => percolate(s, d)),
-    "q154_suggest" -> ((s: SparkSession, d: String) => suggest(s, d)))
+    "q154_suggest" -> ((s: SparkSession, d: String) => suggest(s, d)),
+    "q157_significant_terms" -> ((s: SparkSession, d: String) => significantTerms(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q61_tfidf_search" -> tfidfOracle(),
@@ -749,5 +827,6 @@ object Retrieval {
     "q151_more_like_this" -> moreLikeThisOracle(),
     "q152_function_score" -> functionScoreOracle(),
     "q153_percolate" -> percolateOracle(),
-    "q154_suggest" -> suggestOracle())
+    "q154_suggest" -> suggestOracle(),
+    "q157_significant_terms" -> significantTermsOracle())
 }

@@ -554,6 +554,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("dictionary queries scan the vocab store, never the document corpus") {
+    // fuzzy/suggest are term-dictionary probes: their plans must read the
+    // persisted (term, n_hits, n_docs) store and never touch a text column.
+    Seq(
+      graft.operators.Retrieval.fuzzySearch(spark, sf0001),
+      graft.operators.Retrieval.suggest(spark, sf0001)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft-vocab-"), s"no vocab store scan:\n$plan")
+      assert(!plan.contains("text:string"),
+        s"dictionary probe reads document text:\n$plan")
+    }
+    // significant terms: only the FOREGROUND leg may read documents; the
+    // background frequencies come from the store.
+    val sig = graft.operators.Retrieval.significantTerms(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(sig.contains("graft-vocab-"), s"no vocab store scan:\n$sig")
+  }
+
   test("bq scan reads only the one-long code column, never an embedding") {
     val plan = graft.operators.Pq.bqScanPlan(spark, sf0001)
       .queryExecution.executedPlan.toString

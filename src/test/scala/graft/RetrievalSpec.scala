@@ -178,6 +178,43 @@ class RetrievalSpec extends SparkSpec {
     assert(counts(1L) > 0 && counts(2L) > 0 && counts(3L) > 0)
   }
 
+  test("significant terms: the query term maxes the lift and scores match a recompute") {
+    val rows = Retrieval.significantTerms(spark, sf0001, term = "dup")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.head._1 == "dup",
+      "the foreground-defining term must be its own most significant term")
+    // driver recompute of the integer lift on the raw token stream
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getString(1).split(" ").toSeq)
+    val fgToks = docs.filter(_.contains("dup")).flatten
+    val bgToks = docs.flatten
+    val fTot = fgToks.length.toLong
+    val bTot = bgToks.length.toLong
+    rows.foreach { case (t, nFg, nBg, lift) =>
+      assert(nFg == fgToks.count(_ == t).toLong, s"$t fg count")
+      assert(nBg == bgToks.count(_ == t).toLong, s"$t bg count")
+      assert(lift == nFg * bTot * 1000000L / (nBg * fTot), s"$t lift")
+    }
+    // lift ranking is non-increasing
+    assert(rows.map(_._4).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("vocab store: counts cross-foot with the raw corpus token stream") {
+    val v = Retrieval.vocab(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val hits = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(v.map(_._1).toSet == hits.keySet, "vocabulary term set")
+    v.foreach { case (t, nHits, nDocs) =>
+      assert(nHits == hits(t), s"$t hits")
+      assert(nDocs == docs.count(_._2.contains(t)).toLong, s"$t docs")
+    }
+  }
+
   test("suggest: every completion carries the prefix and counts are exact") {
     val rows = Retrieval.suggest(spark, sf0001, prefix = "s").collect()
     assert(rows.nonEmpty)
