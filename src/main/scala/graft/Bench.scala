@@ -57,6 +57,9 @@ object Bench {
       // Corpus vocabulary store — the term dictionary is an ingest-time
       // artifact; q143/q144/q154/q157 measure dictionary-probe latency.
       graft.operators.Retrieval.ensureVocabStore(spark, sfDir)
+      // Positional postings store — the inverted index's phrase half;
+      // q159 measures posting-list intersection latency.
+      graft.operators.Retrieval.ensurePostingsStore(spark, sfDir)
       // Fitted k-means model (q84/q85 share it) — model TRAINING is a
       // lifecycle step like index builds; searches/analytics are what the
       // queries time.

@@ -52,6 +52,7 @@ object SparkEntry {
       // recall floor pinned in MiscSpec.
       "q125_recall_benchmark" -> ((s, dir) => Knn.recallBenchmark(s, dir)),
       "q140_recall_ivf" -> ((s, dir) => Knn.recallBenchmarkIvf(s, dir)),
+      "q158_recall_bq" -> ((s, dir) => Knn.recallBenchmarkBq(s, dir)),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -337,6 +337,24 @@ object Knn {
       KnnExact.topK(spark, sfDir, queryMaxId, k),
       Vectors.annIvfIndexed(spark, sfDir, queryMaxId, k, cells, nprobe))
 
+  /** q158 — the A10 recall measurement against the PERSISTED BQ index
+    * (completing the production-search triad with q125/q140): per-query
+    * exact-vs-BQ overlap and integer recall%. The approximate leg is the
+    * xor+popcount Hamming scan over the 8-byte code table — this row tells
+    * an operator what one sign bit per dimension costs in recall at their
+    * k1 on THEIR corpus (RecallSweep sweeps the k1 ladder: 0.66/0.88/0.98
+    * at k1=50/100/200 on the fixtures).
+    */
+  def recallBenchmarkBq(
+      spark: SparkSession,
+      sfDir: String,
+      queryMaxId: Long = 8,
+      k: Int = 10,
+      k1: Int = 100): DataFrame =
+    recallOf(
+      KnnExact.topK(spark, sfDir, queryMaxId, k),
+      Pq.annBqIndexed(spark, sfDir, queryMaxId, k1, k))
+
   /** The overlap-count core shared by every recall row. ONE exact leg: a
     * left join marks each exact neighbor found by the approximate leg, and
     * a single aggregate counts both totals — two legs total, not three (a

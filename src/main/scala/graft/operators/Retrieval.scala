@@ -733,6 +733,92 @@ object Retrieval {
       .orderBy(col("n_hits").desc, col("term").asc)
       .limit(k)
 
+  /** The persisted POSITIONAL POSTINGS store — the other half of the ES
+    * inverted index beside [[ensureVocabStore]]'s term dictionary:
+    * (term, doc_id, pos) rows, one per corpus token occurrence. This is
+    * what serves phrase and proximity queries WITHOUT rescanning text:
+    * a phrase probe reads only its own terms' posting lists (term is a
+    * pushed parquet filter) and intersects them on (doc_id, adjacent pos).
+    * Corpus-token-sized by nature (it IS the index); at 100 TB the layout
+    * is bucketed by term hash so each probe's lists co-locate — the same
+    * build-once artifact discipline as every other index here.
+    */
+  def buildPostingsStore(spark: SparkSession, docs: DataFrame, outDir: String): Unit =
+    docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+
+  def ensurePostingsStore(spark: SparkSession, sfDir: String): String = {
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val key = graft.operators.Index.cacheKey(
+      s"$sfDir:${src.lastModified}:postings:v${graft.operators.Index.LayoutVersion}")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-postings-$key")
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      buildPostingsStore(spark, Tables.documents(spark, sfDir), dir.getAbsolutePath)
+    dir.getAbsolutePath
+  }
+
+  /** q159 — PHRASE SEARCH against the POSITIONAL POSTINGS index: the same
+    * `match_phrase` semantics as q142 served the way ES actually serves it
+    * — per-term posting-list intersection on adjacent positions instead of
+    * a full-text containment scan. Each phrase term reads ONLY its own
+    * posting list (`term = …` is a pushed parquet filter, PlanSpec-locked);
+    * consecutive lists join on (doc_id, pos+1); the document table is
+    * touched only for the matches' metadata projection. Results are
+    * identical to q142 by construction (same oracle, equality
+    * spec-pinned): on the whitespace corpus, "terms at consecutive
+    * positions" IS padded-substring containment.
+    */
+  def phraseSearchIndexed(
+      spark: SparkSession,
+      sfDir: String,
+      phrase: String = "join order"): DataFrame = {
+    val terms = phrase.split(" ").toSeq
+    val store = spark.read.parquet(ensurePostingsStore(spark, sfDir))
+    val matches = terms.zipWithIndex.map { case (t, i) =>
+      store.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("p0"))
+    }.reduce(_.join(_, Seq("doc_id", "p0")))
+      .select(col("doc_id")).distinct()
+    Tables.documents(spark, sfDir)
+      .join(matches, "doc_id")
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q160 — BOOL SHOULD with minimum_should_match (ES `bool.should` +
+    * `minimum_should_match`): documents matching at least `minMatch` of
+    * the query terms, with the per-doc matched-term count — the relevance
+    * recall knob between pure AND and pure OR. Each term is one narrow
+    * token-containment predicate summed in the scan projection; no
+    * explode, no join, one corpus scan.
+    */
+  def minimumShouldMatch(
+      spark: SparkSession,
+      sfDir: String,
+      terms: Seq[String] = Seq("dup", "vector", "hash"),
+      minMatch: Int = 2): DataFrame = {
+    val toks = tokens(col("text"))
+    val matched = terms.map(t => array_contains(toks, t).cast("long"))
+      .reduce(_ + _)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), matched.as("n_matched"))
+      .filter(col("n_matched") >= minMatch)
+      .orderBy(col("doc_id"))
+  }
+
+  def minimumShouldMatchOracle(
+      terms: Seq[String] = Seq("dup", "vector", "hash"),
+      minMatch: Int = 2): String = {
+    val summed = terms.map(t =>
+      s"CAST(list_contains(string_split(text, ' '), '$t') AS BIGINT)")
+      .mkString(" + ")
+    s"""SELECT doc_id, ($summed) AS n_matched
+       |FROM documents
+       |WHERE ($summed) >= $minMatch
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q157 — SIGNIFICANT TERMS (ES `significant_terms` aggregation): terms
     * unusually frequent in a query's result set (the FOREGROUND) relative
     * to the whole corpus (the BACKGROUND) — "what is this result set
@@ -812,7 +898,9 @@ object Retrieval {
     "q152_function_score" -> ((s: SparkSession, d: String) => functionScore(s, d)),
     "q153_percolate" -> ((s: SparkSession, d: String) => percolate(s, d)),
     "q154_suggest" -> ((s: SparkSession, d: String) => suggest(s, d)),
-    "q157_significant_terms" -> ((s: SparkSession, d: String) => significantTerms(s, d)))
+    "q157_significant_terms" -> ((s: SparkSession, d: String) => significantTerms(s, d)),
+    "q159_phrase_indexed" -> ((s: SparkSession, d: String) => phraseSearchIndexed(s, d)),
+    "q160_min_should_match" -> ((s: SparkSession, d: String) => minimumShouldMatch(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q61_tfidf_search" -> tfidfOracle(),
@@ -828,5 +916,8 @@ object Retrieval {
     "q152_function_score" -> functionScoreOracle(),
     "q153_percolate" -> percolateOracle(),
     "q154_suggest" -> suggestOracle(),
-    "q157_significant_terms" -> significantTermsOracle())
+    "q157_significant_terms" -> significantTermsOracle(),
+    // q159 serves q142's semantics from the postings index: same oracle.
+    "q159_phrase_indexed" -> phraseSearchOracle(),
+    "q160_min_should_match" -> minimumShouldMatchOracle())
 }

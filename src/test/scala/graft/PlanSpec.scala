@@ -573,6 +573,20 @@ class PlanSpec extends SparkSpec {
     assert(sig.contains("graft-vocab-"), s"no vocab store scan:\n$sig")
   }
 
+  test("indexed phrase search reads pushed-filtered posting lists, not text") {
+    val plan = graft.operators.Retrieval.phraseSearchIndexed(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // each phrase term's scan pushes its equality predicate to parquet
+    assert(plan.contains("graft-postings-"), s"no postings store scan:\n$plan")
+    Seq("join", "order").foreach { t =>
+      assert(plan.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains(s"EqualTo(term,$t)")),
+        s"term '$t' not pushed to the posting scan:\n$plan")
+    }
+    assert(!plan.contains("text:string"),
+      s"phrase probe reads document text:\n$plan")
+  }
+
   test("bq scan reads only the one-long code column, never an embedding") {
     val plan = graft.operators.Pq.bqScanPlan(spark, sf0001)
       .queryExecution.executedPlan.toString

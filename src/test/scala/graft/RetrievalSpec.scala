@@ -215,6 +215,37 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("indexed phrase search equals the containment-scan formulation") {
+    val scan = Retrieval.phraseSearch(spark, sf0001).collect().map(_.toSeq).toSeq
+    val indexed = Retrieval.phraseSearchIndexed(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(indexed == scan)
+    assert(indexed.nonEmpty, "fixture phrase must match something")
+    // a 3-term phrase intersects three posting lists; parity must hold for
+    // longer chains too (and for a phrase with no matches)
+    val p3 = "big join order"
+    assert(Retrieval.phraseSearchIndexed(spark, sf0001, p3).collect().map(_.toSeq).toSeq
+      == Retrieval.phraseSearch(spark, sf0001, p3).collect().map(_.toSeq).toSeq)
+    assert(Retrieval.phraseSearchIndexed(spark, sf0001, "zebra unicorn").count() == 0L)
+  }
+
+  test("minimum_should_match: counts recompute and the knob interpolates AND..OR") {
+    val terms = Seq("dup", "vector", "hash")
+    val rows = Retrieval.minimumShouldMatch(spark, sf0001, terms, minMatch = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSet))
+    val expect = docs.map { case (id, toks) =>
+      (id, terms.count(toks.contains).toLong)
+    }.filter(_._2 >= 2).sortBy(_._1).toSeq
+    assert(rows.toSeq == expect)
+    // monotone: the match set shrinks as minMatch rises, OR ⊇ m=2 ⊇ AND
+    val or1 = Retrieval.minimumShouldMatch(spark, sf0001, terms, 1).collect().map(_.getLong(0)).toSet
+    val and3 = Retrieval.minimumShouldMatch(spark, sf0001, terms, 3).collect().map(_.getLong(0)).toSet
+    val m2 = rows.map(_._1).toSet
+    assert(and3.subsetOf(m2) && m2.subsetOf(or1))
+  }
+
   test("suggest: every completion carries the prefix and counts are exact") {
     val rows = Retrieval.suggest(spark, sf0001, prefix = "s").collect()
     assert(rows.nonEmpty)
