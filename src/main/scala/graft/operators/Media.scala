@@ -177,6 +177,84 @@ object Media {
       |GROUP BY 1
       |ORDER BY kind""".stripMargin
 
+  /** ======= STUB-composed: perceptual hash =======
+    * Average hash (aHash) over the resize stub's 64-byte thumbnail: bit i
+    * set iff sample i exceeds the thumbnail's integer mean — exactly the
+    * classic aHash a production build computes on the decoded 8×8 pixel
+    * grid (swap [[fakeResize]] for the real thumbnail; this function is
+    * then UNCHANGED). Pure integer arithmetic ⇒ deterministic everywhere;
+    * short payloads sample with wraparound so the hash is always 64-bit.
+    */
+  private[graft] def aHash(payload: Array[Byte]): Long = {
+    val thumb = fakeResize(payload, 64)
+    val n = thumb.length
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += (thumb(i % n) & 0xff); i += 1 }
+    val mean = sum / 64
+    var h = 0L
+    i = 0
+    while (i < 64) {
+      if ((thumb(i % n) & 0xff) > mean) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** q161 — PERCEPTUAL near-dup pairs over media payloads: the CONTENT-level
+    * complement of q138's byte-exact digests (a re-encoded/resized copy
+    * changes every byte but barely moves its perceptual hash). aHash per
+    * payload, then the q38 SimHash machinery verbatim: 8×8-bit band keys
+    * (pigeonhole: Hamming ≤ 7 ⇒ at least one band equal, so banding is
+    * EXACT at the gate threshold, not approximate), candidate band-join,
+    * popcount verify, distinct pairs. The operating point (7 bits over
+    * the 64-bit hash ≈ 11% tolerance) is calibrated on the fixtures'
+    * near-duplicate documents, whose thumbnails land at Hamming 1-7 while
+    * the unrelated-pair floor sits at 8+ — narrower bands raise the
+    * candidate volume (8-bit keys already admit 1/256 of random pairs per
+    * band), which is the usual banding precision/cost dial.
+    *
+    * Scale shape (100 TB): payloads are read once in the hashing scan and
+    * NEVER shuffle — only (media_id, 8-byte hash) rows reach the band
+    * exchange. Degenerate bands (flat-color thumbnails) are the same skew
+    * class as q38's and take the same remedy ([[graft.operators.Skew
+    * .capBuckets]] on the band-keyed candidates) past the fixture scale.
+    * Rows-only gate (the hash is decode-stub-dependent); MediaSpec pins
+    * set-equality with a driver brute force, which the pigeonhole argument
+    * makes exact.
+    */
+  def mediaPhashNearDups(
+      spark: SparkSession,
+      sfDir: String,
+      maxHamming: Int = 7,
+      bandBits: Int = 8): DataFrame = {
+    require(64 % bandBits == 0, "bandBits must divide 64")
+    val nBands = 64 / bandBits
+    require(maxHamming < nBands, "pigeonhole recall guarantee needs maxHamming < nBands")
+    val ah = udf((p: Array[Byte]) => aHash(p))
+    val sig = mediaTable(spark, sfDir)
+      .select(col("media_id"), ah(col("payload")).as("ph"))
+    val mask = (1L << bandBits) - 1
+    val bands = sig.select(
+      col("media_id"), col("ph"),
+      posexplode(expr(
+        s"transform(sequence(0, ${nBands - 1}), b -> shiftrightunsigned(ph, b * $bandBits) & $mask)"
+      )).as(Seq("band", "chunk")))
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(
+        col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        col("x.ph").as("ha"), col("y.ph").as("hb"))
+      .distinct()
+    cands
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** q138 — MEDIA PAYLOAD DEDUP: exact duplicate detection over the BINARY
     * payload column, summarized per kind — the multimodal twin of q32/q135
     * (web image corpora duplicate heavily: re-hosted thumbnails, CDN
@@ -221,7 +299,9 @@ object Media {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_media_features" -> (mediaFeaturesQuery _),
     "q51_media_meta" -> (mediaMetaQuery _),
-    "q138_media_dedup" -> (mediaDedup _))
+    "q138_media_dedup" -> (mediaDedup _),
+    "q161_media_phash_neardups" ->
+      ((s: SparkSession, d: String) => mediaPhashNearDups(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q51_media_meta" -> mediaMetaOracle,

@@ -65,4 +65,25 @@ class MediaSpec extends SparkSpec {
     assert(scanLine.contains("kind"), s"scan line: $scanLine")
     assert(!scanLine.contains("payload"), s"payload column not pruned: $scanLine")
   }
+
+  test("phash near-dups: banding equals a driver brute force (pigeonhole exactness)") {
+    import org.apache.spark.sql.functions._
+    val maxHam = 7
+    val got = Media.mediaPhashNearDups(spark, sf0001, maxHamming = maxHam)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // driver brute force over all pairs on the same stub hashes
+    val hashes = Media.mediaTable(spark, sf0001)
+      .select(col("media_id"), col("payload")).collect()
+      .map(r => (r.getLong(0), Media.aHash(r.getAs[Array[Byte]](1))))
+    val expect = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= maxHam
+    } yield (ia, ib, d)).toSet
+    assert(got == expect, s"banding missed or invented pairs: got ${got.size}, expect ${expect.size}")
+    assert(expect.nonEmpty, "fixture near-duplicates must produce at least one perceptual pair")
+    // identical payloads would collide at hamming 0; the fixtures plant
+    // NEAR-duplicates (no byte-identical texts), so the found pairs sit in
+    // (0, maxHam] — strictly closer than the unrelated-pair floor
+    assert(got.forall(p => p._3 > 0 && p._3 <= maxHam))
+  }
 }
