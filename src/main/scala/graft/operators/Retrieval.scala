@@ -786,6 +786,94 @@ object Retrieval {
       .orderBy(col("doc_id"))
   }
 
+  /** q162 — SPAN NEAR / proximity search (ES `span_near` / `match_phrase`
+    * with `slop`): ordered co-occurrence of two terms within a token
+    * window — per document, the number of (first, second) position pairs
+    * with 1 ≤ gap ≤ slop+1. Served from the positional postings store like
+    * q159: each term reads its own pushed-filtered posting list, the pair
+    * count is a doc-keyed join + band predicate on the integer positions.
+    * Position DIFFERENCES are what the contract counts, so the 0-based
+    * store and the oracle's 1-based subscripts agree by construction.
+    */
+  def spanNear(
+      spark: SparkSession,
+      sfDir: String,
+      first: String = "join",
+      second: String = "order",
+      slop: Int = 2): DataFrame = {
+    val store = spark.read.parquet(ensurePostingsStore(spark, sfDir))
+    val p1 = store.filter(col("term") === first).select(col("doc_id"), col("pos").as("p1"))
+    val p2 = store.filter(col("term") === second).select(col("doc_id"), col("pos").as("p2"))
+    p1.join(p2, "doc_id")
+      .filter((col("p2") - col("p1")).between(1, slop + 1))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+      .orderBy(col("doc_id"))
+  }
+
+  def spanNearOracle(
+      first: String = "join", second: String = "order", slop: Int = 2): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |p1 AS (SELECT doc_id, pos FROM tok WHERE t = '$first'),
+       |p2 AS (SELECT doc_id, pos FROM tok WHERE t = '$second')
+       |SELECT p1.doc_id, count(*) AS n_spans
+       |FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
+       |  AND p2.pos - p1.pos BETWEEN 1 AND ${slop + 1}
+       |GROUP BY p1.doc_id
+       |ORDER BY p1.doc_id""".stripMargin
+
+  /** q163 — SCORE EXPLANATION (ES `_explain`): the per-term contribution
+    * breakdown of one document's TF-IDF score — term, tf, df, idf4, and
+    * the exact integer contribution, cross-footing to the q61 score. The
+    * audit surface a relevance engineer reads when a ranking surprises;
+    * integer contributions make the cross-foot EXACT (sum of rows = the
+    * doc's q61 score, spec-pinned).
+    *
+    * Scale shape: the q61 legs restricted to one document at the end — the
+    * per-term tables are the same broadcast-sized artifacts, the final
+    * filter is a pushed doc_id predicate.
+    */
+  def explainScore(
+      spark: SparkSession,
+      sfDir: String,
+      docId: Long = 7,
+      terms: Seq[String] = DefaultTerms): DataFrame = {
+    val doc = Tables.documents(spark, sfDir)
+    val tf = termFreqs(doc, terms)
+    val n = doc.agg(count(lit(1)).as("n"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val idf = dfreq.crossJoin(broadcast(n))
+      .select(col("t"), col("df"),
+        round(log(col("n") / col("df")) * 10000).cast("long").as("idf4"))
+    tf.filter(col("doc_id") === docId)
+      .join(broadcast(idf), "t")
+      .select(col("t").as("term"), col("tf"), col("df"), col("idf4"),
+        (col("tf") * col("idf4")).as("contribution"))
+      .orderBy(col("term"))
+  }
+
+  def explainScoreOracle(docId: Long = 7, terms: Seq[String] = DefaultTerms): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, t, count(*) AS tf FROM tok
+       |  WHERE t IN ($termList) GROUP BY doc_id, t),
+       |idf AS (
+       |  SELECT t, count(*) AS df,
+       |         CAST(round(ln((SELECT count(*) FROM documents)
+       |           / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS idf4
+       |  FROM tf GROUP BY t)
+       |SELECT tf.t AS term, tf.tf, idf.df, idf.idf4,
+       |       tf.tf * idf.idf4 AS contribution
+       |FROM tf JOIN idf ON tf.t = idf.t
+       |WHERE tf.doc_id = $docId
+       |ORDER BY term""".stripMargin
+  }
+
   /** q160 — BOOL SHOULD with minimum_should_match (ES `bool.should` +
     * `minimum_should_match`): documents matching at least `minMatch` of
     * the query terms, with the per-doc matched-term count — the relevance
@@ -900,7 +988,9 @@ object Retrieval {
     "q154_suggest" -> ((s: SparkSession, d: String) => suggest(s, d)),
     "q157_significant_terms" -> ((s: SparkSession, d: String) => significantTerms(s, d)),
     "q159_phrase_indexed" -> ((s: SparkSession, d: String) => phraseSearchIndexed(s, d)),
-    "q160_min_should_match" -> ((s: SparkSession, d: String) => minimumShouldMatch(s, d)))
+    "q160_min_should_match" -> ((s: SparkSession, d: String) => minimumShouldMatch(s, d)),
+    "q162_span_near" -> ((s: SparkSession, d: String) => spanNear(s, d)),
+    "q163_explain_score" -> ((s: SparkSession, d: String) => explainScore(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q61_tfidf_search" -> tfidfOracle(),
@@ -919,5 +1009,7 @@ object Retrieval {
     "q157_significant_terms" -> significantTermsOracle(),
     // q159 serves q142's semantics from the postings index: same oracle.
     "q159_phrase_indexed" -> phraseSearchOracle(),
-    "q160_min_should_match" -> minimumShouldMatchOracle())
+    "q160_min_should_match" -> minimumShouldMatchOracle(),
+    "q162_span_near" -> spanNearOracle(),
+    "q163_explain_score" -> explainScoreOracle())
 }

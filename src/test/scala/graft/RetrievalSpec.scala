@@ -246,6 +246,46 @@ class RetrievalSpec extends SparkSpec {
     assert(and3.subsetOf(m2) && m2.subsetOf(or1))
   }
 
+  test("span near: slop=0 reduces to the adjacent phrase; spans recompute") {
+    val phraseDocs = Retrieval.phraseSearch(spark, sf0001, "join order")
+      .collect().map(_.getLong(0)).toSet
+    val slop0 = Retrieval.spanNear(spark, sf0001, "join", "order", slop = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(slop0.map(_._1).toSet == phraseDocs,
+      "slop=0 must match exactly the adjacent-phrase documents")
+    // widening the window only adds matches
+    val slop3 = Retrieval.spanNear(spark, sf0001, "join", "order", slop = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(slop0.forall { case (id, n) => slop3(id) >= n })
+    // driver recompute of the pair count at slop=3
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+    docs.foreach { case (id, toks) =>
+      val pairs = (for {
+        (t1, p1) <- toks.zipWithIndex if t1 == "join"
+        (t2, p2) <- toks.zipWithIndex if t2 == "order"
+        if p2 - p1 >= 1 && p2 - p1 <= 4
+      } yield 1).length.toLong
+      assert(slop3.getOrElse(id, 0L) == pairs, s"doc $id")
+    }
+  }
+
+  test("explain score: per-term contributions cross-foot to the q61 score") {
+    val docId = 7L
+    val rows = Retrieval.explainScore(spark, sf0001, docId).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, tf, _, idf4, contrib) =>
+      assert(contrib == tf * idf4, "contribution must be the exact product")
+    }
+    val total = rows.map(_._5).sum
+    val q61 = Retrieval.tfidfTopDocs(spark, sf0001, k = Int.MaxValue).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q61(docId) == total,
+      s"explain rows must sum to the ranked score: $total vs ${q61(docId)}")
+  }
+
   test("suggest: every completion carries the prefix and counts are exact") {
     val rows = Retrieval.suggest(spark, sf0001, prefix = "s").collect()
     assert(rows.nonEmpty)
