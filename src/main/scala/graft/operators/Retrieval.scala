@@ -746,12 +746,19 @@ object Retrieval {
   def buildPostingsStore(spark: SparkSession, docs: DataFrame, outDir: String): Unit =
     docs.select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      // Term-clustered layout: hash-partition by term, then sort each file
+      // by (term, doc_id, pos). Parquet row-group min/max stats on `term`
+      // then make the probes' pushed EqualTo(term,·) filters actually SKIP
+      // row groups — without the sort, a pushed filter still decodes every
+      // page. Same discipline as the LSH postings' pkey partitioning.
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"), col("pos"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
 
   def ensurePostingsStore(spark: SparkSession, sfDir: String): String = {
     val src = new java.io.File(s"$sfDir/documents.parquet")
     val key = graft.operators.Index.cacheKey(
-      s"$sfDir:${src.lastModified}:postings:v${graft.operators.Index.LayoutVersion}")
+      s"$sfDir:${src.lastModified}:postings:sorted:v${graft.operators.Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-postings-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists())
       buildPostingsStore(spark, Tables.documents(spark, sfDir), dir.getAbsolutePath)
