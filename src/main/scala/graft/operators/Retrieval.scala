@@ -881,6 +881,121 @@ object Retrieval {
        |ORDER BY term""".stripMargin
   }
 
+  /** q164 — RESCORE (ES `rescore`): re-rank the top-`window` of the cheap
+    * first-pass ranking with a costlier second scorer — here a phrase-
+    * proximity bonus (`bonus · spans of "first second" within slop`, the
+    * classic "boost documents where the query terms appear TOGETHER").
+    * Both passes are exact BIGINTs (q61 scores + integer span counts ×
+    * integer bonus), so the combined order is engine-total. This is the
+    * two-phase shape every production ranker uses — and the same shape as
+    * the ANN gates' coarse-scan + exact re-rank, applied lexically.
+    *
+    * Scale: the expensive scorer runs on `window` rows only; the span
+    * counts come from the postings store restricted to the two phrase
+    * terms, joined against the window-sized candidate set.
+    */
+  def rescore(
+      spark: SparkSession,
+      sfDir: String,
+      terms: Seq[String] = DefaultTerms,
+      first: String = "join",
+      second: String = "order",
+      slop: Int = 2,
+      window: Int = 20,
+      bonus: Long = 5000L,
+      k: Int = 10): DataFrame = {
+    val base = tfidfTopDocs(spark, sfDir, terms, window)
+    val spans = spanNear(spark, sfDir, first, second, slop)
+    base.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("score"),
+        (col("score") + coalesce(col("n_spans"), lit(0L)) * bonus).as("rescored"))
+      .orderBy(col("rescored").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def rescoreOracle(
+      terms: Seq[String] = DefaultTerms,
+      first: String = "join",
+      second: String = "order",
+      slop: Int = 2,
+      window: Int = 20,
+      bonus: Long = 5000L,
+      k: Int = 10): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, t, count(*) AS tf FROM tok
+       |  WHERE t IN ($termList) GROUP BY doc_id, t),
+       |idf AS (
+       |  SELECT t, CAST(round(ln((SELECT count(*) FROM documents)
+       |           / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS idf4
+       |  FROM tf GROUP BY t),
+       |base AS (
+       |  SELECT doc_id, CAST(sum(tf.tf * idf.idf4) AS BIGINT) AS score
+       |  FROM tf JOIN idf USING (t) GROUP BY doc_id
+       |  ORDER BY score DESC, doc_id ASC LIMIT $window),
+       |p1 AS (SELECT doc_id, pos FROM tok WHERE t = '$first'),
+       |p2 AS (SELECT doc_id, pos FROM tok WHERE t = '$second'),
+       |spans AS (
+       |  SELECT p1.doc_id, count(*) AS n_spans
+       |  FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
+       |    AND p2.pos - p1.pos BETWEEN 1 AND ${slop + 1}
+       |  GROUP BY p1.doc_id)
+       |SELECT base.doc_id, base.score,
+       |       base.score + COALESCE(spans.n_spans, 0) * $bonus AS rescored
+       |FROM base LEFT JOIN spans ON base.doc_id = spans.doc_id
+       |ORDER BY rescored DESC, base.doc_id ASC
+       |LIMIT $k""".stripMargin
+  }
+
+  /** q165 — FIELD COLLAPSING (ES `collapse`): the best-scoring document
+    * PER SOURCE for a query — search-result diversity by group, the "one
+    * hit per site" dial. Per-source rank-1 over (score DESC, doc_id ASC)
+    * compiles to a WindowGroupLimit per-partition heap; sources rank in
+    * parallel.
+    */
+  def collapseBySource(
+      spark: SparkSession,
+      sfDir: String,
+      terms: Seq[String] = DefaultTerms): DataFrame = {
+    val scores = tfidfTopDocs(spark, sfDir, terms, k = Int.MaxValue)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scores
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("doc_id"), col("score"))
+      .orderBy(col("source"))
+  }
+
+  def collapseBySourceOracle(terms: Seq[String] = DefaultTerms): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, t, count(*) AS tf FROM tok
+       |  WHERE t IN ($termList) GROUP BY doc_id, t),
+       |idf AS (
+       |  SELECT t, CAST(round(ln((SELECT count(*) FROM documents)
+       |           / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS idf4
+       |  FROM tf GROUP BY t),
+       |ranked AS (
+       |  SELECT doc_id, CAST(sum(tf.tf * idf.idf4) AS BIGINT) AS score
+       |  FROM tf JOIN idf USING (t) GROUP BY doc_id)
+       |SELECT source, doc_id, score FROM (
+       |  SELECT d.source, r.doc_id, r.score,
+       |         row_number() OVER (PARTITION BY d.source
+       |           ORDER BY r.score DESC, r.doc_id ASC) AS rn
+       |  FROM ranked r JOIN documents d ON r.doc_id = d.doc_id)
+       |WHERE rn = 1
+       |ORDER BY source""".stripMargin
+  }
+
   /** q160 — BOOL SHOULD with minimum_should_match (ES `bool.should` +
     * `minimum_should_match`): documents matching at least `minMatch` of
     * the query terms, with the per-doc matched-term count — the relevance
@@ -997,7 +1112,9 @@ object Retrieval {
     "q159_phrase_indexed" -> ((s: SparkSession, d: String) => phraseSearchIndexed(s, d)),
     "q160_min_should_match" -> ((s: SparkSession, d: String) => minimumShouldMatch(s, d)),
     "q162_span_near" -> ((s: SparkSession, d: String) => spanNear(s, d)),
-    "q163_explain_score" -> ((s: SparkSession, d: String) => explainScore(s, d)))
+    "q163_explain_score" -> ((s: SparkSession, d: String) => explainScore(s, d)),
+    "q164_rescore" -> ((s: SparkSession, d: String) => rescore(s, d)),
+    "q165_collapse" -> ((s: SparkSession, d: String) => collapseBySource(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q61_tfidf_search" -> tfidfOracle(),
@@ -1018,5 +1135,7 @@ object Retrieval {
     "q159_phrase_indexed" -> phraseSearchOracle(),
     "q160_min_should_match" -> minimumShouldMatchOracle(),
     "q162_span_near" -> spanNearOracle(),
-    "q163_explain_score" -> explainScoreOracle())
+    "q163_explain_score" -> explainScoreOracle(),
+    "q164_rescore" -> rescoreOracle(),
+    "q165_collapse" -> collapseBySourceOracle())
 }

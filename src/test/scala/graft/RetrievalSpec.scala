@@ -286,6 +286,37 @@ class RetrievalSpec extends SparkSpec {
       s"explain rows must sum to the ranked score: $total vs ${q61(docId)}")
   }
 
+  test("rescore: zero bonus reduces to the base ranking; bonus promotes span docs") {
+    val base = Retrieval.tfidfTopDocs(spark, sf0001, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val zero = Retrieval.rescore(spark, sf0001, bonus = 0L, window = 20, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(zero == base, "bonus=0 must preserve the first-pass top-k")
+    // with the default bonus, rescored = score + n_spans·bonus exactly
+    val spans = Retrieval.spanNear(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Retrieval.rescore(spark, sf0001).collect().foreach { r =>
+      val (id, s, rs) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(rs == s + spans.getOrElse(id, 0L) * 5000L, s"doc $id")
+    }
+  }
+
+  test("collapse: exactly one row per source, each the source's score maximum") {
+    val rows = Retrieval.collapseBySource(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per source")
+    val all = Retrieval.tfidfTopDocs(spark, sf0001, k = Int.MaxValue).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val src = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (s, id, score) =>
+      assert(all(id) == score)
+      val best = all.filter(kv => src(kv._1) == s).values.max
+      assert(score == best, s"source $s: $score is not the max $best")
+    }
+  }
+
   test("suggest: every completion carries the prefix and counts are exact") {
     val rows = Retrieval.suggest(spark, sf0001, prefix = "s").collect()
     assert(rows.nonEmpty)
