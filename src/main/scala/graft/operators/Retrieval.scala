@@ -525,15 +525,15 @@ object Retrieval {
     * exact BIGINT sums, ties on term/doc_id ASC — so the selection AND the
     * ranking are engine-exact.
     *
-    * Scale shape (100 TB): the example's term profile is a one-document
-    * explode (tiny); corpus postings are restricted to those terms by a
-    * BROADCAST join before any aggregate, so only the example's terms' hit
-    * rows — not the corpus token stream — reach the two digest-sized
-    * exchanges. The term-selection window orders a table bounded by the
-    * example document's own vocabulary (driver-bounded by doc length, the
-    * same budget class as the BPE argmax); at index scale the tf explode
-    * is served from the persisted vocabulary/posting table exactly as
-    * q143/q144 note.
+    * Scale shape (100 TB): ENTIRELY index-served — document text is never
+    * read (PlanSpec-locked). The example's term profile is a pushed
+    * doc_id probe of the positional postings store (ES's own term-vectors
+    * read); corpus postings restrict to those terms by a BROADCAST join
+    * before any aggregate, so only the example's terms' hit rows reach
+    * the two digest-sized exchanges. The term-selection window orders a
+    * table bounded by the example document's own vocabulary
+    * (driver-bounded by doc length, the same budget class as the BPE
+    * argmax).
     */
   def moreLikeThis(
       spark: SparkSession,
@@ -541,14 +541,14 @@ object Retrieval {
       exampleId: Long = 7,
       maxTerms: Int = 12,
       k: Int = 20): DataFrame = {
-    val doc = Tables.documents(spark, sfDir)
-    val exTf = doc.filter(col("doc_id") === exampleId)
-      .select(explode(tokens(col("text"))).as("t"))
+    val store = spark.read.parquet(ensurePostingsStore(spark, sfDir))
+      .select(col("doc_id"), col("term").as("t"))
+    val exTf = store.filter(col("doc_id") === exampleId)
       .groupBy(col("t")).agg(count(lit(1)).as("tf_ex"))
-    val tf = doc.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val tf = store
       .join(broadcast(exTf.select(col("t"))), "t")
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-    val n = doc.agg(count(lit(1)).as("n"))
+    val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n"))
     val dfreq = tf.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
     val idf = dfreq.crossJoin(broadcast(n))
       .select(col("t"), round(log(col("n") / col("df")) * 10000).cast("long").as("idf4"))

@@ -31,6 +31,9 @@ object IndexTiming {
     time("pq index ensure") { graft.operators.Pq.ensurePqIndex(spark, sfDir) }
     time("sq8 index ensure") { graft.operators.Pq.ensureSqIndex(spark, sfDir) }
     time("ivf-pq index ensure") { graft.operators.Pq.ensureIvfPqIndex(spark, sfDir) }
+    time("bq index ensure") { graft.operators.Pq.ensureBqIndex(spark, sfDir) }
+    time("vocab store ensure") { graft.operators.Retrieval.ensureVocabStore(spark, sfDir) }
+    time("postings store ensure") { graft.operators.Retrieval.ensurePostingsStore(spark, sfDir) }
     time("search warm 1") { Knn.searchIndex(spark, dir, 8, 100, 10).count() }
     time("search warm 2") { Knn.searchIndex(spark, dir, 8, 100, 10).count() }
     time("multiprobe search") {

@@ -573,6 +573,17 @@ class PlanSpec extends SparkSpec {
     assert(sig.contains("graft-vocab-"), s"no vocab store scan:\n$sig")
   }
 
+  test("more-like-this is fully index-served: postings probes, no text read") {
+    val plan = graft.operators.Retrieval.moreLikeThis(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft-postings-"), s"no postings store scan:\n$plan")
+    // the example profile is a pushed doc_id probe of the store
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("EqualTo(doc_id,7)")),
+      s"example term-vector read not pushed:\n$plan")
+    assert(!plan.contains("text:string"), s"MLT reads document text:\n$plan")
+  }
+
   test("indexed phrase search reads pushed-filtered posting lists, not text") {
     val plan = graft.operators.Retrieval.phraseSearchIndexed(spark, sf0001)
       .queryExecution.executedPlan.toString
