@@ -573,6 +573,17 @@ class PlanSpec extends SparkSpec {
     assert(sig.contains("graft-vocab-"), s"no vocab store scan:\n$sig")
   }
 
+  test("q161 media phash: binary payloads hash in the scan and never shuffle") {
+    import org.apache.spark.sql.types.BinaryType
+    val df = graft.operators.Media.mediaPhashNearDups(spark, sf001)
+    val payloads = shuffledAttrSets(df)
+    assert(payloads.nonEmpty, "q161: no shuffle exchange found — matcher broken?")
+    payloads.foreach(attrs =>
+      attrs.foreach(a => assert(a.dataType != BinaryType,
+        s"q161 shuffles a binary payload ${a.name}: " +
+          attrs.map(x => s"${x.name}:${x.dataType.simpleString}").mkString(", "))))
+  }
+
   test("more-like-this is fully index-served: postings probes, no text read") {
     val plan = graft.operators.Retrieval.moreLikeThis(spark, sf0001)
       .queryExecution.executedPlan.toString

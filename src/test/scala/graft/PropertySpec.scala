@@ -91,4 +91,32 @@ class PropertySpec extends AnyFunSuite {
       assert(Text.fingerprint(t + t) <= Text.fingerprint(t))
     }
   }
+
+  test("property: bq encodeSeq and encodeArrayData agree (codegen-path parity)") {
+    val rng = new scala.util.Random(11)
+    val model = graft.operators.Pq.BqModel(dim,
+      Array.fill(dim)((rng.nextGaussian() * 1e5).toLong))
+    forAll(vecGen) { v =>
+      val viaArrayData = model.encodeArrayData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v))
+      assert(viaArrayData == model.encodeSeq(v.toSeq))
+      // only the low `dim` bits can ever be set
+      assert((viaArrayData >>> dim) == 0L || dim == 64)
+    }
+  }
+
+  test("property: aHash sampling wraps — short payloads equal their 64-byte tiling") {
+    val bytesGen = Gen.nonEmptyListOf(Gen.chooseNum(-128, 127).map(_.toByte))
+      .map(_.toArray).suchThat(b => b.length <= 64)
+    forAll(bytesGen) { p =>
+      val tiled = Array.tabulate(64)(i => p(i % p.length))
+      assert(graft.operators.Media.aHash(p) == graft.operators.Media.aHash(tiled),
+        "wraparound sampling must equal the explicit cyclic extension")
+      // strict > against the mean: a constant payload sets no bits
+      val const = Array.fill(17)(p(0))
+      assert(graft.operators.Media.aHash(const) == 0L)
+      // and no payload can exceed its own mean in every sample
+      assert(java.lang.Long.bitCount(graft.operators.Media.aHash(p)) < 64)
+    }
+  }
 }
