@@ -52,11 +52,15 @@ object Retrieval {
     * DESC-score ranking is total and engine-independent (ties break on
     * doc_id ASC).
     */
-  def tfidfTopDocs(
+  /** The UNRANKED per-doc TF-IDF scores (doc_id, score) — the shared core
+    * of q61/q152/q165: consumers add their own cut (global top-k, factor
+    * join, per-source window) so no global sort is planned that a
+    * downstream window would re-do.
+    */
+  private def tfidfScores(
       spark: SparkSession,
       sfDir: String,
-      terms: Seq[String] = DefaultTerms,
-      k: Int = 20): DataFrame = {
+      terms: Seq[String]): DataFrame = {
     val doc = Tables.documents(spark, sfDir)
     val tf = termFreqs(doc, terms)
     // Corpus size as a 1-row broadcast relation (a scalar subquery shape —
@@ -68,10 +72,17 @@ object Retrieval {
     tf.join(broadcast(idf), "t")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("idf4")).as("score"))
+  }
+
+  def tfidfTopDocs(
+      spark: SparkSession,
+      sfDir: String,
+      terms: Seq[String] = DefaultTerms,
+      k: Int = 20): DataFrame =
+    tfidfScores(spark, sfDir, terms)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
       .select(col("doc_id"), col("score"))
-  }
 
   def tfidfOracle(terms: Seq[String] = DefaultTerms, k: Int = 20): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
@@ -611,15 +622,8 @@ object Retrieval {
       sfDir: String,
       terms: Seq[String] = DefaultTerms,
       k: Int = 20): DataFrame = {
-    val doc = Tables.documents(spark, sfDir)
-    val tf = termFreqs(doc, terms)
-    val n = doc.agg(count(lit(1)).as("n"))
-    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val idf = dfreq.crossJoin(broadcast(n))
-      .select(col("t"), round(log(col("n") / col("df")) * 10000).cast("long").as("idf4"))
-    val scores = tf.join(broadcast(idf), "t")
-      .groupBy(col("doc_id")).agg(sum(col("tf") * col("idf4")).as("score"))
-    val fvf = doc.select(col("doc_id"),
+    val scores = tfidfScores(spark, sfDir, terms)
+    val fvf = Tables.documents(spark, sfDir).select(col("doc_id"),
       round(log(lit(1.0) + col("n_chars")) * 10000).cast("long").as("fvf4"))
     scores.join(fvf, "doc_id")
       .select(col("doc_id"), (col("score") * col("fvf4")).as("fscore"))
@@ -961,7 +965,7 @@ object Retrieval {
       spark: SparkSession,
       sfDir: String,
       terms: Seq[String] = DefaultTerms): DataFrame = {
-    val scores = tfidfTopDocs(spark, sfDir, terms, k = Int.MaxValue)
+    val scores = tfidfScores(spark, sfDir, terms)
     val w = Window.partitionBy(col("source"))
       .orderBy(col("score").desc, col("doc_id").asc)
     scores
