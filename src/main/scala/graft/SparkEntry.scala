@@ -48,6 +48,7 @@ object SparkEntry {
       "q23_lsh_knn" -> ((s, dir) => Knn.lshTopKIndexed(s, dir)),
       "q28_lsh_multiprobe" -> ((s, dir) => Knn.lshTopKIndexed(s, dir, multiprobe = true)),
       "q120_knn_filtered_indexed" -> ((s, dir) => Knn.lshTopKFilteredIndexed(s, dir)),
+      "q166_knn_by_vector" -> ((s, dir) => Knn.lshTopKByVector(s, dir)),
       // A10 recall measurement: rows-only (LSH leg model-dependent);
       // recall floor pinned in MiscSpec.
       "q125_recall_benchmark" -> ((s, dir) => Knn.recallBenchmark(s, dir)),

@@ -141,6 +141,83 @@ object Knn {
     * trades a measured recall loss on exactly those low-signal buckets for
     * a hard bound on join width.
     */
+  /** The (query_id, tbl, hash) probe set for one query's packed hashes —
+    * shared by the stored-id path (precomputed hashes) and the raw-vector
+    * path (driver-hashed). Multiprobe expands Hamming-1 flips query-side.
+    */
+  private def probesOf(
+      qid: Long,
+      hashes: Seq[Long],
+      model: Lsh.LshModel,
+      multiprobe: Boolean): Seq[(Long, Int, Long)] =
+    hashes.zipWithIndex.flatMap { case (h, t) =>
+      val exact = Seq((qid, t, h))
+      if (multiprobe) exact ++ (0 until model.bits).map(b => (qid, t, h ^ (1L << b)))
+      else exact
+    }
+
+  /** Raw-vector search against the persisted index (ES `knn.query_vector`):
+    * the same A5→A6 pipeline as [[searchIndex]] for a query vector that is
+    * NOT a stored document — the vector is hashed driver-side with the
+    * index's own cached model (one O(tables·bits·dim) hash, the ingest
+    * path's arithmetic exactly), so probes hit the identical buckets a
+    * stored twin's precomputed hashes would. `excludeIds` is the ES
+    * exclude-filter knob (drop known ids — e.g. the query's own document —
+    * before the k1 cut so every slot is servable).
+    *
+    * Parity contract (spec-pinned): for a vector that IS stored, searching
+    * by value with its id excluded returns exactly [[searchIndex]]'s
+    * results for that id — same buckets, same collision counts, same
+    * re-rank.
+    */
+  def searchIndexByVector(
+      spark: SparkSession,
+      indexDir: String,
+      query: Array[Float],
+      k1: Int,
+      k2: Int,
+      multiprobe: Boolean = false,
+      bucketCap: Int = 0,
+      excludeIds: Seq[Long] = Nil): DataFrame = {
+    import spark.implicits._
+    val (model, numBuckets) = Lsh.loadModelCached(spark, s"$indexDir/model")
+    val probeKeys = probesOf(-1L, model.hashVector(query).toSeq, model, multiprobe).distinct
+    val pkeys = probeKeys.map { case (_, t, h) => Index.pkeyOf(t, h, numBuckets) }.distinct
+    val pruned = Index.livePostings(spark, indexDir)
+      .filter(col(Index.PKeyCol).isin(pkeys: _*))
+      .dropDuplicates("tbl", "hash", "vec_id")
+    val postings = if (bucketCap > 0) Skew.capBuckets(pruned, bucketCap) else pruned
+    val qposts = probeKeys.toDF("query_id", "tbl", "hash")
+    val collisions = postings
+      .join(broadcast(qposts), Seq("tbl", "hash"))
+      .filter(if (excludeIds.isEmpty) lit(true) else !col("vec_id").isin(excludeIds: _*))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(count(lit(1)).as("collisions"))
+    val wK1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("collisions").desc, col("vec_id").asc)
+    val k1set = collisions
+      .withColumn("r1", row_number().over(wK1))
+      .filter(col("r1") <= k1)
+      .drop("r1")
+    val qvecs = Seq((-1L, query.toSeq)).toDF("query_id", "qv")
+    val rescored = k1set
+      .join(Index.liveVectors(spark, indexDir).select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(qvecs), "query_id")
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"), col("collisions"),
+        VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val wK2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    rescored
+      .withColumn("rank", row_number().over(wK2))
+      .filter(col("rank") <= k2)
+      .select(
+        col("query_id"), col("neighbor_id"), col("rank"),
+        col("collisions"), round(col("dist"), 4).as("dist4"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def searchIndex(
       spark: SparkSession,
       indexDir: String,
@@ -161,13 +238,7 @@ object Knn {
     val qRows = vectors.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id"), col("hashes"), col("embedding")).collect()
     val probeKeys: Seq[(Long, Int, Long)] = qRows.toSeq.flatMap { r =>
-      val qid = r.getLong(0)
-      r.getSeq[Long](1).zipWithIndex.flatMap { case (h, t) =>
-        val exact = Seq((qid, t, h))
-        // Multiprobe: Hamming-1 flips of the packed hash, query side only.
-        if (multiprobe) exact ++ (0 until model.bits).map(b => (qid, t, h ^ (1L << b)))
-        else exact
-      }
+      probesOf(r.getLong(0), r.getSeq[Long](1), model, multiprobe)
     }.distinct
 
     // 2. Probe postings under a static partition prune (lossless — see
@@ -336,6 +407,26 @@ object Knn {
     recallOf(
       KnnExact.topK(spark, sfDir, queryMaxId, k),
       Vectors.annIvfIndexed(spark, sfDir, queryMaxId, k, cells, nprobe))
+
+  /** q166 — the raw-vector flagship (ES `knn` with `query_vector`): fetch
+    * one stored embedding's VALUES and search by them as an external
+    * vector (its own id excluded) — the "embed the user's query text,
+    * then search" deployment path, which never has a stored id. Gate is
+    * rows-only (model-dependent like q23); MiscSpec pins exact parity
+    * with the stored-id search for the same vector.
+    */
+  def lshTopKByVector(
+      spark: SparkSession,
+      sfDir: String,
+      sourceId: Long = 3,
+      k1: Int = 100,
+      k2: Int = 10): DataFrame = {
+    val idx = Index.ensure(spark, sfDir)
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === sourceId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    searchIndexByVector(spark, idx, q, k1, k2, excludeIds = Seq(sourceId))
+  }
 
   /** q158 — the A10 recall measurement against the PERSISTED BQ index
     * (completing the production-search triad with q125/q140): per-query

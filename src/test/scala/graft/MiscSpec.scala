@@ -259,6 +259,22 @@ class MiscSpec extends SparkSpec {
     assert(mean >= 0.7, f"mean IVF recall $mean%.2f below the 0.7 floor")
   }
 
+  test("raw-vector search equals stored-id search for the same vector") {
+    import org.apache.spark.sql.functions.col
+    val idx = graft.operators.Index.ensure(spark, sf0001)
+    // stored-id search for queries 0..3; keep query 3's rows
+    val stored = graft.operators.Knn.searchIndex(spark, idx, queryMaxId = 4, k1 = 100, k2 = 10)
+      .filter(col("query_id") === 3L).collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4))).toSeq
+    // raw-vector search with id 3's values, excluding id 3 itself
+    val byVec = graft.operators.Knn.lshTopKByVector(spark, sf0001, sourceId = 3L)
+      .collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(byVec == stored,
+      "searching by a stored vector's VALUES must reproduce the stored-id search")
+    assert(byVec.nonEmpty && byVec.forall(_._1 != 3L))
+  }
+
   test("bq recall gate: exact leg always full, mean recall above the PqSpec floor") {
     val rows = graft.operators.Knn.recallBenchmarkBq(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
