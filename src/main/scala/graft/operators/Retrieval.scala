@@ -885,6 +885,112 @@ object Retrieval {
        |ORDER BY term""".stripMargin
   }
 
+  /** q167 — DISJUNCTION MAX (ES `dis_max`): per document, the BEST single
+    * term's contribution plus `tieBreaker` times the rest — the scoring
+    * mode for synonym-like term groups where summing would overweight
+    * documents repeating one term. Exact integers throughout:
+    * `mx + tbPermille·(total−mx) div 1000`, one grouped aggregate over the
+    * same term-restricted postings as q61.
+    */
+  def disMax(
+      spark: SparkSession,
+      sfDir: String,
+      terms: Seq[String] = DefaultTerms,
+      tbPermille: Long = 300L,
+      k: Int = 20): DataFrame = {
+    val doc = Tables.documents(spark, sfDir)
+    val tf = termFreqs(doc, terms)
+    val n = doc.agg(count(lit(1)).as("n"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val idf = dfreq.crossJoin(broadcast(n))
+      .select(col("t"), round(log(col("n") / col("df")) * 10000).cast("long").as("idf4"))
+    tf.join(broadcast(idf), "t")
+      .groupBy(col("doc_id"))
+      .agg(max(col("tf") * col("idf4")).as("mx"),
+        sum(col("tf") * col("idf4")).as("total"))
+      .select(col("doc_id"),
+        (col("mx") + expr(s"$tbPermille * (total - mx) div 1000")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def disMaxOracle(
+      terms: Seq[String] = DefaultTerms,
+      tbPermille: Long = 300L,
+      k: Int = 20): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, t, count(*) AS tf FROM tok
+       |  WHERE t IN ($termList) GROUP BY doc_id, t),
+       |idf AS (
+       |  SELECT t, CAST(round(ln((SELECT count(*) FROM documents)
+       |           / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS idf4
+       |  FROM tf GROUP BY t),
+       |agg AS (
+       |  SELECT doc_id, CAST(max(tf.tf * idf.idf4) AS BIGINT) AS mx,
+       |         CAST(sum(tf.tf * idf.idf4) AS BIGINT) AS total
+       |  FROM tf JOIN idf USING (t) GROUP BY doc_id)
+       |SELECT doc_id, mx + ($tbPermille * (total - mx)) // 1000 AS score
+       |FROM agg
+       |ORDER BY score DESC, doc_id ASC
+       |LIMIT $k""".stripMargin
+  }
+
+  /** q168 — BOOSTING query (ES `boosting`): the positive query's ranking
+    * with documents matching a NEGATIVE term demoted by `negPermille` —
+    * soft exclusion (spam terms, boilerplate markers) instead of a hard
+    * filter. Demotion is one integer multiply-divide on the BIGINT score;
+    * the negative predicate is a narrow containment check in the same
+    * projection.
+    */
+  def boostingQuery(
+      spark: SparkSession,
+      sfDir: String,
+      terms: Seq[String] = DefaultTerms,
+      negative: String = "slow",
+      negPermille: Long = 500L,
+      k: Int = 20): DataFrame = {
+    val scores = tfidfScores(spark, sfDir, terms)
+    val neg = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_contains(tokens(col("text")), negative).as("is_neg"))
+    scores.join(neg, "doc_id")
+      .select(col("doc_id"),
+        when(col("is_neg"), expr(s"score * $negPermille div 1000"))
+          .otherwise(col("score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def boostingQueryOracle(
+      terms: Seq[String] = DefaultTerms,
+      negative: String = "slow",
+      negPermille: Long = 500L,
+      k: Int = 20): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, t, count(*) AS tf FROM tok
+       |  WHERE t IN ($termList) GROUP BY doc_id, t),
+       |idf AS (
+       |  SELECT t, CAST(round(ln((SELECT count(*) FROM documents)
+       |           / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS idf4
+       |  FROM tf GROUP BY t),
+       |scores AS (
+       |  SELECT doc_id, CAST(sum(tf.tf * idf.idf4) AS BIGINT) AS score
+       |  FROM tf JOIN idf USING (t) GROUP BY doc_id)
+       |SELECT s.doc_id,
+       |       CASE WHEN list_contains(string_split(d.text, ' '), '$negative')
+       |            THEN (s.score * $negPermille) // 1000 ELSE s.score END AS score
+       |FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+       |ORDER BY score DESC, s.doc_id ASC
+       |LIMIT $k""".stripMargin
+  }
+
   /** q164 — RESCORE (ES `rescore`): re-rank the top-`window` of the cheap
     * first-pass ranking with a costlier second scorer — here a phrase-
     * proximity bonus (`bonus · spans of "first second" within slop`, the
@@ -1118,7 +1224,9 @@ object Retrieval {
     "q162_span_near" -> ((s: SparkSession, d: String) => spanNear(s, d)),
     "q163_explain_score" -> ((s: SparkSession, d: String) => explainScore(s, d)),
     "q164_rescore" -> ((s: SparkSession, d: String) => rescore(s, d)),
-    "q165_collapse" -> ((s: SparkSession, d: String) => collapseBySource(s, d)))
+    "q165_collapse" -> ((s: SparkSession, d: String) => collapseBySource(s, d)),
+    "q167_dis_max" -> ((s: SparkSession, d: String) => disMax(s, d)),
+    "q168_boosting" -> ((s: SparkSession, d: String) => boostingQuery(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q61_tfidf_search" -> tfidfOracle(),
@@ -1141,5 +1249,7 @@ object Retrieval {
     "q162_span_near" -> spanNearOracle(),
     "q163_explain_score" -> explainScoreOracle(),
     "q164_rescore" -> rescoreOracle(),
-    "q165_collapse" -> collapseBySourceOracle())
+    "q165_collapse" -> collapseBySourceOracle(),
+    "q167_dis_max" -> disMaxOracle(),
+    "q168_boosting" -> boostingQueryOracle())
 }

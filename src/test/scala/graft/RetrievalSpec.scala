@@ -317,6 +317,37 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("dis_max: tie_breaker=0 is the pure max; =1000 recovers the sum") {
+    val base = Retrieval.tfidfTopDocs(spark, sf0001, k = Int.MaxValue).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val asSum = Retrieval.disMax(spark, sf0001, tbPermille = 1000L, k = Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asSum == base, "tie_breaker=1000 must equal the summed TF-IDF scores")
+    // tb=0 is bounded above by the sum and below by sum/|terms|
+    Retrieval.disMax(spark, sf0001, tbPermille = 0L, k = Int.MaxValue)
+      .collect().foreach { r =>
+        val (id, mx) = (r.getLong(0), r.getLong(1))
+        assert(mx <= base(id) && mx * 3 >= base(id), s"doc $id")
+      }
+  }
+
+  test("boosting: negative docs demoted by exactly the permille factor") {
+    val base = Retrieval.tfidfTopDocs(spark, sf0001, k = Int.MaxValue).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val negDocs = Tables.documents(spark, sf0001)
+      .filter(array_contains(split(col("text"), " "), "slow"))
+      .collect().map(_.getLong(0)).toSet
+    val rows = Retrieval.boostingQuery(spark, sf0001, k = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, s) =>
+      val expect = if (negDocs(id)) base(id) * 500L / 1000L else base(id)
+      assert(s == expect, s"doc $id")
+    }
+    assert(rows.exists(r => negDocs(r._1)) && rows.exists(r => !negDocs(r._1)),
+      "fixture must exercise both branches")
+  }
+
   test("suggest: every completion carries the prefix and counts are exact") {
     val rows = Retrieval.suggest(spark, sf0001, prefix = "s").collect()
     assert(rows.nonEmpty)
