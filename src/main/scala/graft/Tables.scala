@@ -15,7 +15,7 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$table.parquet")
+    Readers.fixtureParquet(spark, s"$sfDir/$table.parquet")
 
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")

@@ -394,7 +394,7 @@ object Components {
       batchMod: Long = 2,
       batchRem: Long = 1): DataFrame = {
     val storeDir = ensureLabelStore(spark, sfDir, maxDocId, threshold, batchMod, batchRem)
-    val store = spark.read.parquet(Lifecycle.settleStore(spark, storeDir))
+    val store = graft.Readers.parquet(spark, Lifecycle.settleStore(spark, storeDir))
     val batchDocs = Tables.documents(spark, sfDir)
       .filter(col("doc_id") < maxDocId && col("doc_id") % batchMod === batchRem)
       .select(col("doc_id"))

@@ -239,6 +239,7 @@ object Index {
     require(fs.rename(live, old), s"could not stage $live aside")
     require(fs.rename(tmp, live), s"could not promote $tmp")
     fs.delete(old, true)
+    graft.Readers.bump()
   }
 
   /** Purging compaction: rewrite `vectors/` + `postings/` keeping only live
@@ -252,10 +253,10 @@ object Index {
       Seq("vectors" -> Nil, "postings" -> Seq(PKeyCol)))
 
   def vectors(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/vectors")
+    graft.Readers.parquet(spark, s"$indexDir/vectors")
 
   def postings(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/postings")
+    graft.Readers.parquet(spark, s"$indexDir/postings")
 
   /** Doc-GET-by-id over the stored vectors (SURVEY §2.B scan row): a plain
     * filter the parquet source serves via min/max row-group stats.

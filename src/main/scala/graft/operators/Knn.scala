@@ -145,6 +145,15 @@ object Knn {
     * shared by the stored-id path (precomputed hashes) and the raw-vector
     * path (driver-hashed). Multiprobe expands Hamming-1 flips query-side.
     */
+  /** Has this layout ever been batch-appended to? `appends/` batch markers
+    * exist from the first [[Lifecycle.allocateBatch]] on — a fresh build or
+    * an exactly-once streamed bootstrap has none, and therefore cannot hold
+    * duplicate copies of any (tbl, hash, vec_id) row. One driver fs stat.
+    */
+  private def everAppended(spark: SparkSession, indexDir: String): Boolean =
+    Lifecycle.fsOf(spark, indexDir)
+      .exists(new org.apache.hadoop.fs.Path(s"$indexDir/appends"))
+
   private def probesOf(
       qid: Long,
       hashes: Seq[Long],
@@ -183,9 +192,13 @@ object Knn {
     val (model, numBuckets) = Lsh.loadModelCached(spark, s"$indexDir/model")
     val probeKeys = probesOf(-1L, model.hashVector(query).toSeq, model, multiprobe).distinct
     val pkeys = probeKeys.map { case (_, t, h) => Index.pkeyOf(t, h, numBuckets) }.distinct
-    val pruned = Index.livePostings(spark, indexDir)
+    // Same conditional duplicate-collapse as [[searchIndex]]: only a layout
+    // with append generations can hold duplicate posting copies.
+    val appended = everAppended(spark, indexDir)
+    val scanned = Index.livePostings(spark, indexDir)
       .filter(col(Index.PKeyCol).isin(pkeys: _*))
-      .dropDuplicates("tbl", "hash", "vec_id")
+    val pruned =
+      if (appended) scanned.dropDuplicates("tbl", "hash", "vec_id") else scanned
     val postings = if (bucketCap > 0) Skew.capBuckets(pruned, bucketCap) else pruned
     val qposts = probeKeys.toDF("query_id", "tbl", "hash")
     val collisions = postings
@@ -200,13 +213,15 @@ object Knn {
       .filter(col("r1") <= k1)
       .drop("r1")
     val qvecs = Seq((-1L, query.toSeq)).toDF("query_id", "qv")
-    val rescored = k1set
+    val rescoredRaw = k1set
       .join(Index.liveVectors(spark, indexDir).select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(qvecs), "query_id")
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"), col("collisions"),
         VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))
-      .dropDuplicates("query_id", "neighbor_id")
+    val rescored =
+      if (appended) rescoredRaw.dropDuplicates("query_id", "neighbor_id")
+      else rescoredRaw
     val wK2 = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id").asc)
     rescored
@@ -246,10 +261,15 @@ object Knn {
     val pkeys = probeKeys.map { case (_, t, h) => Index.pkeyOf(t, h, numBuckets) }.distinct
     // dropDuplicates AFTER the partition prune: append-after-delete can
     // leave duplicate copies of a posting row, and deduping here costs a
-    // shuffle of only the probed buckets, not the corpus.
-    val pruned = Index.livePostings(spark, indexDir)
+    // shuffle of only the probed buckets, not the corpus. Skipped entirely
+    // on a never-appended layout (no `appends/` markers): a fresh build or
+    // exactly-once streamed bootstrap cannot hold duplicate copies, and the
+    // collapse would be one pure-overhead exchange per search.
+    val appended = everAppended(spark, indexDir)
+    val scanned = Index.livePostings(spark, indexDir)
       .filter(col(Index.PKeyCol).isin(pkeys: _*))
-      .dropDuplicates("tbl", "hash", "vec_id")
+    val pruned =
+      if (appended) scanned.dropDuplicates("tbl", "hash", "vec_id") else scanned
     val postings = if (bucketCap > 0) Skew.capBuckets(pruned, bucketCap) else pruned
     val qposts = probeKeys.toDF("query_id", "tbl", "hash")
 
@@ -282,16 +302,19 @@ object Knn {
     val qvecs = qRows.toSeq
       .map(r => (r.getLong(0), r.getSeq[Float](2)))
       .toDF("query_id", "qv")
-    val rescored = k1set
+    val rescoredRaw = k1set
       .join(vecs, "vec_id")
       .join(broadcast(qvecs), "query_id")
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"), col("collisions"),
         VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))
-      // duplicate stored copies of an id (append-after-delete) produce
-      // identical rescored rows — collapse them on the k1-sized set, never
-      // on the corpus-sized vectors table
-      .dropDuplicates("query_id", "neighbor_id")
+    // duplicate stored copies of an id (append-after-delete) produce
+    // identical rescored rows — collapse them on the k1-sized set, never
+    // on the corpus-sized vectors table; a never-appended layout cannot
+    // hold duplicates, so the collapse exchange is skipped there too.
+    val rescored =
+      if (appended) rescoredRaw.dropDuplicates("query_id", "neighbor_id")
+      else rescoredRaw
     val wK2 = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id").asc)
     rescored

@@ -48,8 +48,11 @@ object Lifecycle {
     * actually succeeded.
     */
   def settleSwap(fs: FileSystem, live: Path, old: Path): Unit =
-    if (fs.exists(old) && !fs.exists(live) && !fs.rename(old, live))
-      require(fs.exists(live), s"could not roll $old forward to $live")
+    if (fs.exists(old) && !fs.exists(live)) {
+      if (!fs.rename(old, live))
+        require(fs.exists(live), s"could not roll $old forward to $live")
+      graft.Readers.bump() // the live dir just changed under any memoized reader
+    }
 
   /** Clear leftover swap staging: a post-promote `old` (crash after the
     * second rename) and a half-written `tmp`. Maintenance-op entry ONLY
@@ -73,6 +76,7 @@ object Lifecycle {
     require(fs.rename(live, old), s"could not stage $live aside")
     require(fs.rename(tmp, live), s"could not promote $tmp")
     fs.delete(old, true)
+    graft.Readers.bump()
   }
 
   /** Settle a crashed store-compaction swap at a store entry point:
@@ -117,6 +121,7 @@ object Lifecycle {
   def delete(spark: SparkSession, indexDir: String, ids: Seq[Long]): Unit = {
     import spark.implicits._
     ids.toDF("vec_id").write.mode(SaveMode.Append).parquet(s"$indexDir/tombstones")
+    graft.Readers.bump()
   }
 
   /** Monotonic batch numbers via O(1) marker files (`appends/b<N>`): no
@@ -166,10 +171,14 @@ object Lifecycle {
     val ts = new Path(s"$indexDir/tombstones")
     val old = new Path(s"$indexDir/tombstones_old")
     val tmp = new Path(s"$indexDir/tombstones_rewriting")
-    if (!fs.exists(ts) && fs.exists(tmp))
+    var mutated = false
+    if (!fs.exists(ts) && fs.exists(tmp)) {
       require(fs.rename(tmp, ts), s"could not promote $tmp during recovery")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+      mutated = true
+    }
+    if (fs.exists(old)) { fs.delete(old, true); mutated = true }
+    if (fs.exists(tmp)) { fs.delete(tmp, true); mutated = true }
+    if (mutated) graft.Readers.bump()
   }
 
   /** The append PROTOCOL, stated once for every layout: recover any crashed
@@ -193,8 +202,12 @@ object Lifecycle {
       adoptStreamedLayout(spark, indexDir, sub, pcols)
     }
     val batch = allocateBatch(fs, indexDir)
-    write(batch)
-    finishAppend(spark, indexDir, newIds, batch, stored)
+    // Bump even on a failed write: partial data may have landed, and a stale
+    // memoized reader must never outlive it.
+    try {
+      write(batch)
+      finishAppend(spark, indexDir, newIds, batch, stored)
+    } finally graft.Readers.bump()
   }
 
   /** The append bookkeeping every layout shares, run AFTER the layout's data
@@ -266,7 +279,7 @@ object Lifecycle {
         if (fs.exists(tmp)) Some(tmp) else None
       }
     live.fold(df)(p =>
-      df.join(broadcast(spark.read.parquet(p.toString)), Seq("vec_id"), "left_anti"))
+      df.join(broadcast(graft.Readers.parquet(spark, p.toString)), Seq("vec_id"), "left_anti"))
   }
 
   /** Keep only each id's newest version: rows whose batch predates the id's
@@ -279,7 +292,7 @@ object Lifecycle {
     val path = new Path(s"$indexDir/superseded")
     if (!fs.exists(path)) df
     else {
-      val sup = spark.read.parquet(path.toString)
+      val sup = graft.Readers.parquet(spark, path.toString)
         .groupBy(col("vec_id")).agg(max(col(BatchCol)).as("live_from"))
       df.join(broadcast(sup), Seq("vec_id"), "left")
         .filter(col("live_from").isNull || col(BatchCol) >= col("live_from"))
@@ -350,6 +363,7 @@ object Lifecycle {
     // just filters rows that no longer exist.)
     Seq("tombstones", "tombstones_rewriting", "superseded")
       .foreach(d => fs.delete(new Path(s"$indexDir/$d"), true))
+    graft.Readers.bump()
   }
 
   /** Convert a STREAMED bootstrap layout into a plain batch layout. The
@@ -438,5 +452,6 @@ object Lifecycle {
       fs.listStatus(root).map(_.getPath)
         .filter(_.getName.endsWith("_adopted"))
         .foreach(p => fs.delete(p, false))
+    graft.Readers.bump()
   }
 }

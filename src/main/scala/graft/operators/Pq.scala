@@ -343,7 +343,7 @@ object Pq {
     * plain scan until the first delete / re-ingest).
     */
   def liveCodes(spark: SparkSession, indexDir: String): DataFrame =
-    Lifecycle.live(spark, indexDir, spark.read.parquet(s"$indexDir/codes"))
+    Lifecycle.live(spark, indexDir, graft.Readers.parquet(spark, s"$indexDir/codes"))
 
   def loadPqModel(spark: SparkSession, dir: String): PqModel = {
     val r = spark.read.parquet(dir).collect()(0)
@@ -518,7 +518,7 @@ object Pq {
     Lifecycle.vacuum(spark, indexDir, Seq("codes" -> Nil))
 
   def liveSqCodes(spark: SparkSession, indexDir: String): DataFrame =
-    Lifecycle.live(spark, indexDir, spark.read.parquet(s"$indexDir/codes"))
+    Lifecycle.live(spark, indexDir, graft.Readers.parquet(spark, s"$indexDir/codes"))
 
   private[graft] def writeSqModel(spark: SparkSession, model: SqModel, dir: String): Unit = {
     import spark.implicits._
@@ -646,7 +646,8 @@ object Pq {
     */
   def liveCellCodes(spark: SparkSession, indexDir: String): DataFrame =
     Lifecycle.live(spark, indexDir,
-      spark.read.parquet(s"$indexDir/codes").withColumn("cell", col("cell").cast("long")))
+      graft.Readers.parquet(spark, s"$indexDir/codes")
+        .withColumn("cell", col("cell").cast("long")))
 
   def ensureIvfPqIndex(
       spark: SparkSession,
@@ -873,7 +874,7 @@ object Pq {
     Lifecycle.vacuum(spark, indexDir, Seq("codes" -> Nil))
 
   def liveBqCodes(spark: SparkSession, indexDir: String): DataFrame =
-    Lifecycle.live(spark, indexDir, spark.read.parquet(s"$indexDir/codes"))
+    Lifecycle.live(spark, indexDir, graft.Readers.parquet(spark, s"$indexDir/codes"))
 
   private[graft] def writeBqModel(spark: SparkSession, model: BqModel, dir: String): Unit = {
     import spark.implicits._

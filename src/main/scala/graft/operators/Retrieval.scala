@@ -342,7 +342,7 @@ object Retrieval {
 
   /** The vocabulary as a DataFrame (term, n_hits, n_docs). */
   def vocab(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(ensureVocabStore(spark, sfDir))
+    graft.Readers.parquet(spark, ensureVocabStore(spark, sfDir))
 
   /** q143 — FUZZY TERM SEARCH (ES `fuzzy`, fuzziness=1): corpus terms
     * within Levenshtein distance 1 of the query term, with hit and
@@ -552,7 +552,7 @@ object Retrieval {
       exampleId: Long = 7,
       maxTerms: Int = 12,
       k: Int = 20): DataFrame = {
-    val store = spark.read.parquet(ensurePostingsStore(spark, sfDir))
+    val store = graft.Readers.parquet(spark, ensurePostingsStore(spark, sfDir))
       .select(col("doc_id"), col("term").as("t"))
     val exTf = store.filter(col("doc_id") === exampleId)
       .groupBy(col("t")).agg(count(lit(1)).as("tf_ex"))
@@ -785,7 +785,7 @@ object Retrieval {
       sfDir: String,
       phrase: String = "join order"): DataFrame = {
     val terms = phrase.split(" ").toSeq
-    val store = spark.read.parquet(ensurePostingsStore(spark, sfDir))
+    val store = graft.Readers.parquet(spark, ensurePostingsStore(spark, sfDir))
     val matches = terms.zipWithIndex.map { case (t, i) =>
       store.filter(col("term") === t)
         .select(col("doc_id"), (col("pos") - i).as("p0"))
@@ -812,7 +812,7 @@ object Retrieval {
       first: String = "join",
       second: String = "order",
       slop: Int = 2): DataFrame = {
-    val store = spark.read.parquet(ensurePostingsStore(spark, sfDir))
+    val store = graft.Readers.parquet(spark, ensurePostingsStore(spark, sfDir))
     val p1 = store.filter(col("term") === first).select(col("doc_id"), col("pos").as("p1"))
     val p2 = store.filter(col("term") === second).select(col("doc_id"), col("pos").as("p2"))
     p1.join(p2, "doc_id")

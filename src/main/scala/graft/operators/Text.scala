@@ -554,63 +554,104 @@ object Text {
     * [[minhashSignaturesOf]] exactly. Set size rides the same aggregate as
     * the k minima — one pass, not two.
     */
-  private def signatureBands(
-      tok: DataFrame, k: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
+  /** Band + size frames from a raw per-doc signature frame
+    * (doc_id, mh: array<long> nullable, sz: long). The whole signature
+    * stage is ONE narrow compiled pass — no unit explode, no k-hash-column
+    * projection, no |docs|-group shuffle (the aggregate formulation those
+    * replaced was profiled as the dominant cost of the banding family at
+    * sf0.1). Minima are bit-identical to the exploded
+    * `groupBy(min(xxhash64(seed, t)))` formulation (spec-pinned), so band
+    * hashes collide identically across every producer.
+    *
+    * Pinned eagerly: the |docs|-sized signature row is the fan-out point —
+    * bands feed the candidate self-join (x AND y sides) and the sizes feed
+    * the jaccard step, and several of those consumers execute as
+    * INDEPENDENT broadcast jobs (AQE exchange reuse does not span them).
+    * The pin is |docs| × (k+2) longs, orders of magnitude smaller than any
+    * unit table.
+    */
+  private def signatureBandsFromSig(
+      sigRaw: DataFrame, k: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
     require(k % rowsPerBand == 0, "k must be a multiple of rowsPerBand")
-    val hashCols = (0 until k).map(s =>
-      xxhash64(lit(s), col("t")).as(s"h$s"))
-    val sig = tok.select(col("doc_id") +: hashCols: _*)
-      .groupBy(col("doc_id"))
-      .agg(min(col("h0")).as("m0"),
-        (1 until k).map(s => min(col(s"h$s")).as(s"m$s")) :+ count(lit(1)).as("sz"): _*)
+    // null minima ⇔ no units: the aggregate formulation had no rows for
+    // such a doc, so it must stay absent from bands and sizes here too
+    val sig = Materialize.stable(sigRaw.filter(col("mh").isNotNull), eager = true)
     val bandCols = (0 until k / rowsPerBand).map { b =>
       xxhash64(concat_ws(",",
         (b * rowsPerBand until (b + 1) * rowsPerBand).map(s =>
-          concat(lit(s.toString), lit(":"), col(s"m$s").cast("string"))): _*))
+          concat(lit(s.toString), lit(":"), col("mh").getItem(s).cast("string"))): _*))
     }
     val bands = sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
     (bands, sig.select(col("doc_id"), col("sz")))
   }
 
+  /** Signature frame from a pre-built unit ARRAY column (word tokens, or an
+    * already-pinned shingle-digest array): minima via the compiled
+    * [[org.apache.spark.sql.graft.TextExpressions.minhashMinima]] pass.
+    */
+  private def unitSig(docUnits: DataFrame, k: Int): DataFrame =
+    docUnits.select(
+      col("doc_id"),
+      org.apache.spark.sql.graft.TextExpressions
+        .minhashMinima(col("units"), k).as("mh"),
+      size(col("units")).cast("long").as("sz"))
+
+  /** Signature frame straight from document TEXT via the fused shingle
+    * kernel — one compiled pass per doc, no intermediate shingle array
+    * ([[minhashSigOfText]]).
+    */
+  private def textSig(
+      docs: DataFrame, shingleLen: Int, sampleMod: Int, k: Int): DataFrame =
+    docs.select(
+        col("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions
+          .minhashSig(col("text"), shingleLen, sampleMod, k).as("sig"))
+      .select(col("doc_id"), col("sig.mh").as("mh"), col("sig.sz").as("sz"))
+
+  private def signatureBands(
+      docUnits: DataFrame, k: Int, rowsPerBand: Int): (DataFrame, DataFrame) =
+    signatureBandsFromSig(unitSig(docUnits, k), k, rowsPerBand)
+
   private def bandedNearDups(
-      rawTok: DataFrame,
+      docs: DataFrame, // (doc_id, text, …) — the raw document frame
+      unitsCol: Column, // the unit-array builder (evaluated per surviving row)
+      sigRaw: DataFrame, // (doc_id, mh, sz) from unitSig/textSig over `docs`
       k: Int,
       rowsPerBand: Int,
       threshold: Double): DataFrame = {
-    // The unit table feeds four consumers (signatures, sizes, both sides of
-    // the verification join); materialize it once — the shingle explode is
-    // the most expensive projection in the pipeline and would otherwise be
-    // recomputed per consumer (measured 4× the cost at sf0.1). Durability
-    // policy (localCheckpoint vs recomputable DISK_ONLY for cluster runs)
-    // is [[Materialize]]'s conf switch.
-    val tok = Materialize.stable(rawTok)
-    val (bands, sz) = signatureBands(tok, k, rowsPerBand)
-    val cands = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-      .distinct()
-    // Verification reads ONLY candidate documents' units: semi-join each
-    // side of the pair join down to candidate ids before it becomes a join
-    // build side. Without the restriction the (j, t) equi-join builds a
-    // hash relation over the FULL unit table (corpus-sized build work and
-    // memory); with it the builds are |candidate docs| · units/doc. The
-    // candidate subtree re-executes inside the broadcast id lists, but the
-    // banding side is signature-sized and its exchange is reused.
-    // no broadcast() hint: a hint would bypass AQE's size check and
-    // force-collect a candidate set that banding does not bound; the
-    // unhinted semi lets Spark broadcast when small (the fixture case)
-    // and fall back to a shuffle join when a skewed corpus blows the
-    // candidate set up
-    val iIds = cands.select(col("i").as("doc_id")).distinct()
-    val jIds = cands.select(col("j").as("doc_id")).distinct()
-    val tokI = tok.join(iIds, Seq("doc_id"), "left_semi")
-    val tokJ = tok.join(jIds, Seq("doc_id"), "left_semi")
+    val (bands, sz) = signatureBandsFromSig(sigRaw, k, rowsPerBand)
+    // The candidate set feeds THREE consumers below (candIds twice, the
+    // verify join) and each becomes its own broadcast-exchange job — without
+    // a pin, all three re-execute the signature chain CONCURRENTLY (AQE's
+    // exchange reuse does not span independent broadcast jobs). Pin the
+    // banding-sized pair set eagerly so the corpus-wide chain runs once.
+    val cands = Materialize.stable(
+      bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+        .distinct(),
+      eager = true)
+    // Verification reads ONLY candidate documents' units: semi-join the RAW
+    // doc frame down to candidate ids FIRST, then build + explode the unit
+    // arrays — the unit expression evaluates over |candidate docs| rows,
+    // never the corpus (projections sit above the join in the plan, so
+    // joining the pre-projected frame would re-run the corpus-wide unit
+    // builder — profiled as a full second shingle pass at sf0.1). Pinned:
+    // both sides of the pair join read it.
+    // no broadcast() hint on the semi: a hint would bypass AQE's size check
+    // and force-collect a candidate set that banding does not bound.
+    val candIds = cands.select(col("i").as("doc_id"))
+      .union(cands.select(col("j").as("doc_id"))).distinct()
+    val candTok = Materialize.stable(
+      docs.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), explode(unitsCol).as("t")),
+      eager = true)
     val common = cands
-      .join(tokI.select(col("doc_id").as("i"), col("t")), "i")
-      .join(tokJ.select(col("doc_id").as("j"), col("t")), Seq("j", "t"))
+      .join(candTok.select(col("doc_id").as("i"), col("t")), "i")
+      .join(candTok.select(col("doc_id").as("j"), col("t")), Seq("j", "t"))
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("common"))
     common
@@ -630,8 +671,10 @@ object Text {
       rowsPerBand: Int = 4,
       threshold: Double = 0.95): DataFrame = {
     val doc = Tables.documents(spark, sfDir).filter(col("doc_id") < maxDocId)
+    val units = array_distinct(tokens(col("text")))
     bandedNearDups(
-      doc.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t")),
+      doc, units,
+      unitSig(doc.select(col("doc_id"), units.as("units")), k),
       k, rowsPerBand, threshold)
   }
 
@@ -662,7 +705,8 @@ object Text {
       sampleMod: Int = 3): DataFrame = {
     val doc = Tables.documents(spark, sfDir)
     bandedNearDups(
-      doc.select(col("doc_id"), explode(shingleSet(shingleLen, sampleMod)).as("t")),
+      doc, shingleSet(shingleLen, sampleMod),
+      textSig(doc, shingleLen, sampleMod, k),
       k, rowsPerBand, threshold)
   }
 
@@ -749,6 +793,144 @@ object Text {
       k += 1
     }
     majority(votes)
+  }
+
+  /** The k per-seed MinHash minima of a unit ARRAY in one compiled pass —
+    * the kernel behind [[org.apache.spark.sql.graft.TextExpressions
+    * .minhashMinima]], shared by its interpreted and codegen paths.
+    *
+    * Bit-compatibility contract (NearDedupSpec pins it against the SQL
+    * formulation): element hashes chain EXACTLY like Spark's
+    * `xxhash64(lit(s), col("t"))` — seed 42, `XXH64.hashInt(s, 42)` for the
+    * Int literal, then `hashLong`/`hashUTF8String` for the unit — so
+    * signatures are bit-identical to the exploded `groupBy(min)` aggregate
+    * they replace, and band hashes collide identically across every
+    * producer (detector, band store, increment probe).
+    *
+    * Returns null for an EMPTY array: the aggregate formulation simply had
+    * no rows for such a doc, so callers filter nulls to keep the "docs with
+    * no units are absent" semantics.
+    */
+  def minhashMinimaArrayData(
+      units: org.apache.spark.sql.catalyst.util.ArrayData,
+      k: Int,
+      stringUnits: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = units.numElements()
+    if (n == 0) return null
+    val seedH = new Array[Long](k)
+    var s = 0
+    while (s < k) { seedH(s) = XXH64.hashInt(s, 42L); s += 1 }
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (stringUnits) {
+        val u = units.getUTF8String(i)
+        s = 0
+        while (s < k) {
+          val h = XXH64.hashUTF8String(u, seedH(s))
+          if (h < out(s)) out(s) = h
+          s += 1
+        }
+      } else {
+        val u = units.getLong(i)
+        s = 0
+        while (s < k) {
+          val h = XXH64.hashLong(u, seedH(s))
+          if (h < out(s)) out(s) = h
+          s += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** FUSED shingle MinHash signature of a document text — one compiled pass
+    * producing struct(mh: the k per-seed minima, sz: the distinct sampled
+    * shingle count), the kernel behind [[org.apache.spark.sql.graft
+    * .TextExpressions.minhashSig]].
+    *
+    * Semantics are EXACTLY [[shingleSet]] piped into
+    * [[minhashMinimaArrayData]] (the spec pins the parity):
+    * char-position shingles `substring(text, i, shingleLen)` for
+    * i ∈ [1, max(numChars - shingleLen + 1, 1)], digest =
+    * `xxhash64(shingle)` (seed 42), Broder mod-m content sampling
+    * (`digest % m == 0` — Java and Spark `%`` agree on sign semantics, and
+    * only the exact-zero case is kept), DISTINCT digests for the size, and
+    * minima over the (de-duplicated, but minima are multiset-insensitive)
+    * digest set with the chained `xxhash64(seed, digest)` hash. Returns
+    * null when the sampled set is empty — the exploded formulation had no
+    * rows for such a doc.
+    *
+    * Why fused: the HOF formulation (`transform ∘ filter ∘ array_distinct`)
+    * pays an interpreted closure dispatch per shingle position and builds
+    * two intermediate arrays per document; this pass allocates one HashSet
+    * and is the difference between the banding family's signature scan
+    * being hash-bound vs dispatch-bound.
+    */
+  def minhashSigOfText(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      shingleLen: Int,
+      sampleMod: Int,
+      k: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val nChars = text.numChars()
+    val last = math.max(nChars - shingleLen + 1, 1)
+    // Sampled digests, duplicates included — distinct is a primitive sort
+    // below (≈n·log n on longs, cache-friendly), not a boxed hash set
+    // (profiled: 12 boxed-set iterations per doc dominated the pass).
+    val buf = new Array[Long](last)
+    var m = 0
+    if (text.numBytes() == nChars) {
+      // ASCII fast path: byte positions ARE char positions, so each shingle
+      // hashes in place — zero allocations. Identical digests to the char
+      // path: for ASCII the substring's bytes are exactly these L bytes,
+      // and XXH64.hashUTF8String is hashUnsafeBytes over them.
+      val base = text.getBaseObject
+      val off = text.getBaseOffset
+      var i = 0
+      while (i < last) {
+        val len = math.min(shingleLen, nChars - i) // i=0 tail when text < L
+        val h = XXH64.hashUnsafeBytes(base, off + i, len, 42L)
+        if (sampleMod <= 1 || h % sampleMod == 0) { buf(m) = h; m += 1 }
+        i += 1
+      }
+    } else {
+      var i = 1
+      while (i <= last) {
+        val h = XXH64.hashUTF8String(text.substringSQL(i, shingleLen), 42L)
+        if (sampleMod <= 1 || h % sampleMod == 0) { buf(m) = h; m += 1 }
+        i += 1
+      }
+    }
+    if (m == 0) return null
+    java.util.Arrays.sort(buf, 0, m)
+    val seedH = new Array[Long](k)
+    var s = 0
+    while (s < k) { seedH(s) = XXH64.hashInt(s, 42L); s += 1 }
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var distinct = 0L
+    var i = 0
+    while (i < m) {
+      if (i == 0 || buf(i) != buf(i - 1)) { // first occurrence only
+        distinct += 1
+        val u = buf(i)
+        s = 0
+        while (s < k) {
+          val h = XXH64.hashLong(u, seedH(s))
+          if (h < out(s)) out(s) = h
+          s += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out),
+        distinct))
   }
 
   /** q35 — SimHash fingerprints (no oracle; golden-tested). Near-dup pairs =
@@ -1495,6 +1677,7 @@ object Text {
         col("h256").as("sh256"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(dir)
+    graft.Readers.bump()
   }
 
   def ensureDigestStore(
@@ -1531,7 +1714,7 @@ object Text {
     val canon = batchRaw
       .groupBy(col("h64"), col("h256"))
       .agg(min(col("doc_id")).as("doc_id"))
-    val store = spark.read.parquet(dir).select(col("sh64"), col("sh256"))
+    val store = graft.Readers.parquet(spark, dir).select(col("sh64"), col("sh256"))
     // the semi probe's build side is the RAW batch digests (a narrow
     // scan→broadcast): a semi-join is insensitive to build-side duplicates,
     // and reusing the canonical aggregate here would plan its exchange a
@@ -1657,9 +1840,8 @@ object Text {
   private def bandStoreRows(
       docs: DataFrame, shingleLen: Int, k: Int, rowsPerBand: Int,
       sampleMod: Int): DataFrame = {
-    val tok = docs.select(
-      col("doc_id"), explode(shingleSet(shingleLen, sampleMod)).as("t"))
-    val (bands, _) = signatureBands(tok, k, rowsPerBand)
+    val (bands, _) = signatureBandsFromSig(
+      textSig(docs, shingleLen, sampleMod, k), k, rowsPerBand)
     bands.select(
       col("doc_id").as("sdoc_id"),
       col("band").as("sband"),
@@ -1740,6 +1922,7 @@ object Text {
     bandStoreRows(accepted, shingleLen, k, rowsPerBand, sampleMod)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(dir)
+    graft.Readers.bump()
   }
 
   /** Compact a digest/band store in place: rewrite the DISTINCT row set via
@@ -1833,12 +2016,14 @@ object Text {
     val storeDir = ensureBandStore(
       spark, sfDir, batchMod, batchRem, shingleLen, k, rowsPerBand, sampleMod)
     val doc = Tables.documents(spark, sfDir)
-    // batch unit table feeds signatures, sizes, and the verification join
-    val batchTok = Materialize.stable(
+    // batch unit-array frame feeds signatures, sizes, and (exploded) the
+    // verification join — pinned so the batch shingler runs once
+    val batchUnits = Materialize.stable(
       doc.filter(col("doc_id") % batchMod === batchRem)
-        .select(col("doc_id"), explode(shingleSet(shingleLen, sampleMod)).as("t")))
-    val (bands, sizes) = signatureBands(batchTok, k, rowsPerBand)
-    val store = spark.read.parquet(settleStoreSwap(spark, storeDir))
+        .select(col("doc_id"), shingleSet(shingleLen, sampleMod).as("units")))
+    val batchTok = batchUnits.select(col("doc_id"), explode(col("units")).as("t"))
+    val (bands, sizes) = signatureBands(batchUnits, k, rowsPerBand)
+    val store = graft.Readers.parquet(spark, settleStoreSwap(spark, storeDir))
     val cands = store.join(
         broadcast(bands),
         col("sband") === col("band") && col("sbh") === col("bh"))
@@ -1931,6 +2116,7 @@ object Text {
         col("g64b").as("sg64b"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(dir)
+    graft.Readers.bump()
   }
 
   private def requireGramParams(
@@ -1980,7 +2166,7 @@ object Text {
     requireGramParams(spark, dir, gram, "probe")
     // distinct BEFORE the broadcast: replayed appends legally duplicate
     // store rows; without the dedup the broadcast scales with the copies
-    val store = spark.read.parquet(dir)
+    val store = graft.Readers.parquet(spark, dir)
       .select(col("seval_doc"), col("sg64"), col("sg64b")).distinct()
     gramDigestsOf(batchDocs, gram)
       .join(broadcast(store),

@@ -321,7 +321,8 @@ object Vectors {
     */
   def liveCells(spark: SparkSession, indexDir: String): DataFrame =
     Lifecycle.live(spark, indexDir,
-      spark.read.parquet(s"$indexDir/cells").withColumn("cell", col("cell").cast("long")))
+      graft.Readers.parquet(spark, s"$indexDir/cells")
+        .withColumn("cell", col("cell").cast("long")))
 
   def loadCentroids(spark: SparkSession, dir: String): CentroidSet = {
     val rows = spark.read.parquet(dir).collect()
@@ -780,6 +781,7 @@ object Vectors {
     cellStoreRows(accepted, cents)
       .write.partitionBy("scell")
       .mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    graft.Readers.bump()
   }
 
   /** Compact the cell store: distinct-rewrite via the shared write-aside /
@@ -860,7 +862,7 @@ object Vectors {
     val assigned = Materialize.stable(assignCellsWith(batchEmb, cents))
     val cells = assigned.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toIndexedSeq
-    val store = spark.read.parquet(dir)
+    val store = graft.Readers.parquet(spark, dir)
       .filter(col("scell").isin(cells: _*))
     store.join(broadcast(assigned), col("scell") === col("cell"))
       .select(

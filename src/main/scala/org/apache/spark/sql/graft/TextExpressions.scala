@@ -118,6 +118,80 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** The k per-seed MinHash minima of a unit array in ONE compiled pass
+    * (q34/q77/band-store signature step) — replaces the k-column explode +
+    * `groupBy(min…)` aggregate: the whole signature stage becomes a narrow
+    * scan, no unit-table shuffle, no corpus-sized pin. Accepts both unit
+    * encodings used by the banding family: `array<long>` (shingle digests)
+    * and `array<string>` (word tokens). Null (and therefore a dropped doc,
+    * matching the aggregate's no-rows semantics) on an empty array. Hash
+    * contract: [[graft.operators.Text.minhashMinimaArrayData]].
+    */
+  case class MinHashMinima(child: Expression, k: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    private def stringUnits: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == StringType
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(
+      TypeCollection(ArrayType(LongType), ArrayType(StringType)))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true // empty unit set → null
+    override def prettyName: String = "minhash_minima"
+
+    override def nullSafeEval(units: Any): Any =
+      Text.minhashMinimaArrayData(
+        units.asInstanceOf[ArrayData], k, stringUnits)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, u => {
+        s"""
+           |${ev.value} = graft.operators.Text.minhashMinimaArrayData($u, $k, $stringUnits);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def minhashMinima(units: Column, k: Int): Column =
+    ExpressionUtils.column(MinHashMinima(ExpressionUtils.expression(units), k))
+
+  /** Fused shingle-MinHash signature of a document text — struct(mh, sz) in
+    * one compiled pass; exact-parity contract and why-fused rationale:
+    * [[graft.operators.Text.minhashSigOfText]].
+    */
+  case class MinHashSig(child: Expression, shingleLen: Int, sampleMod: Int, k: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("mh", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("sz", LongType, nullable = false)))
+    override def nullable: Boolean = true // empty sampled shingle set → null
+    override def prettyName: String = "minhash_sig"
+
+    override def nullSafeEval(text: Any): Any =
+      Text.minhashSigOfText(
+        text.asInstanceOf[UTF8String], shingleLen, sampleMod, k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t => {
+        s"""
+           |${ev.value} = graft.operators.Text.minhashSigOfText($t, $shingleLen, $sampleMod, $k);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def minhashSig(text: Column, shingleLen: Int, sampleMod: Int, k: Int): Column =
+    ExpressionUtils.column(
+      MinHashSig(ExpressionUtils.expression(text), shingleLen, sampleMod, k))
+
   def spanDigests(text: Column, spanLen: Int): Column =
     ExpressionUtils.column(SpanDigests(ExpressionUtils.expression(text), spanLen))
 

@@ -4,6 +4,52 @@ import graft.operators.Text
 
 class NearDedupSpec extends SparkSpec {
 
+  test("compiled minhash kernels are bit-identical to the SQL formulation") {
+    // The banding family's signature stage runs through the MinHashMinima /
+    // MinHashSig codegen kernels; every producer (detector, band store,
+    // increment probe) relies on their minima matching the exploded
+    // `min(xxhash64(seed, t))` aggregate BIT FOR BIT — a drift would make
+    // probes silently miss instead of failing a test. Checked for both unit
+    // encodings and for the fused text kernel, on the full sf0.001 corpus.
+    import org.apache.spark.sql.functions._
+    val k = 12
+    val doc = Tables.documents(spark, sf0001)
+    def minimaVia(unitsCol: org.apache.spark.sql.Column) = {
+      val du = doc.select(col("doc_id"), unitsCol.as("units"))
+      val viaExpr = du.select(col("doc_id"),
+          org.apache.spark.sql.graft.TextExpressions.minhashMinima(col("units"), k).as("mh"))
+        .filter(col("mh").isNotNull)
+        .select(col("doc_id"), posexplode(col("mh")).as(Seq("s", "m")))
+      val tok = du.select(col("doc_id"), explode(col("units")).as("t"))
+      val hashCols = (0 until k).map(s => xxhash64(lit(s), col("t")).as(s"h$s"))
+      val viaAgg = tok.select(col("doc_id") +: hashCols: _*)
+        .groupBy(col("doc_id"))
+        .agg(min(col("h0")).as("m0"),
+          (1 until k).map(s => min(col(s"h$s")).as(s"m$s")): _*)
+        .select(col("doc_id"),
+          posexplode(array((0 until k).map(s => col(s"m$s")): _*)).as(Seq("s", "m")))
+      (viaExpr, viaAgg)
+    }
+    for (units <- Seq(
+        graft.operators.Text.shingleSet(8, 3), // array<long> digests
+        array_distinct(split(col("text"), " ")))) { // array<string> tokens
+      val (e, a) = minimaVia(units)
+      assert(e.except(a).count() + a.except(e).count() == 0)
+    }
+    // fused text kernel ≡ shingleSet → minhashMinima (minima AND sizes)
+    val fused = doc.select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions.minhashSig(col("text"), 8, 3, k).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("sig.mh").as("mh"), col("sig.sz").as("sz"))
+    val viaArr = doc.select(col("doc_id"),
+        graft.operators.Text.shingleSet(8, 3).as("units"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions.minhashMinima(col("units"), k).as("mh"),
+        size(col("units")).cast("long").as("sz"))
+      .filter(col("mh").isNotNull)
+    assert(fused.except(viaArr).count() + viaArr.except(fused).count() == 0)
+  }
+
   test("near-dedup corpus: planted sequence dups collapse, everything else survives") {
     val all = Tables.documents(spark, sf0001).count()
     val pairs = Text.shingleNearDups(spark, sf0001).collect()
