@@ -4,38 +4,45 @@ import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
-/** Memoized parquet readers — the engine's (tiny) catalog cache.
+/** Memoized parquet SCHEMA resolution — the engine's (tiny) catalog cache.
   *
-  * Every `spark.read.parquet(path)` resolves the source from scratch: a
-  * driver file listing plus a footer schema-inference job. Per call that is
-  * only tens of milliseconds, but the bench surface re-reads the same ~10
-  * fixture tables and ~15 persisted store/index layouts for EVERY query, so
-  * the resolution jobs alone were a measurable slice of total bench time —
-  * and on a real cluster the same pattern is an object-store LIST + GET per
-  * query against paths whose schema never changes. A catalog (Hive
-  * metastore, Delta log) is the production answer; this memo is the same
-  * idea scoped to path-based reads: resolve once per (session, path), hand
-  * back the immutable logical plan.
+  * Every `spark.read.parquet(path)` infers the schema from scratch: a
+  * footer-read Spark job per call. Per call that is only tens of
+  * milliseconds, but the bench surface re-reads the same ~10 fixture tables
+  * and ~15 persisted store/index layouts for EVERY query, so the inference
+  * jobs alone were a measurable slice of total bench time — and on a real
+  * cluster the same pattern is an object-store GET per query against paths
+  * whose schema never changes. A catalog (Hive metastore, Delta log) is the
+  * production answer; this memo is the same idea scoped to path-based
+  * reads: infer once per (session, path), then `read.schema(s)` skips the
+  * job.
   *
-  * Staleness contract: fixture tables are immutable (additionally keyed by
-  * mtime so a rewritten test fixture re-resolves), but index/store layouts
-  * MUTATE through the lifecycle ops (append/delete/compact/vacuum/adopt and
-  * the store swap protocol). A memoized DataFrame pins its file-listing
-  * snapshot, so every mutation entry point calls [[bump]], which
-  * invalidates the whole memo (coarse on purpose: mutations are rare
-  * maintenance events; queries are the hot path — re-resolving everything
-  * after a mutation costs one listing round, while a forgotten path-scoped
-  * invalidation would serve stale rows). All mutations in this codebase go
-  * through [[graft.operators.Lifecycle]] / [[graft.operators.Index]] /
-  * the store builders, each of which bumps.
+  * Deliberately NOT a DataFrame memo: each call builds a FRESH relation
+  * (fresh expression ids, fresh file listing, no shared lazy plan state).
+  * An earlier whole-instance memo returned the same logical plan object to
+  * every caller and surfaced a latent Catalyst bug — constraint inference
+  * (`InferFiltersFromConstraints`) mis-inferred a higher-order-function
+  * filter onto the wrong join side for plans whose leaves were shared
+  * instances, failing optimization with ATTRIBUTE_NOT_FOUND. Schemas are
+  * immutable values; sharing them is safe by construction, and the fresh
+  * listing keeps readers correct under appends without any invalidation
+  * subtlety.
+  *
+  * Staleness contract: a layout REWRITE can change the schema itself
+  * (column added by a new LayoutVersion, store swapped), so every lifecycle
+  * mutation entry point calls [[bump]], which drops the whole memo (coarse
+  * on purpose: mutations are rare maintenance events, re-inference costs
+  * one job). Fixture tables are additionally keyed by mtime so a rewritten
+  * test fixture re-resolves without a bump.
   */
 object Readers {
 
   private val epoch = new AtomicLong(0L)
-  private val memo = new ConcurrentHashMap[String, DataFrame]()
+  private val memo = new ConcurrentHashMap[String, StructType]()
 
-  /** Invalidate every memoized reader (called by lifecycle mutations). */
+  /** Invalidate every memoized schema (called by lifecycle mutations). */
   def bump(): Unit = {
     epoch.incrementAndGet()
     memo.clear()
@@ -44,26 +51,31 @@ object Readers {
   private def keyOf(spark: SparkSession, path: String, extra: String): String =
     s"${System.identityHashCode(spark)}:${epoch.get()}:$extra:$path"
 
-  /** Memoized `spark.read.parquet(path)` for a MUTABLE layout dir —
+  private def readWithMemoizedSchema(
+      spark: SparkSession, path: String, key: String): DataFrame = {
+    val schema = memo.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
+
+  /** Parquet read for a MUTABLE layout dir with memoized schema inference —
     * invalidated by [[bump]] on any lifecycle mutation. A dir carrying a
-    * live `_spark_metadata` sink log is NEVER memoized: a bootstrap
-    * streaming sink appends files without any lifecycle hook to bump, so
-    * each read must re-list. (Local-fs probe; on a remote fs the adopt
-    * step's bump is the contract.)
+    * live `_spark_metadata` sink log is never memoized: a bootstrap
+    * streaming sink could be rewriting the schema-bearing files under it
+    * with no lifecycle hook to bump. (Local-fs probe; on a remote fs the
+    * adopt step's bump is the contract.)
     */
   def parquet(spark: SparkSession, path: String): DataFrame =
     if (new java.io.File(stripScheme(path), "_spark_metadata").exists())
       spark.read.parquet(path)
-    else
-      memo.computeIfAbsent(keyOf(spark, path, ""), _ => spark.read.parquet(path))
+    else readWithMemoizedSchema(spark, path, keyOf(spark, path, ""))
 
-  /** Memoized read for an IMMUTABLE fixture file/dir — additionally keyed
-    * by mtime, so a rewritten test fixture re-resolves without a bump.
+  /** Read for an IMMUTABLE fixture file/dir — schema memo keyed by mtime,
+    * so a rewritten test fixture re-resolves without a bump.
     */
   def fixtureParquet(spark: SparkSession, path: String): DataFrame = {
     val mtime = new java.io.File(stripScheme(path)).lastModified
-    memo.computeIfAbsent(keyOf(spark, path, mtime.toString),
-      _ => spark.read.parquet(path))
+    readWithMemoizedSchema(spark, path, keyOf(spark, path, mtime.toString))
   }
 
   private def stripScheme(path: String): String =

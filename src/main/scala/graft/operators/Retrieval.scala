@@ -554,6 +554,10 @@ object Retrieval {
       k: Int = 20): DataFrame = {
     val store = graft.Readers.parquet(spark, ensurePostingsStore(spark, sfDir))
       .select(col("doc_id"), col("term").as("t"))
+    // NOT pinned: exTf/tf each feed two consumers, but every re-execution is
+    // a pushed/pruned postings-store probe — and keeping them as scans is
+    // what lets PlanSpec assert the index-served property (a checkpoint
+    // would hide the PushedFilters doc_id probe behind an ExistingRDD).
     val exTf = store.filter(col("doc_id") === exampleId)
       .groupBy(col("t")).agg(count(lit(1)).as("tf_ex"))
     val tf = store

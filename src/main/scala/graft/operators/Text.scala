@@ -1546,8 +1546,15 @@ object Text {
       evalMod: Long = 19,
       evalRem: Long = 3): DataFrame = {
     val trainSide = col("doc_id") % evalMod =!= evalRem
-    val cleaned =
-      cleanCorpusOf(Tables.documents(spark, sfDir).filter(trainSide))
+    // Pinned eagerly: the cleaning stage's survivors feed FOUR consumers
+    // (both endpoint semi-joins on the pair artifact, the CC probe, the
+    // final assembly) that execute as independent jobs — unpinned, each
+    // re-runs the corpus scan + RepStats + digest dedup chain (profiled as
+    // ~3× the cleaning cost at sf0.1). The pin is (doc_id, lang, n_tokens)
+    // per survivor — narrow, never text.
+    val cleaned = Materialize.stable(
+      cleanCorpusOf(Tables.documents(spark, sfDir).filter(trainSide)),
+      eager = true)
     val alive = cleaned.select(col("doc_id"))
     val pairs = spark.read
       .parquet(ensureShinglePairs(spark, sfDir))
