@@ -372,6 +372,114 @@ object Retrieval {
        |FROM x WHERE levenshtein(t, '$term') <= $maxDist
        |GROUP BY t ORDER BY term""".stripMargin
 
+  /** q169 — PREFIX SEARCH at the DOCUMENT level (ES `prefix` query): every
+    * doc containing at least one term with the given prefix, with its hit
+    * and distinct-term counts. q143/q144 answer the TERM-level half from
+    * the dictionary; this is the retrieval half, served from the persisted
+    * positional postings store — `startsWith` compiles to a pushed
+    * `StringStartsWith` parquet filter, so on the term-clustered store
+    * layout the scan reads only the prefix's row groups, never text
+    * (PlanSpec-locked). At 100 TB that is ES's own shape: a dictionary
+    * range walk + posting-list reads.
+    */
+  def prefixSearch(
+      spark: SparkSession,
+      sfDir: String,
+      prefix: String = "sl"): DataFrame =
+    graft.Readers.parquet(spark, ensurePostingsStore(spark, sfDir))
+      .filter(col("term").startsWith(prefix))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), countDistinct(col("term")).as("n_terms"))
+      .orderBy(col("doc_id"))
+
+  def prefixSearchOracle(prefix: String = "sl"): String =
+    s"""WITH x AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents)
+       |SELECT doc_id, count(*) AS n_hits, count(DISTINCT t) AS n_terms
+       |FROM x WHERE t LIKE '$prefix%'
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The default synonym registry for q170 — an ES synonym-filter analysis
+    * chain as data: (concept, variant) rows, broadcast into the match.
+    */
+  val DefaultSynonyms: Seq[(String, String)] = Seq(
+    ("ordering", "sort"), ("ordering", "order"),
+    ("speed", "fast"), ("speed", "slow"),
+    ("grouping", "group"), ("grouping", "agg"))
+
+  /** q170 — SYNONYM-EXPANDED SEARCH (ES `synonym` token filter): terms are
+    * normalized to concepts through a broadcast synonym table and matches
+    * aggregate at the CONCEPT level — (concept, n_docs, n_hits). This is
+    * the analysis-chain expansion ES does at query time, expressed as a
+    * tiny-dimension broadcast join against the postings store: the corpus
+    * side never reshuffles, the synonym table rides the broadcast, and the
+    * aggregate is concept-cardinality. Variants sharing a doc count it
+    * once (countDistinct doc).
+    */
+  def synonymSearch(
+      spark: SparkSession,
+      sfDir: String,
+      synonyms: Seq[(String, String)] = DefaultSynonyms): DataFrame = {
+    import spark.implicits._
+    val syn = synonyms.toDF("concept", "term")
+    graft.Readers.parquet(spark, ensurePostingsStore(spark, sfDir))
+      .join(broadcast(syn), "term")
+      .groupBy(col("concept"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_hits"))
+      .orderBy(col("concept"))
+  }
+
+  def synonymSearchOracle(
+      synonyms: Seq[(String, String)] = DefaultSynonyms): String = {
+    val rows = synonyms
+      .map { case (c, t) => s"('$c', '$t')" }.mkString(", ")
+    s"""WITH syn(concept, term) AS (VALUES $rows),
+       |x AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents)
+       |SELECT concept, count(DISTINCT doc_id) AS n_docs, count(*) AS n_hits
+       |FROM x JOIN syn ON x.t = syn.term
+       |GROUP BY concept ORDER BY concept""".stripMargin
+  }
+
+  /** q171 — TERM VECTORS (ES `_termvectors` API): one document's term
+    * statistics — tf in the doc, df and total corpus frequency from the
+    * dictionary. Fully index-served: the tf side is a PUSHED doc_id probe
+    * of the postings store (the same point-read ES does against the stored
+    * term vector), the df/ttf side is a dictionary join — document text is
+    * never read.
+    */
+  def termVectors(
+      spark: SparkSession,
+      sfDir: String,
+      docId: Long = 7): DataFrame = {
+    val tf = graft.Readers.parquet(spark, ensurePostingsStore(spark, sfDir))
+      .filter(col("doc_id") === docId)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(vocab(spark, sfDir), "term")
+      .select(col("term"), col("tf"), col("n_docs").as("df"),
+        col("n_hits").as("ttf"))
+      .orderBy(col("term"))
+  }
+
+  def termVectorsOracle(docId: Long = 7): String =
+    s"""WITH x AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |tf AS (
+       |  SELECT t AS term, count(*) AS tf FROM x
+       |  WHERE doc_id = $docId GROUP BY t),
+       |dict AS (
+       |  SELECT t AS term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+       |  FROM x GROUP BY t)
+       |SELECT tf.term, tf.tf, dict.df, dict.ttf
+       |FROM tf JOIN dict ON tf.term = dict.term
+       |ORDER BY tf.term""".stripMargin
+
   /** q144 — REGEXP/WILDCARD TERM SEARCH (ES `regexp` / `wildcard`):
     * corpus terms matching an anchored regular expression, with counts.
     * The pattern is kept inside the POSIX-ERE intersection both engines
@@ -1230,7 +1338,10 @@ object Retrieval {
     "q164_rescore" -> ((s: SparkSession, d: String) => rescore(s, d)),
     "q165_collapse" -> ((s: SparkSession, d: String) => collapseBySource(s, d)),
     "q167_dis_max" -> ((s: SparkSession, d: String) => disMax(s, d)),
-    "q168_boosting" -> ((s: SparkSession, d: String) => boostingQuery(s, d)))
+    "q168_boosting" -> ((s: SparkSession, d: String) => boostingQuery(s, d)),
+    "q169_prefix_search" -> ((s: SparkSession, d: String) => prefixSearch(s, d)),
+    "q170_synonym_search" -> ((s: SparkSession, d: String) => synonymSearch(s, d)),
+    "q171_term_vectors" -> ((s: SparkSession, d: String) => termVectors(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q61_tfidf_search" -> tfidfOracle(),
@@ -1255,5 +1366,8 @@ object Retrieval {
     "q164_rescore" -> rescoreOracle(),
     "q165_collapse" -> collapseBySourceOracle(),
     "q167_dis_max" -> disMaxOracle(),
-    "q168_boosting" -> boostingQueryOracle())
+    "q168_boosting" -> boostingQueryOracle(),
+    "q169_prefix_search" -> prefixSearchOracle(),
+    "q170_synonym_search" -> synonymSearchOracle(),
+    "q171_term_vectors" -> termVectorsOracle())
 }

@@ -595,6 +595,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("text:string"), s"MLT reads document text:\n$plan")
   }
 
+  test("prefix search pushes StringStartsWith to the postings scan, no text") {
+    val plan = graft.operators.Retrieval.prefixSearch(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft-postings-"), s"no postings store scan:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("StringStartsWith(term,sl")),
+      s"prefix not pushed to the posting scan:\n$plan")
+    assert(!plan.contains("text:string"), s"prefix search reads text:\n$plan")
+  }
+
+  test("term vectors: pushed doc_id point probe + dictionary join, no text") {
+    val plan = graft.operators.Retrieval.termVectors(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft-postings-") && plan.contains("graft-vocab-"),
+      s"not served from postings + dictionary stores:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("EqualTo(doc_id,7)")),
+      s"doc probe not pushed:\n$plan")
+    assert(!plan.contains("text:string"), s"term vectors read text:\n$plan")
+  }
+
   test("indexed phrase search reads pushed-filtered posting lists, not text") {
     val plan = graft.operators.Retrieval.phraseSearchIndexed(spark, sf0001)
       .queryExecution.executedPlan.toString
