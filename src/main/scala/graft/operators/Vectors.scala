@@ -459,6 +459,13 @@ object Vectors {
     // stays ≤ cap² per bucket. Below the ceiling (all gate fixtures): no-op.
     val autoCap =
       if (bits > 0) 0 else Lsh.autoBucketCap(n, Lsh.PairTargetBucket)
+    // NOT pinned: the self-join consumes the posting set on both sides as
+    // independent exchanges, so the hash+explode pass runs twice — but the
+    // pass is a narrow codegen map, and pinning was MEASURED SLOWER at
+    // sf0.1 (checkpoint write of the posting rows costs more than the
+    // recompute). A deployment that mines pairs repeatedly persists the
+    // postings artifact instead (the [[Index]] layout) — hash-once then
+    // lives on disk, not in a cache.
     val posts = if (autoCap > 0) Skew.capBuckets(rawPosts, autoCap) else rawPosts
     val pairs = posts.as("a")
       .join(posts.as("b"),
