@@ -71,10 +71,18 @@ object Readers {
     else readWithMemoizedSchema(spark, path, keyOf(spark, path, ""))
 
   /** Read for an IMMUTABLE fixture file/dir — schema memo keyed by mtime,
-    * so a rewritten test fixture re-resolves without a bump.
+    * so a rewritten test fixture re-resolves without a bump. The mtime
+    * comes through the Hadoop FileSystem so the key works on remote
+    * filesystems too (a java.io.File stat would return a constant 0 there
+    * and pin a rewritten fixture's stale schema forever); a missing path
+    * keys as 0 and the read itself raises the real error.
     */
   def fixtureParquet(spark: SparkSession, path: String): DataFrame = {
-    val mtime = new java.io.File(stripScheme(path)).lastModified
+    val p = new org.apache.hadoop.fs.Path(path)
+    val mtime =
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getModificationTime
+      catch { case _: java.io.IOException => 0L }
     readWithMemoizedSchema(spark, path, keyOf(spark, path, mtime.toString))
   }
 

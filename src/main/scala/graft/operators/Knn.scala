@@ -132,19 +132,6 @@ object Knn {
       bucketCap = autoCap, candidateFilter = Some(meta.select(col("vec_id"))))
   }
 
-  /** A5–A7 against a persisted [[Index]] layout.
-    *
-    * `bucketCap` (0 = off, the gate default) bounds the posting-list length
-    * per (tbl, hash) via [[Skew.capBuckets]] — the 100 TB control for
-    * degenerate buckets (a hash value holding a large fraction of the
-    * corpus would otherwise dominate the collision join's fan-out). Capping
-    * trades a measured recall loss on exactly those low-signal buckets for
-    * a hard bound on join width.
-    */
-  /** The (query_id, tbl, hash) probe set for one query's packed hashes —
-    * shared by the stored-id path (precomputed hashes) and the raw-vector
-    * path (driver-hashed). Multiprobe expands Hamming-1 flips query-side.
-    */
   /** Has this layout ever been batch-appended to? `appends/` batch markers
     * exist from the first [[Lifecycle.allocateBatch]] on — a fresh build or
     * an exactly-once streamed bootstrap has none, and therefore cannot hold
@@ -154,6 +141,10 @@ object Knn {
     Lifecycle.fsOf(spark, indexDir)
       .exists(new org.apache.hadoop.fs.Path(s"$indexDir/appends"))
 
+  /** The (query_id, tbl, hash) probe set for one query's packed hashes —
+    * shared by the stored-id path (precomputed hashes) and the raw-vector
+    * path (driver-hashed). Multiprobe expands Hamming-1 flips query-side.
+    */
   private def probesOf(
       qid: Long,
       hashes: Seq[Long],
@@ -233,6 +224,15 @@ object Knn {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** A5–A7 against a persisted [[Index]] layout.
+    *
+    * `bucketCap` (0 = off, the gate default) bounds the posting-list length
+    * per (tbl, hash) via [[Skew.capBuckets]] — the 100 TB control for
+    * degenerate buckets (a hash value holding a large fraction of the
+    * corpus would otherwise dominate the collision join's fan-out). Capping
+    * trades a measured recall loss on exactly those low-signal buckets for
+    * a hard bound on join width.
+    */
   def searchIndex(
       spark: SparkSession,
       indexDir: String,

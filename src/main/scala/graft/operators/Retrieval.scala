@@ -392,13 +392,18 @@ object Retrieval {
       .agg(count(lit(1)).as("n_hits"), countDistinct(col("term")).as("n_terms"))
       .orderBy(col("doc_id"))
 
-  def prefixSearchOracle(prefix: String = "sl"): String =
+  // starts_with, not LIKE: the engine side is a literal startsWith, and a
+  // prefix containing LIKE metacharacters (_ %) would silently widen a
+  // LIKE-based oracle. Single quotes are doubled for SQL.
+  def prefixSearchOracle(prefix: String = "sl"): String = {
+    val p = prefix.replace("'", "''")
     s"""WITH x AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
        |  FROM documents)
        |SELECT doc_id, count(*) AS n_hits, count(DISTINCT t) AS n_terms
-       |FROM x WHERE t LIKE '$prefix%'
+       |FROM x WHERE starts_with(t, '$p')
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   /** The default synonym registry for q170 — an ES synonym-filter analysis
     * chain as data: (concept, variant) rows, broadcast into the match.
@@ -434,8 +439,9 @@ object Retrieval {
 
   def synonymSearchOracle(
       synonyms: Seq[(String, String)] = DefaultSynonyms): String = {
+    def q(s: String) = s.replace("'", "''")
     val rows = synonyms
-      .map { case (c, t) => s"('$c', '$t')" }.mkString(", ")
+      .map { case (c, t) => s"('${q(c)}', '${q(t)}')" }.mkString(", ")
     s"""WITH syn(concept, term) AS (VALUES $rows),
        |x AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t

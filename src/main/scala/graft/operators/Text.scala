@@ -571,11 +571,15 @@ object Text {
     * unit table.
     */
   private def signatureBandsFromSig(
-      sigRaw: DataFrame, k: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
+      sigRaw: DataFrame, k: Int, rowsPerBand: Int,
+      pin: Boolean = true): (DataFrame, DataFrame) = {
     require(k % rowsPerBand == 0, "k must be a multiple of rowsPerBand")
     // null minima ⇔ no units: the aggregate formulation had no rows for
     // such a doc, so it must stay absent from bands and sizes here too
-    val sig = Materialize.stable(sigRaw.filter(col("mh").isNotNull), eager = true)
+    val filtered = sigRaw.filter(col("mh").isNotNull)
+    // pin = false for single-consumer callers (store build/append reads
+    // `bands` once) — there the checkpoint write is pure overhead.
+    val sig = if (pin) Materialize.stable(filtered, eager = true) else filtered
     val bandCols = (0 until k / rowsPerBand).map { b =>
       xxhash64(concat_ws(",",
         (b * rowsPerBand until (b + 1) * rowsPerBand).map(s =>
@@ -1848,7 +1852,7 @@ object Text {
       docs: DataFrame, shingleLen: Int, k: Int, rowsPerBand: Int,
       sampleMod: Int): DataFrame = {
     val (bands, _) = signatureBandsFromSig(
-      textSig(docs, shingleLen, sampleMod, k), k, rowsPerBand)
+      textSig(docs, shingleLen, sampleMod, k), k, rowsPerBand, pin = false)
     bands.select(
       col("doc_id").as("sdoc_id"),
       col("band").as("sband"),

@@ -1,7 +1,5 @@
 package graft.tools
 
-import scala.collection.mutable
-
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
@@ -25,42 +23,57 @@ object JobProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val jobStart = mutable.Map[Int, Long]()
-    val jobLines = mutable.ArrayBuffer[String]()
-    val stageTimes = mutable.Map[Int, (String, Long)]()
+    // Concurrent structures: events arrive on the listener-bus thread while
+    // the main thread clears/reads between queries (after a bus drain).
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val jobLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stageTimes = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
-        jobStart(js.jobId) = System.nanoTime()
+        jobStart.put(js.jobId, System.nanoTime())
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
-        val dt = (System.nanoTime() - jobStart.getOrElse(je.jobId, System.nanoTime())) / 1e9
-        jobLines += f"  job ${je.jobId}%3d  ${dt}%7.3f s"
+        val t0 = Option(jobStart.get(je.jobId)).getOrElse(System.nanoTime())
+        val dt = (System.nanoTime() - t0) / 1e9
+        jobLines.add(f"  job ${je.jobId}%3d  ${dt}%7.3f s")
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val info = sc.stageInfo
         val dt = (for {
           s <- info.submissionTime; c <- info.completionTime
         } yield c - s).getOrElse(0L)
-        stageTimes(info.stageId) = (info.name.take(90), dt)
+        stageTimes.put(info.stageId, (info.name.take(90), dt))
       }
     }
     spark.sparkContext.addSparkListener(listener)
 
+    // Fail fast on a typo'd query name instead of a bare key-not-found
+    // mid-profile.
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     // Warm everything once (prebuilt artifacts + codegen) so the profiled
-    // run measures the same steady state the bench reports.
-    try graft.operators.Index.ensure(spark, sfDir) catch { case _: Throwable => () }
+    // run measures the same steady state the bench reports. Warm failures
+    // print — a silently-cold query would be profiled as if steady-state.
+    try graft.operators.Index.ensure(spark, sfDir)
+    catch { case scala.util.control.NonFatal(e) => println(s"WARM index: $e") }
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count() catch { case _: Throwable => () }
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case scala.util.control.NonFatal(e) => println(s"WARM $n: $e") }
       graft.operators.Materialize.releaseAll()
     }
     names.foreach { n =>
+      // Drain the async listener bus so the previous query's JobEnd/Stage
+      // events can't land in (or be cleared from) this query's tables.
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       jobLines.clear(); stageTimes.clear()
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).count()
       val total = (System.nanoTime() - t0) / 1e9
       graft.operators.Materialize.releaseAll()
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       println(f"=== $n  total ${total}%.3f s  jobs=${jobLines.size}")
-      jobLines.foreach(println)
-      stageTimes.toSeq.sortBy(-_._2._2).take(12).foreach { case (id, (nm, ms)) =>
+      jobLines.forEach(l => println(l))
+      import scala.jdk.CollectionConverters._
+      stageTimes.asScala.toSeq.sortBy(-_._2._2).take(12).foreach { case (id, (nm, ms)) =>
         println(f"  stage $id%4d ${ms / 1000.0}%7.3f s  $nm")
       }
     }
