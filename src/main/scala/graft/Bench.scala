@@ -9,7 +9,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // The generated-class cache defaults to 100 entries; 88 gate queries
+      // The generated-class cache defaults to 100 entries; the ~170 gate
+      // queries
       // compile several codegen stages each, so the warm pass's classes get
       // evicted before their timed run and a RANDOM later query pays the
       // Janino recompilation (observed as multi-second spikes moving between
@@ -122,7 +123,7 @@ object Bench {
     // one query); a single sample reports whichever query the throttle
     // happened to strike, min-of-N reports the engine. (The same min-of-N
     // convention as hyperfine/JMH steady-state runs; reps recorded in the
-    // JSON, methodology in BASELINE.md.) Three reps because with 134
+    // JSON, methodology in BASELINE.md.) Three reps because with ~170
     // queries the probability some query eats a throttle window in BOTH of
     // two reps is near 1 — observed as 0.3-0.5s phantom "regressions" that
     // vanish on re-run; the third sample prices the engine, not the host.
