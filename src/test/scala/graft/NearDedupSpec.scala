@@ -50,6 +50,45 @@ class NearDedupSpec extends SparkSpec {
     assert(fused.except(viaArr).count() + viaArr.except(fused).count() == 0)
   }
 
+  test("fused minhash kernel: non-ASCII char path matches the SQL formulation") {
+    // The fixtures are pure ASCII, so only the byte fast path is exercised
+    // by the gates; pin the multibyte char path (substringSQL positions ≠
+    // byte offsets) against the SQL HOF formulation on constructed texts —
+    // accents, CJK, emoji (surrogate pairs), mixed, shorter-than-shingle,
+    // and empty.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val k = 8
+    val texts = Seq(
+      "héllo wörld résumé café naïve",
+      "日本語のテキストです データ処理",
+      "emoji 😀😁 mixed ascii and 中文 text here",
+      "shørt", "ab", "",
+      "repeat ääääääää repeat ääääääää tail")
+    val doc = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fused = doc.select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions.minhashSig(col("text"), 8, 3, k).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("sig.mh").as("mh"), col("sig.sz").as("sz"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).sortBy(_._1)
+    val tok = doc.select(col("doc_id"),
+      explode(graft.operators.Text.shingleSet(8, 3)).as("t"))
+    val hashCols = (0 until k).map(s => xxhash64(lit(s), col("t")).as(s"h$s"))
+    val viaAgg = tok.select(col("doc_id") +: hashCols: _*)
+      .groupBy(col("doc_id"))
+      .agg(min(col("h0")).as("m0"),
+        (1 until k).map(s => min(col(s"h$s")).as(s"m$s")) :+ count(lit(1)).as("sz"): _*)
+      .collect()
+      .map(r => (r.getLong(0), (0 until k).map(s => r.getLong(s + 1)), r.getLong(k + 1)))
+      .sortBy(_._1)
+    assert(fused.map(_._1).toSeq == viaAgg.map(_._1).toSeq, "doc coverage differs")
+    fused.zip(viaAgg).foreach { case ((id, mh, sz), (_, am, asz)) =>
+      assert(mh.toSeq == am.toSeq, s"doc $id minima drift")
+      assert(sz == asz, s"doc $id size drift")
+    }
+  }
+
   test("near-dedup corpus: planted sequence dups collapse, everything else survives") {
     val all = Tables.documents(spark, sf0001).count()
     val pairs = Text.shingleNearDups(spark, sf0001).collect()
