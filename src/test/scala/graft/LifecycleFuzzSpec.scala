@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{Index, Knn, Lsh}
+
+/** Randomized lifecycle-sequence fuzz: the scenario specs in LshSpec cover
+  * each op pair (append+search, delete+re-append, vacuum+crash, …) but not
+  * their INTERACTIONS under arbitrary orderings — exactly where marker
+  * bookkeeping bugs live (a tombstone surviving a vacuum, a supersede
+  * marker outliving a compact, batch numbering after vacuum). Seeded
+  * random op sequences run against a driver-side model of the live set;
+  * after every op the live view must equal the model, and the final index
+  * must serve searches IDENTICAL to a from-scratch build of the model's
+  * end state under the same LSH model — which also pins the
+  * appended-layout search path (duplicate-collapse exchanges on) against
+  * the fresh-layout path (collapse skipped) on the same data.
+  */
+class LifecycleFuzzSpec extends SparkSpec {
+
+  test("randomized lifecycle sequences keep the live view and search exact") {
+    import spark.implicits._
+    val embRows = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") < 120).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val allIds = embRows.map(_._1)
+    val byId = embRows.toMap
+    val model = Lsh.fit(Tables.embeddings(spark, sf0001), tables = 8, bits = 3)
+    def df(ids: Seq[Long]) =
+      ids.sorted.map(id => (id, byId(id))).toDF("vec_id", "embedding")
+
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 2).foreach { trial =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-fuzz$trial").toString + "/idx"
+      val initial = allIds.filter(_ => rnd.nextBoolean()).toSeq
+      var live = initial.toSet
+      Index.build(spark, df(initial), model, dir, numBuckets = 16)
+      val ops = scala.collection.mutable.ArrayBuffer[String]()
+      (1 to 8).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 => // append — may re-ingest live ids (upsert) or deleted ids
+            val ids = allIds.filter(_ => rnd.nextInt(6) == 0).toSeq
+            if (ids.nonEmpty) {
+              Index.append(spark, dir, df(ids)); live ++= ids
+              ops += s"append(${ids.size})"
+            }
+          case 1 => // delete — may name absent ids (harmless tombstones)
+            val ids = allIds.filter(_ => rnd.nextInt(8) == 0).toSeq
+            if (ids.nonEmpty) {
+              Index.delete(spark, dir, ids); live --= ids
+              ops += s"delete(${ids.size})"
+            }
+          case 2 => Index.compact(spark, dir); ops += "compact"
+          case 3 => Index.vacuum(spark, dir); ops += "vacuum"
+        }
+        val got = Index.liveVectors(spark, dir).select(col("vec_id"))
+          .collect().map(_.getLong(0)).toSet
+        assert(got == live,
+          s"trial $trial live-view drift after [${ops.mkString(" -> ")}]: " +
+            s"extra=${(got -- live).toSeq.sorted} missing=${(live -- got).toSeq.sorted}")
+      }
+      // Search parity vs a from-scratch build of the same end state under
+      // the same model: identical buckets, identical collision counts,
+      // identical re-rank — through whatever marker state the sequence left.
+      val ref = java.nio.file.Files
+        .createTempDirectory(s"graft-fuzzref$trial").toString + "/idx"
+      Index.build(spark, df(live.toSeq), model, ref, numBuckets = 16)
+      val want = Knn.searchIndex(spark, ref, 8, 50, 5).collect().map(_.toSeq).toSeq
+      val got = Knn.searchIndex(spark, dir, 8, 50, 5).collect().map(_.toSeq).toSeq
+      assert(got == want,
+        s"trial $trial search drift vs rebuild after [${ops.mkString(" -> ")}]")
+    }
+  }
+}
