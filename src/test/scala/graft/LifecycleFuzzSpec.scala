@@ -72,4 +72,60 @@ class LifecycleFuzzSpec extends SparkSpec {
         s"trial $trial search drift vs rebuild after [${ops.mkString(" -> ")}]")
     }
   }
+
+  test("randomized IVF lifecycle sequences: end state equals a fresh assignment") {
+    import spark.implicits._
+    import graft.operators.Vectors
+    val embRows = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") < 120).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val allIds = embRows.map(_._1)
+    val byId = embRows.toMap
+    def df(ids: Seq[Long]) =
+      ids.sorted.map(id => (id, byId(id))).toDF("vec_id", "embedding")
+
+    val rnd = new scala.util.Random(817L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fuzzivf").toString + "/idx"
+    val initial = allIds.filter(_ => rnd.nextBoolean()).toSeq
+    var live = initial.toSet
+    // frozen quantizer fit on the initial set — appends must assign with
+    // the STORED centroids, so the end state is reproducible from it
+    val cents = Vectors.quantizer(spark, df(initial), 8)
+    Vectors.buildIvfIndexWith(spark, df(initial), cents, dir)
+    val ops = scala.collection.mutable.ArrayBuffer[String]()
+    (1 to 8).foreach { _ =>
+      rnd.nextInt(3) match {
+        case 0 =>
+          val ids = allIds.filter(_ => rnd.nextInt(6) == 0).toSeq
+          if (ids.nonEmpty) {
+            Vectors.appendIvfIndex(spark, dir, df(ids)); live ++= ids
+            ops += s"append(${ids.size})"
+          }
+        case 1 =>
+          val ids = allIds.filter(_ => rnd.nextInt(8) == 0).toSeq
+          if (ids.nonEmpty) {
+            Vectors.deleteFromIvfIndex(spark, dir, ids); live --= ids
+            ops += s"delete(${ids.size})"
+          }
+        case 2 => Vectors.vacuumIvfIndex(spark, dir); ops += "vacuum"
+      }
+      val ids = Vectors.liveCells(spark, dir).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.length == ids.distinct.length,
+        s"duplicate live cell rows after [${ops.mkString(" -> ")}]")
+      assert(ids.toSet == live,
+        s"IVF live-view drift after [${ops.mkString(" -> ")}]")
+    }
+    // end state: (vec_id, cell, embedding) must equal a fresh assignment of
+    // the live set under the stored quantizer — cell geometry frozen, no
+    // stale or duplicated row through whatever marker state remains
+    val got = Vectors.liveCells(spark, dir)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2))).toSet
+    val want = Vectors.assignCellsWith(df(live.toSeq), cents)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2))).toSet
+    assert(got == want, s"IVF end state drift after [${ops.mkString(" -> ")}]")
+  }
 }
