@@ -128,4 +128,57 @@ class LifecycleFuzzSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2))).toSet
     assert(got == want, s"IVF end state drift after [${ops.mkString(" -> ")}]")
   }
+
+  test("randomized SQ8 lifecycle sequences: end state equals a fresh encode") {
+    import spark.implicits._
+    import graft.operators.Pq
+    val embRows = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") < 120).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val allIds = embRows.map(_._1)
+    val byId = embRows.toMap
+    def df(ids: Seq[Long]) =
+      ids.sorted.map(id => (id, byId(id))).toDF("vec_id", "embedding")
+
+    val rnd = new scala.util.Random(4242L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fuzzsq").toString + "/idx"
+    val initial = allIds.filter(_ => rnd.nextBoolean()).toSeq
+    var live = initial.toSet
+    // frozen grid fit on the initial set — appends encode with the STORED
+    // model, so the end state is reproducible from it
+    val model = Pq.fitSq(df(initial))
+    Pq.buildSqIndex(spark, df(initial), model, dir)
+    val ops = scala.collection.mutable.ArrayBuffer[String]()
+    (1 to 8).foreach { _ =>
+      rnd.nextInt(3) match {
+        case 0 =>
+          val ids = allIds.filter(_ => rnd.nextInt(6) == 0).toSeq
+          if (ids.nonEmpty) {
+            Pq.appendSqIndex(spark, dir, df(ids)); live ++= ids
+            ops += s"append(${ids.size})"
+          }
+        case 1 =>
+          val ids = allIds.filter(_ => rnd.nextInt(8) == 0).toSeq
+          if (ids.nonEmpty) {
+            Pq.deleteFromSqIndex(spark, dir, ids); live --= ids
+            ops += s"delete(${ids.size})"
+          }
+        case 2 => Pq.vacuumSqIndex(spark, dir); ops += "vacuum"
+      }
+      val ids = Pq.liveSqCodes(spark, dir).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.length == ids.distinct.length,
+        s"duplicate live code rows after [${ops.mkString(" -> ")}]")
+      assert(ids.toSet == live,
+        s"SQ8 live-view drift after [${ops.mkString(" -> ")}]")
+    }
+    val got = Pq.liveSqCodes(spark, dir)
+      .select(col("vec_id"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet
+    val want = Pq.encodeSq(spark, df(live.toSeq), model)
+      .select(col("vec_id"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet
+    assert(got == want, s"SQ8 end state drift after [${ops.mkString(" -> ")}]")
+  }
 }
