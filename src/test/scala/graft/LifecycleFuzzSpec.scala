@@ -181,4 +181,60 @@ class LifecycleFuzzSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet
     assert(got == want, s"SQ8 end state drift after [${ops.mkString(" -> ")}]")
   }
+
+  test("randomized digest-store sequences: the probe always equals the model") {
+    // The store-side twin of the index fuzz: random appends (including
+    // exact at-least-once REPLAYS, which legally duplicate store rows) and
+    // compactions, with the increment probe checked against a driver-side
+    // digest-set model after every op.
+    import graft.operators.Text
+    val doc = Tables.documents(spark, sf0001)
+    def digestsOf(pred: org.apache.spark.sql.Column): Seq[(Long, Option[Long], Option[String])] =
+      Text.docDigests(doc.filter(pred)).collect().map(r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getString(2)))).toSeq
+
+    val rnd = new scala.util.Random(99L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fuzzdg").toString + "/store"
+    Text.buildDigestStore(spark, doc.filter(col("doc_id") % 3 === 0), dir)
+    var model: Set[(Option[Long], Option[String])] =
+      digestsOf(col("doc_id") % 3 === 0).map(d => (d._2, d._3)).toSet
+    var lastAppend: Option[org.apache.spark.sql.Column] = None
+    val ops = scala.collection.mutable.ArrayBuffer[String]()
+    (1 to 8).foreach { step =>
+      rnd.nextInt(3) match {
+        case 0 =>
+          val m = 4 + rnd.nextInt(4); val r = rnd.nextInt(m)
+          val pred = col("doc_id") % m === r
+          Text.appendToDigestStore(spark, dir, Text.docDigests(doc.filter(pred)))
+          model ++= digestsOf(pred).map(d => (d._2, d._3))
+          lastAppend = Some(pred)
+          ops += s"append($m,$r)"
+        case 1 => lastAppend match {
+          case Some(pred) => // at-least-once replay: rows duplicate, set unchanged
+            Text.appendToDigestStore(spark, dir, Text.docDigests(doc.filter(pred)))
+            ops += "replay"
+          case None => ()
+        }
+        case 2 => Text.compactStore(spark, dir); ops += "compact"
+      }
+      // probe a batch this op never appended wholesale: survivors must be
+      // the in-batch canonicals whose digest is absent from the model
+      val pm = 5; val pr = step % pm
+      val ppred = col("doc_id") % pm === pr
+      val got = Text.dedupBatchAgainstStore(spark, doc.filter(ppred), dir)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val batch = digestsOf(ppred)
+      val want = batch.groupBy(d => (d._2, d._3)).map { case (_, ds) => ds.map(_._1).min }
+        .filter { id =>
+          val d = batch.find(_._1 == id).get
+          !model.contains((d._2, d._3))
+        }.toSet
+      assert(got == want,
+        s"digest-store probe drift after [${ops.mkString(" -> ")}]: " +
+          s"extra=${(got -- want).toSeq.sorted} missing=${(want -- got).toSeq.sorted}")
+    }
+  }
 }
