@@ -48,6 +48,12 @@ object Readers {
     memo.clear()
   }
 
+  /** Current invalidation epoch — for OTHER per-JVM caches of persisted
+    * artifacts (model docs, centroid sets) that must refresh when a layout
+    * mutates; keying an entry by this value retires it on the next bump.
+    */
+  def epochNow: Long = epoch.get()
+
   private def keyOf(spark: SparkSession, path: String, extra: String): String =
     s"${System.identityHashCode(spark)}:${epoch.get()}:$extra:$path"
 
