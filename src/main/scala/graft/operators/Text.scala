@@ -1092,8 +1092,8 @@ object Text {
       shingleLen: Int = 8,
       threshold: Double = 0.9): DataFrame = {
     val doc = Tables.documents(spark, sfDir)
-    val pairs = spark.read
-      .parquet(ensureShinglePairs(spark, sfDir, shingleLen, threshold = threshold))
+    val pairs = graft.Readers
+      .parquet(spark, ensureShinglePairs(spark, sfDir, shingleLen, threshold = threshold))
       .select(col("i"), col("j"))
     val endpoints = pairs.select(col("i").as("v"))
       .union(pairs.select(col("j").as("v"))).distinct()
@@ -1560,8 +1560,8 @@ object Text {
       cleanCorpusOf(Tables.documents(spark, sfDir).filter(trainSide)),
       eager = true)
     val alive = cleaned.select(col("doc_id"))
-    val pairs = spark.read
-      .parquet(ensureShinglePairs(spark, sfDir))
+    val pairs = graft.Readers
+      .parquet(spark, ensureShinglePairs(spark, sfDir))
       .select(col("i"), col("j"))
       .join(alive.withColumnRenamed("doc_id", "i"), Seq("i"), "left_semi")
       .join(alive.withColumnRenamed("doc_id", "j"), Seq("j"), "left_semi")
