@@ -565,6 +565,16 @@ object Retrieval {
     * `score < s0 OR (score = s0 AND doc_id > d0)` is exact because scores
     * are BIGINT (the q61 discipline — float scores would make the
     * boundary engine-dependent).
+    *
+    * Cursor shape: page 1's LAST row is the sort-maximum of the
+    * top-`pageSize` list, so it comes from a distributed
+    * TakeOrderedAndProject (per-partition top-k, merged) + a 1-row
+    * aggregate — NOT a `row_number() === pageSize` filter, whose
+    * unpartitioned window would serialize the entire ranked match set
+    * through one task (WindowGroupLimit cannot guard an equality-rank
+    * filter). The struct-min trick encodes (score desc, doc_id asc):
+    * minimizing (score, −doc_id) lexicographically picks the lowest score
+    * and, within it, the highest doc_id — exactly the last row of page 1.
     */
   def searchAfter(
       spark: SparkSession,
@@ -573,10 +583,10 @@ object Retrieval {
       pageSize: Int = 10): DataFrame = {
     val ranked = tfidfTopDocs(spark, sfDir, terms, k = Int.MaxValue)
     val cursor = ranked
-      .withColumn("rn", row_number().over(Window.orderBy(
-        col("score").desc, col("doc_id").asc)))
-      .filter(col("rn") === pageSize)
-      .select(col("score").as("s0"), col("doc_id").as("d0"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(pageSize)
+      .agg(min(struct(col("score"), (-col("doc_id")).as("nd"))).as("c"))
+      .select(col("c.score").as("s0"), (-col("c.nd")).as("d0"))
     ranked.crossJoin(broadcast(cursor))
       .filter(col("score") < col("s0") ||
         (col("score") === col("s0") && col("doc_id") > col("d0")))
