@@ -41,18 +41,30 @@ object Readers {
 
   private val epoch = new AtomicLong(0L)
   private val memo = new ConcurrentHashMap[String, StructType]()
+  private val artifactMemo = new ConcurrentHashMap[String, AnyRef]()
 
-  /** Invalidate every memoized schema (called by lifecycle mutations). */
+  /** Invalidate every memoized schema and artifact doc (called by lifecycle
+    * mutations).
+    */
   def bump(): Unit = {
     epoch.incrementAndGet()
     memo.clear()
+    artifactMemo.clear()
   }
 
-  /** Current invalidation epoch — for OTHER per-JVM caches of persisted
-    * artifacts (model docs, centroid sets) that must refresh when a layout
-    * mutates; keying an entry by this value retires it on the next bump.
-    */
+  /** Current invalidation epoch — for external caches that key by it. */
   def epochNow: Long = epoch.get()
+
+  /** Per-JVM memo for a loaded ARTIFACT DOC (a model row, a centroid set)
+    * keyed by (session, path) — the search paths load these per invocation,
+    * and an unmemoized load is a driver collect job each query call.
+    * [[bump]] CLEARS this registry (not just re-keys it), so superseded
+    * entries are released rather than accumulating one dead model per
+    * lifecycle mutation for the session's lifetime.
+    */
+  def artifact[T <: AnyRef](spark: SparkSession, path: String)(load: => T): T =
+    artifactMemo.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$path", _ => load).asInstanceOf[T]
 
   private def keyOf(spark: SparkSession, path: String, extra: String): String =
     s"${System.identityHashCode(spark)}:${epoch.get()}:$extra:$path"

@@ -345,25 +345,18 @@ object Pq {
   def liveCodes(spark: SparkSession, indexDir: String): DataFrame =
     Lifecycle.live(spark, indexDir, graft.Readers.parquet(spark, s"$indexDir/codes"))
 
-  private val pqModelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, PqModel]()
-  private val sqModelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, SqModel]()
-
-  /** Per-JVM memo of a persisted model doc (the [[graft.operators.Lsh
-    * .loadModelCached]] discipline) — the search paths load per invocation,
-    * and an unmemoized load is a driver collect job each time. Epoch-keyed
-    * so any layout mutation retires the entry.
+  /** Per-JVM memo of a persisted model doc via [[graft.Readers.artifact]]
+    * — the search paths load per invocation, and an unmemoized load is a
+    * driver collect job each time; any lifecycle mutation bumps and clears
+    * the entry.
     */
   def loadPqModel(spark: SparkSession, dir: String): PqModel =
-    pqModelCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:${graft.Readers.epochNow}:$dir",
-      _ => {
-        val r = spark.read.parquet(dir).collect()(0)
-        val cbs = r.getSeq[scala.collection.Seq[scala.collection.Seq[Float]]](3)
-          .map(_.map(_.toArray).toArray).toArray
-        PqModel(r.getInt(0), r.getInt(1), r.getInt(2), cbs)
-      })
+    graft.Readers.artifact(spark, dir) {
+      val r = spark.read.parquet(dir).collect()(0)
+      val cbs = r.getSeq[scala.collection.Seq[scala.collection.Seq[Float]]](3)
+        .map(_.map(_.toArray).toArray).toArray
+      PqModel(r.getInt(0), r.getInt(1), r.getInt(2), cbs)
+    }
 
   /** Build-once cache keyed like [[Index.ensure]]. */
   def ensurePqIndex(spark: SparkSession, sfDir: String, m: Int = 8, k: Int = 16): String = {
@@ -540,14 +533,12 @@ object Pq {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
   }
 
-  /** Per-JVM epoch-keyed memo — see [[loadPqModel]]. */
+  /** Per-JVM artifact memo — see [[loadPqModel]]. */
   def loadSqModel(spark: SparkSession, dir: String): SqModel =
-    sqModelCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:${graft.Readers.epochNow}:$dir",
-      _ => {
-        val r = spark.read.parquet(dir).collect()(0)
-        SqModel(r.getInt(0), r.getSeq[Float](1).toArray, r.getSeq[Double](2).toArray)
-      })
+    graft.Readers.artifact(spark, dir) {
+      val r = spark.read.parquet(dir).collect()(0)
+      SqModel(r.getInt(0), r.getSeq[Float](1).toArray, r.getSeq[Double](2).toArray)
+    }
 
   /** Build-once cache keyed like [[ensurePqIndex]]. */
   def ensureSqIndex(spark: SparkSession, sfDir: String): String = {
@@ -900,17 +891,12 @@ object Pq {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
   }
 
-  private val bqModelDocCache =
-    new java.util.concurrent.ConcurrentHashMap[String, BqModel]()
-
-  /** Per-JVM epoch-keyed memo — see [[loadPqModel]]. */
+  /** Per-JVM artifact memo — see [[loadPqModel]]. */
   def loadBqModel(spark: SparkSession, dir: String): BqModel =
-    bqModelDocCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:${graft.Readers.epochNow}:$dir",
-      _ => {
-        val r = spark.read.parquet(dir).collect()(0)
-        BqModel(r.getInt(0), r.getSeq[Long](1).toArray)
-      })
+    graft.Readers.artifact(spark, dir) {
+      val r = spark.read.parquet(dir).collect()(0)
+      BqModel(r.getInt(0), r.getSeq[Long](1).toArray)
+    }
 
   /** Build-once cache keyed like [[ensureSqIndex]]. */
   def ensureBqIndex(spark: SparkSession, sfDir: String): String = {

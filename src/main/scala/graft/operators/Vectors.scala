@@ -324,25 +324,18 @@ object Vectors {
       graft.Readers.parquet(spark, s"$indexDir/cells")
         .withColumn("cell", col("cell").cast("long")))
 
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, CentroidSet]()
-
-  /** Per-JVM memo of a persisted centroid set (the [[graft.operators.Lsh
-    * .loadModelCached]] discipline): the search paths load centroids per
-    * invocation, and an unmemoized load is a driver collect job each time.
-    * Keyed by the [[graft.Readers]] epoch so any layout mutation (in-place
-    * rebuild via resetMarkers, store compaction via promoteSwap) retires
-    * the entry.
+  /** Per-JVM memo of a persisted centroid set via [[graft.Readers
+    * .artifact]] — any layout mutation (in-place rebuild via resetMarkers,
+    * store compaction via promoteSwap, a cell-store rebuild) bumps and
+    * clears the entry.
     */
   def loadCentroids(spark: SparkSession, dir: String): CentroidSet =
-    centroidCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:${graft.Readers.epochNow}:$dir",
-      _ => {
-        val rows = spark.read.parquet(dir).collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-          .sortBy(_._1)
-        CentroidSet(rows.map(_._1), rows.map(_._2))
-      })
+    graft.Readers.artifact(spark, dir) {
+      val rows = spark.read.parquet(dir).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      CentroidSet(rows.map(_._1), rows.map(_._2))
+    }
 
   /** Build-once cache in the JVM temp dir, keyed like [[Index.ensure]]. */
   def ensureIvfIndex(spark: SparkSession, sfDir: String, cells: Int = 16): String = {
@@ -780,6 +773,10 @@ object Vectors {
       .parquet(s"$norm/_centroids")
     Lifecycle.writeMarker(Lifecycle.fsOf(spark, norm),
       new Path(s"$norm/_params"), s"k=$kk,iterations=$iterations")
+    // An in-place REBUILD replaces _centroids; without a bump the artifact
+    // memo would keep serving the previous model's CentroidSet against the
+    // new store's cell ids.
+    graft.Readers.bump()
   }
 
   /** Append accepted embeddings' cell rows to the store — the

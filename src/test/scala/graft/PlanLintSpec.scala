@@ -29,7 +29,10 @@ class PlanLintSpec extends SparkSpec {
     "q151_more_like_this" -> "term-selection window over one example doc's vocabulary",
     "q88_rrf_fusion" -> "rank windows over two already top-k-limited legs")
 
-  private def plans(): Seq[(String, String)] =
+  // Computed once: both lints read the same ~170 plan strings, and the
+  // planning sweep (including first-touch ensure* artifact builds) is the
+  // suite's whole cost.
+  private lazy val allPlans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val plan =
         try fn(spark, sf0001).queryExecution.executedPlan.toString
@@ -39,22 +42,68 @@ class PlanLintSpec extends SparkSpec {
     }
 
   test("no gate query plans a CartesianProduct") {
-    val offenders = plans().flatMap { case (name, plan) =>
-      if (plan.contains("CartesianProduct")) Some(s"$name: cartesian")
-      else if (plan.startsWith("PLANFAIL")) Some(s"$name: $plan")
+    val offenders = allPlans.flatMap { case (name, plan) =>
+      if (plan.startsWith("PLANFAIL")) Some(s"$name: $plan")
+      else if (plan.contains("CartesianProduct")) Some(s"$name: cartesian")
       else None
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  /** The top-level `[…]` groups of a physical Window node's argument list.
+    * Tree format prints `Window [funcs]`, `Window [funcs], [sort]`
+    * (unpartitioned — the sort list carries ASC/DESC markers),
+    * `Window [funcs], [part]` or `Window [funcs], [part], [sort]`
+    * (partitioned — a bare column list has no ASC/DESC).
+    */
+  private def topLevelGroups(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = -1
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '[' => if (depth == 0) start = i; depth += 1
+        case ']' =>
+          depth -= 1
+          if (depth == 0 && start >= 0) { out += s.substring(start + 1, i); start = -1 }
+        case _ => ()
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Unpartitioned Window nodes NOT immediately guarded by a
+    * WindowGroupLimit child (the rank≤k pushdown prints directly below its
+    * Window in the tree) — each one serializes its whole input through a
+    * single task.
+    */
+  private def unguardedGlobalWindows(plan: String): Int = {
+    val lines = plan.linesIterator.toArray
+    (0 until lines.length).count { i =>
+      val l = lines(i)
+      val wIdx = l.indexOf("Window [")
+      wIdx >= 0 && {
+        val groups = topLevelGroups(l.substring(wIdx + "Window ".length))
+        val unpartitioned = groups.length == 1 ||
+          (groups.length == 2 &&
+            (groups(1).contains(" ASC") || groups(1).contains(" DESC")))
+        unpartitioned &&
+          !(i + 1 < lines.length && lines(i + 1).contains("WindowGroupLimit"))
+      }
+    }
+  }
+
   test("every unpartitioned window is WindowGroupLimit-guarded or provably bounded") {
-    val offenders = plans().flatMap { case (name, plan) =>
-      val globalWindow =
-        plan.contains("SinglePartition") && plan.contains("Window")
-      if (globalWindow && !plan.contains("WindowGroupLimit") &&
-          !boundedGlobalWindows.contains(name))
-        Some(s"$name: unguarded single-partition window")
-      else None
+    val offenders = allPlans.flatMap { case (name, plan) =>
+      if (plan.startsWith("PLANFAIL")) Some(s"$name: $plan")
+      else {
+        val n = unguardedGlobalWindows(plan)
+        if (n > 0 && !boundedGlobalWindows.contains(name))
+          Some(s"$name: $n unguarded unpartitioned window(s)")
+        else None
+      }
     }
     assert(offenders.isEmpty,
       offenders.mkString("\n") +
