@@ -56,18 +56,49 @@ object Readers {
   def epochNow: Long = epoch.get()
 
   /** Per-JVM memo for a loaded ARTIFACT DOC (a model row, a centroid set)
-    * keyed by (session, path) — the search paths load these per invocation,
-    * and an unmemoized load is a driver collect job each query call.
-    * [[bump]] CLEARS this registry (not just re-keys it), so superseded
-    * entries are released rather than accumulating one dead model per
-    * lifecycle mutation for the session's lifetime.
+    * keyed by (session, epoch, path) — the search paths load these per
+    * invocation, and an unmemoized load is a driver collect job each query
+    * call. [[bump]] CLEARS this registry (not just re-keys it), so
+    * superseded entries are released rather than accumulating one dead
+    * model per lifecycle mutation for the session's lifetime.
+    *
+    * The load runs OUTSIDE any map lock: loaders execute Spark jobs (a
+    * driver collect), and a `computeIfAbsent` would hold the bin lock
+    * across the job — a loader that itself loads another artifact (same
+    * map, colliding bin) would throw "Recursive update" or deadlock, and
+    * concurrent sessions would serialize unrelated loads hashing to one
+    * bin. The cost is a benign double load under a miss race (both
+    * results are equal by construction: loaders read immutable layout
+    * state for the key's epoch, and `putIfAbsent` keeps whichever landed
+    * first). A [[bump]] racing the load window inserts under the OLD
+    * epoch's key, which no post-bump lookup ever reads — dead until the
+    * next clear, never stale-served.
     */
-  def artifact[T <: AnyRef](spark: SparkSession, path: String)(load: => T): T =
-    artifactMemo.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:$path", _ => load).asInstanceOf[T]
+  def artifact[T <: AnyRef](spark: SparkSession, path: String)(load: => T): T = {
+    val key = s"${sessionKey(spark)}:${epoch.get()}:$path"
+    val cached = artifactMemo.get(key)
+    if (cached != null) cached.asInstanceOf[T]
+    else {
+      val loaded = load
+      val prev = artifactMemo.putIfAbsent(key, loaded)
+      (if (prev != null) prev else loaded).asInstanceOf[T]
+    }
+  }
+
+  /** Stable per-session key: the session UUID (via the
+    * [[org.apache.spark.sql.graft.SessionIds]] bridge — it's `private[sql]`)
+    * is unique for the session's lifetime and never reused, where an
+    * identity hash can recur after a stopped session is GC'd (or collide
+    * between live sessions) and serve another session's memoized schema or
+    * model artifact. Every session this engine constructs is classic; the
+    * identity-hash fallback only fires for a hypothetical non-classic impl.
+    */
+  private def sessionKey(spark: SparkSession): String =
+    org.apache.spark.sql.graft.SessionIds.uuid(spark)
+      .getOrElse(String.valueOf(System.identityHashCode(spark)))
 
   private def keyOf(spark: SparkSession, path: String, extra: String): String =
-    s"${System.identityHashCode(spark)}:${epoch.get()}:$extra:$path"
+    s"${sessionKey(spark)}:${epoch.get()}:$extra:$path"
 
   private def readWithMemoizedSchema(
       spark: SparkSession, path: String, key: String): DataFrame = {
@@ -80,13 +111,27 @@ object Readers {
     * invalidated by [[bump]] on any lifecycle mutation. A dir carrying a
     * live `_spark_metadata` sink log is never memoized: a bootstrap
     * streaming sink could be rewriting the schema-bearing files under it
-    * with no lifecycle hook to bump. (Local-fs probe; on a remote fs the
-    * adopt step's bump is the contract.)
+    * with no lifecycle hook to bump. The probe goes through the Hadoop
+    * FileSystem (the [[fixtureParquet]] mtime pattern) so it holds on
+    * remote filesystems too — a `java.io.File` stat would silently return
+    * false for any non-local URI and memoize a sink-live dir's schema; an
+    * unreachable path probes as false and the read itself raises the real
+    * error.
     */
   def parquet(spark: SparkSession, path: String): DataFrame =
-    if (new java.io.File(stripScheme(path), "_spark_metadata").exists())
-      spark.read.parquet(path)
+    if (sinkLive(spark, path)) spark.read.parquet(path)
     else readWithMemoizedSchema(spark, path, keyOf(spark, path, ""))
+
+  /** The live-sink probe behind [[parquet]] (test-visible: the probe is the
+    * remote-fs contract). An unreachable filesystem probes false — the read
+    * itself raises the real error.
+    */
+  private[graft] def sinkLive(spark: SparkSession, path: String): Boolean = {
+    val sinkLog = new org.apache.hadoop.fs.Path(path, "_spark_metadata")
+    try sinkLog.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(sinkLog)
+    catch { case _: java.io.IOException => false }
+  }
 
   /** Read for an IMMUTABLE fixture file/dir — schema memo keyed by mtime,
     * so a rewritten test fixture re-resolves without a bump. The mtime
@@ -103,7 +148,4 @@ object Readers {
       catch { case _: java.io.IOException => 0L }
     readWithMemoizedSchema(spark, path, keyOf(spark, path, mtime.toString))
   }
-
-  private def stripScheme(path: String): String =
-    if (path.startsWith("file:")) path.stripPrefix("file:") else path
 }

@@ -54,6 +54,8 @@ object SparkEntry {
       "q125_recall_benchmark" -> ((s, dir) => Knn.recallBenchmark(s, dir)),
       "q140_recall_ivf" -> ((s, dir) => Knn.recallBenchmarkIvf(s, dir)),
       "q158_recall_bq" -> ((s, dir) => Knn.recallBenchmarkBq(s, dir)),
+      "q172_recall_pq" -> ((s, dir) => Knn.recallBenchmarkPq(s, dir)),
+      "q173_recall_sq8" -> ((s, dir) => Knn.recallBenchmarkSq8(s, dir)),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -108,6 +108,11 @@ object Index {
       .write.mode(SaveMode.Overwrite)
       .partitionBy(PKeyCol)
       .parquet(s"$outDir/postings")
+    // resetMarkers bumped BEFORE the Overwrite writes; a load racing the
+    // rebuild window could memoize pre-rebuild schema/model state under the
+    // post-reset epoch, so bump again now that the new layout is live (the
+    // Lifecycle.append finally-bump discipline).
+    graft.Readers.bump()
   }
 
   /** Build-once cache for the gate queries: the index for (sfDir, params)

@@ -469,6 +469,40 @@ object Knn {
       KnnExact.topK(spark, sfDir, queryMaxId, k),
       Pq.annBqIndexed(spark, sfDir, queryMaxId, k1, k))
 
+  /** q172 — the A10 recall measurement against the PERSISTED PQ index
+    * (completing the recall-gate family across the whole compression
+    * ladder: q125 LSH, q140 IVF, q158 BQ, q172 PQ, q173 SQ8): per-query
+    * exact-vs-ADC overlap and integer recall%. The approximate leg is the
+    * 32×-compressed asymmetric-distance scan a production deployment
+    * serves — this row prices the m=8/k=16 codebook's recall at the
+    * caller's k1 on THEIR corpus (RecallSweep sweeps the wider ladder).
+    */
+  def recallBenchmarkPq(
+      spark: SparkSession,
+      sfDir: String,
+      queryMaxId: Long = 8,
+      k: Int = 10,
+      k1: Int = 100): DataFrame =
+    recallOf(
+      KnnExact.topK(spark, sfDir, queryMaxId, k),
+      Pq.annPqIndexed(spark, sfDir, queryMaxId, k1, k))
+
+  /** q173 — the A10 recall measurement against the PERSISTED SQ8 index:
+    * per-query exact-vs-SQ8 overlap and integer recall%. The approximate
+    * leg scans 1 byte per dimension — near-exact by construction, and this
+    * row is the gate that KEEPS it near-exact (a quantization-grid
+    * regression shows up as a recall drop here before any user sees it).
+    */
+  def recallBenchmarkSq8(
+      spark: SparkSession,
+      sfDir: String,
+      queryMaxId: Long = 8,
+      k: Int = 10,
+      k1: Int = 100): DataFrame =
+    recallOf(
+      KnnExact.topK(spark, sfDir, queryMaxId, k),
+      Pq.annSq8Indexed(spark, sfDir, queryMaxId, k1, k))
+
   /** The overlap-count core shared by every recall row. ONE exact leg: a
     * left join marks each exact neighbor found by the approximate leg, and
     * a single aggregate counts both totals — two legs total, not three (a

@@ -310,6 +310,8 @@ object Pq {
     encode(spark, emb, model)
       .withColumn(Lifecycle.BatchCol, lit(0L))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$outDir/codes")
+    // Post-write bump: see Index.build — no pre-rebuild memo may survive.
+    graft.Readers.bump()
   }
 
   /** Incremental PQ ingest: encode NEW vectors with the STORED codebooks and
@@ -505,6 +507,8 @@ object Pq {
     encodeSq(spark, emb, model)
       .withColumn(Lifecycle.BatchCol, lit(0L))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$outDir/codes")
+    // Post-write bump: see Index.build — no pre-rebuild memo may survive.
+    graft.Readers.bump()
   }
 
   def appendSqIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit =
@@ -623,6 +627,8 @@ object Pq {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell")
       .parquet(s"$outDir/codes")
+    // Post-write bump: see Index.build — no pre-rebuild memo may survive.
+    graft.Readers.bump()
   }
 
   private def encodedCells(emb: DataFrame, cents: CentroidSet, pq: PqModel): DataFrame =
@@ -863,6 +869,8 @@ object Pq {
     encodeBq(spark, emb, model)
       .withColumn(Lifecycle.BatchCol, lit(0L))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$outDir/codes")
+    // Post-write bump: see Index.build — no pre-rebuild memo may survive.
+    graft.Readers.bump()
   }
 
   def appendBqIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit =

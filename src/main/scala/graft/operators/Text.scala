@@ -793,7 +793,10 @@ object Text {
     var k = 0
     val n = a.numElements()
     while (k < n) {
-      voteBits(votes, fnv1a64(a.getUTF8String(k).toString))
+      // Null tokens cast no votes (the Seq formulation never sees them —
+      // the engine's tokenizers don't emit nulls); guard so an external
+      // containsNull=true array can't NPE.
+      if (!a.isNullAt(k)) voteBits(votes, fnv1a64(a.getUTF8String(k).toString))
       k += 1
     }
     majority(votes)
@@ -829,24 +832,33 @@ object Text {
     java.util.Arrays.fill(out, Long.MaxValue)
     var i = 0
     while (i < n) {
-      if (stringUnits) {
-        val u = units.getUTF8String(i)
-        s = 0
-        while (s < k) {
-          val h = XXH64.hashUTF8String(u, seedH(s))
-          if (h < out(s)) out(s) = h
-          s += 1
+      // Null elements are SKIPPED, matching the xxhash64 SQL formulation's
+      // null semantics (a null child contributes nothing to the chained
+      // hash, so the exploded-aggregate shape effectively ignored them).
+      // The engine's unit producers (shingles, tokens) never emit nulls,
+      // so gate signatures are unchanged; the guard keeps an external
+      // array<...> input with containsNull=true from NPE-ing mid-codegen.
+      if (units.isNullAt(i)) { i += 1 }
+      else {
+        if (stringUnits) {
+          val u = units.getUTF8String(i)
+          s = 0
+          while (s < k) {
+            val h = XXH64.hashUTF8String(u, seedH(s))
+            if (h < out(s)) out(s) = h
+            s += 1
+          }
+        } else {
+          val u = units.getLong(i)
+          s = 0
+          while (s < k) {
+            val h = XXH64.hashLong(u, seedH(s))
+            if (h < out(s)) out(s) = h
+            s += 1
+          }
         }
-      } else {
-        val u = units.getLong(i)
-        s = 0
-        while (s < k) {
-          val h = XXH64.hashLong(u, seedH(s))
-          if (h < out(s)) out(s) = h
-          s += 1
-        }
+        i += 1
       }
-      i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
@@ -2228,9 +2240,60 @@ object Text {
     * is a SUBSET of the exact one — precision 1 at the doc level, recall
     * (1-1/s)^(R-L+1) miss probability for a duplicated run of length R.
     */
+  /** Sentinel default for `sampleMod`: derive the content-sampling modulus
+    * from corpus size at call time ([[deriveSampleMod]]).
+    */
+  val AutoSampleMod: Int = 0
+
+  /** Corpus-char threshold below which [[deriveSampleMod]] stays EXACT
+    * (sampleMod = 1): 2^33 ≈ 8.6e9 chars. Calibration: the digest shuffle
+    * carries ~24 bytes per character position, so an exact pass over 2^33
+    * chars shuffles ~200 GB — comfortably inside one modern cluster
+    * stage, and every gate fixture sits orders of magnitude below it.
+    */
+  val AutoSampleExactChars: Long = 1L << 33
+
+  /** The self-engaging valve for the ExactSubstr shuffle (the
+    * `deriveBits`/`autoBucketCap` discipline applied to [[duplicatedSpans]]):
+    * sampleMod as a function of corpus chars — 1 (exact) up to
+    * [[AutoSampleExactChars]], then DOUBLING with each corpus doubling so
+    * the sampled digest shuffle stays ~constant (~200 GB) regardless of
+    * corpus size, capped at 256. At the cap the shuffle is ~0.1 byte per
+    * corpus char — sublinear in nothing, but 256× under exact — and the
+    * documented miss probability (1-1/s)^(R-L+1) keeps recall ≥ 95% for
+    * duplicated runs of length R ≥ L + 3s ≈ L + 768 chars, the boilerplate
+    * blocks the cleaning pass exists to find. Callers wanting the exact
+    * detector at any size pass sampleMod = 1 explicitly.
+    */
+  def deriveSampleMod(corpusChars: Long): Int = {
+    var s = 1L
+    var c = corpusChars
+    while (c > AutoSampleExactChars && s < 256L) { s <<= 1; c >>= 1 }
+    s.toInt
+  }
+
+  /** Corpus size estimate for [[deriveSampleMod]] without a corpus scan:
+    * bytes on disk of the documents table (an O(1) namenode/driver
+    * metadata call). Parquet-compressed bytes UNDERSTATE chars, so the
+    * derived modulus is never larger than the char-count policy's — the
+    * estimate can only err toward exactness (smaller s, higher recall).
+    * An unreadable path estimates 0 (exact); the scan raises the real
+    * error.
+    */
+  private def corpusBytesOnDisk(spark: SparkSession, sfDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+    try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    catch { case _: java.io.IOException => 0L }
+  }
+
   private def duplicatedSpanHits(
-      spark: SparkSession, sfDir: String, spanLen: Int, sampleMod: Int): DataFrame = {
+      spark: SparkSession, sfDir: String, spanLen: Int, sampleModArg: Int): DataFrame = {
     require(spanLen >= 2, s"spanLen must be >= 2: $spanLen")
+    require(sampleModArg >= 0, s"sampleMod must be >= 0: $sampleModArg")
+    val sampleMod =
+      if (sampleModArg == AutoSampleMod) deriveSampleMod(corpusBytesOnDisk(spark, sfDir))
+      else sampleModArg
     val win = Tables.documents(spark, sfDir)
       .filter(length(col("text")) >= spanLen)
       .select(col("doc_id"), explode(
@@ -2282,13 +2345,19 @@ object Text {
     * recall cost above (the 100 TB operating point — runs shorter than
     * ~L+3s are below the cleaning threshold anyway). Span merging is a
     * document-bounded window: the union length is Σ min(gap, L) — exact
-    * integer arithmetic, engine-identical. Gate runs sampleMod=1 (exact,
-    * DuckDB hash-checked); the sampled path is
-    * subset-of-exact + planted-run-recall spec-pinned.
+    * integer arithmetic, engine-identical.
+    *
+    * The default is [[AutoSampleMod]]: the modulus SELF-ENGAGES from
+    * corpus size via [[deriveSampleMod]] — exact below ~8.6e9 chars (every
+    * gate fixture: derived mod 1, DuckDB hash-checked), doubling past it so
+    * a user calling `duplicatedSpans(spark, dir)` over 100 TB gets the
+    * bounded shuffle, not the 25×-amplified exact one. The sampled path is
+    * subset-of-exact + planted-run-recall spec-pinned; sampleMod = 1 forces
+    * exact at any size.
     */
   def duplicatedSpans(
       spark: SparkSession, sfDir: String,
-      spanLen: Int = 40, sampleMod: Int = 1): DataFrame =
+      spanLen: Int = 40, sampleMod: Int = AutoSampleMod): DataFrame =
     withSpanBreaks(duplicatedSpanHits(spark, sfDir, spanLen, sampleMod), spanLen)
       .groupBy(col("doc_id"))
       .agg(
@@ -2305,7 +2374,7 @@ object Text {
     */
   def duplicatedSpanRanges(
       spark: SparkSession, sfDir: String,
-      spanLen: Int = 40, sampleMod: Int = 1): DataFrame = {
+      spanLen: Int = 40, sampleMod: Int = AutoSampleMod): DataFrame = {
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     withSpanBreaks(duplicatedSpanHits(spark, sfDir, spanLen, sampleMod), spanLen)
       .withColumn("span_id", sum(col("newspan")).over(wd))

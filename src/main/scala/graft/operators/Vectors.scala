@@ -278,6 +278,9 @@ object Vectors {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell")
       .parquet(s"$outDir/cells")
+    // Post-write bump: a load racing the rebuild window must not survive
+    // with pre-rebuild memoized state (see Index.build).
+    graft.Readers.bump()
   }
 
   /** Incremental IVF ingest: assign NEW vectors with the STORED coarse

@@ -25,15 +25,20 @@ object JobProfile {
 
     // Concurrent structures: events arrive on the listener-bus thread while
     // the main thread clears/reads between queries (after a bus drain).
-    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    // java.lang.Long values so a missing entry is a checkable null — a
+    // [Int, Long] map unboxes the miss to 0L and a cleared/racing start
+    // would report a bogus epoch-sized duration.
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
     val jobLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val stageTimes = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         jobStart.put(js.jobId, System.nanoTime())
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
-        val t0 = Option(jobStart.get(je.jobId)).getOrElse(System.nanoTime())
-        val dt = (System.nanoTime() - t0) / 1e9
+        val t0 = jobStart.remove(je.jobId)
+        val dt =
+          if (t0 == null) 0.0 // start event cleared between queries
+          else (System.nanoTime() - t0.longValue()) / 1e9
         jobLines.add(f"  job ${je.jobId}%3d  ${dt}%7.3f s")
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {

@@ -285,6 +285,28 @@ class MiscSpec extends SparkSpec {
     assert(mean >= 0.7, f"mean BQ recall $mean%.2f below the 0.7 PqSpec floor")
   }
 
+  test("pq recall gate: exact leg always full, mean recall above the PQ sweep floor") {
+    val rows = graft.operators.Knn.recallBenchmarkPq(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 8, "one row per query")
+    assert(rows.forall(_._2 == 10L), "exact top-k must always be full")
+    assert(rows.forall { case (_, ne, nh, pct) => pct == nh * 100 / ne })
+    val mean = rows.map(_._3).sum.toDouble / rows.map(_._2).sum
+    assert(mean >= 0.7, f"mean PQ recall $mean%.2f below the 0.7 floor")
+  }
+
+  test("sq8 recall gate: exact leg always full, near-exact recall") {
+    val rows = graft.operators.Knn.recallBenchmarkSq8(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 8, "one row per query")
+    assert(rows.forall(_._2 == 10L), "exact top-k must always be full")
+    assert(rows.forall { case (_, ne, nh, pct) => pct == nh * 100 / ne })
+    val mean = rows.map(_._3).sum.toDouble / rows.map(_._2).sum
+    assert(mean >= 0.9,
+      f"mean SQ8 recall $mean%.2f below the 0.9 near-exact floor (1 byte/dim " +
+        "+ k1=100 exact re-rank should lose almost nothing at k=10)")
+  }
+
   test("normalizeTs: ns-as-long, TIMESTAMP_NTZ, and TimestampType all land on the same instant") {
     import org.apache.spark.sql.types._
     import java.time.{Instant, LocalDateTime, ZoneOffset}

@@ -1,0 +1,80 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions.col
+
+/** The schema/artifact memo's contracts: memoization, bump invalidation,
+  * re-entrant loads (a loader that loads another artifact must not hit a
+  * "Recursive update" on the shared map), and the sink-live-dir probe.
+  */
+class ReadersSpec extends SparkSpec {
+
+  test("artifact memo: loads once, bump invalidates, post-bump lookups reload") {
+    val loads = new AtomicInteger(0)
+    def load(): String = { loads.incrementAndGet(); "model-doc" }
+    val p = s"/graft-test/readers-memo-${System.nanoTime()}"
+    assert(Readers.artifact(spark, p)(load()) == "model-doc")
+    assert(Readers.artifact(spark, p)(load()) == "model-doc")
+    assert(loads.get() == 1, "second lookup must be served from the memo")
+    Readers.bump()
+    assert(Readers.artifact(spark, p)(load()) == "model-doc")
+    assert(loads.get() == 2, "bump must invalidate the memoized artifact")
+  }
+
+  test("artifact memo: a loader may itself load another artifact (re-entrancy)") {
+    // Under the old computeIfAbsent shape this pattern could throw
+    // IllegalStateException("Recursive update") or deadlock when the two
+    // keys hash to one bin — the load now runs outside the map lock, so a
+    // composite artifact (e.g. an index doc that pulls its quantizer doc)
+    // is legal by contract, whatever the bin layout.
+    val t = System.nanoTime()
+    val outer = Readers.artifact(spark, s"/graft-test/outer-$t") {
+      val inner = Readers.artifact(spark, s"/graft-test/inner-$t")("inner-doc")
+      s"outer-wraps-$inner"
+    }
+    assert(outer == "outer-wraps-inner-doc")
+    // and the inner artifact is itself memoized for direct lookups
+    assert(Readers.artifact(spark, s"/graft-test/inner-$t")("NEVER") == "inner-doc")
+  }
+
+  test("artifact memo: a bump racing the load window is never stale-served") {
+    // Keys carry the epoch, so a load that started pre-bump inserts under
+    // the OLD epoch's key; the first post-bump lookup must run its loader.
+    val p = s"/graft-test/readers-race-${System.nanoTime()}"
+    val raced = Readers.artifact(spark, p) {
+      Readers.bump() // a lifecycle mutation lands mid-load
+      "pre-bump-doc"
+    }
+    assert(raced == "pre-bump-doc", "the in-flight caller keeps its own load")
+    assert(Readers.artifact(spark, p)("post-bump-doc") == "post-bump-doc",
+      "a post-bump lookup must reload, not see the raced pre-bump insert")
+  }
+
+  test("parquet: schema memo serves until bump; sink-live probe holds across URI forms") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-readers-mut").toString
+    val one = spark.range(1).select(col("id").as("a"))
+    one.write.mode("overwrite").parquet(dir)
+    assert(Readers.parquet(spark, dir).columns.toSeq == Seq("a"))
+    // a layout REWRITE without its lifecycle bump serves the memoized
+    // schema (the documented staleness contract)...
+    one.select(col("a").as("b")).write.mode("overwrite").parquet(dir)
+    assert(Readers.parquet(spark, dir).columns.toSeq == Seq("a"))
+    // ...and the bump re-resolves
+    Readers.bump()
+    assert(Readers.parquet(spark, dir).columns.toSeq == Seq("b"))
+
+    // the sink probe: false for a plain layout, true once a _spark_metadata
+    // log appears — including through a scheme-qualified URI, which the old
+    // java.io.File probe could only handle for the local scheme (a remote
+    // URI silently probed false and memoized a sink-live dir's schema)
+    assert(!Readers.sinkLive(spark, dir))
+    assert(!Readers.sinkLive(spark, s"file:$dir"))
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(dir, "_spark_metadata"))
+    assert(Readers.sinkLive(spark, dir))
+    assert(Readers.sinkLive(spark, s"file:$dir"))
+    assert(Readers.sinkLive(spark, s"file://$dir"))
+    // unreachable path: probe false, no throw — the read raises the error
+    assert(!Readers.sinkLive(spark, s"$dir/definitely/absent"))
+  }
+}

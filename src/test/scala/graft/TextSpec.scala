@@ -436,6 +436,33 @@ class TextSpec extends SparkSpec {
     assert(recall >= 0.7, s"sampled recall=$recall over ${summary.keySet.size} docs")
   }
 
+  test("duplicated spans: the sampling valve self-engages from corpus size; auto is exact at fixture scale") {
+    import Text.{deriveSampleMod, AutoSampleExactChars}
+    // policy: exact through the documented char threshold...
+    assert(deriveSampleMod(0L) == 1)
+    assert(deriveSampleMod(500L * 1000 * 1000) == 1, "sf0.1-scale corpora stay exact")
+    assert(deriveSampleMod(AutoSampleExactChars) == 1)
+    // ...then doubling with each corpus doubling (constant shuffle bytes)...
+    assert(deriveSampleMod(AutoSampleExactChars + 1) == 2)
+    assert(deriveSampleMod(AutoSampleExactChars * 4) == 4)
+    assert(deriveSampleMod(AutoSampleExactChars * 64) == 64)
+    // ...capped at 256 — 100 TB of chars derives the cap, never beyond
+    assert(deriveSampleMod(100L * 1000 * 1000 * 1000 * 1000) == 256)
+    assert(deriveSampleMod(Long.MaxValue) == 256)
+    // monotone non-decreasing: growing a corpus can never sharpen sampling
+    val probes = Seq(1L, 1L << 20, 1L << 33, (1L << 33) + 1, 1L << 40, 1L << 50, Long.MaxValue)
+    probes.sliding(2).foreach { case Seq(a, b) =>
+      assert(deriveSampleMod(a) <= deriveSampleMod(b), s"non-monotone at $a -> $b")
+    }
+    // the gate's operating point: the AUTO default at the fixture derives
+    // mod 1, so the driver's DuckDB hash-check row stays the EXACT detector
+    val auto = Text.duplicatedSpans(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val exact = Text.duplicatedSpans(spark, sf0001, sampleMod = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(auto == exact, "auto-derived sampleMod must be exact at fixture scale")
+  }
+
   test("near-dup increment equals the cross-split subset of the corpus-wide detector") {
     // Same units, same seeds, same band construction, same exact-Jaccard
     // verification: a pair band-collides in the increment iff it collides
