@@ -182,6 +182,112 @@ class LifecycleFuzzSpec extends SparkSpec {
     assert(got == want, s"SQ8 end state drift after [${ops.mkString(" -> ")}]")
   }
 
+  test("randomized PQ lifecycle sequences: end state equals a fresh encode") {
+    import spark.implicits._
+    import graft.operators.Pq
+    val embRows = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") < 120).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val allIds = embRows.map(_._1)
+    val byId = embRows.toMap
+    def df(ids: Seq[Long]) =
+      ids.sorted.map(id => (id, byId(id))).toDF("vec_id", "embedding")
+
+    val rnd = new scala.util.Random(60814L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fuzzpq").toString + "/idx"
+    val initial = allIds.filter(_ => rnd.nextBoolean()).toSeq
+    var live = initial.toSet
+    // frozen codebooks fit on the initial set — appends encode with the
+    // STORED model, so the end state is reproducible from it
+    val model = Pq.fit(df(initial))
+    Pq.buildPqIndex(spark, df(initial), model, dir)
+    val ops = scala.collection.mutable.ArrayBuffer[String]()
+    (1 to 8).foreach { _ =>
+      rnd.nextInt(3) match {
+        case 0 =>
+          val ids = allIds.filter(_ => rnd.nextInt(6) == 0).toSeq
+          if (ids.nonEmpty) {
+            Pq.appendPqIndex(spark, dir, df(ids)); live ++= ids
+            ops += s"append(${ids.size})"
+          }
+        case 1 =>
+          val ids = allIds.filter(_ => rnd.nextInt(8) == 0).toSeq
+          if (ids.nonEmpty) {
+            Pq.deleteFromPqIndex(spark, dir, ids); live --= ids
+            ops += s"delete(${ids.size})"
+          }
+        case 2 => Pq.vacuumPqIndex(spark, dir); ops += "vacuum"
+      }
+      val ids = Pq.liveCodes(spark, dir).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.length == ids.distinct.length,
+        s"duplicate live code rows after [${ops.mkString(" -> ")}]")
+      assert(ids.toSet == live,
+        s"PQ live-view drift after [${ops.mkString(" -> ")}]")
+    }
+    val got = Pq.liveCodes(spark, dir)
+      .select(col("vec_id"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet
+    val want = Pq.encode(spark, df(live.toSeq), model)
+      .select(col("vec_id"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet
+    assert(got == want, s"PQ end state drift after [${ops.mkString(" -> ")}]")
+  }
+
+  test("randomized BQ lifecycle sequences: end state equals a fresh encode") {
+    import spark.implicits._
+    import graft.operators.Pq
+    val embRows = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") < 120).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val allIds = embRows.map(_._1)
+    val byId = embRows.toMap
+    def df(ids: Seq[Long]) =
+      ids.sorted.map(id => (id, byId(id))).toDF("vec_id", "embedding")
+
+    val rnd = new scala.util.Random(31337L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fuzzbq").toString + "/idx"
+    val initial = allIds.filter(_ => rnd.nextBoolean()).toSeq
+    var live = initial.toSet
+    // frozen thresholds fit on the initial set — appends encode with the
+    // STORED model, so the end state is reproducible from it
+    val model = Pq.fitBq(df(initial))
+    Pq.buildBqIndex(spark, df(initial), model, dir)
+    val ops = scala.collection.mutable.ArrayBuffer[String]()
+    (1 to 8).foreach { _ =>
+      rnd.nextInt(3) match {
+        case 0 =>
+          val ids = allIds.filter(_ => rnd.nextInt(6) == 0).toSeq
+          if (ids.nonEmpty) {
+            Pq.appendBqIndex(spark, dir, df(ids)); live ++= ids
+            ops += s"append(${ids.size})"
+          }
+        case 1 =>
+          val ids = allIds.filter(_ => rnd.nextInt(8) == 0).toSeq
+          if (ids.nonEmpty) {
+            Pq.deleteFromBqIndex(spark, dir, ids); live --= ids
+            ops += s"delete(${ids.size})"
+          }
+        case 2 => Pq.vacuumBqIndex(spark, dir); ops += "vacuum"
+      }
+      val ids = Pq.liveBqCodes(spark, dir).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.length == ids.distinct.length,
+        s"duplicate live code rows after [${ops.mkString(" -> ")}]")
+      assert(ids.toSet == live,
+        s"BQ live-view drift after [${ops.mkString(" -> ")}]")
+    }
+    val got = Pq.liveBqCodes(spark, dir)
+      .select(col("vec_id"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Pq.encodeBq(spark, df(live.toSeq), model)
+      .select(col("vec_id"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"BQ end state drift after [${ops.mkString(" -> ")}]")
+  }
+
   test("randomized digest-store sequences: the probe always equals the model") {
     // The store-side twin of the index fuzz: random appends (including
     // exact at-least-once REPLAYS, which legally duplicate store rows) and
