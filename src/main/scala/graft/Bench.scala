@@ -133,17 +133,22 @@ object Bench {
     for (_ <- 1 to reps) {
       SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replace("\\", " ").replaceAll("[\"\\n\\r]", " ").take(200)
-        }
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replace("\\", " ").replaceAll("[\"\\n\\r]", " ").take(200)
+              false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // Drop blocks pinned by this query (shingle unit tables, CC labels):
         // without the drain, storage memory grows monotonically across the
         // session and a random later query pays the GC bill.
         graft.operators.Materialize.releaseAll()
-        results(name) = math.min(results.getOrElse(name, Double.MaxValue), dt)
+        // A failed rep records NO timing: its fail-fast wall time (often ms
+        // for a planning-time throw) would otherwise land in the per-query
+        // map as a dramatic phantom speedup.
+        if (ok) results(name) = math.min(results.getOrElse(name, Double.MaxValue), dt)
       }
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -161,9 +166,15 @@ object Bench {
     def r4(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     val pairs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }.toSeq
     val chunks = pairs.grouped(25).toSeq
+    // The file embeds the errors object too: a judge diffing it must see a
+    // regressed-to-throwing query as FAILED, never as absent-by-accident.
+    val errObj =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+        .mkString(",\"errors\":{", ",", "}")
     try {
       val full = pairs.mkString(
-        s"""{"metric":"queries","unit":"sec","reps":$reps,"sf":"$sfDir","queries":{""",
+        s"""{"metric":"queries","unit":"sec","reps":$reps,"sf":"$sfDir"$errObj,"queries":{""",
         ",", "}}\n")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_per_query.json"),

@@ -102,8 +102,19 @@ object Readers {
 
   private def readWithMemoizedSchema(
       spark: SparkSession, path: String, key: String): DataFrame = {
-    val schema = memo.computeIfAbsent(key,
-      _ => spark.read.parquet(path).schema)
+    // Same lock discipline as [[artifact]]: schema inference is a Spark job
+    // (a footer read), so it must not run under the map's bin lock —
+    // concurrent sessions' unrelated inferences would serialize, and a
+    // re-entrant load would throw. Double-inference under a miss race is
+    // benign (schemas are immutable values).
+    val cached = memo.get(key)
+    val schema =
+      if (cached != null) cached
+      else {
+        val inferred = spark.read.parquet(path).schema
+        val prev = memo.putIfAbsent(key, inferred)
+        if (prev != null) prev else inferred
+      }
     spark.read.schema(schema).parquet(path)
   }
 

@@ -830,6 +830,7 @@ object Text {
     while (s < k) { seedH(s) = XXH64.hashInt(s, 42L); s += 1 }
     val out = new Array[Long](k)
     java.util.Arrays.fill(out, Long.MaxValue)
+    var contributed = 0
     var i = 0
     while (i < n) {
       // Null elements are SKIPPED, matching the xxhash64 SQL formulation's
@@ -840,6 +841,7 @@ object Text {
       // array<...> input with containsNull=true from NPE-ing mid-codegen.
       if (units.isNullAt(i)) { i += 1 }
       else {
+        contributed += 1
         if (stringUnits) {
           val u = units.getUTF8String(i)
           s = 0
@@ -860,6 +862,10 @@ object Text {
         i += 1
       }
     }
+    // An array whose every element was null has no units, exactly like the
+    // empty array: return null rather than the Long.MaxValue sentinel fill
+    // (which would band-collide every such doc as a perfect near-dup).
+    if (contributed == 0) return null
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
@@ -2272,19 +2278,30 @@ object Text {
     s.toInt
   }
 
+  private val corpusBytesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** Corpus size estimate for [[deriveSampleMod]] without a corpus scan:
-    * bytes on disk of the documents table (an O(1) namenode/driver
-    * metadata call). Parquet-compressed bytes UNDERSTATE chars, so the
-    * derived modulus is never larger than the char-count policy's — the
-    * estimate can only err toward exactness (smaller s, higher recall).
-    * An unreadable path estimates 0 (exact); the scan raises the real
-    * error.
+    * bytes on disk of the documents table. Parquet-compressed bytes
+    * UNDERSTATE chars, so the derived modulus is never larger than the
+    * char-count policy's — the estimate can only err toward exactness
+    * (smaller s, higher recall). An unreadable path estimates 0 (exact);
+    * the scan raises the real error.
+    *
+    * Memoized keyed by (path, mtime), the [[Tables.embeddingsCount]]
+    * discipline: `getContentSummary` is one namenode RPC on HDFS but a
+    * recursive LIST on object-store connectors — exactly at the corpus
+    * size the valve exists for, it must not run per query call. The mtime
+    * key is one cheap status call and re-resolves a rewritten fixture.
     */
   private def corpusBytesOnDisk(spark: SparkSession, sfDir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
-    try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getContentSummary(p).getLength
-    catch { case _: java.io.IOException => 0L }
+    try {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mtime = fs.getFileStatus(p).getModificationTime
+      corpusBytesMemo.computeIfAbsent(s"$sfDir:$mtime",
+        _ => fs.getContentSummary(p).getLength).longValue()
+    } catch { case _: java.io.IOException => 0L }
   }
 
   private def duplicatedSpanHits(

@@ -50,6 +50,32 @@ class NearDedupSpec extends SparkSpec {
     assert(fused.except(viaArr).count() + viaArr.except(fused).count() == 0)
   }
 
+  test("minhash kernel null semantics: nulls skipped, no-unit arrays sign as null") {
+    // The engine's unit producers never emit null elements, but the kernel
+    // accepts external containsNull=true arrays: nulls must contribute
+    // nothing (mixed array ≡ its non-null subset), and an array with NO
+    // contributing elements must sign as null exactly like the empty array
+    // — never as the Long.MaxValue sentinel fill, which would band-collide
+    // every all-null doc as a perfect near-duplicate.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = 6
+    def sig(elems: Array[Any]) =
+      Option(Text.minhashMinimaArrayData(new GenericArrayData(elems), k, stringUnits = true))
+        .map(_.toLongArray().toSeq)
+    val a: Any = UTF8String.fromString("alpha")
+    val b: Any = UTF8String.fromString("beta")
+    assert(sig(Array(a, null, b)) == sig(Array(a, b)), "null element changed the signature")
+    assert(sig(Array(null, null)).isEmpty, "all-null array must sign as null")
+    assert(sig(Array.empty[Any]).isEmpty, "empty array must sign as null")
+    // same contract on the long-unit path
+    def sigL(elems: Array[Any]) =
+      Option(Text.minhashMinimaArrayData(new GenericArrayData(elems), k, stringUnits = false))
+        .map(_.toLongArray().toSeq)
+    assert(sigL(Array(7L, null, 9L)) == sigL(Array(7L, 9L)))
+    assert(sigL(Array[Any](null)).isEmpty)
+  }
+
   test("fused minhash kernel: non-ASCII char path matches the SQL formulation") {
     // The fixtures are pure ASCII, so only the byte fast path is exercised
     // by the gates; pin the multibyte char path (substringSQL positions ≠
