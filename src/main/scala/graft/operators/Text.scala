@@ -1595,6 +1595,63 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** The PER-DELIVERY twin of [[prepareCorpus]] (q101): process one
+    * arriving delivery against the three registered ingest stores instead
+    * of re-running the whole-corpus recipe — the call a continuously-fed
+    * training pipeline makes per micro-batch. Stages, each the gated
+    * increment op it names:
+    *
+    *   1. [[cleanCorpusOf]] over the delivery — in-batch exact-dedup
+    *      canonicals + the quality filters (q83's logic);
+    *   2. drop docs whose content already exists in the corpus DIGEST
+    *      store (q107's probe);
+    *   3. drop docs that are shingle-MinHash near-copies of something
+    *      already ingested, via the BAND store (q109's probe — for an
+    *      increment the stored side is canonical by construction, so every
+    *      batch-side pair endpoint drops);
+    *   4. drop docs sharing a verbatim 8-gram with the eval suites in the
+    *      GRAM store (q113's probe).
+    *
+    * Returns the q101 survivor shape (doc_id, lang, n_tokens). Not a gate
+    * query (its stages are individually gated and this composition is
+    * delivery-sized by contract); TextSpec pins exact equality to the
+    * independent composition of the four stage calls. Scale shape: every
+    * store probe is the broadcast-batch-into-streamed-store plan its own
+    * gate audits, and the composition adds only delivery-sized id
+    * anti-joins — nothing corpus-sized anywhere, which is the entire point
+    * of the increment family. After accepting a delivery, append its
+    * survivors to the digest and band stores (the per-store append APIs)
+    * exactly as for the single-stage increments.
+    */
+  def prepareCorpusIncrement(
+      spark: SparkSession,
+      sfDir: String,
+      evalMod: Long = 19,
+      evalRem: Long = 3,
+      batchMod: Long = 7,
+      batchRem: Long = 0,
+      gram: Int = 8): DataFrame = {
+    val delivery = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % evalMod =!= evalRem &&
+        col("doc_id") % batchMod === batchRem)
+    val cleaned = cleanCorpusOf(delivery)
+    val inStore = dedupBatchAgainstStore(spark, delivery,
+        ensureDigestStore(spark, sfDir, batchMod, batchRem))
+      .select(col("doc_id"))
+    val nearDups = nearDupIncrement(spark, sfDir, batchMod, batchRem)
+      .select(col("i").as("doc_id")).distinct()
+    val contaminated = decontaminateBatchAgainstStore(spark, delivery,
+        ensureGramStore(spark, sfDir, gram, evalMod, evalRem), gram)
+      .select(col("doc_id"))
+    cleaned
+      // stage 2's probe returns the batch docs NOT in the store; a cleaned
+      // doc absent from that survivor set is a cross-corpus duplicate
+      .join(inStore, Seq("doc_id"), "left_semi")
+      .join(nearDups, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   /** q106 — INCREMENTAL exact dedup: dedup an ARRIVING batch against the
     * already-ingested corpus (the "new crawl vs. existing data" primitive a
     * continuously-fed training pipeline runs on every delivery — q39 dedups

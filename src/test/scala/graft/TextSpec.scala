@@ -463,6 +463,32 @@ class TextSpec extends SparkSpec {
     assert(auto == exact, "auto-derived sampleMod must be exact at fixture scale")
   }
 
+  test("prepare-corpus increment equals the composition of its four stage gates") {
+    import org.apache.spark.sql.functions.col
+    val got = Text.prepareCorpusIncrement(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // independent composition of the individually-gated stages
+    val delivery = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 19 =!= 3 && col("doc_id") % 7 === 0)
+    val cleaned = Text.cleanCorpusOf(delivery).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val inStore = Text.dedupBatchAgainstStore(spark, delivery,
+        Text.ensureDigestStore(spark, sf0001))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val nearDups = Text.nearDupIncrement(spark, sf0001)
+      .select(col("i")).collect().map(_.getLong(0)).toSet
+    val contaminated = Text.decontaminateBatchAgainstStore(spark, delivery,
+        Text.ensureGramStore(spark, sf0001), 8)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val want = cleaned
+      .filter { case (id, _, _) => inStore(id) && !nearDups(id) && !contaminated(id) }
+      .sortBy(_._1)
+    assert(got == want, s"composition drift: got=${got.size} want=${want.size}")
+    assert(got.nonEmpty, "no survivors at the fixture — vacuous")
+    assert(got.size < cleaned.size,
+      "no stage past cleaning dropped anything at the fixture — vacuous composition")
+  }
+
   test("near-dup increment equals the cross-split subset of the corpus-wide detector") {
     // Same units, same seeds, same band construction, same exact-Jaccard
     // verification: a pair band-collides in the increment iff it collides
