@@ -27,17 +27,19 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
-  private val countMemo = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Memoized corpus row count, keyed by (path, mtime) like every artifact
     * cache: scale-derived parameters (LSH bits, k-means k) need N once per
     * fixture, not one count JOB per query invocation — on the timed bench
-    * path the repeated count was pure overhead.
+    * path the repeated count was pure overhead. Loaded via [[Memo.once]]
+    * (the count is a Spark job; never run one under a map bin lock).
     */
   def embeddingsCount(spark: SparkSession, sfDir: String): Long = {
     val src = new java.io.File(s"$sfDir/embeddings.parquet")
-    countMemo.computeIfAbsent(s"$sfDir:${src.lastModified}",
-      _ => embeddings(spark, sfDir).count())
+    Memo.once(countMemo, s"$sfDir:${src.lastModified}")(
+      java.lang.Long.valueOf(embeddings(spark, sfDir).count())).longValue()
   }
 
   /** The events fixture's `ts` physical type has varied across driver

@@ -135,8 +135,8 @@ object Bpe {
     // (kmeansModel, ensurePqIndex): an in-place regenerated corpus must
     // retrain, not serve the old merge table.
     val src = new java.io.File(s"$sfDir/documents.parquet")
-    memo.computeIfAbsent(s"$sfDir:${src.lastModified}:$numMerges",
-      _ => train(spark, vocabulary(spark, sfDir), numMerges))
+    graft.Memo.once(memo, s"$sfDir:${src.lastModified}:$numMerges")(
+      train(spark, vocabulary(spark, sfDir), numMerges))
   }
 
   /** q93 — the learned merge table (rows-only gate: the argmax loop is not

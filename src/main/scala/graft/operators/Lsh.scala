@@ -234,7 +234,7 @@ object Lsh {
     new java.util.concurrent.ConcurrentHashMap[String, (LshModel, Int)]()
 
   def loadModelCached(spark: SparkSession, dir: String): (LshModel, Int) =
-    modelCache.computeIfAbsent(dir, d => loadModel(spark, d))
+    graft.Memo.once(modelCache, dir)(loadModel(spark, dir))
 
   /** Read a model written by [[saveModel]]. Returns (model, numBuckets). */
   def loadModel(spark: SparkSession, dir: String): (LshModel, Int) = {

@@ -799,8 +799,8 @@ object Pq {
 
   def bqModelCached(spark: SparkSession, sfDir: String): BqModel = {
     val mtime = new java.io.File(s"$sfDir/embeddings.parquet").lastModified
-    bqCache.computeIfAbsent(s"$sfDir:$mtime",
-      _ => fitBq(Tables.embeddings(spark, sfDir)))
+    graft.Memo.once(bqCache, s"$sfDir:$mtime")(
+      fitBq(Tables.embeddings(spark, sfDir)))
   }
 
   /** Query-side codes + vectors for the BQ scan (both driver-bounded by

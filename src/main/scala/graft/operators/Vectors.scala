@@ -412,8 +412,8 @@ object Vectors {
   private def pairModel(
       spark: SparkSession, sfDir: String, tables: Int, bits: Int): Lsh.LshModel = {
     val mtime = new java.io.File(s"$sfDir/embeddings.parquet").lastModified
-    pairModelCache.computeIfAbsent(s"$sfDir:$mtime:$tables:$bits",
-      _ => Lsh.fit(Tables.embeddings(spark, sfDir), tables, bits))
+    graft.Memo.once(pairModelCache, s"$sfDir:$mtime:$tables:$bits")(
+      Lsh.fit(Tables.embeddings(spark, sfDir), tables, bits))
   }
 
   /** q63 — embedding near-duplicate pairs at CORPUS scale (no SQL oracle —
@@ -555,7 +555,7 @@ object Vectors {
     // Key by "auto", not the derived value — the Index.ensure discipline:
     // the memoized path never pays the deriveK count() job.
     val kKey = if (k > 0) k.toString else "auto"
-    kmeansCache.computeIfAbsent(s"$sfDir:$mtime:$kKey:$iterations", _ => {
+    graft.Memo.once(kmeansCache, s"$sfDir:$mtime:$kKey:$iterations") {
       // persisted model artifact (the Lsh.saveModel discipline: fit once,
       // any session/engine reads it back) + per-JVM memo on top; the "auto"
       // key spares even a fresh JVM the deriveK count when the artifact exists
@@ -574,7 +574,7 @@ object Vectors {
           .parquet(dir.getAbsolutePath)
         cents
       }
-    })
+    }
   }
 
   /** q84 — k-means clustering over the embedding corpus (no SQL oracle —

@@ -51,6 +51,20 @@ class ReadersSpec extends SparkSpec {
       "a post-bump lookup must reload, not see the raced pre-bump insert")
   }
 
+  test("Memo.once: loads once, serves cached, and tolerates re-entrant loads") {
+    val map = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val loads = new AtomicInteger(0)
+    def load(): String = { loads.incrementAndGet(); "model" }
+    assert(Memo.once(map, "a")(load()) == "model")
+    assert(Memo.once(map, "a")(load()) == "model")
+    assert(loads.get() == 1, "second lookup must hit the memo")
+    // a loader that loads through the SAME map (the model-cache chain
+    // pattern, e.g. a composite fit pulling a sub-model) must not throw
+    // ConcurrentHashMap's "Recursive update"
+    val nested = Memo.once(map, "outer")(Memo.once(map, "inner")("sub") + "+outer")
+    assert(nested == "sub+outer" && map.get("inner") == "sub")
+  }
+
   test("parquet: schema memo serves until bump; sink-live probe holds across URI forms") {
     val dir = java.nio.file.Files.createTempDirectory("graft-readers-mut").toString
     val one = spark.range(1).select(col("id").as("a"))
