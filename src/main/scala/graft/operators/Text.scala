@@ -2477,6 +2477,31 @@ object Text {
       |       CAST(sum(cov) AS BIGINT) AS n_dup_chars
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q174's oracle: the q114 window/df>=2 CTEs, then the same break-flag →
+    * running-sum span ids → per-span min/max grouping as
+    * [[duplicatedSpanRanges]]. Positions cast to INTEGER and the running
+    * sum to BIGINT so the DuckDB schema matches Spark's exactly.
+    */
+  val duplicatedSpanRangesOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, i AS pos, substring(text, i, 40) AS s
+      |  FROM documents, LATERAL unnest(range(1, len(text) - 38)) AS t(i)
+      |  WHERE len(text) >= 40),
+      |d AS (SELECT s FROM w GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+      |hit AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (s)),
+      |r AS (SELECT doc_id, pos,
+      |        CASE WHEN pos - coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -99999) > 40
+      |             THEN 1 ELSE 0 END AS newspan
+      |      FROM hit),
+      |s AS (SELECT doc_id, pos,
+      |        CAST(sum(newspan) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_id
+      |      FROM r)
+      |SELECT doc_id, span_id,
+      |       CAST(min(pos) AS INTEGER) AS span_start,
+      |       CAST(max(pos) + 39 AS INTEGER) AS span_end
+      |FROM s GROUP BY doc_id, span_id ORDER BY doc_id, span_id""".stripMargin
+
   /** q104 — the per-source corpus DATASHEET: the "data card" table a
     * pretraining team publishes and monitors per ingested source — volume
     * (docs, tokens), exact-duplicate count, quality-pass count (the q83
@@ -2702,7 +2727,13 @@ object Text {
     // rows-only: candidate generation is hash-banding-dependent (like q34/q77)
     "q109_neardup_increment" -> ((s: SparkSession, d: String) => nearDupIncrement(s, d)),
     "q113_decontaminate_increment" -> ((s: SparkSession, d: String) => decontaminateIncrement(s, d)),
-    "q114_duplicated_spans" -> ((s: SparkSession, d: String) => duplicatedSpans(s, d)))
+    "q114_duplicated_spans" -> ((s: SparkSession, d: String) => duplicatedSpans(s, d)),
+    // the q114 cut list as its own oracle-checked gate: the (doc_id, span)
+    // ranges a cleaning pass actually consumes
+    "q174_duplicated_span_ranges" -> ((s: SparkSession, d: String) => duplicatedSpanRanges(s, d)),
+    // rows-only (the near-dup stage is hash-banding-dependent, like q101);
+    // TextSpec pins equality to the composition of the four stage gates
+    "q175_prepare_corpus_increment" -> ((s: SparkSession, d: String) => prepareCorpusIncrement(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> tokenStatsOracle,
@@ -2726,5 +2757,6 @@ object Text {
     "q107_dedup_increment_stored" -> dedupIncrementOracle,
     "q108_redact_denylist" -> redactDenylistOracle,
     "q113_decontaminate_increment" -> decontaminateIncrementOracle,
-    "q114_duplicated_spans" -> duplicatedSpansOracle)
+    "q114_duplicated_spans" -> duplicatedSpansOracle,
+    "q174_duplicated_span_ranges" -> duplicatedSpanRangesOracle)
 }
