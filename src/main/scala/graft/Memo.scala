@@ -23,4 +23,30 @@ object Memo {
       if (prev != null) prev else loaded
     }
   }
+
+  private val keyLocks = new ConcurrentHashMap[String, Object]()
+
+  /** [[once]] for SIDE-EFFECTING loaders (an artifact write, a directory
+    * build) where a miss-race double load is NOT benign: two threads
+    * running the loader concurrently would race two Overwrite jobs on one
+    * artifact path. Same-KEY loads serialize on a dedicated per-key lock —
+    * never the map's bin lock, so unrelated keys stay fully concurrent and
+    * a loader may still load OTHER keys through the same map. (A loader
+    * recursing through its OWN key would self-deadlock, exactly as it
+    * would have under `computeIfAbsent` — side-effecting loaders are
+    * leaves by contract.)
+    */
+  def onceExclusive[V <: AnyRef](map: ConcurrentHashMap[String, V], key: String)(load: => V): V = {
+    val cached = map.get(key)
+    if (cached != null) cached
+    else keyLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      val again = map.get(key)
+      if (again != null) again
+      else {
+        val loaded = load
+        map.put(key, loaded)
+        loaded
+      }
+    }
+  }
 }

@@ -74,16 +74,9 @@ object Readers {
     * epoch's key, which no post-bump lookup ever reads — dead until the
     * next clear, never stale-served.
     */
-  def artifact[T <: AnyRef](spark: SparkSession, path: String)(load: => T): T = {
-    val key = s"${sessionKey(spark)}:${epoch.get()}:$path"
-    val cached = artifactMemo.get(key)
-    if (cached != null) cached.asInstanceOf[T]
-    else {
-      val loaded = load
-      val prev = artifactMemo.putIfAbsent(key, loaded)
-      (if (prev != null) prev else loaded).asInstanceOf[T]
-    }
-  }
+  def artifact[T <: AnyRef](spark: SparkSession, path: String)(load: => T): T =
+    Memo.once(artifactMemo, s"${sessionKey(spark)}:${epoch.get()}:$path")(load)
+      .asInstanceOf[T]
 
   /** Stable per-session key: the session UUID (via the
     * [[org.apache.spark.sql.graft.SessionIds]] bridge — it's `private[sql]`)
@@ -102,19 +95,10 @@ object Readers {
 
   private def readWithMemoizedSchema(
       spark: SparkSession, path: String, key: String): DataFrame = {
-    // Same lock discipline as [[artifact]]: schema inference is a Spark job
-    // (a footer read), so it must not run under the map's bin lock —
-    // concurrent sessions' unrelated inferences would serialize, and a
-    // re-entrant load would throw. Double-inference under a miss race is
-    // benign (schemas are immutable values).
-    val cached = memo.get(key)
-    val schema =
-      if (cached != null) cached
-      else {
-        val inferred = spark.read.parquet(path).schema
-        val prev = memo.putIfAbsent(key, inferred)
-        if (prev != null) prev else inferred
-      }
+    // Memo.once: schema inference is a Spark job (a footer read), so it
+    // must not run under the map's bin lock; double-inference under a miss
+    // race is benign (schemas are immutable values).
+    val schema = Memo.once(memo, key)(spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)
   }
 

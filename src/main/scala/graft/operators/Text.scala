@@ -1631,9 +1631,18 @@ object Text {
       batchMod: Long = 7,
       batchRem: Long = 0,
       gram: Int = 8): DataFrame = {
-    val delivery = Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % evalMod =!= evalRem &&
-        col("doc_id") % batchMod === batchRem)
+    // Pinned eagerly: three stages (clean, digest probe, gram probe) each
+    // read the delivery TEXT through independent plan subtrees — unpinned,
+    // the delivery would be re-scanned and re-hashed/tokenized per stage
+    // (the q101 fan-out lesson). Unlike q101's corpus-sized frame this pin
+    // CARRIES text, which is fine precisely because a delivery is bounded
+    // by contract (a micro-batch, the same boundedness the store probes'
+    // broadcasts already assume).
+    val delivery = Materialize.stable(
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % evalMod =!= evalRem &&
+          col("doc_id") % batchMod === batchRem),
+      eager = true)
     val cleaned = cleanCorpusOf(delivery)
     val inStore = dedupBatchAgainstStore(spark, delivery,
         ensureDigestStore(spark, sfDir, batchMod, batchRem))
@@ -2356,8 +2365,10 @@ object Text {
     try {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val mtime = fs.getFileStatus(p).getModificationTime
-      corpusBytesMemo.computeIfAbsent(s"$sfDir:$mtime",
-        _ => fs.getContentSummary(p).getLength).longValue()
+      // Memo.once, not computeIfAbsent: getContentSummary is the recursive
+      // LIST the memo exists to amortize — never run it under a bin lock.
+      graft.Memo.once(corpusBytesMemo, s"$sfDir:$mtime")(
+        java.lang.Long.valueOf(fs.getContentSummary(p).getLength)).longValue()
     } catch { case _: java.io.IOException => 0L }
   }
 

@@ -555,7 +555,9 @@ object Vectors {
     // Key by "auto", not the derived value — the Index.ensure discipline:
     // the memoized path never pays the deriveK count() job.
     val kKey = if (k > 0) k.toString else "auto"
-    graft.Memo.once(kmeansCache, s"$sfDir:$mtime:$kKey:$iterations") {
+    // onceExclusive, not once: the miss path WRITES the persisted artifact
+    // dir — a double load would race two Overwrite jobs on one path.
+    graft.Memo.onceExclusive(kmeansCache, s"$sfDir:$mtime:$kKey:$iterations") {
       // persisted model artifact (the Lsh.saveModel discipline: fit once,
       // any session/engine reads it back) + per-JVM memo on top; the "auto"
       // key spares even a fresh JVM the deriveK count when the artifact exists

@@ -65,6 +65,29 @@ class ReadersSpec extends SparkSpec {
     assert(nested == "sub+outer" && map.get("inner") == "sub")
   }
 
+  test("Memo.onceExclusive: same-key loads serialize to exactly one loader run") {
+    // The side-effecting-loader variant (artifact WRITES on the miss path):
+    // N racing threads on one key must produce ONE load, not a benign-
+    // double-load race of Overwrite jobs on one artifact directory.
+    val map = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val loads = new AtomicInteger(0)
+    val key = s"excl-${System.nanoTime()}"
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        val v = Memo.onceExclusive(map, key) {
+          loads.incrementAndGet()
+          Thread.sleep(50) // widen the race window the lock must close
+          "artifact"
+        }
+        assert(v == "artifact")
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(loads.get() == 1, s"side-effecting loader ran ${loads.get()} times")
+    // distinct keys never block each other's or this key's cached reads
+    assert(Memo.onceExclusive(map, key)("NEVER") == "artifact")
+  }
+
   test("parquet: schema memo serves until bump; sink-live probe holds across URI forms") {
     val dir = java.nio.file.Files.createTempDirectory("graft-readers-mut").toString
     val one = spark.range(1).select(col("id").as("a"))
