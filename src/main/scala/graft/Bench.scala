@@ -55,6 +55,10 @@ object Bench {
       // from it) — same prebuilt-artifact methodology as the indexes; the
       // detection pipeline itself is timed live as q77.
       graft.operators.Text.ensureShinglePairs(spark, sfDir)
+      // The persisted duplicated-window hit table (q174's cut list derives
+      // from it) — detect once, emit both reports; the detection pipeline
+      // itself is timed live as q114.
+      graft.operators.Text.ensureSpanHits(spark, sfDir)
       // Corpus vocabulary store — the term dictionary is an ingest-time
       // artifact; q143/q144/q154/q157 measure dictionary-probe latency.
       graft.operators.Retrieval.ensureVocabStore(spark, sfDir)

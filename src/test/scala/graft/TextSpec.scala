@@ -463,6 +463,14 @@ class TextSpec extends SparkSpec {
     assert(auto == exact, "auto-derived sampleMod must be exact at fixture scale")
   }
 
+  test("stored span ranges equal the live detection's cut list") {
+    // q174 serves the cut list from the prebuilt hit artifact; it must be
+    // row-for-row the live composition (same digest pass, same merge).
+    val live = Text.duplicatedSpanRanges(spark, sf0001).collect().map(_.toSeq).toSeq
+    val stored = Text.duplicatedSpanRangesStored(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(live.nonEmpty && stored == live, s"stored=${stored.size} live=${live.size}")
+  }
+
   test("prepare-corpus increment equals the composition of its four stage gates") {
     import org.apache.spark.sql.functions.col
     val got = Text.prepareCorpusIncrement(spark, sf0001).collect()
