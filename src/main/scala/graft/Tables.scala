@@ -27,6 +27,22 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
+  /** Fixture mtime through the Hadoop FileSystem — the cache-key clock for
+    * every build-once artifact (ensure* layouts, model fits, memoized
+    * counts). `java.io.File.lastModified` returns a constant 0 for any
+    * non-local URI, which would pin a rewritten REMOTE corpus's stale
+    * artifact forever (the Readers.fixtureParquet pitfall, now solved once
+    * for the whole ensure* family). On a local path the value is identical
+    * to the File stat, so local cache keys are unchanged. A missing or
+    * unreachable path keys as 0 and the builder raises the real error.
+    */
+  def fixtureMtime(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).getModificationTime
+    catch { case _: java.io.IOException => 0L }
+  }
+
   private val countMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
@@ -37,8 +53,8 @@ object Tables {
     * (the count is a Spark job; never run one under a map bin lock).
     */
   def embeddingsCount(spark: SparkSession, sfDir: String): Long = {
-    val src = new java.io.File(s"$sfDir/embeddings.parquet")
-    Memo.once(countMemo, s"$sfDir:${src.lastModified}")(
+    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/embeddings.parquet")
+    Memo.once(countMemo, s"$sfDir:$srcMtime")(
       java.lang.Long.valueOf(embeddings(spark, sfDir).count())).longValue()
   }
 

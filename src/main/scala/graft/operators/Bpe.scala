@@ -134,8 +134,8 @@ object Bpe {
     // Keyed on the fixture's mtime like every sibling artifact cache
     // (kmeansModel, ensurePqIndex): an in-place regenerated corpus must
     // retrain, not serve the old merge table.
-    val src = new java.io.File(s"$sfDir/documents.parquet")
-    graft.Memo.once(memo, s"$sfDir:${src.lastModified}:$numMerges")(
+    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
+    graft.Memo.once(memo, s"$sfDir:$srcMtime:$numMerges")(
       train(spark, vocabulary(spark, sfDir), numMerges))
   }
 

@@ -276,9 +276,9 @@ object Components {
       threshold: Double = 0.8,
       batchMod: Long = 2,
       batchRem: Long = 1): String = {
-    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:${src.lastModified}:label-store:$maxDocId:$threshold:$batchMod:$batchRem:v1")
+      s"$sfDir:$srcMtime:label-store:$maxDocId:$threshold:$batchMod:$batchRem:v1")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-label-store-$key")
     Lifecycle.settleStore(spark, dir.getAbsolutePath) // see ensureDigestStore
     if (!new java.io.File(dir, "_SUCCESS").exists()) {

@@ -331,9 +331,9 @@ object Retrieval {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
 
   def ensureVocabStore(spark: SparkSession, sfDir: String): String = {
-    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
     val key = graft.operators.Index.cacheKey(
-      s"$sfDir:${src.lastModified}:vocab:v${graft.operators.Index.LayoutVersion}")
+      s"$sfDir:$srcMtime:vocab:v${graft.operators.Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-vocab-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists())
       buildVocabStore(spark, Tables.documents(spark, sfDir), dir.getAbsolutePath)
@@ -888,9 +888,9 @@ object Retrieval {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
 
   def ensurePostingsStore(spark: SparkSession, sfDir: String): String = {
-    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
     val key = graft.operators.Index.cacheKey(
-      s"$sfDir:${src.lastModified}:postings:sorted:v${graft.operators.Index.LayoutVersion}")
+      s"$sfDir:$srcMtime:postings:sorted:v${graft.operators.Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-postings-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists())
       buildPostingsStore(spark, Tables.documents(spark, sfDir), dir.getAbsolutePath)

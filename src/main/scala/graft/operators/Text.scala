@@ -732,9 +732,9 @@ object Text {
       rowsPerBand: Int = 4,
       threshold: Double = 0.9,
       sampleMod: Int = 3): String = {
-    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:${src.lastModified}:shpairs:$shingleLen:$k:$rowsPerBand:" +
+      s"$sfDir:$srcMtime:shpairs:$shingleLen:$k:$rowsPerBand:" +
         s"$threshold:$sampleMod:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-shpairs-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists())
@@ -1780,9 +1780,9 @@ object Text {
       sfDir: String,
       batchMod: Long = 7,
       batchRem: Long = 0): String = {
-    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:${src.lastModified}:digest-store:$batchMod:$batchRem:v1")
+      s"$sfDir:$srcMtime:digest-store:$batchMod:$batchRem:v1")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-digest-store-$key")
     // Settle a crashed compaction swap BEFORE the sentinel check: with the
     // live dir missing, the sentinel is absent and an unsettled rebuild
@@ -2059,9 +2059,9 @@ object Text {
       k: Int = 12,
       rowsPerBand: Int = 4,
       sampleMod: Int = 3): String = {
-    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:${src.lastModified}:band-store:$batchMod:$batchRem:" +
+      s"$sfDir:$srcMtime:band-store:$batchMod:$batchRem:" +
         s"$shingleLen:$k:$rowsPerBand:$sampleMod:v2") // v2: _params marker
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-band-store-$key")
     // Settle BEFORE the sentinel check (see ensureDigestStore); completion
@@ -2232,9 +2232,9 @@ object Text {
       gram: Int = 8,
       evalMod: Long = 19,
       evalRem: Long = 3): String = {
-    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:${src.lastModified}:gram-store:$gram:$evalMod:$evalRem:v1")
+      s"$sfDir:$srcMtime:gram-store:$gram:$evalMod:$evalRem:v1")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-gram-store-$key")
     // settle BEFORE the sentinel check; _params is written LAST and is the
     // completion sentinel (see ensureBandStore)
@@ -2402,16 +2402,36 @@ object Text {
       .select(col("doc_id"), col("pos"), col("h1"), col("h2"))
   }
 
+  /** lagp + newspan over the doc-bounded window — the shared break-flag
+    * stage. `cov` (the union-coverage increment, consumed only by the q114
+    * summary) is computed BY duplicatedSpans from lagp, so the ranges
+    * paths never evaluate it.
+    */
   private def withSpanBreaks(hits: DataFrame, spanLen: Int): DataFrame = {
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits
       .withColumn("lagp", lag(col("pos"), 1).over(wd))
-      .withColumn("cov",
-        coalesce(least(col("pos") - col("lagp"), lit(spanLen)), lit(spanLen))
-          .cast("long"))
       .withColumn("newspan",
         when(col("lagp").isNull || col("pos") - col("lagp") > spanLen, 1L)
           .otherwise(0L))
+  }
+
+  /** Break flags → merged-span rows: running-sum span ids over the same
+    * doc window, then per-span min/max. ONE implementation behind both the
+    * live ([[duplicatedSpanRanges]]) and stored
+    * ([[duplicatedSpanRangesStored]]) cut lists, so their spec-pinned
+    * equivalence is true by construction.
+    */
+  private def spanRangesOf(hits: DataFrame, spanLen: Int): DataFrame = {
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    withSpanBreaks(hits, spanLen)
+      .withColumn("span_id", sum(col("newspan")).over(wd))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(spanLen - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_id"), col("span_start"), col("span_end"))
+      .orderBy(col("doc_id"), col("span_id"))
   }
 
   /** q114 — DUPLICATED-SPAN detection: exact-substring dedup, the
@@ -2444,6 +2464,9 @@ object Text {
       spark: SparkSession, sfDir: String,
       spanLen: Int = 40, sampleMod: Int = AutoSampleMod): DataFrame =
     withSpanBreaks(duplicatedSpanHits(spark, sfDir, spanLen, sampleMod), spanLen)
+      .withColumn("cov",
+        coalesce(least(col("pos") - col("lagp"), lit(spanLen)), lit(spanLen))
+          .cast("long"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_dup_windows"),
@@ -2465,9 +2488,9 @@ object Text {
   def ensureSpanHits(
       spark: SparkSession, sfDir: String,
       spanLen: Int = 40, sampleMod: Int = AutoSampleMod): String = {
-    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:${src.lastModified}:spanhits:$spanLen:$sampleMod:v${Index.LayoutVersion}")
+      s"$sfDir:$srcMtime:spanhits:$spanLen:$sampleMod:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-spanhits-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists())
       duplicatedSpanHits(spark, sfDir, spanLen, sampleMod)
@@ -2486,18 +2509,10 @@ object Text {
     */
   def duplicatedSpanRangesStored(
       spark: SparkSession, sfDir: String,
-      spanLen: Int = 40, sampleMod: Int = AutoSampleMod): DataFrame = {
-    val hits = graft.Readers.parquet(spark, ensureSpanHits(spark, sfDir, spanLen, sampleMod))
-    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    withSpanBreaks(hits, spanLen)
-      .withColumn("span_id", sum(col("newspan")).over(wd))
-      .groupBy(col("doc_id"), col("span_id"))
-      .agg(
-        min(col("pos")).as("span_start"),
-        (max(col("pos")) + lit(spanLen - 1)).as("span_end"))
-      .select(col("doc_id"), col("span_id"), col("span_start"), col("span_end"))
-      .orderBy(col("doc_id"), col("span_id"))
-  }
+      spanLen: Int = 40, sampleMod: Int = AutoSampleMod): DataFrame =
+    spanRangesOf(
+      graft.Readers.parquet(spark, ensureSpanHits(spark, sfDir, spanLen, sampleMod)),
+      spanLen)
 
   /** The cut list behind q114: one row per merged duplicated span —
     * (doc_id, span_start, span_end) inclusive character positions. Span ids
@@ -2507,17 +2522,8 @@ object Text {
     */
   def duplicatedSpanRanges(
       spark: SparkSession, sfDir: String,
-      spanLen: Int = 40, sampleMod: Int = AutoSampleMod): DataFrame = {
-    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    withSpanBreaks(duplicatedSpanHits(spark, sfDir, spanLen, sampleMod), spanLen)
-      .withColumn("span_id", sum(col("newspan")).over(wd))
-      .groupBy(col("doc_id"), col("span_id"))
-      .agg(
-        min(col("pos")).as("span_start"),
-        (max(col("pos")) + lit(spanLen - 1)).as("span_end"))
-      .select(col("doc_id"), col("span_id"), col("span_start"), col("span_end"))
-      .orderBy(col("doc_id"), col("span_id"))
-  }
+      spanLen: Int = 40, sampleMod: Int = AutoSampleMod): DataFrame =
+    spanRangesOf(duplicatedSpanHits(spark, sfDir, spanLen, sampleMod), spanLen)
 
   val duplicatedSpansOracle: String =
     """WITH w AS (

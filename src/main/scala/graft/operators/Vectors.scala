@@ -342,9 +342,9 @@ object Vectors {
 
   /** Build-once cache in the JVM temp dir, keyed like [[Index.ensure]]. */
   def ensureIvfIndex(spark: SparkSession, sfDir: String, cells: Int = 16): String = {
-    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/embeddings.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:${src.lastModified}:ivf:$cells:v${Index.LayoutVersion}")
+      s"$sfDir:$srcMtime:ivf:$cells:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-ivf-index-$key")
     if (!new java.io.File(dir, "cells/_SUCCESS").exists())
       // share the fitted-quantizer artifact with the inline path (annIvf):
@@ -411,7 +411,7 @@ object Vectors {
 
   private def pairModel(
       spark: SparkSession, sfDir: String, tables: Int, bits: Int): Lsh.LshModel = {
-    val mtime = new java.io.File(s"$sfDir/embeddings.parquet").lastModified
+    val mtime = graft.Tables.fixtureMtime(spark, s"$sfDir/embeddings.parquet")
     graft.Memo.once(pairModelCache, s"$sfDir:$mtime:$tables:$bits")(
       Lsh.fit(Tables.embeddings(spark, sfDir), tables, bits))
   }
@@ -551,7 +551,7 @@ object Vectors {
       sfDir: String,
       k: Int = 0,
       iterations: Int = 3): CentroidSet = {
-    val mtime = new java.io.File(s"$sfDir/embeddings.parquet").lastModified
+    val mtime = graft.Tables.fixtureMtime(spark, s"$sfDir/embeddings.parquet")
     // Key by "auto", not the derived value — the Index.ensure discipline:
     // the memoized path never pays the deriveK count() job.
     val kKey = if (k > 0) k.toString else "auto"
@@ -846,9 +846,9 @@ object Vectors {
       sfDir: String,
       batchMod: Long = 7,
       batchRem: Long = 0): String = {
-    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/embeddings.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:${src.lastModified}:cell-store:$batchMod:$batchRem:v${Index.LayoutVersion}")
+      s"$sfDir:$srcMtime:cell-store:$batchMod:$batchRem:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-cell-store-$key")
     settleCellStore(spark, dir.getAbsolutePath)
     if (!new java.io.File(dir, "_params").exists())
