@@ -140,8 +140,11 @@ object Bench {
         val ok =
           try { fn(spark, sfDir).count(); true } catch {
             case e: Throwable =>
+              // Strip backslash, quote, and ALL control chars (Spark plan
+              // fragments carry tabs/newlines): the message is embedded in
+              // JSON string literals that must stay parseable.
               errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-                .replace("\\", " ").replaceAll("[\"\\n\\r]", " ").take(200)
+                .replaceAll("[\\\\\"\\p{Cntrl}]", " ").take(200)
               false
           }
         val dt = (System.nanoTime() - t0) / 1e9

@@ -14,11 +14,18 @@ import java.util.concurrent.ConcurrentHashMap
   * their key; `putIfAbsent` keeps whichever landed first).
   */
 object Memo {
+  /** Loaders must return NON-NULL (a ConcurrentHashMap cannot hold null
+    * values; the old `computeIfAbsent` silently treated null as no-entry).
+    * Model a legitimately-absent artifact as an Option/empty value instead
+    * — the require turns the contract violation into a named error rather
+    * than an NPE inside the map.
+    */
   def once[V <: AnyRef](map: ConcurrentHashMap[String, V], key: String)(load: => V): V = {
     val cached = map.get(key)
     if (cached != null) cached
     else {
       val loaded = load
+      require(loaded != null, s"Memo loader returned null for key $key")
       val prev = map.putIfAbsent(key, loaded)
       if (prev != null) prev else loaded
     }
@@ -39,13 +46,25 @@ object Memo {
   def onceExclusive[V <: AnyRef](map: ConcurrentHashMap[String, V], key: String)(load: => V): V = {
     val cached = map.get(key)
     if (cached != null) cached
-    else keyLocks.computeIfAbsent(key, _ => new Object).synchronized {
-      val again = map.get(key)
-      if (again != null) again
-      else {
-        val loaded = load
-        map.put(key, loaded)
-        loaded
+    else {
+      // Lock identity includes the CALLER'S map so equal key strings from
+      // unrelated caches never serialize on one lock. Lock entries are
+      // deliberately never removed: eager cleanup opens a narrow window
+      // where a finisher's removal lets a racing post-bump reloader mint a
+      // fresh lock and double-run a side-effecting loader — the exact bug
+      // this variant exists to prevent. Growth is bounded by DISTINCT keys
+      // ever loaded exclusively (~16 bytes each; one per fixture rebuild in
+      // practice), a fair price for exclusivity that holds by construction.
+      val lockKey = s"${System.identityHashCode(map)}:$key"
+      keyLocks.computeIfAbsent(lockKey, _ => new Object).synchronized {
+        val again = map.get(key)
+        if (again != null) again
+        else {
+          val loaded = load
+          require(loaded != null, s"Memo loader returned null for key $key")
+          map.put(key, loaded)
+          loaded
+        }
       }
     }
   }

@@ -42,14 +42,17 @@ object Readers {
   private val epoch = new AtomicLong(0L)
   private val memo = new ConcurrentHashMap[String, StructType]()
   private val artifactMemo = new ConcurrentHashMap[String, AnyRef]()
+  private val probeMemo = new ConcurrentHashMap[String, java.lang.Boolean]()
 
-  /** Invalidate every memoized schema and artifact doc (called by lifecycle
-    * mutations).
+  /** Invalidate every memoized schema, artifact doc, and sink-probe result
+    * (called by lifecycle mutations AND by the engine's streaming sink
+    * starters — a dir growing a sink log must re-probe).
     */
   def bump(): Unit = {
     epoch.incrementAndGet()
     memo.clear()
     artifactMemo.clear()
+    probeMemo.clear()
   }
 
   /** Current invalidation epoch — for external caches that key by it. */
@@ -114,18 +117,32 @@ object Readers {
     * error.
     */
   def parquet(spark: SparkSession, path: String): DataFrame =
-    if (sinkLive(spark, path)) spark.read.parquet(path)
+    if (sinkLiveMemo(spark, path)) spark.read.parquet(path)
     else readWithMemoizedSchema(spark, path, keyOf(spark, path, ""))
 
+  /** Per-epoch memo of the sink probe: on an object store the probe is a
+    * remote existence RPC, and paying it on EVERY memoized read would
+    * undo much of the per-call savings the schema memo provides. The memo
+    * is sound because every event that changes a dir's sink-liveness in
+    * this engine bumps: lifecycle mutations (adopt retires the log) and
+    * the streaming sink starters (the log appears). An EXTERNALLY started
+    * sink on an already-probed dir has the same bump contract, documented
+    * at [[bump]].
+    */
+  private def sinkLiveMemo(spark: SparkSession, path: String): Boolean =
+    Memo.once(probeMemo, keyOf(spark, path, "sinkprobe"))(
+      java.lang.Boolean.valueOf(sinkLive(spark, path))).booleanValue()
+
   /** The live-sink probe behind [[parquet]] (test-visible: the probe is the
-    * remote-fs contract). An unreachable filesystem probes false — the read
-    * itself raises the real error.
+    * remote-fs contract). A missing path probes false (`exists` handles
+    * not-found itself); any OTHER filesystem failure propagates — mapping
+    * a transient error to "not sink-live" would memoize a sink-live dir's
+    * schema, the staleness this probe exists to prevent.
     */
   private[graft] def sinkLive(spark: SparkSession, path: String): Boolean = {
     val sinkLog = new org.apache.hadoop.fs.Path(path, "_spark_metadata")
-    try sinkLog.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sinkLog.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(sinkLog)
-    catch { case _: java.io.IOException => false }
   }
 
   /** Read for an IMMUTABLE fixture file/dir — schema memo keyed by mtime,

@@ -1644,7 +1644,10 @@ object Text {
           col("doc_id") % batchMod === batchRem),
       eager = true)
     val cleaned = cleanCorpusOf(delivery)
-    val inStore = dedupBatchAgainstStore(spark, delivery,
+    // stage 2's probe returns the batch docs whose content is NOT already
+    // in the store — the novel ones; a cleaned doc absent from this set is
+    // a cross-corpus duplicate
+    val novel = dedupBatchAgainstStore(spark, delivery,
         ensureDigestStore(spark, sfDir, batchMod, batchRem))
       .select(col("doc_id"))
     val nearDups = nearDupIncrement(spark, sfDir, batchMod, batchRem)
@@ -1653,9 +1656,7 @@ object Text {
         ensureGramStore(spark, sfDir, gram, evalMod, evalRem), gram)
       .select(col("doc_id"))
     cleaned
-      // stage 2's probe returns the batch docs NOT in the store; a cleaned
-      // doc absent from that survivor set is a cross-corpus duplicate
-      .join(inStore, Seq("doc_id"), "left_semi")
+      .join(novel, Seq("doc_id"), "left_semi")
       .join(nearDups, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
@@ -2351,8 +2352,12 @@ object Text {
     * bytes on disk of the documents table. Parquet-compressed bytes
     * UNDERSTATE chars, so the derived modulus is never larger than the
     * char-count policy's — the estimate can only err toward exactness
-    * (smaller s, higher recall). An unreadable path estimates 0 (exact);
-    * the scan raises the real error.
+    * (smaller s, higher recall). A MISSING path estimates 0 (exact; the
+    * scan raises the canonical not-found error), but any other filesystem
+    * failure PROPAGATES: a transient listing error silently mapped to 0
+    * would select the 25×-amplified exact shuffle at exactly the corpus
+    * scale the valve exists to protect — fail fast and let the caller
+    * retry instead.
     *
     * Memoized keyed by (path, mtime), the [[Tables.embeddingsCount]]
     * discipline: `getContentSummary` is one namenode RPC on HDFS but a
@@ -2369,16 +2374,25 @@ object Text {
       // LIST the memo exists to amortize — never run it under a bin lock.
       graft.Memo.once(corpusBytesMemo, s"$sfDir:$mtime")(
         java.lang.Long.valueOf(fs.getContentSummary(p).getLength)).longValue()
-    } catch { case _: java.io.IOException => 0L }
+    } catch { case _: java.io.FileNotFoundException => 0L }
+  }
+
+  /** Resolve the [[AutoSampleMod]] sentinel to a concrete modulus — ONE
+    * resolution point shared by the live detection and the [[ensureSpanHits]]
+    * artifact key, so build-time and query-time derivation can never
+    * diverge within a corpus version (the mtime-keyed artifact rebuilds
+    * when the corpus changes).
+    */
+  private def resolveSampleMod(spark: SparkSession, sfDir: String, sampleModArg: Int): Int = {
+    require(sampleModArg >= 0, s"sampleMod must be >= 0: $sampleModArg")
+    if (sampleModArg == AutoSampleMod) deriveSampleMod(corpusBytesOnDisk(spark, sfDir))
+    else sampleModArg
   }
 
   private def duplicatedSpanHits(
       spark: SparkSession, sfDir: String, spanLen: Int, sampleModArg: Int): DataFrame = {
     require(spanLen >= 2, s"spanLen must be >= 2: $spanLen")
-    require(sampleModArg >= 0, s"sampleMod must be >= 0: $sampleModArg")
-    val sampleMod =
-      if (sampleModArg == AutoSampleMod) deriveSampleMod(corpusBytesOnDisk(spark, sfDir))
-      else sampleModArg
+    val sampleMod = resolveSampleMod(spark, sfDir, sampleModArg)
     val win = Tables.documents(spark, sfDir)
       .filter(length(col("text")) >= spanLen)
       .select(col("doc_id"), explode(
@@ -2488,12 +2502,19 @@ object Text {
   def ensureSpanHits(
       spark: SparkSession, sfDir: String,
       spanLen: Int = 40, sampleMod: Int = AutoSampleMod): String = {
+    // Key by the RESOLVED modulus, not the auto sentinel: the artifact's
+    // identity is its actual operating point, so a stored hit table built
+    // under one derived modulus can never serve a caller whose resolution
+    // differs (corpus growth moves the mtime key anyway; this guards the
+    // explicit-vs-auto aliasing too: auto resolving to 1 and explicit 1
+    // share one artifact, as they should).
+    val resolved = resolveSampleMod(spark, sfDir, sampleMod)
     val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:spanhits:$spanLen:$sampleMod:v${Index.LayoutVersion}")
+      s"$sfDir:$srcMtime:spanhits:$spanLen:$resolved:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-spanhits-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists())
-      duplicatedSpanHits(spark, sfDir, spanLen, sampleMod)
+      duplicatedSpanHits(spark, sfDir, spanLen, resolved)
         .select(col("doc_id"), col("pos"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(dir.getAbsolutePath)

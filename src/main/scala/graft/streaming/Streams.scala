@@ -136,6 +136,11 @@ object Streams {
       outDir: String,
       checkpointDir: String): StreamingQuery = {
     graft.operators.Lifecycle.assertNotAdopted(spark, outDir)
+    // The dir is about to grow a _spark_metadata sink log: drop any
+    // epoch-memoized "not sink-live" probe result so batch readers switch
+    // to the log-aware read path immediately (Readers memoizes the probe
+    // per epoch; an EXTERNALLY started sink has the same bump contract).
+    graft.Readers.bump()
     // batch = 0 matches Index.build's stamp: the streamed layout is the
     // INITIAL build expressed as a stream; incremental streamed ingest into
     // a live index would thread Index.allocateBatch through here instead.
@@ -170,6 +175,11 @@ object Streams {
       outDir: String,
       checkpointDir: String): StreamingQuery = {
     graft.operators.Lifecycle.assertNotAdopted(spark, outDir)
+    // The dir is about to grow a _spark_metadata sink log: drop any
+    // epoch-memoized "not sink-live" probe result so batch readers switch
+    // to the log-aware read path immediately (Readers memoizes the probe
+    // per epoch; an EXTERNALLY started sink has the same bump contract).
+    graft.Readers.bump()
     graft.operators.Vectors.assignCellsWith(readVectors(spark, srcDir), cents)
       .withColumn(graft.operators.Lifecycle.BatchCol, lit(0L))
       .writeStream
@@ -197,6 +207,11 @@ object Streams {
       outDir: String,
       checkpointDir: String): StreamingQuery = {
     graft.operators.Lifecycle.assertNotAdopted(spark, outDir)
+    // The dir is about to grow a _spark_metadata sink log: drop any
+    // epoch-memoized "not sink-live" probe result so batch readers switch
+    // to the log-aware read path immediately (Readers memoizes the probe
+    // per epoch; an EXTERNALLY started sink has the same bump contract).
+    graft.Readers.bump()
     readVectors(spark, srcDir)
       .select(col("vec_id"), encoder(col("embedding")).as("codes"))
       .withColumn(graft.operators.Lifecycle.BatchCol, lit(0L))
