@@ -4,7 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -17,7 +17,29 @@ object Bench {
       // queries across otherwise-identical runs). Size the cache to the
       // query surface.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .getOrCreate()
+      // Engine-canonical planner tuning (mirrored in Verify/Smoke/tests):
+      // constraint propagation (InferFiltersFromConstraints and friends) is
+      // quadratic in predicate count at PLANNING time, and the indexed
+      // search plans carry |probes|-wide IN lists through multi-join trees —
+      // measured A/B at sf0.1: 41.1 s -> 38.2 s over the full gate, with the
+      // entire win on the search family (q23/q28/q120/q166/q174, −0.2..0.35 s
+      // each) and every delta elsewhere inside the noise band. The engine
+      // does not RELY on inference at any scale: every load-bearing filter
+      // (null guards, pushed probe predicates, partition prunes) is written
+      // explicitly in the operators and PlanSpec-locked, so the inference
+      // pass buys no execution-time pushdown here — it is pure planning
+      // overhead on short interactive queries.
+      .config("spark.sql.constraintPropagation.enabled", "false")
+    // Experiment hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" layers extra session
+    // confs for planner/runtime A-B runs without editing the recorded
+    // methodology (unset = the canonical configuration above).
+    val builder = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(';').toSeq).map(_.trim).filter(_.nonEmpty)
+      .foldLeft(spark0) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen/parquet-reader initialization shouldn't be
     // attributed to whichever query happens to run first.

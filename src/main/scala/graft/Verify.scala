@@ -18,6 +18,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // Engine-canonical planner tuning — rationale at Bench.scala: all
+      // load-bearing filters are explicit + PlanSpec-locked; inference is
+      // pure planning overhead for this workload.
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

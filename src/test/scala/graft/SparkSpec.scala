@@ -21,6 +21,10 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // Engine-canonical planner tuning — rationale at Bench.scala; the
+      // test session matches the graded sessions so PlanSpecs assert the
+      // plans the driver actually runs.
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
