@@ -289,8 +289,75 @@ object Audit {
       |FROM d JOIN c ON d.label = c.label
       |GROUP BY d.label, na, nb ORDER BY d.label""".stripMargin
 
+  /** q184 — PER-SOURCE COLUMN CORRELATION (ES `matrix_stats`): Pearson
+    * correlation between character and token counts per source — the
+    * metadata-sanity audit that catches a source whose length fields
+    * stopped agreeing (truncated text, double-counted whitespace, a broken
+    * extractor). One corpus aggregate computing the six moment sums
+    * (n, Σx, Σy, Σx², Σy², Σxy) EXACTLY in BIGINT — order-independent
+    * under any partitioning — then the correlation as a fixed tree of
+    * correctly-rounded double ops (the moment differences n·Σxy − Σx·Σy
+    * etc. are formed in BIGINT, exact; sqrt/÷ are IEEE-correct on both
+    * engines), so the oracle is bitwise. A zero-variance side yields NULL
+    * (undefined, surfaced) on both engines. Overflow: x,y ≤ ~10^4 per doc
+    * keeps the BIGINT moments exact to ~10^10 docs per source; past that,
+    * the DECIMAL(38,0) valve (the q116 note).
+    */
+  def columnCorrelations(spark: SparkSession, sfDir: String): DataFrame =
+    columnCorrelationsOf(
+      graft.Tables.documents(spark, sfDir)
+        .select(
+          col("source"),
+          col("n_chars").as("x"),
+          size(split(col("text"), " ")).cast("long").as("y")))
+
+  /** The exact-moment correlation core over ANY (source, x, y) long frame —
+    * the gate wrapper binds chars/tokens; specs drive it with planted
+    * perfect/anti/degenerate relationships and a driver recompute.
+    */
+  def columnCorrelationsOf(pairs: DataFrame): DataFrame =
+    pairs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(
+        col("source"), col("n"),
+        when(
+          col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("n") * col("syy") - col("sy") * col("sy") > 0,
+          round(
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4))
+          .as("chars_tokens_corr"))
+      .orderBy(col("source"))
+
+  val columnCorrelationsOracle: String =
+    """WITH m AS (
+      |  SELECT source, count(*) AS n,
+      |         CAST(sum(n_chars) AS BIGINT) AS sx,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sy,
+      |         CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx,
+      |         CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)
+      |                  * len(string_split(text, ' '))) AS BIGINT) AS syy,
+      |         CAST(sum(n_chars * len(string_split(text, ' '))) AS BIGINT)
+      |           AS sxy
+      |  FROM documents GROUP BY source)
+      |SELECT source, n,
+      |       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |            THEN round((n * sxy - sx * sy) /
+      |                       (sqrt(n * sxx - sx * sx) *
+      |                        sqrt(n * syy - sy * sy)), 4)
+      |            END AS chars_tokens_corr
+      |FROM m ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_embedding_norms" -> ((s: SparkSession, d: String) => embeddingNorms(s, d)),
+    "q184_column_correlations" -> (columnCorrelations _),
     "q133_embedding_coverage" -> (embeddingCoverage _),
     "q137_centroid_drift" -> (centroidDrift _),
     // rows-only: counts depend on the persisted index layout state
@@ -301,6 +368,7 @@ object Audit {
 
   val oracles: Map[String, String] = Map(
     "q131_embedding_norms" -> embeddingNormsOracle(),
+    "q184_column_correlations" -> columnCorrelationsOracle,
     "q133_embedding_coverage" -> embeddingCoverageOracle,
     "q137_centroid_drift" -> centroidDriftOracle)
 }

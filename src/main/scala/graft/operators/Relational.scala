@@ -388,6 +388,85 @@ object Relational {
        |GROUP BY 1, 2
        |ORDER BY yr, mth""".stripMargin
 
+  /** q177 — PIPELINE AGGREGATIONS over the q18 date histogram (ES
+    * `cumulative_sum` + `derivative` pipeline aggs): monthly revenue with
+    * its running total and month-over-month delta — the dashboard trio ES
+    * computes as second-pass aggs over histogram buckets. Expressed as
+    * windows over the MONTH-CARDINALITY aggregate, never the fact table:
+    * the corpus-sized work is the one grouped sum (map-side partials); the
+    * unpartitioned window then scans bucket rows only — bounded by the
+    * date span (a century is 1,200 rows), the PlanLintSpec whitelist
+    * justification. Sums stay scaled BIGINT (the [[Det]] discipline)
+    * through BOTH aggregation levels — the running total is a sum over
+    * already-exact month sums — with the single double division at the end,
+    * so cumulative values are bitwise identical under any partitioning.
+    */
+  def pipelineAggs(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Tables.orders(spark, sfDir)
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mth"))
+      .agg(sum(Det.scaled(col("o_totalprice"), 2)).as("rev_c"))
+    val w = Window.orderBy(col("yr"), col("mth"))
+    m.withColumn("cum_c",
+        sum(col("rev_c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+      .select(
+        col("yr"), col("mth"),
+        (col("rev_c") / 100.0).as("revenue"),
+        (col("cum_c") / 100.0).as("cum_revenue"),
+        ((col("rev_c") - col("prev_c")) / 100.0).as("mom_delta"))
+      .orderBy(col("yr"), col("mth"))
+  }
+
+  val pipelineAggsOracle: String =
+    s"""WITH m AS (
+       |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       |         CAST(month(o_orderdate) AS INTEGER) AS mth,
+       |         CAST(sum(${Det.sqlScaled("o_totalprice", 2)}) AS BIGINT)
+       |           AS rev_c
+       |  FROM orders GROUP BY 1, 2)
+       |SELECT yr, mth,
+       |       rev_c / 100.0 AS revenue,
+       |       CAST(sum(rev_c) OVER (ORDER BY yr, mth ROWS UNBOUNDED PRECEDING)
+       |         AS BIGINT) / 100.0 AS cum_revenue,
+       |       (rev_c - lag(rev_c) OVER (ORDER BY yr, mth)) / 100.0
+       |         AS mom_delta
+       |FROM m ORDER BY yr, mth""".stripMargin
+
+  /** q183 — WEIGHTED AVERAGE aggregation (ES `weighted_avg`): per-flag
+    * quantity-weighted mean unit price. The [[Det]] discipline extended to
+    * a ratio of sums: numerator Σ price_cents·qty and denominator Σ qty are
+    * both exact BIGINT sums (order-independent under any partitioning), and
+    * the weighted mean is ONE double division at the end — never a running
+    * float accumulation. Overflow bound: cents ≤ ~10^7, qty ≤ 50 → ~5·10^8
+    * per row, inside BIGINT to ~10^10 rows per group; past that, the
+    * DECIMAL(38,0) valve (the q116 note).
+    */
+  def weightedAvg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(Det.scaled(col("l_extendedprice"), 2) *
+          Det.scaled(col("l_quantity"), 0)).as("num_c"),
+        sum(Det.scaled(col("l_quantity"), 0)).as("qty"))
+      .select(
+        col("l_returnflag"), col("qty"),
+        round(col("num_c") / col("qty") / 100.0, 4).as("weighted_avg_price"))
+      .orderBy(col("l_returnflag"))
+
+  val weightedAvgOracle: String =
+    s"""SELECT l_returnflag,
+       |       CAST(sum(${Det.sqlScaled("l_quantity", 0)}) AS BIGINT) AS qty,
+       |       round(CAST(sum(${Det.sqlScaled("l_extendedprice", 2)} *
+       |                      ${Det.sqlScaled("l_quantity", 0)}) AS BIGINT)
+       |             / CAST(sum(${Det.sqlScaled("l_quantity", 0)}) AS BIGINT)
+       |             / 100.0, 4) AS weighted_avg_price
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
   /** q24 — math + CASE WHEN: per-brand price-tier stats. sqrt is IEEE
     * correctly-rounded on both engines, so per-row scaled rounding is exact.
     */
@@ -450,6 +529,8 @@ object Relational {
     "q15_union_users" -> (unionUsers _),
     "q16_distinct_nations" -> (distinctNations _),
     "q18_monthly_revenue" -> (monthlyRevenue _),
+    "q177_pipeline_aggs" -> (pipelineAggs _),
+    "q183_weighted_avg" -> (weightedAvg _),
     "q24_brand_tiers" -> (brandTiers _))
 
   val oracles: Map[String, String] = Map(
@@ -470,5 +551,7 @@ object Relational {
     "q15_union_users" -> unionUsersOracle,
     "q16_distinct_nations" -> distinctNationsOracle,
     "q18_monthly_revenue" -> monthlyRevenueOracle,
+    "q177_pipeline_aggs" -> pipelineAggsOracle,
+    "q183_weighted_avg" -> weightedAvgOracle,
     "q24_brand_tiers" -> brandTiersOracle)
 }

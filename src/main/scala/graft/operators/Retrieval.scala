@@ -405,6 +405,124 @@ object Retrieval {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** ES wildcard pattern (`*` = any run, `?` = exactly one char) → SQL LIKE,
+    * with literal LIKE metacharacters backslash-escaped — a pattern
+    * containing `%`/`_` must match those characters, not widen (the q169
+    * starts_with note, one level up). Both engines implement identical LIKE
+    * semantics under an explicit `ESCAPE '\'`.
+    */
+  private[graft] def wildcardToLike(pattern: String): String =
+    pattern.flatMap {
+      case '*' => "%"
+      case '?' => "_"
+      case '%' => "\\%"
+      case '_' => "\\_"
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+
+  /** q176 — WILDCARD SEARCH at the document level (ES `wildcard` query):
+    * every doc containing at least one term matching the pattern, with hit
+    * and distinct-term counts. Completes the term-expansion query family
+    * (q143 fuzzy / q144 regex / q169 prefix / q170 synonym): ES rewrites a
+    * wildcard into matching dictionary terms then reads their postings; here
+    * the LIKE predicate runs over the persisted postings store's
+    * Zipf-bounded term column — an infix pattern can't prune row groups the
+    * way q169's `StringStartsWith` does (ES pays the same full dictionary
+    * walk for a leading `*`), but the scan is dictionary-shaped, reads no
+    * text, and the corpus is never re-exploded.
+    */
+  def wildcardSearch(
+      spark: SparkSession,
+      sfDir: String,
+      pattern: String = "s?a*"): DataFrame =
+    graft.Readers.parquet(spark, ensurePostingsStore(spark, sfDir))
+      .filter(col("term").like(wildcardToLike(pattern)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), countDistinct(col("term")).as("n_terms"))
+      .orderBy(col("doc_id"))
+
+  def wildcardSearchOracle(pattern: String = "s?a*"): String = {
+    val p = wildcardToLike(pattern).replace("'", "''")
+    s"""WITH x AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents)
+       |SELECT doc_id, count(*) AS n_hits, count(DISTINCT t) AS n_terms
+       |FROM x WHERE t LIKE '$p' ESCAPE '\\'
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** q181 — COMPOSITE AGGREGATION with `after`-key pagination (ES
+    * `composite` agg): the scalable way ES pages through a multi-bucket
+    * aggregation — buckets in (source, lang) key order, resuming strictly
+    * AFTER a cursor key, one page per call. The after-key predicate
+    * references only GROUP columns, so Catalyst pushes it below the
+    * aggregate (bucket pruning before any row aggregates — at 100 TB with
+    * source-partitioned layout that is partition pruning, ES's own
+    * shard-level skip); the page cut is a TakeOrderedAndProject over
+    * bucket-cardinality rows, never a global sort of the corpus.
+    */
+  def compositeAgg(
+      spark: SparkSession,
+      sfDir: String,
+      afterSource: String = "src2",
+      afterLang: String = "en",
+      size: Int = 10): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .filter(col("source") > afterSource ||
+        (col("source") === afterSource && col("lang") > afterLang))
+      .orderBy(col("source"), col("lang"))
+      .limit(size)
+
+  def compositeAggOracle(
+      afterSource: String = "src2",
+      afterLang: String = "en",
+      size: Int = 10): String =
+    s"""SELECT source, lang, count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |FROM documents
+       |GROUP BY source, lang
+       |HAVING source > '$afterSource'
+       |    OR (source = '$afterSource' AND lang > '$afterLang')
+       |ORDER BY source, lang
+       |LIMIT $size""".stripMargin
+
+  /** q182 — SPAN FIRST (ES `span_first` query): documents where a term
+    * occurs within the first `boundary` token positions — the "title-ish /
+    * lead-paragraph match" positional query. Served from the positional
+    * postings store with BOTH predicates pushed into the parquet scan
+    * (`EqualTo(term)` row-group-skips on the term-clustered layout;
+    * `LessThan(pos)` prunes inside surviving groups) — no text read, no
+    * corpus re-explode; the aggregate runs on the term's
+    * position-truncated posting list only.
+    */
+  def spanFirst(
+      spark: SparkSession,
+      sfDir: String,
+      term: String = "join",
+      boundary: Int = 8): DataFrame =
+    graft.Readers.parquet(spark, ensurePostingsStore(spark, sfDir))
+      .filter(col("term") === term && col("pos") < boundary)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle over the list prefix: occurrences of the term in the first
+    * `boundary` tokens (DuckDB slices are 1-based inclusive — `ts[1:k]` IS
+    * the 0-based `pos < k` window).
+    */
+  def spanFirstOracle(term: String = "join", boundary: Int = 8): String =
+    s"""WITH x AS (
+       |  SELECT doc_id,
+       |         len(list_filter(string_split(text, ' ')[1:$boundary],
+       |                         t -> t = '$term')) AS n
+       |  FROM documents)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_hits
+       |FROM x WHERE n > 0
+       |ORDER BY doc_id""".stripMargin
+
   /** The default synonym registry for q170 — an ES synonym-filter analysis
     * chain as data: (concept, variant) rows, broadcast into the match.
     */
@@ -1356,6 +1474,9 @@ object Retrieval {
     "q167_dis_max" -> ((s: SparkSession, d: String) => disMax(s, d)),
     "q168_boosting" -> ((s: SparkSession, d: String) => boostingQuery(s, d)),
     "q169_prefix_search" -> ((s: SparkSession, d: String) => prefixSearch(s, d)),
+    "q176_wildcard_search" -> ((s: SparkSession, d: String) => wildcardSearch(s, d)),
+    "q181_composite_agg" -> ((s: SparkSession, d: String) => compositeAgg(s, d)),
+    "q182_span_first" -> ((s: SparkSession, d: String) => spanFirst(s, d)),
     "q170_synonym_search" -> ((s: SparkSession, d: String) => synonymSearch(s, d)),
     "q171_term_vectors" -> ((s: SparkSession, d: String) => termVectors(s, d)))
 
@@ -1384,6 +1505,9 @@ object Retrieval {
     "q167_dis_max" -> disMaxOracle(),
     "q168_boosting" -> boostingQueryOracle(),
     "q169_prefix_search" -> prefixSearchOracle(),
+    "q176_wildcard_search" -> wildcardSearchOracle(),
+    "q181_composite_agg" -> compositeAggOracle(),
+    "q182_span_first" -> spanFirstOracle(),
     "q170_synonym_search" -> synonymSearchOracle(),
     "q171_term_vectors" -> termVectorsOracle())
 }

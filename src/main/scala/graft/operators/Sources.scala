@@ -41,6 +41,8 @@ object Sources {
         case "json" => w.json(dir.getAbsolutePath)
         case "csv"  => w.option("header", "true").csv(dir.getAbsolutePath)
         case "orc"  => w.orc(dir.getAbsolutePath)
+        case "xml"  => w.option("rowTag", "nation").format("xml")
+          .save(dir.getAbsolutePath)
       }
     }
     dir.getAbsolutePath
@@ -89,6 +91,30 @@ object Sources {
 
   val orcSourceOracle: String =
     """SELECT n_regionkey, count(*) AS n_nations, max(n_name) AS last_nation
+      |FROM nation
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin
+
+  /** q179 — XML source: Spark 4's NATIVE XML reader (the spark-xml package
+    * merged into core), the format enterprise feeds still arrive in. Same
+    * round-trip discipline as q52/q53/q69 — derive the XML twin once, read
+    * it back with an EXPLICIT schema + `rowTag` (inference is an extra full
+    * pass at scale; row-tag scoping is what lets Spark split large XML files
+    * across tasks), aggregate, and check values against the original
+    * parquet table.
+    */
+  def xmlSource(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.schema(nationSchema).option("rowTag", "nation").format("xml")
+      .load(derived(spark, sfDir, "xml"))
+      .groupBy(col("n_regionkey"))
+      .agg(
+        count(lit(1)).as("n_nations"),
+        min(length(col("n_name"))).cast("long").as("min_name_len"))
+      .orderBy(col("n_regionkey"))
+
+  val xmlSourceOracle: String =
+    """SELECT n_regionkey, count(*) AS n_nations,
+      |       CAST(min(length(n_name)) AS BIGINT) AS min_name_len
       |FROM nation
       |GROUP BY n_regionkey
       |ORDER BY n_regionkey""".stripMargin
@@ -634,6 +660,7 @@ object Sources {
     "q52_json_source" -> (jsonSource _),
     "q53_csv_source" -> (csvSource _),
     "q69_orc_source" -> (orcSource _),
+    "q179_xml_source" -> (xmlSource _),
     "q70_train_split" -> (trainSplit _),
     "q81_stratified_sample" -> (stratifiedSample _),
     "q99_fixed_sample" -> ((s: SparkSession, d: String) => fixedSample(s, d)),
@@ -648,6 +675,7 @@ object Sources {
     "q52_json_source" -> jsonSourceOracle,
     "q53_csv_source" -> csvSourceOracle,
     "q69_orc_source" -> orcSourceOracle,
+    "q179_xml_source" -> xmlSourceOracle,
     "q70_train_split" -> trainSplitOracle,
     "q81_stratified_sample" -> stratifiedSampleOracle,
     "q99_fixed_sample" -> fixedSampleOracle(),

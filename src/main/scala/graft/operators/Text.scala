@@ -160,6 +160,49 @@ object Text {
       |GROUP BY text
       |ORDER BY doc_id""".stripMargin
 
+  /** q180 — NORMALIZED exact dedup: the ccnet-style canonical key. Raw-text
+    * dedup (q32) misses near-identical web copies that differ only in
+    * whitespace runs, letter case, or Unicode composition (é as one
+    * codepoint vs e + combining accent — visually identical, byte-distinct,
+    * endemic in crawled text from mixed encoders). The canonical key is
+    * trim → whitespace-collapse → lowercase → Unicode NFC (the
+    * [[org.apache.spark.sql.graft.TextExpressions.NfcNormalize]] codegen
+    * expression; Spark has no built-in normalizer), then the same sha2-256
+    * digest grouping as q32 — the shuffle carries 32-byte digests, never
+    * text. Both engines implement the identical published algorithms
+    * (UAX #15 NFC, POSIX `\s`, ASCII-superset lowercasing), so the oracle is
+    * engine-exact; the composed/decomposed equivalence itself is pinned by
+    * TextSpec on non-ASCII fixtures (this corpus is ASCII, where NFC is the
+    * identity — the gate checks the pipeline, the spec checks the
+    * normalizer).
+    *
+    * Scale shape: identical to q32 — one narrow map (all codegen), one
+    * digest-keyed aggregate. The canonicalization adds zero shuffle.
+    */
+  def normalizedDedup(spark: SparkSession, sfDir: String): DataFrame =
+    normalizedDedupOf(Tables.documents(spark, sfDir))
+
+  /** The canonical-key grouping over ANY (doc_id, text) frame — the gate
+    * wrapper binds the fixture table; specs drive it with planted
+    * case/whitespace/composition variants.
+    */
+  def normalizedDedupOf(documents: DataFrame): DataFrame = {
+    val canon = org.apache.spark.sql.graft.TextExpressions.nfcNormalize(
+      lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+    documents
+      .select(col("doc_id"), sha2(canon, 256).as("key"))
+      .groupBy(col("key"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("copies"))
+      .select(col("doc_id"), col("copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  val normalizedDedupOracle: String =
+    """SELECT min(doc_id) AS doc_id, count(*) AS copies
+      |FROM documents
+      |GROUP BY sha256(nfc_normalize(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+      |ORDER BY doc_id""".stripMargin
+
   /** q39 — the deduplicated corpus itself (the user-facing API a training-
     * data pipeline calls): keep the lowest-id copy per distinct text. Same
     * digest-keyed shuffle discipline as [[exactDedup]], then a semi-join
@@ -1033,6 +1076,57 @@ object Text {
     minH
   }
 
+  /** One-pass intra-document line-dedup counters for
+    * [[org.apache.spark.sql.graft.TextExpressions.LineDedupStats]]:
+    * struct(n_lines, n_dup_lines, n_tokens_removed) where a "line" is a
+    * consecutive `width`-token group (the last may be partial). A duplicate
+    * INSTANCE is any line equal to an earlier line of the SAME document;
+    * its token count is what removal would drop. Per-doc hashing pass —
+    * O(tokens) time, O(distinct lines) space, all inside one document.
+    */
+  def lineDedupStatsArrayData(
+      toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      width: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = toks.numElements()
+    val seen = new java.util.HashSet[String]()
+    var nLines = 0L
+    var dupLines = 0L
+    var removedToks = 0L
+    var i = 0
+    while (i < n) {
+      val end = math.min(i + width, n)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks.getUTF8String(j).toString)
+        j += 1
+      }
+      nLines += 1
+      if (!seen.add(sb.toString)) {
+        dupLines += 1
+        removedToks += (end - i)
+      }
+      i += width
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nLines, dupLines, removedToks))
+  }
+
+  /** Unicode NFC canonicalization for [[TextExpressions.NfcNormalize]]'s
+    * eval + codegen paths (shared JVM method — the two cannot drift).
+    * `isNormalized` first: all-ASCII text (the overwhelming share of web
+    * corpora) short-circuits without allocating; only documents actually
+    * carrying decomposed sequences pay the normalize pass.
+    */
+  def nfcUtf8(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** One-pass rolling window digests for [[duplicatedSpans]] (q114 hot
     * path): every length-`spanLen` character window of `text` as
     * (pos, h1, h2) — two independent-base polynomial rolling hashes, O(len)
@@ -1184,6 +1278,67 @@ object Text {
       |       ((n_bigrams - n_distinct_bigrams) / n_bigrams <= 0.2
       |        AND top_tok / n_tokens <= 0.2) AS keep
       |FROM stats ORDER BY doc_id""".stripMargin
+
+  /** q178 — INTRA-DOCUMENT repeated-line removal (the ccnet/MassiveText
+    * "dedup repeated lines within a document" cleaning step — boilerplate
+    * nav bars, cookie banners, and list spam repeat verbatim INSIDE a page;
+    * corpus-level dedup never sees them). Where q79 only SCORES repetition,
+    * this is the removal op: per document, how many lines a
+    * keep-first-occurrence line dedup drops and how many tokens that
+    * reclaims. Lines are consecutive `lineWidth`-token groups — the gate's
+    * width 2 is calibrated to the fixture's 31-word vocabulary (the q79
+    * threshold note); real corpora split on newlines, same kernel shape.
+    *
+    * Implementation is a ONE-PASS codegen kernel
+    * ([[org.apache.spark.sql.graft.TextExpressions.LineDedupStats]]): per-doc
+    * work in a single compiled hashing pass — a narrow map with no explode,
+    * no shuffle, and per-doc-bounded memory, so at 100 TB this runs at scan
+    * speed like q79. The interpreted alternative (transform + slice +
+    * array_distinct + a re-split per line) is a CodegenFallback stack.
+    */
+  def lineDedup(spark: SparkSession, sfDir: String, lineWidth: Int = 2): DataFrame =
+    lineDedupOf(Tables.documents(spark, sfDir), lineWidth)
+
+  /** The kernel over ANY (doc_id, text) frame — the gate wrapper binds the
+    * fixture table; specs drive it with planted duplicate lines and a
+    * driver-recompute property across widths.
+    */
+  def lineDedupOf(documents: DataFrame, lineWidth: Int): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions
+          .lineDedupStats(tokens(col("text")), lineWidth).as("ld"))
+      .select(
+        col("doc_id"),
+        col("ld.n_lines").as("n_lines"),
+        col("ld.n_dup_lines").as("n_dup_lines"),
+        col("ld.n_tokens_removed").as("n_tokens_removed"))
+      .filter(col("n_dup_lines") > 0)
+      .orderBy(col("doc_id"))
+
+  /** Oracle counts removed tokens as total − Σ tokens over DISTINCT lines —
+    * equal to the kernel's per-duplicate-instance sum because every
+    * duplicate instance carries exactly its first occurrence's tokens.
+    */
+  def lineDedupOracle(lineWidth: Int = 2): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |l AS (
+       |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks,
+       |         [array_to_string(ts[(i-1)*$lineWidth+1 : i*$lineWidth], ' ')
+       |          FOR i IN generate_series(1,
+       |            CAST(ceil(len(ts) / $lineWidth.0) AS BIGINT))] AS lines
+       |  FROM tok)
+       |SELECT doc_id,
+       |       CAST(len(lines) AS BIGINT) AS n_lines,
+       |       CAST(len(lines) - len(list_distinct(lines)) AS BIGINT)
+       |         AS n_dup_lines,
+       |       CAST(n_toks - list_sum(list_transform(list_distinct(lines),
+       |         x -> len(string_split(x, ' ')))) AS BIGINT) AS n_tokens_removed
+       |FROM l
+       |WHERE len(lines) - len(list_distinct(lines)) > 0
+       |ORDER BY doc_id""".stripMargin
 
   /** q80 — train/eval decontamination: which training documents share a
     * verbatim token 8-gram with the held-out eval set (the published
@@ -2785,6 +2940,8 @@ object Text {
     "q30_token_stats" -> (tokenStats _),
     "q31_quality_scores" -> (qualityScores _),
     "q32_exact_dedup" -> (exactDedup _),
+    "q180_normalized_dedup" -> (normalizedDedup _),
+    "q178_line_dedup" -> ((s: SparkSession, d: String) => lineDedup(s, d)),
     "q33_jaccard_pairs" -> ((s: SparkSession, d: String) => jaccardPairs(s, d)),
     "q97_containment_pairs" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
     "q98_containment_neardups" -> ((s: SparkSession, d: String) => containmentNearDups(s, d)),
@@ -2826,6 +2983,8 @@ object Text {
     "q30_token_stats" -> tokenStatsOracle,
     "q31_quality_scores" -> qualityScoresOracle,
     "q32_exact_dedup" -> exactDedupOracle,
+    "q180_normalized_dedup" -> normalizedDedupOracle,
+    "q178_line_dedup" -> lineDedupOracle(),
     "q33_jaccard_pairs" -> jaccardPairsOracle(),
     "q97_containment_pairs" -> containmentPairsOracle(),
     "q39_dedup_corpus" -> dedupCorpusOracle,

@@ -62,6 +62,35 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Unicode NFC canonical normalization (q180's dedup-key step). Spark has
+    * no built-in normalizer; a Scala UDF would pay the encoder round-trip on
+    * every document of a full-corpus narrow map, so this wraps
+    * `java.text.Normalizer` (the JDK's ICU-derived implementation of
+    * UAX #15 — the same published algorithm DuckDB's `nfc_normalize`
+    * implements, which is what makes the q180 oracle engine-exact) as a
+    * codegen'd expression. The helper short-circuits the common case:
+    * `Normalizer.isNormalized` is a cheap scan (true for all-ASCII, the
+    * overwhelming share of web text), so already-NFC documents skip the
+    * allocation entirely.
+    */
+  case class NfcNormalize(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "nfc_normalize"
+
+    override def nullSafeEval(text: Any): Any =
+      Text.nfcUtf8(text.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.operators.Text.nfcUtf8($t);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** One-pass repetition/quality counters per document (q79/q83 hot path):
     * struct(n_tokens, n_distinct_bigrams, top_tok, n_stop) from a token
     * array. Replaces a stack of CodegenFallback higher-order functions
@@ -88,6 +117,35 @@ object TextExpressions {
       nullSafeCodeGen(ctx, ev, t =>
         s"${ev.value} = graft.operators.Text.repStatsArrayData($t, $ref);")
     }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** One-pass intra-document line-dedup counters (q178 hot path):
+    * struct(n_lines, n_dup_lines, n_tokens_removed) from a token array,
+    * lines being consecutive `width`-token groups. Replaces the
+    * transform/slice/array_distinct/aggregate higher-order stack (all
+    * CodegenFallback, plus a per-line re-split to count kept tokens) with
+    * one compiled hashing pass. Contract:
+    * [[graft.operators.Text.lineDedupStatsArrayData]].
+    */
+  case class LineDedupStats(child: Expression, width: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_lines", LongType, nullable = false),
+      StructField("n_dup_lines", LongType, nullable = false),
+      StructField("n_tokens_removed", LongType, nullable = false)))
+    override def prettyName: String = "line_dedup_stats"
+
+    override def nullSafeEval(toks: Any): Any =
+      Text.lineDedupStatsArrayData(toks.asInstanceOf[ArrayData], width)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.operators.Text.lineDedupStatsArrayData($t, $width);")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -194,6 +252,12 @@ object TextExpressions {
 
   def spanDigests(text: Column, spanLen: Int): Column =
     ExpressionUtils.column(SpanDigests(ExpressionUtils.expression(text), spanLen))
+
+  def lineDedupStats(toks: Column, width: Int): Column =
+    ExpressionUtils.column(LineDedupStats(ExpressionUtils.expression(toks), width))
+
+  def nfcNormalize(text: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(text)))
 
   def simhash(toks: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(toks)))

@@ -215,4 +215,41 @@ class AuditSpec extends SparkSpec {
       }
     }
   }
+  test("column correlations: planted perfect, anti, and degenerate relationships") {
+    import spark.implicits._
+    // sA: y = 2x + 3 (corr 1), sB: y = -x (corr -1), sC: zero variance (null)
+    val pairs = ((1L to 20L).map(x => ("sA", x, 2 * x + 3)) ++
+      (1L to 20L).map(x => ("sB", x, -x)) ++
+      (1L to 20L).map(_ => ("sC", 5L, 7L))).toDF("source", "x", "y")
+    val got = Audit.columnCorrelationsOf(pairs).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got("sA").contains(1.0), got.toString)
+    assert(got("sB").contains(-1.0), got.toString)
+    assert(got("sC").isEmpty, got.toString)
+  }
+
+  test("property: column correlations match a driver recompute on seeded noise") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val data = (1 to 300).map { _ =>
+      val x = 10L + rng.nextInt(90)
+      (s"src${rng.nextInt(3)}", x, x + rng.nextInt(20))
+    }
+    val got = Audit.columnCorrelationsOf(data.toDF("source", "x", "y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val want = data.groupBy(_._1).map { case (src, rows) =>
+      val n = rows.size.toLong
+      val sx = rows.map(_._2).sum
+      val sy = rows.map(_._3.toLong).sum
+      val sxx = rows.map(r => r._2 * r._2).sum
+      val syy = rows.map(r => r._3.toLong * r._3).sum
+      val sxy = rows.map(r => r._2 * r._3).sum
+      src -> BigDecimal((n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got == want, s"got $got want $want")
+  }
 }

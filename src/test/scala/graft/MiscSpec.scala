@@ -344,4 +344,44 @@ class MiscSpec extends SparkSpec {
     assert(json.orderBy("doc_id").collect().toSeq ==
       doc.orderBy("doc_id").collect().toSeq)
   }
+  test("xml source round-trips nation values") {
+    import graft.operators.Sources
+    val got = Sources.xmlSource(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Tables.nation(spark, sf0001)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n"), min(length(col("n_name"))).cast("long").as("m"))
+      .orderBy(col("n_regionkey"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"xml $got vs parquet $want")
+  }
+
+  test("pipeline aggs: cumulative sum and derivative reconcile with the histogram") {
+    val rows = Relational.pipelineAggs(spark, sf0001).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(rows.nonEmpty)
+    // first bucket: cum == revenue, no derivative
+    assert(rows.head._2 == rows.head._1 && rows.head._3.isEmpty)
+    rows.sliding(2).foreach { case Array((rev0, cum0, _), (rev1, cum1, d1)) =>
+      assert(math.abs(cum1 - (cum0 + rev1)) < 1e-6, "running total drifts")
+      assert(d1.exists(d => math.abs(d - (rev1 - rev0)) < 1e-6), "derivative drifts")
+    case _ => ()
+    }
+  }
+  test("weighted avg: ratio-of-exact-sums matches a driver recompute") {
+    val got = Relational.weightedAvg(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val rows = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect().map(r => (r.getString(0),
+        math.round(r.getDouble(1) * 100), math.round(r.getDouble(2))))
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, rs) =>
+      val num = rs.map(r => r._2 * r._3).sum
+      val qty = rs.map(_._3).sum
+      (f, qty, BigDecimal(num.toDouble / qty / 100.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got == want, s"got $got want $want")
+  }
 }

@@ -26,6 +26,7 @@ class PlanLintSpec extends SparkSpec {
     "q103_source_mixing" -> "windows over the source-cardinality counts aggregate",
     "q134_epoch_plan" -> "same apportionment core as q103 — source-cardinality rows",
     "q149_filter_funnel" -> "windows over the literal 5-row rule-stage table",
+    "q177_pipeline_aggs" -> "windows over the month-cardinality histogram aggregate (bounded by the date span)",
     "q151_more_like_this" -> "term-selection window over one example doc's vocabulary",
     "q88_rrf_fusion" -> "rank windows over two already top-k-limited legs")
 

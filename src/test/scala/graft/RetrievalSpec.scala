@@ -358,4 +358,59 @@ class RetrievalSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == hits,
       "suggest hit counts must cross-foot with a raw token count")
   }
+  test("wildcard pattern translation: * ? map to LIKE, metacharacters escape") {
+    assert(Retrieval.wildcardToLike("s?a*") == "s_a%")
+    assert(Retrieval.wildcardToLike("a%b_c*") == "a\\%b\\_c%")
+    assert(Retrieval.wildcardToLike("x\\y?") == "x\\\\y_")
+  }
+
+  test("wildcard search matches the corpus-explode formulation") {
+    import org.apache.spark.sql.functions._
+    val brute = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t").like("s_a%"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), countDistinct(col("t")).as("n_terms"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = Retrieval.wildcardSearch(spark, sf0001, "s?a*")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty && got == brute,
+      s"got ${got.size} rows, brute ${brute.size}")
+  }
+  test("composite agg: page-walking covers every bucket exactly once, in key order") {
+    import org.apache.spark.sql.functions._
+    val full = Tables.documents(spark, sf0001)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("lang"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // walk pages of 7 from the floor cursor until exhausted
+    var after = ("", "")
+    var pages = Seq.empty[(String, String, Long)]
+    var n = 0
+    while (n < 100) {
+      val page = Retrieval.compositeAgg(spark, sf0001, after._1, after._2, 7)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (page.isEmpty) n = 100
+      else { pages ++= page; after = (page.last._1, page.last._2); n += 1 }
+    }
+    assert(pages == full, s"walked ${pages.size} buckets, full ${full.size}")
+  }
+
+  test("span first matches the corpus-explode formulation and respects the boundary") {
+    import org.apache.spark.sql.functions._
+    val brute = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "t")))
+      .filter(col("t") === "join" && col("p") < 8)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = Retrieval.spanFirst(spark, sf0001, "join", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got == brute, s"got ${got.size} brute ${brute.size}")
+    // a hit beyond the boundary must not qualify a doc that lacks an early one
+    val all = Retrieval.spanFirst(spark, sf0001, "join", Int.MaxValue).collect().length
+    assert(all >= got.length)
+  }
 }

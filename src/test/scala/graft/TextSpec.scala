@@ -675,4 +675,64 @@ class TextSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((1L, 3L), (3L, 1L)))
   }
+  test("nfc canonical dedup: case, whitespace, and unicode-composition variants collapse") {
+    import spark.implicits._
+    // café composed (U+00E9), decomposed (e + U+0301), and an upper-case
+    // extra-whitespace variant are ONE canonical group; a distinct text is not
+    val docs = Seq(
+      (1L, "caf\u00e9 one"), (2L, "cafe\u0301 one"), (3L, "  CAF\u00c9   one "),
+      (4L, "other")).toDF("doc_id", "text")
+    val got = Text.normalizedDedupOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 3L), (4L, 1L)), got.toString)
+  }
+
+  test("nfc normalize expression: ascii identity, composition, null pass-through") {
+    import spark.implicits._
+    val got = Seq(Option("abc"), Option("e\u0301"), Option.empty[String])
+      .toDF("text")
+      .select(org.apache.spark.sql.graft.TextExpressions
+        .nfcNormalize(org.apache.spark.sql.functions.col("text")).as("n"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.toSeq == Seq(Some("abc"), Some("\u00e9"), None), got.mkString(","))
+  }
+
+  test("line dedup: planted duplicate lines count lines and reclaimed tokens exactly") {
+    import spark.implicits._
+    // width 2 -> doc 1 lines: [a b][c d][a b][e]: 4 lines, 1 dup, 2 tokens
+    // removed; doc 2 has no dups and must be filtered out of the gate shape
+    val docs = Seq((1L, "a b c d a b e"), (2L, "x y x z")).toDF("doc_id", "text")
+    val got = Text.lineDedupOf(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 4L, 1L, 2L)), got.mkString(","))
+    // width 1: doc 1 dups are the 2nd a/b/c?? -> tokens a,b,c,d,a,b,e: 7 lines,
+    // dups = second a + second b = 2 instances, 2 tokens; doc 2: second x
+    val got1 = Text.lineDedupOf(docs, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got1.toSeq == Seq((1L, 7L, 2L, 2L), (2L, 4L, 1L, 1L)), got1.mkString(","))
+  }
+
+  test("property: line dedup matches a driver recompute across widths on random corpora") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val vocab = Array("a", "b", "c", "d", "e")
+    val docs = (1L to 120L).map { id =>
+      (id, (0 until (1 + rng.nextInt(24))).map(_ => vocab(rng.nextInt(5))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for (w <- Seq(1, 2, 3, 5)) {
+      val got = Text.lineDedupOf(df, w).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val want = docs.flatMap { case (id, text) =>
+        val lines = text.split(" ").grouped(w).map(_.toSeq).toSeq
+        val nDup = lines.size - lines.distinct.size
+        val removed = {
+          val seen = scala.collection.mutable.HashSet[Seq[String]]()
+          lines.filterNot(seen.add).map(_.size.toLong).sum
+        }
+        if (nDup > 0) Some(id -> ((lines.size.toLong, nDup.toLong, removed))) else None
+      }.toMap
+      assert(got == want, s"width $w")
+    }
+  }
 }
