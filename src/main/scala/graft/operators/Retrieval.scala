@@ -523,6 +523,53 @@ object Retrieval {
        |FROM x WHERE n > 0
        |ORDER BY doc_id""".stripMargin
 
+  /** q187 — MATCH PHRASE PREFIX (ES `match_phrase_prefix`): documents where
+    * the anchor term is immediately followed by a term with the given
+    * prefix — the "search-as-you-type" query (the phrase is complete except
+    * its trailing, still-being-typed word). Both legs are pushed probes of
+    * the positional postings store (`EqualTo(term)` for the anchor,
+    * `StringStartsWith` for the completion — the q169 row-group-skip
+    * shapes); the adjacency is a position join BETWEEN TWO POSTING LISTS,
+    * never the corpus — ES's own next-position seek expressed relationally.
+    * Output per doc: adjacent-pair hits and distinct completions.
+    */
+  def matchPhrasePrefix(
+      spark: SparkSession,
+      sfDir: String,
+      term: String = "join",
+      prefix: String = "or"): DataFrame = {
+    val postings = graft.Readers.parquet(spark, ensurePostingsStore(spark, sfDir))
+    val anchors = postings.filter(col("term") === term)
+      .select(col("doc_id"), col("pos"))
+    val completions = postings.filter(col("term").startsWith(prefix))
+      .select(
+        col("doc_id").as("c_doc_id"), col("pos").as("c_pos"),
+        col("term").as("completion"))
+    anchors
+      .join(completions,
+        col("doc_id") === col("c_doc_id") && col("c_pos") === col("pos") + 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_hits"),
+        countDistinct(col("completion")).as("n_completions"))
+      .orderBy(col("doc_id"))
+  }
+
+  def matchPhrasePrefixOracle(
+      term: String = "join", prefix: String = "or"): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |         [ts[i + 1] FOR i IN generate_series(1, len(ts) - 1)
+       |          IF ts[i] = '$term' AND starts_with(ts[i + 1], '$prefix')]
+       |           AS comps
+       |  FROM tok)
+       |SELECT doc_id, CAST(len(comps) AS BIGINT) AS n_hits,
+       |       CAST(len(list_distinct(comps)) AS BIGINT) AS n_completions
+       |FROM h WHERE len(comps) > 0
+       |ORDER BY doc_id""".stripMargin
+
   /** The default synonym registry for q170 — an ES synonym-filter analysis
     * chain as data: (concept, variant) rows, broadcast into the match.
     */
@@ -1477,6 +1524,7 @@ object Retrieval {
     "q176_wildcard_search" -> ((s: SparkSession, d: String) => wildcardSearch(s, d)),
     "q181_composite_agg" -> ((s: SparkSession, d: String) => compositeAgg(s, d)),
     "q182_span_first" -> ((s: SparkSession, d: String) => spanFirst(s, d)),
+    "q187_match_phrase_prefix" -> ((s: SparkSession, d: String) => matchPhrasePrefix(s, d)),
     "q170_synonym_search" -> ((s: SparkSession, d: String) => synonymSearch(s, d)),
     "q171_term_vectors" -> ((s: SparkSession, d: String) => termVectors(s, d)))
 
@@ -1508,6 +1556,7 @@ object Retrieval {
     "q176_wildcard_search" -> wildcardSearchOracle(),
     "q181_composite_agg" -> compositeAggOracle(),
     "q182_span_first" -> spanFirstOracle(),
+    "q187_match_phrase_prefix" -> matchPhrasePrefixOracle(),
     "q170_synonym_search" -> synonymSearchOracle(),
     "q171_term_vectors" -> termVectorsOracle())
 }

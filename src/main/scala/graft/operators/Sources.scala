@@ -229,15 +229,16 @@ object Sources {
           size(split(col("text"), " ")).cast("long").as("n_tokens")),
       budget, blockWidth)
 
-  /** The two-level prefix-sum packing core over ANY (doc_id, source,
-    * n_tokens) counts frame — q86 feeds whitespace token counts, q112 feeds
-    * the BPE encoder's subword counts. Same distributed-scan shape and the
-    * same bitwise-equals-serial guarantee for any blockWidth (see
-    * [[packSequences]] scaladoc).
+  /** The two-level DISTRIBUTED prefix sum itself, extracted: adds `cum` —
+    * the inclusive running token total within `source` in doc_id order —
+    * to any (doc_id, source, n_tokens) frame. Shared by the packing family
+    * (q86/q112 via [[packCounts]]) and the PPS sampler (q186): bitwise
+    * equal to the serial single-window definition for any blockWidth (the
+    * [[packSequences]] scaladoc argument; SourcesSpec pins it by comparing
+    * widths).
     */
-  private[operators] def packCounts(
+  private[operators] def withCumCounts(
       counts: DataFrame,
-      budget: Int,
       blockWidth: Long): DataFrame = {
     val tok = Materialize.stable(
       counts.withColumn("block", floor(col("doc_id") / blockWidth).cast("long")))
@@ -257,6 +258,19 @@ object Sources {
 
     local.join(broadcast(offsets), Seq("source", "block"))
       .withColumn("cum", col("local_cum") + col("offset"))
+  }
+
+  /** The two-level prefix-sum packing core over ANY (doc_id, source,
+    * n_tokens) counts frame — q86 feeds whitespace token counts, q112 feeds
+    * the BPE encoder's subword counts. Same distributed-scan shape and the
+    * same bitwise-equals-serial guarantee for any blockWidth (see
+    * [[packSequences]] scaladoc).
+    */
+  private[operators] def packCounts(
+      counts: DataFrame,
+      budget: Int,
+      blockWidth: Long): DataFrame =
+    withCumCounts(counts, blockWidth)
       .select(
         col("source"), col("n_tokens"),
         floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)).as("bin"),
@@ -269,7 +283,6 @@ object Sources {
         sum(col("n_tokens")).as("n_tokens"),
         sum(col("straddle")).as("n_straddle"))
       .orderBy(col("source"), col("bin"))
-  }
 
   val packSequencesOracle: String =
     """WITH tok AS (
@@ -291,6 +304,60 @@ object Sources {
       |FROM c
       |GROUP BY source, bin
       |ORDER BY source, bin""".stripMargin
+
+  /** q186 — SYSTEMATIC PPS SAMPLE (probability proportional to size): lay
+    * each source's documents head-to-tail in token space and select every
+    * document whose token interval crosses a multiple of `step` — the
+    * classic survey-statistics systematic PPS design: inclusion probability
+    * ≈ n_tokens/step, i.e. documents sampled proportional to their TOKEN
+    * WEIGHT, the "sample by contribution, not by count" primitive a
+    * token-budgeted corpus inspection wants (q81/q99 sample by document;
+    * a 100-token and a 100k-token doc there count the same).
+    *
+    * Determinism is the whole design: where weighted reservoir sampling
+    * (A-ES) keys on `u^(1/w)` — a `pow` whose last-ulp rounding IEEE does
+    * NOT pin, so two engines can disagree at a selection boundary — the
+    * systematic design is PURE BIGINT: the running total reuses the q86
+    * two-level distributed prefix sum ([[withCumCounts]] — no per-source
+    * serialization, blockWidth-independent), and the crossing test is two
+    * integer floor-divisions. Bitwise reproducible on any engine, any
+    * partitioning, any blockWidth.
+    *
+    * Scale shape: identical to q86 — one narrow counts scan, block-local
+    * windows, a broadcast offset rejoin, then a narrow filter. Nothing
+    * corpus-sized shuffles beyond the block-partitioned rank.
+    */
+  def ppsSample(
+      spark: SparkSession,
+      sfDir: String,
+      step: Long = 300L,
+      blockWidth: Long = 8192L): DataFrame = {
+    require(step > 0, s"step must be positive: $step")
+    withCumCounts(
+      Tables.documents(spark, sfDir)
+        .select(
+          col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      blockWidth)
+      .filter(expr(s"(cum div $step) > ((cum - n_tokens) div $step)"))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  def ppsSampleOracle(step: Long = 300L): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+       |           AS BIGINT) AS cum
+       |  FROM tok)
+       |SELECT source, doc_id, n_tokens, cum
+       |FROM c
+       |WHERE (cum // $step) > ((cum - n_tokens) // $step)
+       |ORDER BY source, doc_id""".stripMargin
 
   /** q99 — deterministic FIXED-SIZE per-source sample: exactly `n` docs per
     * domain (the "pin the eval slice" / "inspect n examples per source"
@@ -665,6 +732,7 @@ object Sources {
     "q81_stratified_sample" -> (stratifiedSample _),
     "q99_fixed_sample" -> ((s: SparkSession, d: String) => fixedSample(s, d)),
     "q86_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
+    "q186_pps_sample" -> ((s: SparkSession, d: String) => ppsSample(s, d)),
     "q103_source_mixing" -> ((s: SparkSession, d: String) => sourceMixing(s, d)),
     "q134_epoch_plan" -> ((s: SparkSession, d: String) => epochPlan(s, d)),
     "q111_training_order" -> ((s: SparkSession, d: String) => trainingOrder(s, d)),
@@ -680,6 +748,7 @@ object Sources {
     "q81_stratified_sample" -> stratifiedSampleOracle,
     "q99_fixed_sample" -> fixedSampleOracle(),
     "q86_pack_sequences" -> packSequencesOracle,
+    "q186_pps_sample" -> ppsSampleOracle(),
     "q103_source_mixing" -> sourceMixingOracle(),
     "q134_epoch_plan" -> epochPlanOracle(),
     "q111_training_order" -> trainingOrderOracle(),

@@ -45,6 +45,42 @@ object Stats {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** q185 — PERCENTILE RANKS (ES `percentile_ranks`): q54's inverse — for
+    * fixed value thresholds, what fraction of each group's values sits at
+    * or below them (the SLA question: "what share of latencies is under
+    * 100?"). Pure counting, so unlike interpolated percentiles the result
+    * is EXACT integer arithmetic end to end: per-threshold conditional
+    * counts and one integer-ppm division, bitwise identical on any engine
+    * or partitioning — one aggregate pass, map-side partials.
+    */
+  def percentileRanks(
+      spark: SparkSession,
+      sfDir: String,
+      thresholds: Seq[Long] = Seq(50L, 100L, 200L)): DataFrame = {
+    val aggs = thresholds.map(t =>
+      sum(when(col("value") <= t.toDouble, 1L).otherwise(0L)).as(s"c$t"))
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .select(
+        col("event_type") +: col("n") +:
+          thresholds.map(t =>
+            expr(s"c$t * 1000000L div n").as(s"rank_${t}_ppm")): _*)
+      .orderBy(col("event_type"))
+  }
+
+  def percentileRanksOracle(thresholds: Seq[Long] = Seq(50L, 100L, 200L)): String = {
+    val cols = thresholds.map(t =>
+      s"""(CAST(sum(CASE WHEN value <= $t THEN 1 ELSE 0 END) AS BIGINT)
+         |         * 1000000) // count(*) AS rank_${t}_ppm""".stripMargin)
+      .mkString(",\n       ")
+    s"""SELECT event_type, count(*) AS n,
+       |       $cols
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+  }
+
   /** q55 — rank-distribution windows: quartile bucket (ntile) and
     * percent_rank of each event within its type. The window order is a
     * TOTAL order (value, event_id) so tile/rank assignment is deterministic
@@ -360,6 +396,7 @@ object Stats {
     "q59_array_agg" -> (arrayAgg _),
     "q60_correlated_subquery" -> (correlatedSubquery _),
     "q54_percentiles" -> (percentiles _),
+    "q185_percentile_ranks" -> ((s: SparkSession, d: String) => percentileRanks(s, d)),
     "q55_rank_distribution" -> (rankDistribution _),
     "q56_value_stats" -> (valueStats _))
 
@@ -372,6 +409,7 @@ object Stats {
     "q59_array_agg" -> arrayAggOracle,
     "q60_correlated_subquery" -> correlatedSubqueryOracle,
     "q54_percentiles" -> percentilesOracle,
+    "q185_percentile_ranks" -> percentileRanksOracle(),
     "q55_rank_distribution" -> rankDistributionOracle,
     "q56_value_stats" -> valueStatsOracle)
 }

@@ -384,4 +384,40 @@ class MiscSpec extends SparkSpec {
     }
     assert(got == want, s"got $got want $want")
   }
+  test("percentile ranks: integer-ppm counts match a driver recompute") {
+    import graft.operators.Stats
+    val got = Stats.percentileRanks(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val vals = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val want = vals.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs) =>
+      val n = rs.size.toLong
+      def ppm(th: Double) = rs.count(_._2 <= th).toLong * 1000000L / n
+      (t, n, ppm(50), ppm(100), ppm(200))
+    }
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("pps sample: blockWidth-independent and exactly the boundary-crossing docs") {
+    import graft.operators.Sources
+    val rows = Seq(7L, 8192L, Long.MaxValue).map { w =>
+      Sources.ppsSample(spark, sf0001, step = 300L, blockWidth = w)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    assert(rows(0) == rows(1) && rows(1) == rows(2), "blockWidth changes the sample")
+    // driver recompute of the serial definition
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("source"), col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = toks.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(_._2).flatMap { case (_, id, n) =>
+        cum += n
+        if (cum / 300L > (cum - n) / 300L) Some((src, id)) else None
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(rows(0).nonEmpty && rows(0) == want,
+      s"got ${rows(0).size} want ${want.size}")
+  }
 }

@@ -605,6 +605,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("text:string"), s"prefix search reads text:\n$plan")
   }
 
+  test("span first pushes term equality AND the position bound, no text") {
+    val plan = graft.operators.Retrieval.spanFirst(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft-postings-"), s"no postings store scan:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("EqualTo(term,join)") &&
+        l.contains("LessThan(pos,8)")),
+      s"term/pos predicates not pushed:\n$plan")
+    assert(!plan.contains("text:string"), s"span first reads text:\n$plan")
+  }
+
+  test("match phrase prefix: both posting legs pushed, adjacency never touches text") {
+    val plan = graft.operators.Retrieval.matchPhrasePrefix(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft-postings-"), s"no postings store scan:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("EqualTo(term,join)")),
+      s"anchor term not pushed:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("StringStartsWith(term,or")),
+      s"completion prefix not pushed:\n$plan")
+    assert(!plan.contains("text:string"),
+      s"match phrase prefix reads text:\n$plan")
+  }
+
   test("term vectors: pushed doc_id point probe + dictionary join, no text") {
     val plan = graft.operators.Retrieval.termVectors(spark, sf0001)
       .queryExecution.executedPlan.toString

@@ -413,4 +413,19 @@ class RetrievalSpec extends SparkSpec {
     val all = Retrieval.spanFirst(spark, sf0001, "join", Int.MaxValue).collect().length
     assert(all >= got.length)
   }
+  test("match phrase prefix matches the corpus adjacency formulation") {
+    import org.apache.spark.sql.functions._
+    val pe = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "t")))
+    val brute = pe.as("a").join(pe.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.p") === col("a.p") + 1)
+      .filter(col("a.t") === "join" && col("b.t").startsWith("or"))
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), countDistinct(col("b.t")).as("n_completions"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = Retrieval.matchPhrasePrefix(spark, sf0001, "join", "or")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty && got == brute, s"got ${got.size} brute ${brute.size}")
+  }
 }
