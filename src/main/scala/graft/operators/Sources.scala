@@ -359,6 +359,67 @@ object Sources {
        |WHERE (cum // $step) > ((cum - n_tokens) // $step)
        |ORDER BY source, doc_id""".stripMargin
 
+  /** q188 — NO-SPLIT sequence packing (first-fit-decreasing): assign each
+    * document WHOLE to a fixed-token-budget training sequence. q86's
+    * concat-and-chunk splits documents across window boundaries (maximal
+    * fill, fragmented attention); this is the published alternative — keep
+    * every document intact and minimize padding waste instead. FFD is the
+    * classic bin-packing heuristic (≤ 11/9·OPT + 1 bins); a document longer
+    * than the budget gets a singleton bin with `fill_ppm > 1e6`, the
+    * caller's signal to truncate downstream rather than this operator
+    * silently splitting.
+    *
+    * Scale shape: packing is inherently sequential, so the corpus is
+    * sharded by the q111 engine-independent multiplicative hash and FFD
+    * runs per shard via `groupByKey.flatMapGroups` — the typed keyed-group
+    * API, all shards packing in parallel; the one exchange is the
+    * hash-partition by shard, which doubles as the training-shard write
+    * partitioning. `numShards` scales with the corpus (the q111 contract)
+    * so a shard's (doc_id, n_tokens) pairs fit executor memory — the
+    * per-group state is two longs per document plus one per open bin.
+    * Deterministic by construction (hash shard, (tokens desc, id) order,
+    * first-fit tie-break) — no SQL oracle (greedy recursion isn't
+    * relational), pinned by a driver-model equality spec + DetCheck.
+    */
+  def bestFitPack(
+      spark: SparkSession,
+      sfDir: String,
+      budget: Int = 512,
+      numShards: Int = 16): DataFrame = {
+    import spark.implicits._
+    require(budget > 0 && numShards > 0, s"budget/numShards must be positive")
+    val counts = Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("hkey",
+        pmod((col("doc_id") % 1000000007L) * 2654435761L, lit(1000000007L)))
+      .select(
+        pmod(col("hkey"), lit(numShards.toLong)).as("shard"),
+        col("doc_id"), col("n_tokens"))
+      .as[(Long, Long, Long)]
+    counts.groupByKey(_._1)
+      .flatMapGroups { (shard: Long, it: Iterator[(Long, Long, Long)]) =>
+        val ds = it.map { case (_, id, n) => (id, n) }.toArray
+        java.util.Arrays.sort(ds, Ordering.by((d: (Long, Long)) => (-d._2, d._1)))
+        val binTotals = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ds.iterator.map { case (id, n) =>
+          val fit = binTotals.indices.find(i => binTotals(i) + n <= budget)
+          val bin = fit.getOrElse { binTotals += 0L; binTotals.length - 1 }
+          binTotals(bin) += n
+          (shard, bin.toLong, id, n)
+        }.toVector
+      }
+      .toDF("shard", "bin", "doc_id", "n_tokens")
+      .groupBy(col("shard"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .withColumn("fill_ppm", expr(s"n_tokens * 1000000L div $budget"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
   /** q99 — deterministic FIXED-SIZE per-source sample: exactly `n` docs per
     * domain (the "pin the eval slice" / "inspect n examples per source"
     * primitive; q81's rate-based sampling can't hit an exact count). Rank
@@ -733,6 +794,10 @@ object Sources {
     "q99_fixed_sample" -> ((s: SparkSession, d: String) => fixedSample(s, d)),
     "q86_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "q186_pps_sample" -> ((s: SparkSession, d: String) => ppsSample(s, d)),
+    // rows-only: FFD greedy packing is not SQL-expressible; driver-model
+    // equality + budget-respect specs pin it, DetCheck pins partitioning
+    // independence
+    "q188_bestfit_pack" -> ((s: SparkSession, d: String) => bestFitPack(s, d)),
     "q103_source_mixing" -> ((s: SparkSession, d: String) => sourceMixing(s, d)),
     "q134_epoch_plan" -> ((s: SparkSession, d: String) => epochPlan(s, d)),
     "q111_training_order" -> ((s: SparkSession, d: String) => trainingOrder(s, d)),

@@ -420,4 +420,35 @@ class MiscSpec extends SparkSpec {
     assert(rows(0).nonEmpty && rows(0) == want,
       s"got ${rows(0).size} want ${want.size}")
   }
+  test("best-fit pack: matches a driver FFD model, respects the budget, packs every doc once") {
+    import graft.operators.Sources
+    val budget = 64
+    val got = Sources.bestFitPack(spark, sf0001, budget = budget, numShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = docs
+      .map { case (id, n) => ((id % 1000000007L * 2654435761L % 1000000007L) % 4, id, n) }
+      .groupBy(_._1).toSeq.flatMap { case (shard, ds) =>
+        val sorted = ds.map(d => (d._2, d._3)).sortBy(d => (-d._2, d._1))
+        val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val assign = sorted.map { case (id, n) =>
+          val fit = bins.indices.find(i => bins(i) + n <= budget)
+          val b = fit.getOrElse { bins += 0L; bins.length - 1 }
+          bins(b) += n
+          (shard, b.toLong, id, n)
+        }
+        assign.groupBy(x => (x._1, x._2)).map { case ((sh, b), rs) =>
+          (sh, b, rs.size.toLong, rs.map(_._4).sum, rs.map(_._3).min,
+            rs.map(_._4).sum * 1000000L / budget)
+        }
+      }.sortBy(x => (x._1, x._2))
+    assert(got == want, s"got ${got.take(3)} want ${want.take(3)}")
+    assert(got.map(_._3).sum == docs.length.toLong, "doc packed zero or twice")
+    got.foreach { case (sh, b, nd, nt, _, _) =>
+      assert(nt <= budget || nd == 1L, s"over-budget multi-doc bin ($sh,$b)")
+    }
+  }
 }
