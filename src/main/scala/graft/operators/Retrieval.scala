@@ -405,21 +405,36 @@ object Retrieval {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
-  /** ES wildcard pattern (`*` = any run, `?` = exactly one char) → SQL LIKE,
-    * with literal LIKE metacharacters backslash-escaped — a pattern
-    * containing `%`/`_` must match those characters, not widen (the q169
-    * starts_with note, one level up). Both engines implement identical LIKE
-    * semantics under an explicit `ESCAPE '\'`.
+  /** ES wildcard pattern (`*` = any run, `?` = exactly one char, `\x` =
+    * literal x — Lucene's escape, so `\*` searches a literal asterisk) →
+    * SQL LIKE, with literal LIKE metacharacters backslash-escaped — a
+    * pattern containing `%`/`_` must match those characters, not widen
+    * (the q169 starts_with note, one level up), and a trailing lone
+    * backslash is a literal backslash. Both engines implement identical
+    * LIKE semantics under an explicit `ESCAPE '\'`.
     */
-  private[graft] def wildcardToLike(pattern: String): String =
-    pattern.flatMap {
-      case '*' => "%"
-      case '?' => "_"
+  private[graft] def wildcardToLike(pattern: String): String = {
+    def likeLiteral(c: Char): String = c match {
       case '%' => "\\%"
       case '_' => "\\_"
       case '\\' => "\\\\"
-      case c => c.toString
+      case other => other.toString
     }
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '\\' if i + 1 < pattern.length =>
+          i += 1
+          sb ++= likeLiteral(pattern.charAt(i))
+        case '*' => sb += '%'
+        case '?' => sb += '_'
+        case c => sb ++= likeLiteral(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
 
   /** q176 — WILDCARD SEARCH at the document level (ES `wildcard` query):
     * every doc containing at least one term matching the pattern, with hit
@@ -479,15 +494,20 @@ object Retrieval {
   def compositeAggOracle(
       afterSource: String = "src2",
       afterLang: String = "en",
-      size: Int = 10): String =
+      size: Int = 10): String = {
+    // single quotes doubled for SQL — cursor values are data, and real
+    // source names can carry quotes (the q169 oracle-widening note)
+    val s0 = afterSource.replace("'", "''")
+    val l0 = afterLang.replace("'", "''")
     s"""SELECT source, lang, count(*) AS n_docs,
        |       CAST(sum(n_chars) AS BIGINT) AS n_chars
        |FROM documents
        |GROUP BY source, lang
-       |HAVING source > '$afterSource'
-       |    OR (source = '$afterSource' AND lang > '$afterLang')
+       |HAVING source > '$s0'
+       |    OR (source = '$s0' AND lang > '$l0')
        |ORDER BY source, lang
        |LIMIT $size""".stripMargin
+  }
 
   /** q182 — SPAN FIRST (ES `span_first` query): documents where a term
     * occurs within the first `boundary` token positions — the "title-ish /

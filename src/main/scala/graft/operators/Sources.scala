@@ -22,6 +22,18 @@ import graft.Tables
   */
 object Sources {
 
+  /** The engine-independent multiplicative doc-id hash shared by the
+    * q99/q111/q188 family (reduce mod the prime BEFORE the multiply so the
+    * product never overflows BIGINT on any engine — the q99 scaladoc
+    * argument). ONE definition: a change to the constant, modulus, or
+    * overflow guard cannot silently fork the "same hash" contract between
+    * the sampling, shuffling, and packing gates. Oracles restate it as SQL
+    * (`((doc_id % 1000000007) * 2654435761) % 1000000007`) — the gate
+    * hash-compare pins the two in lockstep.
+    */
+  private[operators] def docHashKey: org.apache.spark.sql.Column =
+    pmod((col("doc_id") % 1000000007L) * 2654435761L, lit(1000000007L))
+
   private val nationSchema = StructType(Seq(
     StructField("n_nationkey", IntegerType),
     StructField("n_name", StringType),
@@ -359,26 +371,30 @@ object Sources {
        |WHERE (cum // $step) > ((cum - n_tokens) // $step)
        |ORDER BY source, doc_id""".stripMargin
 
-  /** q188 — NO-SPLIT sequence packing (first-fit-decreasing): assign each
+  /** q188 — NO-SPLIT sequence packing (best-fit-decreasing): assign each
     * document WHOLE to a fixed-token-budget training sequence. q86's
     * concat-and-chunk splits documents across window boundaries (maximal
     * fill, fragmented attention); this is the published alternative — keep
-    * every document intact and minimize padding waste instead. FFD is the
-    * classic bin-packing heuristic (≤ 11/9·OPT + 1 bins); a document longer
-    * than the budget gets a singleton bin with `fill_ppm > 1e6`, the
-    * caller's signal to truncate downstream rather than this operator
-    * silently splitting.
+    * every document intact and minimize padding waste instead. BFD is the
+    * classic decreasing greedy (same 11/9·OPT asymptotic guarantee class
+    * as FFD); a document longer than the budget gets a singleton bin with
+    * `fill_ppm > 1e6`, the caller's signal to truncate downstream rather
+    * than this operator silently splitting.
     *
     * Scale shape: packing is inherently sequential, so the corpus is
-    * sharded by the q111 engine-independent multiplicative hash and FFD
+    * sharded by the q111 engine-independent multiplicative hash and BFD
     * runs per shard via `groupByKey.flatMapGroups` — the typed keyed-group
     * API, all shards packing in parallel; the one exchange is the
     * hash-partition by shard, which doubles as the training-shard write
     * partitioning. `numShards` scales with the corpus (the q111 contract)
     * so a shard's (doc_id, n_tokens) pairs fit executor memory — the
-    * per-group state is two longs per document plus one per open bin.
-    * Deterministic by construction (hash shard, (tokens desc, id) order,
-    * first-fit tie-break) — no SQL oracle (greedy recursion isn't
+    * per-group state is two longs per document plus one per open bin, and
+    * the bin search is an ordered-set ceiling lookup on remaining
+    * capacity, O(log bins) per document (a linear first-fit scan is
+    * O(docs·bins) — quadratic in shard size, hours of CPU at the
+    * million-doc shards this scaladoc sizes for). Deterministic by
+    * construction (hash shard, (tokens desc, id) order, tightest-fit with
+    * lowest-bin tie-break) — no SQL oracle (greedy recursion isn't
     * relational), pinned by a driver-model equality spec + DetCheck.
     */
   def bestFitPack(
@@ -392,20 +408,32 @@ object Sources {
       .select(
         col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("hkey",
-        pmod((col("doc_id") % 1000000007L) * 2654435761L, lit(1000000007L)))
       .select(
-        pmod(col("hkey"), lit(numShards.toLong)).as("shard"),
+        pmod(docHashKey, lit(numShards.toLong)).as("shard"),
         col("doc_id"), col("n_tokens"))
       .as[(Long, Long, Long)]
     counts.groupByKey(_._1)
       .flatMapGroups { (shard: Long, it: Iterator[(Long, Long, Long)]) =>
         val ds = it.map { case (_, id, n) => (id, n) }.toArray
         java.util.Arrays.sort(ds, Ordering.by((d: (Long, Long)) => (-d._2, d._1)))
+        // open bins ordered by (remaining, binId): minAfter((n, -1)) is the
+        // TIGHTEST bin that still fits — best-fit as one ceiling lookup,
+        // with the lowest bin id breaking remaining-capacity ties
+        val remaining = scala.collection.mutable.TreeSet.empty[(Long, Int)]
         val binTotals = scala.collection.mutable.ArrayBuffer.empty[Long]
         ds.iterator.map { case (id, n) =>
-          val fit = binTotals.indices.find(i => binTotals(i) + n <= budget)
-          val bin = fit.getOrElse { binTotals += 0L; binTotals.length - 1 }
+          val bin = remaining.minAfter((n, -1)) match {
+            case Some(key @ (rem, b)) =>
+              remaining.remove(key)
+              remaining.add((rem - n, b))
+              b
+            case None =>
+              binTotals += 0L
+              // an oversize doc's bin has negative remaining and is never
+              // offered again (every lookup key n is positive)
+              remaining.add((budget.toLong - n, binTotals.length - 1))
+              binTotals.length - 1
+          }
           binTotals(bin) += n
           (shard, bin.toLong, id, n)
         }.toVector
@@ -440,8 +468,7 @@ object Sources {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("hkey").asc, col("doc_id").asc)
     Tables.documents(spark, sfDir)
-      .withColumn("hkey",
-        pmod((col("doc_id") % 1000000007L) * 2654435761L, lit(1000000007L)))
+      .withColumn("hkey", docHashKey)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= n)
       .select(col("source"), col("rn"), col("doc_id"), col("lang"))
@@ -644,8 +671,7 @@ object Sources {
       spark: SparkSession, sfDir: String, numShards: Int = 16): DataFrame = {
     require(numShards > 0, s"numShards must be positive: $numShards")
     Tables.documents(spark, sfDir)
-      .withColumn("hkey",
-        pmod((col("doc_id") % 1000000007L) * 2654435761L, lit(1000000007L)))
+      .withColumn("hkey", docHashKey)
       .withColumn("shard", pmod(col("hkey"), lit(numShards.toLong)))
       .withColumn("position",
         row_number().over(

@@ -57,6 +57,11 @@ object Stats {
       spark: SparkSession,
       sfDir: String,
       thresholds: Seq[Long] = Seq(50L, 100L, 200L)): DataFrame = {
+    // distinct + non-negative: duplicate thresholds would collide output
+    // column names, and a negative would put '-' inside a generated name
+    // (the backticked-identifier / SQL-parse trap)
+    require(thresholds.nonEmpty && thresholds.distinct.size == thresholds.size
+      && thresholds.forall(_ >= 0), s"thresholds must be distinct and >= 0: $thresholds")
     val aggs = thresholds.map(t =>
       sum(when(col("value") <= t.toDouble, 1L).otherwise(0L)).as(s"c$t"))
     Tables.events(spark, sfDir)
@@ -65,7 +70,7 @@ object Stats {
       .select(
         col("event_type") +: col("n") +:
           thresholds.map(t =>
-            expr(s"c$t * 1000000L div n").as(s"rank_${t}_ppm")): _*)
+            expr(s"`c$t` * 1000000L div n").as(s"rank_${t}_ppm")): _*)
       .orderBy(col("event_type"))
   }
 

@@ -165,16 +165,22 @@ object Text {
     * whitespace runs, letter case, or Unicode composition (é as one
     * codepoint vs e + combining accent — visually identical, byte-distinct,
     * endemic in crawled text from mixed encoders). The canonical key is
-    * trim → whitespace-collapse → lowercase → Unicode NFC (the
+    * whitespace-collapse → trim → lowercase → Unicode NFC (the
     * [[org.apache.spark.sql.graft.TextExpressions.NfcNormalize]] codegen
     * expression; Spark has no built-in normalizer), then the same sha2-256
     * digest grouping as q32 — the shuffle carries 32-byte digests, never
-    * text. Both engines implement the identical published algorithms
-    * (UAX #15 NFC, POSIX `\s`, ASCII-superset lowercasing), so the oracle is
-    * engine-exact; the composed/decomposed equivalence itself is pinned by
-    * TextSpec on non-ASCII fixtures (this corpus is ASCII, where NFC is the
-    * identity — the gate checks the pipeline, the spec checks the
-    * normalizer).
+    * text. Collapse runs BEFORE trim so leading/trailing tabs and newlines
+    * normalize away too (trim alone strips only spaces). The whitespace
+    * class is an EXPLICIT `[ \t\n\r\f\x0B]` — Java's `\s` includes
+    * vertical tab where RE2's (DuckDB's) does not, so the shorthand is
+    * not engine-portable; the explicit class parses identically in both.
+    * With that, every stage is the same published algorithm on both
+    * engines (UAX #15 NFC, the shared class, lowercasing — ASCII-exact;
+    * locale-special non-ASCII case edges like U+0130 are engine-specific
+    * and out of this key's contract) and the oracle is engine-exact; the
+    * composed/decomposed equivalence itself is pinned by TextSpec on
+    * non-ASCII fixtures (this corpus is ASCII, where NFC is the identity —
+    * the gate checks the pipeline, the spec checks the normalizer).
     *
     * Scale shape: identical to q32 — one narrow map (all codegen), one
     * digest-keyed aggregate. The canonicalization adds zero shuffle.
@@ -188,7 +194,7 @@ object Text {
     */
   def normalizedDedupOf(documents: DataFrame): DataFrame = {
     val canon = org.apache.spark.sql.graft.TextExpressions.nfcNormalize(
-      lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+      lower(trim(regexp_replace(col("text"), "[ \\t\\n\\r\\f\\x0B]+", " "))))
     documents
       .select(col("doc_id"), sha2(canon, 256).as("key"))
       .groupBy(col("key"))
@@ -200,7 +206,8 @@ object Text {
   val normalizedDedupOracle: String =
     """SELECT min(doc_id) AS doc_id, count(*) AS copies
       |FROM documents
-      |GROUP BY sha256(nfc_normalize(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+      |GROUP BY sha256(nfc_normalize(lower(trim(
+      |  regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))))
       |ORDER BY doc_id""".stripMargin
 
   /** q39 — the deduplicated corpus itself (the user-facing API a training-

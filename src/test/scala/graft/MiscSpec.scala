@@ -420,7 +420,7 @@ class MiscSpec extends SparkSpec {
     assert(rows(0).nonEmpty && rows(0) == want,
       s"got ${rows(0).size} want ${want.size}")
   }
-  test("best-fit pack: matches a driver FFD model, respects the budget, packs every doc once") {
+  test("best-fit pack: matches a driver BFD model, respects the budget, packs every doc once") {
     import graft.operators.Sources
     val budget = 64
     val got = Sources.bestFitPack(spark, sf0001, budget = budget, numShards = 4)
@@ -435,8 +435,10 @@ class MiscSpec extends SparkSpec {
         val sorted = ds.map(d => (d._2, d._3)).sortBy(d => (-d._2, d._1))
         val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
         val assign = sorted.map { case (id, n) =>
-          val fit = bins.indices.find(i => bins(i) + n <= budget)
-          val b = fit.getOrElse { bins += 0L; bins.length - 1 }
+          // best-fit: the FULLEST bin that still fits, lowest id on ties
+          val fits = bins.indices.filter(i => bins(i) + n <= budget)
+          val b = if (fits.isEmpty) { bins += 0L; bins.length - 1 }
+            else fits.maxBy(i => (bins(i), -i))
           bins(b) += n
           (shard, b.toLong, id, n)
         }

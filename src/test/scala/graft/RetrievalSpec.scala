@@ -361,7 +361,12 @@ class RetrievalSpec extends SparkSpec {
   test("wildcard pattern translation: * ? map to LIKE, metacharacters escape") {
     assert(Retrieval.wildcardToLike("s?a*") == "s_a%")
     assert(Retrieval.wildcardToLike("a%b_c*") == "a\\%b\\_c%")
-    assert(Retrieval.wildcardToLike("x\\y?") == "x\\\\y_")
+    // Lucene escapes: \* is a literal asterisk (not a LIKE metachar, so it
+    // needs no LIKE escape), \\ a literal backslash (which does), and a
+    // trailing lone backslash is itself a literal
+    assert(Retrieval.wildcardToLike("foo\\*") == "foo*")
+    assert(Retrieval.wildcardToLike("a\\\\b?") == "a\\\\b_")
+    assert(Retrieval.wildcardToLike("x\\") == "x\\\\")
   }
 
   test("wildcard search matches the corpus-explode formulation") {

@@ -677,14 +677,16 @@ class TextSpec extends SparkSpec {
   }
   test("nfc canonical dedup: case, whitespace, and unicode-composition variants collapse") {
     import spark.implicits._
-    // café composed (U+00E9), decomposed (e + U+0301), and an upper-case
-    // extra-whitespace variant are ONE canonical group; a distinct text is not
+    // café composed (U+00E9), decomposed (e + U+0301), an upper-case
+    // extra-whitespace variant, and a tab/newline-bracketed variant
+    // (collapse must run BEFORE trim — trim alone strips only spaces) are
+    // ONE canonical group; a distinct text is not
     val docs = Seq(
       (1L, "caf\u00e9 one"), (2L, "cafe\u0301 one"), (3L, "  CAF\u00c9   one "),
-      (4L, "other")).toDF("doc_id", "text")
+      (4L, "\tcaf\u00e9\none\n"), (5L, "other")).toDF("doc_id", "text")
     val got = Text.normalizedDedupOf(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == Set((1L, 3L), (4L, 1L)), got.toString)
+    assert(got == Set((1L, 4L), (5L, 1L)), got.toString)
   }
 
   test("nfc normalize expression: ascii identity, composition, null pass-through") {
