@@ -192,11 +192,22 @@ object Text {
     * wrapper binds the fixture table; specs drive it with planted
     * case/whitespace/composition variants.
     */
-  def normalizedDedupOf(documents: DataFrame): DataFrame = {
-    val canon = org.apache.spark.sql.graft.TextExpressions.nfcNormalize(
+  /** The ccnet canonical-text column over `text` (collapse → trim → lower →
+    * NFC; portability notes in the [[normalizedDedup]] scaladoc) — ONE
+    * definition shared by q180's dedup and q189's leak check, and one
+    * SQL restatement [[canonicalKeySql]] shared by their oracles.
+    */
+  private def canonicalText: Column =
+    org.apache.spark.sql.graft.TextExpressions.nfcNormalize(
       lower(trim(regexp_replace(col("text"), "[ \\t\\n\\r\\f\\x0B]+", " "))))
+
+  private val canonicalKeySql: String =
+    """sha256(nfc_normalize(lower(trim(
+      |  regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))))""".stripMargin
+
+  def normalizedDedupOf(documents: DataFrame): DataFrame = {
     documents
-      .select(col("doc_id"), sha2(canon, 256).as("key"))
+      .select(col("doc_id"), sha2(canonicalText, 256).as("key"))
       .groupBy(col("key"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("copies"))
       .select(col("doc_id"), col("copies"))
@@ -204,11 +215,61 @@ object Text {
   }
 
   val normalizedDedupOracle: String =
-    """SELECT min(doc_id) AS doc_id, count(*) AS copies
-      |FROM documents
-      |GROUP BY sha256(nfc_normalize(lower(trim(
-      |  regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))))
-      |ORDER BY doc_id""".stripMargin
+    s"""SELECT min(doc_id) AS doc_id, count(*) AS copies
+       |FROM documents
+       |GROUP BY $canonicalKeySql
+       |ORDER BY doc_id""".stripMargin
+
+  /** q189 — NORMALIZED exact-match decontamination REPORT: per eval
+    * document, how many training documents equal it under the q180
+    * canonical key — zero-leak rows included, because the deliverable of a
+    * decontamination pass is the per-benchmark-item audit ("item X is
+    * clean, item Y has 3 training copies"), not just the leak list. This
+    * tiers with q80: the 8-gram check is blind to eval items SHORTER than
+    * its gram width (a 5-token benchmark answer never forms an 8-gram) and
+    * is case/whitespace-sensitive through its token stream; the canonical
+    * exact-match closes both holes for the verbatim-copy case. (This
+    * fixture plants no verbatim cross-split copies, so the gate's counts
+    * are all zero — the oracle pins agreement on that; TextSpec plants
+    * leaks to pin detection.)
+    *
+    * Scale shape: the training corpus reduces to 32-byte keys in the scan
+    * and aggregates per key (the q32 digest-shuffle shape); the eval side
+    * (benchmark suites are thousands of docs) BROADCASTS into a semi-side
+    * match, and the final left join runs between the eval set and its
+    * matched-counts subset — both eval-sized. Text never shuffles.
+    */
+  def decontaminateNormalized(spark: SparkSession, sfDir: String): DataFrame =
+    decontaminateNormalizedOf(
+      Tables.documents(spark, sfDir), col("doc_id") % 19 === 3)
+
+  /** The report core over ANY (doc_id, text) frame + eval-membership
+    * predicate — the gate binds the fixture split; specs plant leaks.
+    */
+  def decontaminateNormalizedOf(documents: DataFrame, isEval: Column): DataFrame = {
+    val keyed = documents.select(
+      col("doc_id"), sha2(canonicalText, 256).as("key"), isEval.as("is_eval"))
+    val evalKeyed = keyed.filter(col("is_eval")).select(col("doc_id"), col("key"))
+    val trainMatches = keyed.filter(!col("is_eval"))
+      .join(broadcast(evalKeyed.select(col("key")).distinct()), "key")
+      .groupBy(col("key")).agg(count(lit(1)).as("n"))
+    evalKeyed
+      .join(broadcast(trainMatches), Seq("key"), "left")
+      .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n_train_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateNormalizedOracle: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, $canonicalKeySql AS key, doc_id % 19 = 3 AS is_eval
+       |  FROM documents),
+       |t AS (
+       |  SELECT key, count(*) AS n
+       |  FROM k WHERE NOT is_eval GROUP BY key)
+       |SELECT k.doc_id, CAST(coalesce(t.n, 0) AS BIGINT) AS n_train_copies
+       |FROM k LEFT JOIN t ON k.key = t.key
+       |WHERE k.is_eval
+       |ORDER BY k.doc_id""".stripMargin
 
   /** q39 — the deduplicated corpus itself (the user-facing API a training-
     * data pipeline calls): keep the lowest-id copy per distinct text. Same
@@ -2948,6 +3009,7 @@ object Text {
     "q31_quality_scores" -> (qualityScores _),
     "q32_exact_dedup" -> (exactDedup _),
     "q180_normalized_dedup" -> (normalizedDedup _),
+    "q189_decontaminate_normalized" -> (decontaminateNormalized _),
     "q178_line_dedup" -> ((s: SparkSession, d: String) => lineDedup(s, d)),
     "q33_jaccard_pairs" -> ((s: SparkSession, d: String) => jaccardPairs(s, d)),
     "q97_containment_pairs" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
@@ -2991,6 +3053,7 @@ object Text {
     "q31_quality_scores" -> qualityScoresOracle,
     "q32_exact_dedup" -> exactDedupOracle,
     "q180_normalized_dedup" -> normalizedDedupOracle,
+    "q189_decontaminate_normalized" -> decontaminateNormalizedOracle,
     "q178_line_dedup" -> lineDedupOracle(),
     "q33_jaccard_pairs" -> jaccardPairsOracle(),
     "q97_containment_pairs" -> containmentPairsOracle(),

@@ -737,4 +737,17 @@ class TextSpec extends SparkSpec {
       assert(got == want, s"width $w")
     }
   }
+  test("normalized decontamination: planted case/whitespace leaks are caught, short items too") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // eval doc 3 ("yes it is") is 3 tokens — INVISIBLE to an 8-gram check —
+    // and leaks twice into train via a case variant and a whitespace variant;
+    // eval doc 6 is clean; train doc 2 matches nothing
+    val docs = Seq(
+      (1L, "Yes it is"), (2L, "unrelated text"), (4L, "yes\tit  is "),
+      (3L, "yes it is"), (6L, "clean eval item")).toDF("doc_id", "text")
+    val got = Text.decontaminateNormalizedOf(docs, col("doc_id") % 3 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((3L, 2L), (6L, 0L)), got.toString)
+  }
 }
