@@ -421,29 +421,35 @@ object Sources {
         // with the lowest bin id breaking remaining-capacity ties
         val remaining = scala.collection.mutable.TreeSet.empty[(Long, Int)]
         val binTotals = scala.collection.mutable.ArrayBuffer.empty[Long]
-        ds.iterator.map { case (id, n) =>
+        val binDocs = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val binFirst = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ds.foreach { case (id, n) =>
           val bin = remaining.minAfter((n, -1)) match {
             case Some(key @ (rem, b)) =>
               remaining.remove(key)
               remaining.add((rem - n, b))
               b
             case None =>
-              binTotals += 0L
+              binTotals += 0L; binDocs += 0L; binFirst += Long.MaxValue
               // an oversize doc's bin has negative remaining and is never
               // offered again (every lookup key n is positive)
               remaining.add((budget.toLong - n, binTotals.length - 1))
               binTotals.length - 1
           }
           binTotals(bin) += n
-          (shard, bin.toLong, id, n)
+          binDocs(bin) += 1
+          if (id < binFirst(bin)) binFirst(bin) = id
+        }
+        // the loop already holds every per-bin aggregate, so emit ONE row
+        // per bin — per-document rows would leave the group function only
+        // to be re-aggregated behind a second corpus-sized exchange
+        // (MapGroupsExec's fresh output attributes hide the existing shard
+        // partitioning from Catalyst)
+        binTotals.indices.iterator.map { b =>
+          (shard, b.toLong, binDocs(b), binTotals(b), binFirst(b))
         }.toVector
       }
-      .toDF("shard", "bin", "doc_id", "n_tokens")
-      .groupBy(col("shard"), col("bin"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("n_tokens"),
-        min(col("doc_id")).as("first_doc"))
+      .toDF("shard", "bin", "n_docs", "n_tokens", "first_doc")
       .withColumn("fill_ppm", expr(s"n_tokens * 1000000L div $budget"))
       .orderBy(col("shard"), col("bin"))
   }
@@ -820,7 +826,7 @@ object Sources {
     "q99_fixed_sample" -> ((s: SparkSession, d: String) => fixedSample(s, d)),
     "q86_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "q186_pps_sample" -> ((s: SparkSession, d: String) => ppsSample(s, d)),
-    // rows-only: FFD greedy packing is not SQL-expressible; driver-model
+    // rows-only: BFD greedy packing is not SQL-expressible; driver-model
     // equality + budget-respect specs pin it, DetCheck pins partitioning
     // independence
     "q188_bestfit_pack" -> ((s: SparkSession, d: String) => bestFitPack(s, d)),

@@ -53,15 +53,21 @@ object Stats {
     * counts and one integer-ppm division, bitwise identical on any engine
     * or partitioning — one aggregate pass, map-side partials.
     */
+  /** Shared by [[percentileRanks]] AND [[percentileRanksOracle]] so the
+    * lockstep pair rejects the same inputs: duplicate thresholds would
+    * collide output column names, and a negative would put '-' inside a
+    * generated name (the backticked-identifier / SQL-parse trap) — a guard
+    * on only one side would let the other build a doomed query.
+    */
+  private def requireValidThresholds(thresholds: Seq[Long]): Unit =
+    require(thresholds.nonEmpty && thresholds.distinct.size == thresholds.size
+      && thresholds.forall(_ >= 0), s"thresholds must be distinct and >= 0: $thresholds")
+
   def percentileRanks(
       spark: SparkSession,
       sfDir: String,
       thresholds: Seq[Long] = Seq(50L, 100L, 200L)): DataFrame = {
-    // distinct + non-negative: duplicate thresholds would collide output
-    // column names, and a negative would put '-' inside a generated name
-    // (the backticked-identifier / SQL-parse trap)
-    require(thresholds.nonEmpty && thresholds.distinct.size == thresholds.size
-      && thresholds.forall(_ >= 0), s"thresholds must be distinct and >= 0: $thresholds")
+    requireValidThresholds(thresholds)
     val aggs = thresholds.map(t =>
       sum(when(col("value") <= t.toDouble, 1L).otherwise(0L)).as(s"c$t"))
     Tables.events(spark, sfDir)
@@ -75,6 +81,7 @@ object Stats {
   }
 
   def percentileRanksOracle(thresholds: Seq[Long] = Seq(50L, 100L, 200L)): String = {
+    requireValidThresholds(thresholds)
     val cols = thresholds.map(t =>
       s"""(CAST(sum(CASE WHEN value <= $t THEN 1 ELSE 0 END) AS BIGINT)
          |         * 1000000) // count(*) AS rank_${t}_ppm""".stripMargin)

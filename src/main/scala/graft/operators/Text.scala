@@ -188,10 +188,6 @@ object Text {
   def normalizedDedup(spark: SparkSession, sfDir: String): DataFrame =
     normalizedDedupOf(Tables.documents(spark, sfDir))
 
-  /** The canonical-key grouping over ANY (doc_id, text) frame — the gate
-    * wrapper binds the fixture table; specs drive it with planted
-    * case/whitespace/composition variants.
-    */
   /** The ccnet canonical-text column over `text` (collapse → trim → lower →
     * NFC; portability notes in the [[normalizedDedup]] scaladoc) — ONE
     * definition shared by q180's dedup and q189's leak check, and one
@@ -205,6 +201,10 @@ object Text {
     """sha256(nfc_normalize(lower(trim(
       |  regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))))""".stripMargin
 
+  /** The canonical-key grouping over ANY (doc_id, text) frame — the gate
+    * wrapper binds the fixture table; specs drive it with planted
+    * case/whitespace/composition variants.
+    */
   def normalizedDedupOf(documents: DataFrame): DataFrame = {
     documents
       .select(col("doc_id"), sha2(canonicalText, 256).as("key"))
