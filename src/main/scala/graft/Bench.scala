@@ -36,8 +36,12 @@ object Bench {
     val builder = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
       .flatMap(_.split(';').toSeq).map(_.trim).filter(_.nonEmpty)
       .foldLeft(spark0) { (b, kv) =>
-        val Array(k, v) = kv.split("=", 2)
-        b.config(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => b.config(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not k=v " +
+              "(expected 'key=value;key=value')")
+        }
       }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -299,9 +299,13 @@ object Audit {
     * correctly-rounded double ops (the moment differences n·Σxy − Σx·Σy
     * etc. are formed in BIGINT, exact; sqrt/÷ are IEEE-correct on both
     * engines), so the oracle is bitwise. A zero-variance side yields NULL
-    * (undefined, surfaced) on both engines. Overflow: x,y ≤ ~10^4 per doc
-    * keeps the BIGINT moments exact to ~10^10 docs per source; past that,
-    * the DECIMAL(38,0) valve (the q116 note).
+    * (undefined, surfaced) on both engines. Overflow: the widest products
+    * (n·Σx², n·Σxy) are worst-case n²·x̂·ŷ — inside BIGINT while
+    * n·√(x̂·ŷ) ≲ 3·10⁹, e.g. counts ≤ 10⁴ to ~3·10⁵ docs per source at
+    * the adversarial extreme (real length pairs correlate, buying orders
+    * of magnitude more); past that, the DECIMAL(38,0) valve (the q116
+    * note) — and either way ANSI arithmetic fails loud (the q190
+    * MiscSpec pin), never a silent wraparound.
     */
   def columnCorrelations(spark: SparkSession, sfDir: String): DataFrame =
     columnCorrelationsOf(

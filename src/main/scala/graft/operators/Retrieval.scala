@@ -533,15 +533,17 @@ object Retrieval {
     * `boundary` tokens (DuckDB slices are 1-based inclusive — `ts[1:k]` IS
     * the 0-based `pos < k` window).
     */
-  def spanFirstOracle(term: String = "join", boundary: Int = 8): String =
+  def spanFirstOracle(term: String = "join", boundary: Int = 8): String = {
+    val t0 = term.replace("'", "''")
     s"""WITH x AS (
        |  SELECT doc_id,
        |         len(list_filter(string_split(text, ' ')[1:$boundary],
-       |                         t -> t = '$term')) AS n
+       |                         t -> t = '$t0')) AS n
        |  FROM documents)
        |SELECT doc_id, CAST(n AS BIGINT) AS n_hits
        |FROM x WHERE n > 0
        |ORDER BY doc_id""".stripMargin
+  }
 
   /** q187 — MATCH PHRASE PREFIX (ES `match_phrase_prefix`): documents where
     * the anchor term is immediately followed by a term with the given
@@ -576,19 +578,22 @@ object Retrieval {
   }
 
   def matchPhrasePrefixOracle(
-      term: String = "join", prefix: String = "or"): String =
+      term: String = "join", prefix: String = "or"): String = {
+    val t0 = term.replace("'", "''")
+    val p0 = prefix.replace("'", "''")
     s"""WITH tok AS (
        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
        |h AS (
        |  SELECT doc_id,
        |         [ts[i + 1] FOR i IN generate_series(1, len(ts) - 1)
-       |          IF ts[i] = '$term' AND starts_with(ts[i + 1], '$prefix')]
+       |          IF ts[i] = '$t0' AND starts_with(ts[i + 1], '$p0')]
        |           AS comps
        |  FROM tok)
        |SELECT doc_id, CAST(len(comps) AS BIGINT) AS n_hits,
        |       CAST(len(list_distinct(comps)) AS BIGINT) AS n_completions
        |FROM h WHERE len(comps) > 0
        |ORDER BY doc_id""".stripMargin
+  }
 
   /** The default synonym registry for q170 — an ES synonym-filter analysis
     * chain as data: (concept, variant) rows, broadcast into the match.

@@ -69,8 +69,14 @@ object Stats {
     * bitwise identical on both engines. The cents scaling cancels in t
     * (numerator and denominator both scale by 100). Degenerate segments
     * (n < 2 or zero variance in both) yield NULL, surfaced not thrown.
-    * Overflow: |value| ≤ ~10^7 units keeps n·Σx² inside BIGINT to ~10^9
-    * rows per segment; past that, the DECIMAL valve (the q184 note).
+    * Overflow: the widest product is the guard/variance term n·Σx²; with
+    * ĉ = max |scaled cents| its worst case is n²·ĉ², inside BIGINT while
+    * n·ĉ ≲ 3·10⁹ — e.g. ±100-unit values to ~3·10⁵ rows per segment at
+    * the adversarial extreme, far beyond that on real distributions
+    * (RMS ≪ max). Past the frontier, swap the moments to DECIMAL(38,0)
+    * (the q116 valve); EITHER WAY the failure mode is LOUD — the
+    * session's ANSI arithmetic throws on the first overflowing product
+    * (spec-pinned in MiscSpec), never a silent wraparound.
     *
     * Scale shape: ONE filtered corpus aggregate with map-side partials;
     * everything after runs on a single row.
@@ -79,7 +85,18 @@ object Stats {
       spark: SparkSession,
       sfDir: String,
       typeA: String = "view",
-      typeB: String = "purchase"): DataFrame = {
+      typeB: String = "purchase"): DataFrame =
+    tTestOf(Tables.events(spark, sfDir), typeA, typeB)
+
+  /** The aggregate over ANY (event_type, value) frame — the gate wrapper
+    * binds the fixture table; specs drive it with an absent segment (NULL
+    * mean, not 0/0) and with values past the documented BIGINT bound (the
+    * ANSI overflow valve fires loud — see the overflow note above).
+    */
+  def tTestOf(
+      events: DataFrame,
+      typeA: String,
+      typeB: String): DataFrame = {
     def side(t: String, tag: String) = Seq(
       sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$tag"),
       sum(when(col("event_type") === t, Det.scaled(col("value"), 2))
@@ -88,15 +105,26 @@ object Stats {
         Det.scaled(col("value"), 2) * Det.scaled(col("value"), 2))
         .otherwise(0L)).as(s"ss_$tag"))
     val moments = side(typeA, "a") ++ side(typeB, "b")
-    Tables.events(spark, sfDir)
+    events
       .filter(col("event_type").isin(typeA, typeB))
       .groupBy()
       .agg(moments.head, moments.tail: _*)
       .select(
         lit(typeA).as("type_a"), lit(typeB).as("type_b"),
-        col("n_a"), col("n_b"),
-        round(col("s_a") / col("n_a") / 100.0, 4).as("mean_a"),
-        round(col("s_b") / col("n_b") / 100.0, 4).as("mean_b"),
+        // coalesce for the zero-row edge only: with NEITHER segment present
+        // the filter keeps no rows and the global sums are NULL — report
+        // n = 0, not NULL (any surviving row makes the sums non-null, so
+        // this cannot perturb the gate).
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        // n >= 1 guard, the t-statistic's discipline: an EMPTY segment gets
+        // an explicit NULL mean on both engines, never an engine-specific
+        // 0/0 (Spark NULL vs a potential NaN elsewhere) riding into the
+        // hash gate on a degenerate fixture.
+        when(col("n_a") >= 1,
+          round(col("s_a") / col("n_a") / 100.0, 4)).as("mean_a"),
+        when(col("n_b") >= 1,
+          round(col("s_b") / col("n_b") / 100.0, 4)).as("mean_b"),
         when(col("n_a") >= 2 && col("n_b") >= 2 &&
           (col("n_a") * col("ss_a") - col("s_a") * col("s_a") > 0 ||
             col("n_b") * col("ss_b") - col("s_b") * col("s_b") > 0),
@@ -125,9 +153,13 @@ object Stats {
        |  SELECT ${side(a, "a")},
        |  ${side(b, "b")}
        |  FROM events WHERE event_type IN ('$a', '$b'))
-       |SELECT '$a' AS type_a, '$b' AS type_b, n_a, n_b,
-       |       round(s_a / n_a / 100.0, 4) AS mean_a,
-       |       round(s_b / n_b / 100.0, 4) AS mean_b,
+       |SELECT '$a' AS type_a, '$b' AS type_b,
+       |       CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+       |       CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+       |       CASE WHEN n_a >= 1
+       |            THEN round(s_a / n_a / 100.0, 4) END AS mean_a,
+       |       CASE WHEN n_b >= 1
+       |            THEN round(s_b / n_b / 100.0, 4) END AS mean_b,
        |       CASE WHEN n_a >= 2 AND n_b >= 2 AND
        |                 (n_a * ss_a - s_a * s_a > 0 OR n_b * ss_b - s_b * s_b > 0)
        |            THEN round((s_a / n_a - s_b / n_b) /

@@ -1367,11 +1367,21 @@ object Text {
   def lineDedup(spark: SparkSession, sfDir: String, lineWidth: Int = 2): DataFrame =
     lineDedupOf(Tables.documents(spark, sfDir), lineWidth)
 
+  /** Shared by every line-group operator AND its oracle builder (the
+    * q185 `requireValidThresholds` lockstep discipline): a non-positive
+    * width would spin the kernel's `i += width` loop forever on an
+    * executor (and divide by zero in the oracle's `ceil(len/width)`) —
+    * fail fast with a named error on BOTH sides instead.
+    */
+  private def requireLineWidth(lineWidth: Int): Unit =
+    require(lineWidth > 0, s"lineWidth must be > 0: $lineWidth")
+
   /** The kernel over ANY (doc_id, text) frame — the gate wrapper binds the
     * fixture table; specs drive it with planted duplicate lines and a
     * driver-recompute property across widths.
     */
-  def lineDedupOf(documents: DataFrame, lineWidth: Int): DataFrame =
+  def lineDedupOf(documents: DataFrame, lineWidth: Int): DataFrame = {
+    requireLineWidth(lineWidth)
     documents
       .select(
         col("doc_id"),
@@ -1384,12 +1394,14 @@ object Text {
         col("ld.n_tokens_removed").as("n_tokens_removed"))
       .filter(col("n_dup_lines") > 0)
       .orderBy(col("doc_id"))
+  }
 
   /** Oracle counts removed tokens as total − Σ tokens over DISTINCT lines —
     * equal to the kernel's per-duplicate-instance sum because every
     * duplicate instance carries exactly its first occurrence's tokens.
     */
-  def lineDedupOracle(lineWidth: Int = 2): String =
+  def lineDedupOracle(lineWidth: Int = 2): String = {
+    requireLineWidth(lineWidth)
     s"""WITH tok AS (
        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
        |l AS (
@@ -1407,6 +1419,7 @@ object Text {
        |FROM l
        |WHERE len(lines) - len(list_distinct(lines)) > 0
        |ORDER BY doc_id""".stripMargin
+  }
 
   /** q80 — train/eval decontamination: which training documents share a
     * verbatim token 8-gram with the held-out eval set (the published

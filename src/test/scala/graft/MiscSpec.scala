@@ -477,4 +477,45 @@ class MiscSpec extends SparkSpec {
     // (the fixture difference may be small; this pins the DIRECTION logic)
     assert(math.abs(want) < 1e9)
   }
+
+  test("t-test: an empty segment yields NULL mean and NULL t, never 0/0") {
+    import graft.operators.Stats
+    import spark.implicits._
+    val ev = Seq(("a", 1.0), ("a", 2.0), ("a", 4.0))
+      .toDF("event_type", "value")
+    val r = Stats.tTestOf(ev, "a", "nosuch").collect().head
+    assert(r.getLong(2) == 3L && r.getLong(3) == 0L)
+    assert(!r.isNullAt(4), "present segment keeps its mean")
+    assert(r.isNullAt(5), "empty segment mean must be NULL, not 0/0")
+    assert(r.isNullAt(6), "empty segment t must be NULL")
+    // and a both-empty call still returns its one row, all-NULL stats
+    val r2 = Stats.tTestOf(ev, "nosuch1", "nosuch2").collect().head
+    assert(r2.getLong(2) == 0L && r2.isNullAt(4) && r2.isNullAt(5) && r2.isNullAt(6))
+  }
+
+  test("t-test: past the documented BIGINT bound the overflow valve fails loud") {
+    import graft.operators.Stats
+    import spark.implicits._
+    // The q190 scaladoc bound: |value| <= ~10^7 units keeps n·Σx² inside
+    // BIGINT. Drive values well past it (10^9 units → scaled 10^11 →
+    // square 10^22 > 2^63) and pin that the session's ANSI arithmetic
+    // THROWS — a loud overflow, never a silent wraparound riding into a
+    // "valid"-looking t statistic.
+    val ev = Seq(("a", 1e9), ("a", 2e9), ("b", 1.0), ("b", 2.0))
+      .toDF("event_type", "value")
+    val e = intercept[Exception] {
+      Stats.tTestOf(ev, "a", "b").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t =>
+      t.isInstanceOf[ArithmeticException] ||
+        Option(t.getMessage).exists(_.toLowerCase.contains("overflow"))),
+      s"expected an arithmetic-overflow failure, got: $e")
+    // and at everyday magnitudes the same shape stays exact (sanity: the
+    // valve guards the frontier, not normal operation)
+    val ok = Seq(("a", 100.0), ("a", 200.0), ("b", 1.0), ("b", 2.0))
+      .toDF("event_type", "value")
+    assert(Stats.tTestOf(ok, "a", "b").collect().length == 1)
+  }
 }
