@@ -1513,6 +1513,44 @@ object Retrieval {
        |ORDER BY lift_ppm DESC, term ASC
        |LIMIT $topN""".stripMargin
 
+  /** q191 — RARE TERMS (ES `rare_terms` aggregation): the long-tail
+    * complement of q157's significant-terms — terms appearing in at most
+    * `maxDocs` documents, the bucket ES users reach for to surface
+    * misspellings, contamination markers, and planted canaries that
+    * frequency-ranked views never show. ES implements it as a
+    * doc-count-bounded bucket agg (with a CuckooFilter approximation at
+    * scale); here the counts are EXACT because they are served from the
+    * persisted [[vocab]] store — the term dictionary is Zipf-bounded
+    * (gigabytes where the corpus is terabytes), so the rare bucket is a
+    * dictionary scan with `n_docs <= maxDocs` pushed into the parquet
+    * reader, never a corpus re-explode (the store's exact counts are what
+    * make the corpus-explode oracle hash-match). Ascending doc-count
+    * order with a term tie-break, ES's rarest-first presentation.
+    *
+    * `maxDocs = 300` is calibrated to the fixture's planted rare term
+    * ("dup": 5% of docs at every SF vs ~75% for the rest of the
+    * vocabulary); real corpora use ES's default `max_doc_count = 1`
+    * ballpark.
+    */
+  def rareTerms(
+      spark: SparkSession,
+      sfDir: String,
+      maxDocs: Long = 300): DataFrame =
+    vocab(spark, sfDir)
+      .filter(col("n_docs") <= maxDocs)
+      .select(col("term"), col("n_hits"), col("n_docs"))
+      .orderBy(col("n_docs").asc, col("term").asc)
+
+  def rareTermsOracle(maxDocs: Long = 300): String =
+    s"""WITH x AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents)
+       |SELECT t AS term, count(*) AS n_hits,
+       |       count(DISTINCT doc_id) AS n_docs
+       |FROM x GROUP BY t
+       |HAVING count(DISTINCT doc_id) <= $maxDocs
+       |ORDER BY n_docs ASC, term ASC""".stripMargin
+
   def suggestOracle(prefix: String = "s", k: Int = 10): String =
     s"""WITH x AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
@@ -1537,6 +1575,7 @@ object Retrieval {
     "q153_percolate" -> ((s: SparkSession, d: String) => percolate(s, d)),
     "q154_suggest" -> ((s: SparkSession, d: String) => suggest(s, d)),
     "q157_significant_terms" -> ((s: SparkSession, d: String) => significantTerms(s, d)),
+    "q191_rare_terms" -> ((s: SparkSession, d: String) => rareTerms(s, d)),
     "q159_phrase_indexed" -> ((s: SparkSession, d: String) => phraseSearchIndexed(s, d)),
     "q160_min_should_match" -> ((s: SparkSession, d: String) => minimumShouldMatch(s, d)),
     "q162_span_near" -> ((s: SparkSession, d: String) => spanNear(s, d)),
@@ -1568,6 +1607,7 @@ object Retrieval {
     "q153_percolate" -> percolateOracle(),
     "q154_suggest" -> suggestOracle(),
     "q157_significant_terms" -> significantTermsOracle(),
+    "q191_rare_terms" -> rareTermsOracle(),
     // q159 serves q142's semantics from the postings index: same oracle.
     "q159_phrase_indexed" -> phraseSearchOracle(),
     "q160_min_should_match" -> minimumShouldMatchOracle(),

@@ -116,6 +116,15 @@ class PlanSpec extends SparkSpec {
       s"point-lookup filter not pushed:\n$plan")
   }
 
+  test("q191 rare terms pushes the doc-count ceiling into the vocab store scan") {
+    val plan = planOf("q191_rare_terms")
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThanOrEqual(n_docs,300)"),
+      s"rare-terms ceiling not pushed into the dictionary scan:\n$plan")
+    // dictionary probe, never a corpus re-explode: no documents scan at all
+    assert(!plan.contains("documents"), s"rare terms re-read the corpus:\n$plan")
+  }
+
   test("knn exact never reads the label column") {
     val plan = planOf("q20_knn_exact")
     val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq

@@ -358,6 +358,26 @@ class RetrievalSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == hits,
       "suggest hit counts must cross-foot with a raw token count")
   }
+  test("rare terms: matches the corpus-explode formulation; planted rare term surfaces") {
+    import org.apache.spark.sql.functions._
+    val brute = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_hits"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") <= 300)
+      .orderBy(col("n_docs").asc, col("t").asc)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = Retrieval.rareTerms(spark, sf0001, maxDocs = 300)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty && got == brute, s"got ${got.size} brute ${brute.size}")
+    // the fixture's planted rare term is in the bucket; the frequent
+    // vocabulary is not (the separation the threshold is calibrated to)
+    assert(got.exists(_._1 == "dup"))
+    assert(got.forall(_._3 <= 300))
+    val vocabSize = Retrieval.vocab(spark, sf0001).count()
+    assert(got.size < vocabSize, "rare bucket must be a strict subset")
+  }
+
   test("wildcard pattern translation: * ? map to LIKE, metacharacters escape") {
     assert(Retrieval.wildcardToLike("s?a*") == "s_a%")
     assert(Retrieval.wildcardToLike("a%b_c*") == "a\\%b\\_c%")
