@@ -1,0 +1,99 @@
+package graft.tools
+
+/** Dev tool: diff two `bench_per_query.json` snapshots (each the min-of-N
+  * per-query map Bench writes) and separate real regressions from the
+  * sandbox host's throttle smear — the mechanical version of the "diff
+  * per-query mins before believing a regression" rule from BASELINE.md.
+  *
+  * Usage:
+  *   sbt "runMain graft.tools.BenchDiff OLD.json NEW.json [absBand] [relFrac]"
+  *
+  * A query REGRESSES iff `new − old > max(absBand, relFrac·old)` — both the
+  * absolute band (default 0.30 s, sized to the observed per-query throttle
+  * smear surviving min-of-3) and the relative fraction (default 0.50) must
+  * be beaten, so neither a +80 ms wobble on a 100 ms query nor a +4% drift
+  * on a 1.3 s composite trips it. Every pair prints with a band annotation;
+  * queries present on one side only (surface growth / removals) and
+  * newly-ERRORED queries are reported separately. Exit status: 1 iff any
+  * regression or any new error — wire it between "run bench" and "commit
+  * the snapshot".
+  *
+  * Pure file-to-file comparison: no SparkSession, runs in milliseconds.
+  * The parser reads exactly the shape Bench.scala emits (one flat
+  * `"queries":{...}` object of name→seconds plus an optional
+  * `"errors":{...}` object) rather than dragging in a JSON dependency the
+  * build intentionally lacks.
+  */
+object BenchDiff {
+
+  /** name→seconds pairs of the FIRST `"queries":{...}` object, plus the
+    * names of the `"errors":{...}` object (empty when absent).
+    */
+  private[tools] def parse(json: String): (Map[String, Double], Set[String]) = {
+    def obj(key: String): Option[String] = {
+      val tag = "\"" + key + "\":{"
+      val i = json.indexOf(tag)
+      if (i < 0) None
+      else {
+        val start = i + tag.length
+        val end = json.indexOf('}', start)
+        require(end >= start, s"unterminated $key object")
+        Some(json.substring(start, end))
+      }
+    }
+    val pair = """"([^"]+)":([0-9.eE+-]+)""".r
+    val queries = obj("queries").map { body =>
+      pair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(sys.error("no \"queries\":{...} object found"))
+    val errPair = """"([^"]+)":"""".r
+    val errors = obj("errors").map { body =>
+      errPair.findAllMatchIn(body).map(_.group(1)).toSet
+    }.getOrElse(Set.empty)
+    (queries, errors)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: BenchDiff OLD.json NEW.json [absBand=0.30] [relFrac=0.50]")
+    val absBand = if (args.length > 2) args(2).toDouble else 0.30
+    val relFrac = if (args.length > 3) args(3).toDouble else 0.50
+    def read(p: String) = parse(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+      java.nio.charset.StandardCharsets.UTF_8))
+    val (oldQ, oldErr) = read(args(0))
+    val (newQ, newErr) = read(args(1))
+
+    val common = oldQ.keySet.intersect(newQ.keySet).toSeq
+    val rows = common.map { n => (n, oldQ(n), newQ(n), newQ(n) - oldQ(n)) }
+      .sortBy(-_._4)
+    def fmt(v: Double) = f"$v%8.3f"
+    var regressed = List.empty[String]
+    println(f"${"query"}%-40s ${"old"}%8s ${"new"}%8s ${"delta"}%8s  verdict")
+    rows.foreach { case (n, o, v, d) =>
+      val band = math.max(absBand, relFrac * o)
+      val verdict =
+        if (d > band) { regressed ::= n; f"REGRESSED (band ${band}%.3f)" }
+        else if (d < -band) f"improved (band ${band}%.3f)"
+        else "within band"
+      println(f"$n%-40s ${fmt(o)} ${fmt(v)} ${fmt(d)}  $verdict")
+    }
+    val added = newQ.keySet.diff(oldQ.keySet).toSeq.sorted
+    val removed = oldQ.keySet.diff(newQ.keySet).toSeq.sorted
+    if (added.nonEmpty) println(s"added (${added.size}): ${added.mkString(", ")}")
+    if (removed.nonEmpty)
+      println(s"removed (${removed.size}): ${removed.mkString(", ")}")
+    val freshErrors = newErr.diff(oldErr).toSeq.sorted
+    if (freshErrors.nonEmpty)
+      println(s"NEW ERRORS (${freshErrors.size}): ${freshErrors.mkString(", ")}")
+    val oldTot = common.map(oldQ).sum
+    val newTot = common.map(newQ).sum
+    println(f"comparable total: old $oldTot%.2f s -> new $newTot%.2f s " +
+      f"(${newTot - oldTot}%+.2f s over ${common.size} shared queries; " +
+      f"band abs=$absBand%.2f rel=$relFrac%.2f)")
+    if (regressed.nonEmpty || freshErrors.nonEmpty) {
+      System.err.println(
+        s"BENCHDIFF FAILED: ${(regressed.reverse ++ freshErrors).mkString(", ")}")
+      sys.exit(1)
+    }
+  }
+}
