@@ -1181,6 +1181,88 @@ object Text {
       Array[Any](nLines, dupLines, removedToks))
   }
 
+  /** Per-line digest rows for the CROSS-document line-dedup family
+    * ([[org.apache.spark.sql.graft.TextExpressions.LineDigests]]): one
+    * (idx, ntoks, h1, h2) struct per consecutive `width`-token group (the
+    * last may be partial), h1/h2 two independent-base polynomial hashes of
+    * the line's space-joined characters (the [[spanDigestArrayData]] bases).
+    * Grouping downstream is digest-internal, so any injective-whp hash
+    * matches the line-equality oracle: equal lines hash equal by
+    * construction, distinct lines collide at ~2^-128 across the pair.
+    * Hashing the separator too keeps the map injective over token
+    * boundaries (["ab","c"] ≠ ["a","bc"]).
+    */
+  def lineDigestsArrayData(
+      toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      width: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = toks.numElements()
+    val m = if (n == 0) 0 else (n + width - 1) / width
+    val rows = new Array[Any](m)
+    var g = 0
+    var i = 0
+    while (g < m) {
+      val end = math.min(i + width, n)
+      var h1 = 0L
+      var h2 = 0L
+      var j = i
+      while (j < end) {
+        if (j > i) { h1 = h1 * 31L + 32L; h2 = h2 * 1000003L + 32L }
+        val s = toks.getUTF8String(j).toString
+        var c = 0
+        while (c < s.length) {
+          val ch = s.charAt(c).toLong
+          h1 = h1 * 31L + ch
+          h2 = h2 * 1000003L + ch
+          c += 1
+        }
+        j += 1
+      }
+      rows(g) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](g, end - i, h1, h2))
+      i += width
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  /** Rebuild a document's text with the given line indices dropped
+    * ([[org.apache.spark.sql.graft.TextExpressions.LineDedupRewrite]]):
+    * kept `width`-token groups re-joined with single spaces (the fixture's
+    * token separator, so an untouched document round-trips byte-identical).
+    * `removed` must be sorted ascending (the operator sorts it) — the walk
+    * is one pointer, O(tokens). All lines removed → empty string, the
+    * explicit contract the oracle coalesces to.
+    */
+  def lineDedupRewriteArrayData(
+      toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      width: Int,
+      removed: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    val n = toks.numElements()
+    val nr = removed.numElements()
+    val sb = new java.lang.StringBuilder()
+    var g = 0
+    var i = 0
+    var r = 0
+    var first = true
+    while (i < n) {
+      while (r < nr && removed.getInt(r) < g) r += 1
+      if (r < nr && removed.getInt(r) == g) r += 1
+      else {
+        val end = math.min(i + width, n)
+        var j = i
+        while (j < end) {
+          if (!first) sb.append(' ')
+          sb.append(toks.getUTF8String(j).toString)
+          first = false
+          j += 1
+        }
+      }
+      i += width
+      g += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
   /** Unicode NFC canonicalization for [[TextExpressions.NfcNormalize]]'s
     * eval + codegen paths (shared JVM method — the two cannot drift).
     * `isNormalized` first: all-ASCII text (the overwhelming share of web
@@ -1418,6 +1500,190 @@ object Text {
        |         x -> len(string_split(x, ' ')))) AS BIGINT) AS n_tokens_removed
        |FROM l
        |WHERE len(lines) - len(list_distinct(lines)) > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------ q192/q193
+  // CROSS-document line dedup — the corpus-level complement of q178: the
+  // published ccnet recipe dedups repeated lines/paragraphs ACROSS
+  // documents (keep the first occurrence corpus-wide, drop every later
+  // copy), because boilerplate headers/footers/cookie banners are the
+  // dominant web-corpus noise and no DOC-level detector (q39/q77) or
+  // span detector (q114 flags only ≥40-char runs) removes a short line
+  // that appears in thousands of documents without flagging whole docs.
+
+  /** The exploded per-line digest frame — (doc_id, idx, ntoks, h1, h2),
+    * ~32 bytes a line, text never leaves the scan projection (the q114
+    * window discipline applied to lines).
+    */
+  private def crossDocLines(documents: DataFrame, lineWidth: Int): DataFrame =
+    documents
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.TextExpressions
+          .lineDigests(tokens(col("text")), lineWidth)).as("l"))
+      .select(col("doc_id"), col("l.idx").as("idx"), col("l.ntoks").as("ntoks"),
+        col("l.h1").as("h1"), col("l.h2").as("h2"))
+
+  /** The DUPLICATED-LINE DICTIONARY: digests occurring ≥ `minOcc` times
+    * corpus-wide, each with its keep-first owner (the lexicographic min
+    * (doc_id, idx) occurrence). ONE digest aggregate with map-side
+    * partials — the only corpus×lines exchange in the family, carrying
+    * ~32-byte rows (≈⅓ of corpus bytes at a ~100-char line grain: the
+    * q39/q80 digest-shuffle class, strictly smaller than the gram-store
+    * build already gated at q113). The OUTPUT is the small side by
+    * construction: distinct lines repeated across documents are the
+    * Zipf-bounded boilerplate dictionary — pathological pairwise-duplicate
+    * corpora (every line "duplicated" because whole documents are) don't
+    * arise here because the pipeline runs doc-level dedup FIRST (q101's
+    * recipe order); raising `minOcc` shrinks the dictionary further toward
+    * true boilerplate, and the ccnet per-shard split is the fallback past
+    * any broadcast ceiling.
+    */
+  private def dupLineDict(lines: DataFrame, minOcc: Long): DataFrame =
+    lines
+      .groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("idx"))).as("first"))
+      .filter(col("n_occ") >= minOcc)
+      .select(col("h1").as("dh1"), col("h2").as("dh2"),
+        col("first.doc_id").as("fdoc"), col("first.idx").as("fidx"))
+
+  /** q192 — CROSS-DOCUMENT LINE DEDUP (summary): per affected document,
+    * how many lines a corpus-wide keep-first line dedup drops and how many
+    * tokens that reclaims. "Line" is a consecutive `lineWidth`-token group
+    * (q178's fixture-calibrated grain; real corpora split on newlines,
+    * same kernels). Keep-first is GLOBAL — the lexicographically smallest
+    * (doc_id, idx) occurrence survives, every other copy (intra- or
+    * cross-document) is removed, so the op subsumes q178's intra-doc
+    * counters under corpus-wide ownership.
+    *
+    * Scale shape: two corpus scans (dictionary build + probe — re-scanning
+    * beats pinning a corpus×lines frame or shuffling it twice), lines
+    * travel as digests only (text-never-shuffles PlanSpec-locked), the
+    * dictionary broadcasts into the probe ([[dupLineDict]]'s size
+    * argument), and the per-doc aggregate combines map-side on the scan's
+    * own doc grain.
+    */
+  def crossDocLineDedup(
+      spark: SparkSession, sfDir: String,
+      lineWidth: Int = 2, minOcc: Long = 2): DataFrame =
+    crossDocLineDedupOf(Tables.documents(spark, sfDir), lineWidth, minOcc)
+
+  /** The detection core over ANY (doc_id, text) frame — the gate wrapper
+    * binds the fixture; specs drive it with planted boilerplate.
+    */
+  def crossDocLineDedupOf(
+      documents: DataFrame, lineWidth: Int, minOcc: Long): DataFrame = {
+    requireLineWidth(lineWidth)
+    val lines = crossDocLines(documents, lineWidth)
+    lines
+      .join(broadcast(dupLineDict(lines, minOcc)),
+        col("h1") === col("dh1") && col("h2") === col("dh2"), "left")
+      .withColumn("removed",
+        (col("dh1").isNotNull &&
+          !(col("doc_id") === col("fdoc") && col("idx") === col("fidx")))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("removed")).as("n_removed_lines"),
+        sum(col("removed") * col("ntoks")).as("n_tokens_removed"))
+      .filter(col("n_removed_lines") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q192's oracle: the same line grouping as q178's, keep-first as a
+    * `row_number() > 1` over the line partition ordered by (doc_id, idx) —
+    * exactly the Spark side's min-(doc_id, idx) ownership. Grouping is by
+    * line TEXT where the engine groups by digest pair: equal-whp, the q114
+    * argument, and what the hash gate pins.
+    */
+  def crossDocLineDedupOracle(lineWidth: Int = 2): String = {
+    requireLineWidth(lineWidth)
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |l AS (
+       |  SELECT doc_id, i AS idx,
+       |         array_to_string(ts[(i-1)*$lineWidth+1 : i*$lineWidth], ' ') AS line,
+       |         len(ts[(i-1)*$lineWidth+1 : i*$lineWidth]) AS ntoks
+       |  FROM tok, LATERAL unnest(generate_series(1,
+       |    CAST(ceil(len(ts) / $lineWidth.0) AS BIGINT))) AS t(i)),
+       |r AS (
+       |  SELECT doc_id, ntoks,
+       |         CASE WHEN row_number() OVER (PARTITION BY line
+       |                ORDER BY doc_id, idx) > 1 THEN 1 ELSE 0 END AS removed
+       |  FROM l)
+       |SELECT doc_id, count(*) AS n_lines,
+       |       CAST(sum(removed) AS BIGINT) AS n_removed_lines,
+       |       CAST(sum(removed * ntoks) AS BIGINT) AS n_tokens_removed
+       |FROM r GROUP BY doc_id
+       |HAVING sum(removed) > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q193 — the REWRITE the q192 detection feeds: affected documents with
+    * their duplicated lines cut and the survivors re-joined — per-doc
+    * kept_text, the actual cleaned corpus a ccnet-style pass emits.
+    *
+    * Scale shape: the removal map is (doc_id, sorted int list) — tens of
+    * bytes per affected doc, NEVER text — built from the same broadcast
+    * dictionary probe as q192 and broadcast back into the documents scan,
+    * so the rewrite itself is a narrow map (one compiled kernel per doc,
+    * [[org.apache.spark.sql.graft.TextExpressions.LineDedupRewrite]]).
+    * The one text-bearing exchange is the presentation sort of the
+    * affected-docs OUTPUT — a full-corpus production rewrite drops the
+    * sort and the text flows scan→writer, the floor for any rewriter.
+    * Affected-doc volume past the broadcast ceiling degrades the id join
+    * to a doc_id SMJ, still digest-narrow on the removal side.
+    */
+  def crossDocLineRewrite(
+      spark: SparkSession, sfDir: String,
+      lineWidth: Int = 2, minOcc: Long = 2): DataFrame =
+    crossDocLineRewriteOf(Tables.documents(spark, sfDir), lineWidth, minOcc)
+
+  /** The rewrite core over ANY (doc_id, text) frame (see
+    * [[crossDocLineDedupOf]]).
+    */
+  def crossDocLineRewriteOf(
+      doc: DataFrame, lineWidth: Int, minOcc: Long): DataFrame = {
+    requireLineWidth(lineWidth)
+    val lines = crossDocLines(doc, lineWidth)
+    val removals = lines
+      .join(broadcast(dupLineDict(lines, minOcc)),
+        col("h1") === col("dh1") && col("h2") === col("dh2"))
+      .filter(!(col("doc_id") === col("fdoc") && col("idx") === col("fidx")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("idx"))).as("rm"))
+    doc.join(broadcast(removals), Seq("doc_id"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions
+          .lineDedupRewrite(tokens(col("text")), col("rm"), lineWidth)
+          .as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q193's oracle: kept lines re-joined in position order; a doc whose
+    * every line is removed keeps '' (the kernel's explicit contract).
+    */
+  def crossDocLineRewriteOracle(lineWidth: Int = 2): String = {
+    requireLineWidth(lineWidth)
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |l AS (
+       |  SELECT doc_id, i AS idx,
+       |         array_to_string(ts[(i-1)*$lineWidth+1 : i*$lineWidth], ' ') AS line
+       |  FROM tok, LATERAL unnest(generate_series(1,
+       |    CAST(ceil(len(ts) / $lineWidth.0) AS BIGINT))) AS t(i)),
+       |r AS (
+       |  SELECT doc_id, idx, line,
+       |         CASE WHEN row_number() OVER (PARTITION BY line
+       |                ORDER BY doc_id, idx) > 1 THEN 1 ELSE 0 END AS removed
+       |  FROM l)
+       |SELECT doc_id,
+       |       coalesce(string_agg(line, ' ' ORDER BY idx)
+       |                  FILTER (WHERE removed = 0), '') AS kept_text
+       |FROM r GROUP BY doc_id
+       |HAVING sum(removed) > 0
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -3024,6 +3290,8 @@ object Text {
     "q180_normalized_dedup" -> (normalizedDedup _),
     "q189_decontaminate_normalized" -> (decontaminateNormalized _),
     "q178_line_dedup" -> ((s: SparkSession, d: String) => lineDedup(s, d)),
+    "q192_crossdoc_line_dedup" -> ((s: SparkSession, d: String) => crossDocLineDedup(s, d)),
+    "q193_crossdoc_line_rewrite" -> ((s: SparkSession, d: String) => crossDocLineRewrite(s, d)),
     "q33_jaccard_pairs" -> ((s: SparkSession, d: String) => jaccardPairs(s, d)),
     "q97_containment_pairs" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
     "q98_containment_neardups" -> ((s: SparkSession, d: String) => containmentNearDups(s, d)),
@@ -3068,6 +3336,8 @@ object Text {
     "q180_normalized_dedup" -> normalizedDedupOracle,
     "q189_decontaminate_normalized" -> decontaminateNormalizedOracle,
     "q178_line_dedup" -> lineDedupOracle(),
+    "q192_crossdoc_line_dedup" -> crossDocLineDedupOracle(),
+    "q193_crossdoc_line_rewrite" -> crossDocLineRewriteOracle(),
     "q33_jaccard_pairs" -> jaccardPairsOracle(),
     "q97_containment_pairs" -> containmentPairsOracle(),
     "q39_dedup_corpus" -> dedupCorpusOracle,

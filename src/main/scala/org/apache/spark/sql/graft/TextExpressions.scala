@@ -151,6 +151,61 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Per-line digest rows for cross-document line dedup (q192/q193 hot
+    * path): array of (idx, ntoks, h1, h2) over consecutive `width`-token
+    * groups — the scan-side half of the "lines travel as 16-byte digests,
+    * text never shuffles" contract. Hash contract:
+    * [[graft.operators.Text.lineDigestsArrayData]].
+    */
+  case class LineDigests(child: Expression, width: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("idx", IntegerType, nullable = false),
+      StructField("ntoks", IntegerType, nullable = false),
+      StructField("h1", LongType, nullable = false),
+      StructField("h2", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "line_digests"
+
+    override def nullSafeEval(toks: Any): Any =
+      Text.lineDigestsArrayData(toks.asInstanceOf[ArrayData], width)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.operators.Text.lineDigestsArrayData($t, $width);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Drop the given line indices from a token array and re-join (q193's
+    * rewrite step) — one compiled pointer walk per document instead of a
+    * CodegenFallback transform/filter/flatten stack. Contract:
+    * [[graft.operators.Text.lineDedupRewriteArrayData]].
+    */
+  case class LineDedupRewrite(left: Expression, right: Expression, width: Int)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(StringType), ArrayType(IntegerType))
+    override def dataType: DataType = StringType
+    override def prettyName: String = "line_dedup_rewrite"
+
+    override def nullSafeEval(toks: Any, removed: Any): Any =
+      Text.lineDedupRewriteArrayData(
+        toks.asInstanceOf[ArrayData], width, removed.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (t, r) =>
+        s"${ev.value} = graft.operators.Text.lineDedupRewriteArrayData($t, $width, $r);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** All length-`spanLen` window digests of a document in one rolling pass
     * (q114 hot path): array of (pos, h1, h2). See
     * [[graft.operators.Text.spanDigestArrayData]] for the hash contract.
@@ -255,6 +310,13 @@ object TextExpressions {
 
   def lineDedupStats(toks: Column, width: Int): Column =
     ExpressionUtils.column(LineDedupStats(ExpressionUtils.expression(toks), width))
+
+  def lineDigests(toks: Column, width: Int): Column =
+    ExpressionUtils.column(LineDigests(ExpressionUtils.expression(toks), width))
+
+  def lineDedupRewrite(toks: Column, removed: Column, width: Int): Column =
+    ExpressionUtils.column(LineDedupRewrite(
+      ExpressionUtils.expression(toks), ExpressionUtils.expression(removed), width))
 
   def nfcNormalize(text: Column): Column =
     ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(text)))

@@ -116,6 +116,14 @@ class PlanSpec extends SparkSpec {
       s"point-lookup filter not pushed:\n$plan")
   }
 
+  test("cross-doc line dedup family: lines travel as digests, text never shuffles") {
+    assertNeverShuffled("q192_crossdoc_line_dedup", "text")
+    // q193's only text-bearing movement is the presentation sort of its own
+    // affected-docs OUTPUT (kept_text); the source text column never
+    // crosses an exchange — the dictionary and the removal map broadcast.
+    assertNeverShuffled("q193_crossdoc_line_rewrite", "text")
+  }
+
   test("q191 rare terms pushes the doc-count ceiling into the vocab store scan") {
     val plan = planOf("q191_rare_terms")
     assert(plan.contains("PushedFilters") &&

@@ -737,6 +737,48 @@ class TextSpec extends SparkSpec {
       assert(got == want, s"width $w")
     }
   }
+
+  test("cross-doc line dedup: planted boilerplate removed keep-first; counters exact") {
+    import spark.implicits._
+    // width-2 lines: doc 1 [h f][a b][c d] owns "h f" and "a b";
+    // doc 2 [h f][e g] loses its "h f" copy; doc 3 [h f][a b] loses BOTH
+    // (kept_text ''); doc 4 is unique and appears in neither gate shape.
+    val docs = Seq(
+      (1L, "h f a b c d"), (2L, "h f e g"), (3L, "h f a b"), (4L, "u v w"))
+      .toDF("doc_id", "text")
+    val got = Text.crossDocLineDedupOf(docs, 2, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((2L, 2L, 1L, 2L), (3L, 2L, 2L, 4L)), got.mkString(","))
+    val rw = Text.crossDocLineRewriteOf(docs, 2, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rw.toSeq == Seq((2L, "e g"), (3L, "")), rw.mkString(","))
+    // intra-document copies fall under the same GLOBAL keep-first ownership
+    val intra = Seq((1L, "p q p q")).toDF("doc_id", "text")
+    val g2 = Text.crossDocLineDedupOf(intra, 2, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(g2.toSeq == Seq((1L, 2L, 1L, 2L)), g2.mkString(","))
+    // a minOcc above every planted frequency disarms removal entirely
+    assert(Text.crossDocLineDedupOf(docs, 2, 4).collect().isEmpty)
+  }
+
+  test("cross-doc dedup summary and rewrite cross-foot on the fixture") {
+    val sum = Text.crossDocLineDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    import org.apache.spark.sql.functions.col
+    val orig = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val rw = Text.crossDocLineRewrite(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rw.nonEmpty && rw.map(_._1).toSet == sum.keySet,
+      "summary and rewrite must flag the same documents")
+    rw.foreach { case (id, kept) =>
+      val keptToks = if (kept.isEmpty) 0L else kept.split(" ").length.toLong
+      val origToks = orig(id).split(" ").length.toLong
+      assert(origToks - keptToks == sum(id)._2,
+        s"doc $id: reclaimed-token counter disagrees with the actual rewrite")
+    }
+  }
   test("normalized decontamination: planted case/whitespace leaks are caught, short items too") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
