@@ -85,6 +85,9 @@ object Bench {
       // from it) — detect once, emit both reports; the detection pipeline
       // itself is timed live as q114.
       graft.operators.Text.ensureSpanHits(spark, sfDir)
+      // Corpus span store — ingest-time window hashing; q194 measures the
+      // per-delivery duplicated-span probe.
+      graft.operators.Text.ensureSpanStore(spark, sfDir)
       // Corpus vocabulary store — the term dictionary is an ingest-time
       // artifact; q143/q144/q154/q157 measure dictionary-probe latency.
       graft.operators.Retrieval.ensureVocabStore(spark, sfDir)

@@ -2891,19 +2891,28 @@ object Text {
     else sampleModArg
   }
 
-  private def duplicatedSpanHits(
-      spark: SparkSession, sfDir: String, spanLen: Int, sampleModArg: Int): DataFrame = {
+  /** The sampled window-digest projection of ANY (doc_id, text) frame —
+    * (doc_id, pos, h1, h2), text never leaving the scan. ONE definition
+    * shared by the live detector, the span-store build, and the increment
+    * probe (the [[docDigests]] discipline: every site must hash and sample
+    * identically or probes silently miss).
+    */
+  private def spanWindowsOf(docs: DataFrame, spanLen: Int, sampleMod: Int): DataFrame = {
     require(spanLen >= 2, s"spanLen must be >= 2: $spanLen")
-    val sampleMod = resolveSampleMod(spark, sfDir, sampleModArg)
-    val win = Tables.documents(spark, sfDir)
+    val win = docs
       .filter(length(col("text")) >= spanLen)
       .select(col("doc_id"), explode(
         org.apache.spark.sql.graft.TextExpressions.spanDigests(col("text"), spanLen)).as("w"))
       .select(col("doc_id"), col("w.pos").as("pos"),
         col("w.h1").as("h1"), col("w.h2").as("h2"))
-    val sampled =
-      if (sampleMod <= 1) win
-      else win.filter(pmod(col("h1"), lit(sampleMod.toLong)) === 0)
+    if (sampleMod <= 1) win
+    else win.filter(pmod(col("h1"), lit(sampleMod.toLong)) === 0)
+  }
+
+  private def duplicatedSpanHits(
+      spark: SparkSession, sfDir: String, spanLen: Int, sampleModArg: Int): DataFrame = {
+    val sampleMod = resolveSampleMod(spark, sfDir, sampleModArg)
+    val sampled = spanWindowsOf(Tables.documents(spark, sfDir), spanLen, sampleMod)
     // ">= 2 distinct docs" as a WINDOW aggregate: min(doc)≠max(doc) over the
     // digest partition is exactly the df>=2 predicate, computed inside the
     // ONE corpus×len digest exchange — no second countDistinct exchange, no
@@ -2979,7 +2988,15 @@ object Text {
   def duplicatedSpans(
       spark: SparkSession, sfDir: String,
       spanLen: Int = 40, sampleMod: Int = AutoSampleMod): DataFrame =
-    withSpanBreaks(duplicatedSpanHits(spark, sfDir, spanLen, sampleMod), spanLen)
+    spanSummaryOf(duplicatedSpanHits(spark, sfDir, spanLen, sampleMod), spanLen)
+
+  /** Hit rows → the q114 per-doc summary (windows, merged spans, union
+    * coverage). ONE implementation behind the live detector and the
+    * increment probe ([[spanBatchAgainstStore]]), so their spec-pinned
+    * equivalence is true by construction — the [[spanRangesOf]] argument.
+    */
+  private def spanSummaryOf(hits: DataFrame, spanLen: Int): DataFrame =
+    withSpanBreaks(hits, spanLen)
       .withColumn("cov",
         coalesce(least(col("pos") - col("lagp"), lit(spanLen)), lit(spanLen))
           .cast("long"))
@@ -3089,6 +3106,144 @@ object Text {
       |       CAST(min(pos) AS INTEGER) AS span_start,
       |       CAST(max(pos) + 39 AS INTEGER) AS span_end
       |FROM s GROUP BY doc_id, span_id ORDER BY doc_id, span_id""".stripMargin
+
+  // ---------------------------------------------------------------- q194
+  // The SPAN member of the increment-store family (exact q107, textual
+  // q109, semantic q110, decontamination q113, cluster q115): spans were
+  // the one gated detector with no per-delivery twin.
+
+  /** Write the SPAN STORE for a corpus frame: the DISTINCT sampled window
+    * digests, as (sh1, sh2) — membership is all a probe needs (keep-first
+    * ownership is positional and stays with the live detector). Store rows
+    * are 16 bytes per distinct sampled window — corpus chars ÷ sampleMod at
+    * the limit, so the [[deriveSampleMod]] valve that bounds the live
+    * shuffle bounds the store the same way (×256 at the cap). The build's
+    * distinct is the one corpus×len exchange, paid at ingest like the gram
+    * and band stores; compact replayed appends by rewriting distinct rows.
+    */
+  def buildSpanStore(
+      spark: SparkSession, corpusDocs: DataFrame, dir: String,
+      spanLen: Int = 40, sampleMod: Int = 1): Unit =
+    spanWindowsOf(corpusDocs, spanLen, sampleMod)
+      .select(col("h1").as("sh1"), col("h2").as("sh2"))
+      .distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(dir)
+
+  /** Append an accepted delivery's window digests (delivery-distinct, the
+    * narrow post-admission write). At-least-once replays duplicate store
+    * ROWS; the probe's semi-join build and hit-dedup are insensitive to
+    * right-side duplicates, so a replay never changes any future
+    * increment's output — upsert-convergent, the [[appendToDigestStore]]
+    * guarantee, spec-pinned.
+    */
+  def appendToSpanStore(
+      spark: SparkSession, storeDir: String, docs: DataFrame,
+      spanLen: Int = 40, sampleMod: Int = 1): Unit = {
+    require(Lifecycle.fsOf(spark, storeDir)
+      .exists(new org.apache.hadoop.fs.Path(storeDir)),
+      s"span store $storeDir does not exist - build it first " +
+        "(buildSpanStore / ensureSpanStore)")
+    spanWindowsOf(docs, spanLen, sampleMod)
+      .select(col("h1").as("sh1"), col("h2").as("sh2"))
+      .distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(storeDir)
+    graft.Readers.bump()
+  }
+
+  /** Build-once span store over the non-batch corpus slice (the q107
+    * fixture convention). Keyed by the RESOLVED modulus like
+    * [[ensureSpanHits]], so explicit-vs-auto aliasing and corpus growth
+    * both re-key correctly.
+    */
+  def ensureSpanStore(
+      spark: SparkSession, sfDir: String,
+      spanLen: Int = 40, batchMod: Long = 7, batchRem: Long = 0,
+      sampleMod: Int = AutoSampleMod): String = {
+    val resolved = resolveSampleMod(spark, sfDir, sampleMod)
+    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
+    val key = Index.cacheKey(
+      s"$sfDir:$srcMtime:spanstore:$spanLen:$batchMod:$batchRem:$resolved:v${Index.LayoutVersion}")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-spanstore-$key")
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      buildSpanStore(spark,
+        Tables.documents(spark, sfDir).filter(col("doc_id") % batchMod =!= batchRem),
+        dir.getAbsolutePath, spanLen, resolved)
+    dir.getAbsolutePath
+  }
+
+  /** The per-delivery probe: the q114 summary for an ARRIVING batch
+    * against the ingested corpus, without touching corpus text. A batch
+    * window is duplicated iff another BATCH document carries it (the
+    * min≠max window over the batch's own digests — batch-bounded, the live
+    * detector's trick) OR its digest is in the store (some corpus document
+    * carries it — one more distinct doc either way, which is why this
+    * equals the full-corpus detector restricted to batch docs, the
+    * oracle-checked identity). Store side: the batch's window digests
+    * broadcast into a left-semi that STREAMS the store, matched digests
+    * dedup and broadcast back — the q107 plan economics; the broadcast is
+    * delivery-chars ÷ sampleMod sized, the family's boundedness contract
+    * (an unbounded "increment" is a corpus merge — run [[duplicatedSpans]]).
+    */
+  def spanBatchAgainstStore(
+      spark: SparkSession, batchDocs: DataFrame, storeDir: String,
+      spanLen: Int = 40, sampleMod: Int = 1): DataFrame = {
+    val win = spanWindowsOf(batchDocs, spanLen, sampleMod)
+    val wdig = Window.partitionBy(col("h1"), col("h2"))
+    val flagged = win
+      .withColumn("mn", min(col("doc_id")).over(wdig))
+      .withColumn("mx", max(col("doc_id")).over(wdig))
+    val store = graft.Readers.parquet(spark, storeDir)
+    val hits = store.join(
+      broadcast(win.select(col("h1"), col("h2"))),
+      col("sh1") === col("h1") && col("sh2") === col("h2"), "left_semi")
+    val dup = flagged
+      .join(broadcast(hits.distinct()),
+        col("h1") === col("sh1") && col("h2") === col("sh2"), "left")
+      .filter(col("mn") =!= col("mx") || col("sh1").isNotNull)
+      .select(col("doc_id"), col("pos"))
+    spanSummaryOf(dup, spanLen)
+  }
+
+  /** q194 — INCREMENTAL duplicated-span detection: [[duplicatedSpans]] for
+    * one arriving delivery served from the persisted span store. Same
+    * result set as the full detector restricted to the batch (same oracle,
+    * hash-checked); the corpus is never re-windowed and its text never
+    * read — the store scan is two fixed-width digest columns.
+    */
+  def spanIncrement(
+      spark: SparkSession, sfDir: String,
+      spanLen: Int = 40, batchMod: Long = 7, batchRem: Long = 0,
+      sampleMod: Int = AutoSampleMod): DataFrame = {
+    val resolved = resolveSampleMod(spark, sfDir, sampleMod)
+    val storeDir = ensureSpanStore(spark, sfDir, spanLen, batchMod, batchRem, resolved)
+    spanBatchAgainstStore(spark,
+      Tables.documents(spark, sfDir).filter(col("doc_id") % batchMod === batchRem),
+      storeDir, spanLen, resolved)
+  }
+
+  /** q194's oracle: the q114 window/df≥2 CTEs over the WHOLE corpus, with
+    * the summary restricted to batch documents — the store≡direct identity
+    * the probe's OR decomposition guarantees.
+    */
+  val spanIncrementOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, i AS pos, substring(text, i, 40) AS s
+      |  FROM documents, LATERAL unnest(range(1, len(text) - 38)) AS t(i)
+      |  WHERE len(text) >= 40),
+      |d AS (SELECT s FROM w GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+      |hit AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (s)
+      |        WHERE w.doc_id % 7 = 0),
+      |r AS (SELECT doc_id, pos,
+      |        coalesce(least(pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 40), 40) AS cov,
+      |        CASE WHEN pos - coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -99999) > 40
+      |             THEN 1 ELSE 0 END AS newspan
+      |      FROM hit)
+      |SELECT doc_id, count(*) AS n_dup_windows,
+      |       CAST(sum(newspan) AS BIGINT) AS n_spans,
+      |       CAST(sum(cov) AS BIGINT) AS n_dup_chars
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** q104 — the per-source corpus DATASHEET: the "data card" table a
     * pretraining team publishes and monitors per ingested source — volume
@@ -3292,6 +3447,7 @@ object Text {
     "q178_line_dedup" -> ((s: SparkSession, d: String) => lineDedup(s, d)),
     "q192_crossdoc_line_dedup" -> ((s: SparkSession, d: String) => crossDocLineDedup(s, d)),
     "q193_crossdoc_line_rewrite" -> ((s: SparkSession, d: String) => crossDocLineRewrite(s, d)),
+    "q194_span_increment" -> ((s: SparkSession, d: String) => spanIncrement(s, d)),
     "q33_jaccard_pairs" -> ((s: SparkSession, d: String) => jaccardPairs(s, d)),
     "q97_containment_pairs" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
     "q98_containment_neardups" -> ((s: SparkSession, d: String) => containmentNearDups(s, d)),
@@ -3338,6 +3494,7 @@ object Text {
     "q178_line_dedup" -> lineDedupOracle(),
     "q192_crossdoc_line_dedup" -> crossDocLineDedupOracle(),
     "q193_crossdoc_line_rewrite" -> crossDocLineRewriteOracle(),
+    "q194_span_increment" -> spanIncrementOracle,
     "q33_jaccard_pairs" -> jaccardPairsOracle(),
     "q97_containment_pairs" -> containmentPairsOracle(),
     "q39_dedup_corpus" -> dedupCorpusOracle,

@@ -116,6 +116,13 @@ class PlanSpec extends SparkSpec {
       s"point-lookup filter not pushed:\n$plan")
   }
 
+  test("q194 span increment: windows travel as digests, text never shuffles") {
+    // every exchange is batch-bounded (the batch digest window, the hit
+    // dedup, the per-doc summary) or a broadcast; corpus text is never read
+    // and batch text never crosses an exchange
+    assertNeverShuffled("q194_span_increment", "text")
+  }
+
   test("cross-doc line dedup family: lines travel as digests, text never shuffles") {
     assertNeverShuffled("q192_crossdoc_line_dedup", "text")
     // q193's only text-bearing movement is the presentation sort of its own

@@ -738,6 +738,58 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("span increment: store-served probe equals the full detector restricted to the batch") {
+    val direct = Text.duplicatedSpans(spark, sf0001).collect()
+      .filter(_.getLong(0) % 7 == 0)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val stored = Text.spanIncrement(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(stored.nonEmpty && stored == direct,
+      s"stored ${stored.size} rows, direct ${direct.size}")
+  }
+
+  test("span increment: both hit legs fire; replayed appends converge") {
+    import spark.implicits._
+    val run = "the quick brown fox jumps over the lazy dog again and again!" // 61 chars
+    val other = "x" * 45
+    val corpus = Seq(
+      (1L, s"corpus prefix one $run corpus suffix"),
+      (2L, s"unrelated $other body")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanstore-spec").toString
+    Text.buildSpanStore(spark, corpus, dir)
+    // delivery doc 10 shares the run with CORPUS doc 1 (store leg);
+    // docs 11/12 share a run with EACH OTHER only (in-batch leg);
+    // doc 13 is clean and must not appear
+    val inbatch = "zW" * 25
+    val delivery = Seq(
+      (10L, s"new page $run trailing"),
+      (11L, s"first copy $inbatch a"),
+      (12L, s"second copy $inbatch b"),
+      (13L, "totally novel content with nothing shared at all, and long enough."))
+      .toDF("doc_id", "text")
+    val got = Text.spanBatchAgainstStore(spark, delivery, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.map(_._1) == Seq(10L, 11L, 12L), got.mkString(","))
+    // doc 10: the shared region is " $run " (the flanking spaces are
+    // shared too) = 63 chars → 24 windows, one merged span, 63 covered
+    assert(got.head == ((10L, 24L, 1L, 63L)), got.head.toString)
+    // replay convergence: appending the delivery once vs twice (an
+    // at-least-once redelivery) must leave a later probe IDENTICAL
+    Text.appendToSpanStore(spark, dir, delivery)
+    val probe2 = Seq((20L, s"third copy $inbatch c")).toDF("doc_id", "text")
+    val once = Text.spanBatchAgainstStore(spark, probe2, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(once.map(_._1) == Seq(20L), s"appended run not found: $once")
+    Text.appendToSpanStore(spark, dir, delivery) // replay
+    val twice = Text.spanBatchAgainstStore(spark, probe2, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(twice == once, s"replayed append changed the probe: $twice vs $once")
+    // a never-built store path refuses the append, never silently creates
+    intercept[IllegalArgumentException] {
+      Text.appendToSpanStore(spark, dir + "-nonexistent", delivery)
+    }
+  }
+
   test("cross-doc line dedup: planted boilerplate removed keep-first; counters exact") {
     import spark.implicits._
     // width-2 lines: doc 1 [h f][a b][c d] owns "h f" and "a b";
