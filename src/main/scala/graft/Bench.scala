@@ -88,6 +88,9 @@ object Bench {
       // Corpus span store — ingest-time window hashing; q194 measures the
       // per-delivery duplicated-span probe.
       graft.operators.Text.ensureSpanStore(spark, sfDir)
+      // Corpus line dictionary — ingest-time line hashing; q195 measures
+      // the per-delivery cross-doc line-dedup probe.
+      graft.operators.Text.ensureLineDictStore(spark, sfDir)
       // Corpus vocabulary store — the term dictionary is an ingest-time
       // artifact; q143/q144/q154/q157 measure dictionary-probe latency.
       graft.operators.Retrieval.ensureVocabStore(spark, sfDir)

@@ -1687,6 +1687,145 @@ object Text {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q195
+  // The LINE member of the increment-store family — the per-delivery twin
+  // of q192, as q194 is of q114: dedup an arriving delivery's lines
+  // against the ingested corpus's line dictionary without touching corpus
+  // text.
+
+  /** Write the LINE DICTIONARY store for a corpus frame: distinct line
+    * digests as (sl1, sl2) — 16 bytes per distinct corpus line, the
+    * Zipf-compressed form of the corpus's line universe (repeated
+    * boilerplate collapses at build time). Membership is all the probe
+    * needs: for an increment the STORED side is canonical by construction
+    * (the q109 band-store convention), so a delivery line present in the
+    * dictionary is removed regardless of positional ownership.
+    */
+  def buildLineDictStore(
+      spark: SparkSession, corpusDocs: DataFrame, dir: String,
+      lineWidth: Int = 2): Unit = {
+    requireLineWidth(lineWidth)
+    crossDocLines(corpusDocs, lineWidth)
+      .select(col("h1").as("sl1"), col("h2").as("sl2"))
+      .distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(dir)
+  }
+
+  /** Append an accepted delivery's distinct line digests — replay-
+    * convergent like every store append (membership probes are insensitive
+    * to duplicate store rows; spec-pinned).
+    */
+  def appendToLineDictStore(
+      spark: SparkSession, storeDir: String, docs: DataFrame,
+      lineWidth: Int = 2): Unit = {
+    requireLineWidth(lineWidth)
+    require(Lifecycle.fsOf(spark, storeDir)
+      .exists(new org.apache.hadoop.fs.Path(storeDir)),
+      s"line dict store $storeDir does not exist - build it first " +
+        "(buildLineDictStore / ensureLineDictStore)")
+    crossDocLines(docs, lineWidth)
+      .select(col("h1").as("sl1"), col("h2").as("sl2"))
+      .distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(storeDir)
+    graft.Readers.bump()
+  }
+
+  /** Build-once line dictionary over the non-batch corpus slice. */
+  def ensureLineDictStore(
+      spark: SparkSession, sfDir: String,
+      lineWidth: Int = 2, batchMod: Long = 7, batchRem: Long = 0): String = {
+    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
+    val key = Index.cacheKey(
+      s"$sfDir:$srcMtime:linedict:$lineWidth:$batchMod:$batchRem:v${Index.LayoutVersion}")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-linedict-$key")
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      buildLineDictStore(spark,
+        Tables.documents(spark, sfDir).filter(col("doc_id") % batchMod =!= batchRem),
+        dir.getAbsolutePath, lineWidth)
+    dir.getAbsolutePath
+  }
+
+  /** The per-delivery probe: a delivery line is removed iff its digest is
+    * in the dictionary (the corpus already carries it — stored side
+    * canonical) OR an earlier delivery occurrence owns it (in-delivery
+    * keep-first, the q192 min-(doc_id, idx) ownership scoped to the
+    * batch). Plan economics are the store family's: the delivery's line
+    * digests broadcast into a left-semi STREAMING the dictionary, matched
+    * digests dedup and broadcast back, every remaining exchange is
+    * delivery-bounded, and text never shuffles (PlanSpec-locked).
+    */
+  def lineDedupBatchAgainstStore(
+      spark: SparkSession, batchDocs: DataFrame, storeDir: String,
+      lineWidth: Int = 2): DataFrame = {
+    requireLineWidth(lineWidth)
+    val lines = crossDocLines(batchDocs, lineWidth)
+    val wdig = Window.partitionBy(col("h1"), col("h2"))
+    val flagged = lines.withColumn("first",
+      min(struct(col("doc_id"), col("idx"))).over(wdig))
+    val store = graft.Readers.parquet(spark, storeDir)
+    val hits = store.join(
+      broadcast(lines.select(col("h1"), col("h2"))),
+      col("sl1") === col("h1") && col("sl2") === col("h2"), "left_semi")
+    flagged
+      .join(broadcast(hits.distinct()),
+        col("h1") === col("sl1") && col("h2") === col("sl2"), "left")
+      .withColumn("removed",
+        (col("sl1").isNotNull ||
+          !(col("doc_id") === col("first.doc_id") &&
+            col("idx") === col("first.idx"))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("removed")).as("n_removed_lines"),
+        sum(col("removed") * col("ntoks")).as("n_tokens_removed"))
+      .filter(col("n_removed_lines") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q195 — INCREMENTAL cross-document line dedup: the q192 counters for
+    * one arriving delivery served from the persisted line dictionary. Note
+    * the semantics are the INCREMENT family's, not a restriction of q192's
+    * corpus-wide keep-first: the ingested corpus is immutable, so any
+    * delivery line the corpus carries is a removal — even the delivery's
+    * first copy (with the %7 fixture, q192 could instead crown a BATCH
+    * document the owner and remove corpus copies, which an increment
+    * cannot do). The oracle writes exactly this contract.
+    */
+  def lineDedupIncrement(
+      spark: SparkSession, sfDir: String,
+      lineWidth: Int = 2, batchMod: Long = 7, batchRem: Long = 0): DataFrame =
+    lineDedupBatchAgainstStore(spark,
+      Tables.documents(spark, sfDir).filter(col("doc_id") % batchMod === batchRem),
+      ensureLineDictStore(spark, sfDir, lineWidth, batchMod, batchRem), lineWidth)
+
+  def lineDedupIncrementOracle(lineWidth: Int = 2): String = {
+    requireLineWidth(lineWidth)
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |l AS (
+       |  SELECT doc_id, i AS idx,
+       |         array_to_string(ts[(i-1)*$lineWidth+1 : i*$lineWidth], ' ') AS line,
+       |         len(ts[(i-1)*$lineWidth+1 : i*$lineWidth]) AS ntoks
+       |  FROM tok, LATERAL unnest(generate_series(1,
+       |    CAST(ceil(len(ts) / $lineWidth.0) AS BIGINT))) AS t(i)),
+       |corp AS (SELECT DISTINCT line FROM l WHERE doc_id % 7 <> 0),
+       |b AS (SELECT * FROM l WHERE doc_id % 7 = 0),
+       |r AS (
+       |  SELECT doc_id, ntoks,
+       |         CASE WHEN line IN (SELECT line FROM corp)
+       |                OR row_number() OVER (PARTITION BY line
+       |                     ORDER BY doc_id, idx) > 1 THEN 1 ELSE 0 END AS removed
+       |  FROM b)
+       |SELECT doc_id, count(*) AS n_lines,
+       |       CAST(sum(removed) AS BIGINT) AS n_removed_lines,
+       |       CAST(sum(removed * ntoks) AS BIGINT) AS n_tokens_removed
+       |FROM r GROUP BY doc_id
+       |HAVING sum(removed) > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q80 — train/eval decontamination: which training documents share a
     * verbatim token 8-gram with the held-out eval set (the published
     * GPT-3-style n-gram-collision check; eval membership here is the
@@ -3448,6 +3587,7 @@ object Text {
     "q192_crossdoc_line_dedup" -> ((s: SparkSession, d: String) => crossDocLineDedup(s, d)),
     "q193_crossdoc_line_rewrite" -> ((s: SparkSession, d: String) => crossDocLineRewrite(s, d)),
     "q194_span_increment" -> ((s: SparkSession, d: String) => spanIncrement(s, d)),
+    "q195_line_dedup_increment" -> ((s: SparkSession, d: String) => lineDedupIncrement(s, d)),
     "q33_jaccard_pairs" -> ((s: SparkSession, d: String) => jaccardPairs(s, d)),
     "q97_containment_pairs" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
     "q98_containment_neardups" -> ((s: SparkSession, d: String) => containmentNearDups(s, d)),
@@ -3495,6 +3635,7 @@ object Text {
     "q192_crossdoc_line_dedup" -> crossDocLineDedupOracle(),
     "q193_crossdoc_line_rewrite" -> crossDocLineRewriteOracle(),
     "q194_span_increment" -> spanIncrementOracle,
+    "q195_line_dedup_increment" -> lineDedupIncrementOracle(),
     "q33_jaccard_pairs" -> jaccardPairsOracle(),
     "q97_containment_pairs" -> containmentPairsOracle(),
     "q39_dedup_corpus" -> dedupCorpusOracle,

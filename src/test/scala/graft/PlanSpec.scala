@@ -129,6 +129,7 @@ class PlanSpec extends SparkSpec {
     // affected-docs OUTPUT (kept_text); the source text column never
     // crosses an exchange — the dictionary and the removal map broadcast.
     assertNeverShuffled("q193_crossdoc_line_rewrite", "text")
+    assertNeverShuffled("q195_line_dedup_increment", "text")
   }
 
   test("q191 rare terms pushes the doc-count ceiling into the vocab store scan") {

@@ -790,6 +790,36 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("line dedup increment: stored side canonical, in-delivery keep-first, replay converges") {
+    import spark.implicits._
+    // corpus owns line [h f]; delivery doc 10 carries it (store leg removes
+    // EVERY delivery copy, even the first) plus fresh [a b]; doc 11 repeats
+    // [a b] (in-delivery keep-first leg); doc 12 is clean
+    val corpus = Seq((1L, "h f x y")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-linedict-spec").toString
+    Text.buildLineDictStore(spark, corpus, dir)
+    val delivery = Seq(
+      (10L, "h f a b"), (11L, "a b c d"), (12L, "u v w z"))
+      .toDF("doc_id", "text")
+    val got = Text.lineDedupBatchAgainstStore(spark, delivery, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((10L, 2L, 1L, 2L), (11L, 2L, 1L, 2L)), got.mkString(","))
+    // replay: append the delivery once vs twice — a later probe must see
+    // the identical dictionary
+    Text.appendToLineDictStore(spark, dir, delivery)
+    val probe2 = Seq((20L, "c d q r")).toDF("doc_id", "text")
+    val once = Text.lineDedupBatchAgainstStore(spark, probe2, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(once == Seq((20L, 2L, 1L, 2L)), s"appended line not found: $once")
+    Text.appendToLineDictStore(spark, dir, delivery)
+    val twice = Text.lineDedupBatchAgainstStore(spark, probe2, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(twice == once, s"replayed append changed the probe: $twice vs $once")
+    intercept[IllegalArgumentException] {
+      Text.appendToLineDictStore(spark, dir + "-nonexistent", delivery)
+    }
+  }
+
   test("cross-doc line dedup: planted boilerplate removed keep-first; counters exact") {
     import spark.implicits._
     // width-2 lines: doc 1 [h f][a b][c d] owns "h f" and "a b";
