@@ -980,7 +980,75 @@ object Vectors {
        |SELECT vec_id, label, affinity
        |FROM s ORDER BY affinity DESC, vec_id ASC LIMIT $k""".stripMargin
 
+  // ---------------------------------------------------------------- q196
+
+  /** q196 — SEMANTIC decontamination: per eval item, how many TRAIN
+    * embeddings sit above an inner-product similarity floor — the
+    * embedding-space complement of the textual decontamination ladder
+    * (verbatim 8-grams q80/q113, normalized exact match q189): a
+    * paraphrased eval leak shares no 8-gram and no canonical key but
+    * embeds next to its source. Every eval item reports, ZEROS INCLUDED
+    * (the q189 discipline — "no semantic neighbors" is the publishable
+    * finding; the fixture splits plant none, which the oracle pins).
+    *
+    * Determinism: the fixture embeddings are unit-norm, so the inner
+    * product IS cosine similarity, and dot keeps the comparison tree
+    * transcendental-free — per-term double products accumulated in index
+    * order, bitwise identical on both engines (the q95 argument; cosine's
+    * sqrt-product normalization differs by association across engines).
+    *
+    * Scale shape (100 TB): eval suites are small by nature — the eval
+    * matrix BROADCASTS into a nested-loop probe over ONE train-embedding
+    * scan (the q80 eval-side-broadcasts shape; KnnExact's scaffold); the
+    * per-pair dot is one codegen kernel, the aggregate combines map-side
+    * to eval-cardinality rows, and no vector ever crosses an exchange
+    * (PlanSpec type-locked). Past broadcast-sized eval suites, the IVF
+    * route (q110's cell store) bounds candidates per eval item.
+    */
+  def semanticDecontamination(
+      spark: SparkSession, sfDir: String,
+      evalMod: Long = 19, evalRem: Long = 3, tau: Double = 0.85): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    semanticDecontaminationOf(
+      emb.filter(col("vec_id") % evalMod === evalRem)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("ev")),
+      emb.filter(col("vec_id") % evalMod =!= evalRem)
+        .select(col("embedding").as("tv")),
+      tau)
+  }
+
+  /** The probe over ANY eval/train embedding frames — specs drive it with
+    * planted exact and near copies.
+    */
+  def semanticDecontaminationOf(
+      evalVecs: DataFrame, trainVecs: DataFrame, tau: Double): DataFrame =
+    trainVecs
+      .crossJoin(broadcast(evalVecs))
+      .select(col("eval_id"),
+        (org.apache.spark.sql.graft.VectorExpressions
+          .dot(col("tv"), col("ev")) >= tau).cast("long").as("hit"))
+      .groupBy(col("eval_id"))
+      .agg(sum(col("hit")).as("n_leaks"))
+      .orderBy(col("eval_id"))
+
+  def semanticDecontaminationOracle(
+      evalMod: Long = 19, evalRem: Long = 3, tau: Double = 0.85): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ev AS (SELECT vec_id AS eval_id, v AS evv FROM e
+       |       WHERE vec_id % $evalMod = $evalRem),
+       |tr AS (SELECT v AS tv FROM e WHERE vec_id % $evalMod <> $evalRem),
+       |d AS (
+       |  SELECT eval_id,
+       |         CASE WHEN list_dot_product(tv, evv) >= $tau
+       |              THEN 1 ELSE 0 END AS hit
+       |  FROM tr, ev)
+       |SELECT eval_id, CAST(sum(hit) AS BIGINT) AS n_leaks
+       |FROM d GROUP BY eval_id ORDER BY eval_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_semantic_decontamination" ->
+      ((s: SparkSession, d: String) => semanticDecontamination(s, d)),
     "q25_ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d)),
     "q84_kmeans_clusters" -> ((s: SparkSession, d: String) => kmeansClusters(s, d)),
     "q85_semantic_neardups" -> ((s: SparkSession, d: String) => semanticNearDupPairs(s, d)),
@@ -993,6 +1061,7 @@ object Vectors {
     "q124_centroid_affinity" -> ((s: SparkSession, d: String) => centroidAffinity(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q196_semantic_decontamination" -> semanticDecontaminationOracle(),
     "q26_top_cosine_pairs" -> topCosinePairsOracle(),
     "q27_label_centroids" -> labelCentroidsOracle,
     "q124_centroid_affinity" -> centroidAffinityOracle())

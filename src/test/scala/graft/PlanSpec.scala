@@ -116,6 +116,10 @@ class PlanSpec extends SparkSpec {
       s"point-lookup filter not pushed:\n$plan")
   }
 
+  test("q196 semantic decontamination: eval matrix broadcasts, no vector shuffles") {
+    assertNoVectorShuffled("q196_semantic_decontamination")
+  }
+
   test("q194 span increment: windows travel as digests, text never shuffles") {
     // every exchange is batch-bounded (the batch digest window, the hit
     // dedup, the per-doc summary) or a broadcast; corpus text is never read

@@ -496,4 +496,27 @@ class VectorsSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty, "radius 1.2 should match some pairs on the fixture")
   }
+
+  test("semantic decontamination: planted exact and near copies detected, zeros included") {
+    import spark.implicits._
+    val e1 = Array(1f, 0f, 0f)
+    val near = Array(0.999f, 0.0447f, 0f) // cos ~0.999 vs e1
+    val e2 = Array(0f, 1f, 0f)
+    val evalVecs = Seq((3L, e1), (22L, e2)).toDF("eval_id", "ev")
+    val trainVecs = Seq(e1, near, Array(0f, 0f, 1f)).toDF("tv")
+    val got = Vectors.semanticDecontaminationOf(evalVecs, trainVecs, 0.85)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // eval 3 leaks twice (exact + paraphrase-near); eval 2 reports ZERO —
+    // the row must still be present (the q189 zeros discipline)
+    assert(got == Seq((3L, 2L), (22L, 0L)), got.mkString(","))
+    // the unit-norm premise that makes dot ≡ cosine on the fixture
+    import org.apache.spark.sql.functions._
+    val norms = Tables.embeddings(spark, sf0001)
+      .select(org.apache.spark.sql.graft.VectorExpressions
+        .dot(col("embedding"), col("embedding")).as("n2"))
+      .agg(min(col("n2")), max(col("n2"))).collect().head
+    assert(math.abs(norms.getDouble(0) - 1.0) < 1e-5 &&
+      math.abs(norms.getDouble(1) - 1.0) < 1e-5,
+      s"fixture embeddings not unit-norm: $norms")
+  }
 }
