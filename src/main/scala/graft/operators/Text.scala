@@ -2807,6 +2807,75 @@ object Text {
     .select(col("doc_id"), xxhash64(col("g")).as("g64"),
       xxhash64(lit(0x9e3779b9L), col("g")).as("g64b"))
 
+  // ---------------------------------------------------------------- q197
+
+  /** q197 — GRAM-NOVELTY audit (memorization-risk ranking): per document,
+    * how many of its distinct token `gram`-grams appear in at least one
+    * OTHER document, and the shared fraction in ppm. The corpus-wide
+    * novelty screen a pretraining team ranks sources by: a document whose
+    * grams are mostly seen elsewhere is template/boilerplate/near-copy
+    * mass (high memorization exposure, low marginal value), where
+    * q79/q83 score only WITHIN-doc repetition and q80/q189/q196 compare
+    * only against the eval suite.
+    *
+    * Scale shape: reuses [[gramDigestsOf]] (distinct grams per doc in the
+    * scan, 16-byte digest pairs, never text); "some other doc has it" is
+    * the q114 min≠max window INSIDE the one corpus×grams digest exchange —
+    * no second countDistinct pass, no gram dictionary materialized; the
+    * per-doc aggregate combines map-side. The exchange is the heavy gram
+    * class (~tokens × 16 B), so the q114 valve applies verbatim: `sampleMod`
+    * content-samples the gram universe by digest (alignment-independent),
+    * the AUTO default self-engages from corpus size via
+    * [[deriveSampleMod]], and the ppm becomes a ratio estimate over the
+    * sampled universe (numerator and denominator thin together). Gate
+    * fixtures resolve exact (DuckDB hash-checked); the sampled path is
+    * subset-consistent by the q114 argument.
+    */
+  def gramNovelty(
+      spark: SparkSession, sfDir: String,
+      gram: Int = 8, sampleMod: Int = AutoSampleMod): DataFrame =
+    gramNoveltyOf(Tables.documents(spark, sfDir), gram,
+      resolveSampleMod(spark, sfDir, sampleMod))
+
+  /** The audit over ANY (doc_id, text) frame with an explicit resolved
+    * modulus — specs drive it with planted shared grams.
+    */
+  def gramNoveltyOf(
+      documents: DataFrame, gram: Int, sampleMod: Int): DataFrame = {
+    val g0 = gramDigestsOf(documents, gram)
+    val g = if (sampleMod <= 1) g0
+      else g0.filter(pmod(col("g64"), lit(sampleMod.toLong)) === 0)
+    val wg = Window.partitionBy(col("g64"), col("g64b"))
+    g.withColumn("shared",
+        (min(col("doc_id")).over(wg) =!= max(col("doc_id")).over(wg))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("shared")).as("n_shared_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared_grams"),
+        expr("n_shared_grams * 1000000L div n_grams").as("shared_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  def gramNoveltyOracle(gram: Int = 8): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $gram),
+       |g AS (
+       |  SELECT DISTINCT doc_id,
+       |         array_to_string(ts[i : i + ${gram - 1}], ' ') AS gram
+       |  FROM tok, LATERAL unnest(generate_series(1, len(ts) - ${gram - 1}))
+       |    AS t(i)),
+       |r AS (
+       |  SELECT doc_id,
+       |         CASE WHEN min(doc_id) OVER (PARTITION BY gram) <>
+       |                   max(doc_id) OVER (PARTITION BY gram)
+       |              THEN 1 ELSE 0 END AS shared
+       |  FROM g)
+       |SELECT doc_id, count(*) AS n_grams,
+       |       CAST(sum(shared) AS BIGINT) AS n_shared_grams,
+       |       (CAST(sum(shared) AS BIGINT) * 1000000) // count(*) AS shared_ppm
+       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private def gramParamsTag(gram: Int): String = s"gram=$gram"
 
   /** Write the EVAL-GRAM STORE: tokenize + hash each held-out eval document
@@ -3588,6 +3657,7 @@ object Text {
     "q193_crossdoc_line_rewrite" -> ((s: SparkSession, d: String) => crossDocLineRewrite(s, d)),
     "q194_span_increment" -> ((s: SparkSession, d: String) => spanIncrement(s, d)),
     "q195_line_dedup_increment" -> ((s: SparkSession, d: String) => lineDedupIncrement(s, d)),
+    "q197_gram_novelty" -> ((s: SparkSession, d: String) => gramNovelty(s, d)),
     "q33_jaccard_pairs" -> ((s: SparkSession, d: String) => jaccardPairs(s, d)),
     "q97_containment_pairs" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
     "q98_containment_neardups" -> ((s: SparkSession, d: String) => containmentNearDups(s, d)),
@@ -3636,6 +3706,7 @@ object Text {
     "q193_crossdoc_line_rewrite" -> crossDocLineRewriteOracle(),
     "q194_span_increment" -> spanIncrementOracle,
     "q195_line_dedup_increment" -> lineDedupIncrementOracle(),
+    "q197_gram_novelty" -> gramNoveltyOracle(),
     "q33_jaccard_pairs" -> jaccardPairsOracle(),
     "q97_containment_pairs" -> containmentPairsOracle(),
     "q39_dedup_corpus" -> dedupCorpusOracle,

@@ -136,6 +136,10 @@ class PlanSpec extends SparkSpec {
     assertNeverShuffled("q195_line_dedup_increment", "text")
   }
 
+  test("q197 gram novelty: grams travel as digest pairs, text never shuffles") {
+    assertNeverShuffled("q197_gram_novelty", "text")
+  }
+
   test("q191 rare terms pushes the doc-count ceiling into the vocab store scan") {
     val plan = planOf("q191_rare_terms")
     assert(plan.contains("PushedFilters") &&

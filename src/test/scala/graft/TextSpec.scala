@@ -790,6 +790,34 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("gram novelty: planted shared grams counted exactly; sampling thins consistently") {
+    import spark.implicits._
+    // docs 1/2 share exactly the 8-gram [a..h] (their only overlap);
+    // doc 3 is fully novel; doc 4 is shorter than a gram and must be absent
+    val docs = Seq(
+      (1L, "a b c d e f g h i"),
+      (2L, "a b c d e f g h z"),
+      (3L, "p q r s t u v w x y"),
+      (4L, "too short doc")).toDF("doc_id", "text")
+    val got = Text.gramNoveltyOf(docs, 8, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 500000L), (2L, 2L, 1L, 500000L), (3L, 3L, 0L, 0L)),
+      got.mkString(","))
+    // content sampling: per doc, the sampled gram universe is a SUBSET of
+    // the exact one in both counters (the q114 precision-1 argument)
+    val fixture = Tables.documents(spark, sf0001)
+    val exact = Text.gramNoveltyOf(fixture, 8, 1).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val sampled = Text.gramNoveltyOf(fixture, 8, 3).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(sampled.nonEmpty)
+    sampled.foreach { case (id, (n, s)) =>
+      val (en, es) = exact(id)
+      assert(n <= en && s <= es, s"doc $id: sampled ($n,$s) exceeds exact ($en,$es)")
+    }
+  }
+
   test("line dedup increment: stored side canonical, in-delivery keep-first, replay converges") {
     import spark.implicits._
     // corpus owns line [h f]; delivery doc 10 carries it (store leg removes
