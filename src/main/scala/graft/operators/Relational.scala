@@ -435,6 +435,63 @@ object Relational {
        |         AS mom_delta
        |FROM m ORDER BY yr, mth""".stripMargin
 
+  /** q198 — MOVING-FUNCTION + SERIAL-DIFFERENCING pipeline aggs (ES
+    * `moving_fn` with `MovingFunctions.unweightedAvg`/`max`, and
+    * `serial_diff` with `lag=12`): the q177 family's remaining two members.
+    * ES `moving_fn` at shift=0 windows over the PRECEDING `window` buckets,
+    * EXCLUDING the current one — pinned here as `rowsBetween(-3, -1)`; a
+    * partial head window averages the buckets it has (ES `unweightedAvg`
+    * skips missing values), and the very first bucket, with an empty
+    * window, is NULL. `serial_diff` lag=12 is the year-over-year delta,
+    * NULL until 12 buckets of history exist.
+    *
+    * Same scale shape as q177: the corpus-sized work is ONE grouped sum
+    * with map-side partials; the unpartitioned windows then scan
+    * month-cardinality bucket rows only (PlanLintSpec-whitelisted bound).
+    * Month sums stay scaled BIGINT through every window — the moving sum
+    * and serial difference are integer arithmetic over exact bucket sums —
+    * with one double division per output column at the end.
+    */
+  def movingFnAggs(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Tables.orders(spark, sfDir)
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mth"))
+      .agg(sum(Det.scaled(col("o_totalprice"), 2)).as("rev_c"))
+    val w = Window.orderBy(col("yr"), col("mth"))
+    val trailing = w.rowsBetween(-3, -1)
+    m.withColumn("mov_sum_c", sum(col("rev_c")).over(trailing))
+      .withColumn("mov_n", count(col("rev_c")).over(trailing))
+      .withColumn("mov_max_c", max(col("rev_c")).over(trailing))
+      .withColumn("lag12_c", lag(col("rev_c"), 12).over(w))
+      .select(
+        col("yr"), col("mth"),
+        (col("rev_c") / 100.0).as("revenue"),
+        round(col("mov_sum_c") / col("mov_n") / 100.0, 4).as("mov_avg_3"),
+        (col("mov_max_c") / 100.0).as("mov_max_3"),
+        ((col("rev_c") - col("lag12_c")) / 100.0).as("yoy_delta"))
+      .orderBy(col("yr"), col("mth"))
+  }
+
+  val movingFnAggsOracle: String =
+    s"""WITH m AS (
+       |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       |         CAST(month(o_orderdate) AS INTEGER) AS mth,
+       |         CAST(sum(${Det.sqlScaled("o_totalprice", 2)}) AS BIGINT)
+       |           AS rev_c
+       |  FROM orders GROUP BY 1, 2)
+       |SELECT yr, mth,
+       |       rev_c / 100.0 AS revenue,
+       |       round(CAST(sum(rev_c) OVER w3 AS BIGINT)
+       |             / CAST(count(rev_c) OVER w3 AS BIGINT) / 100.0, 4)
+       |         AS mov_avg_3,
+       |       max(rev_c) OVER w3 / 100.0 AS mov_max_3,
+       |       (rev_c - lag(rev_c, 12) OVER (ORDER BY yr, mth)) / 100.0
+       |         AS yoy_delta
+       |FROM m
+       |WINDOW w3 AS (ORDER BY yr, mth ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+       |ORDER BY yr, mth""".stripMargin
+
   /** q183 — WEIGHTED AVERAGE aggregation (ES `weighted_avg`): per-flag
     * quantity-weighted mean unit price. The [[Det]] discipline extended to
     * a ratio of sums: numerator Σ price_cents·qty and denominator Σ qty are
@@ -530,6 +587,7 @@ object Relational {
     "q16_distinct_nations" -> (distinctNations _),
     "q18_monthly_revenue" -> (monthlyRevenue _),
     "q177_pipeline_aggs" -> (pipelineAggs _),
+    "q198_moving_fn" -> (movingFnAggs _),
     "q183_weighted_avg" -> (weightedAvg _),
     "q24_brand_tiers" -> (brandTiers _))
 
@@ -552,6 +610,7 @@ object Relational {
     "q16_distinct_nations" -> distinctNationsOracle,
     "q18_monthly_revenue" -> monthlyRevenueOracle,
     "q177_pipeline_aggs" -> pipelineAggsOracle,
+    "q198_moving_fn" -> movingFnAggsOracle,
     "q183_weighted_avg" -> weightedAvgOracle,
     "q24_brand_tiers" -> brandTiersOracle)
 }

@@ -369,6 +369,29 @@ class MiscSpec extends SparkSpec {
     case _ => ()
     }
   }
+  test("moving fn: trailing window excludes current bucket; serial diff needs 12 of history") {
+    val rows = Relational.movingFnAggs(spark, sf0001).collect()
+    assert(rows.length > 12, "need more than a year of buckets")
+    val rev = rows.map(_.getDouble(2))
+    // first bucket: empty trailing window and no lag-12 → both NULL
+    assert(rows.head.isNullAt(3) && rows.head.isNullAt(5))
+    // partial head windows: bucket i averages the i available predecessors
+    (1 to 3).foreach { i =>
+      val want = BigDecimal(
+        rev.slice(math.max(0, i - 3), i).map(v => math.round(v * 100)).sum.toDouble /
+          math.min(i, 3) / 100.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rows(i).getDouble(3) - want) < 1e-9, s"bucket $i")
+    }
+    // steady state: window [i-3, i-1], max agrees; yoy = rev(i) - rev(i-12)
+    (12 until rows.length).foreach { i =>
+      val win = rev.slice(i - 3, i)
+      assert(math.abs(rows(i).getDouble(4) - win.max) < 1e-9, s"max at $i")
+      assert(math.abs(rows(i).getDouble(5) - (rev(i) - rev(i - 12))) < 1e-6, s"yoy at $i")
+    }
+    // lag-12 null until a year of history
+    (1 until 12).foreach(i => assert(rows(i).isNullAt(5), s"yoy at $i should be NULL"))
+  }
   test("weighted avg: ratio-of-exact-sums matches a driver recompute") {
     val got = Relational.weightedAvg(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq

@@ -27,6 +27,7 @@ class PlanLintSpec extends SparkSpec {
     "q134_epoch_plan" -> "same apportionment core as q103 — source-cardinality rows",
     "q149_filter_funnel" -> "windows over the literal 5-row rule-stage table",
     "q177_pipeline_aggs" -> "windows over the month-cardinality histogram aggregate (bounded by the date span)",
+    "q198_moving_fn" -> "same month-cardinality histogram bound as q177",
     "q151_more_like_this" -> "term-selection window over one example doc's vocabulary",
     "q88_rrf_fusion" -> "rank windows over two already top-k-limited legs")
 
