@@ -1551,6 +1551,85 @@ object Retrieval {
        |HAVING count(DISTINCT doc_id) <= $maxDocs
        |ORDER BY n_docs ASC, term ASC""".stripMargin
 
+  /** q199 — ADJACENCY MATRIX aggregation (ES `adjacency_matrix`): named
+    * filters plus every pairwise intersection, one doc-count bucket each —
+    * the co-occurrence view ES users build segment-overlap dashboards
+    * from. The scale shape mirrors ES's own per-shard execution: each
+    * document evaluates its N filter flags IN THE SCAN (no per-filter
+    * pass, no doc ids shuffled), and the N + N·(N-1)/2 counters reduce
+    * through ONE map-side-combined aggregate to a single row; `stack`
+    * then unpivots that row into the bucket list — bucket-cardinality
+    * work, corpus-independent. Empty buckets are dropped and keys sort
+    * ascending ("a&b" with the key halves in filter-declaration order),
+    * ES's sparse keyed-bucket contract.
+    */
+  def adjacencyMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val flagged = Tables.documents(spark, sfDir).select(
+      (col("lang") === "en").cast("long").as("f_en"),
+      (col("n_chars") >= 300).cast("long").as("f_long"),
+      col("source").startsWith("src1").cast("long").as("f_srcA"))
+    flagged.agg(
+        sum(col("f_en")).as("en"),
+        sum(col("f_long")).as("long"),
+        sum(col("f_srcA")).as("srcA"),
+        sum(col("f_en") * col("f_long")).as("en_long"),
+        sum(col("f_en") * col("f_srcA")).as("en_srcA"),
+        sum(col("f_long") * col("f_srcA")).as("long_srcA"))
+      .select(expr(
+        """stack(6,
+          |  'en', en, 'long', long, 'srcA', srcA,
+          |  'en&long', en_long, 'en&srcA', en_srcA,
+          |  'long&srcA', long_srcA) AS (key, doc_count)""".stripMargin))
+      .filter(col("doc_count") > 0)
+      .orderBy(col("key"))
+  }
+
+  val adjacencyMatrixOracle: String =
+    """WITH f AS (
+      |  SELECT CAST(lang = 'en' AS BIGINT) AS f_en,
+      |         CAST(n_chars >= 300 AS BIGINT) AS f_long,
+      |         CAST(source LIKE 'src1%' AS BIGINT) AS f_srcA
+      |  FROM documents),
+      |c AS (
+      |  SELECT CAST(sum(f_en) AS BIGINT) AS en,
+      |         CAST(sum(f_long) AS BIGINT) AS lng,
+      |         CAST(sum(f_srcA) AS BIGINT) AS srcA,
+      |         CAST(sum(f_en * f_long) AS BIGINT) AS en_long,
+      |         CAST(sum(f_en * f_srcA) AS BIGINT) AS en_srcA,
+      |         CAST(sum(f_long * f_srcA) AS BIGINT) AS long_srcA
+      |  FROM f),
+      |b AS (
+      |  SELECT 'en' AS key, en AS doc_count FROM c
+      |  UNION ALL SELECT 'long', lng FROM c
+      |  UNION ALL SELECT 'srcA', srcA FROM c
+      |  UNION ALL SELECT 'en&long', en_long FROM c
+      |  UNION ALL SELECT 'en&srcA', en_srcA FROM c
+      |  UNION ALL SELECT 'long&srcA', long_srcA FROM c)
+      |SELECT key, doc_count FROM b WHERE doc_count > 0
+      |ORDER BY key""".stripMargin
+
+  /** q200 — MULTI-TERMS aggregation (ES `multi_terms`): top composite
+    * (lang, source) buckets by doc count with a per-bucket metric — the
+    * multi-field terms agg ES added so users stop concatenating fields
+    * into synthetic keys. One partial+final hash aggregate over the
+    * composite key, then `TakeOrderedAndProject` for the size-k
+    * presentation (count desc, key asc tie-break — ES's ordering) — no
+    * global sort materializes at scale, and the composite-key cardinality
+    * (langs × sources) bounds the final heap.
+    */
+  def multiTerms(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("doc_count"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("doc_count").desc, col("lang").asc, col("source").asc)
+      .limit(k)
+
+  def multiTermsOracle(k: Int = 10): String =
+    s"""SELECT lang, source, count(*) AS doc_count,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM documents GROUP BY lang, source
+       |ORDER BY doc_count DESC, lang ASC, source ASC LIMIT $k""".stripMargin
+
   def suggestOracle(prefix: String = "s", k: Int = 10): String =
     s"""WITH x AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
@@ -1576,6 +1655,8 @@ object Retrieval {
     "q154_suggest" -> ((s: SparkSession, d: String) => suggest(s, d)),
     "q157_significant_terms" -> ((s: SparkSession, d: String) => significantTerms(s, d)),
     "q191_rare_terms" -> ((s: SparkSession, d: String) => rareTerms(s, d)),
+    "q199_adjacency_matrix" -> ((s: SparkSession, d: String) => adjacencyMatrix(s, d)),
+    "q200_multi_terms" -> ((s: SparkSession, d: String) => multiTerms(s, d)),
     "q159_phrase_indexed" -> ((s: SparkSession, d: String) => phraseSearchIndexed(s, d)),
     "q160_min_should_match" -> ((s: SparkSession, d: String) => minimumShouldMatch(s, d)),
     "q162_span_near" -> ((s: SparkSession, d: String) => spanNear(s, d)),
@@ -1608,6 +1689,8 @@ object Retrieval {
     "q154_suggest" -> suggestOracle(),
     "q157_significant_terms" -> significantTermsOracle(),
     "q191_rare_terms" -> rareTermsOracle(),
+    "q199_adjacency_matrix" -> adjacencyMatrixOracle,
+    "q200_multi_terms" -> multiTermsOracle(),
     // q159 serves q142's semantics from the postings index: same oracle.
     "q159_phrase_indexed" -> phraseSearchOracle(),
     "q160_min_should_match" -> minimumShouldMatchOracle(),

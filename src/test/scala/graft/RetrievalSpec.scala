@@ -378,6 +378,39 @@ class RetrievalSpec extends SparkSpec {
     assert(got.size < vocabSize, "rare bucket must be a strict subset")
   }
 
+  test("adjacency matrix: buckets cross-foot with per-filter counts; intersections bounded") {
+    import org.apache.spark.sql.functions._
+    val got = Retrieval.adjacencyMatrix(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("lang"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0) == "en",
+        r.getLong(2) >= 300, r.getString(1).startsWith("src1")))
+    def n(p: ((Boolean, Boolean, Boolean)) => Boolean) = docs.count(p).toLong
+    val want = Map(
+      "en" -> n(_._1), "long" -> n(_._2), "srcA" -> n(_._3),
+      "en&long" -> n(d => d._1 && d._2), "en&srcA" -> n(d => d._1 && d._3),
+      "long&srcA" -> n(d => d._2 && d._3)).filter(_._2 > 0)
+    assert(got == want, s"got $got want $want")
+    // keyed-bucket contract: every intersection <= both of its halves
+    got.get("en&long").foreach(c => assert(c <= got("en") && c <= got("long")))
+    got.get("long&srcA").foreach(c => assert(c <= got("long") && c <= got("srcA")))
+  }
+
+  test("multi terms: composite top-k ordered by count with key tie-break") {
+    import org.apache.spark.sql.functions._
+    val got = Retrieval.multiTerms(spark, sf0001, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = Tables.documents(spark, sf0001)
+      .select(col("lang"), col("source"), col("n_chars")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case ((l, s), rs) => (l, s, rs.size.toLong, rs.map(_._2).sum) }
+      .sortBy { case (l, s, c, _) => (-c, l, s) }
+      .take(10)
+    assert(got == want, s"got $got want $want")
+  }
+
   test("wildcard pattern translation: * ? map to LIKE, metacharacters escape") {
     assert(Retrieval.wildcardToLike("s?a*") == "s_a%")
     assert(Retrieval.wildcardToLike("a%b_c*") == "a\\%b\\_c%")
