@@ -715,6 +715,86 @@ object Curation {
       |         AS BIGINT) AS n_remaining
       |FROM f ORDER BY stage_no""".stripMargin
 
+  // ---------------------------------------------------------------- q201
+
+  /** q201 — GOPHER QUALITY RULES (Rae et al. 2021, appendix A1.1): the
+    * published per-document heuristic battery as named 0/1 flags plus the
+    * conjunctive keep bit — word count in [50, 100k], mean word length in
+    * [3, 10], ≥80% of words containing an alphabetic character,
+    * symbol-to-word ratio (# and ...) below 0.1, and presence of the
+    * listed English stop words. Every threshold is evaluated in INTEGER
+    * arithmetic (3·n ≤ Σlen ≤ 10·n, 5·alpha ≥ 4·n, 10·sym < n) — no
+    * ratio ever becomes a float, so the flags are bitwise identical on
+    * any engine and any partitioning. Line-based rules (bullet/ellipsis
+    * line starts) are omitted: the corpus contract is single-space
+    * tokenized text with no newlines (the q178/q192 line model).
+    *
+    * `minStopHits = 1` is calibrated to the fixture vocabulary (only
+    * "the" from Gopher's list occurs); the paper's default is 2 distinct
+    * hits from {the, be, to, of, and, that, have, with}.
+    *
+    * Scale shape: ONE projection pass — every rule reads the scan's
+    * token array; no shuffle at all before the presentation sort.
+    */
+  def gopherRules(
+      spark: SparkSession, sfDir: String, minStopHits: Int = 1): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val stoplist = array(Seq("the", "be", "to", "of", "and", "that",
+      "have", "with").map(lit): _*)
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("nt"),
+        (length(col("text")) - (size(toks) - 1)).cast("long").as("sum_len"),
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+        size(array_intersect(array_distinct(toks), stoplist))
+          .cast("long").as("n_stop_distinct"),
+        ((length(col("text")) - length(translate(col("text"), "#", ""))) +
+          (length(col("text")) -
+            length(expr("replace(text, '...', '')"))) / 3)
+          .cast("long").as("n_sym"))
+      .select(
+        col("doc_id"), col("nt").as("n_words"), col("n_stop_distinct"),
+        (col("nt") >= 50L && col("nt") <= 100000L).cast("long").as("ok_words"),
+        (col("sum_len") >= lit(3L) * col("nt") &&
+          col("sum_len") <= lit(10L) * col("nt")).cast("long").as("ok_mean_len"),
+        (lit(5L) * col("n_alpha") >= lit(4L) * col("nt")).cast("long").as("ok_alpha"),
+        (col("n_stop_distinct") >= minStopHits.toLong).cast("long").as("ok_stop"),
+        (lit(10L) * col("n_sym") < col("nt")).cast("long").as("ok_symbol"))
+      .withColumn("keep",
+        (col("ok_words") * col("ok_mean_len") * col("ok_alpha") *
+          col("ok_stop") * col("ok_symbol")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  def gopherRulesOracle(minStopHits: Int = 1): String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+       |         CAST(length(text) - (len(string_split(text, ' ')) - 1)
+       |           AS BIGINT) AS sum_len,
+       |         CAST(len(list_filter(string_split(text, ' '),
+       |           t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+       |         CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+       |           ['the','be','to','of','and','that','have','with']))
+       |           AS BIGINT) AS n_stop_distinct,
+       |         CAST((length(text) - length(replace(text, '#', '')))
+       |           + (length(text) - length(replace(text, '...', ''))) // 3
+       |           AS BIGINT) AS n_sym
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, nt AS n_words, n_stop_distinct,
+       |         CAST(nt >= 50 AND nt <= 100000 AS BIGINT) AS ok_words,
+       |         CAST(sum_len >= 3 * nt AND sum_len <= 10 * nt AS BIGINT)
+       |           AS ok_mean_len,
+       |         CAST(5 * n_alpha >= 4 * nt AS BIGINT) AS ok_alpha,
+       |         CAST(n_stop_distinct >= $minStopHits AS BIGINT) AS ok_stop,
+       |         CAST(10 * n_sym < nt AS BIGINT) AS ok_symbol
+       |  FROM s)
+       |SELECT *, CAST(ok_words * ok_mean_len * ok_alpha * ok_stop * ok_symbol
+       |  AS BIGINT) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_length_anomalies" -> ((s: SparkSession, d: String) => lengthAnomalies(s, d)),
     "q117_corpus_delta" -> ((s: SparkSession, d: String) => corpusDelta(s, d)),
@@ -724,9 +804,11 @@ object Curation {
     "q127_token_drift" -> ((s: SparkSession, d: String) => tokenDrift(s, d)),
     "q132_quality_deciles" -> ((s: SparkSession, d: String) => qualityDeciles(s, d)),
     "q136_quality_fusion" -> ((s: SparkSession, d: String) => qualityFusion(s, d)),
-    "q149_filter_funnel" -> (filterFunnel _))
+    "q149_filter_funnel" -> (filterFunnel _),
+    "q201_gopher_rules" -> ((s: SparkSession, d: String) => gopherRules(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q201_gopher_rules" -> gopherRulesOracle(),
     "q116_length_anomalies" -> lengthAnomaliesOracle(),
     "q117_corpus_delta" -> corpusDeltaOracle,
     "q121_importance_select" -> importanceSelectOracle(),

@@ -331,6 +331,38 @@ class CurationSpec extends SparkSpec {
     } finally graft.operators.Materialize.releaseAll()
   }
 
+  test("gopher rules: flags match a driver recompute; integer thresholds at the boundary") {
+    val got = Curation.gopherRules(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (1 to 8).map(r.getLong).toList)).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.size == docs.length)
+    val stop = Set("the", "be", "to", "of", "and", "that", "have", "with")
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val nt = ws.length.toLong
+      val sumLen = ws.map(_.length.toLong).sum
+      val nAlpha = ws.count(_.exists(_.isLetter)).toLong
+      val nStop = ws.toSet.count(stop).toLong
+      val nSym = text.count(_ == '#').toLong +
+        "\\.\\.\\.".r.findAllIn(text).size.toLong
+      val want = List(
+        nt, nStop,
+        if (nt >= 50 && nt <= 100000) 1L else 0L,
+        if (sumLen >= 3 * nt && sumLen <= 10 * nt) 1L else 0L,
+        if (5 * nAlpha >= 4 * nt) 1L else 0L,
+        if (nStop >= 1) 1L else 0L,
+        if (10 * nSym < nt) 1L else 0L)
+      assert(got(id).take(7) == want, s"doc $id: got ${got(id)} want $want")
+      assert(got(id)(7) == want.drop(2).product, s"doc $id keep")
+    }
+    // both flag values must occur for the word-count rule (the fixture
+    // straddles the 50-word floor), so the gate differentiates
+    val okWords = got.values.map(_(2)).toSet
+    assert(okWords == Set(0L, 1L), s"ok_words degenerate: $okWords")
+  }
+
   test("snapshot delta API: disjoint snapshots are pure added + removed") {
     val docs = Tables.documents(spark, sf0001)
     val o = docs.filter(col("doc_id") < 100)
