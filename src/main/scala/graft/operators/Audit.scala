@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -359,9 +359,126 @@ object Audit {
       |            END AS chars_tokens_corr
       |FROM m ORDER BY source""".stripMargin
 
+  /** q202 — MATRIX STATS (ES `matrix_stats`, the full response): per
+    * numeric field — count, mean, sample variance, skewness, kurtosis —
+    * and per field PAIR — sample covariance and Pearson correlation —
+    * flattened to one row per (field_x, field_y) cell, diagonal included
+    * (covariance(x,x) = variance numerator, correlation(x,x) = 1). Fields
+    * are lineitem's quantity / discount / tax in Det-scaled integer units.
+    *
+    * Determinism (the q184 argument, extended to higher moments): ONE
+    * corpus aggregate computes every raw moment sum — n, Σx, Σx², Σx³,
+    * Σx⁴ per field and Σxy per pair — EXACTLY in BIGINT (scaled values
+    * ≤ 50 ⇒ per-row x⁴ ≤ 6.25·10⁶, so sums stay inside BIGINT to ~10¹²
+    * rows and inside double's 2⁵³ integer range at gate scale — no
+    * rounding exists before the final double tree). Variance, covariance,
+    * and correlation use exact integer NUMERATORS (n·Σx² − (Σx)²,
+    * n·Σxy − Σx·Σy); skewness m₃/m₂^1.5 and kurtosis m₄/m₂² (plain, not
+    * excess — ES's definition) come from central moments formed in ONE
+    * pinned double tree mirrored token-for-token in the oracle. Zero
+    * variance ⇒ NULL skew/kurt/correlation (undefined, surfaced), n ≤ 1
+    * ⇒ NULL variance/covariance, both engines.
+    *
+    * Scale shape: the matrix is N·(N+3)/2 + 1 counters reducing through
+    * one map-side-combined aggregate to a single row; the 9-cell explode
+    * is matrix-cardinality work. Nothing corpus-sized past the scan —
+    * exactly how ES's per-shard MatrixStats collector runs.
+    */
+  def matrixStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Seq("quantity", "discount", "tax")
+    val li = graft.Tables.lineitem(spark, sfDir).select(
+      Det.scaled(col("l_quantity"), 0).as("v0"),
+      Det.scaled(col("l_discount"), 2).as("v1"),
+      Det.scaled(col("l_tax"), 2).as("v2"))
+    val idx = names.indices
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n")) ++
+        idx.flatMap { i =>
+          val v = col(s"v$i")
+          Seq(sum(v).as(s"s1_$i"), sum(v * v).as(s"s2_$i"),
+            sum(v * v * v).as(s"s3_$i"), sum(v * v * v * v).as(s"s4_$i"))
+        } ++
+        (for (i <- idx; j <- idx if i < j)
+          yield sum(col(s"v$i") * col(s"v$j")).as(s"sp_${i}_$j"))
+    val m = li.agg(aggs.head, aggs.tail: _*)
+    val n = col("n")
+    def a2(i: Int) = n * col(s"s2_$i") - col(s"s1_$i") * col(s"s1_$i")
+    def cross(i: Int, j: Int) =
+      if (i == j) a2(i)
+      else { val (a, b) = (math.min(i, j), math.max(i, j))
+        n * col(s"sp_${a}_$b") - col(s"s1_$i") * col(s"s1_$j") }
+    def m1(i: Int) = col(s"s1_$i") / n
+    def m2(i: Int) = col(s"s2_$i") / n - m1(i) * m1(i)
+    def m3(i: Int) =
+      col(s"s3_$i") / n - lit(3.0) * m1(i) * (col(s"s2_$i") / n) +
+        lit(2.0) * m1(i) * m1(i) * m1(i)
+    def m4(i: Int) =
+      col(s"s4_$i") / n - lit(4.0) * m1(i) * (col(s"s3_$i") / n) +
+        lit(6.0) * m1(i) * m1(i) * (col(s"s2_$i") / n) -
+        lit(3.0) * m1(i) * m1(i) * m1(i) * m1(i)
+    val cells = for (i <- idx; j <- idx) yield struct(
+      lit(names(i)).as("field_x"), lit(names(j)).as("field_y"), n.as("n"),
+      round(m1(i), 4).as("mean_x"),
+      when(n > 1, round(a2(i) / (n * (n - 1)), 4)).as("variance_x"),
+      when(m2(i) > 0, round(m3(i) / (sqrt(m2(i)) * m2(i)), 4)).as("skewness_x"),
+      when(m2(i) > 0, round(m4(i) / (m2(i) * m2(i)), 4)).as("kurtosis_x"),
+      when(n > 1, round(cross(i, j) / (n * (n - 1)), 4)).as("covariance"),
+      when(a2(i) > 0 && a2(j) > 0,
+        round(cross(i, j) / (sqrt(a2(i)) * sqrt(a2(j))), 4)).as("correlation"))
+    m.select(explode(array(cells: _*)).as("c"))
+      .select(col("c.*"))
+      .orderBy(col("field_x"), col("field_y"))
+  }
+
+  val matrixStatsOracle: String = {
+    val names = Seq("quantity", "discount", "tax")
+    val idx = names.indices
+    val moments =
+      idx.flatMap(i => Seq(
+        s"CAST(sum(v$i) AS BIGINT) AS s1_$i",
+        s"CAST(sum(v$i * v$i) AS BIGINT) AS s2_$i",
+        s"CAST(sum(v$i * v$i * v$i) AS BIGINT) AS s3_$i",
+        s"CAST(sum(v$i * v$i * v$i * v$i) AS BIGINT) AS s4_$i")) ++
+        (for (i <- idx; j <- idx if i < j)
+          yield s"CAST(sum(v$i * v$j) AS BIGINT) AS sp_${i}_$j")
+    def a2(i: Int) = s"(n * s2_$i - s1_$i * s1_$i)"
+    def cross(i: Int, j: Int) =
+      if (i == j) a2(i)
+      else { val (a, b) = (math.min(i, j), math.max(i, j))
+        s"(n * sp_${a}_$b - s1_$i * s1_$j)" }
+    def m1(i: Int) = s"(s1_$i / n)"
+    def m2(i: Int) = s"(s2_$i / n - ${m1(i)} * ${m1(i)})"
+    def m3(i: Int) =
+      s"(s3_$i / n - 3.0 * ${m1(i)} * (s2_$i / n) + 2.0 * ${m1(i)} * ${m1(i)} * ${m1(i)})"
+    def m4(i: Int) =
+      s"(s4_$i / n - 4.0 * ${m1(i)} * (s3_$i / n) + 6.0 * ${m1(i)} * ${m1(i)} * (s2_$i / n) - 3.0 * ${m1(i)} * ${m1(i)} * ${m1(i)} * ${m1(i)})"
+    val cells = (for (i <- idx; j <- idx) yield
+      s"""SELECT '${names(i)}' AS field_x, '${names(j)}' AS field_y, n,
+         |  round(${m1(i)}, 4) AS mean_x,
+         |  CASE WHEN n > 1 THEN round(${a2(i)} / (n * (n - 1)), 4) END AS variance_x,
+         |  CASE WHEN ${m2(i)} > 0 THEN round(${m3(i)} / (sqrt(${m2(i)}) * ${m2(i)}), 4) END AS skewness_x,
+         |  CASE WHEN ${m2(i)} > 0 THEN round(${m4(i)} / (${m2(i)} * ${m2(i)}), 4) END AS kurtosis_x,
+         |  CASE WHEN n > 1 THEN round(${cross(i, j)} / (n * (n - 1)), 4) END AS covariance,
+         |  CASE WHEN ${a2(i)} > 0 AND ${a2(j)} > 0
+         |       THEN round(${cross(i, j)} / (sqrt(${a2(i)}) * sqrt(${a2(j)})), 4) END AS correlation
+         |FROM m""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH v AS (
+       |  SELECT ${Det.sqlScaled("l_quantity", 0)} AS v0,
+       |         ${Det.sqlScaled("l_discount", 2)} AS v1,
+       |         ${Det.sqlScaled("l_tax", 2)} AS v2
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         ${moments.mkString(",\n         ")}
+       |  FROM v)
+       |$cells
+       |ORDER BY field_x, field_y""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_embedding_norms" -> ((s: SparkSession, d: String) => embeddingNorms(s, d)),
     "q184_column_correlations" -> (columnCorrelations _),
+    "q202_matrix_stats" -> (matrixStats _),
     "q133_embedding_coverage" -> (embeddingCoverage _),
     "q137_centroid_drift" -> (centroidDrift _),
     // rows-only: counts depend on the persisted index layout state
@@ -373,6 +490,7 @@ object Audit {
   val oracles: Map[String, String] = Map(
     "q131_embedding_norms" -> embeddingNormsOracle(),
     "q184_column_correlations" -> columnCorrelationsOracle,
+    "q202_matrix_stats" -> matrixStatsOracle,
     "q133_embedding_coverage" -> embeddingCoverageOracle,
     "q137_centroid_drift" -> centroidDriftOracle)
 }

@@ -229,6 +229,50 @@ class AuditSpec extends SparkSpec {
     assert(got("sC").isEmpty, got.toString)
   }
 
+  test("matrix stats: full 3x3 matrix matches a driver moment recompute") {
+    val got = Audit.matrixStats(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7), r.getDouble(8)))).toMap
+    assert(got.size == 9)
+    val vals = Tables.lineitem(spark, sf0001)
+      .select(col("l_quantity"), col("l_discount"), col("l_tax")).collect()
+      .map(r => Array(math.round(r.getDouble(0)),
+        math.round(r.getDouble(1) * 100), math.round(r.getDouble(2) * 100)))
+    val n = vals.length.toLong
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val names = Seq("quantity", "discount", "tax")
+    for (i <- 0 to 2; j <- 0 to 2) {
+      val (x, y) = (vals.map(_(i)), vals.map(_(j)))
+      val (s1x, s2x) = (x.sum, x.map(v => v * v).sum)
+      val (s1y, s2y) = (y.sum, y.map(v => v * v).sum)
+      val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+      val (a2x, a2y) = (n * s2x - s1x * s1x, n * s2y - s1y * s1y)
+      val axy = n * sxy - s1x * s1y
+      val cell = got((names(i), names(j)))
+      assert(cell._1 == n)
+      assert(cell._2 == r4(s1x.toDouble / n), s"mean ${names(i)}")
+      assert(cell._3 == r4(a2x.toDouble / (n * (n - 1))), s"var ${names(i)}")
+      // central-moment skew/kurt: driver recompute over exact sums
+      val m1 = s1x.toDouble / n
+      val m2 = s2x.toDouble / n - m1 * m1
+      val m3 = x.map(v => v * v.toDouble * v).sum / n - 3.0 * m1 * (s2x.toDouble / n) +
+        2.0 * m1 * m1 * m1
+      val m4 = x.map(v => v.toDouble * v * v * v).sum / n -
+        4.0 * m1 * (x.map(v => v * v.toDouble * v).sum / n) +
+        6.0 * m1 * m1 * (s2x.toDouble / n) - 3.0 * m1 * m1 * m1 * m1
+      assert(math.abs(cell._4 - m3 / (math.sqrt(m2) * m2)) < 1e-3, s"skew ${names(i)}")
+      assert(math.abs(cell._5 - m4 / (m2 * m2)) < 1e-3, s"kurt ${names(i)}")
+      assert(cell._6 == r4(axy.toDouble / (n * (n - 1))), s"cov $i,$j")
+      assert(cell._7 == r4(axy.toDouble /
+        (math.sqrt(a2x.toDouble) * math.sqrt(a2y.toDouble))), s"corr $i,$j")
+      // matrix contracts: symmetry + unit diagonal
+      assert(got((names(j), names(i)))._6 == cell._6, "cov symmetric")
+      if (i == j) assert(cell._7 == 1.0, "diagonal correlation")
+    }
+  }
+
   test("property: column correlations match a driver recompute on seeded noise") {
     import spark.implicits._
     val rng = new scala.util.Random(13)
