@@ -280,7 +280,110 @@ object Events {
       |GROUP BY cohort, day
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** q203 — TOP METRICS (ES `top_metrics`, size=1): per bucket, the metric
+    * values carried by the row that sorts FIRST on the sort field — "the
+    * value at the latest event", the freshness readout ES dashboards pin
+    * next to an aggregate. ES sorts on one field and returns the metrics
+    * of the winning document; a bare `max_by`/`arg_max` is that minus tie
+    * determinism, so the operator is the rank-1 window with the explicit
+    * (ts, event_id) total order — Spark plans it as WindowGroupLimit
+    * (per-partition top-1 BEFORE the exchange, the q09 shape), which is
+    * also how a 1000-executor run avoids shuffling anything but each
+    * partition's single candidate per bucket.
+    */
+  def topMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), fmt(col("ts")).as("top_ts"),
+        col("event_id").as("top_event_id"), col("value").as("top_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val topMetricsOracle: String =
+    """SELECT event_type,
+      |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS top_ts,
+      |       event_id AS top_event_id, value AS top_value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY event_type
+      |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) = 1
+      |ORDER BY event_type""".stripMargin
+
+  /** q204 — DATE RANGE aggregation (ES `date_range`): named, possibly
+    * OVERLAPPING half-open [from, to) time buckets, each counting every
+    * matching document independently — the contract that distinguishes it
+    * from a histogram (a doc can land in two buckets; `first_half`
+    * deliberately overlaps `early` and `mid` to pin it). Same shape as
+    * q199: per-row bucket flags in the scan, ONE map-side-combined
+    * aggregate producing every bucket's count + exact value sum, `stack`
+    * unpivot at bucket cardinality. Declaration order is preserved in the
+    * output via an explicit ordinal — ES returns ranges as declared, not
+    * sorted by key.
+    */
+  def dateRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val ranges = Seq(
+      ("early", Some("2024-01-01 00:00:00"), Some("2024-01-10 00:00:00")),
+      ("mid", Some("2024-01-10 00:00:00"), Some("2024-01-20 00:00:00")),
+      ("late", Some("2024-01-20 00:00:00"), None),
+      ("first_half", None, Some("2024-01-15 00:00:00")))
+    val ev = Tables.events(spark, sfDir)
+    val flagged = ev.select(
+      col("value") +: ranges.map { case (name, from, to) =>
+        (from.map(f => col("ts") >= lit(f).cast("timestamp"))
+          .getOrElse(lit(true)) &&
+          to.map(t => col("ts") < lit(t).cast("timestamp"))
+            .getOrElse(lit(true))).cast("long").as(s"in_$name")
+      }: _*)
+    val aggs = ranges.flatMap { case (name, _, _) =>
+      Seq(sum(col(s"in_$name")).as(s"n_$name"),
+        sum(when(col(s"in_$name") === 1, Det.scaled(col("value"), 2))
+          .otherwise(0L)).as(s"v_$name"))
+    }
+    val stackArgs = ranges.zipWithIndex
+      .map { case ((name, _, _), i) =>
+        s"$i, '$name', n_$name, v_$name" }
+      .mkString(", ")
+    flagged.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${ranges.size}, $stackArgs) AS (ord, range_key, doc_count, sum_c)"))
+      .select(col("ord"), col("range_key"), col("doc_count"),
+        (col("sum_c") / 100.0).as("sum_value"))
+      .orderBy(col("ord"))
+  }
+
+  val dateRangeOracle: String =
+    """WITH f AS (
+      |  SELECT value,
+      |    CAST(CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+      |     AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-10 00:00:00' AS BIGINT) AS in_early,
+      |    CAST(CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+      |     AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-20 00:00:00' AS BIGINT) AS in_mid,
+      |    CAST(CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-20 00:00:00' AS BIGINT) AS in_late,
+      |    CAST(CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-15 00:00:00' AS BIGINT) AS in_first_half
+      |  FROM events),
+      |c AS (
+      |  SELECT CAST(sum(in_early) AS BIGINT) AS n_early,
+      |         CAST(sum(CASE WHEN in_early = 1 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS v_early,
+      |         CAST(sum(in_mid) AS BIGINT) AS n_mid,
+      |         CAST(sum(CASE WHEN in_mid = 1 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS v_mid,
+      |         CAST(sum(in_late) AS BIGINT) AS n_late,
+      |         CAST(sum(CASE WHEN in_late = 1 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS v_late,
+      |         CAST(sum(in_first_half) AS BIGINT) AS n_first_half,
+      |         CAST(sum(CASE WHEN in_first_half = 1 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS v_first_half
+      |  FROM f)
+      |SELECT ord, range_key, doc_count, sum_c / 100.0 AS sum_value
+      |FROM (
+      |  SELECT 0 AS ord, 'early' AS range_key, n_early AS doc_count, v_early AS sum_c FROM c
+      |  UNION ALL SELECT 1, 'mid', n_mid, v_mid FROM c
+      |  UNION ALL SELECT 2, 'late', n_late, v_late FROM c
+      |  UNION ALL SELECT 3, 'first_half', n_first_half, v_first_half FROM c)
+      |ORDER BY ord""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_top_metrics" -> (topMetrics _),
+    "q204_date_range" -> (dateRange _),
     "q73_funnel" -> (funnel _),
     "q75_cohort_retention" -> (cohortRetention _),
     "q48_map_functions" -> (mapFunctions _),
@@ -293,6 +396,8 @@ object Events {
     "q46_json_kpis" -> (jsonKpis _))
 
   val oracles: Map[String, String] = Map(
+    "q203_top_metrics" -> topMetricsOracle,
+    "q204_date_range" -> dateRangeOracle,
     "q73_funnel" -> funnelOracle,
     "q75_cohort_retention" -> cohortRetentionOracle,
     "q48_map_functions" -> mapFunctionsOracle,

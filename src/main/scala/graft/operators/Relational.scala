@@ -492,6 +492,83 @@ object Relational {
        |WINDOW w3 AS (ORDER BY yr, mth ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
        |ORDER BY yr, mth""".stripMargin
 
+  /** q205 — STATS BUCKET (ES `stats_bucket` sibling pipeline agg): the
+    * min / max / avg / sum / count OF the monthly-revenue histogram's
+    * bucket values — the second-pass summary ES computes over a sibling
+    * aggregation's buckets. Two-level exactness: month sums are scaled
+    * BIGINT (the q177 discipline) and the bucket-level reduction is again
+    * integer min/max/sum with ONE double division each for presentation —
+    * so the whole pipeline is order-independent. The bucket reduction
+    * input is month-cardinality, not corpus-cardinality.
+    */
+  def statsBucket(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mth"))
+      .agg(sum(Det.scaled(col("o_totalprice"), 2)).as("rev_c"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        min(col("rev_c")).as("min_c"), max(col("rev_c")).as("max_c"),
+        sum(col("rev_c")).as("sum_c"))
+      .select(
+        col("n_buckets"),
+        (col("min_c") / 100.0).as("min_revenue"),
+        (col("max_c") / 100.0).as("max_revenue"),
+        round(col("sum_c") / col("n_buckets") / 100.0, 4).as("avg_revenue"),
+        (col("sum_c") / 100.0).as("sum_revenue"))
+
+  val statsBucketOracle: String =
+    s"""WITH m AS (
+       |  SELECT CAST(sum(${Det.sqlScaled("o_totalprice", 2)}) AS BIGINT)
+       |           AS rev_c
+       |  FROM orders GROUP BY year(o_orderdate), month(o_orderdate))
+       |SELECT count(*) AS n_buckets,
+       |       CAST(min(rev_c) AS BIGINT) / 100.0 AS min_revenue,
+       |       CAST(max(rev_c) AS BIGINT) / 100.0 AS max_revenue,
+       |       round(CAST(sum(rev_c) AS BIGINT) / count(*) / 100.0, 4)
+       |         AS avg_revenue,
+       |       CAST(sum(rev_c) AS BIGINT) / 100.0 AS sum_revenue
+       |FROM m""".stripMargin
+
+  /** q206 — BUCKET SELECTOR (ES `bucket_selector` pipeline agg): keep only
+    * the histogram buckets whose value passes a script predicate against a
+    * SIBLING pipeline value — here, months whose revenue exceeds 110% of
+    * the average monthly revenue (the "which periods overperformed"
+    * filter). The cross-bucket comparison is the 1-row stats aggregate
+    * broadcast back into the month-cardinality bucket frame, so the
+    * predicate is evaluated with EXACT integer cross-multiplication
+    * (10 · rev_c > 11 · sum_c / n is re-formed as
+    * 10 · n · rev_c > 11 · sum_c — no ratio ever floats). Both legs are
+    * aggregates of the same one corpus scan; nothing corpus-sized joins.
+    */
+  def bucketSelector(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Tables.orders(spark, sfDir)
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mth"))
+      .agg(sum(Det.scaled(col("o_totalprice"), 2)).as("rev_c"))
+    val tot = m.agg(
+      count(lit(1)).as("nb"), sum(col("rev_c")).as("tot_c"))
+    m.crossJoin(broadcast(tot))
+      .filter(lit(10L) * col("nb") * col("rev_c") > lit(11L) * col("tot_c"))
+      .select(col("yr"), col("mth"), (col("rev_c") / 100.0).as("revenue"))
+      .orderBy(col("yr"), col("mth"))
+  }
+
+  val bucketSelectorOracle: String =
+    s"""WITH m AS (
+       |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       |         CAST(month(o_orderdate) AS INTEGER) AS mth,
+       |         CAST(sum(${Det.sqlScaled("o_totalprice", 2)}) AS BIGINT)
+       |           AS rev_c
+       |  FROM orders GROUP BY 1, 2),
+       |t AS (SELECT count(*) AS nb, CAST(sum(rev_c) AS BIGINT) AS tot_c FROM m)
+       |SELECT yr, mth, rev_c / 100.0 AS revenue
+       |FROM m, t
+       |WHERE 10 * nb * rev_c > 11 * tot_c
+       |ORDER BY yr, mth""".stripMargin
+
   /** q183 — WEIGHTED AVERAGE aggregation (ES `weighted_avg`): per-flag
     * quantity-weighted mean unit price. The [[Det]] discipline extended to
     * a ratio of sums: numerator Σ price_cents·qty and denominator Σ qty are
@@ -588,6 +665,8 @@ object Relational {
     "q18_monthly_revenue" -> (monthlyRevenue _),
     "q177_pipeline_aggs" -> (pipelineAggs _),
     "q198_moving_fn" -> (movingFnAggs _),
+    "q205_stats_bucket" -> (statsBucket _),
+    "q206_bucket_selector" -> (bucketSelector _),
     "q183_weighted_avg" -> (weightedAvg _),
     "q24_brand_tiers" -> (brandTiers _))
 
@@ -611,6 +690,8 @@ object Relational {
     "q18_monthly_revenue" -> monthlyRevenueOracle,
     "q177_pipeline_aggs" -> pipelineAggsOracle,
     "q198_moving_fn" -> movingFnAggsOracle,
+    "q205_stats_bucket" -> statsBucketOracle,
+    "q206_bucket_selector" -> bucketSelectorOracle,
     "q183_weighted_avg" -> weightedAvgOracle,
     "q24_brand_tiers" -> brandTiersOracle)
 }

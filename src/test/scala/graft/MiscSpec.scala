@@ -392,6 +392,56 @@ class MiscSpec extends SparkSpec {
     // lag-12 null until a year of history
     (1 until 12).foreach(i => assert(rows(i).isNullAt(5), s"yoy at $i should be NULL"))
   }
+  test("top metrics: rank-1 row per bucket matches a driver recompute; plan is group-limited") {
+    import graft.operators.Events
+    val got = Events.topMetrics(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSeq
+    val want = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), (r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3))))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (t, rs) =>
+        val w = rs.map(_._2).maxBy(x => (x._1, x._2)); (t, w._2, w._3) }
+    assert(got == want, s"got $got want $want")
+    val plan = Events.topMetrics(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), "top-1 must push below the exchange")
+  }
+
+  test("date range: overlapping named buckets count independently") {
+    import graft.operators.Events
+    val got = Events.dateRange(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+    val ts = Tables.events(spark, sf0001).select(col("ts")).collect()
+      .map(_.getTimestamp(0).toLocalDateTime)
+    def d(s: String) = java.time.LocalDateTime.parse(s)
+    val want = Map(
+      "early" -> ts.count(t => !t.isBefore(d("2024-01-01T00:00")) && t.isBefore(d("2024-01-10T00:00"))),
+      "mid" -> ts.count(t => !t.isBefore(d("2024-01-10T00:00")) && t.isBefore(d("2024-01-20T00:00"))),
+      "late" -> ts.count(t => !t.isBefore(d("2024-01-20T00:00"))),
+      "first_half" -> ts.count(_.isBefore(d("2024-01-15T00:00")))).map { case (k, v) => k -> v.toLong }
+    assert(got == want, s"got $got want $want")
+    // the overlap contract: first_half double-counts early + part of mid
+    assert(got("early") + got("mid") + got("late") == ts.length.toLong)
+    assert(got("first_half") > got("early"), "overlap bucket must exceed its subset")
+  }
+
+  test("stats bucket + bucket selector reconcile with the monthly histogram") {
+    val m = Relational.pipelineAggs(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val cents = m.map(x => math.round(x._3 * 100))
+    val stats = Relational.statsBucket(spark, sf0001).collect()(0)
+    assert(stats.getLong(0) == m.length.toLong)
+    assert(math.round(stats.getDouble(1) * 100) == cents.min)
+    assert(math.round(stats.getDouble(2) * 100) == cents.max)
+    assert(math.round(stats.getDouble(4) * 100) == cents.sum)
+    val sel = Relational.bucketSelector(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    val want = m.filter(x => 10L * m.length * math.round(x._3 * 100) > 11L * cents.sum)
+      .map(x => (x._1, x._2)).toSet
+    assert(sel == want, s"got $sel want $want")
+    assert(sel.nonEmpty && sel.size < m.length, "selector must be a strict filter")
+  }
+
   test("weighted avg: ratio-of-exact-sums matches a driver recompute") {
     val got = Relational.weightedAvg(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
