@@ -416,16 +416,35 @@ object Audit {
       col(s"s4_$i") / n - lit(4.0) * m1(i) * (col(s"s3_$i") / n) +
         lit(6.0) * m1(i) * m1(i) * (col(s"s2_$i") / n) -
         lit(3.0) * m1(i) * m1(i) * m1(i) * m1(i)
-    val cells = for (i <- idx; j <- idx) yield struct(
-      lit(names(i)).as("field_x"), lit(names(j)).as("field_y"), n.as("n"),
-      round(m1(i), 4).as("mean_x"),
-      when(n > 1, round(a2(i) / (n * (n - 1)), 4)).as("variance_x"),
-      when(m2(i) > 0, round(m3(i) / (sqrt(m2(i)) * m2(i)), 4)).as("skewness_x"),
-      when(m2(i) > 0, round(m4(i) / (m2(i) * m2(i)), 4)).as("kurtosis_x"),
-      when(n > 1, round(cross(i, j) / (n * (n - 1)), 4)).as("covariance"),
-      when(a2(i) > 0 && a2(j) > 0,
-        round(cross(i, j) / (sqrt(a2(i)) * sqrt(a2(j))), 4)).as("correlation"))
-    m.select(explode(array(cells: _*)).as("c"))
+    // Stage the scalar stats as FLAT named columns first: each deep moment
+    // tree is generated exactly once, and the 9-cell explode below
+    // references plain attributes — without this the 9× duplicated trees
+    // blow past janino's method limits and the projection falls out of
+    // codegen (observed: 9.3 s interpreted vs ~0.1 s compiled).
+    val flat = m.select(
+      Seq(n.as("n")) ++
+        idx.flatMap { i => Seq(
+          round(m1(i), 4).as(s"mean_$i"),
+          when(n > 1, round(a2(i) / (n * (n - 1)), 4)).as(s"var_$i"),
+          when(m2(i) > 0, round(m3(i) / (sqrt(m2(i)) * m2(i)), 4)).as(s"skew_$i"),
+          when(m2(i) > 0, round(m4(i) / (m2(i) * m2(i)), 4)).as(s"kurt_$i"))
+        } ++
+        (for (i <- idx; j <- idx if i <= j) yield Seq(
+          when(n > 1, round(cross(i, j) / (n * (n - 1)), 4)).as(s"cov_${i}_$j"),
+          when(a2(i) > 0 && a2(j) > 0,
+            round(cross(i, j) / (sqrt(a2(i)) * sqrt(a2(j))), 4)).as(s"corr_${i}_$j")))
+          .flatten: _*)
+    val cells = for (i <- idx; j <- idx) yield {
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      struct(
+        lit(names(i)).as("field_x"), lit(names(j)).as("field_y"),
+        col("n").as("n"),
+        col(s"mean_$i").as("mean_x"), col(s"var_$i").as("variance_x"),
+        col(s"skew_$i").as("skewness_x"), col(s"kurt_$i").as("kurtosis_x"),
+        col(s"cov_${a}_$b").as("covariance"),
+        col(s"corr_${a}_$b").as("correlation"))
+    }
+    flat.select(explode(array(cells: _*)).as("c"))
       .select(col("c.*"))
       .orderBy(col("field_x"), col("field_y"))
   }
