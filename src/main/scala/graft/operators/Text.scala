@@ -98,6 +98,73 @@ object Text {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** q207 — STRING STATS per language (ES `string_stats` with
+    * `show_distribution`): value count, min/max/avg length, the distinct
+    * character inventory, and the character-distribution concentration.
+    * ES's `entropy` field is Shannon entropy — a transcendental whose
+    * last-ulp behavior differs across libm implementations — so the gate
+    * reports the SIMPSON REPEAT RATE instead (Σp², the collision
+    * probability, = exp(−H₂) of Rényi-2 entropy): the same
+    * concentration signal as an EXACT rational, here in ppm by integer
+    * division (the q89 "monotone stand-in, transcendental-free"
+    * discipline). Overflow valve: Σc²·10⁶ stays in BIGINT while corpus
+    * chars per group ≲ 10⁸·√10 ≈ 3·10⁸; past that the DECIMAL(38,0)
+    * valve (the q116 note).
+    *
+    * Scale shape: the char explode reduces immediately through a
+    * (lang, char) partial aggregate — charset-cardinality after the
+    * map-side combine — then a lang-cardinality rollup; doc-length stats
+    * ride a separate lang-cardinality aggregate of the same scan, joined
+    * at 5 rows. Nothing wider than (lang, char) ever shuffles.
+    */
+  def stringStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val doc = Tables.documents(spark, sfDir)
+    val lenStats = doc.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      min(length(col("text"))).cast("long").as("min_length"),
+      max(length(col("text"))).cast("long").as("max_length"),
+      sum(length(col("text")).cast("long")).as("sum_len"))
+    val charStats = doc
+      .select(col("lang"),
+        explode(filter(split(col("text"), ""), c => c =!= "")).as("ch"))
+      .groupBy(col("lang"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("distinct_chars"),
+        sum(col("c")).as("total_chars"),
+        sum(col("c") * col("c")).as("sum_c2"))
+    lenStats.join(charStats, Seq("lang"))
+      .select(
+        col("lang"), col("n_docs"), col("min_length"), col("max_length"),
+        round(col("sum_len") / col("n_docs"), 4).as("avg_length"),
+        col("distinct_chars"),
+        expr("sum_c2 * 1000000L div (total_chars * total_chars)")
+          .as("collision_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  val stringStatsOracle: String =
+    """WITH l AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |         CAST(min(length(text)) AS BIGINT) AS min_length,
+      |         CAST(max(length(text)) AS BIGINT) AS max_length,
+      |         CAST(sum(length(text)) AS BIGINT) AS sum_len
+      |  FROM documents GROUP BY lang),
+      |cc AS (
+      |  SELECT lang, ch, count(*) AS c FROM (
+      |    SELECT lang, unnest(string_split(text, '')) AS ch FROM documents)
+      |  GROUP BY lang, ch),
+      |s AS (
+      |  SELECT lang, count(*) AS distinct_chars,
+      |         CAST(sum(c) AS BIGINT) AS total_chars,
+      |         CAST(sum(c * c) AS BIGINT) AS sum_c2
+      |  FROM cc GROUP BY lang)
+      |SELECT lang, n_docs, min_length, max_length,
+      |       round(sum_len / n_docs, 4) AS avg_length,
+      |       distinct_chars,
+      |       sum_c2 * 1000000 // (total_chars * total_chars) AS collision_ppm
+      |FROM l JOIN s USING (lang)
+      |ORDER BY lang""".stripMargin
+
   /** q31 — per-document quality scoring: token count, type-token ratio,
     * stopword ratio, average word length. All ratios are int/int divisions —
     * bitwise deterministic on both engines.
@@ -3658,6 +3725,7 @@ object Text {
     "q194_span_increment" -> ((s: SparkSession, d: String) => spanIncrement(s, d)),
     "q195_line_dedup_increment" -> ((s: SparkSession, d: String) => lineDedupIncrement(s, d)),
     "q197_gram_novelty" -> ((s: SparkSession, d: String) => gramNovelty(s, d)),
+    "q207_string_stats" -> ((s: SparkSession, d: String) => stringStats(s, d)),
     "q33_jaccard_pairs" -> ((s: SparkSession, d: String) => jaccardPairs(s, d)),
     "q97_containment_pairs" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
     "q98_containment_neardups" -> ((s: SparkSession, d: String) => containmentNearDups(s, d)),
@@ -3707,6 +3775,7 @@ object Text {
     "q194_span_increment" -> spanIncrementOracle,
     "q195_line_dedup_increment" -> lineDedupIncrementOracle(),
     "q197_gram_novelty" -> gramNoveltyOracle(),
+    "q207_string_stats" -> stringStatsOracle,
     "q33_jaccard_pairs" -> jaccardPairsOracle(),
     "q97_containment_pairs" -> containmentPairsOracle(),
     "q39_dedup_corpus" -> dedupCorpusOracle,

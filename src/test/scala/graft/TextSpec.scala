@@ -818,6 +818,30 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("string stats: lengths, charset, and collision ppm match a driver recompute") {
+    val got = Text.stringStats(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = docs.groupBy(_._1).map { case (lang, rs) =>
+      val lens = rs.map(_._2.length.toLong)
+      val chars = rs.flatMap(_._2.toCharArray).groupBy(identity)
+        .map { case (_, cs) => cs.length.toLong }
+      val t = chars.sum
+      lang -> (rs.size.toLong, lens.min, lens.max,
+        BigDecimal(lens.sum.toDouble / rs.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        chars.size.toLong,
+        chars.map(c => c * c).sum * 1000000L / (t * t))
+    }
+    assert(got == want, s"got $got want $want")
+    // concentration sanity: collision ppm must exceed the uniform floor
+    got.foreach { case (lang, (_, _, _, _, k, ppm)) =>
+      assert(ppm >= 1000000L / k, s"$lang below uniform floor") }
+  }
+
   test("line dedup increment: stored side canonical, in-delivery keep-first, replay converges") {
     import spark.implicits._
     // corpus owns line [h f]; delivery doc 10 carries it (store leg removes
