@@ -2943,6 +2943,149 @@ object Text {
        |       (CAST(sum(shared) AS BIGINT) * 1000000) // count(*) AS shared_ppm
        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q208
+  // The NOVELTY member of the increment-store family (exact q107, textual
+  // q109, semantic q110, decontamination q113, cluster q115, span q194,
+  // line q195): q197's corpus-wide gram-novelty screen for ONE arriving
+  // delivery, served from a persisted corpus gram dictionary.
+
+  /** Write the NOVELTY GRAM STORE for a corpus frame: the DISTINCT sampled
+    * gram digest pairs — membership is all the probe needs. Store rows are
+    * 16 bytes per distinct sampled gram (corpus tokens ÷ sampleMod at the
+    * limit), so the [[deriveSampleMod]] valve that bounds q197's live
+    * exchange bounds the store identically. The build's distinct is the
+    * one corpus×grams exchange, paid at ingest like the span/band stores.
+    */
+  def buildNoveltyGramStore(
+      spark: SparkSession, corpusDocs: DataFrame, dir: String,
+      gram: Int = 8, sampleMod: Int = 1): Unit = {
+    val g0 = gramDigestsOf(corpusDocs, gram)
+    val g = if (sampleMod <= 1) g0
+      else g0.filter(pmod(col("g64"), lit(sampleMod.toLong)) === 0)
+    g.select(col("g64").as("sg64"), col("g64b").as("sg64b")).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(dir)
+  }
+
+  /** Append an accepted delivery's gram digests (delivery-distinct).
+    * At-least-once replays duplicate store ROWS; the probe's semi-join and
+    * hit-dedup are insensitive to right-side duplicates — upsert-convergent,
+    * the [[appendToSpanStore]] guarantee, spec-pinned.
+    */
+  def appendToNoveltyGramStore(
+      spark: SparkSession, storeDir: String, docs: DataFrame,
+      gram: Int = 8, sampleMod: Int = 1): Unit = {
+    require(Lifecycle.fsOf(spark, storeDir)
+      .exists(new org.apache.hadoop.fs.Path(storeDir)),
+      s"novelty gram store $storeDir does not exist - build it first " +
+        "(buildNoveltyGramStore / ensureNoveltyGramStore)")
+    val g0 = gramDigestsOf(docs, gram)
+    val g = if (sampleMod <= 1) g0
+      else g0.filter(pmod(col("g64"), lit(sampleMod.toLong)) === 0)
+    g.select(col("g64").as("sg64"), col("g64b").as("sg64b")).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(storeDir)
+    graft.Readers.bump()
+  }
+
+  /** Build-once novelty gram store over the non-batch corpus slice (the
+    * q107 fixture convention), keyed by the RESOLVED modulus like
+    * [[ensureSpanStore]].
+    */
+  def ensureNoveltyGramStore(
+      spark: SparkSession, sfDir: String,
+      gram: Int = 8, batchMod: Long = 7, batchRem: Long = 0,
+      sampleMod: Int = AutoSampleMod): String = {
+    val resolved = resolveSampleMod(spark, sfDir, sampleMod)
+    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
+    val key = Index.cacheKey(
+      s"$sfDir:$srcMtime:noveltystore:$gram:$batchMod:$batchRem:$resolved:v${Index.LayoutVersion}")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-noveltystore-$key")
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      buildNoveltyGramStore(spark,
+        Tables.documents(spark, sfDir).filter(col("doc_id") % batchMod =!= batchRem),
+        dir.getAbsolutePath, gram, resolved)
+    dir.getAbsolutePath
+  }
+
+  /** The per-delivery probe: a batch gram is SHARED iff another BATCH
+    * document carries it (min≠max over the batch's own digests —
+    * batch-bounded) OR its digest is in the store (some corpus document
+    * carries it). Since corpus and batch are disjoint doc sets, the OR is
+    * exactly q197's "some OTHER document" restricted to batch docs — the
+    * oracle-checked identity. Store side: the batch's digests broadcast
+    * into a left-semi that STREAMS the store; matched digests dedup and
+    * broadcast back (delivery-tokens ÷ sampleMod sized, the family's
+    * boundedness contract).
+    */
+  def noveltyBatchAgainstStore(
+      spark: SparkSession, batchDocs: DataFrame, storeDir: String,
+      gram: Int = 8, sampleMod: Int = 1): DataFrame = {
+    val g0 = gramDigestsOf(batchDocs, gram)
+    val g = if (sampleMod <= 1) g0
+      else g0.filter(pmod(col("g64"), lit(sampleMod.toLong)) === 0)
+    val wg = Window.partitionBy(col("g64"), col("g64b"))
+    val flagged = g
+      .withColumn("mn", min(col("doc_id")).over(wg))
+      .withColumn("mx", max(col("doc_id")).over(wg))
+    val store = graft.Readers.parquet(spark, storeDir)
+    val hits = store.join(
+      broadcast(g.select(col("g64"), col("g64b"))),
+      col("sg64") === col("g64") && col("sg64b") === col("g64b"), "left_semi")
+    flagged
+      .join(broadcast(hits.distinct()),
+        col("g64") === col("sg64") && col("g64b") === col("sg64b"), "left")
+      .withColumn("shared",
+        (col("mn") =!= col("mx") || col("sg64").isNotNull).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("shared")).as("n_shared_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared_grams"),
+        expr("n_shared_grams * 1000000L div n_grams").as("shared_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q208 — INCREMENTAL gram novelty: [[gramNovelty]] for one arriving
+    * delivery served from the persisted gram dictionary. Same result as
+    * the full-corpus audit restricted to the batch (same oracle,
+    * hash-checked); the corpus is never re-grammed and its text never
+    * read — the store scan is two fixed-width digest columns.
+    */
+  def noveltyIncrement(
+      spark: SparkSession, sfDir: String,
+      gram: Int = 8, batchMod: Long = 7, batchRem: Long = 0,
+      sampleMod: Int = AutoSampleMod): DataFrame = {
+    val resolved = resolveSampleMod(spark, sfDir, sampleMod)
+    val storeDir = ensureNoveltyGramStore(spark, sfDir, gram, batchMod, batchRem, resolved)
+    noveltyBatchAgainstStore(spark,
+      Tables.documents(spark, sfDir).filter(col("doc_id") % batchMod === batchRem),
+      storeDir, gram, resolved)
+  }
+
+  /** q208's oracle: q197's window CTEs over the WHOLE corpus with the
+    * summary restricted to batch documents — the store≡direct identity the
+    * probe's OR decomposition guarantees.
+    */
+  def noveltyIncrementOracle(gram: Int = 8): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $gram),
+       |g AS (
+       |  SELECT DISTINCT doc_id,
+       |         array_to_string(ts[i : i + ${gram - 1}], ' ') AS gram
+       |  FROM tok, LATERAL unnest(generate_series(1, len(ts) - ${gram - 1}))
+       |    AS t(i)),
+       |r AS (
+       |  SELECT doc_id,
+       |         CASE WHEN min(doc_id) OVER (PARTITION BY gram) <>
+       |                   max(doc_id) OVER (PARTITION BY gram)
+       |              THEN 1 ELSE 0 END AS shared
+       |  FROM g)
+       |SELECT doc_id, count(*) AS n_grams,
+       |       CAST(sum(shared) AS BIGINT) AS n_shared_grams,
+       |       (CAST(sum(shared) AS BIGINT) * 1000000) // count(*) AS shared_ppm
+       |FROM r WHERE doc_id % 7 = 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private def gramParamsTag(gram: Int): String = s"gram=$gram"
 
   /** Write the EVAL-GRAM STORE: tokenize + hash each held-out eval document
@@ -3726,6 +3869,7 @@ object Text {
     "q195_line_dedup_increment" -> ((s: SparkSession, d: String) => lineDedupIncrement(s, d)),
     "q197_gram_novelty" -> ((s: SparkSession, d: String) => gramNovelty(s, d)),
     "q207_string_stats" -> ((s: SparkSession, d: String) => stringStats(s, d)),
+    "q208_novelty_increment" -> ((s: SparkSession, d: String) => noveltyIncrement(s, d)),
     "q33_jaccard_pairs" -> ((s: SparkSession, d: String) => jaccardPairs(s, d)),
     "q97_containment_pairs" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
     "q98_containment_neardups" -> ((s: SparkSession, d: String) => containmentNearDups(s, d)),
@@ -3776,6 +3920,7 @@ object Text {
     "q195_line_dedup_increment" -> lineDedupIncrementOracle(),
     "q197_gram_novelty" -> gramNoveltyOracle(),
     "q207_string_stats" -> stringStatsOracle,
+    "q208_novelty_increment" -> noveltyIncrementOracle(),
     "q33_jaccard_pairs" -> jaccardPairsOracle(),
     "q97_containment_pairs" -> containmentPairsOracle(),
     "q39_dedup_corpus" -> dedupCorpusOracle,

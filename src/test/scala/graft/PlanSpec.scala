@@ -140,6 +140,10 @@ class PlanSpec extends SparkSpec {
     assertNeverShuffled("q197_gram_novelty", "text")
   }
 
+  test("q208 novelty increment: store probe keeps text out of every exchange") {
+    assertNeverShuffled("q208_novelty_increment", "text")
+  }
+
   test("q191 rare terms pushes the doc-count ceiling into the vocab store scan") {
     val plan = planOf("q191_rare_terms")
     assert(plan.contains("PushedFilters") &&

@@ -790,6 +790,54 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("novelty increment: store-served probe equals the full audit restricted to the batch") {
+    val direct = Text.gramNovelty(spark, sf0001).collect()
+      .filter(_.getLong(0) % 7 == 0)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val stored = Text.noveltyIncrement(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(stored.nonEmpty && stored == direct,
+      s"stored ${stored.size} rows, direct ${direct.size}")
+  }
+
+  test("novelty increment: both hit legs fire; replayed appends converge") {
+    import spark.implicits._
+    val run = "a b c d e f g h" // one 8-gram
+    val corpus = Seq(
+      (1L, s"p q r $run s t u"),
+      (2L, "k l m n o k2 l2 m2 n2 o2")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-noveltystore-spec").toString
+    Text.buildNoveltyGramStore(spark, corpus, dir)
+    // delivery doc 10 shares [a..h] with CORPUS doc 1 (store leg);
+    // docs 11/12 share a gram with EACH OTHER only (in-batch leg);
+    // doc 13 is fully novel
+    val pair = "v1 v2 v3 v4 v5 v6 v7 v8"
+    val delivery = Seq(
+      (10L, s"x y $run z w"),
+      (11L, s"h1 $pair"),
+      (12L, s"h2 $pair"),
+      (13L, "n1 n2 n3 n4 n5 n6 n7 n8 n9")).toDF("doc_id", "text")
+    val got = Text.noveltyBatchAgainstStore(spark, delivery, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 10 (12 tokens): 5 grams, exactly the [a..h] one shared; 11/12:
+    // 2 grams each, the trailing [v1..v8] gram shared; 13: 2 grams, none
+    assert(got == Seq((10L, 5L, 1L), (11L, 2L, 1L), (12L, 2L, 1L), (13L, 2L, 0L)),
+      got.mkString(","))
+    // replay convergence: append once vs twice → later probe identical
+    Text.appendToNoveltyGramStore(spark, dir, delivery)
+    val probe2 = Seq((20L, s"h3 $pair")).toDF("doc_id", "text")
+    val once = Text.noveltyBatchAgainstStore(spark, probe2, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(once == Seq((20L, 2L, 1L)), s"appended gram not found: $once")
+    Text.appendToNoveltyGramStore(spark, dir, delivery) // replay
+    val twice = Text.noveltyBatchAgainstStore(spark, probe2, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(twice == once, s"replayed append changed the probe: $twice vs $once")
+    intercept[IllegalArgumentException] {
+      Text.appendToNoveltyGramStore(spark, dir + "-nonexistent", delivery)
+    }
+  }
+
   test("gram novelty: planted shared grams counted exactly; sampling thins consistently") {
     import spark.implicits._
     // docs 1/2 share exactly the 8-gram [a..h] (their only overlap);
