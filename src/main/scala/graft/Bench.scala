@@ -91,6 +91,9 @@ object Bench {
       // Corpus line dictionary — ingest-time line hashing; q195 measures
       // the per-delivery cross-doc line-dedup probe.
       graft.operators.Text.ensureLineDictStore(spark, sfDir)
+      // Corpus novelty gram store — ingest-time gram hashing; q208 measures
+      // the per-delivery gram-novelty probe.
+      graft.operators.Text.ensureNoveltyGramStore(spark, sfDir)
       // Corpus vocabulary store — the term dictionary is an ingest-time
       // artifact; q143/q144/q154/q157 measure dictionary-probe latency.
       graft.operators.Retrieval.ensureVocabStore(spark, sfDir)

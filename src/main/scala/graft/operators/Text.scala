@@ -1603,8 +1603,9 @@ object Text {
     * corpora (every line "duplicated" because whole documents are) don't
     * arise here because the pipeline runs doc-level dedup FIRST (q101's
     * recipe order); raising `minOcc` shrinks the dictionary further toward
-    * true boilerplate, and the ccnet per-shard split is the fallback past
-    * any broadcast ceiling.
+    * true boilerplate, and past the [[LineDictBroadcastMaxRows]] ceiling
+    * [[sizeGatedBroadcast]] degrades the probe to a plain digest-pair
+    * equi-join (the ccnet per-shard discipline, result-identical).
     */
   private def dupLineDict(lines: DataFrame, minOcc: Long): DataFrame =
     lines
@@ -1627,8 +1628,9 @@ object Text {
     * Scale shape: two corpus scans (dictionary build + probe — re-scanning
     * beats pinning a corpus×lines frame or shuffling it twice), lines
     * travel as digests only (text-never-shuffles PlanSpec-locked), the
-    * dictionary broadcasts into the probe ([[dupLineDict]]'s size
-    * argument), and the per-doc aggregate combines map-side on the scan's
+    * dictionary broadcasts into the probe under the
+    * [[LineDictBroadcastMaxRows]] ceiling (size-gated, plain equi-join
+    * past it), and the per-doc aggregate combines map-side on the scan's
     * own doc grain.
     */
   def crossDocLineDedup(
@@ -1636,15 +1638,46 @@ object Text {
       lineWidth: Int = 2, minOcc: Long = 2): DataFrame =
     crossDocLineDedupOf(Tables.documents(spark, sfDir), lineWidth, minOcc)
 
+  /** Broadcast ceiling (rows) for q192/q193's CORPUS-DERIVED frames — the
+    * duplicated-line dictionary and the rewrite's removal map. Unlike a
+    * dimension table, both scale with corpus boilerplate: on a real web
+    * crawl the cross-doc-repeated-line universe is plausibly tens of GB at
+    * 100 TB, so an unconditional `broadcast()` is a driver-OOM class.
+    * Under the ceiling the frames broadcast (the fast path — fixture scale
+    * and any post-doc-dedup corpus with sane `minOcc` live here); past it
+    * [[sizeGatedBroadcast]] leaves the join a plain equi-join on the
+    * digest pair / doc_id (both sides shuffle, still digest-narrow — the
+    * ccnet per-shard discipline), spec-pinned result-identical. At ~28
+    * bytes a row the default ceiling is ~56 MB raw — the broadcast-hash-
+    * relation size every executor comfortably holds.
+    */
+  val LineDictBroadcastMaxRows: Long = 2000000L
+
+  /** Pin a corpus-derived frame and size-gate its join side: one bounded
+    * `limit(max+1).count()` probe on the pinned artifact (the
+    * [[Components.DriverSolveMaxEdges]] bounded-budget discipline — never
+    * an unbounded count or collect) decides broadcast vs plain equi-join.
+    * The pin means the deciding probe and the join consume ONE
+    * materialization of the aggregate, not two.
+    */
+  private def sizeGatedBroadcast(df: DataFrame, maxRows: Long): DataFrame = {
+    val pinned = Materialize.stable(df, eager = true)
+    val probeN = math.min(maxRows, Int.MaxValue.toLong - 1).toInt
+    if (pinned.limit(probeN + 1).count() <= probeN) broadcast(pinned)
+    else pinned
+  }
+
   /** The detection core over ANY (doc_id, text) frame — the gate wrapper
-    * binds the fixture; specs drive it with planted boilerplate.
+    * binds the fixture; specs drive it with planted boilerplate (and pin
+    * the over-ceiling fallback's equality by forcing `broadcastMaxRows`).
     */
   def crossDocLineDedupOf(
-      documents: DataFrame, lineWidth: Int, minOcc: Long): DataFrame = {
+      documents: DataFrame, lineWidth: Int, minOcc: Long,
+      broadcastMaxRows: Long = LineDictBroadcastMaxRows): DataFrame = {
     requireLineWidth(lineWidth)
     val lines = crossDocLines(documents, lineWidth)
     lines
-      .join(broadcast(dupLineDict(lines, minOcc)),
+      .join(sizeGatedBroadcast(dupLineDict(lines, minOcc), broadcastMaxRows),
         col("h1") === col("dh1") && col("h2") === col("dh2"), "left")
       .withColumn("removed",
         (col("dh1").isNotNull &&
@@ -1709,19 +1742,23 @@ object Text {
     crossDocLineRewriteOf(Tables.documents(spark, sfDir), lineWidth, minOcc)
 
   /** The rewrite core over ANY (doc_id, text) frame (see
-    * [[crossDocLineDedupOf]]).
+    * [[crossDocLineDedupOf]]). Both corpus-derived sides are size-gated:
+    * past [[LineDictBroadcastMaxRows]] the dictionary probe becomes a
+    * digest-pair equi-join and the id join a doc_id SMJ, still
+    * digest-narrow on the removal side.
     */
   def crossDocLineRewriteOf(
-      doc: DataFrame, lineWidth: Int, minOcc: Long): DataFrame = {
+      doc: DataFrame, lineWidth: Int, minOcc: Long,
+      broadcastMaxRows: Long = LineDictBroadcastMaxRows): DataFrame = {
     requireLineWidth(lineWidth)
     val lines = crossDocLines(doc, lineWidth)
     val removals = lines
-      .join(broadcast(dupLineDict(lines, minOcc)),
+      .join(sizeGatedBroadcast(dupLineDict(lines, minOcc), broadcastMaxRows),
         col("h1") === col("dh1") && col("h2") === col("dh2"))
       .filter(!(col("doc_id") === col("fdoc") && col("idx") === col("fidx")))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("idx"))).as("rm"))
-    doc.join(broadcast(removals), Seq("doc_id"))
+    doc.join(sizeGatedBroadcast(removals, broadcastMaxRows), Seq("doc_id"))
       .select(col("doc_id"),
         org.apache.spark.sql.graft.TextExpressions
           .lineDedupRewrite(tokens(col("text")), col("rm"), lineWidth)
@@ -1777,7 +1814,20 @@ object Text {
       .distinct()
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(dir)
+    // written LAST: the marker doubles as the completion sentinel (the
+    // band-store discipline) and [[ensureLineDictStore]] keys on it
+    writeMarker(Lifecycle.fsOf(spark, dir),
+      new org.apache.hadoop.fs.Path(s"$dir/_params"),
+      lineDictParamsTag(lineWidth))
   }
+
+  private def lineDictParamsTag(lineWidth: Int): String =
+    s"lineWidth=$lineWidth"
+
+  private def requireLineDictParams(
+      spark: SparkSession, dir: String, lineWidth: Int, op: String): Unit =
+    requireStoreParams(spark, dir, "line dict", lineDictParamsTag(lineWidth),
+      op, "line digests of different widths can never match correctly")
 
   /** Append an accepted delivery's distinct line digests — replay-
     * convergent like every store append (membership probes are insensitive
@@ -1787,10 +1837,7 @@ object Text {
       spark: SparkSession, storeDir: String, docs: DataFrame,
       lineWidth: Int = 2): Unit = {
     requireLineWidth(lineWidth)
-    require(Lifecycle.fsOf(spark, storeDir)
-      .exists(new org.apache.hadoop.fs.Path(storeDir)),
-      s"line dict store $storeDir does not exist - build it first " +
-        "(buildLineDictStore / ensureLineDictStore)")
+    requireLineDictParams(spark, storeDir, lineWidth, "append")
     crossDocLines(docs, lineWidth)
       .select(col("h1").as("sl1"), col("h2").as("sl2"))
       .distinct()
@@ -1805,9 +1852,12 @@ object Text {
       lineWidth: Int = 2, batchMod: Long = 7, batchRem: Long = 0): String = {
     val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:linedict:$lineWidth:$batchMod:$batchRem:v${Index.LayoutVersion}")
+      s"$sfDir:$srcMtime:linedict:$lineWidth:$batchMod:$batchRem:p1:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-linedict-$key")
-    if (!new java.io.File(dir, "_SUCCESS").exists())
+    // _params is written LAST and is the completion sentinel (see
+    // ensureBandStore): a crash between the parquet commit and the marker
+    // rebuilds instead of caching a store that refuses appends/probes
+    if (!new java.io.File(dir, "_params").exists())
       buildLineDictStore(spark,
         Tables.documents(spark, sfDir).filter(col("doc_id") % batchMod =!= batchRem),
         dir.getAbsolutePath, lineWidth)
@@ -1827,6 +1877,7 @@ object Text {
       spark: SparkSession, batchDocs: DataFrame, storeDir: String,
       lineWidth: Int = 2): DataFrame = {
     requireLineWidth(lineWidth)
+    requireLineDictParams(spark, storeDir, lineWidth, "probe")
     val lines = crossDocLines(batchDocs, lineWidth)
     val wdig = Window.partitionBy(col("h1"), col("h2"))
     val flagged = lines.withColumn("first",
@@ -2965,7 +3016,21 @@ object Text {
     g.select(col("g64").as("sg64"), col("g64b").as("sg64b")).distinct()
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(dir)
+    // written LAST: completion sentinel + identity (band-store discipline)
+    writeMarker(Lifecycle.fsOf(spark, dir),
+      new org.apache.hadoop.fs.Path(s"$dir/_params"),
+      noveltyParamsTag(gram, sampleMod))
   }
+
+  private def noveltyParamsTag(gram: Int, sampleMod: Int): String =
+    s"gram=$gram,sampleMod=$sampleMod"
+
+  private def requireNoveltyParams(
+      spark: SparkSession, dir: String, gram: Int, sampleMod: Int,
+      op: String): Unit =
+    requireStoreParams(spark, dir, "novelty gram",
+      noveltyParamsTag(gram, sampleMod), op,
+      "gram digests of different lengths or sampling can never match correctly")
 
   /** Append an accepted delivery's gram digests (delivery-distinct).
     * At-least-once replays duplicate store ROWS; the probe's semi-join and
@@ -2975,10 +3040,7 @@ object Text {
   def appendToNoveltyGramStore(
       spark: SparkSession, storeDir: String, docs: DataFrame,
       gram: Int = 8, sampleMod: Int = 1): Unit = {
-    require(Lifecycle.fsOf(spark, storeDir)
-      .exists(new org.apache.hadoop.fs.Path(storeDir)),
-      s"novelty gram store $storeDir does not exist - build it first " +
-        "(buildNoveltyGramStore / ensureNoveltyGramStore)")
+    requireNoveltyParams(spark, storeDir, gram, sampleMod, "append")
     val g0 = gramDigestsOf(docs, gram)
     val g = if (sampleMod <= 1) g0
       else g0.filter(pmod(col("g64"), lit(sampleMod.toLong)) === 0)
@@ -2999,9 +3061,10 @@ object Text {
     val resolved = resolveSampleMod(spark, sfDir, sampleMod)
     val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:noveltystore:$gram:$batchMod:$batchRem:$resolved:v${Index.LayoutVersion}")
+      s"$sfDir:$srcMtime:noveltystore:$gram:$batchMod:$batchRem:$resolved:p1:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-noveltystore-$key")
-    if (!new java.io.File(dir, "_SUCCESS").exists())
+    // _params written LAST = completion sentinel (see ensureLineDictStore)
+    if (!new java.io.File(dir, "_params").exists())
       buildNoveltyGramStore(spark,
         Tables.documents(spark, sfDir).filter(col("doc_id") % batchMod =!= batchRem),
         dir.getAbsolutePath, gram, resolved)
@@ -3021,6 +3084,7 @@ object Text {
   def noveltyBatchAgainstStore(
       spark: SparkSession, batchDocs: DataFrame, storeDir: String,
       gram: Int = 8, sampleMod: Int = 1): DataFrame = {
+    requireNoveltyParams(spark, storeDir, gram, sampleMod, "probe")
     val g0 = gramDigestsOf(batchDocs, gram)
     val g = if (sampleMod <= 1) g0
       else g0.filter(pmod(col("g64"), lit(sampleMod.toLong)) === 0)
@@ -3136,15 +3200,27 @@ object Text {
   }
 
   private def requireGramParams(
-      spark: SparkSession, dir: String, gram: Int, op: String): Unit = {
+      spark: SparkSession, dir: String, gram: Int, op: String): Unit =
+    requireStoreParams(spark, dir, "gram", gramParamsTag(gram), op,
+      "grams of different lengths can never collide correctly")
+
+  /** Shared identity check for every parameterized increment store (band/
+    * gram since r6; span/line-dict/novelty-gram joined in r8): `_params`
+    * is written LAST at build — the completion sentinel — and must match
+    * verbatim on every append AND probe. Rows signed under different
+    * parameters can never collide correctly, so drift is refused by name
+    * instead of silently poisoning membership semantics.
+    */
+  private def requireStoreParams(
+      spark: SparkSession, dir: String, family: String, want: String,
+      op: String, why: String): Unit = {
     val fs = Lifecycle.fsOf(spark, dir)
     val p = new org.apache.hadoop.fs.Path(s"$dir/_params")
-    require(fs.exists(p), s"gram store $dir has no _params marker - build it first")
+    require(fs.exists(p),
+      s"$family store $dir has no _params marker - build it first")
     val have = readMarker(fs, p)
-    val want = gramParamsTag(gram)
     require(have == want,
-      s"gram store signed under [$have], $op requested [$want] " +
-        "- grams of different lengths can never collide correctly")
+      s"$family store signed under [$have], $op requested [$want] - $why")
   }
 
   def ensureGramStore(
@@ -3541,12 +3617,26 @@ object Text {
     */
   def buildSpanStore(
       spark: SparkSession, corpusDocs: DataFrame, dir: String,
-      spanLen: Int = 40, sampleMod: Int = 1): Unit =
+      spanLen: Int = 40, sampleMod: Int = 1): Unit = {
     spanWindowsOf(corpusDocs, spanLen, sampleMod)
       .select(col("h1").as("sh1"), col("h2").as("sh2"))
       .distinct()
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(dir)
+    // written LAST: completion sentinel + identity (band-store discipline)
+    writeMarker(Lifecycle.fsOf(spark, dir),
+      new org.apache.hadoop.fs.Path(s"$dir/_params"),
+      spanParamsTag(spanLen, sampleMod))
+  }
+
+  private def spanParamsTag(spanLen: Int, sampleMod: Int): String =
+    s"spanLen=$spanLen,sampleMod=$sampleMod"
+
+  private def requireSpanParams(
+      spark: SparkSession, dir: String, spanLen: Int, sampleMod: Int,
+      op: String): Unit =
+    requireStoreParams(spark, dir, "span", spanParamsTag(spanLen, sampleMod),
+      op, "window digests of different lengths or sampling can never match correctly")
 
   /** Append an accepted delivery's window digests (delivery-distinct, the
     * narrow post-admission write). At-least-once replays duplicate store
@@ -3558,10 +3648,7 @@ object Text {
   def appendToSpanStore(
       spark: SparkSession, storeDir: String, docs: DataFrame,
       spanLen: Int = 40, sampleMod: Int = 1): Unit = {
-    require(Lifecycle.fsOf(spark, storeDir)
-      .exists(new org.apache.hadoop.fs.Path(storeDir)),
-      s"span store $storeDir does not exist - build it first " +
-        "(buildSpanStore / ensureSpanStore)")
+    requireSpanParams(spark, storeDir, spanLen, sampleMod, "append")
     spanWindowsOf(docs, spanLen, sampleMod)
       .select(col("h1").as("sh1"), col("h2").as("sh2"))
       .distinct()
@@ -3582,9 +3669,10 @@ object Text {
     val resolved = resolveSampleMod(spark, sfDir, sampleMod)
     val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:spanstore:$spanLen:$batchMod:$batchRem:$resolved:v${Index.LayoutVersion}")
+      s"$sfDir:$srcMtime:spanstore:$spanLen:$batchMod:$batchRem:$resolved:p1:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-spanstore-$key")
-    if (!new java.io.File(dir, "_SUCCESS").exists())
+    // _params written LAST = completion sentinel (see ensureLineDictStore)
+    if (!new java.io.File(dir, "_params").exists())
       buildSpanStore(spark,
         Tables.documents(spark, sfDir).filter(col("doc_id") % batchMod =!= batchRem),
         dir.getAbsolutePath, spanLen, resolved)
@@ -3607,6 +3695,7 @@ object Text {
   def spanBatchAgainstStore(
       spark: SparkSession, batchDocs: DataFrame, storeDir: String,
       spanLen: Int = 40, sampleMod: Int = 1): DataFrame = {
+    requireSpanParams(spark, storeDir, spanLen, sampleMod, "probe")
     val win = spanWindowsOf(batchDocs, spanLen, sampleMod)
     val wdig = Window.partitionBy(col("h1"), col("h2"))
     val flagged = win

@@ -128,6 +128,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("cross-doc line dedup family: lines travel as digests, text never shuffles") {
+    // at fixture scale the corpus-derived dictionary sits far under
+    // [[Text.LineDictBroadcastMaxRows]], so the size gate must pick the
+    // broadcast fast path (the over-ceiling equi-join fallback is pinned
+    // result-identical in TextSpec)
+    val p192 = planOf("q192_crossdoc_line_dedup")
+    assert(p192.contains("BroadcastHashJoin"),
+      s"fixture-scale line dictionary should broadcast:\n$p192")
+    val p193 = planOf("q193_crossdoc_line_rewrite")
+    assert(p193.contains("BroadcastHashJoin"),
+      s"fixture-scale removal map should broadcast:\n$p193")
     assertNeverShuffled("q192_crossdoc_line_dedup", "text")
     // q193's only text-bearing movement is the presentation sort of its own
     // affected-docs OUTPUT (kept_text); the source text column never

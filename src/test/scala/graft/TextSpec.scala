@@ -961,6 +961,96 @@ class TextSpec extends SparkSpec {
         s"doc $id: reclaimed-token counter disagrees with the actual rewrite")
     }
   }
+  test("span/line-dict/novelty stores refuse parameter drift by name, append and probe") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j " + ("k " * 30).trim),
+      (2L, "a b c d e f g h m n " + ("z " * 30).trim)).toDF("doc_id", "text")
+    // span store: signed under (spanLen, sampleMod); any drifted append or
+    // probe is refused by name, a matching one still lands
+    val sdir = java.nio.file.Files.createTempDirectory("graft-spandrift").toString
+    Text.buildSpanStore(spark, docs, sdir, spanLen = 10, sampleMod = 1)
+    val s1 = intercept[IllegalArgumentException] {
+      Text.appendToSpanStore(spark, sdir, docs, spanLen = 11)
+    }
+    assert(s1.getMessage.contains("signed under"), s1.getMessage)
+    val s2 = intercept[IllegalArgumentException] {
+      Text.spanBatchAgainstStore(spark, docs, sdir, spanLen = 10, sampleMod = 2)
+    }
+    assert(s2.getMessage.contains("signed under"), s2.getMessage)
+    Text.appendToSpanStore(spark, sdir, docs, spanLen = 10)
+    assert(Text.spanBatchAgainstStore(spark, docs, sdir, spanLen = 10).count() >= 0)
+    // line dictionary: signed under lineWidth
+    val ldir = java.nio.file.Files.createTempDirectory("graft-linedrift").toString
+    Text.buildLineDictStore(spark, docs, ldir, lineWidth = 2)
+    val l1 = intercept[IllegalArgumentException] {
+      Text.appendToLineDictStore(spark, ldir, docs, lineWidth = 3)
+    }
+    assert(l1.getMessage.contains("signed under"), l1.getMessage)
+    val l2 = intercept[IllegalArgumentException] {
+      Text.lineDedupBatchAgainstStore(spark, docs, ldir, lineWidth = 3)
+    }
+    assert(l2.getMessage.contains("signed under"), l2.getMessage)
+    Text.appendToLineDictStore(spark, ldir, docs)
+    assert(Text.lineDedupBatchAgainstStore(spark, docs, ldir).count() >= 0)
+    // novelty gram store: signed under (gram, sampleMod)
+    val ndir = java.nio.file.Files.createTempDirectory("graft-novdrift").toString
+    Text.buildNoveltyGramStore(spark, docs, ndir, gram = 8, sampleMod = 1)
+    val n1 = intercept[IllegalArgumentException] {
+      Text.appendToNoveltyGramStore(spark, ndir, docs, gram = 4)
+    }
+    assert(n1.getMessage.contains("signed under"), n1.getMessage)
+    val n2 = intercept[IllegalArgumentException] {
+      Text.noveltyBatchAgainstStore(spark, docs, ndir, gram = 8, sampleMod = 2)
+    }
+    assert(n2.getMessage.contains("signed under"), n2.getMessage)
+    Text.appendToNoveltyGramStore(spark, ndir, docs)
+    assert(Text.noveltyBatchAgainstStore(spark, docs, ndir).count() >= 0)
+  }
+
+  test("cross-doc line dedup/rewrite: past the broadcast ceiling the equi-join fallback is result-identical") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "h f a b c d"), (2L, "h f e g"), (3L, "h f a b"), (4L, "u v w"))
+      .toDF("doc_id", "text")
+    val conf = spark.conf
+    val prevAuto = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAdaptive = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      // disable every AUTO broadcast too, so broadcastMaxRows=0 genuinely
+      // exercises the shuffled equi-join (at real scale a tens-of-GB
+      // dictionary is past the auto threshold anyway)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val slow = Text.crossDocLineDedupOf(docs, 2, 2, broadcastMaxRows = 0)
+      val got = slow.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(!slow.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        s"over-ceiling path must not broadcast:\n${slow.queryExecution.executedPlan}")
+      assert(got == Seq((2L, 2L, 1L, 2L), (3L, 2L, 2L, 4L)), got.mkString(","))
+      val slowRw = Text.crossDocLineRewriteOf(docs, 2, 2, broadcastMaxRows = 0)
+      val gotRw = slowRw.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(!slowRw.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        s"over-ceiling rewrite must not broadcast:\n${slowRw.queryExecution.executedPlan}")
+      assert(gotRw == Seq((2L, "e g"), (3L, "")), gotRw.mkString(","))
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      prevAdaptive match {
+        case Some(v) => conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+    // fixture cross-check: fallback equals the broadcast path row-for-row
+    val fixture = Tables.documents(spark, sf0001)
+    def rows(maxRows: Long): Seq[(Long, Long, Long, Long)] =
+      Text.crossDocLineDedupOf(fixture, 2, 2, maxRows).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val fast = rows(Text.LineDictBroadcastMaxRows)
+    val fb = rows(0)
+    assert(fast.nonEmpty && fb == fast,
+      s"fallback drifted from broadcast path: ${fb.size} vs ${fast.size} rows")
+  }
+
   test("normalized decontamination: planted case/whitespace leaks are caught, short items too") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
