@@ -19,16 +19,18 @@ import org.apache.spark.sql.types.StructType
   * reads: infer once per (session, path), then `read.schema(s)` skips the
   * job.
   *
-  * Deliberately NOT a DataFrame memo: each call builds a FRESH relation
-  * (fresh expression ids, fresh file listing, no shared lazy plan state).
-  * An earlier whole-instance memo returned the same logical plan object to
-  * every caller and surfaced a latent Catalyst bug — constraint inference
+  * Deliberately NOT a DataFrame memo: each call hands out a FRESH plan
+  * instance (fresh expression ids, no shared lazy plan state). An earlier
+  * whole-instance memo returned the same logical plan object to every
+  * caller and surfaced a latent Catalyst bug — constraint inference
   * (`InferFiltersFromConstraints`) mis-inferred a higher-order-function
   * filter onto the wrong join side for plans whose leaves were shared
   * instances, failing optimization with ATTRIBUTE_NOT_FOUND. Schemas are
-  * immutable values; sharing them is safe by construction, and the fresh
-  * listing keeps readers correct under appends without any invalidation
-  * subtlety.
+  * immutable values; sharing them is safe by construction. MUTABLE layout
+  * reads ([[parquet]]) additionally re-list per call, keeping them correct
+  * under appends without any invalidation subtlety; immutable FIXTURE reads
+  * ([[fixtureParquet]]) reuse the resolved relation's innards per (path,
+  * mtime) — see there.
   *
   * Staleness contract: a layout REWRITE can change the schema itself
   * (column added by a new LayoutVersion, store swapped), so every lifecycle
@@ -41,6 +43,8 @@ object Readers {
 
   private val epoch = new AtomicLong(0L)
   private val memo = new ConcurrentHashMap[String, StructType]()
+  private val relMemo = new ConcurrentHashMap[
+    String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
   private val artifactMemo = new ConcurrentHashMap[String, AnyRef]()
   private val probeMemo = new ConcurrentHashMap[String, java.lang.Boolean]()
 
@@ -51,6 +55,7 @@ object Readers {
   def bump(): Unit = {
     epoch.incrementAndGet()
     memo.clear()
+    relMemo.clear()
     artifactMemo.clear()
     probeMemo.clear()
   }
@@ -145,12 +150,27 @@ object Readers {
       .exists(sinkLog)
   }
 
-  /** Read for an IMMUTABLE fixture file/dir — schema memo keyed by mtime,
-    * so a rewritten test fixture re-resolves without a bump. The mtime
-    * comes through the Hadoop FileSystem so the key works on remote
+  /** Read for an IMMUTABLE fixture file/dir — resolved-relation memo keyed
+    * by mtime, so a rewritten test fixture re-resolves without a bump. The
+    * mtime comes through the Hadoop FileSystem so the key works on remote
     * filesystems too (a java.io.File stat would return a constant 0 there
-    * and pin a rewritten fixture's stale schema forever); a missing path
+    * and pin a rewritten fixture's stale relation forever); a missing path
     * keys as 0 and the read itself raises the real error.
+    *
+    * Beyond the schema, this memoizes the RESOLVED scan relation: datasource
+    * resolution (qualify + glob + list + relation construction) measured
+    * ~6-9 ms per `spark.read` call — ~10 ms of `ResolveDataSource` per
+    * analysis, the single largest Catalyst cost over the gate surface, paid
+    * by every query on every rep (and, on a real cluster, an object-store
+    * LIST per query against paths that never change). Sharing the DataFrame
+    * or plan INSTANCE is forbidden (see the object scaladoc: shared lazy
+    * plan state surfaced a Catalyst constraint-inference bug), so each call
+    * wraps a FRESH [[org.apache.spark.sql.graft.PlanBridge.freshRows
+    * newInstance]] copy — fresh expression ids, fresh node lazy state,
+    * byte-identical semantics to a fresh read — around the shared immutable
+    * innards (file index, schema). Fixtures are never written by the engine
+    * (all writes land in store/index layouts), so there is no append-
+    * staleness hazard; [[bump]] still drops the memo wholesale.
     */
   def fixtureParquet(spark: SparkSession, path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -158,6 +178,14 @@ object Readers {
       try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getFileStatus(p).getModificationTime
       catch { case _: java.io.IOException => 0L }
-    readWithMemoizedSchema(spark, path, keyOf(spark, path, mtime.toString))
+    val key = keyOf(spark, path, mtime.toString)
+    // Memo.once: resolution runs a listing (and, on a miss of the schema
+    // memo, a footer-read job) — never under the map bin lock; a double
+    // resolution under a miss race is benign (relations over an immutable
+    // fixture are equal by construction, first insert wins).
+    val plan = Memo.once(relMemo, key)(
+      readWithMemoizedSchema(spark, path, key).queryExecution.analyzed)
+    org.apache.spark.sql.graft.PlanBridge.freshRows(spark, plan)
+      .getOrElse(readWithMemoizedSchema(spark, path, key))
   }
 }
