@@ -123,7 +123,44 @@ object Readers {
     */
   def parquet(spark: SparkSession, path: String): DataFrame =
     if (sinkLiveMemo(spark, path)) spark.read.parquet(path)
-    else readWithMemoizedSchema(spark, path, keyOf(spark, path, ""))
+    else {
+      // Relation memo key carries BOTH the epoch (the documented bump
+      // contract: every lifecycle mutation bumps) and the layout dir's own
+      // mtime as a local-fs safety net — a file added to or swapped into
+      // the dir changes the dir mtime, so even a mutation path that missed
+      // its bump() re-resolves instead of serving a stale file listing.
+      // (On object stores dir mtime degenerates to a constant and the
+      // epoch alone carries invalidation — the same contract the schema
+      // memo has always relied on.) The schema memo key gains the mtime
+      // too: a layout REWRITE can change the schema itself.
+      memoizedRelation(spark, path,
+        keyOf(spark, path, s"m${mtimeOf(spark, path)}"))
+    }
+
+  private def mtimeOf(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).getModificationTime
+    catch { case _: java.io.IOException => 0L }
+  }
+
+  /** Memoized RESOLVED-relation read (see [[fixtureParquet]] for the full
+    * rationale): resolve once per key, hand every caller a fresh
+    * `newInstance()` copy — fresh expression ids and node lazy state, the
+    * exact semantics of a fresh read — over the shared immutable innards
+    * (file index, schema). Callers own key freshness (epoch + mtime).
+    */
+  private def memoizedRelation(
+      spark: SparkSession, path: String, key: String): DataFrame = {
+    // Memo.once: resolution runs a listing (and, on a schema-memo miss, a
+    // footer-read job) — never under the map bin lock; a double resolution
+    // under a miss race is benign (relations over one (path, key) snapshot
+    // are equal by construction, first insert wins).
+    val plan = Memo.once(relMemo, key)(
+      readWithMemoizedSchema(spark, path, key).queryExecution.analyzed)
+    org.apache.spark.sql.graft.PlanBridge.freshRows(spark, plan)
+      .getOrElse(readWithMemoizedSchema(spark, path, key))
+  }
 
   /** Per-epoch memo of the sink probe: on an object store the probe is a
     * remote existence RPC, and paying it on EVERY memoized read would
@@ -178,14 +215,6 @@ object Readers {
       try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getFileStatus(p).getModificationTime
       catch { case _: java.io.IOException => 0L }
-    val key = keyOf(spark, path, mtime.toString)
-    // Memo.once: resolution runs a listing (and, on a miss of the schema
-    // memo, a footer-read job) — never under the map bin lock; a double
-    // resolution under a miss race is benign (relations over an immutable
-    // fixture are equal by construction, first insert wins).
-    val plan = Memo.once(relMemo, key)(
-      readWithMemoizedSchema(spark, path, key).queryExecution.analyzed)
-    org.apache.spark.sql.graft.PlanBridge.freshRows(spark, plan)
-      .getOrElse(readWithMemoizedSchema(spark, path, key))
+    memoizedRelation(spark, path, keyOf(spark, path, mtime.toString))
   }
 }

@@ -93,11 +93,14 @@ class ReadersSpec extends SparkSpec {
     val one = spark.range(1).select(col("id").as("a"))
     one.write.mode("overwrite").parquet(dir)
     assert(Readers.parquet(spark, dir).columns.toSeq == Seq("a"))
-    // a layout REWRITE without its lifecycle bump serves the memoized
-    // schema (the documented staleness contract)...
+    // a layout REWRITE is detected even WITHOUT its lifecycle bump on a
+    // local fs: the relation/schema memo keys by the dir's own mtime, so
+    // the rewrite re-resolves (on an object store the dir mtime
+    // degenerates to a constant and the bump contract alone carries
+    // invalidation — the pre-r8 behavior)...
     one.select(col("a").as("b")).write.mode("overwrite").parquet(dir)
-    assert(Readers.parquet(spark, dir).columns.toSeq == Seq("a"))
-    // ...and the bump re-resolves
+    assert(Readers.parquet(spark, dir).columns.toSeq == Seq("b"))
+    // ...and a bump re-resolves regardless of mtime
     Readers.bump()
     assert(Readers.parquet(spark, dir).columns.toSeq == Seq("b"))
 
