@@ -344,23 +344,53 @@ object Curation {
     * query). Tokens explode BEFORE the cluster join, so the join and every
     * exchange under it carry (doc_id, token) rows only.
     */
-  private[graft] def clusterTokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val assigned = Vectors.assignCellsWith(
+  /** Broadcast ceiling (rows) for the cluster-ASSIGNMENT table — a
+    * corpus-derived frame (one row per embedded document), not a dimension:
+    * at 100 TB the embedded subset is plausibly billions of rows, so an
+    * unconditional broadcast is a driver/executor-OOM class. Two longs a
+    * row ≈ 32 B hashed: the default ceiling is ~1.6 GB of broadcast
+    * relation — heavy but comfortably inside a big executor; past it the
+    * size gate swaps to the explode-first order below.
+    */
+  val AssignBroadcastMaxRows: Long = 50000000L
+
+  private[graft] def clusterTokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    clusterTokenCountsOf(
+      Tables.documents(spark, sfDir),
+      Vectors.assignCellsWith(
         Tables.embeddings(spark, sfDir), Vectors.kmeansModel(spark, sfDir))
-      .select(col("vec_id").as("doc_id"), col("cell").as("cluster"))
-    // Assignment join BEFORE the token explode: only the embedded subset of
-    // the corpus is clustered (the assignment table is vector-store-sized,
-    // the smaller store by construction), so joining first prunes every
-    // unembedded document before its tokens are generated — measured 3× on
-    // the counts stage at sf0.1, where 90% of documents have no vector.
-    // The BROADCAST keeps text out of every exchange (PlanSpec-locked);
-    // past the broadcast budget (~10^8 assignments), swap to the
-    // explode-first order so only (doc_id, token) rows meet the equi-join
-    // exchange — text still never shuffles, at 60×-row cost.
-    Tables.documents(spark, sfDir)
-      .join(broadcast(assigned), "doc_id")
-      .select(col("cluster"), explode(Text.tokens(col("text"))).as("t"))
-      .groupBy(col("cluster"), col("t")).agg(count(lit(1)).as("cnt"))
+        .select(col("vec_id").as("doc_id"), col("cell").as("cluster")))
+
+  /** The counts core over ANY (doc_id, text) × (doc_id, cluster) pair —
+    * specs drive it with planted frames and a forced ceiling.
+    *
+    * Assignment join BEFORE the token explode: only the embedded subset of
+    * the corpus is clustered (the assignment table is vector-store-sized,
+    * the smaller store by construction), so joining first prunes every
+    * unembedded document before its tokens are generated — measured 3× on
+    * the counts stage at sf0.1, where 90% of documents have no vector.
+    * The BROADCAST keeps text out of every exchange (PlanSpec-locked) and
+    * is size-gated at [[AssignBroadcastMaxRows]] ([[Materialize.pinnedFits]]
+    * — corpus-derived frames must prove they fit); past the ceiling the
+    * order swaps to explode-first so only (doc_id, token) rows meet the
+    * equi-join exchange — text still never shuffles, at 60×-row cost,
+    * spec-pinned result-identical (inner equi-join commutes with the
+    * child-side explode).
+    */
+  private[graft] def clusterTokenCountsOf(
+      documents: DataFrame, assigned: DataFrame,
+      broadcastMaxRows: Long = AssignBroadcastMaxRows): DataFrame = {
+    val (pinned, fits) = Materialize.pinnedFits(assigned, broadcastMaxRows)
+    val joined =
+      if (fits)
+        documents.join(broadcast(pinned), "doc_id")
+          .select(col("cluster"), explode(Text.tokens(col("text"))).as("t"))
+      else
+        documents
+          .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+          .join(pinned, "doc_id")
+          .select(col("cluster"), col("t"))
+    joined.groupBy(col("cluster"), col("t")).agg(count(lit(1)).as("cnt"))
   }
 
   def clusterKeywords(

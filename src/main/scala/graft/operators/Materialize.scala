@@ -53,6 +53,23 @@ object Materialize {
     p
   }
 
+  /** Pin a CORPUS-DERIVED frame and probe whether it fits a row ceiling:
+    * one bounded `limit(max+1).count()` job on the pinned artifact (the
+    * [[Components.DriverSolveMaxEdges]] bounded-budget discipline — never
+    * an unbounded count or collect) decides the caller's broadcast-vs-
+    * shuffle branch. The pin means the deciding probe and the downstream
+    * join consume ONE materialization of the producer, not two. Shared by
+    * every operator whose small side scales with CORPUS properties rather
+    * than a dimension's (the q192/q193 duplicated-line dictionary, the
+    * q85 cluster-assignment table): dimension tables broadcast
+    * unconditionally, corpus-derived ones must prove they fit.
+    */
+  def pinnedFits(df: DataFrame, maxRows: Long): (DataFrame, Boolean) = {
+    val pinned = stable(df, eager = true)
+    val probeN = math.min(maxRows, Int.MaxValue.toLong - 1).toInt
+    (pinned, pinned.limit(probeN + 1).count() <= probeN)
+  }
+
   /** Drop blocks of every registered pin. Safe at any point where no pinned
     * frame is still lazily pending (both release paths are idempotent, so
     * frames already released inline by their producer are no-ops here).

@@ -1653,18 +1653,12 @@ object Text {
     */
   val LineDictBroadcastMaxRows: Long = 2000000L
 
-  /** Pin a corpus-derived frame and size-gate its join side: one bounded
-    * `limit(max+1).count()` probe on the pinned artifact (the
-    * [[Components.DriverSolveMaxEdges]] bounded-budget discipline — never
-    * an unbounded count or collect) decides broadcast vs plain equi-join.
-    * The pin means the deciding probe and the join consume ONE
-    * materialization of the aggregate, not two.
+  /** Size-gate a corpus-derived join side via [[Materialize.pinnedFits]]:
+    * broadcast under the ceiling, plain (shuffled) equi-join past it.
     */
   private def sizeGatedBroadcast(df: DataFrame, maxRows: Long): DataFrame = {
-    val pinned = Materialize.stable(df, eager = true)
-    val probeN = math.min(maxRows, Int.MaxValue.toLong - 1).toInt
-    if (pinned.limit(probeN + 1).count() <= probeN) broadcast(pinned)
-    else pinned
+    val (pinned, fits) = Materialize.pinnedFits(df, maxRows)
+    if (fits) broadcast(pinned) else pinned
   }
 
   /** The detection core over ANY (doc_id, text) frame — the gate wrapper

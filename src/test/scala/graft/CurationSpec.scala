@@ -250,6 +250,51 @@ class CurationSpec extends SparkSpec {
       "keyword table must cover multiple clusters")
   }
 
+  test("cluster token counts: past the assignment broadcast ceiling the explode-first order is result-identical") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a"), (2L, "b c"), (3L, "zz zz"), (4L, "unembedded text"))
+      .toDF("doc_id", "text")
+    val assigned = Seq((1L, 0), (2L, 1), (3L, 0)).toDF("doc_id", "cluster")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, Long)] =
+      df.collect().map(r =>
+        (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+    val fast = rows(Curation.clusterTokenCountsOf(docs, assigned))
+    assert(fast == Set(
+      ("0", "a", 2L), ("0", "b", 1L), ("0", "zz", 2L),
+      ("1", "b", 1L), ("1", "c", 1L)), fast.toString)
+    val conf = spark.conf
+    val prevAuto = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAdaptive = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      // auto-broadcast off too, so ceiling=0 genuinely exercises the
+      // shuffled explode-first join (at real scale a billions-of-rows
+      // assignment table is past the auto threshold anyway)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val slow = Curation.clusterTokenCountsOf(docs, assigned, broadcastMaxRows = 0)
+      val got = rows(slow)
+      assert(!slow.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        s"over-ceiling path must not broadcast:\n${slow.queryExecution.executedPlan}")
+      assert(got == fast, s"fallback drifted: $got vs $fast")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      prevAdaptive match {
+        case Some(v) => conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+    // fixture cross-check: both orders agree on the real (docs × model) pair
+    val fdocs = Tables.documents(spark, sf0001)
+    val fassigned = graft.operators.Vectors.assignCellsWith(
+        Tables.embeddings(spark, sf0001),
+        graft.operators.Vectors.kmeansModel(spark, sf0001))
+      .select(col("vec_id").as("doc_id"), col("cell").as("cluster"))
+    val a = rows(Curation.clusterTokenCountsOf(fdocs, fassigned))
+    val b = rows(Curation.clusterTokenCountsOf(fdocs, fassigned, broadcastMaxRows = 0))
+    assert(a.nonEmpty && b == a, s"fixture fallback drifted: ${b.size} vs ${a.size}")
+  }
+
   test("token drift matches a driver-side recompute of the two snapshots") {
     val base = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("text")).collect()
