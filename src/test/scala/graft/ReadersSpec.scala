@@ -22,6 +22,36 @@ class ReadersSpec extends SparkSpec {
     assert(loads.get() == 2, "bump must invalidate the memoized artifact")
   }
 
+  test("relation memo: fresh expression ids per call; self-joins and the HOF/constraint class stay sound") {
+    // Two reads of one fixture must NOT share attribute ids — the relation
+    // memo hands out newInstance() copies precisely so downstream plans see
+    // what a fresh spark.read produces (the r5 shared-plan-instance bug
+    // class: shared leaf lazy state + InferFiltersFromConstraints mis-
+    // pushed a higher-order-function filter; memoizing instances is how it
+    // was triggered).
+    val a = Tables.documents(spark, sf0001)
+    val b = Tables.documents(spark, sf0001)
+    assert(a.queryExecution.analyzed.output.head.exprId !=
+      b.queryExecution.analyzed.output.head.exprId,
+      "memoized reads must not share expression ids")
+    // a self-join built from two independent reads resolves and executes
+    val n = a.select(col("doc_id"))
+      .join(b.select(col("doc_id").as("d2")), col("doc_id") === col("d2"))
+      .count()
+    assert(n == a.count(), "fixture self-join must match row-for-row")
+    // the r5 trigger shape — a forall() HOF filter over a cross join of a
+    // memoized read with a broadcast local relation — must optimize and run
+    // even with constraint propagation ENABLED (the canonical sessions turn
+    // it off for planning speed, not correctness; a library user may not)
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.constraintPropagation.enabled")
+    try {
+      conf.set("spark.sql.constraintPropagation.enabled", "true")
+      val got = graft.operators.Retrieval.percolate(spark, sf0001).collect()
+      assert(got.nonEmpty, "percolate must return every registered query row")
+    } finally conf.set("spark.sql.constraintPropagation.enabled", prev)
+  }
+
   test("artifact memo: a loader may itself load another artifact (re-entrancy)") {
     // Under the old computeIfAbsent shape this pattern could throw
     // IllegalStateException("Recursive update") or deadlock when the two
