@@ -129,6 +129,88 @@ class StoreFuzzSpec extends SparkSpec {
     assert(mismatch.getMessage.contains("signed under"))
   }
 
+  test("randomized span/line-dict/novelty store sequences: distinct rows equal a fresh build") {
+    // The r7 store trio shares the band store's settle/swap/append protocol
+    // and (since r8) its `_params` signing tag — one generic harness fuzzes
+    // all three: after every randomized append / at-least-once replay /
+    // compaction, the store's DISTINCT digest-pair set must equal a fresh
+    // build over the driver-side model of the accepted set, and the signing
+    // tag must survive to refuse a drifted append while accepting a
+    // matching one.
+    val doc = Tables.documents(spark, sf0001)
+    case class Family(
+        name: String,
+        build: (DataFrame, String) => Unit,
+        append: (String, DataFrame) => Unit,
+        driftAppend: String => Unit,
+        cols: (String, String))
+    val families = Seq(
+      Family("span",
+        (d, dir) => Text.buildSpanStore(spark, d, dir),
+        (dir, d) => Text.appendToSpanStore(spark, dir, d),
+        dir => Text.appendToSpanStore(spark, dir, doc.limit(1), spanLen = 41),
+        ("sh1", "sh2")),
+      Family("linedict",
+        (d, dir) => Text.buildLineDictStore(spark, d, dir),
+        (dir, d) => Text.appendToLineDictStore(spark, dir, d),
+        dir => Text.appendToLineDictStore(spark, dir, doc.limit(1), lineWidth = 3),
+        ("sl1", "sl2")),
+      Family("novelty",
+        (d, dir) => Text.buildNoveltyGramStore(spark, d, dir),
+        (dir, d) => Text.appendToNoveltyGramStore(spark, dir, d),
+        dir => Text.appendToNoveltyGramStore(spark, dir, doc.limit(1), gram = 4),
+        ("sg64", "sg64b")))
+    families.foreach { f =>
+      val rnd = new scala.util.Random(9177L + f.name.##)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-fuzz${f.name}").toString + "/store"
+      f.build(doc.filter(col("doc_id") % 3 === 0), dir)
+      var model: Set[Long] = docIds(col("doc_id") % 3 === 0)
+      var lastAppend: Option[Column] = None
+      val ops = scala.collection.mutable.ArrayBuffer[String]()
+      def distinctRows(d: String): Set[(Long, Long)] =
+        spark.read.parquet(d).select(col(f.cols._1), col(f.cols._2))
+          .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (1 to 6).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 =>
+            val m = 4 + rnd.nextInt(4); val r = rnd.nextInt(m)
+            val pred = col("doc_id") % m === r
+            f.append(dir, doc.filter(pred))
+            model ++= docIds(pred)
+            lastAppend = Some(pred)
+            ops += s"append($m,$r)"
+          case 1 => lastAppend match {
+            case Some(pred) => // replay: rows may duplicate, set unchanged
+              f.append(dir, doc.filter(pred))
+              ops += "replay"
+            case None => ()
+          }
+          case 2 => Text.compactStore(spark, dir); ops += "compact"
+        }
+        val fresh = java.nio.file.Files
+          .createTempDirectory(s"graft-fuzz${f.name}ref").toString + "/store"
+        f.build(doc.filter(col("doc_id").isin(model.toSeq: _*)), fresh)
+        assert(distinctRows(dir) == distinctRows(fresh),
+          s"${f.name}-store drift after [${ops.mkString(" -> ")}]")
+      }
+      // identity survives the sequence: drifted appends refused by name...
+      val mismatch = intercept[IllegalArgumentException](f.driftAppend(dir))
+      assert(mismatch.getMessage.contains("signed under"),
+        s"${f.name}: ${mismatch.getMessage}")
+      // ...and a matching append still lands
+      val before = distinctRows(dir)
+      f.append(dir, doc.filter(col("doc_id") % 3 === 1))
+      val fresh = java.nio.file.Files
+        .createTempDirectory(s"graft-fuzz${f.name}fin").toString + "/store"
+      f.build(doc.filter(
+        col("doc_id").isin((model ++ docIds(col("doc_id") % 3 === 1)).toSeq: _*)), fresh)
+      assert(distinctRows(dir) == distinctRows(fresh),
+        s"${f.name}: post-drift matching append drifted")
+      assert(distinctRows(dir).size >= before.size, s"${f.name}: append lost rows")
+    }
+  }
+
   test("randomized cell-store sequences: end state equals a fresh assignment") {
     val emb = Tables.embeddings(spark, sf0001)
     def embOf(pred: Column): DataFrame = emb.filter(pred)
