@@ -1008,6 +1008,29 @@ class TextSpec extends SparkSpec {
     assert(Text.noveltyBatchAgainstStore(spark, docs, ndir).count() >= 0)
   }
 
+  test("ensure-store crash sentinel: a missing _params marker forces a rebuild, not a poisoned cache") {
+    // _params is written LAST at build: a crash between the parquet commit
+    // and the marker must leave a dir the next ensure* call REBUILDS —
+    // caching it would serve a store that refuses every append/probe.
+    Seq[(String, () => String)](
+      ("span", () => Text.ensureSpanStore(spark, sf0001)),
+      ("linedict", () => Text.ensureLineDictStore(spark, sf0001)),
+      ("novelty", () => Text.ensureNoveltyGramStore(spark, sf0001)))
+      .foreach { case (name, ensure) =>
+        val dir = ensure()
+        val marker = new java.io.File(dir, "_params")
+        assert(marker.exists(), s"$name: _params must be the completion sentinel")
+        val rows = spark.read.parquet(dir).count()
+        assert(marker.delete(), s"$name: could not simulate the crash")
+        val dir2 = ensure()
+        assert(dir2 == dir, s"$name: rebuild must land in the keyed cache dir")
+        assert(new java.io.File(dir, "_params").exists(),
+          s"$name: rebuild must restore the sentinel")
+        assert(spark.read.parquet(dir).count() == rows,
+          s"$name: rebuilt store drifted from the original")
+      }
+  }
+
   test("cross-doc line dedup/rewrite: past the broadcast ceiling the equi-join fallback is result-identical") {
     import spark.implicits._
     val docs = Seq(
