@@ -26,11 +26,11 @@ import org.apache.spark.sql.types.StructType
   * (`InferFiltersFromConstraints`) mis-inferred a higher-order-function
   * filter onto the wrong join side for plans whose leaves were shared
   * instances, failing optimization with ATTRIBUTE_NOT_FOUND. Schemas are
-  * immutable values; sharing them is safe by construction. MUTABLE layout
-  * reads ([[parquet]]) additionally re-list per call, keeping them correct
-  * under appends without any invalidation subtlety; immutable FIXTURE reads
-  * ([[fixtureParquet]]) reuse the resolved relation's innards per (path,
-  * mtime) — see there.
+  * immutable values; sharing them is safe by construction. Both read paths
+  * reuse the resolved relation's immutable innards per key: FIXTURE reads
+  * ([[fixtureParquet]]) key by the file's mtime, MUTABLE layout reads
+  * ([[parquet]]) by the lifecycle epoch AND the layout dir's own mtime, so
+  * appends/swaps re-resolve even without their bump — see each method.
   *
   * Staleness contract: a layout REWRITE can change the schema itself
   * (column added by a new LayoutVersion, store swapped), so every lifecycle

@@ -61,7 +61,7 @@ object Materialize {
     * join consume ONE materialization of the producer, not two. Shared by
     * every operator whose small side scales with CORPUS properties rather
     * than a dimension's (the q192/q193 duplicated-line dictionary, the
-    * q85 cluster-assignment table): dimension tables broadcast
+    * q126 cluster-assignment table): dimension tables broadcast
     * unconditionally, corpus-derived ones must prove they fit.
     */
   def pinnedFits(df: DataFrame, maxRows: Long): (DataFrame, Boolean) = {
