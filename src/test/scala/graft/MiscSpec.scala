@@ -591,4 +591,18 @@ class MiscSpec extends SparkSpec {
       .toDF("event_type", "value")
     assert(Stats.tTestOf(ok, "a", "b").collect().length == 1)
   }
+
+  test("pinnedFits boundary: fits at exactly the ceiling, not one past it; empty fits any") {
+    import spark.implicits._
+    def fits(n: Int, max: Long): Boolean = {
+      val (pinned, f) = graft.operators.Materialize
+        .pinnedFits((1 to n).toDF("x"), max)
+      graft.operators.Materialize.release(pinned)
+      f
+    }
+    assert(fits(5, 5L), "rows == ceiling must take the broadcast path")
+    assert(!fits(6, 5L), "one row past the ceiling must take the fallback")
+    assert(fits(0, 0L), "an empty frame fits any ceiling, zero included")
+    assert(!fits(1, 0L), "ceiling 0 forces the fallback for any nonempty frame")
+  }
 }
