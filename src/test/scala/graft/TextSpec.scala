@@ -943,6 +943,55 @@ class TextSpec extends SparkSpec {
     assert(Text.crossDocLineDedupOf(docs, 2, 4).collect().isEmpty)
   }
 
+  test("cross-doc line dedup/rewrite: randomized corpora match a driver-side keep-first model") {
+    import spark.implicits._
+    // tiny alphabet forces heavy cross-document line collisions; random
+    // widths and thresholds exercise the ceil-division tail chunk, the
+    // intra-document ownership, and the all-lines-removed rewrite ('')
+    val rnd = new scala.util.Random(40817L)
+    val alphabet = Array("a", "b", "c", "d")
+    case class Occ(doc: Long, idx: Long, line: String, ntoks: Long)
+    val rounds = 1 to 6
+    rounds.foreach { round =>
+      val nDocs = 6 + rnd.nextInt(8)
+      val docs0 = (1 to nDocs).map { id =>
+        val n = 2 + rnd.nextInt(9)
+        (id.toLong,
+          Array.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString(" "))
+      }
+      val w = 1 + rnd.nextInt(3)
+      val minOcc = 2 + rnd.nextInt(2)
+      val occs = docs0.flatMap { case (id, text) =>
+        text.split(" ").grouped(w).zipWithIndex.map { case (g, i) =>
+          Occ(id, i + 1L, g.mkString(" "), g.length.toLong) }
+      }
+      val counts = occs.groupBy(_.line).view.mapValues(_.size).toMap
+      val firsts = occs.groupBy(_.line).view
+        .mapValues(os => os.minBy(o => (o.doc, o.idx))).toMap
+      def removed(o: Occ): Boolean =
+        counts(o.line) >= minOcc && firsts(o.line) != o
+      val byDoc = occs.groupBy(_.doc)
+      val wantSum = byDoc.toSeq.map { case (d, os) =>
+        (d, os.size.toLong, os.count(removed).toLong,
+          os.filter(removed).map(_.ntoks).sum)
+      }.filter(_._3 > 0).sortBy(_._1)
+      val wantRw = byDoc.toSeq
+        .filter { case (_, os) => os.exists(removed) }
+        .map { case (d, os) =>
+          (d, os.filterNot(removed).sortBy(_.idx).map(_.line).mkString(" ")) }
+        .sortBy(_._1)
+      val df = docs0.toDF("doc_id", "text")
+      val gotSum = Text.crossDocLineDedupOf(df, w, minOcc).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(gotSum == wantSum,
+        s"round $round w=$w minOcc=$minOcc: $gotSum vs $wantSum")
+      val gotRw = Text.crossDocLineRewriteOf(df, w, minOcc).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(gotRw == wantRw,
+        s"round $round w=$w minOcc=$minOcc rewrite: $gotRw vs $wantRw")
+    }
+  }
+
   test("cross-doc dedup summary and rewrite cross-foot on the fixture") {
     val sum = Text.crossDocLineDedup(spark, sf0001).collect()
       .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
