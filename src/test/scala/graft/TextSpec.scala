@@ -866,6 +866,38 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("gram novelty: randomized corpora match a driver-side distinct-gram model") {
+    import spark.implicits._
+    // tiny alphabet + short grams force heavy cross-document gram sharing;
+    // short docs exercise the below-gram-width absence rule
+    val rnd = new scala.util.Random(61553L)
+    val alphabet = Array("a", "b", "c", "d", "e")
+    val rounds = 1 to 5
+    rounds.foreach { round =>
+      val gram = 2 + rnd.nextInt(3)
+      val nDocs = 5 + rnd.nextInt(8)
+      val docs0 = (1 to nDocs).map { id =>
+        val n = 1 + rnd.nextInt(10)
+        (id.toLong,
+          Array.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString(" "))
+      }
+      val gramsByDoc: Map[Long, Set[Seq[String]]] = docs0.map { case (id, t) =>
+        val toks = t.split(" ").toSeq
+        id -> (if (toks.length < gram) Set.empty[Seq[String]]
+               else toks.sliding(gram).map(_.toSeq).toSet)
+      }.toMap
+      val want = gramsByDoc.toSeq.filter(_._2.nonEmpty).map { case (id, gs) =>
+        val shared = gs.count(g =>
+          gramsByDoc.exists { case (oid, og) => oid != id && og.contains(g) })
+        (id, gs.size.toLong, shared.toLong, shared.toLong * 1000000L / gs.size)
+      }.sortBy(_._1)
+      val got = Text.gramNoveltyOf(docs0.toDF("doc_id", "text"), gram, 1)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == want, s"round $round gram=$gram: $got vs $want")
+    }
+  }
+
   test("string stats: lengths, charset, and collision ppm match a driver recompute") {
     val got = Text.stringStats(spark, sf0001).collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
