@@ -952,6 +952,46 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("line-dict store probe: randomized corpus/delivery pairs match a driver-side model") {
+    import spark.implicits._
+    // store leg removes EVERY delivery copy of a corpus line (even the
+    // first); the in-delivery leg is keep-first among fresh lines — both
+    // modeled driver-side over random tiny-alphabet corpora
+    val rnd = new scala.util.Random(75209L)
+    val alphabet = Array("a", "b", "c")
+    val rounds = 1 to 4
+    rounds.foreach { round =>
+      val w = 1 + rnd.nextInt(3)
+      def randDocs(ids: Range): Seq[(Long, String)] = ids.map { id =>
+        (id.toLong, Array.fill(2 + rnd.nextInt(7))(
+          alphabet(rnd.nextInt(alphabet.length))).mkString(" "))
+      }
+      val corpus = randDocs(1 to (3 + rnd.nextInt(5)))
+      val delivery = randDocs(101 to (103 + rnd.nextInt(5)))
+      def linesOf(text: String): Seq[(String, Long)] =
+        text.split(" ").grouped(w).map(g => (g.mkString(" "), g.length.toLong)).toSeq
+      val store: Set[String] = corpus.flatMap(d => linesOf(d._2).map(_._1)).toSet
+      case class Occ(doc: Long, idx: Long, line: String, ntoks: Long)
+      val occs = delivery.flatMap { case (id, t) =>
+        linesOf(t).zipWithIndex.map { case ((l, n), i) => Occ(id, i + 1L, l, n) } }
+      val firstFresh = occs.filterNot(o => store.contains(o.line))
+        .groupBy(_.line).view.mapValues(_.minBy(o => (o.doc, o.idx))).toMap
+      def removed(o: Occ): Boolean =
+        store.contains(o.line) || firstFresh(o.line) != o
+      val want = occs.groupBy(_.doc).toSeq.map { case (d, os) =>
+        (d, os.size.toLong, os.count(removed).toLong,
+          os.filter(removed).map(_.ntoks).sum)
+      }.filter(_._3 > 0).sortBy(_._1)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-linedict-prop$round").toString
+      Text.buildLineDictStore(spark, corpus.toDF("doc_id", "text"), dir, w)
+      val got = Text.lineDedupBatchAgainstStore(
+          spark, delivery.toDF("doc_id", "text"), dir, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == want, s"round $round w=$w: $got vs $want")
+    }
+  }
+
   test("cross-doc line dedup: planted boilerplate removed keep-first; counters exact") {
     import spark.implicits._
     // width-2 lines: doc 1 [h f][a b][c d] owns "h f" and "a b";
