@@ -838,6 +838,42 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("novelty store probe: randomized corpus/delivery pairs match a driver-side model") {
+    import spark.implicits._
+    // a delivery gram is shared if the STORE has it or ANOTHER delivery doc
+    // has it; zero-shared docs stay visible (novelty is the point)
+    val rnd = new scala.util.Random(83641L)
+    val alphabet = Array("a", "b", "c")
+    val rounds = 1 to 4
+    rounds.foreach { round =>
+      val gram = 2 + rnd.nextInt(2)
+      def randDocs(ids: Range): Seq[(Long, String)] = ids.map { id =>
+        (id.toLong, Array.fill(1 + rnd.nextInt(8))(
+          alphabet(rnd.nextInt(alphabet.length))).mkString(" "))
+      }
+      val corpus = randDocs(1 to (3 + rnd.nextInt(5)))
+      val delivery = randDocs(101 to (103 + rnd.nextInt(5)))
+      def gramsOf(text: String): Set[Seq[String]] = {
+        val toks = text.split(" ").toSeq
+        if (toks.length < gram) Set.empty else toks.sliding(gram).map(_.toSeq).toSet
+      }
+      val store: Set[Seq[String]] = corpus.flatMap(d => gramsOf(d._2)).toSet
+      val byDoc = delivery.map { case (id, t) => id -> gramsOf(t) }
+      val want = byDoc.filter(_._2.nonEmpty).map { case (id, gs) =>
+        val shared = gs.count(g => store.contains(g) ||
+          byDoc.exists { case (oid, og) => oid != id && og.contains(g) })
+        (id, gs.size.toLong, shared.toLong)
+      }.sortBy(_._1)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-novelty-prop$round").toString
+      Text.buildNoveltyGramStore(spark, corpus.toDF("doc_id", "text"), dir, gram)
+      val got = Text.noveltyBatchAgainstStore(
+          spark, delivery.toDF("doc_id", "text"), dir, gram).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, s"round $round gram=$gram: $got vs $want")
+    }
+  }
+
   test("gram novelty: planted shared grams counted exactly; sampling thins consistently") {
     import spark.implicits._
     // docs 1/2 share exactly the 8-gram [a..h] (their only overlap);
