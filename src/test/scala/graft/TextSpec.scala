@@ -1231,6 +1231,43 @@ class TextSpec extends SparkSpec {
       s"fallback drifted from broadcast path: ${fb.size} vs ${fast.size} rows")
   }
 
+  test("normalized decontamination: randomized case/whitespace variants match a driver canonical model") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(91103L)
+    val words = Array("yes", "it", "is", "fine", "now")
+    def canon(s: String): String =
+      java.text.Normalizer.normalize(
+        s.replaceAll("[ \\t\\n\\r\\f\\x0B]+", " ")
+          .replaceAll("^ +| +$", "").toLowerCase,
+        java.text.Normalizer.Form.NFC)
+    def randText(): String =
+      Array.fill(1 + rnd.nextInt(4))(words(rnd.nextInt(words.length))).mkString(" ")
+    def perturb(s: String): String = {
+      val cased = s.map(c => if (rnd.nextBoolean()) c.toUpper else c)
+      val ws = Array(" ", "\t", "  ", " \n")
+      val spaced = cased.flatMap(c =>
+        if (c == ' ') ws(rnd.nextInt(ws.length)) else c.toString).mkString
+      (if (rnd.nextBoolean()) "\t" else "") + spaced + (if (rnd.nextBoolean()) " \n" else "")
+    }
+    val rounds = 1 to 4
+    rounds.foreach { round =>
+      val evals = (101 to (102 + rnd.nextInt(3))).map(id => (id.toLong, randText()))
+      val train = (1 to (4 + rnd.nextInt(6))).map { id =>
+        val t = if (rnd.nextBoolean()) perturb(evals(rnd.nextInt(evals.size))._2)
+                else randText()
+        (id.toLong, t)
+      }
+      val want = evals.map { case (id, t) =>
+        (id, train.count(tr => canon(tr._2) == canon(t)).toLong)
+      }.sortBy(_._1)
+      val got = Text.decontaminateNormalizedOf(
+          (train ++ evals).toDF("doc_id", "text"), col("doc_id") >= 100L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == want, s"round $round: $got vs $want")
+    }
+  }
+
   test("normalized decontamination: planted case/whitespace leaks are caught, short items too") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
