@@ -1231,6 +1231,36 @@ class TextSpec extends SparkSpec {
       s"fallback drifted from broadcast path: ${fb.size} vs ${fast.size} rows")
   }
 
+  test("normalized dedup: randomized variant corpora match a driver canonical grouping") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(52901L)
+    val words = Array("the", "cat", "sat", "mat", "on")
+    def canon(s: String): String =
+      java.text.Normalizer.normalize(
+        s.replaceAll("[ \\t\\n\\r\\f\\x0B]+", " ")
+          .replaceAll("^ +| +$", "").toLowerCase,
+        java.text.Normalizer.Form.NFC)
+    val rounds = 1 to 4
+    rounds.foreach { round =>
+      val bases = Array.fill(3 + rnd.nextInt(3))(
+        Array.fill(1 + rnd.nextInt(4))(words(rnd.nextInt(words.length))).mkString(" "))
+      val docs0 = (1 to (6 + rnd.nextInt(8))).map { id =>
+        val b = bases(rnd.nextInt(bases.length))
+        val t = rnd.nextInt(3) match {
+          case 0 => b
+          case 1 => b.map(c => if (rnd.nextBoolean()) c.toUpper else c).mkString
+          case _ => "\t" + b.replace(" ", "  ") + " \n"
+        }
+        (id.toLong, t)
+      }
+      val want = docs0.groupBy(d => canon(d._2)).values.toSeq
+        .map(g => (g.map(_._1).min, g.size.toLong)).sortBy(_._1)
+      val got = Text.normalizedDedupOf(docs0.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == want, s"round $round: $got vs $want")
+    }
+  }
+
   test("normalized decontamination: randomized case/whitespace variants match a driver canonical model") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
