@@ -120,6 +120,19 @@ object Readers {
     * false for any non-local URI and memoize a sink-live dir's schema; an
     * unreachable path probes as false and the read itself raises the real
     * error.
+    *
+    * STALENESS CONTRACT (external writers): [[bump]] is PRIMARY — this memo
+    * caches the resolved relation (schema AND file listing), so any writer
+    * that mutates a layout without calling bump() can be served a stale
+    * listing for the rest of the epoch (an Overwrite rebuild would leave the
+    * memoized plan pointing at deleted files). Every in-engine lifecycle
+    * mutation bumps; a process OUTSIDE this JVM writing into a layout dir
+    * must arrange a bump (or a new session). The local-filesystem dir-mtime
+    * key below is a SAFETY NET for missed in-process bumps, not a substitute
+    * contract: it is blind to rewrites within one mtime-granularity tick and
+    * to writes landing only in partition SUBDIRECTORIES (neither layout
+    * class exists in this engine — stores write flat dirs and every writer
+    * bumps — but an external partitioned writer would need its own bump).
     */
   def parquet(spark: SparkSession, path: String): DataFrame =
     if (sinkLiveMemo(spark, path)) spark.read.parquet(path)
@@ -129,19 +142,29 @@ object Readers {
       // mtime as a local-fs safety net — a file added to or swapped into
       // the dir changes the dir mtime, so even a mutation path that missed
       // its bump() re-resolves instead of serving a stale file listing.
-      // (On object stores dir mtime degenerates to a constant and the
-      // epoch alone carries invalidation — the same contract the schema
-      // memo has always relied on.) The schema memo key gains the mtime
-      // too: a layout REWRITE can change the schema itself.
+      // The schema memo key gains the mtime too: a layout REWRITE can
+      // change the schema itself.
       memoizedRelation(spark, path,
         keyOf(spark, path, s"m${mtimeOf(spark, path)}"))
     }
 
+  /** Local-fs mtime probe behind the mutable-layout memo key. NON-LOCAL
+    * filesystems skip the stat entirely: on an object store a per-read
+    * getFileStatus is a remote RPC per call — inconsistent with the
+    * per-epoch memoization discipline — and its "dir mtime" degenerates to
+    * a constant there anyway, so it carries no invalidation signal; the
+    * epoch (bump contract) alone keys those reads, exactly as documented
+    * on [[parquet]]. Local stats are a syscall and stay per-call so an
+    * in-process mutation that missed its bump() re-resolves immediately.
+    */
   private def mtimeOf(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
-    try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getFileStatus(p).getModificationTime
-    catch { case _: java.io.IOException => 0L }
+    try {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] &&
+          !fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]) 0L
+      else fs.getFileStatus(p).getModificationTime
+    } catch { case _: java.io.IOException => 0L }
   }
 
   /** Memoized RESOLVED-relation read (see [[fixtureParquet]] for the full

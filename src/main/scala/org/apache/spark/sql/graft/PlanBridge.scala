@@ -18,13 +18,18 @@ object PlanBridge {
     * expression ids and fresh plan-node lazy state per call, exactly what a
     * fresh `spark.read` would produce, while reusing the resolved relation's
     * expensive innards (file index, schema, options). None when the plan
-    * isn't a multi-instance leaf (caller falls back to a real read).
+    * isn't a multi-instance leaf, OR when the session isn't the classic
+    * implementation `ofRows` requires — [[graft.Readers.sessionKey]]
+    * tolerates non-classic sessions, so this path must degrade to the
+    * caller's real-read fallback for them instead of throwing a
+    * ClassCastException out of the Option contract.
     */
   def freshRows(spark: SparkSession, plan: LogicalPlan): Option[DataFrame] =
-    plan match {
-      case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+    (spark, plan) match {
+      case (s: org.apache.spark.sql.classic.SparkSession,
+            m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation)
           if plan.children.isEmpty =>
-        Some(ofRows(spark, m.newInstance()))
+        Some(org.apache.spark.sql.classic.Dataset.ofRows(s, m.newInstance()))
       case _ => None
     }
 }
