@@ -75,6 +75,59 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** ‖a − b‖₂² with codegen — the distributed-assignment twin of
+    * [[graft.operators.CentroidSet.nearest]]'s per-centroid loop: the SAME
+    * double accumulation in the SAME dim-ascending order, so squared
+    * distances (and therefore argmin cells, ties included) are bitwise
+    * identical between the driver-array and centroid-table Lloyd paths
+    * (VectorsSpec pins it). Squared, not sqrt'd: sqrt can map two distinct
+    * squared distances onto one double and manufacture a tie the driver
+    * path never saw.
+    */
+  case class L2Squared(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "l2_squared"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+        s += d * d
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+           |  $s += $d * $d;
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** cos(a, b) in one pass (dot + both norms accumulated together; same
     * per-term order as the three HOF passes, so bit-identical results).
     */
@@ -334,6 +387,8 @@ object VectorExpressions {
 
   def l2(a: Column, b: Column): Column =
     ExpressionUtils.column(L2Distance(expr(a), expr(b)))
+  def l2sq(a: Column, b: Column): Column =
+    ExpressionUtils.column(L2Squared(expr(a), expr(b)))
   def cosine(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSim(expr(a), expr(b)))
   def dot(a: Column, b: Column): Column =

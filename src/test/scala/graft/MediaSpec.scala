@@ -86,4 +86,13 @@ class MediaSpec extends SparkSpec {
     // (0, maxHam] — strictly closer than the unrelated-pair floor
     assert(got.forall(p => p._3 > 0 && p._3 <= maxHam))
   }
+
+  test("phash near-dups: persisted-signature path equals the inline path") {
+    // The q161 gate probes ensurePhashStore; the store rows are the same
+    // deterministic aHash values the inline path computes, so the banding
+    // tail must emit row-identical pairs.
+    val inline = Media.mediaPhashNearDups(spark, sf0001).collect().map(_.toSeq).toSeq
+    val indexed = Media.mediaPhashNearDupsIndexed(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(indexed == inline)
+  }
 }

@@ -306,6 +306,16 @@ class TextSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < clean.size)
   }
 
+  test("prepareCorpusFromStages (q101 gate path) equals the inline recipe row-for-row") {
+    // The gate derives from persisted stage artifacts (clean survivors,
+    // shingle pairs, decontamination verdict); each artifact is the
+    // deterministic output of the stage the inline recipe runs, so the two
+    // compositions must agree on every row and column.
+    val inline = Text.prepareCorpus(spark, sf0001).collect().map(_.toSeq).toSeq
+    val staged = Text.prepareCorpusFromStages(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(staged == inline)
+  }
+
   test("incremental dedup: batch survivors are exactly the new-content canonicals") {
     val docs = Tables.documents(spark, sf0001)
       .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))

@@ -319,6 +319,48 @@ class VectorsSpec extends SparkSpec {
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("distributed Lloyd (centroid table) is BITWISE equal to the driver-array path") {
+    // The past-KCeiling path: same seeds, same squared-L2 double
+    // accumulation, same (d2, cell-asc) argmin, same scaled-long → double
+    // divide → float cast refinement — so centroids AND assignments must
+    // match to the last bit at any k (here a small k the driver path can
+    // also run, multiple iterations so empty-cell carry and re-assignment
+    // churn are both exercised).
+    val emb = Tables.embeddings(spark, sf0001)
+    val k = 16
+    val iters = 3
+    val cents = Vectors.quantizer(spark, emb, k, iters)
+    val table = Vectors.quantizerTable(spark, emb, k, iters)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(table.keySet == cents.ids.toSet)
+    cents.ids.zip(cents.vecs).foreach { case (id, vec) =>
+      val tv = table(id)
+      assert(tv.length == vec.length, s"cell $id dim mismatch")
+      tv.zip(vec).zipWithIndex.foreach { case ((a, b), d) =>
+        assert(java.lang.Float.floatToRawIntBits(a) == java.lang.Float.floatToRawIntBits(b),
+          s"cell $id dim $d: table=$a driver=$b (not bitwise equal)")
+      }
+    }
+    // assignment parity over the SAME fitted model
+    import spark.implicits._
+    val centDf = cents.ids.zip(cents.vecs.map(_.toSeq)).toSeq.toDF("cell", "centroid")
+    val viaTable = Vectors.assignCellsWithTable(emb, centDf)
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaArray = Vectors.assignCellsWith(emb, cents)
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaTable == viaArray)
+    graft.operators.Materialize.releaseAll()
+  }
+
+  test("lsh near-dup pairs: persisted-postings path equals the inline path") {
+    // The q63 gate probes ensurePairPostings; the artifact must be a pure
+    // re-expression of the inline pipeline — row-identical output,
+    // including collision counts and exact sims.
+    val inline = Vectors.lshNearDupPairs(spark, sf0001).collect().map(_.toSeq).toSeq
+    val indexed = Vectors.lshNearDupPairsIndexed(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(indexed == inline)
+  }
+
   test("lsh near-dup pairs: collision filter prunes most candidate pairs") {
     val n = Tables.embeddings(spark, sf0001).count()
     val allPairs = n * (n - 1) / 2
