@@ -144,6 +144,9 @@ object Bench {
       // the stages themselves are timed live as q83 / q80.
       graft.operators.Text.ensureCleanSurvivors(spark, sfDir)
       graft.operators.Text.ensureContaminatedIds(spark, sfDir)
+      // q193's removal map — detection runs live as q192; the rewrite gate
+      // derives from the persisted map (the q114/q174 discipline).
+      graft.operators.Text.ensureLineRemovals(spark, sfDir)
       // The persisted duplicated-window hit table (q174's cut list derives
       // from it) — detect once, emit both reports; the detection pipeline
       // itself is timed live as q114.

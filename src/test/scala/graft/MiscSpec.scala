@@ -246,6 +246,8 @@ class MiscSpec extends SparkSpec {
     assert(rows.forall(_._2 == 10L), "exact top-k must always be full")
     assert(rows.forall { case (_, ne, nh, pct) => pct == nh * 100 / ne })
     val mean = rows.map(_._3).sum.toDouble / rows.map(_._2).sum
+    // measured 0.713 (r9, RecallFloors) — random unit vectors are the LSH
+    // worst case, so the floor is already measured-minus-margin at 0.7
     assert(mean >= 0.7, f"mean recall $mean%.2f below the 0.7 LshSpec floor")
   }
 
@@ -256,7 +258,10 @@ class MiscSpec extends SparkSpec {
     assert(rows.forall(_._2 == 10L), "exact top-k must always be full")
     assert(rows.forall { case (_, ne, nh, pct) => pct == nh * 100 / ne })
     val mean = rows.map(_._3).sum.toDouble / rows.map(_._2).sum
-    assert(mean >= 0.7, f"mean IVF recall $mean%.2f below the 0.7 floor")
+    // measured 0.888 (r9, RecallFloors); floor = measured − 0.1 so a silent
+    // model/valve regression to ~0.75 FAILS instead of hiding under an old
+    // 0.7 floor (r8 verdict #4)
+    assert(mean >= 0.79, f"mean IVF recall $mean%.2f below the measured-minus-margin 0.79 floor")
   }
 
   test("raw-vector search equals stored-id search for the same vector") {
@@ -282,7 +287,8 @@ class MiscSpec extends SparkSpec {
     assert(rows.forall(_._2 == 10L), "exact top-k must always be full")
     assert(rows.forall { case (_, ne, nh, pct) => pct == nh * 100 / ne })
     val mean = rows.map(_._3).sum.toDouble / rows.map(_._2).sum
-    assert(mean >= 0.7, f"mean BQ recall $mean%.2f below the 0.7 PqSpec floor")
+    // measured 0.875 (r9, RecallFloors); floor = measured − 0.1 (r8 #4)
+    assert(mean >= 0.77, f"mean BQ recall $mean%.2f below the measured-minus-margin 0.77 floor")
   }
 
   test("pq recall gate: exact leg always full, mean recall above the PQ sweep floor") {
@@ -292,6 +298,7 @@ class MiscSpec extends SparkSpec {
     assert(rows.forall(_._2 == 10L), "exact top-k must always be full")
     assert(rows.forall { case (_, ne, nh, pct) => pct == nh * 100 / ne })
     val mean = rows.map(_._3).sum.toDouble / rows.map(_._2).sum
+    // measured 0.788 (r9, RecallFloors) — 0.7 is already measured-minus-margin
     assert(mean >= 0.7, f"mean PQ recall $mean%.2f below the 0.7 floor")
   }
 
@@ -302,6 +309,7 @@ class MiscSpec extends SparkSpec {
     assert(rows.forall(_._2 == 10L), "exact top-k must always be full")
     assert(rows.forall { case (_, ne, nh, pct) => pct == nh * 100 / ne })
     val mean = rows.map(_._3).sum.toDouble / rows.map(_._2).sum
+    // measured 1.000 (r9, RecallFloors) — 0.9 IS measured − 0.1
     assert(mean >= 0.9,
       f"mean SQ8 recall $mean%.2f below the 0.9 near-exact floor (1 byte/dim " +
         "+ k1=100 exact re-rank should lose almost nothing at k=10)")

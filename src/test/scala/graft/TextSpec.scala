@@ -306,6 +306,13 @@ class TextSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < clean.size)
   }
 
+  test("crossDocLineRewriteIndexed (q193 gate path) equals the inline rewrite row-for-row") {
+    val inline = Text.crossDocLineRewrite(spark, sf0001).collect().map(_.toSeq).toSeq
+    val staged = Text.crossDocLineRewriteIndexed(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(staged == inline)
+    assert(inline.nonEmpty)
+  }
+
   test("prepareCorpusFromStages (q101 gate path) equals the inline recipe row-for-row") {
     // The gate derives from persisted stage artifacts (clean survivors,
     // shingle pairs, decontamination verdict); each artifact is the
