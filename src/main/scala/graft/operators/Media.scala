@@ -251,18 +251,20 @@ object Media {
       posexplode(expr(
         s"transform(sequence(0, ${nBands - 1}), b -> shiftrightunsigned(ph, b * $bandBits) & $mask)"
       )).as(Seq("band", "chunk")))
-    val cands = bands.as("x")
+    // Hamming verify BEFORE the distinct: bit_count is a per-row codegen op
+    // while distinct is an exchange, so filtering first shrinks the
+    // deduplicating shuffle from every band collision (~1/256 of random
+    // pairs per band) to just the true near-dups. hamming is a pure
+    // function of the pair row, so filter∘distinct ≡ distinct∘filter.
+    bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
           col("x.media_id") < col("y.media_id"))
       .select(
         col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
-        col("x.ph").as("ha"), col("y.ph").as("hb"))
-      .distinct()
-    cands
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+        bit_count(col("x.ph").bitwiseXOR(col("y.ph"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -741,10 +741,12 @@ object Vectors {
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       val emb = Tables.embeddings(spark, sfDir)
       val kk = if (k > 0) k else deriveKUnbounded(emb.count())
-      quantizerTable(spark, emb, kk, iterations)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      val fitted = quantizerTable(spark, emb, kk, iterations)
+      fitted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(dir.getAbsolutePath)
-      Materialize.releaseAll()
+      // release THIS fit's pin only — a blanket releaseAll() here would
+      // drain pins an ENCLOSING operator still lazily depends on.
+      Materialize.release(fitted)
     }
     graft.Readers.parquet(spark, dir.getAbsolutePath)
   }
