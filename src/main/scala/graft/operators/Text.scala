@@ -2144,23 +2144,43 @@ object Text {
     * wider than (doc_id, bigram) ever shuffles, matching the q82 discipline.
     */
   def bigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    // Bigrams travel as 16-byte digest pairs (independent xxhash64 seeds —
+    // joint collision ~2^-128, the q80/q114 content-addressing argument),
+    // never as strings: the frequency groupBy, the w1-prefix window, and
+    // the per-doc join all exchange corpus×bigram rows, so string keys
+    // would shuffle the corpus text twice. The string leaves the scan
+    // projection only as hashes; counts (and therefore the scaled
+    // surprisal integers) are identical to string grouping whp, which the
+    // oracle's string-grouped hash compare pins.
     val bg = Tables.documents(spark, sfDir)
       .withColumn("ts", tokens(col("text")))
       .filter(size(col("ts")) >= 2)
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(0), size(col("ts")) - 2),
-          i => concat_ws(" ", col("ts")(i), col("ts")(i + 1)))).as("b"))
-    val bfreq = bg.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+          i => struct(
+            xxhash64(concat_ws(" ", col("ts")(i), col("ts")(i + 1))).as("b1"),
+            xxhash64(lit("s2"), concat_ws(" ", col("ts")(i), col("ts")(i + 1))).as("b2"),
+            xxhash64(col("ts")(i)).as("w1a"),
+            xxhash64(lit("s2"), col("ts")(i)).as("w1b"))))
+          .as("g"))
+      .select(col("doc_id"),
+        col("g.b1").as("b1"), col("g.b2").as("b2"),
+        col("g.w1a").as("w1a"), col("g.w1b").as("w1b"))
+    val bfreq = bg.groupBy(col("b1"), col("b2"))
+      .agg(count(lit(1)).as("cb"),
+        // the prefix digests are constant per bigram digest; max() just
+        // carries them through the aggregate
+        max(col("w1a")).as("w1a"), max(col("w1b")).as("w1b"))
     // Prefix totals C(w1·) as a window over the (small) frequency table:
     // each bigram's surprisal is scaled to an integer BEFORE the per-doc sum
     // so the aggregate is an order-independent BIGINT sum (+,*,/ only).
     val rar = bfreq
-      .withColumn("w1", split(col("b"), " ").getItem(0))
-      .withColumn("cp", sum(col("cb")).over(Window.partitionBy(col("w1"))))
-      .select(col("b"),
+      .withColumn("cp", sum(col("cb")).over(Window.partitionBy(col("w1a"), col("w1b"))))
+      .select(col("b1"), col("b2"),
         round(col("cp") * lit(1e6) / col("cb"), 0).cast("long").as("r"))
-    bg.join(rar, "b")
+    bg.select(col("doc_id"), col("b1"), col("b2"))
+      .join(rar, Seq("b1", "b2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("r")).as("surprisal_sum"))
       .select(
