@@ -2152,17 +2152,27 @@ object Text {
     // projection only as hashes; counts (and therefore the scaled
     // surprisal integers) are identical to string grouping whp, which the
     // oracle's string-grouped hash compare pins.
+    // Hash each TOKEN once (two independent seeds), then compose bigram
+    // digests as fixed-width hashes of the adjacent token-hash pairs — the
+    // n-token doc pays 2n variable-length hashes + 2(n−1) 16-byte pair
+    // hashes, not 4(n−1) variable-length ones (the first digest cut of
+    // this gate hashed every bigram string twice per seed and regressed
+    // the bench 25%: hashing cost must be token-linear, not
+    // bigram-instance×length). The w1 prefix digests are the token hashes
+    // themselves — free.
     val bg = Tables.documents(spark, sfDir)
       .withColumn("ts", tokens(col("text")))
       .filter(size(col("ts")) >= 2)
+      .withColumn("hs", transform(col("ts"), t => xxhash64(t)))
+      .withColumn("hs2", transform(col("ts"), t => xxhash64(lit("s2"), t)))
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(0), size(col("ts")) - 2),
           i => struct(
-            xxhash64(concat_ws(" ", col("ts")(i), col("ts")(i + 1))).as("b1"),
-            xxhash64(lit("s2"), concat_ws(" ", col("ts")(i), col("ts")(i + 1))).as("b2"),
-            xxhash64(col("ts")(i)).as("w1a"),
-            xxhash64(lit("s2"), col("ts")(i)).as("w1b"))))
+            xxhash64(col("hs")(i), col("hs")(i + 1)).as("b1"),
+            xxhash64(col("hs2")(i), col("hs2")(i + 1)).as("b2"),
+            col("hs")(i).as("w1a"),
+            col("hs2")(i).as("w1b"))))
           .as("g"))
       .select(col("doc_id"),
         col("g.b1").as("b1"), col("g.b2").as("b2"),

@@ -20,6 +20,9 @@ object QueryTiming {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // mirror the FULL canonical bench session (Bench.scala) — without
+      // this flag the tool's numbers are not comparable to bench maps
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try { graft.operators.Index.ensure(spark, sfDir) } catch { case _: Throwable => () }
