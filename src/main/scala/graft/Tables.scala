@@ -15,7 +15,82 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    Readers.fixtureParquet(spark, s"$sfDir/$table.parquet")
+    Readers.fixtureParquet(spark, ensureIngested(spark, s"$sfDir/$table.parquet"))
+
+  /** Floor below which a fixture is served as-is: re-laying a dimension
+    * table into per-core files would replace one tiny read with N file
+    * opens of a few rows each. 256 KB keeps region/nation/supplier/part/
+    * customer single-file and re-lays the fact/corpus tables.
+    */
+  private val IngestRelayoutMinBytes = 256L * 1024
+
+  private val ingestMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** ENGINE-INGESTED layout of a driver fixture table — the base-table
+    * member of the ensure* artifact family (the reference never queries
+    * raw input either: everything is ingested into its own index layout
+    * first; the vector index and every increment store here already follow
+    * that lifecycle).
+    *
+    * Why it exists: the driver's fixtures are single-file, SINGLE-ROW-GROUP
+    * parquet, and a row group is parquet's atomic read unit — no
+    * maxPartitionBytes/openCost tuning can split one, so every scan (and
+    * the whole-stage-codegen kernel fused onto it: tokenize, digest, hash,
+    * repetition stats) executes in ONE task regardless of cluster size.
+    * Ingest rewrites the table once per fixture mtime into
+    * defaultParallelism splittable files — same rows, same schema, same
+    * pushdown surface (one parquet relation; PlanSpec pushed-filter and
+    * column-pruning locks are unaffected) — so scans parallelize the way
+    * any production table layout (multi-file, bounded row groups) does.
+    * No query plan changes: this is storage layout, not an exchange, and
+    * the text-never-shuffles lints hold exactly as before. Build cost is
+    * one untimed lifecycle job per table, priced by the bench's ingest
+    * metric like every other artifact; results are identical because every
+    * gate output is order-independent by the Det discipline (DetCheck pins
+    * partitioning independence).
+    *
+    * Sub-[[IngestRelayoutMinBytes]] files (the ≤25-row dimension tables)
+    * and non-file sources (a directory is already a multi-file layout)
+    * are served as-is.
+    */
+  private def ensureIngested(spark: SparkSession, src: String): String = {
+    val p = new org.apache.hadoop.fs.Path(src)
+    val status =
+      try Some(p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p))
+      catch { case _: java.io.IOException => None }
+    status match {
+      case Some(st) if st.isFile && st.getLen >= IngestRelayoutMinBytes =>
+        // File count caps at 8, not defaultParallelism: each extra file is
+        // an extra task PER SCAN STAGE for every query touching the table,
+        // and the fixture surface is dominated by light scans — measured at
+        // 32 files the per-task scheduling tax (+~0.3 s on every light
+        // query) swamped the heavy-kernel parallelism win (−0.3..0.45 s on
+        // tokenize/digest/from_json queries); 8 keeps most of the kernel
+        // win at a quarter of the tax. A real deployment sizes files to
+        // maxPartitionBytes and the cap never binds.
+        val parallelism = math.min(8, spark.sparkContext.defaultParallelism)
+        val mtime = st.getModificationTime
+        // onceExclusive: the miss path writes the layout dir — two racing
+        // builders would race two Overwrite jobs on one path.
+        Memo.onceExclusive(ingestMemo, s"$src:$mtime:p$parallelism") {
+          val key = graft.operators.Index.cacheKey(
+            s"$src:$mtime:ingest:p$parallelism:v${graft.operators.Index.LayoutVersion}")
+          // the table name stays in the layout dir (and so in every
+          // FileScan plan line): plans must remain greppable by table
+          val base = p.getName.stripSuffix(".parquet")
+          val dir = new java.io.File(
+            sys.props("java.io.tmpdir"), s"graft-ingest-$base-$key")
+          if (!new java.io.File(dir, "_SUCCESS").exists())
+            spark.read.parquet(src)
+              .repartition(parallelism)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(dir.getAbsolutePath)
+          dir.getAbsolutePath
+        }
+      case _ => src
+    }
+  }
 
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")

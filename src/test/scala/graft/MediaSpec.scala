@@ -74,7 +74,7 @@ class MediaSpec extends SparkSpec {
     // driver brute force over all pairs on the same stub hashes
     val hashes = Media.mediaTable(spark, sf0001)
       .select(col("media_id"), col("payload")).collect()
-      .map(r => (r.getLong(0), Media.aHash(r.getAs[Array[Byte]](1))))
+      .map(r => (r.getLong(0), Media.dHash(r.getAs[Array[Byte]](1))))
     val expect = (for {
       (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
       d = java.lang.Long.bitCount(ha ^ hb) if d <= maxHam
@@ -89,7 +89,7 @@ class MediaSpec extends SparkSpec {
 
   test("phash near-dups: persisted-signature path equals the inline path") {
     // The q161 gate probes ensurePhashStore; the store rows are the same
-    // deterministic aHash values the inline path computes, so the banding
+    // deterministic dHash values the inline path computes, so the banding
     // tail must emit row-identical pairs.
     val inline = Media.mediaPhashNearDups(spark, sf0001).collect().map(_.toSeq).toSeq
     val indexed = Media.mediaPhashNearDupsIndexed(spark, sf0001).collect().map(_.toSeq).toSeq

@@ -105,18 +105,18 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("property: aHash sampling wraps — short payloads equal their 64-byte tiling") {
+  test("property: dHash sampling wraps — short payloads equal their 64-byte tiling") {
     val bytesGen = Gen.nonEmptyListOf(Gen.chooseNum(-128, 127).map(_.toByte))
       .map(_.toArray).suchThat(b => b.length <= 64)
     forAll(bytesGen) { p =>
       val tiled = Array.tabulate(64)(i => p(i % p.length))
-      assert(graft.operators.Media.aHash(p) == graft.operators.Media.aHash(tiled),
+      assert(graft.operators.Media.dHash(p) == graft.operators.Media.dHash(tiled),
         "wraparound sampling must equal the explicit cyclic extension")
-      // strict > against the mean: a constant payload sets no bits
+      // strict > between cyclic neighbors: a constant payload sets no bits
       val const = Array.fill(17)(p(0))
-      assert(graft.operators.Media.aHash(const) == 0L)
-      // and no payload can exceed its own mean in every sample
-      assert(java.lang.Long.bitCount(graft.operators.Media.aHash(p)) < 64)
+      assert(graft.operators.Media.dHash(const) == 0L)
+      // a cyclic chain of strict > is impossible, so never all-ones
+      assert(java.lang.Long.bitCount(graft.operators.Media.dHash(p)) < 64)
     }
   }
 }
