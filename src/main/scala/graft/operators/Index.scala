@@ -47,7 +47,7 @@ object Index {
     * the build-once tmp caches so a stale layout from an older build can
     * never serve a newer reader.
     */
-  val LayoutVersion = 6 // v6: artifacts build from the ingested (multi-file) base-table layout — pre-ingest single-file artifacts would serve 1-task probe scans forever (v5: deriveK ceiling 65536→4096)
+  val LayoutVersion = 7 // v7: per-CONSUMER artifact layouts — point-probe members (index vectors) id-range-sorted for min/max pruning, pair postings bucket-aggregated to sorted arrays (v6: artifacts build from the ingested multi-file base-table layout)
 
   /** Collision-resistant key for build-once cache directory names: a 32-bit
     * String.hashCode collision between two (sfDir, params, mtime) keys would
@@ -90,7 +90,18 @@ object Index {
     Lsh.saveModel(spark, model, numBuckets, s"$outDir/model")
     val hashed = Lsh.withHashes(spark, embeddings, model)
       .select(col("vec_id"), col("embedding"), col("hashes"), lit(0L).as(BatchCol))
-    hashed.write.mode(SaveMode.Overwrite).parquet(s"$outDir/vectors")
+    // ID-CLUSTERED stored source: range-partition + sort by vec_id so the
+    // point reads this member exists for (GET-by-id, the |Q|-bounded query
+    // fetch, the k1→vector re-rank join) prune by file-range and row-group
+    // min/max stats instead of opening every file a pass-through write
+    // would inherit from the scan's split count. No explicit file count:
+    // the un-numbered range shuffle lets AQE size partitions to the data
+    // (one file at fixture scale, maxPartitionBytes-sized files at corpus
+    // scale) — the per-artifact layout policy, keyed to the CONSUMER class
+    // (point probes) rather than one global file-count constant.
+    hashed.repartitionByRange(col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/vectors")
     // Derive postings from the vectors JUST WRITTEN, not from the source
     // frame: the corpus is hashed ONCE (during the vectors write), and this
     // pass is a 3-column columnar read of the persisted hashes — reusing

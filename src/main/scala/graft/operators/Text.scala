@@ -3052,9 +3052,15 @@ object Text {
       sampleMod: Int = 3,
       // A caller that already PINNED the delivery (prepareCorpusIncrement)
       // passes it here so the batch side shingles the pin instead of
-      // re-scanning + re-filtering the fixture — the delivery must be
-      // exactly the `doc_id % batchMod === batchRem` slice (the store's
-      // own batch contract; results are identical by construction).
+      // re-scanning + re-filtering the fixture — the delivery must be a
+      // SUBSET of the `doc_id % batchMod === batchRem` slice (the store's
+      // own batch contract). A strict subset is sound because batch-vs-
+      // store pairing is per-doc independent: dropping a batch doc drops
+      // exactly that doc's pairs and perturbs nothing else —
+      // prepareCorpusIncrement uses this to exclude eval-side docs (which
+      // never survive cleaning) before pairing. Docs OUTSIDE the slice
+      // would pair against a store that already contains them (self-pair
+      // noise), so the slice bound stays mandatory.
       batchDocs: Option[DataFrame] = None): DataFrame = {
     val storeDir = ensureBandStore(
       spark, sfDir, batchMod, batchRem, shingleLen, k, rowsPerBand, sampleMod)

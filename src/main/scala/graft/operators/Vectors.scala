@@ -499,26 +499,80 @@ object Vectors {
       .groupBy(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
       .agg(count(lit(1)).as("collisions"))
       .filter(col("collisions") >= minCollisions)
-    val vecs = emb
+    verifyTopPairs(pairs, emb, k)
+  }
+
+  /** Pair mining over BUCKET-AGGREGATED postings — the [[ensurePairPostings]]
+    * artifact's (tbl, hash, ids) rows, `ids` sorted ascending. Semantically
+    * the same candidate stream as [[minePairsFromPosts]] (VectorsSpec pins
+    * row-identical output end-to-end), but the bucket-local self-join is
+    * replaced by in-task pair GENERATION: each bucket row emits its
+    * C(|ids|, 2) ordered pairs via posexplode + tail-slice + explode — no
+    * exchange, no join, the pair stream is born map-side and the only
+    * shuffle left is the collision-count aggregate (which the partial agg
+    * reduces first: a pair colliding in c of the `tables` hash tables
+    * map-combines to one row before the wire).
+    *
+    * The saturation valve is the SAME contract as [[Skew.capBuckets]] —
+    * "keep the cap smallest ids per bucket" — expressed as `slice(ids, 1,
+    * cap)` on the pre-sorted array instead of a window rank, so the capped
+    * candidate set is identical by construction. Scale shape (100 TB):
+    * Σ C(|bucket|, 2) work bounded by the derived width / the cap exactly
+    * as before; per-task memory is one bucket's array (≤ cap ids past the
+    * ceiling), and tasks scale with the artifact's file count.
+    */
+  private def minePairsFromBuckets(
+      buckets: DataFrame,
+      emb: DataFrame,
+      n: Long,
+      k: Int,
+      minCollisions: Int,
+      bits: Int): DataFrame = {
+    val autoCap =
+      if (bits > 0) 0 else Lsh.autoBucketCap(n, Lsh.PairTargetBucket)
+    val capped =
+      if (autoCap > 0) buckets.withColumn("ids", slice(col("ids"), 1, autoCap))
+      else buckets
+    val pairs = capped
+      .filter(size(col("ids")) >= 2)
+      .select(col("ids"), posexplode(col("ids")))
+      // `pos` is 0-based, slice() is 1-based: the strictly-after tail of
+      // element pos starts at 1-based index pos+2; sorted ids make i < j
+      // hold for every emitted pair (the join formulation's predicate).
+      .select(col("col").as("i"),
+        slice(col("ids"), col("pos") + lit(2), size(col("ids"))).as("rest"))
+      .select(col("i"), explode(col("rest")).as("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("collisions"))
+      .filter(col("collisions") >= minCollisions)
+    verifyTopPairs(pairs, emb, k)
+  }
+
+  /** The exact-verify + top-k tail shared by BOTH candidate formulations
+    * (join-over-posting-rows and generate-over-bucket-arrays): only
+    * surviving pairs ever touch a vector; exact cosine verifies, top-k by
+    * similarity. One body, so the paths cannot drift.
+    */
+  private def verifyTopPairs(pairs: DataFrame, emb: DataFrame, k: Int): DataFrame =
     pairs
-      .join(vecs.select(col("vec_id").as("i"), col("embedding").as("vi")), "i")
-      .join(vecs.select(col("vec_id").as("j"), col("embedding").as("vj")), "j")
+      .join(emb.select(col("vec_id").as("i"), col("embedding").as("vi")), "i")
+      .join(emb.select(col("vec_id").as("j"), col("embedding").as("vj")), "j")
       .select(
         col("i"), col("j"), col("collisions"),
         VectorExpressions.cosine(col("vi"), col("vj")).as("sim"))
       .orderBy(col("sim").desc, col("i").asc, col("j").asc)
       .limit(k)
       .select(col("i"), col("j"), col("collisions"), round(col("sim"), 4).as("sim4"))
-  }
 
   /** Build-once PERSISTED posting artifact for pair mining — the deployment
     * answer the q63 scaladoc has always named: a pipeline that mines pairs
-    * repeatedly hashes the corpus ONCE at ingest and keeps the (tbl, hash,
-    * vec_id) posting rows on disk (the [[graft.operators.Index]] lifecycle
-    * pattern; [[ensureShinglePairs]] is the textual twin). Keyed by fixture
-    * mtime + detector params like every artifact cache; the postings are a
-    * pure function of (embeddings, model), and the model fit is itself
-    * deterministic per key, so a rebuild is bit-identical.
+    * repeatedly hashes the corpus ONCE at ingest and keeps one (tbl, hash,
+    * ids) row per bucket on disk, `ids` the bucket's SORTED posting list
+    * (the [[graft.operators.Index]] lifecycle pattern; [[ensureShinglePairs]]
+    * is the textual twin). Keyed by fixture mtime + detector params like
+    * every artifact cache; the buckets are a pure function of (embeddings,
+    * model), and the model fit is itself deterministic per key, so a
+    * rebuild is bit-identical.
     */
   def ensurePairPostings(
       spark: SparkSession,
@@ -529,28 +583,36 @@ object Vectors {
     val useBits = if (bits > 0) bits else Lsh.deriveBits(n, Lsh.PairTargetBucket)
     val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/embeddings.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:pairposts:$tables:$useBits:v${Index.LayoutVersion}")
+      s"$sfDir:$srcMtime:pairposts:agg:$tables:$useBits:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-pairposts-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
       val model = pairModel(spark, sfDir, tables, useBits)
+      // BUCKET-AGGREGATED layout: one row per (tbl, hash) holding the
+      // bucket's sorted posting list. The ingest-time groupBy replaces the
+      // mining-time co-partitioning shuffle the raw-row layout needed —
+      // the pair generator ([[minePairsFromBuckets]]) then runs exchange-
+      // free over whatever splits the artifact scan yields. sort_array
+      // makes the per-bucket order (and so the capped prefix) deterministic.
       Lsh.explodeHashes(Lsh.withHashes(spark, emb, model))
-        .repartition(col("tbl"), col("hash"))
+        .groupBy(col("tbl"), col("hash"))
+        .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(dir.getAbsolutePath)
     }
     dir.getAbsolutePath
   }
 
-  /** q63 gate path — pair mining over the PERSISTED posting artifact
-    * ([[ensurePairPostings]]): read the hashed postings from disk instead of
-    * re-hashing the corpus on both self-join sides, then the identical
-    * mining tail ([[minePairsFromPosts]] — valve, bucket-local join,
-    * collision filter, exact verify). Same results as [[lshNearDupPairs]]
-    * by construction (one shared tail over bit-identical postings;
-    * VectorsSpec pins it). Scale shape: the artifact read replaces TWO
-    * corpus hash passes with a narrow 3-column scan, and because both join
-    * sides are the same resolved relation the exchange is REUSED — at
+  /** q63 gate path — pair mining over the PERSISTED bucket-aggregated
+    * posting artifact ([[ensurePairPostings]]): read the sorted per-bucket
+    * posting arrays from disk and GENERATE each bucket's ordered pairs
+    * in-task ([[minePairsFromBuckets]] — valve, posexplode/slice/explode
+    * generator, collision filter, exact verify). Same results as
+    * [[lshNearDupPairs]] by construction (same candidate set and shared
+    * verify tail; VectorsSpec pins row-identical output). Scale shape: the
+    * artifact read replaces TWO corpus hash passes with a narrow
+    * one-row-per-bucket scan, the self-join and both its co-partitioning
+    * exchanges are GONE (pairs are born map-side from each array), and at
     * 100 TB the corpus embeddings are read zero times per mining run.
     */
   def lshNearDupPairsIndexed(
@@ -562,10 +624,9 @@ object Vectors {
       bits: Int = 0): DataFrame = {
     val n = Tables.embeddingsCount(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val posts = graft.Readers
+    val buckets = graft.Readers
       .parquet(spark, ensurePairPostings(spark, sfDir, tables, bits))
-      .repartition(col("tbl"), col("hash"))
-    minePairsFromPosts(posts, emb, n, k, minCollisions, bits)
+    minePairsFromBuckets(buckets, emb, n, k, minCollisions, bits)
   }
 
   /** Scale-derived cluster count: k grows with the corpus so expected cell
@@ -612,6 +673,26 @@ object Vectors {
   def autoCellCap(n: Long, targetCellSize: Int = 64): Int =
     if (kSaturated(n, targetCellSize)) 4 * targetCellSize else 0
 
+  /** Worst-case skew valve for the PAST-CEILING intra-cell pair stages:
+    * [[deriveKUnbounded]] keeps E[cell] ~targetCellSize only in
+    * EXPECTATION, and k-means cells on a near-dup-heavy corpus — the very
+    * workload SemDeDup exists for — are skewed, so without a bound one hot
+    * cell can still drive the intra-cell self-join quadratic. A GENEROUS
+    * cap (16× the target, vs [[autoCellCap]]'s 4× for the forced-driver
+    * path) bounds the worst cell at 1024² ≈ 0.5 M pairs while staying far
+    * above the E[cell] the k choice already targets — on a non-degenerate
+    * corpus it never engages and results are unchanged; when it does
+    * engage it trades recall ONLY inside the capped (low-signal,
+    * oversized) cells, the [[Skew.capBuckets]] contract. Below the
+    * ceiling: identity — the gate fixtures never see it.
+    */
+  private val SaturatedCellCapFactor = 16
+  private def capSaturatedCells(
+      a: DataFrame, n: Long, targetCellSize: Int = 64): DataFrame =
+    if (kSaturated(n, targetCellSize))
+      Skew.capGroups(a, SaturatedCellCapFactor * targetCellSize, Seq("cell"))
+    else a
+
   // ------------------------------------------------------------------
   // Distributed Lloyd — the past-KCeiling path: centroids as a
   // (cell, centroid) TABLE joined into assignment, refinement as a
@@ -642,6 +723,16 @@ object Vectors {
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
 
+  /** Executor-broadcast budget for the centroid table in
+    * [[assignCellsWithTable]]: k×dim×4 B of raw float payload per executor
+    * (row/array headers add a constant factor on top — the budget is
+    * deliberately below any plausible executor memory so the overhead
+    * never matters). 256 MB ≈ 1 M centroids at 64-d, 65 k at 1024-d —
+    * corpora of ~64 M / ~4 M vectors respectively at the default target
+    * cell size, far past every gate fixture.
+    */
+  val CentroidBroadcastMaxBytes: Long = 256L * 1024 * 1024
+
   /** Distributed cell assignment over a centroid TABLE: every vector meets
     * every centroid through a broadcast nested-loop join, and the argmin
     * reduces MAP-SIDE (`min_by` partial aggregation — the N×k pair stream
@@ -652,11 +743,32 @@ object Vectors {
     * the standard Lloyd working set (any formulation must hold the
     * centroids somewhere to assign against); what this path REMOVES is the
     * per-iteration driver collect and the driver-array residency that
-    * capped k at [[KCeiling]]. Past executor-broadcast scale (k×dim in the
-    * GBs), the next step is hierarchical assignment (coarse-quantize the
-    * centroids themselves) — named here for the day a corpus demands it.
+    * capped k at [[KCeiling]]. The bound is ENFORCED, not assumed (the
+    * `pinnedFits` proof-before-broadcast discipline, sized in bytes): two
+    * bounded probe jobs (1-row dim read + a limit(max+1).count against the
+    * byte budget) refuse ACTIONABLY past [[CentroidBroadcastMaxBytes]]
+    * instead of OOMing an executor mid-broadcast. The remedy at that scale
+    * is hierarchical assignment — coarse-quantize the centroids themselves
+    * and assign in two hops — named in the refusal for the day a corpus
+    * demands it.
     */
-  def assignCellsWithTable(emb: DataFrame, cents: DataFrame): DataFrame =
+  def assignCellsWithTable(
+      emb: DataFrame,
+      cents: DataFrame,
+      maxBroadcastBytes: Long = CentroidBroadcastMaxBytes): DataFrame = {
+    val dimRow = cents.select(size(col("centroid")).as("d")).limit(1).collect()
+    if (dimRow.nonEmpty) {
+      val dim = math.max(1, dimRow(0).getInt(0))
+      val maxRows = math.max(1L, maxBroadcastBytes / (4L * dim))
+      val probeN = math.min(maxRows, Int.MaxValue.toLong - 1).toInt
+      require(cents.limit(probeN + 1).count() <= probeN,
+        s"centroid table exceeds the executor-broadcast budget " +
+          s"($maxBroadcastBytes bytes ≈ $maxRows centroids at $dim-d): the " +
+          "BNLJ assignment would broadcast k×dim×4 B to every executor. " +
+          "Remedies: raise targetCellSize (fewer, coarser cells), pass an " +
+          "explicit smaller k, or implement hierarchical assignment " +
+          "(coarse-quantize the centroids, assign in two hops).")
+    }
     emb.select(col("vec_id"), col("embedding"))
       .join(broadcast(cents))
       .select(
@@ -670,6 +782,7 @@ object Vectors {
         col("vec_id"),
         col("best.embedding").as("embedding"),
         col("best.cell").as("cell"))
+  }
 
   /** Deterministic Lloyd iterations with centroids as a TABLE end-to-end:
     * assign via [[assignCellsWithTable]], refine via a (cell, dim)-keyed
@@ -717,10 +830,25 @@ object Vectors {
   /** The trained coarse quantizer as a TABLE — [[quantizer]]'s distributed
     * twin: same deterministic seeds, same refinement arithmetic, a
     * (cell, centroid) frame instead of a driver array.
+    *
+    * Returns an UNPINNED read of a per-call persisted fit:
+    * [[refineCentroidsTable]] hands back a Materialize-pinned frame (the
+    * iteration pin), and a caller consuming it lazily could never release
+    * it — each past-ceiling fit would leak a k×dim checkpoint pin for the
+    * session. Writing the k-row result once and releasing the pin here
+    * (the [[kmeansModelTable]] discipline, without its cross-session cache
+    * key — `emb` is an arbitrary frame with no fixture identity to key on)
+    * makes the returned plan a plain scan with nothing to leak.
     */
   def quantizerTable(
-      spark: SparkSession, emb: DataFrame, cells: Int, iterations: Int = 1): DataFrame =
-    refineCentroidsTable(spark, emb, seedCentroidsTable(emb, cells), iterations)
+      spark: SparkSession, emb: DataFrame, cells: Int, iterations: Int = 1): DataFrame = {
+    val fitted =
+      refineCentroidsTable(spark, emb, seedCentroidsTable(emb, cells), iterations)
+    val dir = java.nio.file.Files.createTempDirectory("graft-quantizerT-").toString
+    fitted.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+    Materialize.release(fitted)
+    graft.Readers.parquet(spark, dir)
+  }
 
   /** Fitted k-means model as a PERSISTED (cell, centroid) TABLE — the
     * past-[[KCeiling]] twin of [[kmeansModel]], writing the SAME artifact
@@ -741,12 +869,11 @@ object Vectors {
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       val emb = Tables.embeddings(spark, sfDir)
       val kk = if (k > 0) k else deriveKUnbounded(emb.count())
-      val fitted = quantizerTable(spark, emb, kk, iterations)
-      fitted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      // quantizerTable returns an unpinned read of a per-call tmp fit;
+      // copying it into the keyed artifact dir is a k-row file copy.
+      quantizerTable(spark, emb, kk, iterations)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(dir.getAbsolutePath)
-      // release THIS fit's pin only — a blanket releaseAll() here would
-      // drain pins an ENCLOSING operator still lazily depends on.
-      Materialize.release(fitted)
     }
     graft.Readers.parquet(spark, dir.getAbsolutePath)
   }
@@ -883,7 +1010,12 @@ object Vectors {
       if (clusters > 0)
         assignCellsWith(Tables.embeddings(spark, sfDir),
           kmeansModel(spark, sfDir, clusters, iterations))
-      else assignedCellsAuto(spark, sfDir, iterations = iterations)
+      else
+        // [[capSaturatedCells]]: the k choice bounds E[cell]; the valve
+        // bounds the worst cell (skewed corpora). No-op below the ceiling.
+        capSaturatedCells(
+          assignedCellsAuto(spark, sfDir, iterations = iterations),
+          Tables.embeddingsCount(spark, sfDir))
     a.as("x")
       .join(a.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
@@ -919,8 +1051,12 @@ object Vectors {
       else {
         val n = emb.count()
         if (kSaturated(n))
-          assignCellsWithTable(emb,
-            quantizerTable(spark, emb, deriveKUnbounded(n), iterations))
+          // worst-cell valve on the distributed path (see
+          // [[capSaturatedCells]]): dedup recall is traded only inside
+          // capped degenerate cells, and only when the valve engages.
+          capSaturatedCells(
+            assignCellsWithTable(emb,
+              quantizerTable(spark, emb, deriveKUnbounded(n), iterations)), n)
         else assignCellsWith(emb, quantizer(spark, emb, deriveKFromCount(n), iterations))
       }
     semanticDedupWithAssigned(emb, assigned, threshold)
@@ -966,7 +1102,9 @@ object Vectors {
     // KCeiling-routed like the rest of the SemDeDup family — past the
     // ceiling the fit is the distributed table path, k keeps scaling, and
     // no cell cap trades recall.
-    semanticDedupWithAssigned(emb, assignedCellsAuto(spark, sfDir), threshold)
+    semanticDedupWithAssigned(emb,
+      capSaturatedCells(assignedCellsAuto(spark, sfDir),
+        Tables.embeddingsCount(spark, sfDir)), threshold)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_survivors"), sum(col("vec_id")).as("id_sum"))
       .orderBy(col("label"))

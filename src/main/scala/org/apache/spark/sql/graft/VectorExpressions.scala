@@ -83,6 +83,14 @@ object VectorExpressions {
     * (VectorsSpec pins it). Squared, not sqrt'd: sqrt can map two distinct
     * squared distances onto one double and manufacture a tie the driver
     * path never saw.
+    *
+    * Ragged inputs FAIL LOUDLY (unlike the min-length truncation above):
+    * this expression is the distributed Lloyd's assignment kernel, and
+    * [[graft.operators.CentroidSet.nearest]] — the driver path it must stay
+    * bitwise equal to — requires equal dimensions. Silently scoring a
+    * prefix distance here would mis-assign cells on exactly the malformed
+    * data where the driver path errors, breaking the parity contract where
+    * it matters most.
     */
   case class L2Squared(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes {
@@ -95,7 +103,11 @@ object VectorExpressions {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) {
+        throw new IllegalArgumentException(
+          s"vector dimension $n != centroid dimension ${y.numElements()}")
+      }
       var s = 0.0
       var i = 0
       while (i < n) {
@@ -113,7 +125,11 @@ object VectorExpressions {
         val s = ctx.freshName("s")
         val d = ctx.freshName("d")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  throw new IllegalArgumentException(
+           |    "vector dimension " + $n + " != centroid dimension " + $b.numElements());
+           |}
            |double $s = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);

@@ -352,6 +352,28 @@ class VectorsSpec extends SparkSpec {
     graft.operators.Materialize.releaseAll()
   }
 
+  test("centroid-table assignment refuses actionably past the broadcast budget") {
+    // The pinnedFits-style size gate on assignCellsWithTable: past
+    // CentroidBroadcastMaxBytes the BNLJ must REFUSE with the documented
+    // remedy, never OOM an executor mid-broadcast. A tiny explicit budget
+    // stands in for a past-ceiling corpus.
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = Vectors.seedCentroidsTable(emb, 32)
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .limit(1).collect()(0).getInt(0)
+    // budget admits at most 8 centroids of this dim; 32 must refuse
+    val tiny = 8L * 4L * dim
+    val e = intercept[IllegalArgumentException] {
+      Vectors.assignCellsWithTable(emb, cents, maxBroadcastBytes = tiny).count()
+    }
+    assert(e.getMessage.contains("broadcast budget"))
+    assert(e.getMessage.contains("hierarchical"), "refusal must name the remedy")
+    // and the same table passes under the default budget — the gate is a
+    // valve, not a behavior change below it
+    assert(Vectors.assignCellsWithTable(emb, cents).count() == emb.count())
+    graft.operators.Materialize.releaseAll()
+  }
+
   test("lsh near-dup pairs: persisted-postings path equals the inline path") {
     // The q63 gate probes ensurePairPostings; the artifact must be a pure
     // re-expression of the inline pipeline — row-identical output,
