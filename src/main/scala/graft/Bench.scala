@@ -32,7 +32,7 @@ object Bench {
     * ≥N-core host multi_sec ≈ single_sec; a throttled phase shows
     * multi_sec/single_sec well above 1.
     */
-  private def throttleProbe(phase: String, threads: Int): Unit = {
+  private def throttleProbe(phase: String, threads: Int): (Double, Double) = {
     val iters = 120000000L // ~0.25 s single-thread on this host class
     val singleT0 = System.nanoTime()
     val sink1 = mixLoop(1L, iters)
@@ -48,6 +48,7 @@ object Bench {
     def r4(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     // checksum defeats dead-code elimination and pins the workload identity
     println(s"""{"metric":"throttle_probe","phase":"$phase","single_sec":${r4(singleSec)},"multi_sec":${r4(multiSec)},"threads":$threads,"iters":$iters,"checksum":${sinks.get()}}""")
+    (singleSec, multiSec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -96,7 +97,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Host-phase probe #1 (see throttleProbe): prices the CPU phase the
     // timed loop below is about to run in.
-    throttleProbe("pre", cpus.toInt)
+    val (preSingle, preMulti) = throttleProbe("pre", cpus.toInt)
     // Untimed warmup: JVM/codegen/parquet-reader initialization shouldn't be
     // attributed to whichever query happens to run first.
     locally {
@@ -267,6 +268,11 @@ object Bench {
       }
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Host-phase probe #2 runs RIGHT AFTER the query loop (it brackets the
+    // timed region — a phase can begin or end mid-run) so both probe pairs
+    // can be embedded in the per-query file below for BenchDiff's
+    // phase-normalized totals.
+    val (postSingle, postMulti) = throttleProbe("post", cpus.toInt)
     // The driver captures a bounded (~4 KB) TAIL of stdout, which truncated
     // the old single ~5 KB per-query line mid-pair every round (BENCH_r05
     // kept ~50 of 171 pairs, unparseable head). Three-part answer:
@@ -288,8 +294,14 @@ object Bench {
       else errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
         .mkString(",\"errors\":{", ",", "}")
     try {
+      // Probe pairs + ingest cost ride in the committed file so BenchDiff
+      // can print phase-NORMALIZED totals and attribute timed-vs-ingest
+      // cost movement without hunting the (tail-clipped) stdout capture.
+      val meta = s""""ingest_sec":${r4(ingestSec)},""" +
+        s""""probe_pre_single":${r4(preSingle)},"probe_pre_multi":${r4(preMulti)},""" +
+        s""""probe_post_single":${r4(postSingle)},"probe_post_multi":${r4(postMulti)},"""
       val full = pairs.mkString(
-        s"""{"metric":"queries","unit":"sec","reps":$reps,"sf":"$sfDir"$errObj,"queries":{""",
+        s"""{"metric":"queries","unit":"sec","reps":$reps,"sf":"$sfDir"$errObj,$meta"queries":{""",
         ",", "}}\n")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_per_query.json"),
@@ -303,9 +315,6 @@ object Bench {
     if (errors.nonEmpty)
       println(errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
         .mkString("""{"metric":"errors","errors":{""", ",", "}}"))
-    // Host-phase probe #2: a phase can BEGIN or END mid-run; pre/post
-    // bracketing makes that visible too.
-    throttleProbe("post", cpus.toInt)
     // Full-cost transparency: wall time of the untimed prebuild block above
     // (index builds, model fits, the persisted pairs stage). Emitted before
     // the final total line so both compact lines land in the tail capture.

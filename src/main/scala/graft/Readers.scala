@@ -127,43 +127,60 @@ object Readers {
     * listing for the rest of the epoch (an Overwrite rebuild would leave the
     * memoized plan pointing at deleted files). Every in-engine lifecycle
     * mutation bumps; a process OUTSIDE this JVM writing into a layout dir
-    * must arrange a bump (or a new session). The local-filesystem dir-mtime
-    * key below is a SAFETY NET for missed in-process bumps, not a substitute
-    * contract: it is blind to rewrites within one mtime-granularity tick and
-    * to writes landing only in partition SUBDIRECTORIES (neither layout
-    * class exists in this engine — stores write flat dirs and every writer
-    * bumps — but an external partitioned writer would need its own bump).
+    * must arrange a bump (or a new session). The local-filesystem
+    * child-listing signature below is a SAFETY NET for missed in-process
+    * bumps, not a substitute contract: it covers files added/removed/
+    * resized, same-mtime-tick rewrites that change any child's length, and
+    * writes landing only in partition SUBDIRECTORIES (the subdir's own
+    * entry mtime moves) — the residual blind spot is a same-tick rewrite
+    * that preserves every child's name, length, AND mtime, which no
+    * listing-based key can see. Non-local filesystems skip the listing and
+    * key by epoch alone (bump contract), as documented on [[childSigOf]].
     */
   def parquet(spark: SparkSession, path: String): DataFrame =
     if (sinkLiveMemo(spark, path)) spark.read.parquet(path)
     else {
       // Relation memo key carries BOTH the epoch (the documented bump
-      // contract: every lifecycle mutation bumps) and the layout dir's own
-      // mtime as a local-fs safety net — a file added to or swapped into
-      // the dir changes the dir mtime, so even a mutation path that missed
-      // its bump() re-resolves instead of serving a stale file listing.
-      // The schema memo key gains the mtime too: a layout REWRITE can
-      // change the schema itself.
+      // contract: every lifecycle mutation bumps) and a signature of the
+      // layout dir's direct-child listing as a local-fs safety net — a
+      // file appended, swapped, resized, or rewritten re-resolves even
+      // when the mutation path missed its bump(). The schema memo key
+      // gains the signature too: a layout REWRITE can change the schema
+      // itself.
       memoizedRelation(spark, path,
-        keyOf(spark, path, s"m${mtimeOf(spark, path)}"))
+        keyOf(spark, path, s"m${childSigOf(spark, path)}"))
     }
 
-  /** Local-fs mtime probe behind the mutable-layout memo key. NON-LOCAL
-    * filesystems skip the stat entirely: on an object store a per-read
-    * getFileStatus is a remote RPC per call — inconsistent with the
-    * per-epoch memoization discipline — and its "dir mtime" degenerates to
-    * a constant there anyway, so it carries no invalidation signal; the
-    * epoch (bump contract) alone keys those reads, exactly as documented
-    * on [[parquet]]. Local stats are a syscall and stay per-call so an
-    * in-process mutation that missed its bump() re-resolves immediately.
+  /** Local-fs direct-child listing signature behind the mutable-layout memo
+    * key: a hash of each child's (name, length, mtime) in name order, plus
+    * the dir's own mtime. NON-LOCAL filesystems skip the listing entirely:
+    * on an object store a per-read LIST is a remote RPC per call —
+    * inconsistent with the per-epoch memoization discipline — so the epoch
+    * (bump contract) alone keys those reads, exactly as documented on
+    * [[parquet]]. A local listing is one readdir syscall over the handful
+    * of files a store layout holds, and stays per-call so an in-process
+    * mutation that missed its bump() re-resolves immediately.
     */
-  private def mtimeOf(spark: SparkSession, path: String): Long = {
+  private def childSigOf(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     try {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] &&
           !fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]) 0L
-      else fs.getFileStatus(p).getModificationTime
+      else {
+        val st = fs.getFileStatus(p)
+        var h = st.getModificationTime
+        if (st.isDirectory) {
+          // sortBy name: listStatus order is filesystem-dependent and the
+          // signature must be stable for an unchanged listing
+          fs.listStatus(p).sortBy(_.getPath.getName).foreach { c =>
+            h = h * 1000003L ^ c.getPath.getName.hashCode.toLong
+            h = h * 1000003L ^ c.getLen
+            h = h * 1000003L ^ c.getModificationTime
+          }
+        }
+        h
+      }
     } catch { case _: java.io.IOException => 0L }
   }
 

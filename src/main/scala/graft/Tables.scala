@@ -70,12 +70,20 @@ object Tables {
         // win at a quarter of the tax. A real deployment sizes files to
         // maxPartitionBytes and the cap never binds.
         val parallelism = math.min(8, spark.sparkContext.defaultParallelism)
-        val mtime = st.getModificationTime
+        // mtime AND length: a fixture rewritten within one mtime-
+        // granularity tick (same-second regeneration — coarse filesystems
+        // round to whole seconds) would key identically under mtime alone
+        // and serve the STALE layout forever; the length term catches any
+        // same-tick rewrite that changes the byte count (TablesSpec pins
+        // it). The residual blind spot — same tick, same length — is the
+        // filesystem-theoretic limit every stat-keyed cache shares,
+        // documented on [[fixtureMtime]]'s consumers.
+        val sig = s"${st.getModificationTime}:${st.getLen}"
         // onceExclusive: the miss path writes the layout dir — two racing
         // builders would race two Overwrite jobs on one path.
-        Memo.onceExclusive(ingestMemo, s"$src:$mtime:p$parallelism") {
+        Memo.onceExclusive(ingestMemo, s"$src:$sig:p$parallelism") {
           val key = graft.operators.Index.cacheKey(
-            s"$src:$mtime:ingest:p$parallelism:v${graft.operators.Index.LayoutVersion}")
+            s"$src:$sig:ingest:p$parallelism:v${graft.operators.Index.LayoutVersion}")
           // the table name stays in the layout dir (and so in every
           // FileScan plan line): plans must remain greppable by table
           val base = p.getName.stripSuffix(".parquet")

@@ -26,6 +26,16 @@ package graft.tools
   */
 object BenchDiff {
 
+  /** Top-level scalar metadata a snapshot MAY carry (r10+ Bench embeds
+    * them): the pre/post throttle-probe pairs and the untimed ingest cost.
+    * Older snapshots simply lack the keys — every consumer treats them as
+    * optional.
+    */
+  private[tools] def scalar(json: String, key: String): Option[Double] = {
+    val m = ("\"" + key + "\":([0-9.eE+-]+)").r.findFirstMatchIn(json)
+    m.map(_.group(1).toDouble)
+  }
+
   /** name→seconds pairs of the FIRST `"queries":{...}` object, plus the
     * names of the `"errors":{...}` object (empty when absent).
     */
@@ -57,11 +67,12 @@ object BenchDiff {
       "usage: BenchDiff OLD.json NEW.json [absBand=0.30] [relFrac=0.50]")
     val absBand = if (args.length > 2) args(2).toDouble else 0.30
     val relFrac = if (args.length > 3) args(3).toDouble else 0.50
-    def read(p: String) = parse(new String(
+    def slurp(p: String) = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
-      java.nio.charset.StandardCharsets.UTF_8))
-    val (oldQ, oldErr) = read(args(0))
-    val (newQ, newErr) = read(args(1))
+      java.nio.charset.StandardCharsets.UTF_8)
+    val (oldJson, newJson) = (slurp(args(0)), slurp(args(1)))
+    val (oldQ, oldErr) = parse(oldJson)
+    val (newQ, newErr) = parse(newJson)
 
     val common = oldQ.keySet.intersect(newQ.keySet).toSeq
     val rows = common.map { n => (n, oldQ(n), newQ(n), newQ(n) - oldQ(n)) }
@@ -90,6 +101,37 @@ object BenchDiff {
     println(f"comparable total: old $oldTot%.2f s -> new $newTot%.2f s " +
       f"(${newTot - oldTot}%+.2f s over ${common.size} shared queries; " +
       f"band abs=$absBand%.2f rel=$relFrac%.2f)")
+    // Phase-NORMALIZED total (snapshots that embed their throttle probes,
+    // r10+): scale the NEW total by old_multi/new_multi — the documented
+    // BASELINE.md adjudication of a throttled run, mechanized. The multi
+    // probe prices the 32-thread CPU envelope the query loop runs in; a
+    // run recorded in a throttle phase normalizes DOWN toward what the
+    // same engine measures at the old run's phase. Mean of pre/post so a
+    // phase starting or ending mid-run averages in.
+    def meanMulti(j: String): Option[Double] =
+      (scalar(j, "probe_pre_multi"), scalar(j, "probe_post_multi")) match {
+        case (Some(a), Some(b)) => Some((a + b) / 2)
+        case _ => None
+      }
+    (meanMulti(oldJson), meanMulti(newJson)) match {
+      case (Some(om), Some(nm)) if om > 0 && nm > 0 =>
+        println(f"normalized total: new × (old_multi/new_multi) = " +
+          f"${newTot * om / nm}%.2f s (old phase multi=$om%.3f, new phase " +
+          f"multi=$nm%.3f; raw new $newTot%.2f s)")
+      case _ =>
+        println("normalized total: n/a (a side lacks embedded throttle probes)")
+    }
+    // Untimed-ingest attribution: a gate switched from live computation to
+    // probing a prebuilt artifact moves cost from the timed total into the
+    // ingest block — this line keeps cross-round totals apples-to-apples.
+    (scalar(oldJson, "ingest_sec"), scalar(newJson, "ingest_sec")) match {
+      case (Some(oi), Some(ni)) =>
+        println(f"untimed ingest: old $oi%.2f s -> new $ni%.2f s " +
+          f"(${ni - oi}%+.2f s; timed+ingest old ${oldTot + oi}%.2f -> " +
+          f"new ${newTot + ni}%.2f s)")
+      case (None, Some(ni)) => println(f"untimed ingest: new $ni%.2f s (old side n/a)")
+      case _ => ()
+    }
     if (regressed.nonEmpty || freshErrors.nonEmpty) {
       System.err.println(
         s"BENCHDIFF FAILED: ${(regressed.reverse ++ freshErrors).mkString(", ")}")

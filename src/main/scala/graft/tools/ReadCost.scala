@@ -58,6 +58,24 @@ object ReadCost {
       println(s"READCOST sameInstance=${a eq b} " +
         s"sameExprId=${a.output.head.exprId == b.output.head.exprId}")
     }
+    // mutable-layout read path: the per-call staleness key (r10: child-
+    // listing signature) vs the plain dir stat it replaced, and the full
+    // Readers.parquet call on a store layout
+    locally {
+      val store = graft.operators.Retrieval.ensureVocabStore(spark, sfDir)
+      val postings = graft.operators.Index.ensure(spark, sfDir) + "/postings"
+      def sig(path: String): Unit = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val st = fs.getFileStatus(p)
+        if (st.isDirectory) fs.listStatus(p).foreach(s => { s.getLen; s.getModificationTime })
+      }
+      time("childSig listStatus (vocab store dir)", 500) { sig(store) }
+      time("childSig listStatus (postings, 64 dirs)", 500) { sig(postings) }
+      time("Readers.parquet (vocab store)", 200) {
+        graft.Readers.parquet(spark, store)
+      }
+    }
     // full gate construction + optimization + physical planning, no execution
     Seq("q01_pricing_summary", "q02_revenue_by_nation", "q48_map_functions",
       "q89_bigram_surprisal", "q207_string_stats").foreach { q =>

@@ -52,6 +52,31 @@ class ReadersSpec extends SparkSpec {
     } finally conf.set("spark.sql.constraintPropagation.enabled", prev)
   }
 
+  test("parquet: an out-of-band file append re-resolves WITHOUT a bump") {
+    // The child-listing signature safety net: an external writer dropping a
+    // file into a mutable layout dir (no bump(), no lifecycle hook) must
+    // not be served the stale memoized listing. Covers the two blind spots
+    // of the old dir-mtime key — a same-mtime-tick rewrite (length change)
+    // and a file landing after the dir was first memoized.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-readers-oob-").toString
+    Seq(1L, 2L, 3L).toDF("v").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    assert(Readers.parquet(spark, dir).count() == 3)
+    // out-of-band append: copy the existing part file under a new name —
+    // exactly what an external writer (another JVM, a manual cp) does
+    val part = new java.io.File(dir).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .get
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(dir, "part-external-copy.parquet").toPath)
+    assert(Readers.parquet(spark, dir).count() == 6,
+      "appended file must be visible without a bump (child-listing key)")
+    // and removal re-resolves too
+    new java.io.File(dir, "part-external-copy.parquet").delete()
+    assert(Readers.parquet(spark, dir).count() == 3)
+  }
+
   test("artifact memo: a loader may itself load another artifact (re-entrancy)") {
     // Under the old computeIfAbsent shape this pattern could throw
     // IllegalStateException("Recursive update") or deadlock when the two
