@@ -20,19 +20,42 @@ object Bench {
     acc
   }
 
-  /** HOST-PHASE PROBE: a fixed single-thread and N-thread pure-CPU
-    * microbenchmark pair, run before and after the query loop. The sandbox
-    * host shows multi-core throttle phases (BASELINE.md: identical commits
-    * measured 40.9 s and 52.5 s hours apart, single-core probe flat,
-    * uniform proportional smear across all queries). The probe makes a
-    * recorded total SELF-DESCRIBING: `multi_sec` inflates with the phase
-    * while `single_sec` stays flat, so a reader can normalize a recorded
-    * total against the canonical-run probe values without a rerun. Work is
-    * fixed (pure integer mixing, no memory traffic): on an unthrottled
-    * ≥N-core host multi_sec ≈ single_sec; a throttled phase shows
-    * multi_sec/single_sec well above 1.
+  /** Fixed 128 MB read-only array for the MEMORY-BANDWIDTH probe leg —
+    * larger than any plausible LLC so the multi-thread sum prices DRAM
+    * traffic, not cache. Allocated once per JVM, deterministic content
+    * (the checksum pins workload identity like the CPU leg's).
     */
-  private def throttleProbe(phase: String, threads: Int): (Double, Double) = {
+  private lazy val memArr: Array[Long] = {
+    val n = 1 << 24 // 16 M longs = 128 MB
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = mix(i.toLong); i += 1 }
+    a
+  }
+
+  /** HOST-PHASE PROBE: a fixed single-thread and N-thread pure-CPU
+    * microbenchmark pair plus an N-thread memory-bandwidth pass, run before
+    * and after the query loop. The sandbox host shows multi-core throttle
+    * phases (BASELINE.md: identical commits measured 40.9 s and 52.5 s
+    * hours apart, single-core probe flat, uniform proportional smear across
+    * all queries). The probe makes a recorded total SELF-DESCRIBING:
+    * `multi_sec` inflates with a CPU-envelope phase while `single_sec`
+    * stays flat, so a reader can normalize a recorded total against the
+    * canonical-run probe values without a rerun. Work is fixed (pure
+    * integer mixing, no memory traffic): on an unthrottled ≥N-core host
+    * multi_sec ≈ single_sec; a throttled phase shows multi_sec/single_sec
+    * well above 1.
+    *
+    * `mem_multi_sec` (r10): the CPU leg measured FLAT across a phase that
+    * still inflated a full run ~8% (r10 session: 43.8 s and 47.0 s
+    * twenty minutes apart at identical CPU probes) — the host also has
+    * phases that throttle MEMORY/IO rather than the core envelope. The mem
+    * leg sums the shared 128 MB array in per-thread contiguous chunks
+    * (4 passes, wall time = aggregate DRAM bandwidth); it is comparable
+    * ACROSS runs (same fixed traffic), so `mem_multi_sec(recorded) /
+    * mem_multi_sec(canonical)` prices that second phase dimension.
+    */
+  private def throttleProbe(phase: String, threads: Int): (Double, Double, Double) = {
     val iters = 120000000L // ~0.25 s single-thread on this host class
     val singleT0 = System.nanoTime()
     val sink1 = mixLoop(1L, iters)
@@ -45,10 +68,31 @@ object Bench {
     }
     ts.foreach(_.join())
     val multiSec = (System.nanoTime() - multiT0) / 1e9
+    // memory-bandwidth leg: all threads sum disjoint contiguous chunks of
+    // the shared array, 4 passes — fixed 512 MB of DRAM traffic total
+    val arr = memArr
+    val chunk = arr.length / threads
+    val memT0 = System.nanoTime()
+    val tsm = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        var pass = 0
+        var s = 0L
+        while (pass < 4) {
+          var i = t * chunk
+          val end = if (t == threads - 1) arr.length else (t + 1) * chunk
+          while (i < end) { s += arr(i); i += 1 }
+          pass += 1
+        }
+        sinks.addAndGet(s)
+      })
+      th.start(); th
+    }
+    tsm.foreach(_.join())
+    val memSec = (System.nanoTime() - memT0) / 1e9
     def r4(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     // checksum defeats dead-code elimination and pins the workload identity
-    println(s"""{"metric":"throttle_probe","phase":"$phase","single_sec":${r4(singleSec)},"multi_sec":${r4(multiSec)},"threads":$threads,"iters":$iters,"checksum":${sinks.get()}}""")
-    (singleSec, multiSec)
+    println(s"""{"metric":"throttle_probe","phase":"$phase","single_sec":${r4(singleSec)},"multi_sec":${r4(multiSec)},"mem_multi_sec":${r4(memSec)},"threads":$threads,"iters":$iters,"checksum":${sinks.get()}}""")
+    (singleSec, multiSec, memSec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -97,7 +141,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Host-phase probe #1 (see throttleProbe): prices the CPU phase the
     // timed loop below is about to run in.
-    val (preSingle, preMulti) = throttleProbe("pre", cpus.toInt)
+    val (preSingle, preMulti, preMem) = throttleProbe("pre", cpus.toInt)
     // Untimed warmup: JVM/codegen/parquet-reader initialization shouldn't be
     // attributed to whichever query happens to run first.
     locally {
@@ -272,7 +316,7 @@ object Bench {
     // timed region — a phase can begin or end mid-run) so both probe pairs
     // can be embedded in the per-query file below for BenchDiff's
     // phase-normalized totals.
-    val (postSingle, postMulti) = throttleProbe("post", cpus.toInt)
+    val (postSingle, postMulti, postMem) = throttleProbe("post", cpus.toInt)
     // The driver captures a bounded (~4 KB) TAIL of stdout, which truncated
     // the old single ~5 KB per-query line mid-pair every round (BENCH_r05
     // kept ~50 of 171 pairs, unparseable head). Three-part answer:
@@ -298,8 +342,8 @@ object Bench {
       // can print phase-NORMALIZED totals and attribute timed-vs-ingest
       // cost movement without hunting the (tail-clipped) stdout capture.
       val meta = s""""ingest_sec":${r4(ingestSec)},""" +
-        s""""probe_pre_single":${r4(preSingle)},"probe_pre_multi":${r4(preMulti)},""" +
-        s""""probe_post_single":${r4(postSingle)},"probe_post_multi":${r4(postMulti)},"""
+        s""""probe_pre_single":${r4(preSingle)},"probe_pre_multi":${r4(preMulti)},"probe_pre_mem":${r4(preMem)},""" +
+        s""""probe_post_single":${r4(postSingle)},"probe_post_multi":${r4(postMulti)},"probe_post_mem":${r4(postMem)},"""
       val full = pairs.mkString(
         s"""{"metric":"queries","unit":"sec","reps":$reps,"sf":"$sfDir"$errObj,$meta"queries":{""",
         ",", "}}\n")

@@ -204,7 +204,11 @@ object Knn {
       .filter(col("r1") <= k1)
       .drop("r1")
     val qvecs = Seq((-1L, query.toSeq)).toDF("query_id", "qv")
-    val rescoredRaw = k1set
+    // broadcast the CANDIDATE side: k1set is |Q|·k1 rows of 16 B by contract
+    // (the bounded probe set), the vectors side is the CORPUS — static
+    // sizeInBytes would happily broadcast the fixture-tiny vectors scan,
+    // which inverts at scale (shipping the corpus to the candidates).
+    val rescoredRaw = broadcast(k1set)
       .join(Index.liveVectors(spark, indexDir).select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(qvecs), "query_id")
       .select(
@@ -302,7 +306,10 @@ object Knn {
     val qvecs = qRows.toSeq
       .map(r => (r.getLong(0), r.getSeq[Float](2)))
       .toDF("query_id", "qv")
-    val rescoredRaw = k1set
+    // broadcast the CANDIDATE side (|Q|·k1-bounded by contract) — see
+    // [[searchIndexByVector]]: the vectors side is the corpus, and the
+    // scale-safe direction never depends on the fixture's static stats.
+    val rescoredRaw = broadcast(k1set)
       .join(vecs, "vec_id")
       .join(broadcast(qvecs), "query_id")
       .select(

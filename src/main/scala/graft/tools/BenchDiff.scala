@@ -115,11 +115,27 @@ object BenchDiff {
       }
     (meanMulti(oldJson), meanMulti(newJson)) match {
       case (Some(om), Some(nm)) if om > 0 && nm > 0 =>
-        println(f"normalized total: new × (old_multi/new_multi) = " +
+        println(f"normalized total (cpu): new × (old_multi/new_multi) = " +
           f"${newTot * om / nm}%.2f s (old phase multi=$om%.3f, new phase " +
           f"multi=$nm%.3f; raw new $newTot%.2f s)")
       case _ =>
-        println("normalized total: n/a (a side lacks embedded throttle probes)")
+        println("normalized total (cpu): n/a (a side lacks embedded throttle probes)")
+    }
+    // The mem leg prices the SECOND phase dimension (memory/IO throttling,
+    // invisible to the pure-CPU leg — see Bench.throttleProbe): a mem
+    // ratio well above the cpu ratio says the inflation is bandwidth, not
+    // cores.
+    def meanMem(j: String): Option[Double] =
+      (scalar(j, "probe_pre_mem"), scalar(j, "probe_post_mem")) match {
+        case (Some(a), Some(b)) => Some((a + b) / 2)
+        case _ => None
+      }
+    (meanMem(oldJson), meanMem(newJson)) match {
+      case (Some(om), Some(nm)) if om > 0 && nm > 0 =>
+        println(f"normalized total (mem): new × (old_mem/new_mem) = " +
+          f"${newTot * om / nm}%.2f s (old mem=$om%.3f, new mem=$nm%.3f)")
+      case _ =>
+        println("normalized total (mem): n/a (a side lacks the r10+ mem probe)")
     }
     // Untimed-ingest attribution: a gate switched from live computation to
     // probing a prebuilt artifact moves cost from the timed total into the
