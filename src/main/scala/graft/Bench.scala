@@ -72,6 +72,17 @@ object Bench {
     // the shared array, 4 passes — fixed 512 MB of DRAM traffic total
     val arr = memArr
     val chunk = arr.length / threads
+    // untimed single-thread warm pass: JIT-compiles the sum loop (and
+    // faults the array in on the first probe) so the timed value prices
+    // DRAM bandwidth, not compilation — the first probe of the JVM
+    // otherwise reads ~10× slow and fakes a phase
+    locally {
+      var s = 0L; var i = 0
+      while (i < arr.length) { s += arr(i); i += 1 }
+      // net-zero sink: consumes s (no dead-code elimination of the warm
+      // loop) without perturbing the deterministic checksum
+      sinks.addAndGet(s); sinks.addAndGet(-s)
+    }
     val memT0 = System.nanoTime()
     val tsm = (0 until threads).map { t =>
       val th = new Thread(() => {
@@ -216,8 +227,13 @@ object Bench {
       // artifact; q143/q144/q154/q157 measure dictionary-probe latency.
       graft.operators.Retrieval.ensureVocabStore(spark, sfDir)
       // Positional postings store — the inverted index's phrase half;
-      // q159 measures posting-list intersection latency.
+      // q159 measures posting-list intersection latency. r10: the lexical
+      // scoring family (q61/q62/q146/q152/q154/q165/q167/q168/q88) also
+      // serves its tf/df legs from it — index-served retrieval end to end.
       graft.operators.Retrieval.ensurePostingsStore(spark, sfDir)
+      // Doc-norms store (ES norms): BM25's length legs read it instead of
+      // re-tokenizing the corpus per query.
+      graft.operators.Retrieval.ensureNormsStore(spark, sfDir)
       // Fitted k-means model (q84/q85 share it) — model TRAINING is a
       // lifecycle step like index builds; searches/analytics are what the
       // queries time.

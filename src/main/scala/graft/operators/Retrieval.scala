@@ -34,16 +34,26 @@ object Retrieval {
     */
   val DefaultTerms: Seq[String] = Seq("dup", "vector", "hash")
 
-  /** Per-(doc, term) frequencies for the query terms only — the probe of an
-    * inverted index. The term filter runs INSIDE the token array before the
-    * explode (Catalyst cannot push a post-Generate predicate below the
-    * Generate itself), so the row stream widens only by each doc's query-
-    * term hits — a handful of rows per doc — instead of materializing every
-    * corpus token through the Generate.
+  /** Per-(doc, term) frequencies for the query terms only — an ACTUAL
+    * inverted-index probe (r10; previously an in-plan corpus tokenize with
+    * the term filter fused into the explode): each query term's hits are a
+    * PUSHED `In(term, …)` read of the persisted positional postings store
+    * ([[ensurePostingsStore]] — term-sorted, so row-group min/max stats
+    * skip everything else), exactly how ES serves the scoring families
+    * built on this (q61/q62/q146/q152/q154/q165/q167/q168/q88). Document
+    * text is never read. Rows are identical to the corpus-explode
+    * formulation by construction — the store is built from the same
+    * tokenizer over the same corpus — and every consumer's DuckDB oracle
+    * still runs the explode formulation. The switch also fixes a measured
+    * double-tokenize: tf feeds two plan branches (scoring and df), Catalyst
+    * prunes them differently, and the un-reusable duplicated subtree cost
+    * two full corpus passes per query; duplicated pushed store probes cost
+    * two bounded point reads instead.
     */
-  private def termFreqs(doc: DataFrame, terms: Seq[String]): DataFrame =
-    doc.select(col("doc_id"),
-        explode(filter(tokens(col("text")), t => t.isin(terms: _*))).as("t"))
+  private def termFreqs(spark: SparkSession, sfDir: String, terms: Seq[String]): DataFrame =
+    graft.Readers.parquet(spark, ensurePostingsStore(spark, sfDir))
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("term").as("t"))
       .groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).as("tf"))
 
@@ -62,10 +72,12 @@ object Retrieval {
       sfDir: String,
       terms: Seq[String]): DataFrame = {
     val doc = Tables.documents(spark, sfDir)
-    val tf = termFreqs(doc, terms)
+    val tf = termFreqs(spark, sfDir, terms)
     // Corpus size as a 1-row broadcast relation (a scalar subquery shape —
     // no driver-side count, the whole thing stays one plan).
     val n = doc.agg(count(lit(1)).as("n"))
+    // df(t) = rows of tf at t (tf is one row per (doc_id, t)); the branch
+    // re-probes the store (pushed, bounded) rather than re-tokenizing.
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val idf = dfreq.crossJoin(broadcast(n))
       .select(col("t"), round(log(col("n") / col("df")) * 10000).cast("long").as("idf4"))
@@ -118,12 +130,16 @@ object Retrieval {
       terms: Seq[String] = DefaultTerms,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val doc = Tables.documents(spark, sfDir)
-    val tf = termFreqs(doc, terms)
-    val dl = doc.select(col("doc_id"), size(tokens(col("text"))).cast("double").as("dl"))
-    val stats = doc.agg(
+    val tf = termFreqs(spark, sfDir, terms)
+    // dl and avgdl from the persisted norms store (ES's norms): BM25's
+    // length legs read (doc_id, dl) pairs, never document text. Values are
+    // identical to the in-plan tokenize by construction (the store is the
+    // same size(tokens(text)) expression, persisted at ingest).
+    val norms = graft.Readers.parquet(spark, ensureNormsStore(spark, sfDir))
+    val dl = norms.select(col("doc_id"), col("dl").cast("double").as("dl"))
+    val stats = norms.agg(
       count(lit(1)).cast("double").as("n"),
-      (sum(size(tokens(col("text")))) / count(lit(1))).as("avgdl"))
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
     val idf = dfreq.crossJoin(broadcast(stats))
       .select(
@@ -208,7 +224,7 @@ object Retrieval {
       rrfC: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val doc = Tables.documents(spark, sfDir)
-    val tf = termFreqs(doc, terms)
+    val tf = termFreqs(spark, sfDir, terms)
     val n = doc.agg(count(lit(1)).as("n"))
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val idf = dfreq.crossJoin(broadcast(n))
@@ -329,6 +345,29 @@ object Retrieval {
       .groupBy(col("term"))
       .agg(count(lit(1)).as("n_hits"), countDistinct(col("doc_id")).as("n_docs"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+
+  /** Build the DOC-NORMS store: (doc_id, dl) with dl = whitespace token
+    * count — ES's "norms" (the per-field length the BM25 length
+    * normalization needs), persisted at ingest exactly like ES does so
+    * scoring never re-tokenizes a document to learn its length. Sorted by
+    * doc_id via an un-numbered range shuffle (AQE sizes the file count to
+    * the data; min/max stats serve pushed doc probes).
+    */
+  def buildNormsStore(spark: SparkSession, docs: DataFrame, outDir: String): Unit =
+    docs.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+
+  def ensureNormsStore(spark: SparkSession, sfDir: String): String = {
+    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
+    val key = graft.operators.Index.cacheKey(
+      s"$sfDir:$srcMtime:norms:v${graft.operators.Index.LayoutVersion}")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-norms-$key")
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      buildNormsStore(spark, Tables.documents(spark, sfDir), dir.getAbsolutePath)
+    dir.getAbsolutePath
+  }
 
   def ensureVocabStore(spark: SparkSession, sfDir: String): String = {
     val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
@@ -1170,7 +1209,7 @@ object Retrieval {
       docId: Long = 7,
       terms: Seq[String] = DefaultTerms): DataFrame = {
     val doc = Tables.documents(spark, sfDir)
-    val tf = termFreqs(doc, terms)
+    val tf = termFreqs(spark, sfDir, terms)
     val n = doc.agg(count(lit(1)).as("n"))
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val idf = dfreq.crossJoin(broadcast(n))
@@ -1217,7 +1256,7 @@ object Retrieval {
       tbPermille: Long = 300L,
       k: Int = 20): DataFrame = {
     val doc = Tables.documents(spark, sfDir)
-    val tf = termFreqs(doc, terms)
+    val tf = termFreqs(spark, sfDir, terms)
     val n = doc.agg(count(lit(1)).as("n"))
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val idf = dfreq.crossJoin(broadcast(n))
@@ -1272,11 +1311,19 @@ object Retrieval {
       negPermille: Long = 500L,
       k: Int = 20): DataFrame = {
     val scores = tfidfScores(spark, sfDir, terms)
-    val neg = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), array_contains(tokens(col("text")), negative).as("is_neg"))
-    scores.join(neg, "doc_id")
+    // negative-term membership from the postings store (pushed EqualTo
+    // probe): doc contains `negative` ⇔ it has ≥1 posting row for it —
+    // the index-served twin of array_contains(tokens(text), negative).
+    // No broadcast hint: neg is corpus-derived (df(negative) rows — a
+    // common negative term makes it large), so size-based selection + AQE
+    // choose; both join sides are already term-restricted reductions.
+    val neg = graft.Readers.parquet(spark, ensurePostingsStore(spark, sfDir))
+      .filter(col("term") === negative)
+      .select(col("doc_id")).distinct()
+      .withColumn("is_neg", lit(true))
+    scores.join(neg, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("is_neg"), expr(s"score * $negPermille div 1000"))
+        when(coalesce(col("is_neg"), lit(false)), expr(s"score * $negPermille div 1000"))
           .otherwise(col("score")).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)

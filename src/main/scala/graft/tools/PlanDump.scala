@@ -20,9 +20,19 @@ object PlanDump {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXEC=1: execute first and print the FINAL adaptive plan —
+    // AQE stage reuse (ReusedQueryStage/ReusedExchange) only appears after
+    // execution, so the pre-execution explain under-reports reuse.
+    val exec = sys.env.get("SPARK_GRAFT_EXEC").contains("1")
     names.foreach { n =>
       println(s"\n===== $n =====")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (exec) {
+        // collect() (not count()) so THIS query execution runs — count()
+        // would execute a derived plan and leave df's own stages unbuilt
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
     }
     spark.stop()
   }

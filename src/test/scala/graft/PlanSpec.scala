@@ -290,6 +290,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("lexical scoring family is index-served: pushed term probes, no text read") {
+    // r10: the tf/df legs read the positional postings store (pushed
+    // In(term,…) — row-group pruned on the term-sorted layout) and BM25's
+    // length legs read the norms store; document text never reaches a scan.
+    Seq("q61_tfidf_search", "q62_bm25_scores", "q146_search_after",
+      "q167_dis_max", "q168_boosting", "q152_function_score",
+      "q165_collapse").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("In(term"),
+        s"$q must probe the postings store with a pushed term filter:\n$plan")
+      assert(!plan.linesIterator.exists(l =>
+        l.contains("ReadSchema") && l.contains("text")),
+        s"$q must not read document text:\n$plan")
+    }
+  }
+
   test("decontamination broadcasts the eval grams; train grams never shuffle") {
     val plan = planOf("q80_decontaminate")
     assert(plan.contains("BroadcastHashJoin"), plan)
