@@ -69,37 +69,39 @@ object Bench {
     ts.foreach(_.join())
     val multiSec = (System.nanoTime() - multiT0) / 1e9
     // memory-bandwidth leg: all threads sum disjoint contiguous chunks of
-    // the shared array, 4 passes — fixed 512 MB of DRAM traffic total
-    val arr = memArr
-    val chunk = arr.length / threads
-    // untimed single-thread warm pass: JIT-compiles the sum loop (and
-    // faults the array in on the first probe) so the timed value prices
-    // DRAM bandwidth, not compilation — the first probe of the JVM
-    // otherwise reads ~10× slow and fakes a phase
-    locally {
-      var s = 0L; var i = 0
-      while (i < arr.length) { s += arr(i); i += 1 }
-      // net-zero sink: consumes s (no dead-code elimination of the warm
-      // loop) without perturbing the deterministic checksum
-      sinks.addAndGet(s); sinks.addAndGet(-s)
+    // the shared array, 4 passes — fixed 512 MB of DRAM traffic total.
+    // sumChunk is ONE method shared by the warm and timed passes: the
+    // first probe of the JVM otherwise times an interpreted loop (~16×
+    // slow, measured) and fakes a memory phase that isn't there.
+    def sumChunk(t: Int, passes: Int): Long = {
+      val arr = memArr
+      val chunk = arr.length / threads
+      var pass = 0
+      var s = 0L
+      while (pass < passes) {
+        var i = t * chunk
+        val end = if (t == threads - 1) arr.length else (t + 1) * chunk
+        while (i < end) { s += arr(i); i += 1 }
+        pass += 1
+      }
+      s
     }
-    val memT0 = System.nanoTime()
-    val tsm = (0 until threads).map { t =>
-      val th = new Thread(() => {
-        var pass = 0
-        var s = 0L
-        while (pass < 4) {
-          var i = t * chunk
-          val end = if (t == threads - 1) arr.length else (t + 1) * chunk
-          while (i < end) { s += arr(i); i += 1 }
-          pass += 1
-        }
-        sinks.addAndGet(s)
-      })
-      th.start(); th
+    def memPass(timed: Boolean): Double = {
+      val t0 = System.nanoTime()
+      val tsm = (0 until threads).map { t =>
+        val th = new Thread(() => {
+          val s = sumChunk(t, 4)
+          // warm pass sinks net-zero so the deterministic checksum holds
+          if (timed) sinks.addAndGet(s)
+          else { sinks.addAndGet(s); sinks.addAndGet(-s) }
+        })
+        th.start(); th
+      }
+      tsm.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
     }
-    tsm.foreach(_.join())
-    val memSec = (System.nanoTime() - memT0) / 1e9
+    memPass(timed = false) // untimed JIT/page warm of the identical path
+    val memSec = memPass(timed = true)
     def r4(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     // checksum defeats dead-code elimination and pins the workload identity
     println(s"""{"metric":"throttle_probe","phase":"$phase","single_sec":${r4(singleSec)},"multi_sec":${r4(multiSec)},"mem_multi_sec":${r4(memSec)},"threads":$threads,"iters":$iters,"checksum":${sinks.get()}}""")
