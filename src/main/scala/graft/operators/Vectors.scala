@@ -582,8 +582,9 @@ object Vectors {
     val n = Tables.embeddingsCount(spark, sfDir)
     val useBits = if (bits > 0) bits else Lsh.deriveBits(n, Lsh.PairTargetBucket)
     val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/embeddings.parquet")
+    val files = math.min(8, spark.sparkContext.defaultParallelism)
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:pairposts:agg:$tables:$useBits:v${Index.LayoutVersion}")
+      s"$sfDir:$srcMtime:pairposts:agg:p$files:$tables:$useBits:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-pairposts-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
@@ -597,6 +598,15 @@ object Vectors {
       Lsh.explodeHashes(Lsh.withHashes(spark, emb, model))
         .groupBy(col("tbl"), col("hash"))
         .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+        // Fixed-count repartition (NOT coalescible): mining scans every
+        // bucket and fans each into C(|bucket|,2) generated pairs, so scan
+        // splits ARE the pair stage's parallelism — AQE's size-based
+        // coalescing sees a few hundred KB of arrays, packs them into ONE
+        // file, and the whole Σ bucket² generation runs single-task. 8 =
+        // the heavy-kernel file-count policy (Tables.ensureIngested); at
+        // deployment scale bucket bytes dominate and files size to
+        // maxPartitionBytes as usual.
+        .repartition(files, col("tbl"), col("hash"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(dir.getAbsolutePath)
     }
