@@ -58,7 +58,14 @@ object Readers {
     relMemo.clear()
     artifactMemo.clear()
     probeMemo.clear()
+    Plans.clear() // prepared plans hold resolved relations of the old epoch
   }
+
+  /** Key builder for caches that follow this registry's (session, epoch)
+    * invalidation discipline without living in it — [[Plans]].
+    */
+  private[graft] def planKey(spark: SparkSession, extra: String): String =
+    keyOf(spark, "", extra)
 
   /** Current invalidation epoch — for external caches that key by it. */
   def epochNow: Long = epoch.get()

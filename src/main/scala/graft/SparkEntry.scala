@@ -23,8 +23,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Knn.lshTopKIndexed(spark, "/root/testdata/sf0.001", queryMaxId = 1, k1 = 100, k2 = 10)
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Every entry is served through the PREPARED-QUERY cache
+    * ([[graft.Plans]]): a repeated (session, query, sfDir) invocation
+    * re-executes the already-analyzed plan instead of re-paying ~12–17 ms
+    * of Catalyst analysis per call — the statement-cache behavior of the
+    * serving engine this library re-expresses. Builds that pin blocks are
+    * auto-excluded and lifecycle bumps invalidate; see the Plans scaladoc.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (n, f) =>
+      n -> ((s: SparkSession, d: String) => graft.Plans.cached(n, s, d)(f(s, d)))
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ Text.all ++ Events.all ++ Vectors.all ++ Media.all ++
       AsOf.all ++ Sources.all ++ Stats.all ++ Retrieval.all ++ Pq.all ++
       Sketches.all ++ Components.all ++ Bpe.all ++ Curation.all ++ Audit.all ++

@@ -39,10 +39,20 @@ object Materialize {
   private val pinnedFrames =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
+  /** Monotone count of [[stable]] calls this JVM — lets a caller detect
+    * "did building this frame pin anything?" ([[graft.Plans]] refuses to
+    * cache such plans: their blocks are drained by the harness'
+    * releaseAll() between queries, and a cached plan over released
+    * checkpoint blocks fails on re-execution).
+    */
+  private val pinCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  def pinCount: Long = pinCounter.get()
+
   /** Pin a frame; `eager` forces materialization now (otherwise the
     * caller's first action does).
     */
   def stable(df: DataFrame, eager: Boolean = false): DataFrame = {
+    pinCounter.incrementAndGet()
     val p =
       if (reliable(df.sparkSession)) {
         val d = df.persist(StorageLevel.DISK_ONLY)
