@@ -55,7 +55,7 @@ object Bench {
     * ACROSS runs (same fixed traffic), so `mem_multi_sec(recorded) /
     * mem_multi_sec(canonical)` prices that second phase dimension.
     */
-  private def throttleProbe(phase: String, threads: Int): (Double, Double, Double) = {
+  private def throttleProbe(phase: String, threads: Int): (Double, Double, Double, Double) = {
     val iters = 120000000L // ~0.25 s single-thread on this host class
     val singleT0 = System.nanoTime()
     val sink1 = mixLoop(1L, iters)
@@ -102,10 +102,37 @@ object Bench {
     }
     memPass(timed = false) // untimed JIT/page warm of the identical path
     val memSec = memPass(timed = true)
+    // filesystem-metadata leg: the artifact store lives on the sandbox tmp
+    // fs, whose metadata latency has its own phases (BASELINE.md: ~60 ms/
+    // file commit costs measured at build time; an r10 session saw two
+    // runs drift 11% with BOTH cpu and mem legs flat — I/O is the
+    // remaining unpriced dimension). Fixed work: 64 create+write+stat+
+    // read+delete cycles of 4 KB files in a private tmp dir, single
+    // thread (metadata ops don't parallelize on this fs). One untimed
+    // warm cycle JITs the path.
+    val ioDir = java.nio.file.Files.createTempDirectory("graft-ioprobe-")
+    def ioCycle(i: Int): Long = {
+      val f = ioDir.resolve(s"p$i")
+      val payload = new Array[Byte](4096)
+      java.util.Arrays.fill(payload, (i & 0x7f).toByte)
+      java.nio.file.Files.write(f, payload)
+      val sz = java.nio.file.Files.size(f)
+      val back = java.nio.file.Files.readAllBytes(f)
+      java.nio.file.Files.delete(f)
+      sz + back(0)
+    }
+    ioCycle(0) // warm
+    val ioT0 = System.nanoTime()
+    var ioAcc = 0L
+    var ioI = 1
+    while (ioI <= 64) { ioAcc += ioCycle(ioI); ioI += 1 }
+    val ioSec = (System.nanoTime() - ioT0) / 1e9
+    java.nio.file.Files.delete(ioDir)
+    sinks.addAndGet(ioAcc); sinks.addAndGet(-ioAcc) // consume, checksum-neutral
     def r4(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     // checksum defeats dead-code elimination and pins the workload identity
-    println(s"""{"metric":"throttle_probe","phase":"$phase","single_sec":${r4(singleSec)},"multi_sec":${r4(multiSec)},"mem_multi_sec":${r4(memSec)},"threads":$threads,"iters":$iters,"checksum":${sinks.get()}}""")
-    (singleSec, multiSec, memSec)
+    println(s"""{"metric":"throttle_probe","phase":"$phase","single_sec":${r4(singleSec)},"multi_sec":${r4(multiSec)},"mem_multi_sec":${r4(memSec)},"io_sec":${r4(ioSec)},"threads":$threads,"iters":$iters,"checksum":${sinks.get()}}""")
+    (singleSec, multiSec, memSec, ioSec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -166,7 +193,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Host-phase probe #1 (see throttleProbe): prices the CPU phase the
     // timed loop below is about to run in.
-    val (preSingle, preMulti, preMem) = throttleProbe("pre", cpus.toInt)
+    val (preSingle, preMulti, preMem, preIo) = throttleProbe("pre", cpus.toInt)
     // Untimed warmup: JVM/codegen/parquet-reader initialization shouldn't be
     // attributed to whichever query happens to run first.
     locally {
@@ -346,7 +373,7 @@ object Bench {
     // timed region — a phase can begin or end mid-run) so both probe pairs
     // can be embedded in the per-query file below for BenchDiff's
     // phase-normalized totals.
-    val (postSingle, postMulti, postMem) = throttleProbe("post", cpus.toInt)
+    val (postSingle, postMulti, postMem, postIo) = throttleProbe("post", cpus.toInt)
     // The driver captures a bounded (~4 KB) TAIL of stdout, which truncated
     // the old single ~5 KB per-query line mid-pair every round (BENCH_r05
     // kept ~50 of 171 pairs, unparseable head). Three-part answer:
@@ -372,8 +399,8 @@ object Bench {
       // can print phase-NORMALIZED totals and attribute timed-vs-ingest
       // cost movement without hunting the (tail-clipped) stdout capture.
       val meta = s""""ingest_sec":${r4(ingestSec)},""" +
-        s""""probe_pre_single":${r4(preSingle)},"probe_pre_multi":${r4(preMulti)},"probe_pre_mem":${r4(preMem)},""" +
-        s""""probe_post_single":${r4(postSingle)},"probe_post_multi":${r4(postMulti)},"probe_post_mem":${r4(postMem)},"""
+        s""""probe_pre_single":${r4(preSingle)},"probe_pre_multi":${r4(preMulti)},"probe_pre_mem":${r4(preMem)},"probe_pre_io":${r4(preIo)},""" +
+        s""""probe_post_single":${r4(postSingle)},"probe_post_multi":${r4(postMulti)},"probe_post_mem":${r4(postMem)},"probe_post_io":${r4(postIo)},"""
       val full = pairs.mkString(
         s"""{"metric":"queries","unit":"sec","reps":$reps,"sf":"$sfDir"$errObj,$meta"queries":{""",
         ",", "}}\n")

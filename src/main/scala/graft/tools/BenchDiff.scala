@@ -137,6 +137,19 @@ object BenchDiff {
       case _ =>
         println("normalized total (mem): n/a (a side lacks the r10+ mem probe)")
     }
+    // IO leg: context only (tmp-fs metadata latency hits listing/commit
+    // paths, not uniformly) — a big io ratio explains drift the cpu/mem
+    // legs can't.
+    def meanIo(j: String): Option[Double] =
+      (scalar(j, "probe_pre_io"), scalar(j, "probe_post_io")) match {
+        case (Some(a), Some(b)) => Some((a + b) / 2)
+        case _ => None
+      }
+    (meanIo(oldJson), meanIo(newJson)) match {
+      case (Some(oi), Some(ni)) if oi > 0 && ni > 0 =>
+        println(f"io probe: old $oi%.3f s -> new $ni%.3f s (ratio ${ni / oi}%.2f)")
+      case _ => ()
+    }
     // Untimed-ingest attribution: a gate switched from live computation to
     // probing a prebuilt artifact moves cost from the timed total into the
     // ingest block — this line keeps cross-round totals apples-to-apples.
