@@ -776,11 +776,100 @@ object Vectors {
           s"($maxBroadcastBytes bytes ≈ $maxRows centroids at $dim-d): the " +
           "BNLJ assignment would broadcast k×dim×4 B to every executor. " +
           "Remedies: raise targetCellSize (fewer, coarser cells), pass an " +
-          "explicit smaller k, or implement hierarchical assignment " +
-          "(coarse-quantize the centroids, assign in two hops).")
+          "explicit smaller k, or assign in two hops via " +
+          "Vectors.assignCellsHierarchical (coarse-quantized centroids; " +
+          "exact at nprobe=coarseK, IVF-approximate below it).")
     }
     emb.select(col("vec_id"), col("embedding"))
       .join(broadcast(cents))
+      .select(
+        col("vec_id"), col("embedding"), col("cell"),
+        VectorExpressions.l2sq(col("embedding"), col("centroid")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(
+        struct(col("embedding"), col("cell")),
+        struct(col("d2"), col("cell"))).as("best"))
+      .select(
+        col("vec_id"),
+        col("best.embedding").as("embedding"),
+        col("best.cell").as("cell"))
+  }
+
+  /** TWO-HOP (hierarchical / IVF-over-the-centroids) cell assignment — the
+    * past-broadcast-budget path [[assignCellsWithTable]]'s refusal names.
+    * When k×dim no longer fits an executor broadcast
+    * ([[CentroidBroadcastMaxBytes]]), no formulation can put every vector
+    * next to every centroid cheaply; the standard answer is to quantize
+    * the CENTROIDS themselves:
+    *
+    *   1. coarse seeds: the first `coarseK` fine centroids by cell id —
+    *      a bounded coarseK×dim driver sample (the [[seedCentroidsTable]]
+    *      determinism, applied to the centroid table; nothing k-sized is
+    *      ever collected);
+    *   2. fine centroid → coarse cell: one broadcast-coarse assignment
+    *      over the k-row centroid TABLE (the [[assignCellsWithTable]]
+    *      kernel — its budget check passes by construction, coarseK is
+    *      chosen to fit);
+    *   3. vector → its `nprobe` nearest coarse cells: broadcast-coarse
+    *      BNLJ + per-vector sorted top-nprobe (collect_list is bounded by
+    *      coarseK per vector, then sliced — no window over the pair
+    *      stream);
+    *   4. candidate join on the coarse cell — the ONLY shuffle whose width
+    *      scales with N (N×nprobe probe rows meet the k fine rows,
+    *      E[fines per coarse] = k/coarseK) — then the same bitwise argmin
+    *      (`min_by` over ([[VectorExpressions.l2sq]], cell) structs).
+    *
+    * EXACTNESS CONTRACT: with `nprobe = coarseK` every fine centroid is a
+    * candidate for every vector, so the assignment is BITWISE equal to the
+    * flat [[assignCellsWithTable]] (VectorsSpec pins it). With
+    * `nprobe < coarseK` it is the standard IVF approximation — a vector
+    * whose true nearest fine centroid lives in an unprobed coarse cell
+    * mis-assigns to its best probed candidate; the spec measures the
+    * agreement rate on the fixtures. Callers own the operating point —
+    * the engine never routes to an approximation silently.
+    */
+  def assignCellsHierarchical(
+      emb: DataFrame,
+      cents: DataFrame,
+      coarseK: Int = 256,
+      nprobe: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // 1. bounded coarse seed sample (coarseK rows; deterministic by cell id)
+    val coarseSeed = cents.orderBy(col("cell")).limit(coarseK)
+      .select(col("cell").as("ccell"), col("centroid").as("ccentroid"))
+    // 2. fine centroid -> coarse cell (broadcast coarse, map-side argmin —
+    //    the assignCellsWithTable kernel shape over (cell, centroid) rows)
+    val fineToCoarse = cents
+      .join(broadcast(coarseSeed))
+      .select(col("cell"), col("centroid"),
+        VectorExpressions.l2sq(col("centroid"), col("ccentroid")).as("d2"),
+        col("ccell"))
+      .groupBy(col("cell"))
+      .agg(min_by(struct(col("centroid"), col("ccell")),
+        struct(col("d2"), col("ccell"))).as("best"))
+      .select(col("best.ccell").as("ccell"), col("cell"),
+        col("best.centroid").as("centroid"))
+    // 3. vector -> nprobe nearest coarse cells (per-vector sorted slice of
+    //    the coarseK candidates; array_sort on (d2, ccell) structs keeps
+    //    the tie-break deterministic)
+    val probes = emb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(coarseSeed))
+      .select(col("vec_id"), col("embedding"),
+        struct(
+          VectorExpressions.l2sq(col("embedding"), col("ccentroid")).as("d2"),
+          col("ccell")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("embedding")).as("embedding"),
+        slice(array_sort(collect_list(col("cand"))), 1, nprobe).as("probed"))
+      .select(col("vec_id"), col("embedding"),
+        explode(col("probed")).as("p"))
+      .select(col("vec_id"), col("embedding"), col("p.ccell").as("ccell"))
+    // 4. candidate fine centroids via the coarse-cell equi-join, then the
+    //    bitwise (d2, cell) argmin across ALL probed candidates per vector
+    probes
+      .join(fineToCoarse, "ccell")
       .select(
         col("vec_id"), col("embedding"), col("cell"),
         VectorExpressions.l2sq(col("embedding"), col("centroid")).as("d2"))

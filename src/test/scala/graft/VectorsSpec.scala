@@ -374,6 +374,32 @@ class VectorsSpec extends SparkSpec {
     graft.operators.Materialize.releaseAll()
   }
 
+  test("hierarchical assignment: exact at nprobe=coarseK; IVF-approximate below") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = Vectors.seedCentroidsTable(emb, 32)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val flat = pairs(Vectors.assignCellsWithTable(emb, cents))
+    // probing every coarse cell makes every fine centroid a candidate —
+    // the two formulations must agree bitwise (same l2sq, same tie-break)
+    val full = pairs(Vectors.assignCellsHierarchical(emb, cents, coarseK = 4, nprobe = 4))
+    assert(full == flat, "nprobe = coarseK must reproduce flat assignment exactly")
+    // sub-full nprobe is the standard IVF approximation: still a total
+    // assignment (every vector exactly one cell), agreement MEASURED, not
+    // assumed — random unit vectors are the worst case for any coarse
+    // geometry (measured on this fixture: 0.47 at nprobe=1/4, 0.78 at
+    // nprobe=2/4; floors at measured−0.1, the RecallFloors discipline)
+    val probe1 = pairs(Vectors.assignCellsHierarchical(emb, cents, coarseK = 4, nprobe = 1))
+    assert(probe1.keySet == flat.keySet, "approximation must still cover every vector")
+    def agree(m: Map[Long, Long]) = flat.count { case (v, c) => m(v) == c }.toDouble / flat.size
+    assert(agree(probe1) >= 0.37, s"nprobe=1 agreement ${agree(probe1)} collapsed")
+    val probe2 = pairs(Vectors.assignCellsHierarchical(emb, cents, coarseK = 4, nprobe = 2))
+    assert(agree(probe2) >= agree(probe1) - 1e-9,
+      "agreement must not degrade as nprobe grows")
+    assert(agree(probe2) >= 0.68, s"nprobe=2 agreement ${agree(probe2)} below floor")
+    graft.operators.Materialize.releaseAll()
+  }
+
   test("lsh near-dup pairs: persisted-postings path equals the inline path") {
     // The q63 gate probes ensurePairPostings; the artifact must be a pure
     // re-expression of the inline pipeline — row-identical output,
