@@ -367,7 +367,7 @@ class VectorsSpec extends SparkSpec {
       Vectors.assignCellsWithTable(emb, cents, maxBroadcastBytes = tiny).count()
     }
     assert(e.getMessage.contains("broadcast budget"))
-    assert(e.getMessage.contains("hierarchical"), "refusal must name the remedy")
+    assert(e.getMessage.contains("assignCellsHierarchical"), "refusal must name the remedy")
     // and the same table passes under the default budget — the gate is a
     // valve, not a behavior change below it
     assert(Vectors.assignCellsWithTable(emb, cents).count() == emb.count())
