@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The snapshot parser behind `tools/BenchDiff` — adjudication-critical
+  * since r10 (probe-normalized totals and ingest attribution are read from
+  * the committed per-query files): the shapes Bench writes must parse, and
+  * pre-r10 snapshots without the embedded fields must degrade to None.
+  */
+class BenchDiffSpec extends AnyFunSuite {
+
+  private val r10Snapshot =
+    """{"metric":"queries","unit":"sec","reps":3,"sf":"/x","ingest_sec":7.1234,""" +
+      """"probe_pre_single":0.5011,"probe_pre_multi":0.6262,"probe_pre_mem":0.0137,"probe_pre_io":0.0091,""" +
+      """"probe_post_single":0.4996,"probe_post_multi":0.6204,"probe_post_mem":0.0153,"probe_post_io":0.0049,""" +
+      """"queries":{"q01_a":0.1234,"q02_b":1.5,"q03_c":2.0E-2}}"""
+
+  private val r9Snapshot =
+    """{"metric":"queries","unit":"sec","reps":3,"sf":"/x","errors":{"q09_x":"boom"},""" +
+      """"queries":{"q01_a":0.2,"q09_x":0.1}}"""
+
+  test("parses the r10 shape: queries, probes, ingest") {
+    val (q, err) = BenchDiff.parse(r10Snapshot)
+    assert(q == Map("q01_a" -> 0.1234, "q02_b" -> 1.5, "q03_c" -> 0.02))
+    assert(err.isEmpty)
+    assert(BenchDiff.scalar(r10Snapshot, "ingest_sec").contains(7.1234))
+    assert(BenchDiff.scalar(r10Snapshot, "probe_pre_multi").contains(0.6262))
+    assert(BenchDiff.scalar(r10Snapshot, "probe_post_io").contains(0.0049))
+  }
+
+  test("parses the pre-r10 shape: errors surface, missing scalars are None") {
+    val (q, err) = BenchDiff.parse(r9Snapshot)
+    assert(q.keySet == Set("q01_a", "q09_x"))
+    assert(err == Set("q09_x"))
+    assert(BenchDiff.scalar(r9Snapshot, "probe_pre_multi").isEmpty)
+    assert(BenchDiff.scalar(r9Snapshot, "ingest_sec").isEmpty)
+  }
+
+  test("the committed canonical map parses and carries the r10 fields") {
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("bench_per_query.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val (q, err) = BenchDiff.parse(json)
+    assert(q.size >= 200, s"committed map lost queries: ${q.size}")
+    assert(err.isEmpty, s"committed map must not carry errors: $err")
+    Seq("ingest_sec", "probe_pre_multi", "probe_post_multi",
+      "probe_pre_mem", "probe_post_mem", "probe_pre_io", "probe_post_io")
+      .foreach { k =>
+        assert(BenchDiff.scalar(json, k).nonEmpty,
+          s"committed map lacks $k — re-record with the current Bench")
+      }
+  }
+}
