@@ -583,8 +583,11 @@ object Vectors {
     val useBits = if (bits > 0) bits else Lsh.deriveBits(n, Lsh.PairTargetBucket)
     val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/embeddings.parquet")
     val files = math.min(8, spark.sparkContext.defaultParallelism)
+    // :bcap — the build-time bucket cap is part of the artifact's identity
+    // (an uncapped above-ceiling artifact from an older build must never
+    // serve a reader that assumes pre-capped rows)
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:pairposts:agg:p$files:$tables:$useBits:v${Index.LayoutVersion}")
+      s"$sfDir:$srcMtime:pairposts:agg:bcap:p$files:$tables:$useBits:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-pairposts-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
@@ -595,7 +598,21 @@ object Vectors {
       // the pair generator ([[minePairsFromBuckets]]) then runs exchange-
       // free over whatever splits the artifact scan yields. sort_array
       // makes the per-bucket order (and so the capped prefix) deterministic.
-      Lsh.explodeHashes(Lsh.withHashes(spark, emb, model))
+      // Artifact buckets are pre-capped with the SAME valve the mining
+      // tail applies ([[Skew.capBuckets]], keep-cap-smallest, BEFORE the
+      // aggregate so the collect_list buffer is bounded too): past the
+      // width ceiling a degenerate bucket would otherwise persist as one
+      // unbounded multi-MB array row — a per-task memory spike at build
+      // AND read time for ids the miner is contractually going to slice
+      // off anyway. Below the ceiling (every gate fixture) the cap is 0
+      // and this is the identity. Explicit-bits callers own their
+      // operating point and keep uncapped artifacts (autoCap derives only
+      // for bits == 0); the mining-side slice stays as a second, now
+      // idempotent, application of the same contract.
+      val buildCap = if (bits > 0) 0 else Lsh.autoBucketCap(n, Lsh.PairTargetBucket)
+      val posts0 = Lsh.explodeHashes(Lsh.withHashes(spark, emb, model))
+      val posts = if (buildCap > 0) Skew.capBuckets(posts0, buildCap) else posts0
+      posts
         .groupBy(col("tbl"), col("hash"))
         .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
         // Fixed-count repartition (NOT coalescible): mining scans every
@@ -833,6 +850,14 @@ object Vectors {
       cents: DataFrame,
       coarseK: Int = 256,
       nprobe: Int = 8): DataFrame = {
+    // coarseK bounds BOTH the driver seed sample and the per-vector
+    // candidate buffer in step 3 (collect_list of coarseK structs) — cap
+    // it where those budgets stay trivially safe. √k is the standard
+    // choice; 65536 × (8 B + dim floats) is already generous.
+    require(coarseK >= 1 && coarseK <= 65536,
+      s"coarseK=$coarseK out of range [1, 65536]: it is collected driver-side " +
+        "and buffered per vector in the probe stage — pick ~sqrt(k)")
+    require(nprobe >= 1, s"nprobe=$nprobe must be >= 1")
     val spark = emb.sparkSession
     import spark.implicits._
     // 1. bounded coarse seed sample (coarseK rows; deterministic by cell id)
