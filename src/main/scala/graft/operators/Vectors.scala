@@ -587,7 +587,7 @@ object Vectors {
     // (an uncapped above-ceiling artifact from an older build must never
     // serve a reader that assumes pre-capped rows)
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:pairposts:agg:bcap:p$files:$tables:$useBits:v${Index.LayoutVersion}")
+      s"$sfDir:$srcMtime:pairposts:agg:bcap2:p$files:$tables:$useBits:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-pairposts-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
@@ -615,15 +615,23 @@ object Vectors {
       posts
         .groupBy(col("tbl"), col("hash"))
         .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-        // Fixed-count repartition (NOT coalescible): mining scans every
-        // bucket and fans each into C(|bucket|,2) generated pairs, so scan
-        // splits ARE the pair stage's parallelism — AQE's size-based
-        // coalescing sees a few hundred KB of arrays, packs them into ONE
-        // file, and the whole Σ bucket² generation runs single-task. 8 =
-        // the heavy-kernel file-count policy (Tables.ensureIngested); at
+        // Fixed-count RANGE repartition: mining scans every bucket and
+        // fans each into C(|bucket|,2) generated pairs, so scan splits ARE
+        // the pair stage's parallelism — AQE's size-based coalescing sees
+        // a few hundred KB of arrays, packs them into ONE file, and the
+        // whole Σ bucket² generation runs single-task. 8 = the
+        // heavy-kernel file-count policy (Tables.ensureIngested); at
         // deployment scale bucket bytes dominate and files size to
-        // maxPartitionBytes as usual.
-        .repartition(files, col("tbl"), col("hash"))
+        // maxPartitionBytes as usual. RANGE, not hash: when the session's
+        // shuffle.partitions equals `files`, a hash repartition on the
+        // grouping keys is canonically REDUNDANT with the aggregate's own
+        // exchange — the optimizer elides it and AQE then coalesces the
+        // tiny agg exchange to one partition (observed: a 1-file artifact
+        // and q63 back to single-task, 0.24 → 0.86 s). Range partitioning
+        // is never satisfied by the hash exchange, so the layout shuffle
+        // survives at exactly `files` output partitions, and the
+        // (tbl, hash)-sorted files carry min/max stats for free.
+        .repartitionByRange(files, col("tbl"), col("hash"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(dir.getAbsolutePath)
     }
