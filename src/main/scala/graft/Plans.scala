@@ -37,8 +37,9 @@ import org.apache.spark.sql.DataFrame
   *   - [[Readers.bump]] clears this cache (the key also carries the epoch,
   *     so a stale entry is unreachable even mid-race): every lifecycle
   *     mutation re-prepares, the same staleness contract as the relation
-  *     memo. A fixture rewritten WITHIN a session without a bump serves
-  *     the prepared plan (bump-is-primary, documented at [[Readers]]).
+  *     memo. The key additionally carries every fixture's mtime, so a
+  *     fixture regenerated within a session re-prepares WITHOUT a bump
+  *     (PlansSpec pins it).
   */
 object Plans {
 
@@ -48,7 +49,15 @@ object Plans {
 
   def cached(name: String, spark: org.apache.spark.sql.SparkSession, sfDir: String)(
       build: => DataFrame): DataFrame = {
-    val key = Readers.planKey(spark, s"$name:$sfDir")
+    // The key carries every fixture's mtime (10 local stats, ~26 µs each):
+    // a fixture regenerated WITHIN a session re-prepares without a bump —
+    // the same per-call freshness the relation memo's fixture keys give,
+    // lifted to the whole prepared plan (whose ensure* artifact paths were
+    // resolved at build time and would otherwise go stale together).
+    val fixtures = Tables.names
+      .map(t => Tables.fixtureMtime(spark, s"$sfDir/$t.parquet"))
+      .mkString(",")
+    val key = Readers.planKey(spark, s"$name:$sfDir:$fixtures")
     val hit = memo.get(key)
     if (hit != null) hit
     else {
