@@ -191,6 +191,11 @@ object Bench {
       }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // PREPARED-instance reuse is opt-in (Plans scaladoc): the bench
+    // qualifies — every served frame is executed standalone and pins are
+    // drained between queries — and opts in so reps 2..3 measure prepared
+    // re-execution, the serving-engine behavior BASELINE.md documents.
+    graft.Plans.enableInstanceReuse()
     // Host-phase probe #1 (see throttleProbe): prices the CPU phase the
     // timed loop below is about to run in.
     val (preSingle, preMulti, preMem, preIo) = throttleProbe("pre", cpus.toInt)
@@ -218,86 +223,99 @@ object Bench {
     // Note the ensure* calls are build-once caches: on a warm tmp dir the
     // ingest line reports (cheap) cache validation, on a cold one the real
     // build — BASELINE.md documents both readings.
+    // Per-artifact wall time is recorded alongside the block total and
+    // embedded in bench_per_query.json ("ingest_parts"), so BenchDiff can
+    // attribute round-over-round drift in UNTIMED work to the artifact that
+    // moved, the way it attributes query movers (r10 did this with a manual
+    // tools/IndexTiming run). Each build gets its own try: one failed
+    // artifact no longer skips the rest — failures still surface in the
+    // queries that need the artifact, same as before.
+    val ingestParts = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def ingest(name: String)(body: => Any): Unit = {
+      val t0 = System.nanoTime()
+      try body catch { case _: Throwable => () }
+      ingestParts(name) = (System.nanoTime() - t0) / 1e9
+    }
     val ingestT0 = System.nanoTime()
-    try {
-      // Base-table ingest layouts first (Tables.ensureIngested): the
-      // re-layout of each fixture into splittable per-core files is
-      // lifecycle work like every ensure* below; the count also warms the
-      // session's shared file-listing cache per layout.
+    // Base-table ingest layouts first (Tables.ensureIngested): the
+    // re-layout of each fixture into splittable per-core files is
+    // lifecycle work like every ensure* below; the count also warms the
+    // session's shared file-listing cache per layout.
+    ingest("table_layouts") {
       graft.Tables.names.foreach { t =>
         graft.Tables.load(spark, sfDir, t).count()
       }
-      graft.operators.Index.ensure(spark, sfDir)
-      graft.operators.Vectors.ensureIvfIndex(spark, sfDir)
-      graft.operators.Pq.ensurePqIndex(spark, sfDir)
-      graft.operators.Pq.ensureSqIndex(spark, sfDir)
-      graft.operators.Pq.ensureIvfPqIndex(spark, sfDir)
-      graft.operators.Pq.ensureBqIndex(spark, sfDir)
-      // The persisted near-dup pairs stage output (q78 derives survivors
-      // from it) — same prebuilt-artifact methodology as the indexes; the
-      // detection pipeline itself is timed live as q77.
-      graft.operators.Text.ensureShinglePairs(spark, sfDir)
-      // Pair-mining posting artifact — q63 probes it (hash-once-at-ingest);
-      // the inline no-index path stays spec-pinned identical.
-      graft.operators.Vectors.ensurePairPostings(spark, sfDir)
-      // Perceptual-hash signature store — q161 probes it (payloads hashed
-      // once per corpus lifetime, not once per mining run).
-      graft.operators.Media.ensurePhashStore(spark, sfDir)
-      // q101's stage artifacts: the cleaning survivor set and the
-      // decontamination verdict (stage outputs a real pipeline persists);
-      // the stages themselves are timed live as q83 / q80.
-      graft.operators.Text.ensureCleanSurvivors(spark, sfDir)
-      graft.operators.Text.ensureContaminatedIds(spark, sfDir)
-      // q193's removal map — detection runs live as q192; the rewrite gate
-      // derives from the persisted map (the q114/q174 discipline).
-      graft.operators.Text.ensureLineRemovals(spark, sfDir)
-      // The persisted duplicated-window hit table (q174's cut list derives
-      // from it) — detect once, emit both reports; the detection pipeline
-      // itself is timed live as q114.
-      graft.operators.Text.ensureSpanHits(spark, sfDir)
-      // Corpus span store — ingest-time window hashing; q194 measures the
-      // per-delivery duplicated-span probe.
-      graft.operators.Text.ensureSpanStore(spark, sfDir)
-      // Corpus line dictionary — ingest-time line hashing; q195 measures
-      // the per-delivery cross-doc line-dedup probe.
-      graft.operators.Text.ensureLineDictStore(spark, sfDir)
-      // Corpus novelty gram store — ingest-time gram hashing; q208 measures
-      // the per-delivery gram-novelty probe.
-      graft.operators.Text.ensureNoveltyGramStore(spark, sfDir)
-      // Corpus vocabulary store — the term dictionary is an ingest-time
-      // artifact; q143/q144/q154/q157 measure dictionary-probe latency.
-      graft.operators.Retrieval.ensureVocabStore(spark, sfDir)
-      // Positional postings store — the inverted index's phrase half;
-      // q159 measures posting-list intersection latency. r10: the lexical
-      // scoring family (q61/q62/q146/q152/q154/q165/q167/q168/q88) also
-      // serves its tf/df legs from it — index-served retrieval end to end.
-      graft.operators.Retrieval.ensurePostingsStore(spark, sfDir)
-      // Doc-norms store (ES norms): BM25's length legs read it instead of
-      // re-tokenizing the corpus per query.
-      graft.operators.Retrieval.ensureNormsStore(spark, sfDir)
-      // Fitted k-means model (q84/q85 share it) — model TRAINING is a
-      // lifecycle step like index builds; searches/analytics are what the
-      // queries time.
-      graft.operators.Vectors.kmeansModel(spark, sfDir)
-      // BPE tokenizer training — a model fit like the k-means model above;
-      // q93 reads the learned merge table.
-      graft.operators.Bpe.trainCached(spark, sfDir)
-      // Corpus digest store — ingest-time hashing is a lifecycle step like
-      // the index builds; q107 measures the per-delivery increment probe.
-      graft.operators.Text.ensureDigestStore(spark, sfDir)
-      // Corpus band store — ingest-time signing; q109 measures the
-      // per-delivery near-dup probe.
-      graft.operators.Text.ensureBandStore(spark, sfDir)
-      // Corpus cell store — ingest-time fit + cell assignment; q110
-      // measures the per-delivery semantic probe.
-      graft.operators.Vectors.ensureCellStore(spark, sfDir)
-      // Eval gram store — suite registration-time hashing; q113 measures
-      // the per-delivery decontamination probe.
-      graft.operators.Text.ensureGramStore(spark, sfDir)
-      // Cluster label store — ingest-time corpus clustering; q115 measures
-      // the per-delivery collapsed-graph increment.
-      graft.operators.Components.ensureLabelStore(spark, sfDir)
-    } catch { case _: Throwable => () }
+    }
+    ingest("lsh_index") { graft.operators.Index.ensure(spark, sfDir) }
+    ingest("ivf_index") { graft.operators.Vectors.ensureIvfIndex(spark, sfDir) }
+    ingest("pq_index") { graft.operators.Pq.ensurePqIndex(spark, sfDir) }
+    ingest("sq_index") { graft.operators.Pq.ensureSqIndex(spark, sfDir) }
+    ingest("ivfpq_index") { graft.operators.Pq.ensureIvfPqIndex(spark, sfDir) }
+    ingest("bq_index") { graft.operators.Pq.ensureBqIndex(spark, sfDir) }
+    // The persisted near-dup pairs stage output (q78 derives survivors
+    // from it) — same prebuilt-artifact methodology as the indexes; the
+    // detection pipeline itself is timed live as q77.
+    ingest("shingle_pairs") { graft.operators.Text.ensureShinglePairs(spark, sfDir) }
+    // Pair-mining posting artifact — q63 probes it (hash-once-at-ingest);
+    // the inline no-index path stays spec-pinned identical.
+    ingest("pair_postings") { graft.operators.Vectors.ensurePairPostings(spark, sfDir) }
+    // Perceptual-hash signature store — q161 probes it (payloads hashed
+    // once per corpus lifetime, not once per mining run).
+    ingest("phash_store") { graft.operators.Media.ensurePhashStore(spark, sfDir) }
+    // q101's stage artifacts: the cleaning survivor set and the
+    // decontamination verdict (stage outputs a real pipeline persists);
+    // the stages themselves are timed live as q83 / q80.
+    ingest("clean_survivors") { graft.operators.Text.ensureCleanSurvivors(spark, sfDir) }
+    ingest("contaminated_ids") { graft.operators.Text.ensureContaminatedIds(spark, sfDir) }
+    // q193's removal map — detection runs live as q192; the rewrite gate
+    // derives from the persisted map (the q114/q174 discipline).
+    ingest("line_removals") { graft.operators.Text.ensureLineRemovals(spark, sfDir) }
+    // The persisted duplicated-window hit table (q174's cut list derives
+    // from it) — detect once, emit both reports; the detection pipeline
+    // itself is timed live as q114.
+    ingest("span_hits") { graft.operators.Text.ensureSpanHits(spark, sfDir) }
+    // Corpus span store — ingest-time window hashing; q194 measures the
+    // per-delivery duplicated-span probe.
+    ingest("span_store") { graft.operators.Text.ensureSpanStore(spark, sfDir) }
+    // Corpus line dictionary — ingest-time line hashing; q195 measures
+    // the per-delivery cross-doc line-dedup probe.
+    ingest("line_dict_store") { graft.operators.Text.ensureLineDictStore(spark, sfDir) }
+    // Corpus novelty gram store — ingest-time gram hashing; q208 measures
+    // the per-delivery gram-novelty probe.
+    ingest("novelty_gram_store") { graft.operators.Text.ensureNoveltyGramStore(spark, sfDir) }
+    // Corpus vocabulary store — the term dictionary is an ingest-time
+    // artifact; q143/q144/q154/q157 measure dictionary-probe latency.
+    ingest("vocab_store") { graft.operators.Retrieval.ensureVocabStore(spark, sfDir) }
+    // Positional postings store — the inverted index's phrase half;
+    // q159 measures posting-list intersection latency. r10: the lexical
+    // scoring family (q61/q62/q146/q152/q154/q165/q167/q168/q88) also
+    // serves its tf/df legs from it — index-served retrieval end to end.
+    ingest("postings_store") { graft.operators.Retrieval.ensurePostingsStore(spark, sfDir) }
+    // Doc-norms store (ES norms): BM25's length legs read it instead of
+    // re-tokenizing the corpus per query.
+    ingest("norms_store") { graft.operators.Retrieval.ensureNormsStore(spark, sfDir) }
+    // Fitted k-means model (q84/q85 share it) — model TRAINING is a
+    // lifecycle step like index builds; searches/analytics are what the
+    // queries time.
+    ingest("kmeans_model") { graft.operators.Vectors.kmeansModel(spark, sfDir) }
+    // BPE tokenizer training — a model fit like the k-means model above;
+    // q93 reads the learned merge table.
+    ingest("bpe_train") { graft.operators.Bpe.trainCached(spark, sfDir) }
+    // Corpus digest store — ingest-time hashing is a lifecycle step like
+    // the index builds; q107 measures the per-delivery increment probe.
+    ingest("digest_store") { graft.operators.Text.ensureDigestStore(spark, sfDir) }
+    // Corpus band store — ingest-time signing; q109 measures the
+    // per-delivery near-dup probe.
+    ingest("band_store") { graft.operators.Text.ensureBandStore(spark, sfDir) }
+    // Corpus cell store — ingest-time fit + cell assignment; q110
+    // measures the per-delivery semantic probe.
+    ingest("cell_store") { graft.operators.Vectors.ensureCellStore(spark, sfDir) }
+    // Eval gram store — suite registration-time hashing; q113 measures
+    // the per-delivery decontamination probe.
+    ingest("gram_store") { graft.operators.Text.ensureGramStore(spark, sfDir) }
+    // Cluster label store — ingest-time corpus clustering; q115 measures
+    // the per-delivery collapsed-graph increment.
+    ingest("label_store") { graft.operators.Components.ensureLabelStore(spark, sfDir) }
     val ingestSec = (System.nanoTime() - ingestT0) / 1e9
     try {
       val idx = graft.operators.Index.ensure(spark, sfDir)
@@ -342,6 +360,11 @@ object Bench {
     // two reps is near 1 — observed as 0.3-0.5s phantom "regressions" that
     // vanish on re-run; the third sample prices the engine, not the host.
     val reps = 3
+    // Counter window = exactly the timed loop, so the recorded hit/miss
+    // pair quantifies the statement cache's contribution to THIS run's
+    // numbers (rep 1 misses and pays first-call preparation; reps 2..N hit)
+    // rather than leaving it inferred from the methodology note.
+    graft.Plans.resetStats()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (_ <- 1 to reps) {
@@ -398,7 +421,15 @@ object Bench {
       // Probe pairs + ingest cost ride in the committed file so BenchDiff
       // can print phase-NORMALIZED totals and attribute timed-vs-ingest
       // cost movement without hunting the (tail-clipped) stdout capture.
-      val meta = s""""ingest_sec":${r4(ingestSec)},""" +
+      // "ingest_parts" breaks the untimed block down per artifact and
+      // "plan_cache_hits"/"plan_cache_misses" quantify the prepared-
+      // statement cache's share of the timed loop (reps×queries calls).
+      val (pcHits, pcMisses) = graft.Plans.stats
+      val partsObj = ingestParts
+        .map { case (k, v) => s"\"" + k + "\":" + r4(v) }
+        .mkString("\"ingest_parts\":{", ",", "},")
+      val meta = s""""ingest_sec":${r4(ingestSec)},""" + partsObj +
+        s""""plan_cache_hits":$pcHits,"plan_cache_misses":$pcMisses,""" +
         s""""probe_pre_single":${r4(preSingle)},"probe_pre_multi":${r4(preMulti)},"probe_pre_mem":${r4(preMem)},"probe_pre_io":${r4(preIo)},""" +
         s""""probe_post_single":${r4(postSingle)},"probe_post_multi":${r4(postMulti)},"probe_post_mem":${r4(postMem)},"probe_post_io":${r4(postIo)},"""
       val full = pairs.mkString(

@@ -28,7 +28,7 @@ import org.apache.spark.sql.types.StructType
   * instances, failing optimization with ATTRIBUTE_NOT_FOUND. Schemas are
   * immutable values; sharing them is safe by construction. Both read paths
   * reuse the resolved relation's immutable innards per key: FIXTURE reads
-  * ([[fixtureParquet]]) key by the file's mtime, MUTABLE layout reads
+  * ([[fixtureParquet]]) key by the file's (mtime, length), MUTABLE layout reads
   * ([[parquet]]) by the lifecycle epoch AND the layout dir's own mtime, so
   * appends/swaps re-resolve even without their bump — see each method.
   *
@@ -235,11 +235,13 @@ object Readers {
   }
 
   /** Read for an IMMUTABLE fixture file/dir — resolved-relation memo keyed
-    * by mtime, so a rewritten test fixture re-resolves without a bump. The
-    * mtime comes through the Hadoop FileSystem so the key works on remote
-    * filesystems too (a java.io.File stat would return a constant 0 there
-    * and pin a rewritten fixture's stale relation forever); a missing path
-    * keys as 0 and the read itself raises the real error.
+    * by (mtime, length), so a rewritten test fixture re-resolves without a
+    * bump, including a rewrite landing within one mtime-granularity tick
+    * (the [[Tables.fixtureSig]] discipline). The stat comes through the
+    * Hadoop FileSystem so the key works on remote filesystems too (a
+    * java.io.File stat would return a constant 0 there and pin a rewritten
+    * fixture's stale relation forever); a missing path keys as 0:0 and the
+    * read itself raises the real error.
     *
     * Beyond the schema, this memoizes the RESOLVED scan relation: datasource
     * resolution (qualify + glob + list + relation construction) measured
@@ -257,11 +259,12 @@ object Readers {
     * staleness hazard; [[bump]] still drops the memo wholesale.
     */
   def fixtureParquet(spark: SparkSession, path: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val mtime =
-      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getFileStatus(p).getModificationTime
-      catch { case _: java.io.IOException => 0L }
-    memoizedRelation(spark, path, keyOf(spark, path, mtime.toString))
+    val sig =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+        s"${st.getModificationTime}:${st.getLen}"
+      } catch { case _: java.io.IOException => "0:0" }
+    memoizedRelation(spark, path, keyOf(spark, path, sig))
   }
 }

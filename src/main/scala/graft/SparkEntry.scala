@@ -25,12 +25,21 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2.
     *
-    * Every entry is served through the PREPARED-QUERY cache
-    * ([[graft.Plans]]): a repeated (session, query, sfDir) invocation
-    * re-executes the already-analyzed plan instead of re-paying ~12–17 ms
-    * of Catalyst analysis per call — the statement-cache behavior of the
-    * serving engine this library re-expresses. Builds that pin blocks are
-    * auto-excluded and lifecycle bumps invalidate; see the Plans scaladoc.
+    * Every entry routes through the PREPARED-QUERY layer ([[graft.Plans]]).
+    * By DEFAULT each call builds a fresh plan (fresh leaf instances via
+    * [[graft.Readers]]), so returned frames compose freely — join, union,
+    * self-join are all in contract. A harness that executes each result
+    * STANDALONE (the bench) may opt into instance reuse via
+    * [[graft.Plans.enableInstanceReuse]], after which a repeated (session,
+    * query, sfDir) invocation re-serves the already-analyzed plan instance
+    * instead of re-paying ~12–17 ms of Catalyst analysis per call — the
+    * statement-cache behavior of the serving engine this library
+    * re-expresses. COMPOSING two instance-reuse results into one plan is
+    * outside that opt-in's contract (shared plan instances are the r5
+    * wrong-results class — Readers scaladoc), though PlansSpec pins that
+    * even that composition currently matches fresh-built results with
+    * constraint propagation ON. Builds that pin blocks are auto-excluded
+    * and lifecycle bumps invalidate; see the Plans scaladoc.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (n, f) =>

@@ -77,7 +77,7 @@ object Tables {
         // same-tick rewrite that changes the byte count (TablesSpec pins
         // it). The residual blind spot — same tick, same length — is the
         // filesystem-theoretic limit every stat-keyed cache shares,
-        // documented on [[fixtureMtime]]'s consumers.
+        // documented on [[fixtureSig]]'s consumers.
         val sig = s"${st.getModificationTime}:${st.getLen}"
         // onceExclusive: the miss path writes the layout dir — two racing
         // builders would race two Overwrite jobs on one path.
@@ -110,34 +110,41 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
-  /** Fixture mtime through the Hadoop FileSystem — the cache-key clock for
-    * every build-once artifact (ensure* layouts, model fits, memoized
-    * counts). `java.io.File.lastModified` returns a constant 0 for any
-    * non-local URI, which would pin a rewritten REMOTE corpus's stale
-    * artifact forever (the Readers.fixtureParquet pitfall, now solved once
-    * for the whole ensure* family). On a local path the value is identical
-    * to the File stat, so local cache keys are unchanged. A missing or
-    * unreachable path keys as 0 and the builder raises the real error.
+  /** Fixture "mtime:length" signature through the Hadoop FileSystem — the
+    * ONE cache-key clock for every build-once artifact (ensure* layouts,
+    * model fits, memoized counts) and for the prepared-plan key. The Hadoop
+    * stat (not `java.io.File.lastModified`, a constant 0 for any non-local
+    * URI) keeps remote corpora from pinning stale artifacts; the LENGTH
+    * term catches a rewrite landing within one mtime-granularity tick
+    * (coarse filesystems round to whole seconds — the same-tick hole
+    * [[ensureIngested]] closed in r10, now closed for every consumer: a
+    * same-tick corpus rewrite previously served NEW base-table rows against
+    * STALE postings/norms/band stores, an internally inconsistent result no
+    * single-artifact test could see). The residual blind spot — same tick,
+    * same byte count — is the filesystem-theoretic limit every stat-keyed
+    * cache shares. A missing or unreachable path keys as "0:0" and the
+    * builder raises the real error.
     */
-  def fixtureMtime(spark: SparkSession, path: String): Long = {
+  def fixtureSig(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
-    try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getFileStatus(p).getModificationTime
-    catch { case _: java.io.IOException => 0L }
+    try {
+      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+      s"${st.getModificationTime}:${st.getLen}"
+    } catch { case _: java.io.IOException => "0:0" }
   }
 
   private val countMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  /** Memoized corpus row count, keyed by (path, mtime) like every artifact
+  /** Memoized corpus row count, keyed by (path, sig) like every artifact
     * cache: scale-derived parameters (LSH bits, k-means k) need N once per
     * fixture, not one count JOB per query invocation — on the timed bench
     * path the repeated count was pure overhead. Loaded via [[Memo.once]]
     * (the count is a Spark job; never run one under a map bin lock).
     */
   def embeddingsCount(spark: SparkSession, sfDir: String): Long = {
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/embeddings.parquet")
-    Memo.once(countMemo, s"$sfDir:$srcMtime")(
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/embeddings.parquet")
+    Memo.once(countMemo, s"$sfDir:$srcSig")(
       java.lang.Long.valueOf(embeddings(spark, sfDir).count())).longValue()
   }
 

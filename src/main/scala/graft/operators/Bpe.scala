@@ -134,8 +134,8 @@ object Bpe {
     // Keyed on the fixture's mtime like every sibling artifact cache
     // (kmeansModel, ensurePqIndex): an in-place regenerated corpus must
     // retrain, not serve the old merge table.
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
-    graft.Memo.once(memo, s"$sfDir:$srcMtime:$numMerges")(
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/documents.parquet")
+    graft.Memo.once(memo, s"$sfDir:$srcSig:$numMerges")(
       train(spark, vocabulary(spark, sfDir), numMerges))
   }
 

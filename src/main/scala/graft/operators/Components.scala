@@ -276,9 +276,9 @@ object Components {
       threshold: Double = 0.8,
       batchMod: Long = 2,
       batchRem: Long = 1): String = {
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:label-store:$maxDocId:$threshold:$batchMod:$batchRem:v1")
+      s"$sfDir:$srcSig:label-store:$maxDocId:$threshold:$batchMod:$batchRem:v1")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-label-store-$key")
     Lifecycle.settleStore(spark, dir.getAbsolutePath) // see ensureDigestStore
     if (!new java.io.File(dir, "_SUCCESS").exists()) {

@@ -142,10 +142,10 @@ object Index {
       tables: Int = 32,
       bits: Int = 0,
       numBuckets: Int = 64): String = {
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/embeddings.parquet")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/embeddings.parquet")
     val bitsKey = if (bits > 0) bits.toString else "auto"
     val key = cacheKey(
-      s"$sfDir:$srcMtime:$tables:$bitsKey:$numBuckets:v$LayoutVersion")
+      s"$sfDir:$srcSig:$tables:$bitsKey:$numBuckets:v$LayoutVersion")
     val dir = new File(sys.props("java.io.tmpdir"), s"graft-lsh-index-$key")
     if (!new File(dir, "postings/_SUCCESS").exists()) {
       val emb = Tables.embeddings(spark, sfDir)

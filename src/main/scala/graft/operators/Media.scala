@@ -289,9 +289,9 @@ object Media {
     * keyed by fixture mtime + hash params, deterministic rebuild.
     */
   def ensurePhashStore(spark: SparkSession, sfDir: String): String = {
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/documents.parquet")
     val key = graft.operators.Index.cacheKey(
-      s"$sfDir:$srcMtime:phash:dhash:v${graft.operators.Index.LayoutVersion}")
+      s"$sfDir:$srcSig:phash:dhash:v${graft.operators.Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-phash-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       val ah = udf((p: Array[Byte]) => dHash(p))

@@ -362,8 +362,8 @@ object Pq {
 
   /** Build-once cache keyed like [[Index.ensure]]. */
   def ensurePqIndex(spark: SparkSession, sfDir: String, m: Int = 8, k: Int = 16): String = {
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/embeddings.parquet")
-    val key = Index.cacheKey(s"$sfDir:$srcMtime:pq:$m:$k:v${Index.LayoutVersion}")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/embeddings.parquet")
+    val key = Index.cacheKey(s"$sfDir:$srcSig:pq:$m:$k:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-pq-index-$key")
     if (!new java.io.File(dir, "codes/_SUCCESS").exists())
       buildPqIndex(spark, Tables.embeddings(spark, sfDir), fit(Tables.embeddings(spark, sfDir), m, k), dir.getAbsolutePath)
@@ -546,8 +546,8 @@ object Pq {
 
   /** Build-once cache keyed like [[ensurePqIndex]]. */
   def ensureSqIndex(spark: SparkSession, sfDir: String): String = {
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/embeddings.parquet")
-    val key = Index.cacheKey(s"$sfDir:$srcMtime:sq8:v${Index.LayoutVersion}")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/embeddings.parquet")
+    val key = Index.cacheKey(s"$sfDir:$srcSig:sq8:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-sq-index-$key")
     if (!new java.io.File(dir, "codes/_SUCCESS").exists()) {
       val emb = Tables.embeddings(spark, sfDir)
@@ -669,9 +669,9 @@ object Pq {
       cells: Int = 16,
       m: Int = 8,
       k: Int = 16): String = {
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/embeddings.parquet")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/embeddings.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:ivfpq:$cells:$m:$k:v${Index.LayoutVersion}")
+      s"$sfDir:$srcSig:ivfpq:$cells:$m:$k:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-ivfpq-index-$key")
     if (!new java.io.File(dir, "codes/_SUCCESS").exists()) {
       val emb = Tables.embeddings(spark, sfDir)
@@ -798,8 +798,8 @@ object Pq {
     new java.util.concurrent.ConcurrentHashMap[String, BqModel]()
 
   def bqModelCached(spark: SparkSession, sfDir: String): BqModel = {
-    val mtime = graft.Tables.fixtureMtime(spark, s"$sfDir/embeddings.parquet")
-    graft.Memo.once(bqCache, s"$sfDir:$mtime")(
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/embeddings.parquet")
+    graft.Memo.once(bqCache, s"$sfDir:$srcSig")(
       fitBq(Tables.embeddings(spark, sfDir)))
   }
 
@@ -908,8 +908,8 @@ object Pq {
 
   /** Build-once cache keyed like [[ensureSqIndex]]. */
   def ensureBqIndex(spark: SparkSession, sfDir: String): String = {
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/embeddings.parquet")
-    val key = Index.cacheKey(s"$sfDir:$srcMtime:bq:v${Index.LayoutVersion}")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/embeddings.parquet")
+    val key = Index.cacheKey(s"$sfDir:$srcSig:bq:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-bq-index-$key")
     if (!new java.io.File(dir, "codes/_SUCCESS").exists()) {
       val emb = Tables.embeddings(spark, sfDir)

@@ -360,9 +360,9 @@ object Retrieval {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
 
   def ensureNormsStore(spark: SparkSession, sfDir: String): String = {
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/documents.parquet")
     val key = graft.operators.Index.cacheKey(
-      s"$sfDir:$srcMtime:norms:v${graft.operators.Index.LayoutVersion}")
+      s"$sfDir:$srcSig:norms:v${graft.operators.Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-norms-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists())
       buildNormsStore(spark, Tables.documents(spark, sfDir), dir.getAbsolutePath)
@@ -370,9 +370,9 @@ object Retrieval {
   }
 
   def ensureVocabStore(spark: SparkSession, sfDir: String): String = {
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/documents.parquet")
     val key = graft.operators.Index.cacheKey(
-      s"$sfDir:$srcMtime:vocab:v${graft.operators.Index.LayoutVersion}")
+      s"$sfDir:$srcSig:vocab:v${graft.operators.Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-vocab-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists())
       buildVocabStore(spark, Tables.documents(spark, sfDir), dir.getAbsolutePath)
@@ -1117,9 +1117,9 @@ object Retrieval {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
 
   def ensurePostingsStore(spark: SparkSession, sfDir: String): String = {
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/documents.parquet")
     val key = graft.operators.Index.cacheKey(
-      s"$sfDir:$srcMtime:postings:sorted:v${graft.operators.Index.LayoutVersion}")
+      s"$sfDir:$srcSig:postings:sorted:v${graft.operators.Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-postings-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists())
       buildPostingsStore(spark, Tables.documents(spark, sfDir), dir.getAbsolutePath)

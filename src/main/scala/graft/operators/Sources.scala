@@ -44,8 +44,8 @@ object Sources {
     * completeness; `mode(Overwrite)` cleans up any partial attempt.
     */
   private def derived(spark: SparkSession, sfDir: String, fmt: String): String = {
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/nation.parquet")
-    val key = Index.cacheKey(s"$sfDir:$srcMtime:v${Index.LayoutVersion}")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/nation.parquet")
+    val key = Index.cacheKey(s"$sfDir:$srcSig:v${Index.LayoutVersion}")
     val dir = new File(sys.props("java.io.tmpdir"), s"graft-source-$fmt-$key")
     if (!new File(dir, "_SUCCESS").exists()) {
       val w = Tables.nation(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -917,9 +917,9 @@ object Text {
       rowsPerBand: Int = 4,
       threshold: Double = 0.9,
       sampleMod: Int = 3): String = {
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:shpairs:$shingleLen:$k:$rowsPerBand:" +
+      s"$sfDir:$srcSig:shpairs:$shingleLen:$k:$rowsPerBand:" +
         s"$threshold:$sampleMod:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-shpairs-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists())
@@ -1798,9 +1798,9 @@ object Text {
   def ensureLineRemovals(
       spark: SparkSession, sfDir: String,
       lineWidth: Int = 2, minOcc: Long = 2): String = {
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:linerm:$lineWidth:$minOcc:v${Index.LayoutVersion}")
+      s"$sfDir:$srcSig:linerm:$lineWidth:$minOcc:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-linerm-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists())
       lineRemovalsOf(Tables.documents(spark, sfDir), lineWidth, minOcc,
@@ -1910,9 +1910,9 @@ object Text {
   def ensureLineDictStore(
       spark: SparkSession, sfDir: String,
       lineWidth: Int = 2, batchMod: Long = 7, batchRem: Long = 0): String = {
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:linedict:$lineWidth:$batchMod:$batchRem:p1:v${Index.LayoutVersion}")
+      s"$sfDir:$srcSig:linedict:$lineWidth:$batchMod:$batchRem:p1:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-linedict-$key")
     // _params is written LAST and is the completion sentinel (see
     // ensureBandStore): a crash between the parquet commit and the marker
@@ -2457,9 +2457,9 @@ object Text {
       sfDir: String,
       evalMod: Long = 19,
       evalRem: Long = 3): String = {
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:cleansurv:$evalMod:$evalRem:q${QualityMinTokens}:" +
+      s"$sfDir:$srcSig:cleansurv:$evalMod:$evalRem:q${QualityMinTokens}:" +
         s"v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-cleansurv-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists())
@@ -2481,9 +2481,9 @@ object Text {
       gram: Int = 8,
       evalMod: Long = 19,
       evalRem: Long = 3): String = {
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:contam:$gram:$evalMod:$evalRem:v${Index.LayoutVersion}")
+      s"$sfDir:$srcSig:contam:$gram:$evalMod:$evalRem:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-contam-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists())
       decontaminate(spark, sfDir, gram, evalMod, evalRem)
@@ -2722,9 +2722,9 @@ object Text {
       sfDir: String,
       batchMod: Long = 7,
       batchRem: Long = 0): String = {
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:digest-store:$batchMod:$batchRem:v1")
+      s"$sfDir:$srcSig:digest-store:$batchMod:$batchRem:v1")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-digest-store-$key")
     // Settle a crashed compaction swap BEFORE the sentinel check: with the
     // live dir missing, the sentinel is absent and an unsettled rebuild
@@ -3001,9 +3001,9 @@ object Text {
       k: Int = 12,
       rowsPerBand: Int = 4,
       sampleMod: Int = 3): String = {
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:band-store:$batchMod:$batchRem:" +
+      s"$sfDir:$srcSig:band-store:$batchMod:$batchRem:" +
         s"$shingleLen:$k:$rowsPerBand:$sampleMod:v2") // v2: _params marker
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-band-store-$key")
     // Settle BEFORE the sentinel check (see ensureDigestStore); completion
@@ -3253,9 +3253,9 @@ object Text {
       gram: Int = 8, batchMod: Long = 7, batchRem: Long = 0,
       sampleMod: Int = AutoSampleMod): String = {
     val resolved = resolveSampleMod(spark, sfDir, sampleMod)
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:noveltystore:$gram:$batchMod:$batchRem:$resolved:p1:v${Index.LayoutVersion}")
+      s"$sfDir:$srcSig:noveltystore:$gram:$batchMod:$batchRem:$resolved:p1:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-noveltystore-$key")
     // _params written LAST = completion sentinel (see ensureLineDictStore)
     if (!new java.io.File(dir, "_params").exists())
@@ -3423,9 +3423,9 @@ object Text {
       gram: Int = 8,
       evalMod: Long = 19,
       evalRem: Long = 3): String = {
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:gram-store:$gram:$evalMod:$evalRem:v1")
+      s"$sfDir:$srcSig:gram-store:$gram:$evalMod:$evalRem:v1")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-gram-store-$key")
     // settle BEFORE the sentinel check; _params is written LAST and is the
     // completion sentinel (see ensureBandStore)
@@ -3549,20 +3549,22 @@ object Text {
     * scale the valve exists to protect — fail fast and let the caller
     * retry instead.
     *
-    * Memoized keyed by (path, mtime), the [[Tables.embeddingsCount]]
+    * Memoized keyed by (path, mtime:length), the [[Tables.embeddingsCount]]
     * discipline: `getContentSummary` is one namenode RPC on HDFS but a
     * recursive LIST on object-store connectors — exactly at the corpus
-    * size the valve exists for, it must not run per query call. The mtime
-    * key is one cheap status call and re-resolves a rewritten fixture.
+    * size the valve exists for, it must not run per query call. The sig
+    * key is one cheap status call and re-resolves a rewritten fixture
+    * (even a same-mtime-tick rewrite, via the length term).
     */
   private def corpusBytesOnDisk(spark: SparkSession, sfDir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
     try {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val mtime = fs.getFileStatus(p).getModificationTime
+      val st = fs.getFileStatus(p)
+      val sig = s"${st.getModificationTime}:${st.getLen}"
       // Memo.once, not computeIfAbsent: getContentSummary is the recursive
       // LIST the memo exists to amortize — never run it under a bin lock.
-      graft.Memo.once(corpusBytesMemo, s"$sfDir:$mtime")(
+      graft.Memo.once(corpusBytesMemo, s"$sfDir:$sig")(
         java.lang.Long.valueOf(fs.getContentSummary(p).getLength)).longValue()
     } catch { case _: java.io.FileNotFoundException => 0L }
   }
@@ -3716,9 +3718,9 @@ object Text {
     // explicit-vs-auto aliasing too: auto resolving to 1 and explicit 1
     // share one artifact, as they should).
     val resolved = resolveSampleMod(spark, sfDir, sampleMod)
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:spanhits:$spanLen:$resolved:v${Index.LayoutVersion}")
+      s"$sfDir:$srcSig:spanhits:$spanLen:$resolved:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-spanhits-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists())
       duplicatedSpanHits(spark, sfDir, spanLen, resolved)
@@ -3861,9 +3863,9 @@ object Text {
       spanLen: Int = 40, batchMod: Long = 7, batchRem: Long = 0,
       sampleMod: Int = AutoSampleMod): String = {
     val resolved = resolveSampleMod(spark, sfDir, sampleMod)
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/documents.parquet")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/documents.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:spanstore:$spanLen:$batchMod:$batchRem:$resolved:p1:v${Index.LayoutVersion}")
+      s"$sfDir:$srcSig:spanstore:$spanLen:$batchMod:$batchRem:$resolved:p1:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-spanstore-$key")
     // _params written LAST = completion sentinel (see ensureLineDictStore)
     if (!new java.io.File(dir, "_params").exists())

@@ -342,9 +342,9 @@ object Vectors {
 
   /** Build-once cache in the JVM temp dir, keyed like [[Index.ensure]]. */
   def ensureIvfIndex(spark: SparkSession, sfDir: String, cells: Int = 16): String = {
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/embeddings.parquet")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/embeddings.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:ivf:$cells:v${Index.LayoutVersion}")
+      s"$sfDir:$srcSig:ivf:$cells:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-ivf-index-$key")
     if (!new java.io.File(dir, "cells/_SUCCESS").exists())
       // share the fitted-quantizer artifact with the inline path (annIvf):
@@ -411,8 +411,8 @@ object Vectors {
 
   private def pairModel(
       spark: SparkSession, sfDir: String, tables: Int, bits: Int): Lsh.LshModel = {
-    val mtime = graft.Tables.fixtureMtime(spark, s"$sfDir/embeddings.parquet")
-    graft.Memo.once(pairModelCache, s"$sfDir:$mtime:$tables:$bits")(
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/embeddings.parquet")
+    graft.Memo.once(pairModelCache, s"$sfDir:$srcSig:$tables:$bits")(
       Lsh.fit(Tables.embeddings(spark, sfDir), tables, bits))
   }
 
@@ -581,13 +581,13 @@ object Vectors {
       bits: Int = 0): String = {
     val n = Tables.embeddingsCount(spark, sfDir)
     val useBits = if (bits > 0) bits else Lsh.deriveBits(n, Lsh.PairTargetBucket)
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/embeddings.parquet")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/embeddings.parquet")
     val files = math.min(8, spark.sparkContext.defaultParallelism)
     // :bcap — the build-time bucket cap is part of the artifact's identity
     // (an uncapped above-ceiling artifact from an older build must never
     // serve a reader that assumes pre-capped rows)
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:pairposts:agg:bcap2:p$files:$tables:$useBits:v${Index.LayoutVersion}")
+      s"$sfDir:$srcSig:pairposts:agg:bcap2:p$files:$tables:$useBits:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-pairposts-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
@@ -852,6 +852,18 @@ object Vectors {
     * mis-assigns to its best probed candidate; the spec measures the
     * agreement rate on the fixtures. Callers own the operating point —
     * the engine never routes to an approximation silently.
+    *
+    * TOTALITY (why the step-4 inner join never drops a vector, even at
+    * nprobe=1): a coarse cell `c` can be EMPTY (no fine centroid assigned)
+    * only when seed `c` itself assigned elsewhere in step 2, which — since
+    * d2(c,c)=0 is minimal and ties break toward the smaller ccell — requires
+    * a bitwise-identical duplicate seed `c' < c`. But then every query
+    * vector's distance to `c` and `c'` is computed from identical inputs,
+    * so the candidate structs tie on d2 and `(d2, c')` sorts strictly
+    * before `(d2, c)`: any probe list containing the empty cell contains a
+    * non-empty duplicate EARLIER, and in particular the top-1 probe is
+    * always non-empty. Hence every vector always joins ≥1 fine candidate
+    * (VectorsSpec pins the degenerate duplicate-seed corpus at nprobe=1).
     */
   def assignCellsHierarchical(
       emb: DataFrame,
@@ -959,26 +971,67 @@ object Vectors {
     cents
   }
 
+  /** Per-JVM memo of persisted quantizer fits keyed by (plan, params), plus
+    * a shutdown hook that deletes every fit dir this JVM created: unlike the
+    * fixture-keyed artifacts, these fits have no cross-session identity (the
+    * input is an arbitrary frame), so the dirs are SESSION-SCOPED — repeat
+    * calls within a session reuse one dir, and exit reclaims the disk
+    * (previously each past-ceiling invocation leaked a fresh k×dim parquet
+    * on the tmp filesystem for good).
+    */
+  private val quantizerTableMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val quantizerTmpReaper: java.util.concurrent.ConcurrentLinkedQueue[String] = {
+    val dirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.forEach { d =>
+        try {
+          val root = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { try java.nio.file.Files.deleteIfExists(p) catch { case _: java.io.IOException => () } })
+        } catch { case _: java.io.IOException => () }
+      }))
+    dirs
+  }
+
   /** The trained coarse quantizer as a TABLE — [[quantizer]]'s distributed
     * twin: same deterministic seeds, same refinement arithmetic, a
     * (cell, centroid) frame instead of a driver array.
     *
-    * Returns an UNPINNED read of a per-call persisted fit:
+    * Returns an UNPINNED read of a persisted fit:
     * [[refineCentroidsTable]] hands back a Materialize-pinned frame (the
     * iteration pin), and a caller consuming it lazily could never release
     * it — each past-ceiling fit would leak a k×dim checkpoint pin for the
     * session. Writing the k-row result once and releasing the pin here
-    * (the [[kmeansModelTable]] discipline, without its cross-session cache
-    * key — `emb` is an arbitrary frame with no fixture identity to key on)
-    * makes the returned plan a plain scan with nothing to leak.
+    * (the [[kmeansModelTable]] discipline) makes the returned plan a plain
+    * scan with nothing to leak. `emb` is an arbitrary frame with no fixture
+    * identity, so the fit is keyed per (canonicalized plan, params) for the
+    * JVM's lifetime — the canonicalized tree distinguishes different inputs
+    * structurally, and its `semanticHash` term separates two resolutions of
+    * one path (a rewritten corpus re-resolves through [[graft.Readers]] to a
+    * fresh relation, so the stale fit is unreachable) — and the dir is
+    * reaped at JVM exit ([[quantizerTmpReaper]]).
     */
   def quantizerTable(
       spark: SparkSession, emb: DataFrame, cells: Int, iterations: Int = 1): DataFrame = {
-    val fitted =
-      refineCentroidsTable(spark, emb, seedCentroidsTable(emb, cells), iterations)
-    val dir = java.nio.file.Files.createTempDirectory("graft-quantizerT-").toString
-    fitted.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
-    Materialize.release(fitted)
+    val canon = emb.queryExecution.analyzed.canonicalized
+    val key = Index.cacheKey(
+      s"${canon.treeString}:${canon.semanticHash()}:$cells:$iterations:v${Index.LayoutVersion}")
+    // onceExclusive: the miss path writes the fit dir — two racing fits
+    // would race two Overwrite jobs on one path.
+    val dir = graft.Memo.onceExclusive(quantizerTableMemo, key) {
+      val d = new java.io.File(sys.props("java.io.tmpdir"), s"graft-quantizerT-$key")
+      quantizerTmpReaper.add(d.getAbsolutePath)
+      if (!new java.io.File(d, "_SUCCESS").exists()) {
+        val fitted =
+          refineCentroidsTable(spark, emb, seedCentroidsTable(emb, cells), iterations)
+        fitted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(d.getAbsolutePath)
+        Materialize.release(fitted)
+      }
+      d.getAbsolutePath
+    }
     graft.Readers.parquet(spark, dir)
   }
 
@@ -993,10 +1046,10 @@ object Vectors {
       sfDir: String,
       k: Int = 0,
       iterations: Int = 3): DataFrame = {
-    val mtime = graft.Tables.fixtureMtime(spark, s"$sfDir/embeddings.parquet")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/embeddings.parquet")
     val kKey = if (k > 0) k.toString else "autoU"
     val key = Index.cacheKey(
-      s"$sfDir:$mtime:kmeansT:$kKey:$iterations:v${Index.LayoutVersion}")
+      s"$sfDir:$srcSig:kmeansT:$kKey:$iterations:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-kmeansT-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       val emb = Tables.embeddings(spark, sfDir)
@@ -1042,17 +1095,17 @@ object Vectors {
       sfDir: String,
       k: Int = 0,
       iterations: Int = 3): CentroidSet = {
-    val mtime = graft.Tables.fixtureMtime(spark, s"$sfDir/embeddings.parquet")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/embeddings.parquet")
     // Key by "auto", not the derived value — the Index.ensure discipline:
     // the memoized path never pays the deriveK count() job.
     val kKey = if (k > 0) k.toString else "auto"
     // onceExclusive, not once: the miss path WRITES the persisted artifact
     // dir — a double load would race two Overwrite jobs on one path.
-    graft.Memo.onceExclusive(kmeansCache, s"$sfDir:$mtime:$kKey:$iterations") {
+    graft.Memo.onceExclusive(kmeansCache, s"$sfDir:$srcSig:$kKey:$iterations") {
       // persisted model artifact (the Lsh.saveModel discipline: fit once,
       // any session/engine reads it back) + per-JVM memo on top; the "auto"
       // key spares even a fresh JVM the deriveK count when the artifact exists
-      val key = Index.cacheKey(s"$sfDir:$mtime:kmeans:$kKey:$iterations:v${Index.LayoutVersion}")
+      val key = Index.cacheKey(s"$sfDir:$srcSig:kmeans:$kKey:$iterations:v${Index.LayoutVersion}")
       val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-kmeans-$key")
       if (new java.io.File(dir, "_SUCCESS").exists())
         loadCentroids(spark, dir.getAbsolutePath)
@@ -1379,9 +1432,9 @@ object Vectors {
       sfDir: String,
       batchMod: Long = 7,
       batchRem: Long = 0): String = {
-    val srcMtime = graft.Tables.fixtureMtime(spark, s"$sfDir/embeddings.parquet")
+    val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/embeddings.parquet")
     val key = Index.cacheKey(
-      s"$sfDir:$srcMtime:cell-store:$batchMod:$batchRem:v${Index.LayoutVersion}")
+      s"$sfDir:$srcSig:cell-store:$batchMod:$batchRem:v${Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-cell-store-$key")
     settleCellStore(spark, dir.getAbsolutePath)
     if (!new java.io.File(dir, "_params").exists())

@@ -36,6 +36,23 @@ object BenchDiff {
     m.map(_.group(1).toDouble)
   }
 
+  /** name→number pairs of an arbitrary FLAT `"<key>":{...}` object
+    * (r11+ snapshots embed "ingest_parts"); None when the key is absent.
+    */
+  private[tools] def parseObj(json: String, key: String): Option[Map[String, Double]] = {
+    val tag = "\"" + key + "\":{"
+    val i = json.indexOf(tag)
+    if (i < 0) None
+    else {
+      val start = i + tag.length
+      val end = json.indexOf('}', start)
+      require(end >= start, s"unterminated $key object")
+      val pair = """"([^"]+)":([0-9.eE+-]+)""".r
+      Some(pair.findAllMatchIn(json.substring(start, end))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+    }
+  }
+
   /** name→seconds pairs of the FIRST `"queries":{...}` object, plus the
     * names of the `"errors":{...}` object (empty when absent).
     */
@@ -159,6 +176,38 @@ object BenchDiff {
           f"(${ni - oi}%+.2f s; timed+ingest old ${oldTot + oi}%.2f -> " +
           f"new ${newTot + ni}%.2f s)")
       case (None, Some(ni)) => println(f"untimed ingest: new $ni%.2f s (old side n/a)")
+      case _ => ()
+    }
+    // Per-artifact ingest movers (r11+ snapshots embed "ingest_parts"):
+    // drift in untimed work is attributed to the artifact that moved, the
+    // way the table above attributes query movers. Informational only — the
+    // ingest block is untimed lifecycle work, so movers annotate but never
+    // fail the diff (a cold-vs-warm tmp dir legitimately swings every part).
+    (parseObj(oldJson, "ingest_parts"), parseObj(newJson, "ingest_parts")) match {
+      case (Some(op), Some(np)) =>
+        val shared = op.keySet.intersect(np.keySet).toSeq
+        val movers = shared.map(n => (n, op(n), np(n), np(n) - op(n)))
+          .filter { case (_, _, _, d) => math.abs(d) > 0.25 }
+          .sortBy(-_._4)
+        movers.foreach { case (n, o, v, d) =>
+          println(f"ingest $n%-32s ${fmt(o)} ${fmt(v)} ${fmt(d)}  " +
+            (if (d > 0) "ingest-mover (slower)" else "ingest-mover (faster)"))
+        }
+        val onlyOld = op.keySet.diff(np.keySet).toSeq.sorted
+        val onlyNew = np.keySet.diff(op.keySet).toSeq.sorted
+        if (onlyOld.nonEmpty) println(s"ingest parts removed: ${onlyOld.mkString(", ")}")
+        if (onlyNew.nonEmpty) println(s"ingest parts added: ${onlyNew.mkString(", ")}")
+        if (movers.isEmpty) println(s"ingest parts: no mover beyond 0.25 s (${shared.size} shared)")
+      case _ =>
+        println("ingest parts: n/a (a side lacks the r11+ per-artifact breakdown)")
+    }
+    // Prepared-statement cache counters (r11+): quantify the cache's share
+    // of each run rather than inferring it from the methodology note.
+    (scalar(oldJson, "plan_cache_hits"), scalar(newJson, "plan_cache_hits"),
+      scalar(oldJson, "plan_cache_misses"), scalar(newJson, "plan_cache_misses")) match {
+      case (Some(oh), Some(nh), Some(om), Some(nm)) =>
+        println(f"plan cache: old hits=${oh.toLong} misses=${om.toLong} -> " +
+          f"new hits=${nh.toLong} misses=${nm.toLong}")
       case _ => ()
     }
     if (regressed.nonEmpty || freshErrors.nonEmpty) {

@@ -25,6 +25,9 @@ object QueryTiming {
       .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Mirror Bench: prepared-instance reuse is opt-in, and this tool's
+    // whole purpose is A/B parity with the bench's timed loop.
+    graft.Plans.enableInstanceReuse()
     try { graft.operators.Index.ensure(spark, sfDir) } catch { case _: Throwable => () }
     try { graft.operators.Vectors.ensureIvfIndex(spark, sfDir) } catch { case _: Throwable => () }
     // Optional: run each query once on a warm fixture first (mirrors the

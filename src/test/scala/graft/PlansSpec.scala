@@ -1,63 +1,141 @@
 package graft
 
-/** The prepared-query cache's contracts ([[Plans]]): instance reuse for
-  * repeated invocations, result equality with a fresh build, pin-during-
-  * build exclusion (the harness drains pins between queries), and bump
-  * invalidation.
+/** The prepared-query layer's contracts ([[Plans]]): fresh composable
+  * builds by DEFAULT (the public-API mode — no shared plan instances, the
+  * r5 wrong-results class is mechanically unreachable), and under the
+  * bench's explicit opt-in ([[Plans.enableInstanceReuse]]): instance reuse
+  * for repeated invocations, result equality with a fresh build,
+  * pin-during-build exclusion (the harness drains pins between queries),
+  * bump invalidation, and — the r11 verdict's ordered case — composed
+  * (joined / self-joined) reuse results matching fresh builds with
+  * constraint propagation ON, the exact configuration that triggered the
+  * r5 `InferFiltersFromConstraints` shared-instance bug.
   */
 class PlansSpec extends SparkSpec {
 
-  test("repeated invocation serves the prepared plan; results stay identical") {
+  private def withReuse[T](body: => T): T = {
+    Plans.enableInstanceReuse()
+    try body finally Plans.disableInstanceReuse()
+  }
+
+  test("DEFAULT mode hands every caller a fresh, composable plan instance") {
     val a = SparkEntry.queries("q01_pricing_summary")(spark, sf0001)
-    val r1 = a.collect().map(_.toSeq).toSeq
-    graft.operators.Materialize.releaseAll() // the bench's between-queries drain
     val b = SparkEntry.queries("q01_pricing_summary")(spark, sf0001)
-    assert(a eq b, "a repeated (session, query, sfDir) must reuse the prepared plan")
-    assert(b.collect().map(_.toSeq).toSeq == r1,
-      "re-executing the prepared plan must reproduce the rows")
+    assert(!(a eq b),
+      "without the opt-in, repeated invocations must build fresh instances " +
+        "(shared instances are the r5 wrong-results class)")
+    // and the fresh instances compose — the hazard the default mode removes
+    val joined = a.as("x").join(b.as("y"),
+      org.apache.spark.sql.functions.col("x.l_returnflag") ===
+        org.apache.spark.sql.functions.col("y.l_returnflag"))
+    assert(joined.count() >= a.count())
+  }
+
+  test("repeated invocation serves the prepared plan; results stay identical") {
+    withReuse {
+      val a = SparkEntry.queries("q01_pricing_summary")(spark, sf0001)
+      val r1 = a.collect().map(_.toSeq).toSeq
+      graft.operators.Materialize.releaseAll() // the bench's between-queries drain
+      val b = SparkEntry.queries("q01_pricing_summary")(spark, sf0001)
+      assert(a eq b, "a repeated (session, query, sfDir) must reuse the prepared plan")
+      assert(b.collect().map(_.toSeq).toSeq == r1,
+        "re-executing the prepared plan must reproduce the rows")
+    }
   }
 
   test("a build that pins blocks is served uncached (drain-safe)") {
-    // q175 pins its delivery during construction; caching it would hand a
-    // released-checkpoint plan to the second invocation.
-    val a = SparkEntry.queries("q175_prepare_corpus_increment")(spark, sf0001)
-    val r1 = a.collect().map(_.toSeq).toSeq
-    graft.operators.Materialize.releaseAll()
-    val b = SparkEntry.queries("q175_prepare_corpus_increment")(spark, sf0001)
-    assert(!(a eq b), "pin-building queries must not be cached")
-    assert(b.collect().map(_.toSeq).toSeq == r1)
-    graft.operators.Materialize.releaseAll()
+    withReuse {
+      // q175 pins its delivery during construction; caching it would hand a
+      // released-checkpoint plan to the second invocation.
+      val a = SparkEntry.queries("q175_prepare_corpus_increment")(spark, sf0001)
+      val r1 = a.collect().map(_.toSeq).toSeq
+      graft.operators.Materialize.releaseAll()
+      val b = SparkEntry.queries("q175_prepare_corpus_increment")(spark, sf0001)
+      assert(!(a eq b), "pin-building queries must not be cached")
+      assert(b.collect().map(_.toSeq).toSeq == r1)
+      graft.operators.Materialize.releaseAll()
+    }
   }
 
-  test("a rewritten fixture re-prepares WITHOUT a bump (mtime in the key)") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
-    def writeDocs(sfDir: java.io.File, rows: Int): Unit = {
-      val staging = java.nio.file.Files.createTempDirectory("graft-plansspec-").toFile
-      (1 to rows).map(_.toLong).toDF("doc_id")
-        .select(col("doc_id"), concat(lit("text "), col("doc_id")).as("text"),
-          lit("s").as("source"), lit("en").as("lang"))
-        .coalesce(1).write.mode("overwrite").parquet(staging.getAbsolutePath)
-      val part = staging.listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        new java.io.File(sfDir, "documents.parquet").toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  test("a rewritten fixture re-prepares WITHOUT a bump (sig in the key)") {
+    withReuse {
+      import org.apache.spark.sql.functions._
+      def writeDocs(sfDir: java.io.File, rows: Int): Unit = {
+        import spark.implicits._
+        val staging = java.nio.file.Files.createTempDirectory("graft-plansspec-").toFile
+        (1 to rows).map(_.toLong).toDF("doc_id")
+          .select(col("doc_id"), concat(lit("text "), col("doc_id")).as("text"),
+            lit("s").as("source"), lit("en").as("lang"))
+          .coalesce(1).write.mode("overwrite").parquet(staging.getAbsolutePath)
+        val part = staging.listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(sfDir, "documents.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val sfDir = java.nio.file.Files.createTempDirectory("graft-plansspec-sf-").toFile
+      writeDocs(sfDir, 10)
+      val n1 = SparkEntry.queries("q32_exact_dedup")(spark, sfDir.getAbsolutePath).count()
+      writeDocs(sfDir, 25) // regenerate — no bump()
+      val n2 = SparkEntry.queries("q32_exact_dedup")(spark, sfDir.getAbsolutePath).count()
+      assert(n1 != n2 && n2 > n1,
+        s"rewritten fixture served stale prepared plan: n1=$n1 n2=$n2")
     }
-    val sfDir = java.nio.file.Files.createTempDirectory("graft-plansspec-sf-").toFile
-    writeDocs(sfDir, 10)
-    val n1 = SparkEntry.queries("q32_exact_dedup")(spark, sfDir.getAbsolutePath).count()
-    writeDocs(sfDir, 25) // regenerate — no bump()
-    val n2 = SparkEntry.queries("q32_exact_dedup")(spark, sfDir.getAbsolutePath).count()
-    assert(n1 != n2 && n2 > n1,
-      s"rewritten fixture served stale prepared plan: n1=$n1 n2=$n2")
   }
 
   test("bump invalidates the prepared plan") {
-    val a = SparkEntry.queries("q12_global_top_orders")(spark, sf0001)
-    Readers.bump()
-    val b = SparkEntry.queries("q12_global_top_orders")(spark, sf0001)
-    assert(!(a eq b), "a lifecycle bump must re-prepare")
-    assert(a.collect().map(_.toSeq).toSeq == b.collect().map(_.toSeq).toSeq)
+    withReuse {
+      val a = SparkEntry.queries("q12_global_top_orders")(spark, sf0001)
+      Readers.bump()
+      val b = SparkEntry.queries("q12_global_top_orders")(spark, sf0001)
+      assert(!(a eq b), "a lifecycle bump must re-prepare")
+      assert(a.collect().map(_.toSeq).toSeq == b.collect().map(_.toSeq).toSeq)
+    }
+  }
+
+  test("composed reuse plans match fresh builds with constraintPropagation ON (the r5 trigger)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    // The exact configuration of the one historical wrong-results bug:
+    // InferFiltersFromConstraints active + shared plan instances composed
+    // into one plan (HOF-filter inference mis-pushed across a join and the
+    // optimizer failed with ATTRIBUTE_NOT_FOUND). Composition is outside
+    // the reuse opt-in's contract (SparkEntry scaladoc) — this spec pins
+    // that even out-of-contract composition currently stays CORRECT, so a
+    // Spark upgrade or plan-shape change that re-trips the bug class fails
+    // here and not in a user's harness.
+    def canonRows(df: DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    // self-join of one entry, plus a lambda (HOF) filter above the join —
+    // the inference species r5 mis-pushed
+    def selfJoin(a: DataFrame, b: DataFrame): DataFrame =
+      a.as("x").join(b.as("y"), col("x.event_type") === col("y.event_type"))
+        .filter(exists(split(col("x.users_csv"), ","), t => t.isNotNull))
+        .select(col("x.event_type"), col("x.n_users"), col("y.users_csv"))
+    // cross-entry join of two different cached entries (q01 × q59)
+    def crossEntries(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, a("l_returnflag") === b("event_type").substr(1, 1), "left")
+    val cp = spark.conf.get("spark.sql.constraintPropagation.enabled")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "true")
+    try {
+      val (selfReused, crossReused) = withReuse {
+        val q59a = SparkEntry.queries("q59_array_agg")(spark, sf0001)
+        val q59b = SparkEntry.queries("q59_array_agg")(spark, sf0001)
+        assert(q59a eq q59b, "precondition: reuse must serve one instance")
+        val q01a = SparkEntry.queries("q01_pricing_summary")(spark, sf0001)
+        val q01b = SparkEntry.queries("q01_pricing_summary")(spark, sf0001)
+        (canonRows(selfJoin(q59a, q59b)), canonRows(crossEntries(q01a, q59b)))
+      }
+      // fresh builds (default mode): distinct instances, the supported path
+      val q59f1 = SparkEntry.queries("q59_array_agg")(spark, sf0001)
+      val q59f2 = SparkEntry.queries("q59_array_agg")(spark, sf0001)
+      assert(!(q59f1 eq q59f2))
+      val q01f = SparkEntry.queries("q01_pricing_summary")(spark, sf0001)
+      assert(selfReused == canonRows(selfJoin(q59f1, q59f2)),
+        "self-joined reuse instances diverged from fresh builds")
+      assert(crossReused == canonRows(crossEntries(q01f, q59f1)),
+        "cross-entry joined reuse instances diverged from fresh builds")
+      assert(selfReused.nonEmpty && crossReused.nonEmpty)
+    } finally spark.conf.set("spark.sql.constraintPropagation.enabled", cp)
   }
 }

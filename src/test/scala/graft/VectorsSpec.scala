@@ -400,6 +400,38 @@ class VectorsSpec extends SparkSpec {
     graft.operators.Materialize.releaseAll()
   }
 
+  test("hierarchical assignment stays TOTAL on a duplicate-seed degenerate corpus") {
+    // The one construction that can produce an EMPTY coarse cell: bitwise-
+    // identical duplicate centroids among the coarse seeds (the duplicate
+    // with the larger ccell loses every step-2 tie and keeps no fine
+    // members). The scaladoc's totality argument says vectors still never
+    // vanish — any probe list containing the empty cell contains its
+    // non-empty duplicate earlier, so the step-4 inner join always has a
+    // candidate, even at nprobe=1. Pin it on the worst case.
+    import spark.implicits._
+    val dup = Seq.fill(3)(Seq(1.0f, 0.0f)) // cells 0,1,2 identical -> 1,2 empty
+    val distinct = Seq(Seq(0.0f, 1.0f), Seq(-1.0f, 0.0f), Seq(0.0f, -1.0f))
+    val cents = (dup ++ distinct).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("cell", "centroid")
+    val emb = (0 until 40)
+      .map(i => (i.toLong, Seq(math.cos(i * 0.31).toFloat, math.sin(i * 0.31).toFloat)))
+      .toDF("vec_id", "embedding")
+    for (nprobe <- Seq(1, 2, 6)) {
+      val assigned = Vectors.assignCellsHierarchical(emb, cents, coarseK = 6, nprobe = nprobe)
+        .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(assigned.length == 40,
+        s"nprobe=$nprobe dropped vectors: ${assigned.length}/40 (inner join hit an empty coarse cell)")
+      assert(assigned.map(_._1).toSet.size == 40, "duplicate vec_id in assignment")
+    }
+    // and the duplicate seeds all collapse onto the smallest ccell: no
+    // vector may land in a losing duplicate's (empty) cell
+    val cells = Vectors.assignCellsHierarchical(emb, cents, coarseK = 6, nprobe = 6)
+      .select("cell").collect().map(_.getLong(0)).toSet
+    assert(!cells.contains(1L) && !cells.contains(2L),
+      s"losing duplicate seeds must keep no members, got cells=$cells")
+    graft.operators.Materialize.releaseAll()
+  }
+
   test("lsh near-dup pairs: persisted-postings path equals the inline path") {
     // The q63 gate probes ensurePairPostings; the artifact must be a pure
     // re-expression of the inline pipeline — row-identical output,
