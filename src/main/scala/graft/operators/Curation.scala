@@ -282,7 +282,12 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("r")).as("imp_sum"))
       .select(col("doc_id"), col("n_tokens"), col("imp_sum"),
-        round(col("imp_sum") / col("n_tokens") / lit(1e6), 4).as("avg_imp"))
+        // half-up integer display derivation — bm25Scores scaladoc rationale;
+        // doubly load-bearing here: avg_imp is also the SELECTION sort key,
+        // so a cross-engine boundary flip would change which docs make the
+        // budget, not just a display digit.
+        (floor(col("imp_sum") / (lit(100.0) * col("n_tokens")) + lit(0.5)) /
+          lit(1e4)).as("avg_imp"))
       .orderBy(col("avg_imp").desc, col("doc_id").asc)
       .limit(budget)
   }
@@ -306,7 +311,7 @@ object Curation {
        |  FROM freq CROSS JOIN tot)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        |       CAST(sum(r) AS BIGINT) AS imp_sum,
-       |       round(CAST(sum(r) AS BIGINT) / count(*) / 1000000.0, 4) AS avg_imp
+       |       floor(CAST(sum(r) AS BIGINT) / (100.0 * count(*)) + 0.5) / 10000.0 AS avg_imp
        |FROM tok JOIN sc USING (t)
        |WHERE NOT is_target
        |GROUP BY doc_id

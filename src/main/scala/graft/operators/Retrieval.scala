@@ -156,9 +156,20 @@ object Retrieval {
       // order follows partitioning; DuckDB's differs), and a .00005-boundary
       // flip at 4 decimals is a hash-gate break. Integer sums are
       // associative, so the rounded score is partitioning-independent.
+      //
+      // The 4-dp display value is then derived from the integer micro-sum by
+      // EXPLICIT half-up integer arithmetic — floor(micro/100 + 1/2) — not by
+      // round(micro/1e6, 4): a micro-sum ending in 50 puts the quotient
+      // exactly on the .00005 boundary, where Spark's Round (decimal-string
+      // HALF_UP) and DuckDB's round (binary-double) can disagree by one ulp's
+      // worth of display. micro/100.0 is exact when micro%100==50 (X.5 is
+      // representable) and >1e-2 away from a boundary otherwise, so the
+      // floor(+0.5) form is bit-deterministic across engines. First observed
+      // as a real 1-row hash mismatch at sf1 (SCALING.md, round 11).
       .groupBy(col("doc_id"))
       .agg(
-        round(sum(round(col("part") * 1e6).cast("long")) / 1e6, 4).as("bm25_4"),
+        (floor(sum(round(col("part") * 1e6).cast("long")) / lit(100.0) + lit(0.5)) /
+          lit(1e4)).as("bm25_4"),
         count(lit(1)).as("n_terms"))
       .orderBy(col("doc_id"))
   }
@@ -181,9 +192,9 @@ object Retrieval {
        |  SELECT t, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf, avgdl
        |  FROM (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t), stats)
        |SELECT tf.doc_id,
-       |       round(CAST(sum(CAST(round(idf.idf * (tf.tf * ($k1 + 1.0))
+       |       floor(CAST(sum(CAST(round(idf.idf * (tf.tf * ($k1 + 1.0))
        |                 / (tf.tf + $k1 * (1.0 - $b + $b * dl.dl / idf.avgdl))
-       |                 * 1000000.0) AS BIGINT)) AS BIGINT) / 1000000.0, 4) AS bm25_4,
+       |                 * 1000000.0) AS BIGINT)) AS BIGINT) / 100.0 + 0.5) / 10000.0 AS bm25_4,
        |       count(*) AS n_terms
        |FROM tf
        |JOIN idf USING (t)

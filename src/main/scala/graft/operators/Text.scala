@@ -2106,7 +2106,12 @@ object Text {
       .agg(count(lit(1)).as("n_tokens"), sum(col("r")).as("rarity_sum"))
       .select(
         col("doc_id"), col("n_tokens"), col("rarity_sum"),
-        round(col("rarity_sum") / col("n_tokens") / lit(1e6), 4).as("avg_rarity"))
+        // 4-dp display by explicit half-up integer arithmetic, not
+        // round(x, 4): see the bm25Scores scaladoc (Retrieval.scala) — the
+        // .00005-boundary quotients of an integer micro-sum are where
+        // Spark's decimal-string Round and DuckDB's binary round disagree.
+        (floor(col("rarity_sum") / (lit(100.0) * col("n_tokens")) + lit(0.5)) /
+          lit(1e4)).as("avg_rarity"))
       .orderBy(col("doc_id"))
   }
 
@@ -2118,8 +2123,8 @@ object Text {
       |SELECT doc_id, count(*) AS n_tokens,
       |       CAST(sum(CAST(round(ntotal * 1000000.0 / cnt, 0) AS BIGINT)) AS BIGINT)
       |         AS rarity_sum,
-      |       round(CAST(sum(CAST(round(ntotal * 1000000.0 / cnt, 0) AS BIGINT)) AS BIGINT)
-      |             / count(*) / 1000000.0, 4) AS avg_rarity
+      |       floor(CAST(sum(CAST(round(ntotal * 1000000.0 / cnt, 0) AS BIGINT)) AS BIGINT)
+      |             / (100.0 * count(*)) + 0.5) / 10000.0 AS avg_rarity
       |FROM tok JOIN freq USING (t) CROSS JOIN tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -2195,8 +2200,9 @@ object Text {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("r")).as("surprisal_sum"))
       .select(
         col("doc_id"), col("n_bigrams"), col("surprisal_sum"),
-        round(col("surprisal_sum") / col("n_bigrams") / lit(1e6), 4)
-          .as("avg_inv_prob"))
+        // half-up integer display derivation — bm25Scores scaladoc rationale
+        (floor(col("surprisal_sum") / (lit(100.0) * col("n_bigrams")) + lit(0.5)) /
+          lit(1e4)).as("avg_inv_prob"))
       .orderBy(col("doc_id"))
   }
 
@@ -2215,7 +2221,7 @@ object Text {
       |  FROM bfreq)
       |SELECT doc_id, count(*) AS n_bigrams,
       |       CAST(sum(r) AS BIGINT) AS surprisal_sum,
-      |       round(CAST(sum(r) AS BIGINT) / count(*) / 1000000.0, 4)
+      |       floor(CAST(sum(r) AS BIGINT) / (100.0 * count(*)) + 0.5) / 10000.0
       |         AS avg_inv_prob
       |FROM bg JOIN rar USING (b)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
