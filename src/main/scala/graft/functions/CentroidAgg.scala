@@ -26,10 +26,10 @@ object CentroidAgg extends Aggregator[Seq[Float], CentroidBuf, Seq[Double]] {
     val sums = if (b.sums.isEmpty) new Array[Long](v.length) else b.sums
     var i = 0
     while (i < v.length) {
-      // half-AWAY-from-zero, matching Spark round()/BigDecimal.HALF_UP and
-      // DuckDB round() on negatives (math.round would round -x.5 upward)
-      val d = v(i).toDouble * Scale
-      sums(i) += (if (d >= 0) math.floor(d + 0.5) else math.ceil(d - 0.5)).toLong
+      // half-up floor(x + 1/2) — the r11 house quantizer (Det.quant): the
+      // identical IEEE op sequence the declarative sides and the DuckDB
+      // oracle now use, bit-deterministic at .5 boundaries in either sign
+      sums(i) += math.floor(v(i).toDouble * Scale + 0.5).toLong
       i += 1
     }
     CentroidBuf(sums, b.count + 1)

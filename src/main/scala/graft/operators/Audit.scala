@@ -244,7 +244,7 @@ object Audit {
       .select(col("label"), col("is_a"),
         posexplode(col("embedding")).as(Seq("dim0", "ev")))
       .select(col("label"), col("is_a"), col("dim0"),
-        expr("CAST(round(CAST(ev AS DOUBLE) * 1000000) AS BIGINT)").as("s"))
+        expr("CAST(floor(CAST(ev AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT)").as("s"))
     val byDim = x.groupBy(col("label"), col("dim0"))
       .agg(
         sum(when(col("is_a"), col("s")).otherwise(0L)).as("sa"),
@@ -266,7 +266,7 @@ object Audit {
   val centroidDriftOracle: String =
     """WITH x AS (
       |  SELECT label, vec_id % 2 = 0 AS is_a,
-      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+      |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
       |           AS BIGINT) AS s,
       |         generate_subscripts(embedding, 1) AS dim
       |  FROM embeddings),
@@ -333,7 +333,7 @@ object Audit {
         when(
           col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
             col("n") * col("syy") - col("sy") * col("sy") > 0,
-          round(
+          Det.display(
             (col("n") * col("sxy") - col("sx") * col("sy")) /
               (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
                 sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4))
@@ -353,9 +353,9 @@ object Audit {
       |  FROM documents GROUP BY source)
       |SELECT source, n,
       |       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-      |            THEN round((n * sxy - sx * sy) /
+      |            THEN floor((n * sxy - sx * sy) /
       |                       (sqrt(n * sxx - sx * sx) *
-      |                        sqrt(n * syy - sy * sy)), 4)
+      |                        sqrt(n * syy - sy * sy)) * 10000.0 + 0.5) / 10000.0
       |            END AS chars_tokens_corr
       |FROM m ORDER BY source""".stripMargin
 
@@ -424,15 +424,15 @@ object Audit {
     val flat = m.select(
       Seq(n.as("n")) ++
         idx.flatMap { i => Seq(
-          round(m1(i), 4).as(s"mean_$i"),
-          when(n > 1, round(a2(i) / (n * (n - 1)), 4)).as(s"var_$i"),
-          when(m2(i) > 0, round(m3(i) / (sqrt(m2(i)) * m2(i)), 4)).as(s"skew_$i"),
-          when(m2(i) > 0, round(m4(i) / (m2(i) * m2(i)), 4)).as(s"kurt_$i"))
+          Det.display(m1(i), 4).as(s"mean_$i"),
+          when(n > 1, Det.display(a2(i) / (n * (n - 1)), 4)).as(s"var_$i"),
+          when(m2(i) > 0, Det.display(m3(i) / (sqrt(m2(i)) * m2(i)), 4)).as(s"skew_$i"),
+          when(m2(i) > 0, Det.display(m4(i) / (m2(i) * m2(i)), 4)).as(s"kurt_$i"))
         } ++
         (for (i <- idx; j <- idx if i <= j) yield Seq(
-          when(n > 1, round(cross(i, j) / (n * (n - 1)), 4)).as(s"cov_${i}_$j"),
+          when(n > 1, Det.display(cross(i, j) / (n * (n - 1)), 4)).as(s"cov_${i}_$j"),
           when(a2(i) > 0 && a2(j) > 0,
-            round(cross(i, j) / (sqrt(a2(i)) * sqrt(a2(j))), 4)).as(s"corr_${i}_$j")))
+            Det.display(cross(i, j) / (sqrt(a2(i)) * sqrt(a2(j))), 4)).as(s"corr_${i}_$j")))
           .flatten: _*)
     val cells = for (i <- idx; j <- idx) yield {
       val (a, b) = (math.min(i, j), math.max(i, j))
@@ -473,13 +473,13 @@ object Audit {
       s"(s4_$i / n - 4.0 * ${m1(i)} * (s3_$i / n) + 6.0 * ${m1(i)} * ${m1(i)} * (s2_$i / n) - 3.0 * ${m1(i)} * ${m1(i)} * ${m1(i)} * ${m1(i)})"
     val cells = (for (i <- idx; j <- idx) yield
       s"""SELECT '${names(i)}' AS field_x, '${names(j)}' AS field_y, n,
-         |  round(${m1(i)}, 4) AS mean_x,
-         |  CASE WHEN n > 1 THEN round(${a2(i)} / (n * (n - 1)), 4) END AS variance_x,
-         |  CASE WHEN ${m2(i)} > 0 THEN round(${m3(i)} / (sqrt(${m2(i)}) * ${m2(i)}), 4) END AS skewness_x,
-         |  CASE WHEN ${m2(i)} > 0 THEN round(${m4(i)} / (${m2(i)} * ${m2(i)}), 4) END AS kurtosis_x,
-         |  CASE WHEN n > 1 THEN round(${cross(i, j)} / (n * (n - 1)), 4) END AS covariance,
+         |  floor((${m1(i)}) * 10000.0 + 0.5) / 10000.0 AS mean_x,
+         |  CASE WHEN n > 1 THEN floor(${a2(i)} / (n * (n - 1)) * 10000.0 + 0.5) / 10000.0 END AS variance_x,
+         |  CASE WHEN ${m2(i)} > 0 THEN floor(${m3(i)} / (sqrt(${m2(i)}) * ${m2(i)}) * 10000.0 + 0.5) / 10000.0 END AS skewness_x,
+         |  CASE WHEN ${m2(i)} > 0 THEN floor(${m4(i)} / (${m2(i)} * ${m2(i)}) * 10000.0 + 0.5) / 10000.0 END AS kurtosis_x,
+         |  CASE WHEN n > 1 THEN floor(${cross(i, j)} / (n * (n - 1)) * 10000.0 + 0.5) / 10000.0 END AS covariance,
          |  CASE WHEN ${a2(i)} > 0 AND ${a2(j)} > 0
-         |       THEN round(${cross(i, j)} / (sqrt(${a2(i)}) * sqrt(${a2(j)})), 4) END AS correlation
+         |       THEN floor(${cross(i, j)} / (sqrt(${a2(i)}) * sqrt(${a2(j)})) * 10000.0 + 0.5) / 10000.0 END AS correlation
          |FROM m""".stripMargin).mkString("\nUNION ALL\n")
     s"""WITH v AS (
        |  SELECT ${Det.sqlScaled("l_quantity", 0)} AS v0,

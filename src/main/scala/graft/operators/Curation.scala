@@ -84,7 +84,7 @@ object Curation {
       .select(
         col("doc_id"),
         col("x").as("n_tokens"),
-        (round(col("y").cast("double") -
+        (Det.display(col("y").cast("double") -
           (col("icept") + col("slope") * col("x").cast("double")), 4) + lit(0.0))
           .as("resid"))
       .orderBy(abs(col("resid")).desc, col("doc_id").asc)
@@ -113,8 +113,9 @@ object Curation {
        |  FROM f0),
        |r AS (
        |  SELECT doc_id, x AS n_tokens,
-       |         round(CAST(y AS DOUBLE)
-       |               - (icept + slope * CAST(x AS DOUBLE)), 4) + 0.0 AS resid
+       |         floor((CAST(y AS DOUBLE)
+       |                - (icept + slope * CAST(x AS DOUBLE))) * 10000.0 + 0.5)
+       |           / 10000.0 + 0.0 AS resid
        |  FROM t, f)
        |SELECT doc_id, n_tokens, resid
        |FROM r
@@ -275,8 +276,8 @@ object Curation {
     val scores = freq
       .crossJoin(broadcast(tot))
       .select(col("t"),
-        round((col("tc") + 1) * (col("rtot") + col("v")) * lit(1e6) /
-          ((col("rc") + 1) * (col("ttot") + col("v"))), 0).cast("long").as("r"))
+        Det.quant((col("tc") + 1) * (col("rtot") + col("v")) * lit(1e6) /
+          ((col("rc") + 1) * (col("ttot") + col("v"))), 0).as("r"))
     tok.filter(!col("is_target"))
       .join(broadcast(scores), "t")
       .groupBy(col("doc_id"))
@@ -306,8 +307,8 @@ object Curation {
        |         CAST(count(*) AS BIGINT) AS v
        |  FROM freq),
        |sc AS (
-       |  SELECT t, CAST(round((tc + 1) * (rtot + v) * 1000000.0
-       |                        / ((rc + 1) * (ttot + v)), 0) AS BIGINT) AS r
+       |  SELECT t, CAST(floor((tc + 1) * (rtot + v) * 1000000.0
+       |                        / ((rc + 1) * (ttot + v)) + 0.5) AS BIGINT) AS r
        |  FROM freq CROSS JOIN tot)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        |       CAST(sum(r) AS BIGINT) AS imp_sum,

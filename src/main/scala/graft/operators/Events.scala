@@ -132,16 +132,16 @@ object Events {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
     Tables.events(spark, sfDir)
-      .withColumn("delta", round(col("value") - lag(col("value"), 1).over(w), 4))
-      .withColumn("next_delta", round(lead(col("value"), 1).over(w) - col("value"), 4))
+      .withColumn("delta", Det.display(col("value") - lag(col("value"), 1).over(w), 4))
+      .withColumn("next_delta", Det.display(lead(col("value"), 1).over(w) - col("value"), 4))
       .select(col("event_id"), col("user_id"), col("delta"), col("next_delta"))
       .orderBy(col("event_id"))
   }
 
   val lagDeltasOracle: String =
     """SELECT event_id, user_id,
-      |       round(value - lag(value, 1) OVER w, 4) AS delta,
-      |       round(lead(value, 1) OVER w - value, 4) AS next_delta
+      |       floor((value - lag(value, 1) OVER w) * 10000.0 + 0.5) / 10000.0 AS delta,
+      |       floor((lead(value, 1) OVER w - value) * 10000.0 + 0.5) / 10000.0 AS next_delta
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
       |ORDER BY event_id""".stripMargin
@@ -154,16 +154,17 @@ object Events {
       .orderBy(col("ts").asc, col("event_id").asc)
       .rowsBetween(-2, Window.currentRow)
     Tables.events(spark, sfDir)
-      .withColumn("mov_avg", round(avg(col("value")).over(w), 4))
+      .withColumn("mov_avg", Det.display(avg(col("value")).over(w), 4))
       .select(col("event_id"), col("user_id"), col("mov_avg"))
       .orderBy(col("event_id"))
   }
 
   val movingAvgOracle: String =
     """SELECT event_id, user_id,
-      |       round(avg(value) OVER (PARTITION BY user_id
+      |       floor(avg(value) OVER (PARTITION BY user_id
       |             ORDER BY CAST(ts AS TIMESTAMP), event_id
-      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 10000.0 + 0.5)
+      |         / 10000.0 AS mov_avg
       |FROM events
       |ORDER BY event_id""".stripMargin
 
@@ -365,13 +366,13 @@ object Events {
       |  FROM events),
       |c AS (
       |  SELECT CAST(sum(in_early) AS BIGINT) AS n_early,
-      |         CAST(sum(CASE WHEN in_early = 1 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS v_early,
+      |         CAST(sum(CASE WHEN in_early = 1 THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS v_early,
       |         CAST(sum(in_mid) AS BIGINT) AS n_mid,
-      |         CAST(sum(CASE WHEN in_mid = 1 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS v_mid,
+      |         CAST(sum(CASE WHEN in_mid = 1 THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS v_mid,
       |         CAST(sum(in_late) AS BIGINT) AS n_late,
-      |         CAST(sum(CASE WHEN in_late = 1 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS v_late,
+      |         CAST(sum(CASE WHEN in_late = 1 THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS v_late,
       |         CAST(sum(in_first_half) AS BIGINT) AS n_first_half,
-      |         CAST(sum(CASE WHEN in_first_half = 1 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS v_first_half
+      |         CAST(sum(CASE WHEN in_first_half = 1 THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS v_first_half
       |  FROM f)
       |SELECT ord, range_key, doc_count, sum_c / 100.0 AS sum_value
       |FROM (

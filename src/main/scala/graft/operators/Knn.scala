@@ -224,7 +224,7 @@ object Knn {
       .filter(col("rank") <= k2)
       .select(
         col("query_id"), col("neighbor_id"), col("rank"),
-        col("collisions"), round(col("dist"), 4).as("dist4"))
+        col("collisions"), Det.display(col("dist"), 4).as("dist4"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -329,7 +329,7 @@ object Knn {
       .filter(col("rank") <= k2)
       .select(
         col("query_id"), col("neighbor_id"), col("rank"),
-        col("collisions"), round(col("dist"), 4).as("dist4"))
+        col("collisions"), Det.display(col("dist"), 4).as("dist4"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -389,7 +389,7 @@ object Knn {
       .filter(col("rank") <= k2)
       .select(
         col("query_id"), col("neighbor_id"), col("rank"),
-        col("collisions"), round(col("dist"), 4).as("dist4"))
+        col("collisions"), Det.display(col("dist"), 4).as("dist4"))
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -79,7 +79,7 @@ object KnnExact {
     */
   def topK(spark: SparkSession, sfDir: String, queryMaxId: Long = 8, k: Int = 10): DataFrame =
     topKScaffold(spark, sfDir, queryMaxId, k, identity, VectorExpressions.l2, ascending = true)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("score"), 4).as("dist4"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"), Det.display(col("score"), 4).as("dist4"))
       .orderBy(col("query_id"), col("rank"))
 
   def oracle(queryMaxId: Long = 8, k: Int = 10): String =
@@ -94,7 +94,7 @@ object KnnExact {
        |)
        |SELECT query_id, neighbor_id,
        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rank,
-       |       round(dist, 4) AS dist4
+       |       floor(dist * 10000.0 + 0.5) / 10000.0 AS dist4
        |FROM d
        |QUALIFY rank <= $k
        |ORDER BY query_id, rank""".stripMargin
@@ -113,7 +113,8 @@ object KnnExact {
          |  SELECT vec_id AS query_id, embedding AS qv
          |  FROM embeddings_sql WHERE vec_id < $queryMaxId
          |)
-         |SELECT query_id, neighbor_id, rank, round(dist, 4) AS dist4 FROM (
+         |SELECT query_id, neighbor_id, rank,
+         |       floor(dist * 1e4 + 0.5) / 1e4 AS dist4 FROM (
          |  SELECT q.query_id, e.vec_id AS neighbor_id,
          |         l2_distance(q.qv, e.embedding) AS dist,
          |         row_number() OVER (
@@ -236,7 +237,7 @@ object KnnExact {
       labels: Seq[Int] = Seq(1, 2, 3)): DataFrame =
     topKScaffold(spark, sfDir, queryMaxId, k, identity, VectorExpressions.l2,
       ascending = true, corpusFilter = col("label").isin(labels.map(Integer.valueOf): _*))
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("score"), 4).as("dist4"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"), Det.display(col("score"), 4).as("dist4"))
       .orderBy(col("query_id"), col("rank"))
 
   def oracleFiltered(queryMaxId: Long = 8, k: Int = 10, labels: Seq[Int] = Seq(1, 2, 3)): String =
@@ -251,7 +252,7 @@ object KnnExact {
        |)
        |SELECT query_id, neighbor_id,
        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS INTEGER) AS rank,
-       |       round(dist, 4) AS dist4
+       |       floor(dist * 10000.0 + 0.5) / 10000.0 AS dist4
        |FROM d
        |QUALIFY rank <= $k
        |ORDER BY query_id, rank""".stripMargin
@@ -280,7 +281,7 @@ object KnnExact {
         col("query_id"), col("vec_id").as("neighbor_id"),
         VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))
       .filter(col("dist") <= radius)
-      .select(col("query_id"), col("neighbor_id"), round(col("dist"), 4).as("dist4"))
+      .select(col("query_id"), col("neighbor_id"), Det.display(col("dist"), 4).as("dist4"))
       .orderBy(col("query_id"), col("neighbor_id"))
   }
 
@@ -290,7 +291,8 @@ object KnnExact {
        |  FROM embeddings WHERE vec_id < $queryMaxId
        |)
        |SELECT q.query_id, e.vec_id AS neighbor_id,
-       |       round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS dist4
+       |       floor(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv) * 10000.0 + 0.5)
+       |         / 10000.0 AS dist4
        |FROM embeddings e, q
        |WHERE e.vec_id <> q.query_id
        |  AND list_distance(CAST(e.embedding AS DOUBLE[]), q.qv) <= $radius
@@ -606,10 +608,8 @@ object KnnExact {
       .orderBy(col("rel").desc, col("vec_id").asc)
       .limit(pool)
       .collect()
-    def ppm(x: Double): Long = {
-      val d = x * 1e6
-      (if (d >= 0) math.floor(d + 0.5) else math.ceil(d - 0.5)).toLong
-    }
+    def ppm(x: Double): Long =
+      math.floor(x * 1e6 + 0.5).toLong // house half-up quantizer (Det.quant)
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {

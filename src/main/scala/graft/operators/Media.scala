@@ -142,10 +142,10 @@ object Media {
     feats.toDF()
       .select(
         col("media_id"), col("kind"), col("n_frames"),
-        round(element_at(col("features"), 1), 4).as("f0"),
-        round(element_at(col("features"), 2), 4).as("f1"),
-        round(element_at(col("features"), 3), 4).as("f2"),
-        round(element_at(col("features"), 4), 4).as("f3"))
+        Det.display(element_at(col("features"), 1), 4).as("f0"),
+        Det.display(element_at(col("features"), 2), 4).as("f1"),
+        Det.display(element_at(col("features"), 3), 4).as("f2"),
+        Det.display(element_at(col("features"), 4), 4).as("f3"))
       .orderBy(col("media_id"))
   }
 

@@ -266,7 +266,7 @@ object Pq {
         VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))
       .withColumn("rank", row_number().over(wK2))
       .filter(col("rank") <= k2)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("dist"), 4).as("dist4"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"), Det.display(col("dist"), 4).as("dist4"))
       .orderBy(col("query_id"), col("rank"))
   }
 

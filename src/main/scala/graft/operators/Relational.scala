@@ -467,7 +467,7 @@ object Relational {
       .select(
         col("yr"), col("mth"),
         (col("rev_c") / 100.0).as("revenue"),
-        round(col("mov_sum_c") / col("mov_n") / 100.0, 4).as("mov_avg_3"),
+        Det.display(col("mov_sum_c") / col("mov_n") / 100.0, 4).as("mov_avg_3"),
         (col("mov_max_c") / 100.0).as("mov_max_3"),
         ((col("rev_c") - col("lag12_c")) / 100.0).as("yoy_delta"))
       .orderBy(col("yr"), col("mth"))
@@ -482,8 +482,9 @@ object Relational {
        |  FROM orders GROUP BY 1, 2)
        |SELECT yr, mth,
        |       rev_c / 100.0 AS revenue,
-       |       round(CAST(sum(rev_c) OVER w3 AS BIGINT)
-       |             / CAST(count(rev_c) OVER w3 AS BIGINT) / 100.0, 4)
+       |       floor(CAST(sum(rev_c) OVER w3 AS BIGINT)
+       |             / CAST(count(rev_c) OVER w3 AS BIGINT) / 100.0
+       |             * 10000.0 + 0.5) / 10000.0
        |         AS mov_avg_3,
        |       max(rev_c) OVER w3 / 100.0 AS mov_max_3,
        |       (rev_c - lag(rev_c, 12) OVER (ORDER BY yr, mth)) / 100.0
@@ -515,7 +516,7 @@ object Relational {
         col("n_buckets"),
         (col("min_c") / 100.0).as("min_revenue"),
         (col("max_c") / 100.0).as("max_revenue"),
-        round(col("sum_c") / col("n_buckets") / 100.0, 4).as("avg_revenue"),
+        Det.display(col("sum_c") / col("n_buckets") / 100.0, 4).as("avg_revenue"),
         (col("sum_c") / 100.0).as("sum_revenue"))
 
   val statsBucketOracle: String =
@@ -526,7 +527,8 @@ object Relational {
        |SELECT count(*) AS n_buckets,
        |       CAST(min(rev_c) AS BIGINT) / 100.0 AS min_revenue,
        |       CAST(max(rev_c) AS BIGINT) / 100.0 AS max_revenue,
-       |       round(CAST(sum(rev_c) AS BIGINT) / count(*) / 100.0, 4)
+       |       floor(CAST(sum(rev_c) AS BIGINT) / count(*) / 100.0
+       |             * 10000.0 + 0.5) / 10000.0
        |         AS avg_revenue,
        |       CAST(sum(rev_c) AS BIGINT) / 100.0 AS sum_revenue
        |FROM m""".stripMargin
@@ -587,16 +589,16 @@ object Relational {
         sum(Det.scaled(col("l_quantity"), 0)).as("qty"))
       .select(
         col("l_returnflag"), col("qty"),
-        round(col("num_c") / col("qty") / 100.0, 4).as("weighted_avg_price"))
+        Det.display(col("num_c") / col("qty") / 100.0, 4).as("weighted_avg_price"))
       .orderBy(col("l_returnflag"))
 
   val weightedAvgOracle: String =
     s"""SELECT l_returnflag,
        |       CAST(sum(${Det.sqlScaled("l_quantity", 0)}) AS BIGINT) AS qty,
-       |       round(CAST(sum(${Det.sqlScaled("l_extendedprice", 2)} *
+       |       floor(CAST(sum(${Det.sqlScaled("l_extendedprice", 2)} *
        |                      ${Det.sqlScaled("l_quantity", 0)}) AS BIGINT)
        |             / CAST(sum(${Det.sqlScaled("l_quantity", 0)}) AS BIGINT)
-       |             / 100.0, 4) AS weighted_avg_price
+       |             / 100.0 * 10000.0 + 0.5) / 10000.0 AS weighted_avg_price
        |FROM lineitem
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin

@@ -19,7 +19,8 @@ import graft.Tables
   *
   * Determinism discipline (the oracle hash-compares bitwise): TF-IDF scores
   * are computed as INTEGERS — idf is scaled to 1e4 and rounded half-up once
-  * (`round(ln(N/df)·10⁴)`), so scores are exact BIGINT sums and the ranking
+  * (`⌊ln(N/df)·10⁴+½⌋`, the Det.quant house form), so scores are exact
+  * BIGINT sums and the ranking
   * cannot be perturbed by float summation order in either engine. BM25
   * rounds each per-term contribution to 1e-6 and sums those as BIGINT (the
   * same treatment), dividing back once at the end; the gate additionally
@@ -58,7 +59,7 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
 
   /** q61 — TF-IDF top-k retrieval: score(d) = Σ_t tf(t,d) · idf4(t) with
-    * idf4(t) = round(ln(N/df(t)) · 10⁴) as BIGINT. Integer scores ⇒ the
+    * idf4(t) = ⌊ln(N/df(t)) · 10⁴ + ½⌋ as BIGINT. Integer scores ⇒ the
     * DESC-score ranking is total and engine-independent (ties break on
     * doc_id ASC).
     */
@@ -80,7 +81,7 @@ object Retrieval {
     // re-probes the store (pushed, bounded) rather than re-tokenizing.
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val idf = dfreq.crossJoin(broadcast(n))
-      .select(col("t"), round(log(col("n") / col("df")) * 10000).cast("long").as("idf4"))
+      .select(col("t"), Det.quant(log(col("n") / col("df")) * 10000, 0).as("idf4"))
     tf.join(broadcast(idf), "t")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("idf4")).as("score"))
@@ -105,7 +106,7 @@ object Retrieval {
        |  SELECT doc_id, t, count(*) AS tf FROM tok
        |  WHERE t IN ($termList) GROUP BY doc_id, t),
        |idf AS (
-       |  SELECT t, CAST(round(ln((SELECT count(*) FROM documents) / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS idf4
+       |  SELECT t, CAST(floor(ln((SELECT count(*) FROM documents) / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS idf4
        |  FROM tf GROUP BY t)
        |SELECT doc_id, CAST(sum(tf.tf * idf.idf4) AS BIGINT) AS score
        |FROM tf JOIN idf USING (t)
@@ -168,7 +169,7 @@ object Retrieval {
       // as a real 1-row hash mismatch at sf1 (SCALING.md, round 11).
       .groupBy(col("doc_id"))
       .agg(
-        (floor(sum(round(col("part") * 1e6).cast("long")) / lit(100.0) + lit(0.5)) /
+        (floor(sum(Det.quant(col("part") * 1e6, 0)) / lit(100.0) + lit(0.5)) /
           lit(1e4)).as("bm25_4"),
         count(lit(1)).as("n_terms"))
       .orderBy(col("doc_id"))
@@ -192,9 +193,9 @@ object Retrieval {
        |  SELECT t, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf, avgdl
        |  FROM (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t), stats)
        |SELECT tf.doc_id,
-       |       floor(CAST(sum(CAST(round(idf.idf * (tf.tf * ($k1 + 1.0))
+       |       floor(CAST(sum(CAST(floor(idf.idf * (tf.tf * ($k1 + 1.0))
        |                 / (tf.tf + $k1 * (1.0 - $b + $b * dl.dl / idf.avgdl))
-       |                 * 1000000.0) AS BIGINT)) AS BIGINT) / 100.0 + 0.5) / 10000.0 AS bm25_4,
+       |                 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 + 0.5) / 10000.0 AS bm25_4,
        |       count(*) AS n_terms
        |FROM tf
        |JOIN idf USING (t)
@@ -207,7 +208,7 @@ object Retrieval {
     * ranking (integer scores, [[tfidfTopDocs]]'s discipline) fused with an
     * embedding-cosine ranking against a query vector — the lexical+vector
     * hybrid every Elasticsearch-with-kNN deployment (the reference's world)
-    * serves. RRF(d) = Σ_legs round(10⁹/(60+rank_leg(d))), summed as exact
+    * serves. RRF(d) = Σ_legs ⌊10⁹/(60+rank_leg(d))+½⌋, summed as exact
     * BIGINTs over the union of both top-`kRank` lists; docs absent from a
     * leg contribute 0. Constant 60 per the published RRF formulation.
     *
@@ -239,7 +240,7 @@ object Retrieval {
     val n = doc.agg(count(lit(1)).as("n"))
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val idf = dfreq.crossJoin(broadcast(n))
-      .select(col("t"), round(log(col("n") / col("df")) * 10000).cast("long").as("idf4"))
+      .select(col("t"), Det.quant(log(col("n") / col("df")) * 10000, 0).as("idf4"))
     val lexTop = tf.join(broadcast(idf), "t")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("idf4")).as("score"))
@@ -265,8 +266,8 @@ object Retrieval {
     lex.join(vec, Seq("doc_id"), "full_outer")
       .select(
         col("doc_id"),
-        (coalesce(round(lit(1e9) / (lit(rrfC) + col("r_lex"))).cast("long"), lit(0L)) +
-          coalesce(round(lit(1e9) / (lit(rrfC) + col("r_vec"))).cast("long"), lit(0L)))
+        (coalesce(Det.quant(lit(1e9) / (lit(rrfC) + col("r_lex")), 0), lit(0L)) +
+          coalesce(Det.quant(lit(1e9) / (lit(rrfC) + col("r_vec")), 0), lit(0L)))
           .as("rrf9"))
       .orderBy(col("rrf9").desc, col("doc_id").asc)
       .limit(k)
@@ -285,7 +286,7 @@ object Retrieval {
        |  SELECT doc_id, t, count(*) AS tf FROM tok
        |  WHERE t IN ($termList) GROUP BY doc_id, t),
        |idf AS (
-       |  SELECT t, CAST(round(ln((SELECT count(*) FROM documents) / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS idf4
+       |  SELECT t, CAST(floor(ln((SELECT count(*) FROM documents) / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS idf4
        |  FROM tf GROUP BY t),
        |lex AS (
        |  SELECT doc_id, row_number() OVER (ORDER BY CAST(sum(tf.tf * idf.idf4) AS BIGINT) DESC, doc_id ASC) AS r
@@ -302,8 +303,8 @@ object Retrieval {
        |  ORDER BY r LIMIT $kRank),
        |fused AS (
        |  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
-       |         CAST(coalesce(CAST(round(1000000000.0 / ($rrfC + lex.r)) AS BIGINT), 0)
-       |            + coalesce(CAST(round(1000000000.0 / ($rrfC + vec.r)) AS BIGINT), 0) AS BIGINT) AS rrf9
+       |         CAST(coalesce(CAST(floor(1000000000.0 / ($rrfC + lex.r) + 0.5) AS BIGINT), 0)
+       |            + coalesce(CAST(floor(1000000000.0 / ($rrfC + vec.r) + 0.5) AS BIGINT), 0) AS BIGINT) AS rrf9
        |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
        |SELECT doc_id, rrf9 FROM fused ORDER BY rrf9 DESC, doc_id ASC LIMIT $k""".stripMargin
   }
@@ -845,8 +846,8 @@ object Retrieval {
        |  SELECT doc_id, t, count(*) AS tf FROM tok
        |  WHERE t IN ($termList) GROUP BY doc_id, t),
        |idf AS (
-       |  SELECT t, CAST(round(ln((SELECT count(*) FROM documents)
-       |           / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS idf4
+       |  SELECT t, CAST(floor(ln((SELECT count(*) FROM documents)
+       |           / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS idf4
        |  FROM tf GROUP BY t),
        |ranked AS (
        |  SELECT doc_id, CAST(sum(tf.tf * idf.idf4) AS BIGINT) AS score
@@ -930,7 +931,7 @@ object Retrieval {
     val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n"))
     val dfreq = tf.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
     val idf = dfreq.crossJoin(broadcast(n))
-      .select(col("t"), round(log(col("n") / col("df")) * 10000).cast("long").as("idf4"))
+      .select(col("t"), Det.quant(log(col("n") / col("df")) * 10000, 0).as("idf4"))
     // ES max_query_terms: the example's most interesting terms. The window
     // is unpartitioned but runs over ≤ |example vocabulary| rows.
     val wSel = Window.orderBy((col("tf_ex") * col("idf4")).desc, col("t").asc)
@@ -957,8 +958,8 @@ object Retrieval {
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
        |  WHERE t IN (SELECT t FROM extf) GROUP BY doc_id, t),
        |idf AS (
-       |  SELECT t, CAST(round(ln((SELECT count(*) FROM documents)
-       |           / CAST(count(DISTINCT doc_id) AS DOUBLE)) * 10000) AS BIGINT) AS idf4
+       |  SELECT t, CAST(floor(ln((SELECT count(*) FROM documents)
+       |           / CAST(count(DISTINCT doc_id) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS idf4
        |  FROM tf GROUP BY t),
        |sel AS (
        |  SELECT t, idf4 FROM (
@@ -992,7 +993,7 @@ object Retrieval {
       k: Int = 20): DataFrame = {
     val scores = tfidfScores(spark, sfDir, terms)
     val fvf = Tables.documents(spark, sfDir).select(col("doc_id"),
-      round(log(lit(1.0) + col("n_chars")) * 10000).cast("long").as("fvf4"))
+      Det.quant(log(lit(1.0) + col("n_chars")) * 10000, 0).as("fvf4"))
     scores.join(fvf, "doc_id")
       .select(col("doc_id"), (col("score") * col("fvf4")).as("fscore"))
       .orderBy(col("fscore").desc, col("doc_id").asc)
@@ -1008,14 +1009,14 @@ object Retrieval {
        |  SELECT doc_id, t, count(*) AS tf FROM tok
        |  WHERE t IN ($termList) GROUP BY doc_id, t),
        |idf AS (
-       |  SELECT t, CAST(round(ln((SELECT count(*) FROM documents)
-       |           / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS idf4
+       |  SELECT t, CAST(floor(ln((SELECT count(*) FROM documents)
+       |           / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS idf4
        |  FROM tf GROUP BY t),
        |scores AS (
        |  SELECT doc_id, CAST(sum(tf.tf * idf.idf4) AS BIGINT) AS score
        |  FROM tf JOIN idf USING (t) GROUP BY doc_id)
        |SELECT s.doc_id,
-       |       s.score * CAST(round(ln(1.0 + d.n_chars) * 10000) AS BIGINT) AS fscore
+       |       s.score * CAST(floor(ln(1.0 + d.n_chars) * 10000.0 + 0.5) AS BIGINT) AS fscore
        |FROM scores s JOIN documents d ON s.doc_id = d.doc_id
        |ORDER BY fscore DESC, s.doc_id ASC
        |LIMIT $k""".stripMargin
@@ -1225,7 +1226,7 @@ object Retrieval {
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val idf = dfreq.crossJoin(broadcast(n))
       .select(col("t"), col("df"),
-        round(log(col("n") / col("df")) * 10000).cast("long").as("idf4"))
+        Det.quant(log(col("n") / col("df")) * 10000, 0).as("idf4"))
     tf.filter(col("doc_id") === docId)
       .join(broadcast(idf), "t")
       .select(col("t").as("term"), col("tf"), col("df"), col("idf4"),
@@ -1243,8 +1244,8 @@ object Retrieval {
        |  WHERE t IN ($termList) GROUP BY doc_id, t),
        |idf AS (
        |  SELECT t, count(*) AS df,
-       |         CAST(round(ln((SELECT count(*) FROM documents)
-       |           / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS idf4
+       |         CAST(floor(ln((SELECT count(*) FROM documents)
+       |           / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS idf4
        |  FROM tf GROUP BY t)
        |SELECT tf.t AS term, tf.tf, idf.df, idf.idf4,
        |       tf.tf * idf.idf4 AS contribution
@@ -1271,7 +1272,7 @@ object Retrieval {
     val n = doc.agg(count(lit(1)).as("n"))
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val idf = dfreq.crossJoin(broadcast(n))
-      .select(col("t"), round(log(col("n") / col("df")) * 10000).cast("long").as("idf4"))
+      .select(col("t"), Det.quant(log(col("n") / col("df")) * 10000, 0).as("idf4"))
     tf.join(broadcast(idf), "t")
       .groupBy(col("doc_id"))
       .agg(max(col("tf") * col("idf4")).as("mx"),
@@ -1294,8 +1295,8 @@ object Retrieval {
        |  SELECT doc_id, t, count(*) AS tf FROM tok
        |  WHERE t IN ($termList) GROUP BY doc_id, t),
        |idf AS (
-       |  SELECT t, CAST(round(ln((SELECT count(*) FROM documents)
-       |           / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS idf4
+       |  SELECT t, CAST(floor(ln((SELECT count(*) FROM documents)
+       |           / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS idf4
        |  FROM tf GROUP BY t),
        |agg AS (
        |  SELECT doc_id, CAST(max(tf.tf * idf.idf4) AS BIGINT) AS mx,
@@ -1353,8 +1354,8 @@ object Retrieval {
        |  SELECT doc_id, t, count(*) AS tf FROM tok
        |  WHERE t IN ($termList) GROUP BY doc_id, t),
        |idf AS (
-       |  SELECT t, CAST(round(ln((SELECT count(*) FROM documents)
-       |           / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS idf4
+       |  SELECT t, CAST(floor(ln((SELECT count(*) FROM documents)
+       |           / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS idf4
        |  FROM tf GROUP BY t),
        |scores AS (
        |  SELECT doc_id, CAST(sum(tf.tf * idf.idf4) AS BIGINT) AS score
@@ -1416,8 +1417,8 @@ object Retrieval {
        |  SELECT doc_id, t, count(*) AS tf FROM tok
        |  WHERE t IN ($termList) GROUP BY doc_id, t),
        |idf AS (
-       |  SELECT t, CAST(round(ln((SELECT count(*) FROM documents)
-       |           / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS idf4
+       |  SELECT t, CAST(floor(ln((SELECT count(*) FROM documents)
+       |           / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS idf4
        |  FROM tf GROUP BY t),
        |base AS (
        |  SELECT doc_id, CAST(sum(tf.tf * idf.idf4) AS BIGINT) AS score
@@ -1467,8 +1468,8 @@ object Retrieval {
        |  SELECT doc_id, t, count(*) AS tf FROM tok
        |  WHERE t IN ($termList) GROUP BY doc_id, t),
        |idf AS (
-       |  SELECT t, CAST(round(ln((SELECT count(*) FROM documents)
-       |           / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS idf4
+       |  SELECT t, CAST(floor(ln((SELECT count(*) FROM documents)
+       |           / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS idf4
        |  FROM tf GROUP BY t),
        |ranked AS (
        |  SELECT doc_id, CAST(sum(tf.tf * idf.idf4) AS BIGINT) AS score

@@ -37,9 +37,9 @@ object Sketches {
         expr("approx_percentile(value, array(0.5D, 0.9D, 0.99D), 1000)").as("q"))
       .select(
         col("event_type"), col("n"),
-        round(element_at(col("q"), 1), 4).as("p50"),
-        round(element_at(col("q"), 2), 4).as("p90"),
-        round(element_at(col("q"), 3), 4).as("p99"))
+        Det.display(element_at(col("q"), 1), 4).as("p50"),
+        Det.display(element_at(col("q"), 2), 4).as("p90"),
+        Det.display(element_at(col("q"), 3), 4).as("p99"))
       .orderBy(col("event_type"))
 
   /** q66 — heavy hitters via count-min sketch: one pass builds a fixed-size
@@ -82,7 +82,7 @@ object Sketches {
     perType.select(col("event_type"), col("sk")).union(union)
       .select(
         col("event_type"),
-        expr("cast(round(hll_sketch_estimate(sk)) as bigint)").as("est_users"))
+        expr("cast(floor(hll_sketch_estimate(sk) + 0.5D) as bigint)").as("est_users"))
       .orderBy(col("event_type"))
   }
 

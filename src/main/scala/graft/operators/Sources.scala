@@ -151,7 +151,7 @@ object Sources {
         count(lit(1)).as("n_docs"),
         // exact integer sum, then ONE double division — identical on any
         // engine/partitioning (avg() accumulation order is not)
-        round(sum(col("n_chars")) / count(lit(1)), 4).as("avg_chars"))
+        Det.display(sum(col("n_chars")) / count(lit(1)), 4).as("avg_chars"))
       .orderBy(col("lang"), col("split"))
 
   val trainSplitOracle: String =
@@ -160,7 +160,8 @@ object Sources {
       |            WHEN (doc_id * 2654435761) % 100 < 90 THEN 'valid'
       |            ELSE 'test' END AS split,
       |       count(*) AS n_docs,
-      |       round(CAST(sum(n_chars) AS BIGINT) / count(*), 4) AS avg_chars
+      |       floor(CAST(sum(n_chars) AS BIGINT) / count(*) * 10000.0 + 0.5)
+      |         / 10000.0 AS avg_chars
       |FROM documents
       |GROUP BY 1, 2
       |ORDER BY lang, split""".stripMargin

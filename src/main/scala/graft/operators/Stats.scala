@@ -11,11 +11,12 @@ import graft.Tables
   * plain sum/avg/count coverage in [[Relational]].
   *
   * Determinism notes: percentiles interpolate two parquet doubles both
-  * engines read bit-identically, and the fixture values live on a 0.01
-  * grid, so interpolated results sit on a coarse decimal grid maximally far
-  * from the round-4 boundaries; variance avoids `var_pop`'s engine-specific
-  * accumulation entirely by computing E[x²]−E[x]² from exact scaled-long
-  * sums, with the identical double expression written on both sides.
+  * engines read bit-identically; every display value goes through the
+  * boundary-exact [[Det.display]] half-up floor (r11 discipline — see the
+  * Det scaladoc), never an engine's own `round(double, n)`; variance avoids
+  * `var_pop`'s engine-specific accumulation entirely by computing
+  * E[x²]−E[x]² from exact scaled-long sums, with the identical double
+  * expression written on both sides.
   */
 object Stats {
 
@@ -30,17 +31,17 @@ object Stats {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        round(expr("percentile(value, 0.25)"), 4).as("p25"),
-        round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.75)"), 4).as("p75"))
+        Det.display(expr("percentile(value, 0.25)"), 4).as("p25"),
+        Det.display(expr("percentile(value, 0.5)"), 4).as("p50"),
+        Det.display(expr("percentile(value, 0.75)"), 4).as("p75"))
       .orderBy(col("event_type"))
   }
 
   val percentilesOracle: String =
     """SELECT event_type, count(*) AS n,
-      |       round(quantile_cont(value, 0.25), 4) AS p25,
-      |       round(quantile_cont(value, 0.5), 4) AS p50,
-      |       round(quantile_cont(value, 0.75), 4) AS p75
+      |       floor(quantile_cont(value, 0.25) * 10000.0 + 0.5) / 10000.0 AS p25,
+      |       floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+      |       floor(quantile_cont(value, 0.75) * 10000.0 + 0.5) / 10000.0 AS p75
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
@@ -122,13 +123,13 @@ object Stats {
         // 0/0 (Spark NULL vs a potential NaN elsewhere) riding into the
         // hash gate on a degenerate fixture.
         when(col("n_a") >= 1,
-          round(col("s_a") / col("n_a") / 100.0, 4)).as("mean_a"),
+          Det.display(col("s_a") / col("n_a") / 100.0, 4)).as("mean_a"),
         when(col("n_b") >= 1,
-          round(col("s_b") / col("n_b") / 100.0, 4)).as("mean_b"),
+          Det.display(col("s_b") / col("n_b") / 100.0, 4)).as("mean_b"),
         when(col("n_a") >= 2 && col("n_b") >= 2 &&
           (col("n_a") * col("ss_a") - col("s_a") * col("s_a") > 0 ||
             col("n_b") * col("ss_b") - col("s_b") * col("s_b") > 0),
-          round(
+          Det.display(
             (col("s_a") / col("n_a") - col("s_b") / col("n_b")) /
               sqrt(
                 (col("n_a") * col("ss_a") - col("s_a") * col("s_a")) /
@@ -157,16 +158,17 @@ object Stats {
        |       CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
        |       CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
        |       CASE WHEN n_a >= 1
-       |            THEN round(s_a / n_a / 100.0, 4) END AS mean_a,
+       |            THEN floor(s_a / n_a / 100.0 * 10000.0 + 0.5) / 10000.0 END AS mean_a,
        |       CASE WHEN n_b >= 1
-       |            THEN round(s_b / n_b / 100.0, 4) END AS mean_b,
+       |            THEN floor(s_b / n_b / 100.0 * 10000.0 + 0.5) / 10000.0 END AS mean_b,
        |       CASE WHEN n_a >= 2 AND n_b >= 2 AND
        |                 (n_a * ss_a - s_a * s_a > 0 OR n_b * ss_b - s_b * s_b > 0)
-       |            THEN round((s_a / n_a - s_b / n_b) /
+       |            THEN floor((s_a / n_a - s_b / n_b) /
        |                       sqrt((n_a * ss_a - s_a * s_a)
        |                              / (n_a * (n_a - 1.0)) / n_a +
        |                            (n_b * ss_b - s_b * s_b)
-       |                              / (n_b * (n_b - 1.0)) / n_b), 4)
+       |                              / (n_b * (n_b - 1.0)) / n_b)
+       |                       * 10000.0 + 0.5) / 10000.0
        |            END AS t_stat
        |FROM m""".stripMargin
   }
@@ -226,14 +228,14 @@ object Stats {
         col("event_id"),
         col("event_type"),
         ntile(4).over(w).as("tile"),
-        round(percent_rank().over(w), 6).as("pr6"))
+        Det.display(percent_rank().over(w), 6).as("pr6"))
       .orderBy(col("event_id"))
   }
 
   val rankDistributionOracle: String =
     """SELECT event_id, event_type,
       |       CAST(ntile(4) OVER w AS INTEGER) AS tile,
-      |       round(percent_rank() OVER w, 6) AS pr6
+      |       floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pr6
       |FROM events
       |WHERE user_id < 20
       |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
@@ -256,8 +258,8 @@ object Stats {
         sum(sv * sv).as("s2"))
       .select(
         col("event_type"), col("n"),
-        round(col("s1") / 100.0 / col("n"), 4).as("mean4"),
-        round(
+        Det.display(col("s1") / 100.0 / col("n"), 4).as("mean4"),
+        Det.display(
           col("s2") / 10000.0 / col("n")
             - (col("s1") / 100.0 / col("n")) * (col("s1") / 100.0 / col("n")),
           4).as("var4"))
@@ -268,9 +270,10 @@ object Stats {
     val s1 = s"CAST(sum(${Det.sqlScaled("value", 2)}) AS BIGINT)"
     val s2 = s"CAST(sum(${Det.sqlScaled("value", 2)} * ${Det.sqlScaled("value", 2)}) AS BIGINT)"
     s"""SELECT event_type, count(*) AS n,
-       |       round($s1 / 100.0 / count(*), 4) AS mean4,
-       |       round($s2 / 10000.0 / count(*)
-       |             - ($s1 / 100.0 / count(*)) * ($s1 / 100.0 / count(*)), 4) AS var4
+       |       floor($s1 / 100.0 / count(*) * 10000.0 + 0.5) / 10000.0 AS mean4,
+       |       floor(($s2 / 10000.0 / count(*)
+       |              - ($s1 / 100.0 / count(*)) * ($s1 / 100.0 / count(*)))
+       |             * 10000.0 + 0.5) / 10000.0 AS var4
        |FROM events
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
@@ -318,12 +321,13 @@ object Stats {
         "measure", "amount")
       .select(
         col("l_orderkey"), col("l_linenumber"), col("measure"),
-        round(col("amount"), 4).as("amount4"))
+        Det.display(col("amount"), 4).as("amount4"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
   }
 
   val unpivotLineitemOracle: String =
-    """SELECT l_orderkey, l_linenumber, measure, round(amount, 4) AS amount4
+    """SELECT l_orderkey, l_linenumber, measure,
+      |       floor(amount * 10000.0 + 0.5) / 10000.0 AS amount4
       |FROM (
       |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS amount
       |  FROM lineitem WHERE l_orderkey < 100
@@ -406,11 +410,12 @@ object Stats {
       // abs DESC) where DuckDB yields NULL (sorting LAST) — the ranking is
       // only engine-independent over rows where z is defined.
       .join(broadcast(stats.filter(col("sd") > 0)), "event_type")
-      .select(col("event_id"), col("event_type"), round(col("value"), 4).as("value4"),
-        z.as("z"))
+      .select(col("event_id"), col("event_type"),
+        Det.display(col("value"), 4).as("value4"), z.as("z"))
       .orderBy(abs(col("z")).desc, col("event_id").asc)
       .limit(k)
-      .select(col("event_id"), col("event_type"), col("value4"), round(col("z"), 4).as("z4"))
+      .select(col("event_id"), col("event_type"), col("value4"),
+        Det.display(col("z"), 4).as("z4"))
   }
 
   def zscoreOutliersOracle(k: Int = 20): String = {
@@ -422,8 +427,9 @@ object Stats {
        |         sqrt($s2 / 10000.0 / count(*)
        |              - ($s1 / 100.0 / count(*)) * ($s1 / 100.0 / count(*))) AS sd
        |  FROM events GROUP BY event_type)
-       |SELECT event_id, event_type, round(value, 4) AS value4,
-       |       round((value - mean) / sd, 4) AS z4
+       |SELECT event_id, event_type,
+       |       floor(value * 10000.0 + 0.5) / 10000.0 AS value4,
+       |       floor((value - mean) / sd * 10000.0 + 0.5) / 10000.0 AS z4
        |FROM events JOIN stats USING (event_type)
        |WHERE sd > 0
        |ORDER BY abs((value - mean) / sd) DESC, event_id ASC

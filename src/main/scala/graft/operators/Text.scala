@@ -135,7 +135,7 @@ object Text {
     lenStats.join(charStats, Seq("lang"))
       .select(
         col("lang"), col("n_docs"), col("min_length"), col("max_length"),
-        round(col("sum_len") / col("n_docs"), 4).as("avg_length"),
+        Det.display(col("sum_len") / col("n_docs"), 4).as("avg_length"),
         col("distinct_chars"),
         expr("sum_c2 * 1000000L div (total_chars * total_chars)")
           .as("collision_ppm"))
@@ -159,7 +159,7 @@ object Text {
       |         CAST(sum(c * c) AS BIGINT) AS sum_c2
       |  FROM cc GROUP BY lang)
       |SELECT lang, n_docs, min_length, max_length,
-      |       round(sum_len / n_docs, 4) AS avg_length,
+      |       floor(sum_len / n_docs * 10000.0 + 0.5) / 10000.0 AS avg_length,
       |       distinct_chars,
       |       sum_c2 * 1000000 // (total_chars * total_chars) AS collision_ppm
       |FROM l JOIN s USING (lang)
@@ -180,9 +180,9 @@ object Text {
         length(col("text")).cast("long").as("n_chars_m"))
       .select(
         col("doc_id"), col("n_tokens"), col("n_distinct"),
-        round(col("n_distinct") / col("n_tokens"), 4).as("ttr"),
-        round(col("n_stop") / col("n_tokens"), 4).as("stop_ratio"),
-        round((col("n_chars_m") - (col("n_tokens") - 1)) / col("n_tokens"), 4).as("avg_word_len"))
+        Det.display(col("n_distinct") / col("n_tokens"), 4).as("ttr"),
+        Det.display(col("n_stop") / col("n_tokens"), 4).as("stop_ratio"),
+        Det.display((col("n_chars_m") - (col("n_tokens") - 1)) / col("n_tokens"), 4).as("avg_word_len"))
       .orderBy(col("doc_id"))
   }
 
@@ -190,13 +190,16 @@ object Text {
     """SELECT doc_id,
       |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
       |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-      |       round(CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
-      |             / CAST(len(string_split(text, ' ')) AS BIGINT), 4) AS ttr,
-      |       round(CAST(len(list_filter(string_split(text, ' '),
+      |       floor(CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |             / CAST(len(string_split(text, ' ')) AS BIGINT)
+      |             * 10000.0 + 0.5) / 10000.0 AS ttr,
+      |       floor(CAST(len(list_filter(string_split(text, ' '),
       |                                  t -> t IN ('the', 'a'))) AS BIGINT)
-      |             / CAST(len(string_split(text, ' ')) AS BIGINT), 4) AS stop_ratio,
-      |       round((length(text) - (len(string_split(text, ' ')) - 1))
-      |             / CAST(len(string_split(text, ' ')) AS BIGINT), 4) AS avg_word_len
+      |             / CAST(len(string_split(text, ' ')) AS BIGINT)
+      |             * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+      |       floor((length(text) - (len(string_split(text, ' ')) - 1))
+      |             / CAST(len(string_split(text, ' ')) AS BIGINT)
+      |             * 10000.0 + 0.5) / 10000.0 AS avg_word_len
       |FROM documents
       |WHERE doc_id < 50
       |ORDER BY doc_id""".stripMargin
@@ -505,7 +508,7 @@ object Text {
       .join(sz.select(col("doc_id").as("j"), col("sz").as("sj")), "j")
       .withColumn("jac", col("common") / (col("si") + col("sj") - col("common")))
       .filter(col("jac") >= threshold)
-      .select(col("i"), col("j"), round(col("jac"), 4).as("jac4"))
+      .select(col("i"), col("j"), Det.display(col("jac"), 4).as("jac4"))
       .orderBy(col("i"), col("j"))
   }
 
@@ -517,7 +520,9 @@ object Text {
        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
        |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
-       |SELECT i, j, round(common / (sa.sz + sb.sz - common), 4) AS jac4
+       |SELECT i, j,
+       |       floor(common / (sa.sz + sb.sz - common) * 10000.0 + 0.5)
+       |         / 10000.0 AS jac4
        |FROM pairs
        |JOIN sz sa ON i = sa.doc_id
        |JOIN sz sb ON j = sb.doc_id
@@ -553,8 +558,8 @@ object Text {
        |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT i, j,
-       |       round(common / sa.sz, 4) AS cont_ij4,
-       |       round(common / sb.sz, 4) AS cont_ji4
+       |       floor(common / sa.sz * 10000.0 + 0.5) / 10000.0 AS cont_ij4,
+       |       floor(common / sb.sz * 10000.0 + 0.5) / 10000.0 AS cont_ji4
        |FROM pairs
        |JOIN sz sa ON i = sa.doc_id
        |JOIN sz sb ON j = sb.doc_id
@@ -642,8 +647,8 @@ object Text {
       .join(sz.select(col("doc_id").as("j"), col("sz").as("sj")), "j")
       .filter(greatest(col("common") / col("si"), col("common") / col("sj")) >= threshold)
       .select(col("i"), col("j"),
-        round(col("common") / col("si"), 4).as("cont_ij4"),
-        round(col("common") / col("sj"), 4).as("cont_ji4"))
+        Det.display(col("common") / col("si"), 4).as("cont_ij4"),
+        Det.display(col("common") / col("sj"), 4).as("cont_ji4"))
       .orderBy(col("i"), col("j"))
   }
 
@@ -846,7 +851,7 @@ object Text {
       .join(sz.select(col("doc_id").as("j"), col("sz").as("sj")), "j")
       .withColumn("jac", col("common") / (col("si") + col("sj") - col("common")))
       .filter(col("jac") >= threshold)
-      .select(col("i"), col("j"), round(col("jac"), 4).as("jac4"))
+      .select(col("i"), col("j"), Det.display(col("jac"), 4).as("jac4"))
       .orderBy(col("i"), col("j"))
   }
 
@@ -1474,9 +1479,9 @@ object Text {
       .select(
         col("doc_id"),
         col("n_tokens"),
-        round((col("n_bigrams") - col("n_distinct_bigrams")) / col("n_bigrams"), 4)
+        Det.display((col("n_bigrams") - col("n_distinct_bigrams")) / col("n_bigrams"), 4)
           .as("dup_bigram_frac"),
-        round(col("top_tok") / col("n_tokens"), 4).as("top_tok_frac"),
+        Det.display(col("top_tok") / col("n_tokens"), 4).as("top_tok_frac"),
         ((col("n_bigrams") - col("n_distinct_bigrams")) / col("n_bigrams") <= 0.2 &&
           col("top_tok") / col("n_tokens") <= 0.2).as("keep"))
       .orderBy(col("doc_id"))
@@ -1497,8 +1502,9 @@ object Text {
       |           x -> len(list_filter(ts, y -> y = x)))) AS BIGINT) AS top_tok
       |  FROM tok)
       |SELECT doc_id, n_tokens,
-      |       round((n_bigrams - n_distinct_bigrams) / n_bigrams, 4) AS dup_bigram_frac,
-      |       round(top_tok / n_tokens, 4) AS top_tok_frac,
+      |       floor((n_bigrams - n_distinct_bigrams) / n_bigrams
+      |             * 10000.0 + 0.5) / 10000.0 AS dup_bigram_frac,
+      |       floor(top_tok / n_tokens * 10000.0 + 0.5) / 10000.0 AS top_tok_frac,
       |       ((n_bigrams - n_distinct_bigrams) / n_bigrams <= 0.2
       |        AND top_tok / n_tokens <= 0.2) AS keep
       |FROM stats ORDER BY doc_id""".stripMargin
@@ -2088,7 +2094,8 @@ object Text {
     * (doc_id, token) rows ever moves.
     *
     * Determinism discipline: each token's rarity is scaled to an integer
-    * (`round(1e6 * N / cnt)`) BEFORE the sum, so the aggregate is an
+    * (`floor(1e6 * N / cnt + 0.5)`, the Det.quant house form) BEFORE the
+    * sum, so the aggregate is an
     * order-independent BIGINT sum — only +,*,/ IEEE ops (correctly rounded,
     * engine-identical), never a transcendental whose libm could differ.
     */
@@ -2101,12 +2108,12 @@ object Text {
       .crossJoin(broadcast(totals))
       .select(
         col("doc_id"),
-        round(col("ntotal") * lit(1e6) / col("cnt"), 0).cast("long").as("r"))
+        Det.quant(col("ntotal") * lit(1e6) / col("cnt"), 0).as("r"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("r")).as("rarity_sum"))
       .select(
         col("doc_id"), col("n_tokens"), col("rarity_sum"),
-        // 4-dp display by explicit half-up integer arithmetic, not
+        // 4-dp display by explicit half-up integer arithmetic, never
         // round(x, 4): see the bm25Scores scaladoc (Retrieval.scala) — the
         // .00005-boundary quotients of an integer micro-sum are where
         // Spark's decimal-string Round and DuckDB's binary round disagree.
@@ -2121,9 +2128,9 @@ object Text {
       |freq AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS ntotal FROM freq)
       |SELECT doc_id, count(*) AS n_tokens,
-      |       CAST(sum(CAST(round(ntotal * 1000000.0 / cnt, 0) AS BIGINT)) AS BIGINT)
+      |       CAST(sum(CAST(floor(ntotal * 1000000.0 / cnt + 0.5) AS BIGINT)) AS BIGINT)
       |         AS rarity_sum,
-      |       floor(CAST(sum(CAST(round(ntotal * 1000000.0 / cnt, 0) AS BIGINT)) AS BIGINT)
+      |       floor(CAST(sum(CAST(floor(ntotal * 1000000.0 / cnt + 0.5) AS BIGINT)) AS BIGINT)
       |             / (100.0 * count(*)) + 0.5) / 10000.0 AS avg_rarity
       |FROM tok JOIN freq USING (t) CROSS JOIN tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
@@ -2193,7 +2200,7 @@ object Text {
     val rar = bfreq
       .withColumn("cp", sum(col("cb")).over(Window.partitionBy(col("w1a"), col("w1b"))))
       .select(col("b1"), col("b2"),
-        round(col("cp") * lit(1e6) / col("cb"), 0).cast("long").as("r"))
+        Det.quant(col("cp") * lit(1e6) / col("cb"), 0).as("r"))
     bg.select(col("doc_id"), col("b1"), col("b2"))
       .join(rar, Seq("b1", "b2"))
       .groupBy(col("doc_id"))
@@ -2216,8 +2223,8 @@ object Text {
       |  FROM tok),
       |bfreq AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
       |rar AS (
-      |  SELECT b, CAST(round(sum(cb) OVER (PARTITION BY string_split(b, ' ')[1])
-      |                        * 1000000.0 / cb, 0) AS BIGINT) AS r
+      |  SELECT b, CAST(floor(sum(cb) OVER (PARTITION BY string_split(b, ' ')[1])
+      |                       * 1000000.0 / cb + 0.5) AS BIGINT) AS r
       |  FROM bfreq)
       |SELECT doc_id, count(*) AS n_bigrams,
       |       CAST(sum(r) AS BIGINT) AS surprisal_sum,
@@ -2275,12 +2282,12 @@ object Text {
         // while double products stay exact below 2⁵³ (all gate scales) and
         // degrade to rounding — never to garbage — beyond it. The oracle
         // computes the identical double expression.
-        round(col("cab").cast("double") * col("ntotal").cast("double") * lit(1e4)
+        Det.quant(col("cab").cast("double") * col("ntotal").cast("double") * lit(1e4)
             / (col("ca").cast("double") * col("cb").cast("double")), 0)
-          .cast("long").as("lift4s"))
+          .as("lift4s"))
       .orderBy(col("lift4s").desc, col("b").asc)
       .limit(topK)
-      .select(col("b"), col("cab"), round(col("lift4s") / lit(1e4), 4).as("lift"))
+      .select(col("b"), col("cab"), Det.display(col("lift4s") / lit(1e4), 4).as("lift"))
   }
 
   val tokenLiftOracle: String =
@@ -2295,14 +2302,14 @@ object Text {
       |    FROM tok WHERE len(ts) >= 2) GROUP BY b),
       |lift AS (
       |  SELECT b, cab,
-      |         CAST(round(CAST(cab AS DOUBLE) * CAST(ntotal AS DOUBLE) * 10000.0
-      |                    / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 0)
+      |         CAST(floor(CAST(cab AS DOUBLE) * CAST(ntotal AS DOUBLE) * 10000.0
+      |                    / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) + 0.5)
       |              AS BIGINT) AS lift4s
       |  FROM bf
       |  JOIN uni ca ON ca.t = string_split(b, ' ')[1]
       |  JOIN uni cb ON cb.t = string_split(b, ' ')[2]
       |  CROSS JOIN tot)
-      |SELECT b, cab, round(lift4s / 10000.0, 4) AS lift
+      |SELECT b, cab, floor(lift4s / 10000.0 * 10000.0 + 0.5) / 10000.0 AS lift
       |FROM lift ORDER BY lift4s DESC, b LIMIT 50""".stripMargin
 
   /** q83 — the end-to-end corpus-cleaning API (the single call a pretraining
@@ -3102,7 +3109,7 @@ object Text {
       .join(jSz.select(col("jd").as("j"), col("sj")), "j")
       .withColumn("jac", col("common") / (col("si") + col("sj") - col("common")))
       .filter(col("jac") >= threshold)
-      .select(col("i"), col("j"), round(col("jac"), 4).as("jac4"))
+      .select(col("i"), col("j"), Det.display(col("jac"), 4).as("jac4"))
       .orderBy(col("i"), col("j"))
   }
 

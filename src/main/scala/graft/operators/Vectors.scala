@@ -83,7 +83,7 @@ object Vectors {
       .select(col("label"), posexplode(col("c")).as(Seq("dim0", "cval")), col("n_vecs"))
       .select(
         col("label"), (col("dim0") + 1).cast("int").as("dim"),
-        round(col("cval"), 4).as("c4"), col("n_vecs"))
+        Det.display(col("cval"), 4).as("c4"), col("n_vecs"))
       .orderBy(col("label"), col("dim"))
   }
 
@@ -94,8 +94,8 @@ object Vectors {
        |  FROM embeddings
        |)
        |SELECT label, CAST(dim AS INTEGER) AS dim,
-       |       round(CAST(sum(CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
-       |             / 1000000.0 / count(*), 4) AS c4,
+       |       floor(CAST(sum(CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+       |             / 1000000.0 / count(*) * 10000.0 + 0.5) / 10000.0 AS c4,
        |       count(*) AS n_vecs
        |FROM x
        |GROUP BY label, dim
@@ -120,7 +120,7 @@ object Vectors {
     pairs
       .orderBy(col("sim").desc, col("i").asc, col("j").asc)
       .limit(k)
-      .select(col("i"), col("j"), round(col("sim"), 4).as("sim4"))
+      .select(col("i"), col("j"), Det.display(col("sim"), 4).as("sim4"))
   }
 
   def topCosinePairsOracle(maxId: Long = 100, k: Int = 20): String =
@@ -129,7 +129,7 @@ object Vectors {
        |  FROM embeddings WHERE vec_id < $maxId
        |)
        |SELECT a.vec_id AS i, b.vec_id AS j,
-       |       round(list_cosine_similarity(a.v, b.v), 4) AS sim4
+       |       floor(list_cosine_similarity(a.v, b.v) * 10000.0 + 0.5) / 10000.0 AS sim4
        |FROM s a JOIN s b ON a.vec_id < b.vec_id
        |ORDER BY list_cosine_similarity(a.v, b.v) DESC, i ASC, j ASC
        |LIMIT $k""".stripMargin
@@ -163,7 +163,7 @@ object Vectors {
       val sums = assigned
         .groupBy(col("cell"), col("dim"))
         .agg(
-          sum(round(col("v").cast("double") * Scale).cast("long")).as("s"),
+          sum(Det.quant(col("v").cast("double") * Scale, 0)).as("s"),
           count(lit(1)).as("n"))
         .collect()
       val byCell = sums.groupBy(_.getLong(0))
@@ -249,7 +249,7 @@ object Vectors {
         VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))
       .withColumn("rank", row_number().over(wK))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("dist"), 4).as("dist4"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"), Det.display(col("dist"), 4).as("dist4"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -397,7 +397,7 @@ object Vectors {
         VectorExpressions.l2(col("qv"), col("embedding")).as("dist"))
       .withColumn("rank", row_number().over(wK))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("dist"), 4).as("dist4"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"), Det.display(col("dist"), 4).as("dist4"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -562,7 +562,7 @@ object Vectors {
         VectorExpressions.cosine(col("vi"), col("vj")).as("sim"))
       .orderBy(col("sim").desc, col("i").asc, col("j").asc)
       .limit(k)
-      .select(col("i"), col("j"), col("collisions"), round(col("sim"), 4).as("sim4"))
+      .select(col("i"), col("j"), col("collisions"), Det.display(col("sim"), 4).as("sim4"))
 
   /** Build-once PERSISTED posting artifact for pair mining — the deployment
     * answer the q63 scaladoc has always named: a pipeline that mines pairs
@@ -949,7 +949,7 @@ object Vectors {
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("cell"), col("dim"))
         .agg(
-          sum(round(col("v").cast("double") * Scale).cast("long")).as("s"),
+          sum(Det.quant(col("v").cast("double") * Scale, 0)).as("s"),
           count(lit(1)).as("n"))
       val refined = sums
         .groupBy(col("cell"))
@@ -1158,13 +1158,13 @@ object Vectors {
       .join(centDf, "cell")
       .select(
         col("cell").as("cluster"),
-        round(VectorExpressions.l2(col("embedding"), col("centroid")) * Scale, 0)
-          .cast("long").as("d"))
+        Det.quant(VectorExpressions.l2(col("embedding"), col("centroid")) * Scale, 0)
+          .as("d"))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("d")).as("dsum"))
       .select(
         col("cluster"), col("n_vecs"),
-        round(col("dsum") / col("n_vecs") / Scale, 4).as("avg_dist4"))
+        Det.display(col("dsum") / col("n_vecs") / Scale, 4).as("avg_dist4"))
       .orderBy(col("cluster"))
   }
 
@@ -1210,7 +1210,7 @@ object Vectors {
         VectorExpressions.cosine(col("x.embedding"), col("y.embedding")).as("sim"))
       .orderBy(col("sim").desc, col("i").asc, col("j").asc)
       .limit(k)
-      .select(col("i"), col("j"), col("cluster"), round(col("sim"), 4).as("sim4"))
+      .select(col("i"), col("j"), col("cluster"), Det.display(col("sim"), 4).as("sim4"))
   }
 
   /** The user-facing SemDeDup survivor API: drop every vector whose cosine
@@ -1477,7 +1477,7 @@ object Vectors {
         col("vec_id").as("i"), col("svec_id").as("j"), col("cell"),
         VectorExpressions.cosine(col("embedding"), col("sembedding")).as("sim"))
       .filter(col("sim") >= threshold)
-      .select(col("i"), col("j"), col("cell"), round(col("sim"), 4).as("sim4"))
+      .select(col("i"), col("j"), col("cell"), Det.display(col("sim"), 4).as("sim4"))
       .distinct()
       .orderBy(col("sim4").desc, col("i").asc, col("j").asc)
   }
@@ -1539,7 +1539,7 @@ object Vectors {
     emb.filter(col("label") =!= seedLabel)
       .crossJoin(broadcast(centroid))
       .select(col("vec_id"), col("label"),
-        round(graft.functions.VectorOps.cosine(col("embedding"), col("c")), 4)
+        Det.display(graft.functions.VectorOps.cosine(col("embedding"), col("c")), 4)
           .as("affinity"))
       .orderBy(col("affinity").desc, col("vec_id").asc)
       .limit(k)
@@ -1551,16 +1551,17 @@ object Vectors {
        |  FROM embeddings WHERE label = $seedLabel),
        |cd AS (
        |  SELECT dim,
-       |         CAST(sum(CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+       |         CAST(sum(CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
        |           / 1000000.0 / count(*) AS cv
        |  FROM x GROUP BY dim),
        |cl AS (SELECT list(cv ORDER BY dim) AS c FROM cd),
        |s AS (
        |  SELECT vec_id, label,
-       |         round(list_dot_product(CAST(embedding AS DOUBLE[]), c)
+       |         floor(list_dot_product(CAST(embedding AS DOUBLE[]), c)
        |               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
        |                                        CAST(embedding AS DOUBLE[])))
-       |                  * sqrt(list_dot_product(c, c))), 4) AS affinity
+       |                  * sqrt(list_dot_product(c, c))) * 10000.0 + 0.5)
+       |           / 10000.0 AS affinity
        |  FROM embeddings CROSS JOIN cl
        |  WHERE label <> $seedLabel)
        |SELECT vec_id, label, affinity

@@ -241,7 +241,7 @@ class AuditSpec extends SparkSpec {
         math.round(r.getDouble(1) * 100), math.round(r.getDouble(2) * 100)))
     val n = vals.length.toLong
     def r4(x: Double) =
-      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.floor(x * 1e4 + 0.5) / 1e4 // house display quantizer (Det.display)
     val names = Seq("quantity", "discount", "tax")
     for (i <- 0 to 2; j <- 0 to 2) {
       val (x, y) = (vals.map(_(i)), vals.map(_(j)))
@@ -289,10 +289,9 @@ class AuditSpec extends SparkSpec {
       val sxx = rows.map(r => r._2 * r._2).sum
       val syy = rows.map(r => r._3.toLong * r._3).sum
       val sxy = rows.map(r => r._2 * r._3).sum
-      src -> BigDecimal((n * sxy - sx * sy).toDouble /
+      src -> (math.floor((n * sxy - sx * sy).toDouble /
         (math.sqrt((n * sxx - sx * sx).toDouble) *
-          math.sqrt((n * syy - sy * sy).toDouble)))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          math.sqrt((n * syy - sy * sy).toDouble)) * 1e4 + 0.5) / 1e4)
     }
     assert(got == want, s"got $got want $want")
   }

@@ -37,8 +37,8 @@ class CurationSpec extends SparkSpec {
     val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
     val icept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
     def resid(y: Long, x: Long): Double = {
-      val r = BigDecimal(y.toDouble - (icept + slope * x.toDouble))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // house display quantizer (Det.display) — same IEEE op sequence
+      val r = math.floor((y.toDouble - (icept + slope * x.toDouble)) * 1e4 + 0.5) / 1e4
       r + 0.0
     }
     val expect = docs
@@ -167,13 +167,11 @@ class CurationSpec extends SparkSpec {
     }
     val rtot = rc.values.sum; val ttot = tc.values.sum; val v = rc.size.toLong
     def score(t: String): Long =
-      BigDecimal((tc(t) + 1) * (rtot + v) * 1e6 / ((rc(t) + 1) * (ttot + v)))
-        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-    def round4(x: Double): Double =
-      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.floor((tc(t) + 1) * (rtot + v) * 1e6 / ((rc(t) + 1) * (ttot + v)) + 0.5).toLong
     val expect = docs.filter(!_._2).map { case (id, _, ts) =>
       val s = ts.map(score).sum
-      (id, ts.size.toLong, s, round4(s.toDouble / ts.size / 1e6))
+      // avg_imp derivation mirrors the operator: floor(s/(100·n) + ½)/10⁴
+      (id, ts.size.toLong, s, math.floor(s.toDouble / (100.0 * ts.size) + 0.5) / 1e4)
     }.sortBy { case (id, _, _, a) => (-a, id) }.take(50)
     val got = Curation.importanceSelect(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
@@ -340,13 +338,11 @@ class CurationSpec extends SparkSpec {
       }
       val rtot = rc.values.sum; val ttot = tc.values.sum; val v = rc.size.toLong
       def score(t: String): Long =
-        BigDecimal((tc(t) + 1) * (rtot + v) * 1e6 / ((rc(t) + 1) * (ttot + v)))
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        math.floor((tc(t) + 1) * (rtot + v) * 1e6 / ((rc(t) + 1) * (ttot + v)) + 0.5).toLong
       val expect = frame.filter(!_._2).map { case (id, _, text) =>
         val ts = text.split(" ", -1).toSeq
         val s = ts.map(score).sum
-        val avg = BigDecimal(s.toDouble / ts.size / 1e6)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val avg = math.floor(s.toDouble / (100.0 * ts.size) + 0.5) / 1e4
         (id, ts.size.toLong, s, avg)
       }.sortBy { case (id, _, _, a) => (-a, id) }.take(10)
       val got = Curation.importanceSelectOf(df, col("is_tgt"), budget = 10)

@@ -385,10 +385,9 @@ class MiscSpec extends SparkSpec {
     assert(rows.head.isNullAt(3) && rows.head.isNullAt(5))
     // partial head windows: bucket i averages the i available predecessors
     (1 to 3).foreach { i =>
-      val want = BigDecimal(
+      val want = math.floor(
         rev.slice(math.max(0, i - 3), i).map(v => math.round(v * 100)).sum.toDouble /
-          math.min(i, 3) / 100.0)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          math.min(i, 3) / 100.0 * 1e4 + 0.5) / 1e4
       assert(math.abs(rows(i).getDouble(3) - want) < 1e-9, s"bucket $i")
     }
     // steady state: window [i-3, i-1], max agrees; yoy = rev(i) - rev(i-12)
@@ -460,8 +459,7 @@ class MiscSpec extends SparkSpec {
     val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, rs) =>
       val num = rs.map(r => r._2 * r._3).sum
       val qty = rs.map(_._3).sum
-      (f, qty, BigDecimal(num.toDouble / qty / 100.0)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (f, qty, math.floor(num.toDouble / qty / 100.0 * 1e4 + 0.5) / 1e4)
     }
     assert(got == want, s"got $got want $want")
   }
@@ -548,11 +546,10 @@ class MiscSpec extends SparkSpec {
     }
     val (n1, s1, ss1) = mom("view"); val (n2, s2, ss2) = mom("purchase")
     assert((na, nb) == ((n1, n2)))
-    val want = BigDecimal(
+    val want = math.floor(
       (s1.toDouble / n1 - s2.toDouble / n2) /
         math.sqrt((n1 * ss1 - s1 * s1).toDouble / (n1 * (n1 - 1.0)) / n1 +
-          (n2 * ss2 - s2 * s2).toDouble / (n2 * (n2 - 1.0)) / n2))
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (n2 * ss2 - s2 * s2).toDouble / (n2 * (n2 - 1.0)) / n2) * 1e4 + 0.5) / 1e4
     assert(t == want, s"t=$t want=$want")
     // planted clear separation via the Of-style path: same op, shifted data
     // (the fixture difference may be small; this pins the DIRECTION logic)

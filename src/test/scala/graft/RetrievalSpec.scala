@@ -17,8 +17,7 @@ class RetrievalSpec extends SparkSpec {
     }.filter(_._2 > 0).toMap
     val df: Map[String, Int] = terms.map(t => t -> tf.keys.count(_._2 == t)).toMap
     val idf4: Map[String, Long] = df.collect { case (t, d) if d > 0 =>
-      t -> BigDecimal(math.log(n / d) * 10000)
-        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      t -> math.floor(math.log(n / d) * 10000 + 0.5).toLong
     }.toMap
     // keep every doc that MATCHED a term (a zero score from an idf-0 term is
     // still a hit in both the query and the oracle)
@@ -129,8 +128,7 @@ class RetrievalSpec extends SparkSpec {
       t -> docs.count(_._2.contains(t)).toLong
     }.toMap
     val idf4: Map[String, Long] = df.map { case (t, d) =>
-      t -> BigDecimal(math.log(n / d) * 10000)
-        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      t -> math.floor(math.log(n / d) * 10000 + 0.5).toLong
     }
     val selected = exTf.keys.toSeq
       .sortBy(t => (-(exTf(t) * idf4(t)), t)).take(maxTerms)
@@ -161,8 +159,7 @@ class RetrievalSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (id, fscore) = (r.getLong(0), r.getLong(1))
-      val fvf4 = BigDecimal(math.log(1.0 + chars(id)) * 10000)
-        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val fvf4 = math.floor(math.log(1.0 + chars(id)) * 10000 + 0.5).toLong
       assert(fscore == base(id) * fvf4, s"doc $id")
     }
   }

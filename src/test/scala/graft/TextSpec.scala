@@ -964,8 +964,7 @@ class TextSpec extends SparkSpec {
         .map { case (_, cs) => cs.length.toLong }
       val t = chars.sum
       lang -> (rs.size.toLong, lens.min, lens.max,
-        BigDecimal(lens.sum.toDouble / rs.size)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        math.floor(lens.sum.toDouble / rs.size * 1e4 + 0.5) / 1e4,
         chars.size.toLong,
         chars.map(c => c * c).sum * 1000000L / (t * t))
     }

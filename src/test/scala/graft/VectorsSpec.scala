@@ -36,14 +36,14 @@ class VectorsSpec extends SparkSpec {
     seed.foreach { case (_, _, v) =>
       var i = 0
       while (i < dim) {
-        val d = v(i).toDouble * 1e6
-        sums(i) += (if (d >= 0) math.floor(d + 0.5) else math.ceil(d - 0.5)).toLong
+        // house half-up quantizer (Det.quant / CentroidAgg contract)
+        sums(i) += math.floor(v(i).toDouble * 1e6 + 0.5).toLong
         i += 1
       }
     }
     val c = sums.map(s => s / 1e6 / seed.length)
     def round4(x: Double): Double =
-      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.floor(x * 1e4 + 0.5) / 1e4 // house display quantizer (Det.display)
     val expect = emb.filter(_._2 != 0).map { case (id, lbl, v) =>
       var dot = 0.0; var nv = 0.0; var nc = 0.0; var i = 0
       while (i < dim) {
