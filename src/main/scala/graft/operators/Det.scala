@@ -37,6 +37,15 @@ object Det {
   /** Boundary-exact half-up quantizer for computed doubles (idf, BM25
     * per-term contributions, rarity scores): floor(c · 10^scale + 1/2) as
     * BIGINT. Same op sequence as [[sqlQuant]].
+    *
+    * PRECONDITION (scaled too): the input must be FINITE — Spark's
+    * long-typed `floor` silently saturates NaN→0 / ±Inf→Long.Min/Max where
+    * DuckDB's double-typed floor passes them through, so a non-finite
+    * input would diverge silently. Every caller guards by construction
+    * (positive counts, ln of ratios of positive counts, distances of
+    * finite floats); a new caller that can see NaN/Inf must filter or
+    * guard first. [[display]] (double output) passes non-finites through
+    * on both engines instead.
     */
   def quant(c: Column, scale: Int): Column =
     floor(c * lit(math.pow(10, scale)) + lit(0.5)).cast("long")
@@ -45,10 +54,15 @@ object Det {
     * half-up floor, divide once. Replaces `round(c, dp)` on every
     * driver-compared float column; same op sequence as [[sqlDisplay]].
     * (Spark's `floor` returns LONG — exact below 2^53, and every display
-    * value in this engine is far below that.)
+    * value in this engine is far below that.) Non-finite inputs pass
+    * through unchanged — Spark's long floor would saturate them where
+    * DuckDB's double floor propagates, so the guard keeps the two engines
+    * (and the old round() behavior) aligned on NaN/±Inf; null propagates
+    * through the arithmetic branch as before.
     */
   def display(c: Column, dp: Int): Column =
-    floor(c * lit(math.pow(10, dp)) + lit(0.5)) / lit(math.pow(10, dp))
+    when(isnan(c) || c === Double.PositiveInfinity || c === Double.NegativeInfinity, c)
+      .otherwise(floor(c * lit(math.pow(10, dp)) + lit(0.5)) / lit(math.pow(10, dp)))
 
   /** Exact, order-independent sum of a money-like double, back in units. */
   def exactSum(c: Column, scale: Int): Column =
@@ -71,7 +85,8 @@ object Det {
 
   /** DuckDB twin of [[display]]. DuckDB's floor returns DOUBLE with an
     * exact integer value — the division result is bit-identical to Spark's
-    * LONG/double path.
+    * LONG/double path — and propagates NaN/±Inf natively, matching
+    * [[display]]'s pass-through guard without needing a CASE.
     */
   def sqlDisplay(expr: String, dp: Int): String =
     s"(floor(($expr) * ${math.pow(10, dp).toLong}.0 + 0.5) / ${math.pow(10, dp).toLong}.0)"
