@@ -52,29 +52,148 @@ object Bpe {
     out.toSeq
   }
 
+  /** One-symbol-per-CODE-POINT base segmentation — the unit the distributed
+    * trainer's `split(word, "")` produces (UTF8String splits between code
+    * points, never inside a surrogate pair; Java's `String.split("")`
+    * splits between UTF-16 code units and would shear 😀 into two lone
+    * surrogates — the parity spec pins the difference).
+    */
+  private[graft] def symbols(word: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.toSeq
+  }
+
   /** Segment a word with a learned merge table (merges applied in rank
     * order) — the tokenizer's encode step for one pre-tokenized word.
     */
   def segment(word: String, merges: Seq[Merge]): Seq[String] = {
-    var syms: Seq[String] = word.map(_.toString)
+    var syms: Seq[String] = symbols(word)
     merges.sortBy(_.rank).foreach(m => syms = applyMerge(syms, m.left, m.right))
     syms
   }
 
+  /** Row budget for the driver-side trainer: a vocabulary at or under this
+    * many (word, count) rows is proof-collected (limit(budget+1) — the
+    * collect itself is the bound) and trained in memory; a larger one runs
+    * the distributed loop. 2 M rows ≈ tens of MB of driver heap (the
+    * [[Text.LineDictBroadcastMaxRows]] scale), and a Zipf-bounded trillion-
+    * token vocabulary that exceeds it still trains — just serially on the
+    * cluster.
+    */
+  val DriverVocabMaxRows: Int = 2000000
+
   /** Train `numMerges` BPE merges over the corpus vocabulary. Stops early if
     * no adjacent pair remains (every word fully merged).
     *
-    * Practical merge-count bound: each round is one Spark job over the
-    * vocab table plus a 1-row collect, run SERIALLY — inherent to BPE,
-    * whose merges are sequentially dependent. That is the right shape for
-    * the corpus (touched once, §scaladoc above) but bounds `numMerges` to
-    * O(hundreds) before scheduler overhead dominates: a production 30k–100k
-    * merge table needs incremental pair-count DELTAS per round (only pairs
-    * adjacent to the last merge change count — the HuggingFace trainer's
-    * in-memory strategy) layered on this same vocab table, not 30k full
-    * re-aggregations. Out of scope until a gate needs a large vocab.
+    * Two paths, one contract (parity spec-pinned on fixture, toy, and
+    * randomized multi-byte vocabularies):
+    *
+    *  - `vocab` ≤ [[DriverVocabMaxRows]] rows: [[trainDriver]] — the
+    *    HuggingFace-trainer shape. BPE merges are sequentially dependent,
+    *    so the distributed loop pays one full pair-count job PLUS one
+    *    re-segmentation checkpoint per rank; on a vocabulary that fits the
+    *    driver (the common case — vocabularies are Zipf-bounded, not
+    *    corpus-sized) that is pure scheduler overhead. One bounded collect
+    *    replaces 2·numMerges jobs.
+    *  - past the budget: [[trainDistributed]] — each round one Spark job
+    *    over the vocab table plus a 1-row argmax collect, run SERIALLY.
+    *    That bounds `numMerges` to O(hundreds) before scheduler overhead
+    *    dominates; a production 30k–100k merge table over a past-budget
+    *    vocabulary needs incremental pair-count DELTAS per round (only
+    *    pairs adjacent to the last merge change count) layered on the same
+    *    vocab table. Out of scope until a gate needs a large vocab.
     */
-  def train(spark: SparkSession, vocab: DataFrame, numMerges: Int): Seq[Merge] = {
+  def train(spark: SparkSession, vocab: DataFrame, numMerges: Int): Seq[Merge] =
+    trainGated(spark, vocab, numMerges, DriverVocabMaxRows)
+
+  /** [[train]] with an explicit driver budget — split out so the parity
+    * spec can force the distributed path on a toy vocabulary (maxRows=0).
+    */
+  private[graft] def trainGated(
+      spark: SparkSession, vocab: DataFrame, numMerges: Int, maxRows: Int): Seq[Merge] = {
+    // Proof-collect: limit(budget+1) bounds the fetch by construction; a
+    // (budget+1)-th row is the proof the vocabulary does NOT fit.
+    val probe = vocab.select(col("word"), col("count")).limit(maxRows + 1).collect()
+    if (probe.length <= maxRows)
+      trainDriver(probe.map(r => (r.getString(0), r.getLong(1))), numMerges)
+    else trainDistributed(spark, vocab, numMerges)
+  }
+
+  /** Spark's string order is UTF8String binary comparison — unsigned
+    * lexicographic over the UTF-8 bytes. The driver argmax must tie-break
+    * through THIS order, not String.compareTo (UTF-16 code units), or the
+    * two paths diverge on supplementary-plane symbols.
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** In-memory twin of [[trainDistributed]]: same pair scores (integer
+    * word-count sums), same argmax tie-break ((count desc, left, right)
+    * under [[utf8Compare]]), same [[applyMerge]] re-segmentation, same
+    * early stop — bitwise the same merge table (parity spec-pinned).
+    */
+  private[graft] def trainDriver(
+      rows: Array[(String, Long)], numMerges: Int): Seq[Merge] = {
+    var work: Array[(Seq[String], Long)] =
+      rows.map { case (w, c) => (symbols(w), c) }
+    val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      work.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // Full-scan argmax with a total order: iteration order of the map
+        // cannot affect the winner.
+        var best: ((String, String), Long) = null
+        counts.foreach { kv =>
+          if (best == null) best = kv
+          else {
+            val cmp =
+              if (kv._2 != best._2) java.lang.Long.compare(best._2, kv._2)
+              else {
+                val dl = utf8Compare(kv._1._1, best._1._1)
+                if (dl != 0) dl else utf8Compare(kv._1._2, best._1._2)
+              }
+            if (cmp < 0) best = kv
+          }
+        }
+        val ((l, r), c) = best
+        merges += Merge(rank, l, r, l + r, c)
+        work = work.map { case (syms, cc) => (applyMerge(syms, l, r), cc) }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The distributed merge loop — see [[train]] for when it engages. */
+  private[graft] def trainDistributed(
+      spark: SparkSession, vocab: DataFrame, numMerges: Int): Seq[Merge] = {
     import spark.implicits._
     // (count, syms) — the working table each round re-segments. Kept small:
     // |distinct words| rows regardless of corpus size.

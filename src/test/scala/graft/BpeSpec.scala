@@ -93,6 +93,36 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("driver and distributed trainers learn identical merge tables") {
+    import spark.implicits._
+    // train() takes the driver path at these sizes; trainGated(maxRows=0)
+    // forces the distributed loop on the same input.
+    val toy = Seq(("abc", 7L), ("abd", 3L), ("xy", 2L)).toDF("word", "count")
+    assert(Bpe.train(spark, toy, 4) == Bpe.trainGated(spark, toy, 4, 0))
+    val fixture = Bpe.vocabulary(spark, sf0001)
+    assert(Bpe.train(spark, fixture, 12) == Bpe.trainGated(spark, fixture, 12, 0))
+  }
+
+  test("trainer parity holds on randomized vocabularies with multi-byte tie-breaks") {
+    import spark.implicits._
+    // Alphabet chosen so UTF-8 byte order and UTF-16 code-unit order
+    // DISAGREE: U+1F600 (surrogate pair, UTF-8 F0 9F 98 80) sorts after
+    // U+FF01 (UTF-8 EF BC 81) in UTF-8 bytes but before it in UTF-16 —
+    // a driver argmax tie-breaking via String.compareTo would diverge
+    // from Spark's UTF8String order exactly here.
+    val alphabet = Vector("a", "b", "！", "😀", "z")
+    (1 to 3).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val vocab = Seq.fill(40) {
+        val w = Seq.fill(2 + rng.nextInt(4))(alphabet(rng.nextInt(alphabet.size))).mkString
+        (w, 1L + rng.nextInt(3))
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq.toDF("word", "count")
+      val driver = Bpe.train(spark, vocab, 6)
+      val dist = Bpe.trainGated(spark, vocab, 6, 0)
+      assert(driver == dist, s"seed=$seed: driver $driver != distributed $dist")
+    }
+  }
+
   test("bpe training is deterministic across runs") {
     val a = Bpe.train(spark, Bpe.vocabulary(spark, sf0001), numMerges = 8)
     val b = Bpe.train(spark, Bpe.vocabulary(spark, sf0001), numMerges = 8)
