@@ -367,7 +367,17 @@ object Bench {
     graft.Plans.resetStats()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    for (_ <- 1 to reps) {
+    // Host-phase probes BETWEEN reps (r11): the pre/post pair brackets the
+    // timed region, but a phase that starts or ends MID-RUN is invisible to
+    // brackets alone — an r11 recording session saw pre=1.15/post=0.66, an
+    // unadjudicable mix. With a probe after each non-final rep the map
+    // carries a (reps+1)-point trace ("probe_trace_multi"/"_mem"), so
+    // BenchDiff can print phase stability and a judge can tell a stable
+    // slow day (normalize confidently) from a mid-run swing (re-run).
+    // Probes run OUTSIDE the per-query timers — wall cost only (~2 s each).
+    val midProbes =
+      scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double, Double)]()
+    for (rep <- 1 to reps) {
       SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -390,6 +400,7 @@ object Bench {
         // map as a dramatic phantom speedup.
         if (ok) results(name) = math.min(results.getOrElse(name, Double.MaxValue), dt)
       }
+      if (rep < reps) midProbes(s"mid$rep") = throttleProbe(s"mid$rep", cpus.toInt)
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Host-phase probe #2 runs RIGHT AFTER the query loop (it brackets the
@@ -428,7 +439,20 @@ object Bench {
       val partsObj = ingestParts
         .map { case (k, v) => s"\"" + k + "\":" + r4(v) }
         .mkString("\"ingest_parts\":{", ",", "},")
+      // Ordered (reps+1)-point phase trace: pre, mid1..mid(reps-1), post.
+      // Flat name→number objects so BenchDiff's parseObj reads them like
+      // ingest_parts; the pre/post scalar fields stay for older consumers.
+      val tracePoints: Seq[(String, (Double, Double, Double, Double))] =
+        Seq("pre" -> (preSingle, preMulti, preMem, preIo)) ++ midProbes.toSeq ++
+          Seq("post" -> (postSingle, postMulti, postMem, postIo))
+      val traceMultiObj = tracePoints
+        .map { case (k, (_, m, _, _)) => s"\"" + k + "\":" + r4(m) }
+        .mkString("\"probe_trace_multi\":{", ",", "},")
+      val traceMemObj = tracePoints
+        .map { case (k, (_, _, mem, _)) => s"\"" + k + "\":" + r4(mem) }
+        .mkString("\"probe_trace_mem\":{", ",", "},")
       val meta = s""""ingest_sec":${r4(ingestSec)},""" + partsObj +
+        traceMultiObj + traceMemObj +
         s""""plan_cache_hits":$pcHits,"plan_cache_misses":$pcMisses,""" +
         s""""probe_pre_single":${r4(preSingle)},"probe_pre_multi":${r4(preMulti)},"probe_pre_mem":${r4(preMem)},"probe_pre_io":${r4(preIo)},""" +
         s""""probe_post_single":${r4(postSingle)},"probe_post_multi":${r4(postMulti)},"probe_post_mem":${r4(postMem)},"probe_post_io":${r4(postIo)},"""

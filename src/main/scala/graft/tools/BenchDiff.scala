@@ -125,16 +125,27 @@ object BenchDiff {
     // run recorded in a throttle phase normalizes DOWN toward what the
     // same engine measures at the old run's phase. Mean of pre/post so a
     // phase starting or ending mid-run averages in.
-    def meanMulti(j: String): Option[Double] =
-      (scalar(j, "probe_pre_multi"), scalar(j, "probe_post_multi")) match {
-        case (Some(a), Some(b)) => Some((a + b) / 2)
-        case _ => None
+    // Phase estimate per side: prefer the MID points of an r11+ trace —
+    // they sample the phase BETWEEN reps, inside the loop the totals
+    // actually ran in — over the pre/post brackets, which can spike on
+    // JVM-edge work either side of the loop (observed: brackets 0.99/0.99
+    // around mids 0.65 — bracket-mean normalization would be 1.5× off).
+    def midMean(j: String, traceKey: String): Option[Double] =
+      parseObj(j, traceKey).flatMap { tr =>
+        val mids = tr.collect { case (k, v) if k.startsWith("mid") => v }
+        if (mids.nonEmpty) Some(mids.sum / mids.size) else None
       }
+    def meanMulti(j: String): Option[(Double, String)] =
+      midMean(j, "probe_trace_multi").map((_, "mid-trace")).orElse(
+        (scalar(j, "probe_pre_multi"), scalar(j, "probe_post_multi")) match {
+          case (Some(a), Some(b)) => Some(((a + b) / 2, "pre/post"))
+          case _ => None
+        })
     (meanMulti(oldJson), meanMulti(newJson)) match {
-      case (Some(om), Some(nm)) if om > 0 && nm > 0 =>
+      case (Some((om, os)), Some((nm, ns))) if om > 0 && nm > 0 =>
         println(f"normalized total (cpu): new × (old_multi/new_multi) = " +
-          f"${newTot * om / nm}%.2f s (old phase multi=$om%.3f, new phase " +
-          f"multi=$nm%.3f; raw new $newTot%.2f s)")
+          f"${newTot * om / nm}%.2f s (old phase multi=$om%.3f [$os], new phase " +
+          f"multi=$nm%.3f [$ns]; raw new $newTot%.2f s)")
       case _ =>
         println("normalized total (cpu): n/a (a side lacks embedded throttle probes)")
     }
@@ -142,18 +153,46 @@ object BenchDiff {
     // invisible to the pure-CPU leg — see Bench.throttleProbe): a mem
     // ratio well above the cpu ratio says the inflation is bandwidth, not
     // cores.
-    def meanMem(j: String): Option[Double] =
-      (scalar(j, "probe_pre_mem"), scalar(j, "probe_post_mem")) match {
-        case (Some(a), Some(b)) => Some((a + b) / 2)
-        case _ => None
-      }
+    def meanMem(j: String): Option[(Double, String)] =
+      midMean(j, "probe_trace_mem").map((_, "mid-trace")).orElse(
+        (scalar(j, "probe_pre_mem"), scalar(j, "probe_post_mem")) match {
+          case (Some(a), Some(b)) => Some(((a + b) / 2, "pre/post"))
+          case _ => None
+        })
     (meanMem(oldJson), meanMem(newJson)) match {
-      case (Some(om), Some(nm)) if om > 0 && nm > 0 =>
+      case (Some((om, os)), Some((nm, ns))) if om > 0 && nm > 0 =>
         println(f"normalized total (mem): new × (old_mem/new_mem) = " +
-          f"${newTot * om / nm}%.2f s (old mem=$om%.3f, new mem=$nm%.3f)")
+          f"${newTot * om / nm}%.2f s (old mem=$om%.3f [$os], new mem=$nm%.3f [$ns])")
       case _ =>
         println("normalized total (mem): n/a (a side lacks the r10+ mem probe)")
     }
+    // Phase TRACE (r11+ snapshots embed probe_trace_multi/_mem: pre,
+    // mid1..mid(reps-1), post — a probe between every rep): prints the new
+    // side's per-point values and a max/min stability ratio, so a stable
+    // slow day (normalize the totals above confidently) separates from a
+    // mid-run phase swing (the normalization is an average over a moving
+    // target — re-run before believing per-query deltas).
+    def traceLine(label: String, key: String): Unit =
+      parseObj(newJson, key).filter(_.nonEmpty).foreach { tr =>
+        val order = tr.keys.toSeq.sortBy {
+          case "pre" => -1
+          case "post" => Int.MaxValue
+          case k => k.stripPrefix("mid").toIntOption.getOrElse(Int.MaxValue - 1)
+        }
+        val pts = order.map(k => f"$k ${tr(k)}%.3f").mkString(", ")
+        // Stability is judged on the MID points — the phase the timed reps
+        // ran in; a bracket spike (JVM-edge work either side of the loop)
+        // doesn't taint the totals. Fall back to all points when a trace
+        // has no mids (reps=1).
+        val mids = tr.collect { case (k, v) if k.startsWith("mid") => v }
+        val judged = if (mids.size >= 2) mids else tr.values
+        val ratio = judged.max / math.max(judged.min, 1e-9)
+        val scope = if (mids.size >= 2) "mid max/min" else "max/min"
+        val verdict = if (ratio <= 1.25) "stable" else "UNSTABLE - re-run before trusting deltas"
+        println(f"phase trace ($label): $pts; $scope ${ratio}%.2f ($verdict)")
+      }
+    traceLine("multi", "probe_trace_multi")
+    traceLine("mem", "probe_trace_mem")
     // IO leg: context only (tmp-fs metadata latency hits listing/commit
     // paths, not uniformly) — a big io ratio explains drift the cpu/mem
     // legs can't.

@@ -36,6 +36,24 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(BenchDiff.scalar(r9Snapshot, "ingest_sec").isEmpty)
   }
 
+  private val r11TraceSnapshot =
+    """{"metric":"queries","unit":"sec","reps":3,"sf":"/x","ingest_sec":3.5,""" +
+      """"probe_trace_multi":{"pre":0.7252,"mid1":0.7301,"mid2":0.7198,"post":0.7352},""" +
+      """"probe_trace_mem":{"pre":0.0115,"mid1":0.0121,"mid2":0.0118,"post":0.0130},""" +
+      """"probe_pre_multi":0.7252,"probe_post_multi":0.7352,""" +
+      """"queries":{"q01_a":0.1}}"""
+
+  test("parses the r11 phase trace objects; absent on older snapshots") {
+    val tr = BenchDiff.parseObj(r11TraceSnapshot, "probe_trace_multi")
+    assert(tr.contains(Map(
+      "pre" -> 0.7252, "mid1" -> 0.7301, "mid2" -> 0.7198, "post" -> 0.7352)))
+    val mem = BenchDiff.parseObj(r11TraceSnapshot, "probe_trace_mem")
+    assert(mem.exists(_.size == 4))
+    assert(BenchDiff.parseObj(r10Snapshot, "probe_trace_multi").isEmpty)
+    // the trace must not confuse the flat-object query parser
+    assert(BenchDiff.parse(r11TraceSnapshot)._1 == Map("q01_a" -> 0.1))
+  }
+
   test("the committed canonical map parses and carries the r10 fields") {
     val json = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("bench_per_query.json")),
