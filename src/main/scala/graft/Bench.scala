@@ -55,7 +55,7 @@ object Bench {
     * ACROSS runs (same fixed traffic), so `mem_multi_sec(recorded) /
     * mem_multi_sec(canonical)` prices that second phase dimension.
     */
-  private def throttleProbe(phase: String, threads: Int): (Double, Double, Double, Double) = {
+  private[graft] def throttleProbe(phase: String, threads: Int): (Double, Double, Double, Double) = {
     val iters = 120000000L // ~0.25 s single-thread on this host class
     val singleT0 = System.nanoTime()
     val sink1 = mixLoop(1L, iters)
