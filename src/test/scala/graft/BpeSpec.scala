@@ -93,6 +93,17 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("base segmentation is one symbol per code point, never per code unit") {
+    // "😀" is U+1F600 — two UTF-16 code units, ONE symbol. A code-unit
+    // splitter (String.split("") / word.map(_.toString)) would shear it
+    // into two lone surrogates that can never re-merge into valid text.
+    assert(Bpe.symbols("a😀b") == Seq("a", "😀", "b"))
+    assert(Bpe.symbols("😀😀") == Seq("😀", "😀"))
+    assert(Bpe.symbols("") == Seq.empty)
+    // segment() with no merges is exactly the base segmentation
+    assert(Bpe.segment("a😀b", Seq.empty).mkString == "a😀b")
+  }
+
   test("driver and distributed trainers learn identical merge tables") {
     import spark.implicits._
     // train() takes the driver path at these sizes; trainGated(maxRows=0)
