@@ -367,6 +367,13 @@ object Bench {
     graft.Plans.resetStats()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Output CARDINALITY per query (r12): the q161 sf1 postmortem showed
+    // answer-size growth is invisible in a time-only diff — a query can
+    // "regress" because its true answer grew. One long per query (the
+    // count() the rep action already computes) makes that class diffable:
+    // BenchDiff prints rows deltas alongside out-of-band time deltas.
+    // Deterministic engine ⇒ identical across reps; last rep recorded.
+    val rowCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
     // Host-phase probes BETWEEN reps (r11): the pre/post pair brackets the
     // timed region, but a phase that starts or ends MID-RUN is invisible to
     // brackets alone — an r11 recording session saw pre=1.15/post=0.66, an
@@ -381,7 +388,7 @@ object Bench {
       SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true } catch {
+          try { rowCounts(name) = fn(spark, sfDir).count(); true } catch {
             case e: Throwable =>
               // Strip backslash, quote, and ALL control chars (Spark plan
               // fragments carry tabs/newlines): the message is embedded in
@@ -403,6 +410,31 @@ object Bench {
       if (rep < reps) midProbes(s"mid$rep") = throttleProbe(s"mid$rep", cpus.toInt)
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // MECHANIZED CANONICAL-RUN PRE-FLIGHT (r12): the manual procedure was
+    // "run tools/PhaseProbe, compare against the documented clean range,
+    // adjudicate in prose" — convention where the rest of the project is
+    // mechanism. The probe workload is FIXED (same iters, same threads), so
+    // its wall time is comparable across runs on this host class, and three
+    // rounds of recorded sessions are bimodal: clean mid-trace multi
+    // 0.56–0.76 s (r10 0.559, r11 0.649, r12 0.62/0.76), throttle phases
+    // 1.09–1.15 s with earlier same-day attempts at 0.73–1.15. The gate
+    // stamps the map PHASE_SUSPECT when the mean of the MID probes (the
+    // phase the timed reps actually ran in — brackets spike on JVM-edge
+    // work) exceeds 0.85 s, the midpoint split with margin on both sides.
+    // Stamp, not refuse: the driver's per-round run must complete on any
+    // host day — the stamp makes a throttled recording self-disqualifying
+    // as a canonical map instead of relying on a human to notice
+    // (BASELINE.md "Canonical-run phase gate").
+    val PhaseSuspectMultiSec = 0.85
+    val midMultiMean = {
+      val ms = midProbes.values.map(_._2)
+      if (ms.nonEmpty) ms.sum / ms.size else preMulti
+    }
+    val phaseSuspect = midMultiMean > PhaseSuspectMultiSec
+    if (phaseSuspect)
+      System.err.println(f"PHASE SUSPECT: mid-trace multi mean $midMultiMean%.3f s " +
+        f"exceeds the $PhaseSuspectMultiSec%.2f s clean-host gate - this map " +
+        "records a throttled window; re-record before committing it as canonical")
     // Host-phase probe #2 runs RIGHT AFTER the query loop (it brackets the
     // timed region — a phase can begin or end mid-run) so both probe pairs
     // can be embedded in the per-query file below for BenchDiff's
@@ -451,8 +483,13 @@ object Bench {
       val traceMemObj = tracePoints
         .map { case (k, (_, _, mem, _)) => s"\"" + k + "\":" + r4(mem) }
         .mkString("\"probe_trace_mem\":{", ",", "},")
+      // Output cardinalities ride next to the seconds (r12 — see rowCounts).
+      val rowsObj = rowCounts
+        .map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("\"query_rows\":{", ",", "},")
       val meta = s""""ingest_sec":${r4(ingestSec)},""" + partsObj +
-        traceMultiObj + traceMemObj +
+        traceMultiObj + traceMemObj + rowsObj +
+        s""""phase_suspect":$phaseSuspect,"phase_gate_multi_sec":$PhaseSuspectMultiSec,"phase_mid_multi_mean":${r4(midMultiMean)},""" +
         s""""plan_cache_hits":$pcHits,"plan_cache_misses":$pcMisses,""" +
         s""""probe_pre_single":${r4(preSingle)},"probe_pre_multi":${r4(preMulti)},"probe_pre_mem":${r4(preMem)},"probe_pre_io":${r4(preIo)},""" +
         s""""probe_post_single":${r4(postSingle)},"probe_post_multi":${r4(postMulti)},"probe_post_mem":${r4(postMem)},"probe_post_io":${r4(postIo)},"""
@@ -475,7 +512,7 @@ object Bench {
     // (index builds, model fits, the persisted pairs stage). Emitted before
     // the final total line so both compact lines land in the tail capture.
     println(s"""{"metric":"ingest","value":$ingestSec,"unit":"sec","sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"nqueries":${results.size},"nerrors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"nqueries":${results.size},"nerrors":${errors.size},"phase_suspect":$phaseSuspect,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"BENCH FAILED: ${errors.keys.mkString(", ")}")

@@ -78,15 +78,37 @@ object Bpe {
     syms
   }
 
-  /** Row budget for the driver-side trainer: a vocabulary at or under this
-    * many (word, count) rows is proof-collected (limit(budget+1) — the
-    * collect itself is the bound) and trained in memory; a larger one runs
-    * the distributed loop. 2 M rows ≈ tens of MB of driver heap (the
-    * [[Text.LineDictBroadcastMaxRows]] scale), and a Zipf-bounded trillion-
-    * token vocabulary that exceeds it still trains — just serially on the
-    * cluster.
+  /** Row budget for the PROOF-COLLECT: a vocabulary over this many rows is
+    * never fetched at all (limit(budget+1) — the collect itself is the
+    * bound). The collected (word, count) rows are ~100–200 B each, so the
+    * probe itself tops out near a few hundred MB; whether the FIT then runs
+    * on the driver is decided by [[DriverFitMaxBytes]] below, not by this
+    * row count alone.
     */
   val DriverVocabMaxRows: Int = 2000000
+
+  /** Working-set budget for the driver-side TRAINER. [[trainDriver]]'s
+    * working set is much bigger than the collected rows: per word it holds
+    * one String PER CODE POINT (~56 B object each, merging only shrinks the
+    * count) plus tuple/buffer overhead, and per round a (String, String)-
+    * keyed pair-count HashMap bounded by total adjacent positions (~80 B an
+    * entry, keys shared with the symbol strings) — estimated below as
+    * rows·96 + totalCodePoints·160 bytes. A near-row-budget vocabulary of
+    * ordinary words is GBs of heap under that model, not the "tens of MB"
+    * the r11 note claimed (advisor finding) — so the route decision is made
+    * on the ESTIMATE, sized to stay comfortably inside a modest driver
+    * heap, and a vocabulary that passes the row probe but blows the byte
+    * estimate trains distributed instead of OOMing the driver just under
+    * the row gate.
+    */
+  val DriverFitMaxBytes: Long = 1L << 30
+
+  /** rows·96 + totalCodePoints·160 — the [[DriverFitMaxBytes]] model. */
+  private[graft] def estimateFitBytes(rows: Array[(String, Long)]): Long = {
+    var cps = 0L
+    rows.foreach { case (w, _) => cps += w.codePointCount(0, w.length) }
+    rows.length.toLong * 96L + cps * 160L
+  }
 
   /** Train `numMerges` BPE merges over the corpus vocabulary. Stops early if
     * no adjacent pair remains (every word fully merged).
@@ -94,7 +116,8 @@ object Bpe {
     * Two paths, one contract (parity spec-pinned on fixture, toy, and
     * randomized multi-byte vocabularies):
     *
-    *  - `vocab` ≤ [[DriverVocabMaxRows]] rows: [[trainDriver]] — the
+    *  - `vocab` ≤ [[DriverVocabMaxRows]] rows AND its estimated fit
+    *    working set ≤ [[DriverFitMaxBytes]]: [[trainDriver]] — the
     *    HuggingFace-trainer shape. BPE merges are sequentially dependent,
     *    so the distributed loop pays one full pair-count job PLUS one
     *    re-segmentation checkpoint per rank; on a vocabulary that fits the
@@ -110,19 +133,25 @@ object Bpe {
     *    vocab table. Out of scope until a gate needs a large vocab.
     */
   def train(spark: SparkSession, vocab: DataFrame, numMerges: Int): Seq[Merge] =
-    trainGated(spark, vocab, numMerges, DriverVocabMaxRows)
+    trainGated(spark, vocab, numMerges, DriverVocabMaxRows, DriverFitMaxBytes)
 
-  /** [[train]] with an explicit driver budget — split out so the parity
-    * spec can force the distributed path on a toy vocabulary (maxRows=0).
+  /** [[train]] with explicit driver budgets — split out so the parity
+    * spec can force the distributed path on a toy vocabulary (maxRows=0
+    * or maxBytes=0).
     */
   private[graft] def trainGated(
-      spark: SparkSession, vocab: DataFrame, numMerges: Int, maxRows: Int): Seq[Merge] = {
+      spark: SparkSession, vocab: DataFrame, numMerges: Int, maxRows: Int,
+      maxBytes: Long = DriverFitMaxBytes): Seq[Merge] = {
     // Proof-collect: limit(budget+1) bounds the fetch by construction; a
-    // (budget+1)-th row is the proof the vocabulary does NOT fit.
+    // (budget+1)-th row is the proof the vocabulary does NOT fit. The fetch
+    // is row-bounded; the FIT is additionally byte-bounded (the trainer's
+    // working set is per-code-point, not per-row — see DriverFitMaxBytes).
     val probe = vocab.select(col("word"), col("count")).limit(maxRows + 1).collect()
-    if (probe.length <= maxRows)
-      trainDriver(probe.map(r => (r.getString(0), r.getLong(1))), numMerges)
-    else trainDistributed(spark, vocab, numMerges)
+    if (probe.length <= maxRows) {
+      val rows = probe.map(r => (r.getString(0), r.getLong(1)))
+      if (estimateFitBytes(rows) <= maxBytes) trainDriver(rows, numMerges)
+      else trainDistributed(spark, vocab, numMerges)
+    } else trainDistributed(spark, vocab, numMerges)
   }
 
   /** Spark's string order is UTF8String binary comparison — unsigned

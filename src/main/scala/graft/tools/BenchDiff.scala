@@ -79,6 +79,19 @@ object BenchDiff {
     (queries, errors)
   }
 
+  /** Shared-key movers beyond an absolute band: (name, old, new, delta),
+    * slowest-first. Drives the ingest-parts table (band-judged per-artifact
+    * ingest drift, the same mechanism as query movers); split out so
+    * BenchDiffSpec can pin the banding on synthetic snapshots.
+    */
+  private[tools] def movers(
+      op: Map[String, Double], np: Map[String, Double],
+      band: Double): Seq[(String, Double, Double, Double)] =
+    op.keySet.intersect(np.keySet).toSeq
+      .map(n => (n, op(n), np(n), np(n) - op(n)))
+      .filter { case (_, _, _, d) => math.abs(d) > band }
+      .sortBy(-_._4)
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: BenchDiff OLD.json NEW.json [absBand=0.30] [relFrac=0.50]")
@@ -96,14 +109,38 @@ object BenchDiff {
       .sortBy(-_._4)
     def fmt(v: Double) = f"$v%8.3f"
     var regressed = List.empty[String]
+    // Output-cardinality deltas (r12 snapshots embed "query_rows"): an
+    // out-of-band time delta whose ANSWER also moved is answer growth, not
+    // an engine mover — the q161-at-sf1 class, now visible in the diff.
+    val oldRows = parseObj(oldJson, "query_rows").getOrElse(Map.empty)
+    val newRows = parseObj(newJson, "query_rows").getOrElse(Map.empty)
+    def rowsNote(n: String): String =
+      (oldRows.get(n), newRows.get(n)) match {
+        case (Some(a), Some(b)) if a != b =>
+          f"; rows ${a.toLong} -> ${b.toLong} (answer moved)"
+        case (Some(a), Some(_)) => f"; rows ${a.toLong} (unchanged)"
+        case _ => ""
+      }
     println(f"${"query"}%-40s ${"old"}%8s ${"new"}%8s ${"delta"}%8s  verdict")
     rows.foreach { case (n, o, v, d) =>
       val band = math.max(absBand, relFrac * o)
       val verdict =
-        if (d > band) { regressed ::= n; f"REGRESSED (band ${band}%.3f)" }
-        else if (d < -band) f"improved (band ${band}%.3f)"
+        if (d > band) { regressed ::= n; f"REGRESSED (band ${band}%.3f)" + rowsNote(n) }
+        else if (d < -band) f"improved (band ${band}%.3f)" + rowsNote(n)
         else "within band"
       println(f"$n%-40s ${fmt(o)} ${fmt(v)} ${fmt(d)}  $verdict")
+    }
+    // Answer-size movers even when the time stayed in band: a rows change
+    // on a frozen surface is a correctness-relevant event regardless of
+    // whether the clock noticed (both sides must carry the r12 field).
+    if (oldRows.nonEmpty && newRows.nonEmpty) {
+      val rowMovers = common.filter(n =>
+        oldRows.contains(n) && newRows.contains(n) && oldRows(n) != newRows(n))
+      rowMovers.sorted.foreach { n =>
+        println(f"ROWS MOVED $n%-36s ${oldRows(n).toLong} -> ${newRows(n).toLong}")
+      }
+      if (rowMovers.isEmpty)
+        println(s"query rows: identical on all ${common.count(n => oldRows.contains(n) && newRows.contains(n))} shared queries")
     }
     val added = newQ.keySet.diff(oldQ.keySet).toSeq.sorted
     val removed = oldQ.keySet.diff(newQ.keySet).toSeq.sorted
@@ -141,11 +178,36 @@ object BenchDiff {
           case (Some(a), Some(b)) => Some(((a + b) / 2, "pre/post"))
           case _ => None
         })
+    def prePostMean(j: String, pre: String, post: String): Option[Double] =
+      (scalar(j, pre), scalar(j, post)) match {
+        case (Some(a), Some(b)) => Some((a + b) / 2)
+        case _ => None
+      }
     (meanMulti(oldJson), meanMulti(newJson)) match {
       case (Some((om, os)), Some((nm, ns))) if om > 0 && nm > 0 =>
         println(f"normalized total (cpu): new × (old_multi/new_multi) = " +
           f"${newTot * om / nm}%.2f s (old phase multi=$om%.3f [$os], new phase " +
           f"multi=$nm%.3f [$ns]; raw new $newTot%.2f s)")
+        // MIXED-ESTIMATOR guard: an r11+ map (mid-trace mean) diffed against
+        // a pre-r11 map (pre/post bracket mean) uses two estimators whose
+        // divergence this file documents at ~1.5× (brackets 0.99 around mids
+        // 0.65) — the common old-round-vs-new-round case. Print the
+        // same-estimator (pre/post BOTH sides) ratio next to it so the
+        // cross-generation number is never read as like-for-like.
+        if (os != ns) {
+          (prePostMean(oldJson, "probe_pre_multi", "probe_post_multi"),
+            prePostMean(newJson, "probe_pre_multi", "probe_post_multi")) match {
+            case (Some(ob), Some(nb)) if ob > 0 && nb > 0 =>
+              println(f"normalized total (cpu, same-estimator pre/post both sides) = " +
+                f"${newTot * ob / nb}%.2f s (old brackets=$ob%.3f, new brackets=$nb%.3f; " +
+                "CAVEAT: the mixed-estimator line above compares a mid-trace mean " +
+                "to a bracket mean - divergence observed up to ~1.5x)")
+            case _ =>
+              println("normalized total (cpu): CAVEAT - sides use different phase " +
+                s"estimators ($os vs $ns) and a same-estimator pair is unavailable; " +
+                "do not read the ratio above as like-for-like")
+          }
+        }
       case _ =>
         println("normalized total (cpu): n/a (a side lacks embedded throttle probes)")
     }
@@ -182,14 +244,22 @@ object BenchDiff {
         val pts = order.map(k => f"$k ${tr(k)}%.3f").mkString(", ")
         // Stability is judged on the MID points — the phase the timed reps
         // ran in; a bracket spike (JVM-edge work either side of the loop)
-        // doesn't taint the totals. Fall back to all points when a trace
-        // has no mids (reps=1).
+        // doesn't taint the totals. With exactly ONE mid (reps=2) there is
+        // nothing to ratio — report the mid without a verdict rather than
+        // judging on the brackets, whose routine spikes (0.99 around 0.65
+        // mids) would falsely flag a stable host UNSTABLE. Only a trace
+        // with no mids at all (reps=1) falls back to the bracket ratio.
         val mids = tr.collect { case (k, v) if k.startsWith("mid") => v }
-        val judged = if (mids.size >= 2) mids else tr.values
-        val ratio = judged.max / math.max(judged.min, 1e-9)
-        val scope = if (mids.size >= 2) "mid max/min" else "max/min"
-        val verdict = if (ratio <= 1.25) "stable" else "UNSTABLE - re-run before trusting deltas"
-        println(f"phase trace ($label): $pts; $scope ${ratio}%.2f ($verdict)")
+        if (mids.size == 1) {
+          println(f"phase trace ($label): $pts; single mid ${mids.head}%.3f " +
+            "(no stability verdict - one in-loop sample)")
+        } else {
+          val judged = if (mids.size >= 2) mids else tr.values
+          val ratio = judged.max / math.max(judged.min, 1e-9)
+          val scope = if (mids.size >= 2) "mid max/min" else "bracket max/min"
+          val verdict = if (ratio <= 1.25) "stable" else "UNSTABLE - re-run before trusting deltas"
+          println(f"phase trace ($label): $pts; $scope ${ratio}%.2f ($verdict)")
+        }
       }
     traceLine("multi", "probe_trace_multi")
     traceLine("mem", "probe_trace_mem")
@@ -224,11 +294,9 @@ object BenchDiff {
     // fail the diff (a cold-vs-warm tmp dir legitimately swings every part).
     (parseObj(oldJson, "ingest_parts"), parseObj(newJson, "ingest_parts")) match {
       case (Some(op), Some(np)) =>
-        val shared = op.keySet.intersect(np.keySet).toSeq
-        val movers = shared.map(n => (n, op(n), np(n), np(n) - op(n)))
-          .filter { case (_, _, _, d) => math.abs(d) > 0.25 }
-          .sortBy(-_._4)
-        movers.foreach { case (n, o, v, d) =>
+        val shared = op.keySet.intersect(np.keySet)
+        val moved = movers(op, np, 0.25)
+        moved.foreach { case (n, o, v, d) =>
           println(f"ingest $n%-32s ${fmt(o)} ${fmt(v)} ${fmt(d)}  " +
             (if (d > 0) "ingest-mover (slower)" else "ingest-mover (faster)"))
         }
@@ -236,7 +304,7 @@ object BenchDiff {
         val onlyNew = np.keySet.diff(op.keySet).toSeq.sorted
         if (onlyOld.nonEmpty) println(s"ingest parts removed: ${onlyOld.mkString(", ")}")
         if (onlyNew.nonEmpty) println(s"ingest parts added: ${onlyNew.mkString(", ")}")
-        if (movers.isEmpty) println(s"ingest parts: no mover beyond 0.25 s (${shared.size} shared)")
+        if (moved.isEmpty) println(s"ingest parts: no mover beyond 0.25 s (${shared.size} shared)")
       case _ =>
         println("ingest parts: n/a (a side lacks the r11+ per-artifact breakdown)")
     }
@@ -249,6 +317,18 @@ object BenchDiff {
           f"new hits=${nh.toLong} misses=${nm.toLong}")
       case _ => ()
     }
+    // r12 phase-gate stamp: Bench marks a map recorded inside a throttle
+    // window (mid-trace multi mean past the documented 0.85 s gate). A
+    // stamped NEW side disqualifies itself as a canonical recording — say
+    // so where the reader of the diff will see it.
+    def suspect(j: String): Boolean =
+      "\"phase_suspect\":true".r.findFirstIn(j).nonEmpty
+    if (suspect(newJson))
+      println("PHASE-SUSPECT: the NEW side is stamped phase_suspect=true " +
+        "(recorded in a throttle window) - re-record before committing it as canonical")
+    if (suspect(oldJson))
+      println("note: the OLD side is stamped phase_suspect=true " +
+        "(its committed mins were recorded in a throttle window)")
     if (regressed.nonEmpty || freshErrors.nonEmpty) {
       System.err.println(
         s"BENCHDIFF FAILED: ${(regressed.reverse ++ freshErrors).mkString(", ")}")

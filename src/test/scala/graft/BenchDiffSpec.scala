@@ -54,6 +54,39 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(BenchDiff.parse(r11TraceSnapshot)._1 == Map("q01_a" -> 0.1))
   }
 
+  private val r12Snapshot =
+    """{"metric":"queries","unit":"sec","reps":3,"sf":"/x","ingest_sec":3.5,""" +
+      """"ingest_parts":{"table_layouts":2.36,"bpe_train":0.68,"kmeans_model":0.29,"lsh_index":0.0004},""" +
+      """"probe_trace_multi":{"pre":0.68,"mid1":0.62,"mid2":0.76,"post":0.66},""" +
+      """"query_rows":{"q01_a":6,"q02_b":4492},""" +
+      """"phase_suspect":false,"phase_gate_multi_sec":0.85,"phase_mid_multi_mean":0.6900,""" +
+      """"queries":{"q01_a":0.1,"q02_b":0.5}}"""
+
+  test("parses the r12 query_rows and phase-gate fields; absent on older snapshots") {
+    assert(BenchDiff.parseObj(r12Snapshot, "query_rows")
+      .contains(Map("q01_a" -> 6.0, "q02_b" -> 4492.0)))
+    assert(BenchDiff.scalar(r12Snapshot, "phase_mid_multi_mean").contains(0.69))
+    assert(BenchDiff.parseObj(r11TraceSnapshot, "query_rows").isEmpty)
+    // the rows object must not bleed into the query parser
+    assert(BenchDiff.parse(r12Snapshot)._1 == Map("q01_a" -> 0.1, "q02_b" -> 0.5))
+  }
+
+  test("ingest movers band-judge per-artifact drift like query movers") {
+    val op = BenchDiff.parseObj(r12Snapshot, "ingest_parts").get
+    // bpe_train +0.30 (mover), kmeans_model -0.26 (mover), table_layouts
+    // +0.10 (inside the 0.25 band), lsh_index shared-but-flat
+    val np = Map("table_layouts" -> 2.46, "bpe_train" -> 0.98,
+      "kmeans_model" -> 0.03, "lsh_index" -> 0.0004, "new_store" -> 1.0)
+    val moved = BenchDiff.movers(op, np, 0.25)
+    assert(moved.map(_._1) == Seq("bpe_train", "kmeans_model"),
+      s"expected slower-first movers beyond the band, got $moved")
+    assert(moved.head._4 > 0.29 && moved.head._4 < 0.31)
+    assert(moved.last._4 < -0.25)
+    // an artifact present on one side only is never a mover (it's reported
+    // as added/removed by the caller)
+    assert(!moved.exists(_._1 == "new_store"))
+  }
+
   test("the committed canonical map parses and carries the r10 fields") {
     val json = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("bench_per_query.json")),
@@ -62,10 +95,17 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(q.size >= 200, s"committed map lost queries: ${q.size}")
     assert(err.isEmpty, s"committed map must not carry errors: $err")
     Seq("ingest_sec", "probe_pre_multi", "probe_post_multi",
-      "probe_pre_mem", "probe_post_mem", "probe_pre_io", "probe_post_io")
+      "probe_pre_mem", "probe_post_mem", "probe_pre_io", "probe_post_io",
+      "phase_mid_multi_mean")
       .foreach { k =>
         assert(BenchDiff.scalar(json, k).nonEmpty,
           s"committed map lacks $k — re-record with the current Bench")
       }
+    // r12: cardinality field present and the canonical map is NOT a
+    // throttled-window recording (the mechanized gate, BASELINE.md)
+    assert(BenchDiff.parseObj(json, "query_rows").exists(_.size >= 200),
+      "committed map lacks per-query output rows — re-record with the current Bench")
+    assert(json.contains("\"phase_suspect\":false"),
+      "committed canonical map is stamped phase-suspect — re-record in a clean window")
   }
 }

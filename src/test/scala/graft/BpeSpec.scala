@@ -114,6 +114,27 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(spark, fixture, 12) == Bpe.trainGated(spark, fixture, 12, 0))
   }
 
+  test("the byte gate routes a row-fitting vocabulary to the distributed path") {
+    import spark.implicits._
+    // r12 (advisor finding): the driver fit's working set is per-CODE-POINT
+    // (one String per symbol plus the pair HashMap), so a vocabulary can
+    // pass the row probe yet blow the heap. maxBytes=0 forces the byte
+    // branch on a toy that easily fits the row gate — parity must hold.
+    val toy = Seq(("abc", 7L), ("abd", 3L), ("xy", 2L)).toDF("word", "count")
+    assert(Bpe.trainGated(spark, toy, 4, Bpe.DriverVocabMaxRows, maxBytes = 0L) ==
+      Bpe.train(spark, toy, 4))
+    // the estimate model: rows·96 + codePoints·160 (surrogate pairs count
+    // as ONE code point — the symbol unit the trainer actually allocates)
+    assert(Bpe.estimateFitBytes(Array(("abc", 1L), ("😀", 1L))) ==
+      2L * 96 + 4L * 160)
+    // the fixture vocabulary sits far under the real budget: the gate keeps
+    // taking the driver path there (the bench ingest term depends on it)
+    val rows = Bpe.vocabulary(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(Bpe.estimateFitBytes(rows) < Bpe.DriverFitMaxBytes / 100,
+      s"fixture vocab estimate unexpectedly large: ${Bpe.estimateFitBytes(rows)}")
+  }
+
   test("trainer parity holds on randomized vocabularies with multi-byte tie-breaks") {
     import spark.implicits._
     // Alphabet chosen so UTF-8 byte order and UTF-16 code-unit order

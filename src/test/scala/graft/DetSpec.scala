@@ -81,6 +81,92 @@ class DetSpec extends SparkSpec {
     assert(r.getDouble(2).isNaN, s"NaN in -> NaN out, got ${r.getDouble(2)}")
   }
 
+  // ---- r12: the boundary class, property-sampled (verdict order #6) ----
+  // DetSpec above pins hand-picked adversarial values; these properties
+  // sample the EXACT-.5-boundary classes across magnitudes and signs —
+  // the q62 class where the engines' own round() provably diverges — and
+  // assert the floor(+½) sequence equals a BigDecimal ground truth
+  // (half-toward-+∞, the documented convention) and that Spark's
+  // evaluation is bit-identical to the driver/DuckDB-twin op sequence.
+
+  private def forAllGen[A](gen: org.scalacheck.Gen[A], n: Int = 300)(f: A => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(62L)
+    var i = 0
+    while (i < n) {
+      gen.apply(org.scalacheck.Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private def halfTowardPosInf(neg: Boolean): java.math.RoundingMode =
+    if (neg) java.math.RoundingMode.HALF_DOWN else java.math.RoundingMode.HALF_UP
+
+  test("property: micro%100==50 boundary class matches BigDecimal ground truth (dp=0)") {
+    // micro = 100·m + 50 ⇒ micro/100.0 is EXACTLY m.5 (representable for
+    // |m| < 2^52; IEEE division is correctly rounded ⇒ exact). The display
+    // sequence floor(x·10^0 + 0.5) must agree with decimal half-toward-+∞
+    // arithmetic ON the boundary — the claim the q62 fix rests on.
+    val microGen = org.scalacheck.Gen.chooseNum(-40000000000000L, 40000000000000L)
+      .map(m => m * 100 + 50)
+    forAllGen(microGen) { micro =>
+      val x = micro / 100.0
+      val got = math.floor(x * math.pow(10, 0) + 0.5) // Det.display dp=0 sequence
+      val gt = java.math.BigDecimal.valueOf(micro)
+        .divide(java.math.BigDecimal.valueOf(100))
+        .setScale(0, halfTowardPosInf(micro < 0))
+      assert(got.toLong == gt.longValueExact, s"micro=$micro: floor-seq $got vs decimal $gt")
+    }
+  }
+
+  test("property: exact .00005 boundaries match BigDecimal ground truth (dp=4)") {
+    // Dyadic construction: x = oddK/32 is exact, and x·10^4 = 312.5·oddK
+    // is EXACTLY a .5 boundary (odd × 312.5) — the 4-dp twin of the micro
+    // class, covering the multiply-then-floor path display actually runs
+    // at dp=4. Magnitude bound: m.5 is representable only below 2^52
+    // (double spacing hits 1.0 there), so 312.5·|oddK| must stay under it
+    // ⇒ |k| ≤ 6e12. (The first run of this property found the bound the
+    // hard way: at |x·10^4| ≈ 5e15 the .5 premise silently broke.)
+    val oddGen = org.scalacheck.Gen.chooseNum(-6000000000000L, 6000000000000L)
+      .map(k => 2 * k + 1)
+    forAllGen(oddGen) { oddK =>
+      val x = oddK / 32.0
+      val got = math.floor(x * math.pow(10, 4) + 0.5) // Det.display dp=4 sequence
+      val gt = java.math.BigDecimal.valueOf(oddK)
+        .divide(java.math.BigDecimal.valueOf(32))
+        .setScale(4, halfTowardPosInf(oddK < 0))
+      assert(got.toLong == gt.movePointRight(4).longValueExact,
+        s"oddK=$oddK: floor-seq $got vs decimal $gt")
+    }
+  }
+
+  test("property: spark display is bit-identical to the driver op sequence, batched") {
+    import spark.implicits._
+    // One job over all sampled classes: both exact-boundary families plus
+    // arbitrary finite doubles (where ground truth is not decimal — the
+    // contract there is only cross-engine bit-identity of the sequence).
+    val samples = scala.collection.mutable.ArrayBuffer[Double]()
+    forAllGen(org.scalacheck.Gen.chooseNum(-40000000000000L, 40000000000000L), 150) {
+      m => samples += (m * 100 + 50) / 100.0 / 1e4
+    }
+    forAllGen(org.scalacheck.Gen.chooseNum(-6000000000000L, 6000000000000L), 150) {
+      k => samples += (2 * k + 1) / 32.0
+    }
+    forAllGen(org.scalacheck.Gen.chooseNum(-1e9, 1e9), 100)(samples += _)
+    val rows = samples.toSeq.toDF("x")
+      .select(col("x"), Det.display(col("x"), 4).as("d4"), Det.display(col("x"), 0).as("d0"))
+      .collect()
+    rows.foreach { r =>
+      val x = r.getDouble(0)
+      Seq((r.getDouble(1), disp(x, 4), 4), (r.getDouble(2), disp(x, 0), 0)).foreach {
+        case (got, want, dp) =>
+          assert(java.lang.Double.doubleToRawLongBits(got) ==
+            java.lang.Double.doubleToRawLongBits(want) || (got == 0.0 && want == 0.0),
+            s"display($x, $dp): spark=$got driver=$want")
+      }
+    }
+  }
+
   test("sql twins spell the same op sequence as the Column forms") {
     // lockstep guard: the DuckDB-side strings must keep the identical
     // floor(+0.5) shape (double literals, same scale factor) or the
