@@ -1,0 +1,215 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bpe, Skew, Vectors}
+
+/** Dev tool: TIME THE PAST-CEILING SCALE PATHS (r12, verdict order #1).
+  *
+  * SCALING.md measured the sf0.1→sf1 cost curves of the paths the fixtures
+  * actually route through — all BELOW their scale ceilings. The 100 TB
+  * story, though, routes through the PAST-ceiling twins (the distributed
+  * table fit + hierarchical assignment past `Vectors.KCeiling` /
+  * `CentroidBroadcastMaxBytes`, the distributed BPE loop past the driver-fit
+  * byte budget, `Skew.capBuckets` past the degenerate-bucket threshold),
+  * which until r12 were exactness-pinned by spec but never benchmarked.
+  * This tool forces each ceiling below fixture scale at sf1 and measures
+  * flat-vs-past-ceiling wall time on identical inputs, asserting the
+  * exactness contracts inline (a timing of a wrong answer is worthless).
+  *
+  * Every measured action runs `reps` times (first run pays codegen /
+  * shuffle-file warmup; min is the steady-state number, all samples are
+  * printed). One JSON line per section; exit 1 on any exactness failure.
+  *
+  * Usage:
+  *   SPARK_GRAFT_SF_DIR=/tmp/sf1 sbt "runMain graft.tools.CeilingBench"
+  */
+object CeilingBench {
+
+  private def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Time `body` (an action forcing full execution) `reps` times. */
+  private def time(reps: Int)(body: => Long): (Seq[Double], Long) = {
+    var rows = 0L
+    val ts = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      rows = body
+      (System.nanoTime() - t0) / 1e9
+    }
+    (ts, rows)
+  }
+
+  private def fmt(ts: Seq[Double]): String =
+    s"""{"samples":[${ts.map(r3).mkString(",")}],"min":${r3(ts.min)}}"""
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      // mirror the canonical bench session (Bench.scala) so these numbers
+      // are comparable to the SCALING.md tables
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.constraintPropagation.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var failed = false
+
+    graft.Bench.throttleProbe("pre", cpus.toInt)
+
+    // ---------------- A. cell assignment at the ceiling k ----------------
+    // k = KCeiling exactly: the k the auto-k policy hands the distributed
+    // path the moment the corpus outgrows the driver route. The centroid
+    // table is fitted ONCE (table path, 1 Lloyd iteration) and reused by
+    // every assignment variant, so the comparison isolates ASSIGNMENT cost.
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val k = Vectors.KCeiling
+    val fitT0 = System.nanoTime()
+    val cents = Vectors.quantizerTable(spark, emb, k, iterations = 1)
+    val nCents = cents.count()
+    val fitSec = (System.nanoTime() - fitT0) / 1e9
+    val (flatT, nFlat) = time(reps)(Vectors.assignCellsWithTable(emb, cents).count())
+    val coarseK = 64 // = sqrt(KCeiling), the scaladoc-recommended choice
+    val (hierT, nHier) =
+      time(reps)(Vectors.assignCellsHierarchical(emb, cents, coarseK, 8).count())
+    val (hierExT, nHierEx) =
+      time(reps)(Vectors.assignCellsHierarchical(emb, cents, coarseK, coarseK).count())
+    // exactness: nprobe=coarseK must be BITWISE the flat assignment
+    val flat = Vectors.assignCellsWithTable(emb, cents)
+      .select(col("vec_id"), col("cell").as("cf"))
+    val hierEx = Vectors.assignCellsHierarchical(emb, cents, coarseK, coarseK)
+      .select(col("vec_id"), col("cell").as("ch"))
+    val mismEx = flat.join(hierEx, "vec_id").filter(col("cf") =!= col("ch")).count()
+    if (mismEx != 0 || nFlat != nHier || nFlat != nHierEx) {
+      failed = true
+      System.err.println(s"EXACTNESS FAILED: hier(nprobe=coarseK) vs flat: " +
+        s"$mismEx mismatches, counts $nFlat/$nHier/$nHierEx")
+    }
+    // approximation quality of the production operating point (informational)
+    val hier8 = Vectors.assignCellsHierarchical(emb, cents, coarseK, 8)
+      .select(col("vec_id"), col("cell").as("ch"))
+    val agree8 = flat.join(hier8, "vec_id").filter(col("cf") === col("ch")).count()
+    // the flat path's refusal valve: a forced-tiny broadcast budget must
+    // refuse ACTIONABLY (naming the hierarchical remedy), never OOM
+    val refusal =
+      try { Vectors.assignCellsWithTable(emb, cents, maxBroadcastBytes = 1024).count(); "NO-REFUSAL" }
+      catch {
+        case e: IllegalArgumentException
+          if e.getMessage.contains("assignCellsHierarchical") => "actionable"
+        case e: Throwable => s"wrong-error:${e.getClass.getSimpleName}"
+      }
+    if (refusal != "actionable") {
+      failed = true
+      System.err.println(s"REFUSAL VALVE FAILED: $refusal")
+    }
+    println(s"""{"section":"assign","k":$k,"n":$nFlat,"centroids":$nCents,""" +
+      s""""fit_table_1iter_sec":${r3(fitSec)},""" +
+      s""""flat":${fmt(flatT)},"hier_nprobe8":${fmt(hierT)},""" +
+      s""""hier_exact_nprobe$coarseK":${fmt(hierExT)},""" +
+      s""""exact_mismatches":$mismEx,"nprobe8_agreement":${r3(agree8.toDouble / nFlat)},""" +
+      s""""tiny_budget_refusal":"$refusal"}""")
+
+    // ---------------- B. Lloyd fit: driver arrays vs centroid table ------
+    // Natural sf1 auto-k (n/64) with the gate's 3 iterations: the driver
+    // path the fixture routes to vs the distributed table path the
+    // 100 TB corpus routes to, same seeds, spec-pinned bitwise equal.
+    val kNat = Vectors.deriveKFromCount(nFlat)
+    val (drvFitT, _) = time(reps) {
+      val c = Vectors.quantizer(spark, emb, kNat, iterations = 3)
+      c.ids.length.toLong
+    }
+    // the table fit memoizes per (plan, params): vary iterations? No —
+    // measure COLD per rep by suffixing the plan with a per-rep no-op
+    // projection so each rep fits fresh (the memo key is the canonical
+    // plan; a distinct column alias changes it without changing the work).
+    val tblFitT = (1 to reps).map { i =>
+      val embI = emb.select(col("vec_id"), col("embedding"),
+        lit(i).as(s"rep_$i")).drop(s"rep_$i")
+      val t0 = System.nanoTime()
+      Vectors.quantizerTable(spark, embI, kNat, iterations = 3).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // parity: table fit == driver fit, bitwise, at the natural k
+    val drvSet = Vectors.quantizer(spark, emb, kNat, iterations = 3)
+    val tblRows = Vectors.quantizerTable(spark, emb, kNat, iterations = 3)
+      .orderBy(col("cell")).collect()
+    val drvSorted = drvSet.ids.zip(drvSet.vecs).sortBy(_._1)
+    val fitPar = tblRows.length == drvSorted.length && tblRows.zip(drvSorted).forall {
+      case (r, (id, vec)) =>
+        r.getLong(0) == id && r.getSeq[Float](1).toArray.sameElements(vec)
+    }
+    if (!fitPar) {
+      failed = true
+      System.err.println("EXACTNESS FAILED: table fit != driver fit at natural k")
+    }
+    println(s"""{"section":"fit","k_natural":$kNat,"iterations":3,""" +
+      s""""driver":${fmt(drvFitT)},"table":${fmt(tblFitT)},"bitwise_equal":$fitPar}""")
+
+    // ---------------- C. BPE: driver fit vs distributed fallback ---------
+    val numMerges = 12
+    val vocab = Bpe.vocabulary(spark, sfDir)
+    val vocabRows = vocab.count()
+    var drvMerges: Seq[Bpe.Merge] = Seq.empty
+    val (bpeDrvT, _) = time(reps) {
+      drvMerges = Bpe.trainGated(spark, vocab, numMerges, Bpe.DriverVocabMaxRows)
+      drvMerges.length.toLong
+    }
+    var distMerges: Seq[Bpe.Merge] = Seq.empty
+    val (bpeDistT, _) = time(reps) {
+      distMerges = Bpe.trainGated(spark, vocab, numMerges, 0) // forced past-gate
+      distMerges.length.toLong
+    }
+    if (drvMerges != distMerges) {
+      failed = true
+      System.err.println("EXACTNESS FAILED: distributed BPE != driver BPE")
+    }
+    println(s"""{"section":"bpe","vocab_rows":$vocabRows,"merges":$numMerges,""" +
+      s""""driver":${fmt(bpeDrvT)},"distributed":${fmt(bpeDistT)},""" +
+      s""""tables_equal":${drvMerges == distMerges}}""")
+
+    // ---------------- D. capBuckets: degenerate band join ----------------
+    // The valve's reason to exist: ONE degenerate bucket (all-zeros hash on
+    // sparse data — here forced by construction: a quarter of the corpus
+    // collapsed onto hash 0) makes the band self-join quadratic in the hot
+    // bucket. Measure the pair stage capped vs uncapped on the degenerate
+    // frame, and the cap's pure overhead on a healthy frame where it never
+    // binds. Pair stage = the q63/q77 shape: self-join on (tbl, hash),
+    // i < j, pair-count aggregate.
+    def pairs(posts: DataFrame): Long = {
+      val a = posts.select(col("tbl"), col("hash"), col("vec_id").as("i"))
+      val b = posts.select(col("tbl"), col("hash"), col("vec_id").as("j"))
+      a.join(b, Seq("tbl", "hash")).filter(col("i") < col("j"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c")).count()
+    }
+    val buckets = 512
+    val healthy = emb.select(lit(0).as("tbl"),
+      pmod(xxhash64(col("vec_id")), lit(buckets.toLong)).as("hash"), col("vec_id"))
+    val degenerate = healthy.withColumn("hash",
+      when(col("hash") < buckets / 4, lit(0L)).otherwise(col("hash")))
+    val cap = 256
+    val (degUncapT, degUncapPairs) = time(reps)(pairs(degenerate))
+    val (degCapT, degCapPairs) = time(reps)(pairs(Skew.capBuckets(degenerate, cap)))
+    val (healthyUncapT, healthyPairs) = time(reps)(pairs(healthy))
+    val (healthyCapT, healthyCapPairs) = time(reps)(pairs(Skew.capBuckets(healthy, cap)))
+    // on the healthy frame the cap must not bind (E[bucket] ≈ n/buckets ≪ cap)
+    if (healthyPairs != healthyCapPairs) {
+      failed = true
+      System.err.println(s"CAP BOUND ERROR: healthy pairs $healthyPairs != capped $healthyCapPairs")
+    }
+    println(s"""{"section":"cap_buckets","cap":$cap,"buckets":$buckets,""" +
+      s""""degenerate_uncapped":${fmt(degUncapT)},"degenerate_pairs":$degUncapPairs,""" +
+      s""""degenerate_capped":${fmt(degCapT)},"degenerate_capped_pairs":$degCapPairs,""" +
+      s""""healthy_uncapped":${fmt(healthyUncapT)},"healthy_capped":${fmt(healthyCapT)},""" +
+      s""""healthy_pairs":$healthyPairs,"cap_binds_on_healthy":${healthyPairs != healthyCapPairs}}""")
+
+    graft.Bench.throttleProbe("post", cpus.toInt)
+    spark.stop()
+    if (failed) { System.err.println("CEILINGBENCH FAILED"); sys.exit(1) }
+  }
+}
