@@ -92,6 +92,29 @@ object BenchDiff {
       .filter { case (_, _, _, d) => math.abs(d) > band }
       .sortBy(-_._4)
 
+  /** Stability wording for a phase trace. Judged on the MID points — the
+    * phase the timed reps ran in; a bracket spike (JVM-edge work either
+    * side of the loop) doesn't taint the totals. With exactly ONE mid
+    * (reps=2) there is nothing to ratio — report the mid without a verdict
+    * rather than judging on the brackets, whose routine spikes (0.99
+    * around 0.65 mids) would falsely flag a stable host UNSTABLE (advisor
+    * finding, r12). Only a trace with no mids at all (reps=1) falls back
+    * to the bracket ratio. Split out so BenchDiffSpec pins all three arms.
+    */
+  private[tools] def traceVerdict(tr: Map[String, Double]): String = {
+    val mids = tr.collect { case (k, v) if k.startsWith("mid") => v }
+    if (mids.size == 1)
+      f"single mid ${mids.head}%.3f (no stability verdict - one in-loop sample)"
+    else {
+      val judged = if (mids.size >= 2) mids else tr.values
+      val ratio = judged.max / math.max(judged.min, 1e-9)
+      val scope = if (mids.size >= 2) "mid max/min" else "bracket max/min"
+      val verdict =
+        if (ratio <= 1.25) "stable" else "UNSTABLE - re-run before trusting deltas"
+      f"$scope ${ratio}%.2f ($verdict)"
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: BenchDiff OLD.json NEW.json [absBand=0.30] [relFrac=0.50]")
@@ -242,24 +265,7 @@ object BenchDiff {
           case k => k.stripPrefix("mid").toIntOption.getOrElse(Int.MaxValue - 1)
         }
         val pts = order.map(k => f"$k ${tr(k)}%.3f").mkString(", ")
-        // Stability is judged on the MID points — the phase the timed reps
-        // ran in; a bracket spike (JVM-edge work either side of the loop)
-        // doesn't taint the totals. With exactly ONE mid (reps=2) there is
-        // nothing to ratio — report the mid without a verdict rather than
-        // judging on the brackets, whose routine spikes (0.99 around 0.65
-        // mids) would falsely flag a stable host UNSTABLE. Only a trace
-        // with no mids at all (reps=1) falls back to the bracket ratio.
-        val mids = tr.collect { case (k, v) if k.startsWith("mid") => v }
-        if (mids.size == 1) {
-          println(f"phase trace ($label): $pts; single mid ${mids.head}%.3f " +
-            "(no stability verdict - one in-loop sample)")
-        } else {
-          val judged = if (mids.size >= 2) mids else tr.values
-          val ratio = judged.max / math.max(judged.min, 1e-9)
-          val scope = if (mids.size >= 2) "mid max/min" else "bracket max/min"
-          val verdict = if (ratio <= 1.25) "stable" else "UNSTABLE - re-run before trusting deltas"
-          println(f"phase trace ($label): $pts; $scope ${ratio}%.2f ($verdict)")
-        }
+        println(s"phase trace ($label): $pts; ${traceVerdict(tr)}")
       }
     traceLine("multi", "probe_trace_multi")
     traceLine("mem", "probe_trace_mem")

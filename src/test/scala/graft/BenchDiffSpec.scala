@@ -87,6 +87,26 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(!moved.exists(_._1 == "new_store"))
   }
 
+  test("trace verdict: one mid reports without a verdict; brackets judge only when no mids") {
+    // the advisor's r12 scenario: routine bracket spikes (0.99 around a
+    // 0.65 mid) must NOT flag a stable host UNSTABLE when there is only
+    // one in-loop sample to judge from
+    val oneMid = Map("pre" -> 0.99, "mid1" -> 0.65, "post" -> 0.99)
+    val v1 = BenchDiff.traceVerdict(oneMid)
+    assert(v1.contains("no stability verdict") && !v1.contains("UNSTABLE"), v1)
+    // >= 2 mids: judged on mids alone — same bracket spikes, stable mids
+    val twoMids = Map("pre" -> 0.99, "mid1" -> 0.65, "mid2" -> 0.66, "post" -> 0.99)
+    assert(BenchDiff.traceVerdict(twoMids).contains("stable"))
+    assert(BenchDiff.traceVerdict(twoMids).contains("mid max/min"))
+    // a real mid-run swing still flags
+    val swing = Map("pre" -> 0.65, "mid1" -> 0.65, "mid2" -> 1.48, "post" -> 0.67)
+    assert(BenchDiff.traceVerdict(swing).contains("UNSTABLE"))
+    // no mids at all (reps=1): the bracket ratio is all there is
+    val noMids = Map("pre" -> 0.99, "post" -> 0.65)
+    val v0 = BenchDiff.traceVerdict(noMids)
+    assert(v0.contains("bracket max/min") && v0.contains("UNSTABLE"), v0)
+  }
+
   test("the committed canonical map parses and carries the r10 fields") {
     val json = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("bench_per_query.json")),
