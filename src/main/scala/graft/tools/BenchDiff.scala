@@ -245,9 +245,21 @@ object BenchDiff {
           case _ => None
         })
     (meanMem(oldJson), meanMem(newJson)) match {
+      // The mem leg detects mem-throttle PHASES (clean band ~0.008–0.02 s
+      // for the fixed 512 MB of traffic; the one caught phase measured
+      // 0.19 s — 10–20× clean). Within the clean band the probe's own
+      // jitter is ~2× at the 10 ms scale, so "normalizing" a CPU-bound
+      // total by it amplifies noise into a fake headline (a 27 s run
+      // "normalized" to 13 s by two clean 10 ms samples). Only scale when
+      // at least one side actually left the clean band.
       case (Some((om, os)), Some((nm, ns))) if om > 0 && nm > 0 =>
-        println(f"normalized total (mem): new × (old_mem/new_mem) = " +
-          f"${newTot * om / nm}%.2f s (old mem=$om%.3f [$os], new mem=$nm%.3f [$ns])")
+        val CleanMemSec = 0.05
+        if (om < CleanMemSec && nm < CleanMemSec)
+          println(f"mem probe: old $om%.3f s [$os] -> new $nm%.3f s [$ns] " +
+            "(both in the clean band - no mem-phase normalization applicable)")
+        else
+          println(f"normalized total (mem): new × (old_mem/new_mem) = " +
+            f"${newTot * om / nm}%.2f s (old mem=$om%.3f [$os], new mem=$nm%.3f [$ns])")
       case _ =>
         println("normalized total (mem): n/a (a side lacks the r10+ mem probe)")
     }
