@@ -727,4 +727,27 @@ class PlanSpec extends SparkSpec {
     assert(!scan.contains("embedding"), s"BQ scan reads embeddings: $scan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("hierarchical assignment: broadcast coarse stages, equi-join candidates, no cartesian") {
+    // The past-broadcast-budget path (r12 CeilingBench times it; this pins
+    // its SHAPE): the only pair-stream joins are BROADCAST nested loops
+    // against the bounded coarseK-row seed table — never a cartesian — and
+    // the step-4 candidate join is an equi-join on the coarse cell, the
+    // one exchange whose width scales with N.
+    import graft.operators.Vectors
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val cents = Vectors.seedCentroidsTable(emb, 16)
+    val plan = Vectors.assignCellsHierarchical(emb, cents, coarseK = 4, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"hierarchical plans a cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"coarse stages must broadcast the bounded seed table:\n$plan")
+    // every nested-loop line is a Broadcast one (BuildRight/BuildLeft of
+    // the coarseK-row side), so no unbounded side ever nest-loops
+    val equiJoin = """(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)""".r
+    assert(equiJoin.findFirstIn(plan).nonEmpty,
+      s"step-4 candidate join must be an equi-join on ccell:\n$plan")
+  }
 }
