@@ -774,6 +774,21 @@ object Vectors {
     * never shuffles; only N assigned rows do). Output shape identical to
     * [[assignCellsWith]]: (vec_id, embedding, cell).
     *
+    * FIXED-WIDTH AGGREGATION BUFFER (r12, found by tools/FitProfile): the
+    * argmin aggregates ONLY the 8-byte cell id — `min_by(cell, (d2, cell))`
+    * — and the embedding is joined back by vec_id afterwards. The previous
+    * form aggregated `min_by(struct(embedding, cell), …)`, and an
+    * aggregation buffer holding a variable-size ARRAY disqualifies
+    * whole-stage HashAggregate: Spark falls back to object/sort
+    * aggregation, which at k=16384 over 200 k vectors meant sorting the
+    * 3.3 G-row candidate stream (~measured 281 s where the fixed-width
+    * form runs the same stream through codegen'd hash aggregation). The
+    * join-back costs one n-row equi-join on vec_id — co-partitionable,
+    * and strictly cheaper than shipping an embedding-bearing partial-agg
+    * state per partition per key. Bitwise the same assignment
+    * (VectorsSpec pins table ≡ driver at any k): same (d2, cell) ordering,
+    * same tie-break, and the joined-back embedding is the INPUT row's.
+    *
     * Memory bound: the broadcast centroid table is k×dim×4 B per executor —
     * the standard Lloyd working set (any formulation must hold the
     * centroids somewhere to assign against); what this path REMOVES is the
@@ -805,19 +820,17 @@ object Vectors {
           "Vectors.assignCellsHierarchical (coarse-quantized centroids; " +
           "exact at nprobe=coarseK, IVF-approximate below it).")
     }
-    emb.select(col("vec_id"), col("embedding"))
+    val best = emb.select(col("vec_id"), col("embedding"))
       .join(broadcast(cents))
       .select(
-        col("vec_id"), col("embedding"), col("cell"),
-        VectorExpressions.l2sq(col("embedding"), col("centroid")).as("d2"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(
-        struct(col("embedding"), col("cell")),
-        struct(col("d2"), col("cell"))).as("best"))
-      .select(
         col("vec_id"),
-        col("best.embedding").as("embedding"),
-        col("best.cell").as("cell"))
+        VectorExpressions.l2sq(col("embedding"), col("centroid")).as("d2"),
+        col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(VectorExpressions.argMinLong(col("d2"), col("cell")).as("cell"))
+    best
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
   }
 
   /** TWO-HOP (hierarchical / IVF-over-the-centroids) cell assignment — the
@@ -884,48 +897,51 @@ object Vectors {
     val coarseSeed = cents.orderBy(col("cell")).limit(coarseK)
       .select(col("cell").as("ccell"), col("centroid").as("ccentroid"))
     // 2. fine centroid -> coarse cell (broadcast coarse, map-side argmin —
-    //    the assignCellsWithTable kernel shape over (cell, centroid) rows)
+    //    the assignCellsWithTable kernel shape over (cell, centroid) rows).
+    //    Fixed-width buffer (r12, see assignCellsWithTable): aggregate the
+    //    8-byte ccell only, join the fine centroid back by cell — an
+    //    array-bearing min_by buffer would kick the k-row aggregate out of
+    //    whole-stage hash aggregation.
     val fineToCoarse = cents
       .join(broadcast(coarseSeed))
-      .select(col("cell"), col("centroid"),
+      .select(col("cell"),
         VectorExpressions.l2sq(col("centroid"), col("ccentroid")).as("d2"),
         col("ccell"))
       .groupBy(col("cell"))
-      .agg(min_by(struct(col("centroid"), col("ccell")),
-        struct(col("d2"), col("ccell"))).as("best"))
-      .select(col("best.ccell").as("ccell"), col("cell"),
-        col("best.centroid").as("centroid"))
+      .agg(VectorExpressions.argMinLong(col("d2"), col("ccell")).as("ccell"))
+      .join(cents, Seq("cell"))
+      .select(col("ccell"), col("cell"), col("centroid"))
     // 3. vector -> nprobe nearest coarse cells (per-vector sorted slice of
     //    the coarseK candidates; array_sort on (d2, ccell) structs keeps
-    //    the tie-break deterministic)
+    //    the tie-break deterministic). The collect_list buffer is bounded
+    //    (coarseK 16-byte structs per vector) and carries NO embedding —
+    //    the vector is joined back by vec_id after the probe explode, so
+    //    the object-agg state stays nprobe-bounded, not dim-bounded.
     val probes = emb.select(col("vec_id"), col("embedding"))
       .join(broadcast(coarseSeed))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"),
         struct(
           VectorExpressions.l2sq(col("embedding"), col("ccentroid")).as("d2"),
           col("ccell")).as("cand"))
       .groupBy(col("vec_id"))
-      .agg(
-        first(col("embedding")).as("embedding"),
-        slice(array_sort(collect_list(col("cand"))), 1, nprobe).as("probed"))
-      .select(col("vec_id"), col("embedding"),
-        explode(col("probed")).as("p"))
-      .select(col("vec_id"), col("embedding"), col("p.ccell").as("ccell"))
+      .agg(slice(array_sort(collect_list(col("cand"))), 1, nprobe).as("probed"))
+      .select(col("vec_id"), explode(col("probed")).as("p"))
+      .select(col("vec_id"), col("p.ccell").as("ccell"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("ccell"))
     // 4. candidate fine centroids via the coarse-cell equi-join, then the
     //    bitwise (d2, cell) argmin across ALL probed candidates per vector
+    //    (fixed-width buffer + embedding join-back, as in step 2)
     probes
       .join(fineToCoarse, "ccell")
       .select(
-        col("vec_id"), col("embedding"), col("cell"),
-        VectorExpressions.l2sq(col("embedding"), col("centroid")).as("d2"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(
-        struct(col("embedding"), col("cell")),
-        struct(col("d2"), col("cell"))).as("best"))
-      .select(
         col("vec_id"),
-        col("best.embedding").as("embedding"),
-        col("best.cell").as("cell"))
+        VectorExpressions.l2sq(col("embedding"), col("centroid")).as("d2"),
+        col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(VectorExpressions.argMinLong(col("d2"), col("cell")).as("cell"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
   }
 
   /** Deterministic Lloyd iterations with centroids as a TABLE end-to-end:

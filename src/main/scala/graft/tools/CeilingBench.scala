@@ -43,6 +43,24 @@ object CeilingBench {
   private def fmt(ts: Seq[Double]): String =
     s"""{"samples":[${ts.map(r3).mkString(",")}],"min":${r3(ts.min)}}"""
 
+  /** Faithful action for an ASSIGNMENT frame: a bare `.count()` lets
+    * Catalyst prune the unused `min_by(struct(embedding, cell))` payload
+    * out of the terminal aggregate, so the candidate stream runs WITHOUT
+    * maintaining the per-key struct state — the first CeilingBench run
+    * under-measured the flat path ~150× this way (found when FitProfile
+    * showed the fit's real assign+sums at 281 s against a 1.6 s "assign").
+    * Every real consumer (the Lloyd refinement, the SemDeDup pair stage)
+    * reads both `cell` AND `embedding`, so the timed action must force
+    * both through the aggregate.
+    */
+  private def forceAssign(df: DataFrame): Long = {
+    val r = df.agg(
+      count(lit(1)),
+      sum(col("cell")),
+      sum(element_at(col("embedding"), 1).cast("double"))).collect()(0)
+    r.getLong(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -74,12 +92,12 @@ object CeilingBench {
     val cents = Vectors.quantizerTable(spark, emb, k, iterations = 1)
     val nCents = cents.count()
     val fitSec = (System.nanoTime() - fitT0) / 1e9
-    val (flatT, nFlat) = time(reps)(Vectors.assignCellsWithTable(emb, cents).count())
+    val (flatT, nFlat) = time(reps)(forceAssign(Vectors.assignCellsWithTable(emb, cents)))
     val coarseK = 64 // = sqrt(KCeiling), the scaladoc-recommended choice
     val (hierT, nHier) =
-      time(reps)(Vectors.assignCellsHierarchical(emb, cents, coarseK, 8).count())
+      time(reps)(forceAssign(Vectors.assignCellsHierarchical(emb, cents, coarseK, 8)))
     val (hierExT, nHierEx) =
-      time(reps)(Vectors.assignCellsHierarchical(emb, cents, coarseK, coarseK).count())
+      time(reps)(forceAssign(Vectors.assignCellsHierarchical(emb, cents, coarseK, coarseK)))
     // exactness: nprobe=coarseK must be BITWISE the flat assignment
     val flat = Vectors.assignCellsWithTable(emb, cents)
       .select(col("vec_id"), col("cell").as("cf"))
@@ -114,6 +132,80 @@ object CeilingBench {
       s""""hier_exact_nprobe$coarseK":${fmt(hierExT)},""" +
       s""""exact_mismatches":$mismEx,"nprobe8_agreement":${r3(agree8.toDouble / nFlat)},""" +
       s""""tiny_budget_refusal":"$refusal"}""")
+
+    // ---------------- A2. assignment crossover: 10× the vectors ----------
+    // At n=20 k the hierarchical path's extra exchanges dominate its
+    // eval-count advantage (section A). The advantage scales with n·k, the
+    // overhead is ~constant — so the crossover is measurable by scaling n
+    // alone: replicate the fixture vectors SPARK_GRAFT_CEILING_SCALE×
+    // (id-offset copies; assignment cost is value-independent, and the
+    // exactness compare stays valid — duplicate vectors argmin to the same
+    // cell by the deterministic (d2, cell) tie-break).
+    val scaleF = sys.env.getOrElse("SPARK_GRAFT_CEILING_SCALE", "10").toInt
+    val embBig = (0 until math.max(1, scaleF)).map { i =>
+      emb.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ unionAll _)
+    if (scaleF > 1) {
+      val nBig = nFlat * scaleF
+      val (flatBigT, nFlatBig) =
+        time(reps)(forceAssign(Vectors.assignCellsWithTable(embBig, cents)))
+      val (hierBigT, nHierBig) =
+        time(reps)(forceAssign(Vectors.assignCellsHierarchical(embBig, cents, coarseK, 8)))
+      val (hierExBigT, _) =
+        time(reps)(forceAssign(Vectors.assignCellsHierarchical(embBig, cents, coarseK, coarseK)))
+      val mismBig = Vectors.assignCellsWithTable(embBig, cents)
+        .select(col("vec_id"), col("cell").as("cf"))
+        .join(Vectors.assignCellsHierarchical(embBig, cents, coarseK, coarseK)
+          .select(col("vec_id"), col("cell").as("ch")), "vec_id")
+        .filter(col("cf") =!= col("ch")).count()
+      if (mismBig != 0 || nFlatBig != nBig || nHierBig != nBig) {
+        failed = true
+        System.err.println(s"EXACTNESS FAILED at ${scaleF}x: $mismBig mismatches, " +
+          s"counts $nFlatBig/$nHierBig expected $nBig")
+      }
+      println(s"""{"section":"assign_${scaleF}x","k":$k,"n":$nBig,""" +
+        s""""flat":${fmt(flatBigT)},"hier_nprobe8":${fmt(hierBigT)},""" +
+        s""""hier_exact_nprobe$coarseK":${fmt(hierExBigT)},"exact_mismatches":$mismBig}""")
+    }
+
+    // ---------------- A3. assignment crossover: 4× the centroids ---------
+    // A2 shows both paths scale LINEARLY in n at fixed k (the flat BNLJ is
+    // a shuffle-free codegen stream) — the crossover lives in k: flat is
+    // O(n·k) evals, hierarchical O(n·(coarseK + nprobe·k/coarseK)). This
+    // section scales k past the A-section ceiling on the replicated
+    // corpus (k ≤ n requires the A2 frame) and measures both at the same
+    // nprobe operating point. Exactness at big k is checked on a bounded
+    // subset (the kernel's bitwise contract is already pinned at full
+    // size in section A and VectorsSpec; full n×coarseK×k verification
+    // here would shuffle 3 G rows for no new information).
+    val bigK = sys.env.getOrElse("SPARK_GRAFT_CEILING_BIGK", "0").toInt
+    if (scaleF > 1 && bigK > 0) {
+      val fitBigT0 = System.nanoTime()
+      val centsBig = Vectors.quantizerTable(spark, embBig, bigK, iterations = 1)
+      val nCentsBig = centsBig.count()
+      val fitBigSec = (System.nanoTime() - fitBigT0) / 1e9
+      val (flatKT, nFlatK) =
+        time(reps)(forceAssign(Vectors.assignCellsWithTable(embBig, centsBig)))
+      val coarseKBig = math.max(1, math.sqrt(bigK.toDouble).toInt)
+      val (hierKT, nHierK) = time(reps)(
+        forceAssign(Vectors.assignCellsHierarchical(embBig, centsBig, coarseKBig, 8)))
+      val sub = embBig.orderBy(col("vec_id")).limit(2000)
+      val mismK = Vectors.assignCellsWithTable(sub, centsBig)
+        .select(col("vec_id"), col("cell").as("cf"))
+        .join(Vectors.assignCellsHierarchical(sub, centsBig, coarseKBig, coarseKBig)
+          .select(col("vec_id"), col("cell").as("ch")), "vec_id")
+        .filter(col("cf") =!= col("ch")).count()
+      if (mismK != 0 || nFlatK != nHierK) {
+        failed = true
+        System.err.println(s"EXACTNESS FAILED at bigK=$bigK: $mismK subset " +
+          s"mismatches, counts $nFlatK/$nHierK")
+      }
+      println(s"""{"section":"assign_bigk","k":$bigK,"n":$nFlatK,""" +
+        s""""centroids":$nCentsBig,"coarseK":$coarseKBig,""" +
+        s""""fit_table_1iter_sec":${r3(fitBigSec)},"flat":${fmt(flatKT)},""" +
+        s""""hier_nprobe8":${fmt(hierKT)},"subset_exact_mismatches":$mismK}""")
+    }
 
     // ---------------- B. Lloyd fit: driver arrays vs centroid table ------
     // Natural sf1 auto-k (n/64) with the gate's 3 iterations: the driver

@@ -401,6 +401,65 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Fixed-width-buffer argmin: the value LONG whose (ord, value) pair is
+    * smallest — semantically `min_by(value, struct(ord, value))`, but
+    * HASH-AGGREGABLE. Spark's `min_by` stores its ORDERING expression in
+    * the aggregation buffer, and a struct-typed buffer field disqualifies
+    * whole-stage HashAggregate — the plan falls back to SortAggregate and
+    * the full pre-aggregation stream crosses the exchange and gets sorted
+    * (measured in r12: 281 s for the 3.3 G-row k=16384 assignment stream
+    * where this form hash-aggregates with map-side partials). Buffer here
+    * is two mutable primitives (minOrd double, minVal long) — the avg-style
+    * multi-field shape HashAggregate fully supports.
+    *
+    * Ordering contract (pinned by VectorsSpec table≡driver parity): strict
+    * (ord asc, value asc) lexicographic minimum, first-encountered
+    * semantics never used because the order is total. Null inputs keep the
+    * buffer (our callers never produce them); an all-null group evaluates
+    * to null like min_by.
+    */
+  case class ArgMinLong(ord: Expression, value: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+      with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+    import org.apache.spark.sql.catalyst.expressions.{
+      And, AttributeReference, EqualTo, If, IsNull, LessThan, Literal, Or}
+    override def left: Expression = ord
+    override def right: Expression = value
+    override def prettyName: String = "arg_min_long"
+    override def nullable: Boolean = true
+    override def dataType: DataType = LongType
+    private lazy val minOrd = AttributeReference("minOrd", DoubleType)()
+    private lazy val minVal = AttributeReference("minVal", LongType)()
+    override lazy val aggBufferAttributes: Seq[AttributeReference] =
+      Seq(minOrd, minVal)
+    override lazy val initialValues: Seq[Expression] =
+      Seq(Literal.create(null, DoubleType), Literal.create(null, LongType))
+    // "candidate (nOrd, nVal) beats buffer (bOrd, bVal)": empty buffer, or
+    // strictly smaller ord, or equal ord with smaller value. A null
+    // candidate never wins (LessThan with null → null → If takes the
+    // keep-buffer branch), matching min_by's null-ignoring update.
+    private def beats(bOrd: Expression, bVal: Expression,
+        nOrd: Expression, nVal: Expression): Expression =
+      Or(IsNull(bVal),
+        Or(LessThan(nOrd, bOrd), And(EqualTo(nOrd, bOrd), LessThan(nVal, bVal))))
+    override lazy val updateExpressions: Seq[Expression] = {
+      val b = beats(minOrd, minVal, ord, value)
+      Seq(If(b, ord, minOrd), If(b, value, minVal))
+    }
+    override lazy val mergeExpressions: Seq[Expression] = {
+      val b = beats(minOrd.left, minVal.left, minOrd.right, minVal.right)
+      Seq(If(b, minOrd.right, minOrd.left), If(b, minVal.right, minVal.left))
+    }
+    override lazy val evaluateExpression: Expression = minVal
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): ArgMinLong =
+      copy(ord = newLeft, value = newRight)
+  }
+
+  /** Column wrapper for [[ArgMinLong]] — use inside `.agg(...)`. */
+  def argMinLong(ord: Column, value: Column): Column =
+    ExpressionUtils.column(ArgMinLong(expr(ord), expr(value)).toAggregateExpression())
+
   def l2(a: Column, b: Column): Column =
     ExpressionUtils.column(L2Distance(expr(a), expr(b)))
   def l2sq(a: Column, b: Column): Column =

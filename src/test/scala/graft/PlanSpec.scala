@@ -750,4 +750,34 @@ class PlanSpec extends SparkSpec {
     assert(equiJoin.findFirstIn(plan).nonEmpty,
       s"step-4 candidate join must be an equi-join on ccell:\n$plan")
   }
+
+  test("table assignment argmin is whole-stage hash aggregation, never object/sort agg") {
+    // r12 FitProfile finding: an ARRAY-bearing min_by buffer
+    // (min_by(struct(embedding, cell), ...)) disqualifies HashAggregate and
+    // the N×k candidate stream falls back to object/sort aggregation —
+    // measured as a 281 s sort of 3.3 G rows where the fixed-width form
+    // (min_by(cell, ...) + embedding join-back) runs in codegen. Lock the
+    // fix: every aggregate in both assignment plans is a HashAggregate
+    // except the probe stage's bounded collect_list (nprobe 16-byte
+    // structs — inherently ObjectHashAggregate, embedding-free).
+    import graft.operators.Vectors
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val cents = Vectors.seedCentroidsTable(emb, 16)
+    val flatPlan = Vectors.assignCellsWithTable(emb, cents)
+      .queryExecution.executedPlan.toString
+    assert(!flatPlan.contains("SortAggregate"),
+      s"flat assignment argmin fell back to sort aggregation:\n$flatPlan")
+    assert(!flatPlan.contains("ObjectHashAggregate"),
+      s"flat assignment argmin fell back to object aggregation:\n$flatPlan")
+    assert(flatPlan.contains("HashAggregate"), flatPlan)
+    val hierPlan = Vectors.assignCellsHierarchical(emb, cents, coarseK = 4, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!hierPlan.contains("SortAggregate"),
+      s"hierarchical argmin fell back to sort aggregation:\n$hierPlan")
+    val objAggs = hierPlan.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(objAggs <= 2, // partial+final of the one bounded collect_list stage
+      s"hierarchical plans $objAggs object aggregates (expected only the probe collect_list):\n$hierPlan")
+  }
 }
