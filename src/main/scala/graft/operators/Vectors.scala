@@ -789,6 +789,14 @@ object Vectors {
     * (VectorsSpec pins table ≡ driver at any k): same (d2, cell) ordering,
     * same tie-break, and the joined-back embedding is the INPUT row's.
     *
+    * PRECONDITION — `vec_id` must be unique in `emb` (the engine's store
+    * contract; every caller passes a deduplicated embeddings table). The
+    * join-back makes this load-bearing: the pre-r12 `min_by(struct(emb,
+    * cell))` form deduplicated duplicate vec_id rows as a side effect of
+    * the groupBy (emitting one row per distinct id), while the join-back
+    * fans out one output row per duplicate INPUT row. VectorsSpec pins
+    * both the unique-id parity and this documented duplicate-id fan-out.
+    *
     * Memory bound: the broadcast centroid table is k×dim×4 B per executor —
     * the standard Lloyd working set (any formulation must hold the
     * centroids somewhere to assign against); what this path REMOVES is the
@@ -877,6 +885,10 @@ object Vectors {
     * non-empty duplicate EARLIER, and in particular the top-1 probe is
     * always non-empty. Hence every vector always joins ≥1 fine candidate
     * (VectorsSpec pins the degenerate duplicate-seed corpus at nprobe=1).
+    *
+    * PRECONDITION — `vec_id` unique in `emb`, exactly as for
+    * [[assignCellsWithTable]] (both the step-3 probe join-back and the
+    * final embedding join-back fan out per duplicate input row).
     */
   def assignCellsHierarchical(
       emb: DataFrame,

@@ -414,34 +414,50 @@ object VectorExpressions {
     *
     * Ordering contract (pinned by VectorsSpec table≡driver parity): strict
     * (ord asc, value asc) lexicographic minimum, first-encountered
-    * semantics never used because the order is total. Null inputs keep the
-    * buffer (our callers never produce them); an all-null group evaluates
-    * to null like min_by.
+    * semantics never used because the order is total. A candidate with a
+    * null ord OR a null value is skipped outright (it can neither seed an
+    * empty buffer nor displace a non-null one), so an all-null group
+    * evaluates to null — the same rows-ignored semantics as min_by when
+    * its ordering is null. Inputs are type-checked to exactly
+    * (DoubleType, LongType): the buffer is two mutable primitives and
+    * widening other numeric types silently would change tie-break order.
     */
   case class ArgMinLong(ord: Expression, value: Expression)
       extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
       with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
     import org.apache.spark.sql.catalyst.expressions.{
-      And, AttributeReference, EqualTo, If, IsNull, LessThan, Literal, Or}
+      And, AttributeReference, EqualTo, If, IsNotNull, IsNull, LessThan, Literal, Or}
     override def left: Expression = ord
     override def right: Expression = value
     override def prettyName: String = "arg_min_long"
     override def nullable: Boolean = true
     override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (ord.dataType == DoubleType && value.dataType == LongType) {
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      } else {
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"arg_min_long requires (DOUBLE ord, BIGINT value), got " +
+            s"(${ord.dataType.simpleString}, ${value.dataType.simpleString})")
+      }
     private lazy val minOrd = AttributeReference("minOrd", DoubleType)()
     private lazy val minVal = AttributeReference("minVal", LongType)()
     override lazy val aggBufferAttributes: Seq[AttributeReference] =
       Seq(minOrd, minVal)
     override lazy val initialValues: Seq[Expression] =
       Seq(Literal.create(null, DoubleType), Literal.create(null, LongType))
-    // "candidate (nOrd, nVal) beats buffer (bOrd, bVal)": empty buffer, or
-    // strictly smaller ord, or equal ord with smaller value. A null
-    // candidate never wins (LessThan with null → null → If takes the
-    // keep-buffer branch), matching min_by's null-ignoring update.
+    // "candidate (nOrd, nVal) beats buffer (bOrd, bVal)": the candidate is
+    // fully non-null AND (empty buffer — keyed on bOrd, which is null iff
+    // no candidate has ever won — or strictly smaller ord, or equal ord
+    // with smaller value). The explicit IsNotNull guard is load-bearing:
+    // without it a null-ord candidate seeds an empty buffer (IsNull(bOrd)
+    // short-circuits true) and then permanently blocks updates, because
+    // LessThan against the null buffered ord yields null forever.
     private def beats(bOrd: Expression, bVal: Expression,
         nOrd: Expression, nVal: Expression): Expression =
-      Or(IsNull(bVal),
-        Or(LessThan(nOrd, bOrd), And(EqualTo(nOrd, bOrd), LessThan(nVal, bVal))))
+      And(And(IsNotNull(nOrd), IsNotNull(nVal)),
+        Or(IsNull(bOrd),
+          Or(LessThan(nOrd, bOrd), And(EqualTo(nOrd, bOrd), LessThan(nVal, bVal)))))
     override lazy val updateExpressions: Seq[Expression] = {
       val b = beats(minOrd, minVal, ord, value)
       Seq(If(b, ord, minOrd), If(b, value, minVal))

@@ -127,6 +127,68 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("arg_min_long ignores null candidates — a null-ord first row must not seed the buffer") {
+    // r12 ADVICE finding: the original beats() only checked IsNull(bVal),
+    // so a null-ord first candidate seeded the buffer and then permanently
+    // blocked every later (valid) update. Pin the fixed semantics: null-ord
+    // and null-val candidates are skipped outright, regardless of arrival
+    // order, and an all-null group evaluates to null like min_by.
+    import spark.implicits._
+    val rows = Seq[(Long, Option[Double], Option[Long])](
+      (1L, None, Some(99L)),        // null ord arrives FIRST in group 1
+      (1L, Some(5.0), Some(50L)),
+      (1L, Some(2.0), Some(20L)),   // true argmin of group 1
+      (2L, Some(3.0), None),        // null value arrives FIRST in group 2
+      (2L, Some(9.0), Some(90L)),   // only valid candidate of group 2
+      (3L, None, Some(7L)),         // group 3 has no valid candidate
+      (3L, Some(4.0), None))
+      .toDF("g", "ord", "v")
+      // coalesce (NOT repartition — that shuffles and scrambles order) so
+      // the in-group arrival order above is real and the null truly
+      // reaches the update expression first
+      .coalesce(1)
+    val got = rows.groupBy($"g")
+      .agg(VectorExpressions.argMinLong($"ord", $"v").as("m"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got == Map(1L -> Some(20L), 2L -> Some(90L), 3L -> None), got.toString)
+    // and the same verdict with codegen off (interpreted update/merge path)
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = rows.groupBy($"g")
+        .agg(VectorExpressions.argMinLong($"ord", $"v").as("m"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(interp == Map(1L -> Some(20L), 2L -> Some(90L), 3L -> None), interp.toString)
+    }
+  }
+
+  test("arg_min_long matches min_by on fully non-null data") {
+    import spark.implicits._
+    val rows = Tables.embeddings(spark, sf0001)
+      .select((col("vec_id") % 17).as("g"),
+        (col("vec_id") % 101).cast("double").as("ord"), col("vec_id").as("v"))
+    val viaArgMin = rows.groupBy($"g")
+      .agg(VectorExpressions.argMinLong($"ord", $"v").as("m"))
+    val viaMinBy = rows.groupBy($"g")
+      .agg(min_by($"v", struct($"ord", $"v")).as("m"))
+    val bad = viaArgMin.join(viaMinBy.withColumnRenamed("m", "m2"), "g")
+      .filter($"m" =!= $"m2").count()
+    assert(bad == 0, s"$bad groups diverge from min_by")
+  }
+
+  test("arg_min_long rejects wrong input types at analysis") {
+    import spark.implicits._
+    val rows = Seq((1L, 1, 2L)).toDF("g", "ordInt", "v")
+    val ex = intercept[Exception] {
+      rows.groupBy($"g")
+        .agg(VectorExpressions.argMinLong($"ordInt", $"v").as("m"))
+        .collect()
+    }
+    assert(ex.getMessage.contains("arg_min_long") ||
+      ex.getMessage.toLowerCase.contains("data type mismatch"), ex.getMessage)
+  }
+
   private def withSQLConf(kvs: (String, String)*)(f: => Unit): Unit = {
     val conf = spark.conf
     val olds = kvs.map { case (k, _) => k -> conf.getOption(k) }

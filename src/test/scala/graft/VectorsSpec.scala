@@ -341,14 +341,43 @@ class VectorsSpec extends SparkSpec {
           s"cell $id dim $d: table=$a driver=$b (not bitwise equal)")
       }
     }
-    // assignment parity over the SAME fitted model
+    // assignment parity over the SAME fitted model — INCLUDING the
+    // embedding column: the r12 argmin+join-back rewrite changed how the
+    // output embedding is produced (previously min_by-selected from the
+    // pair stream, now re-joined from the input by vec_id), so pin
+    // bitwise that the joined-back embedding is the input row's.
     import spark.implicits._
+    def embKey(s: Seq[Float]): Seq[Int] = s.map(java.lang.Float.floatToRawIntBits)
     val centDf = cents.ids.zip(cents.vecs.map(_.toSeq)).toSeq.toDF("cell", "centroid")
     val viaTable = Vectors.assignCellsWithTable(emb, centDf)
-      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .select("vec_id", "cell", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1), embKey(r.getSeq[Float](2)))).toSet
     val viaArray = Vectors.assignCellsWith(emb, cents)
-      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .select("vec_id", "cell", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1), embKey(r.getSeq[Float](2)))).toSet
     assert(viaTable == viaArray)
+    graft.operators.Materialize.releaseAll()
+  }
+
+  test("assignCells duplicate-vec_id fan-out is the documented join-back cardinality") {
+    // The vec_id-uniqueness PRECONDITION on assignCellsWithTable /
+    // assignCellsHierarchical (scaladoc'd in r13): under the engine's
+    // store contract ids are unique, but the r12 join-back rewrite made
+    // that contract load-bearing — duplicate input rows now fan out one
+    // output row each (the pre-r12 groupBy form silently deduped them).
+    // Pin the fan-out so a future caller with duplicate ids gets the
+    // DOCUMENTED cardinality, not a silent behavior drift.
+    val emb = Tables.embeddings(spark, sf0001).limit(40)
+    val dup = emb.union(emb.limit(5)) // 5 ids appear twice: 45 input rows
+    val cents = Vectors.seedCentroidsTable(emb, 8)
+    val out = Vectors.assignCellsWithTable(dup, cents)
+    assert(out.count() == 45, "join-back must emit one row per duplicate input row")
+    // every duplicated id agrees on its cell (the argmin is per-id, the
+    // fan-out only replicates the verdict)
+    val conflicting = out.groupBy(col("vec_id"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("cell")).as("nc"))
+      .filter(col("nc") > 1).count()
+    assert(conflicting == 0)
     graft.operators.Materialize.releaseAll()
   }
 
