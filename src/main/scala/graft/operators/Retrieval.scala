@@ -809,13 +809,17 @@ object Retrieval {
     *
     * Cursor shape: page 1's LAST row is the sort-maximum of the
     * top-`pageSize` list, so it comes from a distributed
-    * TakeOrderedAndProject (per-partition top-k, merged) + a 1-row
-    * aggregate — NOT a `row_number() === pageSize` filter, whose
-    * unpartitioned window would serialize the entire ranked match set
-    * through one task (WindowGroupLimit cannot guard an equality-rank
-    * filter). The struct-min trick encodes (score desc, doc_id asc):
-    * minimizing (score, −doc_id) lexicographically picks the lowest score
-    * and, within it, the highest doc_id — exactly the last row of page 1.
+    * TakeOrderedAndProject (per-partition top-k, merged) + a REVERSED
+    * 1-row TakeOrderedAndProject over those `pageSize` rows — NOT a
+    * `row_number() === pageSize` filter, whose unpartitioned window would
+    * serialize the entire ranked match set through one task
+    * (WindowGroupLimit cannot guard an equality-rank filter), and NOT a
+    * `min(struct(score, −doc_id))` aggregate, whose struct-typed buffer
+    * demotes the 1-row reduction to SortAggregate (the r12 ArgMinLong
+    * defect class — harmless at pageSize rows but caught by the
+    * PlanLintSpec aggregate sweep, and the sort-limit form is simpler
+    * anyway: the last row of (score desc, doc_id asc) IS the first row of
+    * (score asc, doc_id desc)).
     */
   def searchAfter(
       spark: SparkSession,
@@ -826,8 +830,9 @@ object Retrieval {
     val cursor = ranked
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(pageSize)
-      .agg(min(struct(col("score"), (-col("doc_id")).as("nd"))).as("c"))
-      .select(col("c.score").as("s0"), (-col("c.nd")).as("d0"))
+      .orderBy(col("score").asc, col("doc_id").desc)
+      .limit(1)
+      .select(col("score").as("s0"), col("doc_id").as("d0"))
     ranked.crossJoin(broadcast(cursor))
       .filter(col("score") < col("s0") ||
         (col("score") === col("s0") && col("doc_id") > col("d0")))

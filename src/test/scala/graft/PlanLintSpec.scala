@@ -97,6 +97,67 @@ class PlanLintSpec extends SparkSpec {
     }
   }
 
+  /** Aggregates allowed to plan as ObjectHashAggregate — each entry names
+    * the per-group bound on the object buffer, which is the justification
+    * a reviewer should re-check before extending the list.
+    * ObjectHashAggregate is the expected physical form for collect_list /
+    * collect_set / percentile-style ImperativeAggregates and is fine WHEN
+    * the collected group payload is bounded; what the lint hunts is the
+    * r12 ArgMinLong defect class — an aggregate that SHOULD be a
+    * fixed-width hash aggregate silently demoting to a buffer-object form
+    * (or all the way to SortAggregate) because its buffer type
+    * disqualified whole-stage HashAggregate, losing map-side partial
+    * reduction on an unbounded stream.
+    */
+  private val boundedObjectAggs = Map(
+    "q27_label_centroids" -> ("CentroidAgg UDAF: buffer is the dim-sized scaled-long " +
+      "sum array — fixed width per group regardless of group size, partials map-side"),
+    "q124_centroid_affinity" -> ("same CentroidAgg dim-sized buffer as q27, over the " +
+      "seed class only; reduces to ONE row that broadcasts"),
+    "q54_percentiles" -> ("EXACT interpolated percentile is the query's contract and " +
+      "fundamentally buffers the per-group value→count map (bounded by the value " +
+      "domain, not row count); q65 is the sketch-bounded twin for the 100 TB path"),
+    "q65_approx_quantiles" -> "approx_percentile: bounded QuantileSummaries sketch buffer",
+    "q67_hll_distinct" -> "HLL sketch aggregate: fixed lgK-sized sketch buffer per group",
+    "q59_array_agg" -> ("collect_set(user_id) under the user_id < 15 pushed filter — " +
+      "per-group set cardinality ≤ 15 by the query's own predicate"))
+
+  /** Queries allowed to plan a SortAggregate — a SortAggregate means NO
+    * hash map at all (each partition's pre-aggregation stream is sorted),
+    * which at 100 TB is the 281-s-per-aggregate defect r12 measured. Every
+    * entry must name why the input stream is bounded BEFORE the sort.
+    * Spark plans min/max over a STRING column this way (a non-fixed-width
+    * buffer disqualifies HashAggregate, and declarative aggregates can't
+    * use ObjectHashAggregate) — fine exactly when the input is a
+    * fixed-cardinality dimension.
+    */
+  private val boundedSortAggs = Map(
+    "q52_json_source" -> ("min(n_name) string buffer over the NATION dimension — " +
+      "fixed 25-row table at every TPC-H scale factor"),
+    "q69_orc_source" -> ("max(n_name) string buffer over the same fixed 25-row " +
+      "NATION dimension as q52"))
+
+  test("no gate query demotes an aggregate out of hash aggregation (the ArgMinLong defect class)") {
+    val offenders = allPlans.flatMap { case (name, plan) =>
+      if (plan.startsWith("PLANFAIL")) Some(s"$name: $plan")
+      else {
+        val sortAggs = plan.linesIterator.count(_.contains("SortAggregate"))
+        val objAggs = plan.linesIterator.count(_.contains("ObjectHashAggregate"))
+        val bad = Seq.newBuilder[String]
+        if (sortAggs > 0 && !boundedSortAggs.contains(name))
+          bad += s"$name: $sortAggs SortAggregate node(s) — no map-side hash partials"
+        if (objAggs > 0 && !boundedObjectAggs.contains(name))
+          bad += s"$name: $objAggs ObjectHashAggregate node(s) not on the bounded whitelist"
+        bad.result()
+      }
+    }
+    assert(offenders.isEmpty,
+      offenders.mkString("\n") +
+        "\n(either give the aggregate a fixed-width buffer — the ArgMinLong " +
+        "recipe: aggregate a primitive, join the payload back — or add a " +
+        "justified per-group bound to the whitelist)")
+  }
+
   test("every unpartitioned window is WindowGroupLimit-guarded or provably bounded") {
     val offenders = allPlans.flatMap { case (name, plan) =>
       if (plan.startsWith("PLANFAIL")) Some(s"$name: $plan")
