@@ -142,6 +142,17 @@ object Bench {
     */
   private[graft] val PhaseSuspectMultiSec = 0.85
 
+  /** Top of the DOCUMENTED clean band (recorded clean sessions sit at
+    * 0.56–0.76 s mid-trace multi). Means in (0.76, 0.85] are the
+    * TRANSITION BAND — under the suspect gate, so valid for the 2×-of-
+    * baseline obligation, but NOT canonical-recording quality: r12's
+    * driver run sat here (mid mean 0.81, uniformly 1.24× the canonical)
+    * and could have quietly replaced the canonical map on a less careful
+    * round. The `warm` stamp mechanizes that distinction (r12 verdict
+    * order #4).
+    */
+  private[graft] val PhaseWarmMultiSec = 0.76
+
   /** (suspect?, evidence): the mean of the in-loop mid probes against the
     * gate; with no mids (reps=1) the pre bracket is all there is. Split out
     * so BenchGateSpec pins the arithmetic the stamp rests on.
@@ -150,6 +161,21 @@ object Bench {
     val mean =
       if (midMultis.nonEmpty) midMultis.sum / midMultis.size else preMulti
     (mean > PhaseSuspectMultiSec, mean)
+  }
+
+  /** Three-way host-phase verdict for the recorded map: "clean" (mid mean
+    * ≤ 0.76 — canonical-recording quality), "warm" (0.76–0.85 transition
+    * band — gate-valid, canonically disqualified), "suspect" (> 0.85 —
+    * throttled, self-disqualifying). Same mid-mean evidence as
+    * [[phaseGate]]; BenchGateSpec pins the boundaries.
+    */
+  private[graft] def phaseClass(midMultis: Seq[Double], preMulti: Double): (String, Double) = {
+    val (suspect, mean) = phaseGate(midMultis, preMulti)
+    val label =
+      if (suspect) "suspect"
+      else if (mean > PhaseWarmMultiSec) "warm"
+      else "clean"
+    (label, mean)
   }
 
   def main(args: Array[String]): Unit = {
@@ -444,10 +470,15 @@ object Bench {
     // (BASELINE.md "Canonical-run phase gate").
     val (phaseSuspect, midMultiMean) =
       phaseGate(midProbes.values.map(_._2).toSeq, preMulti)
+    val (phaseLabel, _) = phaseClass(midProbes.values.map(_._2).toSeq, preMulti)
     if (phaseSuspect)
       System.err.println(f"PHASE SUSPECT: mid-trace multi mean $midMultiMean%.3f s " +
         f"exceeds the $PhaseSuspectMultiSec%.2f s clean-host gate - this map " +
         "records a throttled window; re-record before committing it as canonical")
+    else if (phaseLabel == "warm")
+      System.err.println(f"PHASE WARM: mid-trace multi mean $midMultiMean%.3f s sits in " +
+        f"the $PhaseWarmMultiSec%.2f-$PhaseSuspectMultiSec%.2f s transition band - " +
+        "gate-valid, but do NOT commit this map as the canonical recording")
     // Host-phase probe #2 runs RIGHT AFTER the query loop (it brackets the
     // timed region — a phase can begin or end mid-run) so both probe pairs
     // can be embedded in the per-query file below for BenchDiff's
@@ -502,7 +533,7 @@ object Bench {
         .mkString("\"query_rows\":{", ",", "},")
       val meta = s""""ingest_sec":${r4(ingestSec)},""" + partsObj +
         traceMultiObj + traceMemObj + rowsObj +
-        s""""phase_suspect":$phaseSuspect,"phase_gate_multi_sec":$PhaseSuspectMultiSec,"phase_mid_multi_mean":${r4(midMultiMean)},""" +
+        s""""phase_suspect":$phaseSuspect,"phase_class":"$phaseLabel","phase_gate_multi_sec":$PhaseSuspectMultiSec,"phase_warm_multi_sec":$PhaseWarmMultiSec,"phase_mid_multi_mean":${r4(midMultiMean)},""" +
         s""""plan_cache_hits":$pcHits,"plan_cache_misses":$pcMisses,""" +
         s""""probe_pre_single":${r4(preSingle)},"probe_pre_multi":${r4(preMulti)},"probe_pre_mem":${r4(preMem)},"probe_pre_io":${r4(preIo)},""" +
         s""""probe_post_single":${r4(postSingle)},"probe_post_multi":${r4(postMulti)},"probe_post_mem":${r4(postMem)},"probe_post_io":${r4(postIo)},"""
@@ -525,7 +556,7 @@ object Bench {
     // (index builds, model fits, the persisted pairs stage). Emitted before
     // the final total line so both compact lines land in the tail capture.
     println(s"""{"metric":"ingest","value":$ingestSec,"unit":"sec","sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"nqueries":${results.size},"nerrors":${errors.size},"phase_suspect":$phaseSuspect,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"nqueries":${results.size},"nerrors":${errors.size},"phase_suspect":$phaseSuspect,"phase_class":"$phaseLabel","sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"BENCH FAILED: ${errors.keys.mkString(", ")}")

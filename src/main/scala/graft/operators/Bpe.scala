@@ -142,16 +142,30 @@ object Bpe {
   private[graft] def trainGated(
       spark: SparkSession, vocab: DataFrame, numMerges: Int, maxRows: Int,
       maxBytes: Long = DriverFitMaxBytes): Seq[Merge] = {
-    // Proof-collect: limit(budget+1) bounds the fetch by construction; a
-    // (budget+1)-th row is the proof the vocabulary does NOT fit. The fetch
-    // is row-bounded; the FIT is additionally byte-bounded (the trainer's
-    // working set is per-code-point, not per-row — see DriverFitMaxBytes).
-    val probe = vocab.select(col("word"), col("count")).limit(maxRows + 1).collect()
-    if (probe.length <= maxRows) {
-      val rows = probe.map(r => (r.getString(0), r.getLong(1)))
-      if (estimateFitBytes(rows) <= maxBytes) trainDriver(rows, numMerges)
-      else trainDistributed(spark, vocab, numMerges)
-    } else trainDistributed(spark, vocab, numMerges)
+    // Proof-ITERATE (r13, advisor finding): limit(budget+1) bounds the
+    // fetch by construction — a (budget+1)-th row is the proof the
+    // vocabulary does NOT fit — and the byte estimate accumulates ROW BY
+    // ROW over toLocalIterator with an early abort the moment either
+    // budget is exceeded, so an oversized vocabulary never fully lands on
+    // the driver (the r12 full-collect probe made the probe itself the
+    // driver-heap high-water mark even for vocabularies the byte gate
+    // rejected). The accumulated sum is exactly [[estimateFitBytes]] of
+    // the kept rows (same rows·96 + cp·160 terms, added incrementally),
+    // so the route decision is unchanged — BpeSpec pins driver≡distributed
+    // parity and the forced-gate routes either way.
+    val it = vocab.select(col("word"), col("count")).limit(maxRows + 1).toLocalIterator()
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var bytes = 0L
+    var over = false
+    while (!over && it.hasNext) {
+      val r = it.next()
+      val w = r.getString(0)
+      rows += ((w, r.getLong(1)))
+      bytes += 96L + w.codePointCount(0, w.length).toLong * 160L
+      if (rows.length > maxRows || bytes > maxBytes) over = true
+    }
+    if (!over) trainDriver(rows.toArray, numMerges)
+    else trainDistributed(spark, vocab, numMerges)
   }
 
   /** Spark's string order is UTF8String binary comparison — unsigned

@@ -102,6 +102,14 @@ object Components {
     connectedComponentsIterative(vertices, edges)
   }
 
+  /** Rounds the last [[connectedComponentsIterative]] call ran — a
+    * measurement hook for tools/CeilingBench (the loop's cost model is
+    * rounds × per-round join+aggregate job, so the round count is the
+    * number a scale audit needs alongside wall time). Test/tool-only;
+    * concurrent CC calls would race it, which no gate path does.
+    */
+  private[graft] val lastIterativeRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** The distributed min-label propagation loop — the 100 TB path. */
   private[graft] def connectedComponentsIterative(
       vertices: DataFrame, edges: DataFrame): DataFrame = {
@@ -115,7 +123,9 @@ object Components {
     // miss the persisted-mode cache entry, whose key is the pinned plan.)
     var pinned = labels
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
       val nbrMin = bidir
         .join(labels.select(col("v").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("v"))
@@ -147,6 +157,7 @@ object Components {
     // The returned labels are materialized; the edge list served its last
     // propagation round.
     Materialize.release(bidir)
+    lastIterativeRounds.set(rounds)
     labels
   }
 

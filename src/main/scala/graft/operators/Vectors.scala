@@ -691,6 +691,40 @@ object Vectors {
   private[graft] def deriveK(emb: DataFrame, targetCellSize: Int = 64): Int =
     deriveKFromCount(emb.count(), targetCellSize)
 
+  /** Derived IVF probe width for [[assignCellsHierarchical]] — the
+    * deriveK/deriveSampleMod discipline applied to `nprobe`: probe an
+    * eighth of the coarse cells, floored at 8 and capped at coarseK.
+    *
+    * Why an eighth: the step-4 candidate join carries nprobe·k/coarseK
+    * expected fine candidates per vector, so a FIXED FRACTION of coarseK
+    * keeps that width at k/8 — an 8× reduction over the flat k-wide BNLJ
+    * stream in every regime, instead of an absolute nprobe whose candidate
+    * width (and agreement) would silently degrade as k grows. The r13
+    * NprobeSweep measured the whole curve at sf1 (SCALING.md "nprobe
+    * sweep", random-unit fixture = the worst case for any coarse
+    * geometry): agreement climbs near-linearly per probe-doubling up to
+    * ~coarseK/4 and saturates past coarseK/2, while cost climbs toward
+    * the flat path's (exact nprobe=coarseK ≈ flat — the approximation
+    * only pays when nprobe ≪ coarseK). coarseK/8 is the cost-side pick on
+    * that curve: measured 3.0× under flat at the ceiling regime with
+    * 0.74 worst-case agreement (0.76 natural regime; clustered real
+    * corpora sit higher — disagreements are near-ties by construction).
+    * Why floor 8: below 8 probes the worst-case agreement drops under
+    * ~0.6 in both regimes for savings that no longer matter (the probe
+    * stage is no longer the bottleneck), and any coarseK ≤ 8 becomes
+    * EXACT for free. VectorsSpec pins the derived default's agreement
+    * floor; callers needing exactness pass nprobe = coarseK explicitly.
+    */
+  def deriveNprobe(coarseK: Int): Int =
+    math.min(coarseK, math.max(8, coarseK / 8))
+
+  /** Sentinel default for [[assignCellsHierarchical]]'s `nprobe`: the
+    * caller didn't pick an operating point, so the engine derives one from
+    * coarseK ([[deriveNprobe]]) — the same caller-overridable-auto shape
+    * as deriveK. Any explicit positive nprobe wins.
+    */
+  val DerivedNprobe: Int = -1
+
   /** True when the corpus outgrew the cluster-count ceiling: at k = 4096,
     * E[cell] = N/4096 passes `targetCellSize` near N ≈ 262 k and grows
     * linearly from there — cell-local pair work re-enters quadratic growth.
@@ -871,8 +905,13 @@ object Vectors {
     * `nprobe < coarseK` it is the standard IVF approximation — a vector
     * whose true nearest fine centroid lives in an unprobed coarse cell
     * mis-assigns to its best probed candidate; the spec measures the
-    * agreement rate on the fixtures. Callers own the operating point —
-    * the engine never routes to an approximation silently.
+    * agreement rate on the fixtures. The DEFAULT operating point is
+    * [[deriveNprobe]](coarseK) — coarseK/8 floored at 8, the measured
+    * knee of the r13 agreement-vs-cost sweep (SCALING.md "nprobe sweep",
+    * floor-pinned in VectorsSpec); callers own any other point, and
+    * exactness is always one explicit `nprobe = coarseK` away. This
+    * operator is itself only reached by the documented refusal remedy,
+    * never by silent routing.
     *
     * TOTALITY (why the step-4 inner join never drops a vector, even at
     * nprobe=1): a coarse cell `c` can be EMPTY (no fine centroid assigned)
@@ -894,7 +933,7 @@ object Vectors {
       emb: DataFrame,
       cents: DataFrame,
       coarseK: Int = 256,
-      nprobe: Int = 8): DataFrame = {
+      nprobe: Int = DerivedNprobe): DataFrame = {
     // coarseK bounds BOTH the driver seed sample and the per-vector
     // candidate buffer in step 3 (collect_list of coarseK structs) — cap
     // it where those budgets stay trivially safe. √k is the standard
@@ -902,7 +941,8 @@ object Vectors {
     require(coarseK >= 1 && coarseK <= 65536,
       s"coarseK=$coarseK out of range [1, 65536]: it is collected driver-side " +
         "and buffered per vector in the probe stage — pick ~sqrt(k)")
-    require(nprobe >= 1, s"nprobe=$nprobe must be >= 1")
+    val nprobe0 = if (nprobe == DerivedNprobe) deriveNprobe(coarseK) else nprobe
+    require(nprobe0 >= 1, s"nprobe=$nprobe0 must be >= 1")
     val spark = emb.sparkSession
     import spark.implicits._
     // 1. bounded coarse seed sample (coarseK rows; deterministic by cell id)
@@ -936,7 +976,7 @@ object Vectors {
           VectorExpressions.l2sq(col("embedding"), col("ccentroid")).as("d2"),
           col("ccell")).as("cand"))
       .groupBy(col("vec_id"))
-      .agg(slice(array_sort(collect_list(col("cand"))), 1, nprobe).as("probed"))
+      .agg(slice(array_sort(collect_list(col("cand"))), 1, nprobe0).as("probed"))
       .select(col("vec_id"), explode(col("probed")).as("p"))
       .select(col("vec_id"), col("p.ccell").as("ccell"))
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))

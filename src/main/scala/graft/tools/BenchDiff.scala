@@ -347,6 +347,22 @@ object BenchDiff {
     if (suspect(oldJson))
       println("note: the OLD side is stamped phase_suspect=true " +
         "(its committed mins were recorded in a throttle window)")
+    // r13 transition-band stamp: "under the suspect gate" is not the same
+    // as "canonical quality" — a map whose mid mean sits in 0.76–0.85 is
+    // stamped phase_class=warm by Bench, and a diff reader deciding what
+    // to commit as canonical must see that here. Older maps without the
+    // field infer warm from phase_mid_multi_mean when present.
+    def warm(j: String): Boolean =
+      "\"phase_class\":\"warm\"".r.findFirstIn(j).nonEmpty ||
+        ("\"phase_class\"".r.findFirstIn(j).isEmpty &&
+          scalar(j, "phase_mid_multi_mean").exists(m => m > 0.76 && m <= 0.85))
+    if (!suspect(newJson) && warm(newJson))
+      println("PHASE-WARM: the NEW side's mid-trace mean sits in the " +
+        "0.76-0.85 s transition band - gate-valid, but re-record in a " +
+        "verified-clean window before committing it as the canonical map")
+    if (!suspect(oldJson) && warm(oldJson))
+      println("note: the OLD side is phase-warm (transition band) - " +
+        "its committed mins may sit ~1.1-1.3x above canonical-clean")
     if (regressed.nonEmpty || freshErrors.nonEmpty) {
       System.err.println(
         s"BENCHDIFF FAILED: ${(regressed.reverse ++ freshErrors).mkString(", ")}")

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Skew, Vectors}
+import graft.operators.{Bpe, Components, Skew, Text, Vectors}
 
 /** Dev tool: TIME THE PAST-CEILING SCALE PATHS (r12, verdict order #1).
   *
@@ -78,6 +78,13 @@ object CeilingBench {
     spark.sparkContext.setLogLevel("ERROR")
     var failed = false
 
+    // Section filter (dev iteration: re-run one section without paying the
+    // full suite). Committed CEILINGBENCH artifacts always record ALL.
+    val sections = sys.env.getOrElse("SPARK_GRAFT_SECTIONS",
+      "ASSIGN,FIT,BPE,CAP,CC,LINEDICT")
+      .split(",").map(_.trim.toUpperCase).toSet
+    def enabled(s: String) = sections.contains(s)
+
     graft.Bench.throttleProbe("pre", cpus.toInt)
 
     // ---------------- A. cell assignment at the ceiling k ----------------
@@ -87,6 +94,8 @@ object CeilingBench {
     // every assignment variant, so the comparison isolates ASSIGNMENT cost.
     val emb = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
+    val nEmb = emb.count()
+    if (enabled("ASSIGN")) {
     val k = Vectors.KCeiling
     val fitT0 = System.nanoTime()
     val cents = Vectors.quantizerTable(spark, emb, k, iterations = 1)
@@ -206,12 +215,14 @@ object CeilingBench {
         s""""fit_table_1iter_sec":${r3(fitBigSec)},"flat":${fmt(flatKT)},""" +
         s""""hier_nprobe8":${fmt(hierKT)},"subset_exact_mismatches":$mismK}""")
     }
+    } // ASSIGN
 
+    if (enabled("FIT")) {
     // ---------------- B. Lloyd fit: driver arrays vs centroid table ------
     // Natural sf1 auto-k (n/64) with the gate's 3 iterations: the driver
     // path the fixture routes to vs the distributed table path the
     // 100 TB corpus routes to, same seeds, spec-pinned bitwise equal.
-    val kNat = Vectors.deriveKFromCount(nFlat)
+    val kNat = Vectors.deriveKFromCount(nEmb)
     val (drvFitT, _) = time(reps) {
       val c = Vectors.quantizer(spark, emb, kNat, iterations = 3)
       c.ids.length.toLong
@@ -242,7 +253,9 @@ object CeilingBench {
     }
     println(s"""{"section":"fit","k_natural":$kNat,"iterations":3,""" +
       s""""driver":${fmt(drvFitT)},"table":${fmt(tblFitT)},"bitwise_equal":$fitPar}""")
+    } // FIT
 
+    if (enabled("BPE")) {
     // ---------------- C. BPE: driver fit vs distributed fallback ---------
     val numMerges = 12
     val vocab = Bpe.vocabulary(spark, sfDir)
@@ -264,7 +277,9 @@ object CeilingBench {
     println(s"""{"section":"bpe","vocab_rows":$vocabRows,"merges":$numMerges,""" +
       s""""driver":${fmt(bpeDrvT)},"distributed":${fmt(bpeDistT)},""" +
       s""""tables_equal":${drvMerges == distMerges}}""")
+    } // BPE
 
+    if (enabled("CAP")) {
     // ---------------- D. capBuckets: degenerate band join ----------------
     // The valve's reason to exist: ONE degenerate bucket (all-zeros hash on
     // sparse data — here forced by construction: a quarter of the corpus
@@ -299,6 +314,130 @@ object CeilingBench {
       s""""degenerate_capped":${fmt(degCapT)},"degenerate_capped_pairs":$degCapPairs,""" +
       s""""healthy_uncapped":${fmt(healthyUncapT)},"healthy_capped":${fmt(healthyCapT)},""" +
       s""""healthy_pairs":$healthyPairs,"cap_binds_on_healthy":${healthyPairs != healthyCapPairs}}""")
+    } // CAP
+
+    if (enabled("CC")) {
+    // ---------------- E. connected components: driver UF vs min-label ----
+    // The q68/q78/q115 component core past the 200 k-edge union-find
+    // budget: the REAL near-dup pair graph of the corpus (the q78 shingle
+    // pipeline's persisted pairs), solved by both paths. The driver path
+    // is one bounded collect + broadcast join; the forced-past-budget twin
+    // is the O(rounds) min-label loop, each round a shuffle join + agg job
+    // — so the number that matters alongside wall time is ROUNDS (its
+    // scale cost model is rounds × per-round job, rounds ≈ min-label
+    // propagation radius of the largest component).
+    def ccChecksum(df: DataFrame): Long = {
+      val r = df.agg(count(lit(1)), sum(col("v")), sum(col("label"))).collect()(0)
+      r.getLong(0) ^ r.getLong(1) * 31L ^ r.getLong(2) * 131L
+    }
+    val ccPairs = graft.Readers
+      .parquet(spark, Text.ensureShinglePairs(spark, sfDir))
+      .select(col("i"), col("j"))
+    val ccVerts = ccPairs.select(col("i").as("v"))
+      .union(ccPairs.select(col("j").as("v"))).distinct()
+    val nEdges = ccPairs.count()
+    val nVerts = ccVerts.count()
+    val (ufT, _) = time(reps)(ccChecksum(
+      Components.connectedComponents(ccVerts, ccPairs)))
+    var ccRounds = 0
+    val (iterT, _) = time(reps) {
+      val c = ccChecksum(Components.connectedComponentsIterative(ccVerts, ccPairs))
+      ccRounds = Components.lastIterativeRounds.get()
+      c
+    }
+    val ufLbl = Components.connectedComponents(ccVerts, ccPairs)
+      .select(col("v"), col("label").as("lu"))
+    val itLbl = Components.connectedComponentsIterative(ccVerts, ccPairs)
+      .select(col("v"), col("label").as("li"))
+    val ccMism = ufLbl.join(itLbl, "v").filter(col("lu") =!= col("li")).count()
+    val ccCover = ufLbl.join(itLbl, "v").count()
+    if (ccMism != 0 || ccCover != nVerts) {
+      failed = true
+      System.err.println(s"EXACTNESS FAILED: iterative CC vs union-find: " +
+        s"$ccMism label mismatches, joined $ccCover of $nVerts vertices")
+    }
+    println(s"""{"section":"components","edges":$nEdges,"vertices":$nVerts,""" +
+      s""""driver_uf":${fmt(ufT)},"iterative":${fmt(iterT)},"rounds":$ccRounds,""" +
+      s""""label_mismatches":$ccMism}""")
+
+    // E2. round-cost law on a worst-geometry graph: a single CHAIN forces
+    // the min label to crawl one hop per round (rounds ≈ chain length),
+    // isolating the per-round join+agg job cost that multiplies at scale —
+    // near-dup graphs are clique-ish (rounds ≤ ~3), so the real-graph
+    // section never exposes it. Driver UF on the same chain pins equality.
+    val chainN = 40000L
+    val chainD = 64 // vertices per chain → rounds ≈ chainD
+    val chainEdges = spark.range(chainN - 1)
+      .filter((col("id") + 1) % chainD =!= 0) // break into chainN/chainD chains
+      .select(col("id").as("i"), (col("id") + 1).as("j"))
+    val chainVerts = spark.range(chainN).select(col("id").as("v"))
+    var chainRounds = 0
+    val (chainIterT, _) = time(reps) {
+      val c = ccChecksum(Components.connectedComponentsIterative(chainVerts, chainEdges))
+      chainRounds = Components.lastIterativeRounds.get()
+      c
+    }
+    val chainMism = Components.connectedComponents(chainVerts, chainEdges)
+      .select(col("v"), col("label").as("lu"))
+      .join(Components.connectedComponentsIterative(chainVerts, chainEdges)
+        .select(col("v"), col("label").as("li")), "v")
+      .filter(col("lu") =!= col("li")).count()
+    if (chainMism != 0) {
+      failed = true
+      System.err.println(s"EXACTNESS FAILED: chain CC: $chainMism mismatches")
+    }
+    println(s"""{"section":"components_chain","vertices":$chainN,""" +
+      s""""chain_len":$chainD,"iterative":${fmt(chainIterT)},""" +
+      s""""rounds":$chainRounds,""" +
+      s""""sec_per_round":${r3(chainIterT.min / math.max(1, chainRounds))},""" +
+      s""""label_mismatches":$chainMism}""")
+    } // CC
+
+    if (enabled("LINEDICT")) {
+    // ---------------- F. line dictionary: broadcast vs shuffled fallback --
+    // q192/q193 past LineDictBroadcastMaxRows: the duplicated-line
+    // dictionary (and q193's removal map) scale with corpus boilerplate,
+    // so past the ceiling sizeGatedBroadcast leaves the probes plain
+    // shuffled equi-joins. Force the fallback (broadcastMaxRows=0) on the
+    // same corpus and compare. Action = order-independent full-row
+    // checksum, which both forces every output column (the r12 .count()
+    // lesson) and IS the exactness check.
+    def rowChecksum(df: DataFrame): Long = {
+      // bit_xor, not sum: xxhash64 values span the full long range and an
+      // additive fold overflows under ANSI mode; xor is order-independent
+      // and overflow-free (and just as collision-resistant for an
+      // equality check between two full result sets).
+      val cols = df.columns.map(col)
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(cols: _*))).collect()(0)
+      r.getLong(0) * 1000000007L ^ (if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val docs = graft.Tables.documents(spark, sfDir)
+    var dedupBc = 0L
+    var dedupSh = 0L
+    val (dictBcT, _) = time(reps) {
+      dedupBc = rowChecksum(Text.crossDocLineDedupOf(docs, 2, 2)); 1L
+    }
+    val (dictShT, _) = time(reps) {
+      dedupSh = rowChecksum(Text.crossDocLineDedupOf(docs, 2, 2, broadcastMaxRows = 0L)); 1L
+    }
+    var rwBc = 0L
+    var rwSh = 0L
+    val (rwBcT, _) = time(reps) {
+      rwBc = rowChecksum(Text.crossDocLineRewriteOf(docs, 2, 2)); 1L
+    }
+    val (rwShT, _) = time(reps) {
+      rwSh = rowChecksum(Text.crossDocLineRewriteOf(docs, 2, 2, broadcastMaxRows = 0L)); 1L
+    }
+    if (dedupBc != dedupSh || rwBc != rwSh) {
+      failed = true
+      System.err.println(s"EXACTNESS FAILED: line-dict fallback: " +
+        s"dedup $dedupBc vs $dedupSh, rewrite $rwBc vs $rwSh")
+    }
+    println(s"""{"section":"line_dict","dedup_broadcast":${fmt(dictBcT)},""" +
+      s""""dedup_shuffled":${fmt(dictShT)},"rewrite_broadcast":${fmt(rwBcT)},""" +
+      s""""rewrite_shuffled":${fmt(rwShT)},""" +
+      s""""dedup_equal":${dedupBc == dedupSh},"rewrite_equal":${rwBc == rwSh}}""")
+    } // LINEDICT
 
     graft.Bench.throttleProbe("post", cpus.toInt)
     spark.stop()

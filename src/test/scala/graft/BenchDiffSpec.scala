@@ -127,5 +127,14 @@ class BenchDiffSpec extends AnyFunSuite {
       "committed map lacks per-query output rows — re-record with the current Bench")
     assert(json.contains("\"phase_suspect\":false"),
       "committed canonical map is stamped phase-suspect — re-record in a clean window")
+    // r13: the canonical map must be CLEAN, not merely under the suspect
+    // gate — the 0.76–0.85 transition band (phase_class=warm) is
+    // gate-valid but canonically disqualified (BASELINE.md). Pre-r13 maps
+    // without the field are judged by their recorded mid mean.
+    val mid = BenchDiff.scalar(json, "phase_mid_multi_mean").get
+    assert(json.contains("\"phase_class\":\"clean\"") ||
+      (!json.contains("\"phase_class\"") && mid <= 0.76),
+      f"committed canonical map is not phase-clean (mid mean $mid%.3f) — " +
+        "re-record in a verified-clean window")
   }
 }

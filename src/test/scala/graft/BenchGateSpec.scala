@@ -33,4 +33,27 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!Bench.phaseGate(Seq(0.85), 0.0)._1, "gate is strict: exactly-at stays clean")
     assert(Bench.phaseGate(Seq(0.8501), 0.0)._1)
   }
+
+  test("phase class: clean / warm transition band / suspect boundaries") {
+    assert(Bench.PhaseWarmMultiSec == 0.76)
+    // recorded clean sessions stay clean
+    Seq(Seq(0.559, 0.62), Seq(0.649, 0.70), Seq(0.622, 0.615)).foreach { mids =>
+      assert(Bench.phaseClass(mids, 0.7)._1 == "clean", mids.toString)
+    }
+    // the r12 driver-run window (mid mean 0.81) — the case this stamp exists
+    // for: under the suspect gate, but must not read as canonical-clean
+    assert(Bench.phaseClass(Seq(0.83, 0.79), 0.8)._1 == "warm")
+    // boundaries: strict at both edges (exactly-at stays the lower class)
+    assert(Bench.phaseClass(Seq(0.76), 0.0)._1 == "clean")
+    assert(Bench.phaseClass(Seq(0.7601), 0.0)._1 == "warm")
+    assert(Bench.phaseClass(Seq(0.85), 0.0)._1 == "warm")
+    assert(Bench.phaseClass(Seq(0.8501), 0.0)._1 == "suspect")
+    // suspect always wins over warm; evidence mean matches phaseGate's
+    val (label, mean) = Bench.phaseClass(Seq(1.4777, 0.6846), 0.67)
+    assert(label == "suspect" && math.abs(mean - 1.081) < 0.001)
+    // reps=1 fallback uses the pre bracket, same as phaseGate
+    assert(Bench.phaseClass(Nil, 0.72)._1 == "clean")
+    assert(Bench.phaseClass(Nil, 0.80)._1 == "warm")
+    assert(Bench.phaseClass(Nil, 1.10)._1 == "suspect")
+  }
 }

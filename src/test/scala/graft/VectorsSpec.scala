@@ -359,6 +359,61 @@ class VectorsSpec extends SparkSpec {
     graft.operators.Materialize.releaseAll()
   }
 
+  test("deriveNprobe policy: coarseK/8 floored at 8, capped at coarseK") {
+    import graft.operators.Vectors
+    // small coarse grids derive EXACT assignment for free (floor ≥ coarseK)
+    assert(Vectors.deriveNprobe(1) == 1)
+    assert(Vectors.deriveNprobe(4) == 4)
+    assert(Vectors.deriveNprobe(8) == 8)
+    // the floor holds through mid grids (the agreement knee, SCALING.md)
+    assert(Vectors.deriveNprobe(17) == 8)
+    assert(Vectors.deriveNprobe(64) == 8)
+    // past 64 the fixed fraction takes over: candidate width stays k/8
+    assert(Vectors.deriveNprobe(256) == 32)
+    assert(Vectors.deriveNprobe(1024) == 128)
+    // monotone, and never exceeds coarseK (exactness is the upper bound)
+    (1 to 2048).foldLeft(0) { (prev, ck) =>
+      val np = Vectors.deriveNprobe(ck)
+      assert(np >= prev && np <= ck, s"coarseK=$ck derived $np")
+      np
+    }
+    // the default operating point of the hierarchical assigner IS the
+    // derived one: an unspecified nprobe must behave exactly like passing
+    // deriveNprobe(coarseK) — here coarseK=4 → derived 4 = coarseK → the
+    // bitwise-exact regime, so equality with flat pins the wiring.
+    val emb = Tables.embeddings(spark, sf0001).limit(120)
+    val cents = Vectors.seedCentroidsTable(emb, 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaDefault = pairs(Vectors.assignCellsHierarchical(emb, cents, coarseK = 4))
+    val viaExplicit = pairs(Vectors.assignCellsHierarchical(emb, cents, coarseK = 4, nprobe = 4))
+    assert(viaDefault == viaExplicit)
+    assert(viaDefault == pairs(Vectors.assignCellsWithTable(emb, cents)))
+    graft.operators.Materialize.releaseAll()
+  }
+
+  test("derived-default nprobe holds its agreement floor in an approximating regime") {
+    import graft.operators.Vectors
+    // coarseK=16 > the 8-probe floor, so the derived default probes HALF
+    // the coarse cells — a genuinely approximating operating point (the
+    // sf1 NprobeSweep regimes are driver-scale; this pins the same curve
+    // at spec scale). Fixture is random unit vectors — the worst case for
+    // any coarse geometry — so the floor is measured-minus-0.1 (the
+    // RecallFloors discipline), not a hoped-for number.
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = Vectors.seedCentroidsTable(emb, 128)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val flat = pairs(Vectors.assignCellsWithTable(emb, cents))
+    val hier = pairs(Vectors.assignCellsHierarchical(emb, cents, coarseK = 16))
+    assert(hier.keySet == flat.keySet, "derived default must still assign every vector")
+    val agree = flat.count { case (v, c) => hier(v) == c }.toDouble / flat.size
+    // measured 0.826 on this fixture; floor at measured − 0.1
+    info(f"derived-default agreement at coarseK=16, k=128: $agree%.3f")
+    assert(agree >= 0.72, f"derived-default agreement $agree%.3f under floor")
+    graft.operators.Materialize.releaseAll()
+  }
+
   test("assignCells duplicate-vec_id fan-out is the documented join-back cardinality") {
     // The vec_id-uniqueness PRECONDITION on assignCellsWithTable /
     // assignCellsHierarchical (scaladoc'd in r13): under the engine's
