@@ -142,30 +142,31 @@ object Bpe {
   private[graft] def trainGated(
       spark: SparkSession, vocab: DataFrame, numMerges: Int, maxRows: Int,
       maxBytes: Long = DriverFitMaxBytes): Seq[Merge] = {
-    // Proof-ITERATE (r13, advisor finding): limit(budget+1) bounds the
-    // fetch by construction — a (budget+1)-th row is the proof the
-    // vocabulary does NOT fit — and the byte estimate accumulates ROW BY
-    // ROW over toLocalIterator with an early abort the moment either
-    // budget is exceeded, so an oversized vocabulary never fully lands on
-    // the driver (the r12 full-collect probe made the probe itself the
-    // driver-heap high-water mark even for vocabularies the byte gate
-    // rejected). The accumulated sum is exactly [[estimateFitBytes]] of
-    // the kept rows (same rows·96 + cp·160 terms, added incrementally),
-    // so the route decision is unchanged — BpeSpec pins driver≡distributed
-    // parity and the forced-gate routes either way.
-    val it = vocab.select(col("word"), col("count")).limit(maxRows + 1).toLocalIterator()
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    var bytes = 0L
-    var over = false
-    while (!over && it.hasNext) {
-      val r = it.next()
-      val w = r.getString(0)
-      rows += ((w, r.getLong(1)))
-      bytes += 96L + w.codePointCount(0, w.length).toLong * 160L
-      if (rows.length > maxRows || bytes > maxBytes) over = true
-    }
-    if (!over) trainDriver(rows.toArray, numMerges)
-    else trainDistributed(spark, vocab, numMerges)
+    // Proof-AGGREGATE, then collect (r13, advisor finding): the r12 probe
+    // collected limit(budget+1) rows FIRST and byte-gated after, so a
+    // vocabulary the byte gate was about to reject still materialized on
+    // the driver — the probe itself was the heap high-water mark. The
+    // gate now runs as a bounded aggregate JOB over the same
+    // limit(budget+1) frame (row count + code-point sum — Spark `length`
+    // counts code points exactly like estimateFitBytes's codePointCount,
+    // a 4-byte UTF-8 sequence is 1 either way), and the driver collects
+    // ONLY a vocabulary that already passed both budgets. Same decision
+    // boundary as estimateFitBytes (rows·96 + cp·160 ≤ maxBytes, rows ≤
+    // maxRows) — BpeSpec pins driver≡distributed parity and both forced
+    // gates. (A toLocalIterator early-abort variant was measured first:
+    // one job per partition of the limited frame, +0.5 s of scheduling on
+    // a 310-row vocabulary — the aggregate probe is one job.)
+    val bounded = vocab.select(col("word"), col("count")).limit(maxRows + 1)
+    val est = bounded.agg(
+      count(lit(1)),
+      coalesce(sum(length(col("word")).cast("long")), lit(0L))).collect()(0)
+    val nRows = est.getLong(0)
+    val fits = nRows <= maxRows &&
+      nRows * 96L + est.getLong(1) * 160L <= maxBytes
+    if (fits) {
+      val rows = bounded.collect().map(r => (r.getString(0), r.getLong(1)))
+      trainDriver(rows, numMerges)
+    } else trainDistributed(spark, vocab, numMerges)
   }
 
   /** Spark's string order is UTF8String binary comparison — unsigned

@@ -133,6 +133,15 @@ class BpeSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(Bpe.estimateFitBytes(rows) < Bpe.DriverFitMaxBytes / 100,
       s"fixture vocab estimate unexpectedly large: ${Bpe.estimateFitBytes(rows)}")
+    // r13: the gate's in-plan estimate (Spark `length` = code points) must
+    // agree with estimateFitBytes on supplementary-plane symbols — a
+    // 4-byte UTF-8 emoji is ONE unit in both (surrogate-pair divergence
+    // here would shift the decision boundary between the two probes)
+    val planCp = Seq(("abc", 1L), ("😀", 1L)).toDF("word", "count")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length($"word").cast("long")))
+      .collect()(0).getLong(0)
+    assert(2L * 96 + planCp * 160 == Bpe.estimateFitBytes(Array(("abc", 1L), ("😀", 1L))))
   }
 
   test("trainer parity holds on randomized vocabularies with multi-byte tie-breaks") {
