@@ -115,6 +115,18 @@ object BenchDiff {
     }
   }
 
+  /** True when a snapshot's mem mid-trace is an internally-stable LEVEL
+    * (≥2 mids, max/min ≤ 1.2) rather than jitter — the precondition for
+    * the clean-band mem advisory (r13): only a stable level shift is
+    * evidence of a bandwidth phase; in-band jitter at the 10 ms scale
+    * runs ~2× and must stay silent.
+    */
+  private[tools] def stableMemMids(j: String): Boolean =
+    parseObj(j, "probe_trace_mem").exists { tr =>
+      val mids = tr.collect { case (k, v) if k.startsWith("mid") => v }
+      mids.size >= 2 && mids.max / math.max(1e-9, mids.min) <= 1.2
+    }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: BenchDiff OLD.json NEW.json [absBand=0.30] [relFrac=0.50]")
@@ -254,10 +266,23 @@ object BenchDiff {
       // at least one side actually left the clean band.
       case (Some((om, os)), Some((nm, ns))) if om > 0 && nm > 0 =>
         val CleanMemSec = 0.05
-        if (om < CleanMemSec && nm < CleanMemSec)
+        if (om < CleanMemSec && nm < CleanMemSec) {
           println(f"mem probe: old $om%.3f s [$os] -> new $nm%.3f s [$ns] " +
             "(both in the clean band - no mem-phase normalization applicable)")
-        else
+          // r13 advisory: a LEVEL SHIFT inside the clean band still moves a
+          // memory-bound surface — observed mem-mid ratio 1.17 tracking a
+          // 29.99/25.64 total ratio exactly while the CPU probe read
+          // FASTER. Only speak when both sides' mids are internally stable
+          // (a level, not jitter — jitter at the 10 ms scale is ~2×, the
+          // documented reason this band never normalizes).
+          val ratio = nm / om
+          if (stableMemMids(oldJson) && stableMemMids(newJson) &&
+              (ratio > 1.1 || ratio < 1.0 / 1.1))
+            println(f"mem advisory: stable in-band level shift x$ratio%.2f " +
+              f"(old $om%.4f -> new $nm%.4f); on this memory-bound surface " +
+              "expect totals to move with it - weigh before reading a " +
+              "uniform smear as engine drift")
+        } else
           println(f"normalized total (mem): new × (old_mem/new_mem) = " +
             f"${newTot * om / nm}%.2f s (old mem=$om%.3f [$os], new mem=$nm%.3f [$ns])")
       case _ =>

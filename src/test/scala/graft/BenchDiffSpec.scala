@@ -71,6 +71,25 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(BenchDiff.parse(r12Snapshot)._1 == Map("q01_a" -> 0.1, "q02_b" -> 0.5))
   }
 
+  test("clean-band mem advisory fires only on a stable level, never on jitter") {
+    // r13: a stable in-band mem level shift (x1.17) was measured tracking
+    // the bench total 1:1 while the CPU probe read FASTER — worth an
+    // advisory. But in-band jitter is ~2x at the 10 ms scale, so the
+    // stability precondition is what keeps the advisory honest.
+    def snap(mids: Seq[Double]): String = {
+      val pts = (Seq("pre" -> 0.012) ++
+        mids.zipWithIndex.map { case (v, i) => s"mid${i + 1}" -> v } ++
+        Seq("post" -> 0.012))
+        .map { case (k, v) => s"\"$k\":$v" }.mkString(",")
+      s"""{"metric":"queries","probe_trace_mem":{$pts},"queries":{"q":0.1}}"""
+    }
+    assert(BenchDiff.stableMemMids(snap(Seq(0.0105, 0.0100))), "flat level is stable")
+    assert(BenchDiff.stableMemMids(snap(Seq(0.010, 0.011, 0.0118))))
+    assert(!BenchDiff.stableMemMids(snap(Seq(0.010, 0.022))), "2x jitter must stay silent")
+    assert(!BenchDiff.stableMemMids(snap(Seq(0.011))), "one mid: no stability evidence")
+    assert(!BenchDiff.stableMemMids(r10Snapshot), "no trace at all: silent")
+  }
+
   test("ingest movers band-judge per-artifact drift like query movers") {
     val op = BenchDiff.parseObj(r12Snapshot, "ingest_parts").get
     // bpe_train +0.30 (mover), kmeans_model -0.26 (mover), table_layouts
