@@ -163,6 +163,30 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("arg_min_long merge path: all-null partitions merge as empty buffers") {
+    // The coalesce(1) test above exercises UPDATE order; this one forces
+    // the MERGE expressions across partial-aggregation buffers: nulls and
+    // valid candidates land in different input partitions (repartition by
+    // a per-row key), so some partials carry an EMPTY (null-ord) buffer
+    // into the final merge — which must lose to any seeded buffer and
+    // combine to null only when every partial is empty.
+    import spark.implicits._
+    val rows = Seq[(Long, Long, Option[Double], Option[Long])](
+      (1L, 10L, None, Some(99L)), (1L, 11L, Some(5.0), Some(50L)),
+      (1L, 12L, Some(2.0), Some(20L)), (1L, 13L, None, None),
+      (2L, 20L, None, Some(1L)), (2L, 21L, None, Some(2L)),
+      (3L, 30L, Some(1.0), Some(7L)), (3L, 31L, Some(1.0), Some(3L)))
+      .toDF("g", "rk", "ord", "v")
+      .repartition(8, col("rk")) // scatter each group across partials
+    val got = rows.groupBy($"g")
+      .agg(VectorExpressions.argMinLong($"ord", $"v").as("m"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    // g=1: valid min (2.0, 20); g=2: only null-ord candidates -> null;
+    // g=3: ord tie 1.0 -> smaller value 3 wins (the lexicographic contract)
+    assert(got == Map(1L -> Some(20L), 2L -> None, 3L -> Some(3L)), got.toString)
+  }
+
   test("arg_min_long matches min_by on fully non-null data") {
     import spark.implicits._
     val rows = Tables.embeddings(spark, sf0001)
