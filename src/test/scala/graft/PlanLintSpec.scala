@@ -158,6 +158,64 @@ class PlanLintSpec extends SparkSpec {
         "justified per-group bound to the whitelist)")
   }
 
+  /** The AUDITED set of gate queries that plan a BroadcastNestedLoopJoin.
+    * A BNLJ ships its build side to every executor and evaluates every
+    * (row, build-row) pair — a cartesian in disguise unless the build side
+    * is bounded. Every entry below was audited (r13): the bound is
+    * SEMANTIC (a pushed key-range filter, a 1-row aggregate, a bounded
+    * registry), which no tree inspection can prove, so the lint locks the
+    * exact set instead — a NEW query acquiring a BNLJ (e.g. an equi-join
+    * whose key condition degrades to a theta predicate) fails the sweep
+    * until audited, and a stale entry (query improved to an equi/broadcast
+    * hash join) must be removed.
+    *
+    * Families:
+    *  - knn/ann: the ≤5-row query-vector frame broadcasts into the corpus
+    *    scan (queryMaxId pushed filter bounds it): q19 q20 q21 q26 q64 q71
+    *    q90 q91 q95 q105 q118 q119 q125 q128 q130 q139 q140 q155 q156 q158
+    *    q172 q173 q196.
+    *  - retrieval scoring: 1-row corpus-stats / keyset cursors / idf tables
+    *    bounded by the query's own term list: q61 q62 q82 q88 q92 q146
+    *    q151 q152 q157 q163 q164 q165 q167 q168.
+    *  - registry/threshold broadcasts bounded by construction (stored-query
+    *    table, literal band/rule frames, 1-row centroid or quantile cuts):
+    *    q06 q116 q121 q124 q126 q127 q141 q149 q153 q206.
+    */
+  private val auditedBnljQueries: Set[String] = Set(
+    "q19_sql_vector_knn", "q20_knn_exact", "q21_knn_cosine", "q26_top_cosine_pairs",
+    "q64_pq_ann", "q71_pq_ann_indexed", "q90_sq8_ann", "q91_sq8_ann_indexed",
+    "q95_knn_dot", "q105_matryoshka_knn", "q118_knn_filtered", "q119_range_search",
+    "q125_recall_benchmark", "q128_hard_negatives", "q130_knn_label_eval",
+    "q139_ndcg_eval", "q140_recall_ivf", "q155_bq_ann", "q156_bq_ann_indexed",
+    "q158_recall_bq", "q172_recall_pq", "q173_recall_sq8",
+    "q196_semantic_decontamination",
+    "q61_tfidf_search", "q62_bm25_scores", "q82_token_rarity", "q88_rrf_fusion",
+    "q92_token_lift", "q146_search_after", "q151_more_like_this",
+    "q152_function_score", "q157_significant_terms", "q163_explain_score",
+    "q164_rescore", "q165_collapse", "q167_dis_max", "q168_boosting",
+    "q06_price_bands", "q116_length_anomalies", "q121_importance_select",
+    "q124_centroid_affinity", "q126_cluster_keywords", "q127_token_drift",
+    "q141_index_health", "q149_filter_funnel", "q153_percolate",
+    "q206_bucket_selector")
+
+  test("BroadcastNestedLoopJoins stay locked to the audited query set") {
+    val actual = allPlans.collect {
+      case (name, plan) if !plan.startsWith("PLANFAIL") &&
+        plan.linesIterator.exists(_.contains("BroadcastNestedLoopJoin")) => name
+    }.toSet
+    val planFails = allPlans.collect {
+      case (name, plan) if plan.startsWith("PLANFAIL") => s"$name: $plan"
+    }
+    assert(planFails.isEmpty, planFails.mkString("\n"))
+    val unaudited = actual -- auditedBnljQueries
+    val stale = auditedBnljQueries -- actual
+    assert(unaudited.isEmpty,
+      s"NEW BroadcastNestedLoopJoin(s) in: ${unaudited.toSeq.sorted.mkString(", ")} " +
+        "— audit the build side's bound (or restore the equi-key) before whitelisting")
+    assert(stale.isEmpty,
+      s"stale BNLJ whitelist entries (plans improved?): ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
   test("every unpartitioned window is WindowGroupLimit-guarded or provably bounded") {
     val offenders = allPlans.flatMap { case (name, plan) =>
       if (plan.startsWith("PLANFAIL")) Some(s"$name: $plan")
