@@ -306,6 +306,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q146 cursor is two stacked TakeOrderedAndProjects, no aggregate") {
+    // r13: the keyset cursor (page 1's last row) was a min(struct(...))
+    // whose struct buffer demoted to SortAggregate (the ArgMinLong defect
+    // class, caught by the PlanLintSpec aggregate sweep). The fixed shape:
+    // the top-pageSize TakeOrderedAndProject feeds a REVERSED 1-row
+    // TakeOrderedAndProject — no aggregate anywhere in the cursor, and
+    // the after-predicate side stays a broadcast of that 1-row frame.
+    val plan = planOf("q146_search_after")
+    assert(plan.linesIterator.count(_.contains("TakeOrderedAndProject")) >= 2,
+      s"q146 lost a TakeOrderedAndProject stage:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"q146 cursor demoted to SortAggregate again:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("decontamination broadcasts the eval grams; train grams never shuffle") {
     val plan = planOf("q80_decontaminate")
     assert(plan.contains("BroadcastHashJoin"), plan)
