@@ -155,18 +155,25 @@ object Bpe {
     // maxRows) — BpeSpec pins driver≡distributed parity and both forced
     // gates. (A toLocalIterator early-abort variant was measured first:
     // one job per partition of the limited frame, +0.5 s of scheduling on
-    // a 310-row vocabulary — the aggregate probe is one job.)
-    val bounded = vocab.select(col("word"), col("count")).limit(maxRows + 1)
-    val est = bounded.agg(
-      count(lit(1)),
-      coalesce(sum(length(col("word")).cast("long")), lit(0L))).collect()(0)
-    val nRows = est.getLong(0)
-    val fits = nRows <= maxRows &&
-      nRows * 96L + est.getLong(1) * 160L <= maxBytes
-    if (fits) {
-      val rows = bounded.collect().map(r => (r.getString(0), r.getLong(1)))
-      trainDriver(rows, numMerges)
-    } else trainDistributed(spark, vocab, numMerges)
+    // a 310-row vocabulary — the aggregate probe is one job.) The bounded
+    // frame is PINNED so the probe and the post-gate collect consume ONE
+    // materialization of the vocabulary producer, not two — unpinned,
+    // BenchDiff's ingest movers caught bpe_train paying the
+    // tokenize+groupBy pipeline twice (+0.9 s at fixture scale).
+    val bounded = Materialize.stable(
+      vocab.select(col("word"), col("count")).limit(maxRows + 1))
+    try {
+      val est = bounded.agg(
+        count(lit(1)),
+        coalesce(sum(length(col("word")).cast("long")), lit(0L))).collect()(0)
+      val nRows = est.getLong(0)
+      val fits = nRows <= maxRows &&
+        nRows * 96L + est.getLong(1) * 160L <= maxBytes
+      if (fits) {
+        val rows = bounded.collect().map(r => (r.getString(0), r.getLong(1)))
+        trainDriver(rows, numMerges)
+      } else trainDistributed(spark, vocab, numMerges)
+    } finally Materialize.release(bounded)
   }
 
   /** Spark's string order is UTF8String binary comparison — unsigned
