@@ -906,9 +906,9 @@ object Vectors {
     * whose true nearest fine centroid lives in an unprobed coarse cell
     * mis-assigns to its best probed candidate; the spec measures the
     * agreement rate on the fixtures. The DEFAULT operating point is
-    * [[deriveNprobe]](coarseK) — coarseK/8 floored at 8, the measured
-    * knee of the r13 agreement-vs-cost sweep (SCALING.md "nprobe sweep",
-    * floor-pinned in VectorsSpec); callers own any other point, and
+    * [[deriveNprobe]](coarseK) — coarseK/8 floored at 8, the cost-side
+    * pick on the measured r13 agreement-vs-cost curve (SCALING.md "nprobe
+    * sweep", floor-pinned in VectorsSpec); callers own any other point, and
     * exactness is always one explicit `nprobe = coarseK` away. This
     * operator is itself only reached by the documented refusal remedy,
     * never by silent routing.
