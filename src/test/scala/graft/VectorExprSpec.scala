@@ -187,6 +187,41 @@ class VectorExprSpec extends SparkSpec {
     assert(got == Map(1L -> Some(20L), 2L -> None, 3L -> Some(3L)), got.toString)
   }
 
+  test("arg_min_long equals a driver recompute on randomized null-bearing groups") {
+    // Seeded randomized sweep, one Spark job: 40 independent datasets x 50
+    // rows with ~25% null ords / ~15% null values, keyed (dataset, group)
+    // so every dataset aggregates in the same pass. Ground truth is the
+    // doc'd contract computed driver-side: drop rows with a null ord OR
+    // null value, lexicographic min by (ord, value), empty -> null.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    val data = for {
+      ds <- 0 until 40
+      _ <- 0 until 50
+    } yield {
+      val g = rnd.nextInt(7).toLong
+      val ord = if (rnd.nextDouble() < 0.25) None
+        else Some(math.floor(rnd.nextDouble() * 20 - 10) / 2.0) // coarse: forces ord ties
+      val v = if (rnd.nextDouble() < 0.15) None else Some(rnd.nextInt(100).toLong)
+      (ds.toLong, g, ord, v)
+    }
+    val expected: Map[(Long, Long), Option[Long]] = data
+      .groupBy(r => (r._1, r._2))
+      .map { case (k, rows) =>
+        val valid = rows.collect { case (_, _, Some(o), Some(v)) => (o, v) }
+        k -> (if (valid.isEmpty) None else Some(valid.min._2))
+      }
+    val got = data.toDF("ds", "g", "ord", "v")
+      .groupBy($"ds", $"g")
+      .agg(VectorExpressions.argMinLong($"ord", $"v").as("m"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    val diff = expected.collect { case (k, e) if got(k) != e => s"$k: expected $e got ${got(k)}" }
+    assert(diff.isEmpty, diff.take(5).mkString("; "))
+  }
+
   test("arg_min_long matches min_by on fully non-null data") {
     import spark.implicits._
     val rows = Tables.embeddings(spark, sf0001)
