@@ -468,9 +468,12 @@ object Bench {
     // host day — the stamp makes a throttled recording self-disqualifying
     // as a canonical map instead of relying on a human to notice
     // (BASELINE.md "Canonical-run phase gate").
-    val (phaseSuspect, midMultiMean) =
-      phaseGate(midProbes.values.map(_._2).toSeq, preMulti)
-    val (phaseLabel, _) = phaseClass(midProbes.values.map(_._2).toSeq, preMulti)
+    // ONE phaseClass call owns the gate evidence (phaseGate runs inside
+    // it); suspect is derived from the label so the two verdicts can never
+    // drift if one call's arguments are edited later (r13 advisor note).
+    val (phaseLabel, midMultiMean) =
+      phaseClass(midProbes.values.map(_._2).toSeq, preMulti)
+    val phaseSuspect = phaseLabel == "suspect"
     if (phaseSuspect)
       System.err.println(f"PHASE SUSPECT: mid-trace multi mean $midMultiMean%.3f s " +
         f"exceeds the $PhaseSuspectMultiSec%.2f s clean-host gate - this map " +

@@ -327,7 +327,13 @@ object CeilingBench {
     // scale cost model is rounds × per-round job, rounds ≈ min-label
     // propagation radius of the largest component).
     def ccChecksum(df: DataFrame): Long = {
-      val r = df.agg(count(lit(1)), sum(col("v")), sum(col("label"))).collect()(0)
+      // coalesce: sum over ZERO rows is NULL (an empty shingle-pair graph
+      // is a legitimate corpus state) — report a zero-edge checksum, don't
+      // NPE. Same guard as the LINEDICT rowChecksum's isNullAt.
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(sum(col("v")), lit(0L)),
+        coalesce(sum(col("label")), lit(0L))).collect()(0)
       r.getLong(0) ^ r.getLong(1) * 31L ^ r.getLong(2) * 131L
     }
     val ccPairs = graft.Readers

@@ -417,8 +417,14 @@ object VectorExpressions {
     * semantics never used because the order is total. A candidate with a
     * null ord OR a null value is skipped outright (it can neither seed an
     * empty buffer nor displace a non-null one), so an all-null group
-    * evaluates to null — the same rows-ignored semantics as min_by when
-    * its ordering is null. Inputs are type-checked to exactly
+    * evaluates to null. Null-ORD skipping matches min_by (which ignores
+    * rows whose ordering is null); null-VALUE skipping is a deliberate
+    * DIVERGENCE from min_by — `min_by(v, ord)` returns null when the
+    * minimal ord's value is null, while arg_min_long skips that row and
+    * returns the next-best fully-non-null candidate (the argmin callers
+    * aggregate candidate IDS, where "the best candidate has no id" must
+    * mean "not a candidate", never "erase the group's answer"). The
+    * divergence is pinned by VectorExprSpec. Inputs are type-checked to exactly
     * (DoubleType, LongType): the buffer is two mutable primitives and
     * widening other numeric types silently would change tie-break order.
     */

@@ -236,6 +236,29 @@ class VectorExprSpec extends SparkSpec {
     assert(bad == 0, s"$bad groups diverge from min_by")
   }
 
+  test("arg_min_long diverges from min_by on a null-VALUE minimal row — documented, not accidental") {
+    // r13 ADVICE: min_by only ignores rows whose ORDERING is null — a row
+    // holding the minimal ord with a null value makes min_by return null,
+    // while arg_min_long skips it and returns the next-best fully-non-null
+    // candidate (scaladoc'd as a deliberate divergence). Pin both verdicts
+    // on the same frame so the behavior stays documented, not drifting.
+    import spark.implicits._
+    val rows = Seq[(Long, Option[Double], Option[Long])](
+      (1L, Some(1.0), None),       // minimal ord of group 1, null value
+      (1L, Some(2.0), Some(42L)))  // the next-best candidate
+      .toDF("g", "ord", "v").coalesce(1)
+    val viaArgMin = rows.groupBy($"g")
+      .agg(VectorExpressions.argMinLong($"ord", $"v").as("m"))
+      .collect().map(r => if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    val viaMinBy = rows.groupBy($"g")
+      .agg(min_by($"v", $"ord").as("m"))
+      .collect().map(r => if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    assert(viaArgMin.toSeq == Seq(Some(42L)),
+      s"arg_min_long must skip the null-value minimal row: ${viaArgMin.toSeq}")
+    assert(viaMinBy.toSeq == Seq(None),
+      s"min_by is expected to return null here (Spark semantics moved?): ${viaMinBy.toSeq}")
+  }
+
   test("arg_min_long rejects wrong input types at analysis") {
     import spark.implicits._
     val rows = Seq((1L, 1, 2L)).toDF("g", "ordInt", "v")
