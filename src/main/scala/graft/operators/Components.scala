@@ -102,6 +102,21 @@ object Components {
     connectedComponentsIterative(vertices, edges)
   }
 
+  /** Default propagation-round cap for [[connectedComponentsIterative]]:
+    * 3× the 2–4-round min-label radius of the near-dup clique-blob regime
+    * the loop is sized for (measured r13: the real sf1 near-dup graph
+    * converges in 2 rounds; a worst-geometry 64-chain pays 64 rounds at
+    * ~0.25 s/round — each round is a full shuffle join + aggregate JOB, so
+    * diameter-bound graphs pay diameter jobs). Past the cap the loop
+    * REFUSES with the documented remedy instead of silently paying
+    * diameter rounds — the same refusal discipline as the flat-assignment
+    * budget ([[graft.operators.Vectors]]) and the BPE driver-fit gate.
+    * Callers clustering a known-high-diameter graph override `maxRounds`
+    * explicitly (the cap is a misuse tripwire, not a semantics change:
+    * any completed run is exact regardless of the cap value).
+    */
+  val DefaultMaxRounds = 12
+
   /** Rounds the last [[connectedComponentsIterative]] call ran — a
     * measurement hook for tools/CeilingBench (the loop's cost model is
     * rounds × per-round join+aggregate job, so the round count is the
@@ -110,9 +125,18 @@ object Components {
     */
   private[graft] val lastIterativeRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** The distributed min-label propagation loop — the 100 TB path. */
+  /** The distributed min-label propagation loop — the 100 TB path.
+    * Refuses past `maxRounds` rounds (default [[DefaultMaxRounds]]) with
+    * an actionable message: convergence needs O(min-label radius) rounds,
+    * and a graph outside the 2–4-round near-dup regime should be routed
+    * through small-star/large-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce" — same join-per-round shape, O(log d)
+    * rounds) or run with an explicit higher cap, as a deliberate choice
+    * rather than a silent diameter-rounds bill.
+    */
   private[graft] def connectedComponentsIterative(
-      vertices: DataFrame, edges: DataFrame): DataFrame = {
+      vertices: DataFrame, edges: DataFrame,
+      maxRounds: Int = DefaultMaxRounds): DataFrame = {
     val bidir = Materialize.stable(
       edges.select(col("i").as("src"), col("j").as("dst"))
         .union(edges.select(col("j").as("src"), col("i").as("dst"))), eager = true)
@@ -126,6 +150,25 @@ object Components {
     var rounds = 0
     while (changed > 0) {
       rounds += 1
+      if (rounds > maxRounds) {
+        // Free the pinned blocks BEFORE refusing — a refused call must not
+        // leak the round's checkpoint storage for the session's lifetime.
+        Materialize.release(pinned)
+        Materialize.release(bidir)
+        lastIterativeRounds.set(rounds - 1)
+        throw new IllegalStateException(
+          s"connected-components propagation did not converge within " +
+            s"$maxRounds rounds - this graph's min-label radius is outside " +
+            "the 2-4-round near-dup regime the loop is sized for, and each " +
+            "further round is a full shuffle join + aggregate job (a " +
+            "chain/high-diameter graph pays DIAMETER rounds). Either pass " +
+            "an explicit higher maxRounds to connectedComponentsIterative " +
+            "(exactness is unaffected; you are choosing to pay " +
+            "rounds x per-round-job), or restructure the propagation as " +
+            "small-star/large-star alternation (Kiveris et al., Connected " +
+            "Components in MapReduce - O(log diameter) rounds of the same " +
+            "join shape) for graphs where high diameter is expected.")
+      }
       val nbrMin = bidir
         .join(labels.select(col("v").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("v"))

@@ -379,13 +379,19 @@ object CeilingBench {
     val chainVerts = spark.range(chainN).select(col("id").as("v"))
     var chainRounds = 0
     val (chainIterT, _) = time(reps) {
-      val c = ccChecksum(Components.connectedComponentsIterative(chainVerts, chainEdges))
+      // maxRounds: the chain is the DELIBERATE past-regime geometry this
+      // section exists to time — the r14 round cap would (correctly)
+      // refuse it at the default, so the override is the documented
+      // "choosing to pay rounds x per-round-job" escape hatch in action.
+      val c = ccChecksum(Components.connectedComponentsIterative(
+        chainVerts, chainEdges, maxRounds = chainD + 4))
       chainRounds = Components.lastIterativeRounds.get()
       c
     }
     val chainMism = Components.connectedComponents(chainVerts, chainEdges)
       .select(col("v"), col("label").as("lu"))
-      .join(Components.connectedComponentsIterative(chainVerts, chainEdges)
+      .join(Components.connectedComponentsIterative(
+        chainVerts, chainEdges, maxRounds = chainD + 4)
         .select(col("v"), col("label").as("li")), "v")
       .filter(col("lu") =!= col("li")).count()
     if (chainMism != 0) {

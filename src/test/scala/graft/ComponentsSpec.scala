@@ -76,6 +76,37 @@ class ComponentsSpec extends SparkSpec {
     assert(iter == fast)
   }
 
+  test("propagation past the round cap refuses actionably; an explicit cap completes exactly") {
+    import spark.implicits._
+    // CHAIN geometry (the r13 CeilingBench worst case): the min label
+    // crawls one hop per round, so a 30-vertex path needs ~29 rounds —
+    // far past DefaultMaxRounds=12. The loop must REFUSE with the
+    // documented small-star/large-star remedy instead of silently paying
+    // diameter rounds, and an explicit caller cap (the "I am choosing to
+    // pay rounds x per-round-job" escape) must complete with exact labels.
+    val n = 30L
+    val vertices = (0L until n).toDF("v")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("i", "j")
+    val ex = intercept[IllegalStateException] {
+      Components.connectedComponentsIterative(vertices, edges).count()
+    }
+    assert(ex.getMessage.contains("maxRounds") &&
+      ex.getMessage.contains("small-star/large-star"),
+      s"refusal must name the cap and the remedy: ${ex.getMessage}")
+    val got = Components.connectedComponentsIterative(
+        vertices, edges, maxRounds = n.toInt + 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until n).map(_ -> 0L).toMap,
+      "explicit-cap run must label the whole chain 0")
+    // the near-dup regime itself stays far inside the cap: the real
+    // fixture graph converges without tripping it (2-4 rounds measured)
+    val fixtureEdges = Text.jaccardPairs(spark, sf0001, 100, 0.8).select("i", "j")
+    val fixtureVerts = (0L until 100L).toDF("v")
+    Components.connectedComponentsIterative(fixtureVerts, fixtureEdges).count()
+    assert(Components.lastIterativeRounds.get() <= 4,
+      s"fixture graph took ${Components.lastIterativeRounds.get()} rounds")
+  }
+
   test("empty vertex set terminates with an empty result, not an NPE") {
     val out = Components.dedupClusters(spark, sf0001, maxDocId = 0)
     assert(out.collect().isEmpty)
