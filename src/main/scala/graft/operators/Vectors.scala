@@ -707,8 +707,12 @@ object Vectors {
     * the flat path's (exact nprobe=coarseK ≈ flat — the approximation
     * only pays when nprobe ≪ coarseK). coarseK/8 is the cost-side pick on
     * that curve: measured 3.0× under flat at the ceiling regime with
-    * 0.74 worst-case agreement (0.76 natural regime; clustered real
-    * corpora sit higher — disagreements are near-ties by construction).
+    * 0.74 worst-case agreement (0.76 natural regime), and — measured, r14
+    * sweep — 1.000 agreement at the derived point on the planted-cluster
+    * geometry the operator actually serves (separated SemDeDup blobs:
+    * already 1.000 from nprobe=4, 0.919 at nprobe=1; NPROBESWEEP_r14,
+    * clustered floor spec-pinned in VectorsSpec beside the random-unit
+    * floor).
     * Why floor 8: below 8 probes the worst-case agreement drops under
     * ~0.6 in both regimes for savings that no longer matter (the probe
     * stage is no longer the bottleneck), and any coarseK ≤ 8 becomes

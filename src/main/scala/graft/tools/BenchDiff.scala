@@ -127,6 +127,43 @@ object BenchDiff {
       mids.size >= 2 && mids.max / math.max(1e-9, mids.min) <= 1.2
     }
 
+  /** The r14 mem-shift trigger: both sides' mem mids are internally
+    * stable LEVELS and the levels differ by >10% — the condition under
+    * which raw cross-run deltas on this memory-bound surface are declared
+    * unreliable and the mem-normalized advisory total prints. Jitter
+    * (either side unstable) or a <10% shift stays silent, exactly as the
+    * r13 advisory was gated.
+    */
+  private[tools] def memShifted(
+      oldMid: Double, newMid: Double,
+      oldStable: Boolean, newStable: Boolean): Boolean =
+    oldStable && newStable && {
+      val ratio = newMid / math.max(1e-9, oldMid)
+      ratio > 1.1 || ratio < 1.0 / 1.1
+    }
+
+  /** name→number mid-trace mean of a snapshot's `traceKey` object; None
+    * when the trace (or any mid point) is absent. Split out of main so
+    * the mem-class inference below is spec-pinnable.
+    */
+  private[tools] def midMeanOf(json: String, traceKey: String): Option[Double] =
+    parseObj(json, traceKey).flatMap { tr =>
+      val mids = tr.collect { case (k, v) if k.startsWith("mid") => v }
+      if (mids.nonEmpty) Some(mids.sum / mids.size) else None
+    }
+
+  /** A snapshot's mem-phase class: the r14 `mem_phase_class` stamp when
+    * present, else inferred from the mem mid-trace with the same
+    * boundaries Bench stamps with (pre-r14 maps), else None (no mem
+    * evidence at all — pre-r11 maps).
+    */
+  private[tools] def memPhaseClassOf(json: String): Option[String] =
+    "\"mem_phase_class\":\"(\\w+)\"".r.findFirstMatchIn(json).map(_.group(1))
+      .orElse(midMeanOf(json, "probe_trace_mem").map { m =>
+        if (m > graft.Bench.MemSuspectMultiSec) "suspect"
+        else if (m > graft.Bench.MemWarmMultiSec) "warm" else "clean"
+      })
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: BenchDiff OLD.json NEW.json [absBand=0.30] [relFrac=0.50]")
@@ -202,11 +239,7 @@ object BenchDiff {
     // actually ran in — over the pre/post brackets, which can spike on
     // JVM-edge work either side of the loop (observed: brackets 0.99/0.99
     // around mids 0.65 — bracket-mean normalization would be 1.5× off).
-    def midMean(j: String, traceKey: String): Option[Double] =
-      parseObj(j, traceKey).flatMap { tr =>
-        val mids = tr.collect { case (k, v) if k.startsWith("mid") => v }
-        if (mids.nonEmpty) Some(mids.sum / mids.size) else None
-      }
+    def midMean(j: String, traceKey: String): Option[Double] = midMeanOf(j, traceKey)
     def meanMulti(j: String): Option[(Double, String)] =
       midMean(j, "probe_trace_multi").map((_, "mid-trace")).orElse(
         (scalar(j, "probe_pre_multi"), scalar(j, "probe_post_multi")) match {
@@ -257,31 +290,39 @@ object BenchDiff {
           case _ => None
         })
     (meanMem(oldJson), meanMem(newJson)) match {
-      // The mem leg detects mem-throttle PHASES (clean band ~0.008–0.02 s
-      // for the fixed 512 MB of traffic; the one caught phase measured
-      // 0.19 s — 10–20× clean). Within the clean band the probe's own
-      // jitter is ~2× at the 10 ms scale, so "normalizing" a CPU-bound
-      // total by it amplifies noise into a fake headline (a 27 s run
-      // "normalized" to 13 s by two clean 10 ms samples). Only scale when
-      // at least one side actually left the clean band.
+      // The mem leg detects mem-throttle PHASES (clean band ≤ 0.02 s
+      // mid-trace across the recorded canonical history — Bench.
+      // MemWarmMultiSec; the one caught phase measured 0.19 s, 10–20×
+      // clean). Within the band the probe's own jitter is ~2× at the
+      // 10 ms scale, so "normalizing" a CPU-bound total by it amplifies
+      // noise into a fake headline (a 27 s run "normalized" to 13 s by
+      // two clean 10 ms samples). Only scale when at least one side left
+      // the suspect gate.
       case (Some((om, os)), Some((nm, ns))) if om > 0 && nm > 0 =>
-        val CleanMemSec = 0.05
-        if (om < CleanMemSec && nm < CleanMemSec) {
+        if (om < graft.Bench.MemSuspectMultiSec && nm < graft.Bench.MemSuspectMultiSec) {
           println(f"mem probe: old $om%.3f s [$os] -> new $nm%.3f s [$ns] " +
-            "(both in the clean band - no mem-phase normalization applicable)")
-          // r13 advisory: a LEVEL SHIFT inside the clean band still moves a
-          // memory-bound surface — observed mem-mid ratio 1.17 tracking a
-          // 29.99/25.64 total ratio exactly while the CPU probe read
-          // FASTER. Only speak when both sides' mids are internally stable
-          // (a level, not jitter — jitter at the 10 ms scale is ~2×, the
-          // documented reason this band never normalizes).
+            "(both under the suspect gate - no mem-phase normalization forced)")
+          // r13 advisory, r14 verdict: a LEVEL SHIFT inside the band still
+          // moves a memory-bound surface — observed mem-mid ratio 1.17
+          // tracking a 29.99/25.64 total ratio exactly while the CPU probe
+          // read FASTER; that round's adjudication was a hand-run
+          // interleaved A/B. Mechanized: when both sides' mids are
+          // internally stable (a level, not jitter) and the levels differ
+          // >10%, declare the deltas MEM-SHIFTED and print the
+          // mem-normalized total as the advisory estimate of the
+          // same-level number.
           val ratio = nm / om
-          if (stableMemMids(oldJson) && stableMemMids(newJson) &&
-              (ratio > 1.1 || ratio < 1.0 / 1.1))
-            println(f"mem advisory: stable in-band level shift x$ratio%.2f " +
-              f"(old $om%.4f -> new $nm%.4f); on this memory-bound surface " +
-              "expect totals to move with it - weigh before reading a " +
-              "uniform smear as engine drift")
+          if (memShifted(om, nm, stableMemMids(oldJson), stableMemMids(newJson))) {
+            println(f"MEM-SHIFT: stable level shift x$ratio%.2f " +
+              f"(old $om%.4f -> new $nm%.4f) - on this memory-bound surface " +
+              "raw totals and per-query deltas are UNRELIABLE; an apparent " +
+              "uniform smear is likely the host, not the engine")
+            println(f"mem-normalized total (advisory): new × (old_mem/new_mem) = " +
+              f"${newTot * om / nm}%.2f s (raw new $newTot%.2f s) - an estimate " +
+              "of the same-mem-level total; confirm any surviving out-of-band " +
+              "mover with an interleaved same-minutes A/B of the two builds " +
+              "before believing it")
+          }
         } else
           println(f"normalized total (mem): new × (old_mem/new_mem) = " +
             f"${newTot * om / nm}%.2f s (old mem=$om%.3f [$os], new mem=$nm%.3f [$ns])")
@@ -388,6 +429,20 @@ object BenchDiff {
     if (!suspect(oldJson) && warm(oldJson))
       println("note: the OLD side is phase-warm (transition band) - " +
         "its committed mins may sit ~1.1-1.3x above canonical-clean")
+    // r14 mem-phase stamp (verdict order #4): the bandwidth dimension gets
+    // the same reading duty as the multi stamps above. Maps older than the
+    // stamp infer the class from their mem mid-trace with the same
+    // boundaries Bench stamps with.
+    memPhaseClassOf(newJson).filter(_ != "clean").foreach { c =>
+      println(s"MEM-PHASE-${c.toUpperCase}: the NEW side's mem level sits outside " +
+        "the recorded clean history (<=0.02 s mid-trace) - its totals ride an " +
+        "elevated bandwidth phase; re-record in a clean window before " +
+        "committing it as canonical")
+    }
+    memPhaseClassOf(oldJson).filter(_ != "clean").foreach { c =>
+      println(s"note: the OLD side is mem-phase-$c - deltas against it carry " +
+        "a mem-level shift")
+    }
     if (regressed.nonEmpty || freshErrors.nonEmpty) {
       System.err.println(
         s"BENCHDIFF FAILED: ${(regressed.reverse ++ freshErrors).mkString(", ")}")

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Vectors
@@ -31,6 +31,32 @@ import graft.operators.Vectors
 object NprobeSweep {
 
   private def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Deterministic PLANTED-CLUSTER corpus — the SemDeDup geometry the
+    * hierarchical assigner actually serves (r14, verdict order #2): tight
+    * blobs of near-duplicates around well-separated centers, vs the
+    * random-unit fixture where every cell boundary is a near-tie. Center
+    * component (c, d) and per-vector jitter (i, d) are pure xxhash64
+    * functions mapped to [-1, 1] (granularity 1e-3) — reproducible across
+    * sessions and partitionings, no RNG state. Expected center separation
+    * is √(2·dim/3) ≈ 6.5 at dim 64 against a noise radius of
+    * `noise`·√(dim/3) ≈ 0.46 at the default 0.1 — ~14× apart, the
+    * "duplicates cluster tightly" regime. Shared by the sf1 sweep and the
+    * VectorsSpec clustered-floor pin so both measure the same geometry.
+    */
+  private[graft] def plantedClusters(
+      spark: SparkSession, n: Long, centers: Int, dim: Int,
+      noise: Double = 0.1): DataFrame = {
+    def u(cols: Column*): Column =
+      (pmod(xxhash64(cols: _*), lit(2001L)) - lit(1000L)) / lit(1000.0)
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(
+        sequence(lit(0), lit(dim - 1)),
+        d => (u(lit("c"), pmod(col("id"), lit(centers.toLong)) * dim + d) +
+          lit(noise) * u(lit("v"), col("id") * dim + d)).cast("float"))
+        .as("embedding"))
+  }
 
   private def time(reps: Int)(body: => Long): (Seq[Double], Long) = {
     var rows = 0L
@@ -72,13 +98,20 @@ object NprobeSweep {
     val emb = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
     val n = emb.count()
+    val dim = emb.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+    val natK = Vectors.deriveKFromCount(n)
+    // The clustered regime (r14): same n/dim/k as the natural regime, but
+    // the corpus is planted blobs — one per fine cell on average — so the
+    // recorded agreement at the derived point measures the geometry the
+    // operator serves, next to the random-unit worst case.
     val regimes = Seq(
-      ("natural", Vectors.deriveKFromCount(n)),
-      ("ceiling", Vectors.KCeiling))
-    regimes.foreach { case (regime, k) =>
-      val cents = Vectors.quantizerTable(spark, emb, k, iterations = 1)
+      ("natural", emb, natK),
+      ("ceiling", emb, Vectors.KCeiling),
+      ("clustered", plantedClusters(spark, n, natK, dim), natK))
+    regimes.foreach { case (regime, corpus, k) =>
+      val cents = Vectors.quantizerTable(spark, corpus, k, iterations = 1)
       val coarseK = math.max(1, math.sqrt(k.toDouble).toInt)
-      val flatDf = Vectors.assignCellsWithTable(emb, cents)
+      val flatDf = Vectors.assignCellsWithTable(corpus, cents)
       val (flatT, _) = time(reps)(forceAssign(flatDf))
       val flat = flatDf.select(col("vec_id"), col("cell").as("cf"))
       val sweep = (Seq(1, 2, 4, 8, 16, 32, 64, 128) :+
@@ -86,8 +119,8 @@ object NprobeSweep {
         .distinct.sorted.filter(p => p >= 1 && p <= coarseK)
       sweep.foreach { nprobe =>
         val (t, _) = time(reps)(
-          forceAssign(Vectors.assignCellsHierarchical(emb, cents, coarseK, nprobe)))
-        val hier = Vectors.assignCellsHierarchical(emb, cents, coarseK, nprobe)
+          forceAssign(Vectors.assignCellsHierarchical(corpus, cents, coarseK, nprobe)))
+        val hier = Vectors.assignCellsHierarchical(corpus, cents, coarseK, nprobe)
           .select(col("vec_id"), col("cell").as("ch"))
         val agree = flat.join(hier, "vec_id").filter(col("cf") === col("ch")).count()
         println(s"""{"section":"nprobe_sweep","regime":"$regime","k":$k,""" +

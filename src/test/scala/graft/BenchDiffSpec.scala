@@ -90,6 +90,43 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(!BenchDiff.stableMemMids(r10Snapshot), "no trace at all: silent")
   }
 
+  test("mem-shift verdict: stable >10% level shift flags; jitter and small shifts stay silent") {
+    // r14 (verdict order #4): the hand-run interleaved-A/B adjudication of
+    // the r13 sf1 re-run is mechanized as a verdict — BOTH sides stable
+    // AND the levels >10% apart. The r13 case itself (x1.17) must flag.
+    assert(BenchDiff.memShifted(0.0100, 0.0117, oldStable = true, newStable = true))
+    assert(BenchDiff.memShifted(0.0117, 0.0100, oldStable = true, newStable = true),
+      "a downshift is just as much a shift")
+    assert(!BenchDiff.memShifted(0.0100, 0.0108, oldStable = true, newStable = true),
+      "<10% is inside the probe's own repeatability")
+    assert(!BenchDiff.memShifted(0.0100, 0.0200, oldStable = false, newStable = true),
+      "an unstable side is jitter evidence, not a level")
+    assert(!BenchDiff.memShifted(0.0100, 0.0200, oldStable = true, newStable = false))
+  }
+
+  test("mem phase class: r14 stamp wins; older maps infer from the trace; pre-r11 None") {
+    val stamped =
+      """{"metric":"queries","mem_phase_class":"warm","mem_phase_mid_mean":0.0300,""" +
+        """"probe_trace_mem":{"pre":0.01,"mid1":0.01,"mid2":0.01,"post":0.01},""" +
+        """"queries":{"q":0.1}}"""
+    // the stamp is authoritative even when the trace would say otherwise
+    // (Bench computed it from the same evidence at record time)
+    assert(BenchDiff.memPhaseClassOf(stamped).contains("warm"))
+    // pre-r14 maps: inferred from the mem mid-trace with Bench's bounds
+    assert(BenchDiff.memPhaseClassOf(r11TraceSnapshot).contains("clean"))
+    val elevated =
+      """{"metric":"queries","probe_trace_mem":{"pre":0.01,"mid1":0.031,"mid2":0.029,"post":0.01},""" +
+        """"queries":{"q":0.1}}"""
+    assert(BenchDiff.memPhaseClassOf(elevated).contains("warm"))
+    val throttled =
+      """{"metric":"queries","probe_trace_mem":{"pre":0.01,"mid1":0.19,"mid2":0.012,"post":0.01},""" +
+        """"queries":{"q":0.1}}"""
+    assert(BenchDiff.memPhaseClassOf(throttled).contains("suspect"))
+    // pre-r11 maps carry no mem trace: no class, and the caller prints
+    // nothing rather than guessing
+    assert(BenchDiff.memPhaseClassOf(r10Snapshot).isEmpty)
+  }
+
   test("ingest movers band-judge per-artifact drift like query movers") {
     val op = BenchDiff.parseObj(r12Snapshot, "ingest_parts").get
     // bpe_train +0.30 (mover), kmeans_model -0.26 (mover), table_layouts
@@ -155,5 +192,12 @@ class BenchDiffSpec extends AnyFunSuite {
       (!json.contains("\"phase_class\"") && mid <= 0.76),
       f"committed canonical map is not phase-clean (mid mean $mid%.3f) — " +
         "re-record in a verified-clean window")
+    // r14: the canonical map must be MEM-clean too (stamped, or inferred
+    // from its trace on pre-stamp maps) — an elevated-bandwidth recording
+    // would silently shift every cross-round delta on this memory-bound
+    // surface.
+    assert(BenchDiff.memPhaseClassOf(json).forall(_ == "clean"),
+      s"committed canonical map is not mem-phase-clean " +
+        s"(${BenchDiff.memPhaseClassOf(json)}) — re-record in a clean window")
   }
 }

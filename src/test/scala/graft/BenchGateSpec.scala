@@ -56,4 +56,33 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.phaseClass(Nil, 0.80)._1 == "warm")
     assert(Bench.phaseClass(Nil, 1.10)._1 == "suspect")
   }
+
+  test("mem phase class: documented band boundaries over the recorded history") {
+    // r14 (verdict order #4): the bandwidth dimension gets the multi leg's
+    // three-way stamp. Band tops are documented constants: 0.02 s bounds
+    // the accumulated canonical mid-trace history (r10-r13 mids span
+    // 0.0079-0.0190 s), 0.05 s is the suspect gate BenchDiff has used
+    // since r10 (the one caught bandwidth phase measured 0.19 s).
+    assert(Bench.MemWarmMultiSec == 0.02)
+    assert(Bench.MemSuspectMultiSec == 0.05)
+    // every recorded canonical session's mids stay clean
+    Seq(Seq(0.0079, 0.0082), Seq(0.0110, 0.0088), Seq(0.0130, 0.0144),
+      Seq(0.0160, 0.0190), Seq(0.0167, 0.0085)).foreach { mids =>
+      assert(Bench.memPhaseClass(mids, 0.012)._1 == "clean", mids.toString)
+    }
+    // boundaries strict at both edges (exactly-at stays the lower class)
+    assert(Bench.memPhaseClass(Seq(0.02), 0.0)._1 == "clean")
+    assert(Bench.memPhaseClass(Seq(0.0201), 0.0)._1 == "warm")
+    assert(Bench.memPhaseClass(Seq(0.05), 0.0)._1 == "warm")
+    assert(Bench.memPhaseClass(Seq(0.0501), 0.0)._1 == "suspect")
+    // the caught r10 bandwidth phase (0.19 s) stamps suspect outright
+    assert(Bench.memPhaseClass(Seq(0.19, 0.012), 0.012)._1 == "suspect")
+    // reps=1 fallback: the pre bracket is the evidence, as in phaseClass
+    assert(Bench.memPhaseClass(Nil, 0.012)._1 == "clean")
+    assert(Bench.memPhaseClass(Nil, 0.03)._1 == "warm")
+    assert(Bench.memPhaseClass(Nil, 0.19)._1 == "suspect")
+    // evidence mean is the mid mean, same arithmetic as the multi leg
+    val (_, mean) = Bench.memPhaseClass(Seq(0.01, 0.02), 0.0)
+    assert(math.abs(mean - 0.015) < 1e-9)
+  }
 }

@@ -414,6 +414,34 @@ class VectorsSpec extends SparkSpec {
     graft.operators.Materialize.releaseAll()
   }
 
+  test("derived-default nprobe on CLUSTERED geometry: agreement floor far above the random-unit case") {
+    import graft.operators.Vectors
+    // r13 verdict order (r14): the random-unit floor above is the WORST
+    // case — every cell boundary a near-tie. This pins the geometry the
+    // operator actually serves (SemDeDup blobs): planted clusters, one
+    // per fine cell on average, centers ~14x the noise radius apart
+    // (NprobeSweep.plantedClusters — the same generator as the sf1 sweep
+    // rows in SCALING.md). Same operating point as the random-unit spec:
+    // coarseK=16 -> derived nprobe=8, half the coarse cells probed.
+    val n = 2048L
+    val centers = 128
+    val emb = graft.tools.NprobeSweep.plantedClusters(spark, n, centers, dim = 64)
+    val cents = Vectors.seedCentroidsTable(emb, centers)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val flat = pairs(Vectors.assignCellsWithTable(emb, cents))
+    val hier = pairs(Vectors.assignCellsHierarchical(emb, cents, coarseK = 16))
+    assert(hier.keySet == flat.keySet, "derived default must still assign every vector")
+    val agree = flat.count { case (v, c) => hier(v) == c }.toDouble / flat.size
+    info(f"clustered-geometry agreement at coarseK=16, k=$centers: $agree%.3f")
+    // measured 1.000 on this fixture (see the recorded value in the
+    // SCALING.md nprobe table); floor at measured - 0.05 — tighter than
+    // the random-unit floor's -0.1 band because the clustered verdict is
+    // not a near-tie coin flip
+    assert(agree >= 0.95, f"clustered agreement $agree%.3f under floor")
+    graft.operators.Materialize.releaseAll()
+  }
+
   test("assignCells duplicate-vec_id fan-out is the documented join-back cardinality") {
     // The vec_id-uniqueness PRECONDITION on assignCellsWithTable /
     // assignCellsHierarchical (scaladoc'd in r13): under the engine's
