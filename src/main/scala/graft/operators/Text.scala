@@ -1623,11 +1623,18 @@ object Text {
   private def dupLineDict(lines: DataFrame, minOcc: Long): DataFrame =
     lines
       .groupBy(col("h1"), col("h2"))
+      // min_long_pair, NOT min(struct(doc_id, idx)): the struct-buffered
+      // Min demotes this aggregate to SortAggregate (no map-side partials)
+      // — and it sits on the family's ONLY corpus×lines exchange, so at
+      // scale the demotion is the r12 281-s class. Found by the r14
+      // builder-surface plan lint: the demoted plan ran inside the
+      // pinnedFits side-job, invisible to the gate-plan sweep.
       .agg(count(lit(1)).as("n_occ"),
-        min(struct(col("doc_id"), col("idx"))).as("first"))
+        org.apache.spark.sql.graft.VectorExpressions
+          .minLongPair(col("doc_id"), col("idx").cast("long")).as("first"))
       .filter(col("n_occ") >= minOcc)
       .select(col("h1").as("dh1"), col("h2").as("dh2"),
-        col("first.doc_id").as("fdoc"), col("first.idx").as("fidx"))
+        col("first.a").as("fdoc"), col("first.b").as("fidx"))
 
   /** q192 — CROSS-DOCUMENT LINE DEDUP (summary): per affected document,
     * how many lines a corpus-wide keep-first line dedup drops and how many

@@ -482,6 +482,81 @@ object VectorExpressions {
   def argMinLong(ord: Column, value: Column): Column =
     ExpressionUtils.column(ArgMinLong(expr(ord), expr(value)).toAggregateExpression())
 
+  /** Fixed-width-buffer lexicographic PAIR min: the smallest (a, b) LONG
+    * pair, returned as a struct — semantically `min(struct(a, b))`, but
+    * HASH-AGGREGABLE. Spark's Min carries the struct ITSELF in its
+    * aggregation buffer, and a struct-typed buffer field disqualifies
+    * whole-stage HashAggregate — the plan demotes to SortAggregate with
+    * no map-side partial reduction (the r12 ArgMinLong / r13 q146 defect
+    * class; found a third time in r14 by the BUILDER-surface plan lint,
+    * in the duplicated-line dictionary build, where the demoted
+    * aggregate sat directly on the corpus×lines digest exchange — the
+    * line-dedup family's only corpus-sized shuffle, exactly where losing
+    * map-side combine hurts most at 100 TB). The buffer here is two
+    * mutable longs (the avg-style shape); the struct exists only in the
+    * EVALUATE projection, which no buffer-type constraint touches.
+    *
+    * Ordering contract (pinned by VectorExprSpec parity with
+    * `min(struct(a, b))` on non-null data): strict lexicographic
+    * (a asc, b asc). A candidate with a null `a` OR null `b` is skipped
+    * outright (the [[ArgMinLong]] null discipline, including its
+    * null-seeding guard); an all-null group evaluates to a null struct.
+    */
+  case class MinLongPair(a: Expression, b: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+      with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+    import org.apache.spark.sql.catalyst.expressions.{
+      And, AttributeReference, CreateNamedStruct, EqualTo, If, IsNotNull, IsNull,
+      LessThan, Literal, Or}
+    override def left: Expression = a
+    override def right: Expression = b
+    override def prettyName: String = "min_long_pair"
+    override def nullable: Boolean = true
+    override def dataType: DataType = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false)))
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (a.dataType == LongType && b.dataType == LongType) {
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      } else {
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"min_long_pair requires (BIGINT, BIGINT), got " +
+            s"(${a.dataType.simpleString}, ${b.dataType.simpleString})")
+      }
+    private lazy val minA = AttributeReference("minA", LongType)()
+    private lazy val minB = AttributeReference("minB", LongType)()
+    override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(minA, minB)
+    override lazy val initialValues: Seq[Expression] =
+      Seq(Literal.create(null, LongType), Literal.create(null, LongType))
+    // the ArgMinLong `beats`: fully-non-null candidate AND (empty buffer —
+    // keyed on minA, null iff nothing ever won — or strictly smaller a, or
+    // equal a with smaller b); the IsNotNull guard prevents a null
+    // candidate from seeding and then permanently freezing the buffer
+    private def beats(bA: Expression, bB: Expression,
+        nA: Expression, nB: Expression): Expression =
+      And(And(IsNotNull(nA), IsNotNull(nB)),
+        Or(IsNull(bA),
+          Or(LessThan(nA, bA), And(EqualTo(nA, bA), LessThan(nB, bB)))))
+    override lazy val updateExpressions: Seq[Expression] = {
+      val w = beats(minA, minB, a, b)
+      Seq(If(w, a, minA), If(w, b, minB))
+    }
+    override lazy val mergeExpressions: Seq[Expression] = {
+      val w = beats(minA.left, minB.left, minA.right, minB.right)
+      Seq(If(w, minA.right, minA.left), If(w, minB.right, minB.left))
+    }
+    override lazy val evaluateExpression: Expression =
+      If(IsNull(minA), Literal.create(null, dataType),
+        CreateNamedStruct(Seq(Literal("a"), minA, Literal("b"), minB)))
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): MinLongPair =
+      copy(a = newLeft, b = newRight)
+  }
+
+  /** Column wrapper for [[MinLongPair]] — use inside `.agg(...)`. */
+  def minLongPair(a: Column, b: Column): Column =
+    ExpressionUtils.column(MinLongPair(expr(a), expr(b)).toAggregateExpression())
+
   def l2(a: Column, b: Column): Column =
     ExpressionUtils.column(L2Distance(expr(a), expr(b)))
   def l2sq(a: Column, b: Column): Column =

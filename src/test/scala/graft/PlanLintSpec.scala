@@ -46,56 +46,16 @@ class PlanLintSpec extends SparkSpec {
   test("no gate query plans a CartesianProduct") {
     val offenders = allPlans.flatMap { case (name, plan) =>
       if (plan.startsWith("PLANFAIL")) Some(s"$name: $plan")
-      else if (plan.contains("CartesianProduct")) Some(s"$name: cartesian")
+      else if (PlanLints.hasCartesian(plan)) Some(s"$name: cartesian")
       else None
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
-  /** The top-level `[…]` groups of a physical Window node's argument list.
-    * Tree format prints `Window [funcs]`, `Window [funcs], [sort]`
-    * (unpartitioned — the sort list carries ASC/DESC markers),
-    * `Window [funcs], [part]` or `Window [funcs], [part], [sort]`
-    * (partitioned — a bare column list has no ASC/DESC).
-    */
-  private def topLevelGroups(s: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    var depth = 0
-    var start = -1
-    var i = 0
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '[' => if (depth == 0) start = i; depth += 1
-        case ']' =>
-          depth -= 1
-          if (depth == 0 && start >= 0) { out += s.substring(start + 1, i); start = -1 }
-        case _ => ()
-      }
-      i += 1
-    }
-    out.result()
-  }
-
-  /** Unpartitioned Window nodes NOT immediately guarded by a
-    * WindowGroupLimit child (the rank≤k pushdown prints directly below its
-    * Window in the tree) — each one serializes its whole input through a
-    * single task.
-    */
-  private def unguardedGlobalWindows(plan: String): Int = {
-    val lines = plan.linesIterator.toArray
-    (0 until lines.length).count { i =>
-      val l = lines(i)
-      val wIdx = l.indexOf("Window [")
-      wIdx >= 0 && {
-        val groups = topLevelGroups(l.substring(wIdx + "Window ".length))
-        val unpartitioned = groups.length == 1 ||
-          (groups.length == 2 &&
-            (groups(1).contains(" ASC") || groups(1).contains(" DESC")))
-        unpartitioned &&
-          !(i + 1 < lines.length && lines(i + 1).contains("WindowGroupLimit"))
-      }
-    }
-  }
+  // Matchers shared with the r14 builder-surface sweep live in
+  // [[PlanLints]]; this spec keeps only the gate-side whitelists.
+  private def unguardedGlobalWindows(plan: String): Int =
+    PlanLints.unguardedGlobalWindows(plan)
 
   /** Aggregates allowed to plan as ObjectHashAggregate — each entry names
     * the per-group bound on the object buffer, which is the justification
@@ -141,8 +101,8 @@ class PlanLintSpec extends SparkSpec {
     val offenders = allPlans.flatMap { case (name, plan) =>
       if (plan.startsWith("PLANFAIL")) Some(s"$name: $plan")
       else {
-        val sortAggs = plan.linesIterator.count(_.contains("SortAggregate"))
-        val objAggs = plan.linesIterator.count(_.contains("ObjectHashAggregate"))
+        val sortAggs = PlanLints.sortAggregates(plan)
+        val objAggs = PlanLints.objectHashAggregates(plan)
         val bad = Seq.newBuilder[String]
         if (sortAggs > 0 && !boundedSortAggs.contains(name))
           bad += s"$name: $sortAggs SortAggregate node(s) — no map-side hash partials"
@@ -201,7 +161,7 @@ class PlanLintSpec extends SparkSpec {
   test("BroadcastNestedLoopJoins stay locked to the audited query set") {
     val actual = allPlans.collect {
       case (name, plan) if !plan.startsWith("PLANFAIL") &&
-        plan.linesIterator.exists(_.contains("BroadcastNestedLoopJoin")) => name
+        PlanLints.hasBnlj(plan) => name
     }.toSet
     val planFails = allPlans.collect {
       case (name, plan) if plan.startsWith("PLANFAIL") => s"$name: $plan"

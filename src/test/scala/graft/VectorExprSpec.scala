@@ -259,6 +259,48 @@ class VectorExprSpec extends SparkSpec {
       s"min_by is expected to return null here (Spark semantics moved?): ${viaMinBy.toSeq}")
   }
 
+  test("min_long_pair equals min(struct(a, b)) on non-null data and skips null candidates") {
+    // r14: the hash-aggregable replacement for the struct-buffered Min in
+    // the duplicated-line dictionary build (the third instance of the r12
+    // SortAggregate demotion class, caught by the builder plan lint).
+    // Parity target: bitwise the lexicographic minimum min(struct) computes.
+    import spark.implicits._
+    val rows = Tables.embeddings(spark, sf0001)
+      .select((col("vec_id") % 13).as("g"),
+        (col("vec_id") % 7).as("a"), col("vec_id").as("b"))
+    val viaPair = rows.groupBy($"g")
+      .agg(VectorExpressions.minLongPair($"a", $"b").as("m"))
+      .select($"g", $"m.a", $"m.b")
+    val viaStruct = rows.groupBy($"g")
+      .agg(min(struct($"a", $"b")).as("m"))
+      .select($"g", $"m.a", $"m.b")
+    assert(viaPair.except(viaStruct).count() == 0 &&
+      viaStruct.except(viaPair).count() == 0, "pair-min diverges from min(struct)")
+    // the demotion fix is real: the pair-min plans as HashAggregate, the
+    // struct Min as SortAggregate — the defect this expression exists for
+    val pairPlan = viaPair.queryExecution.executedPlan.toString
+    assert(!pairPlan.contains("SortAggregate") && pairPlan.contains("HashAggregate"),
+      s"min_long_pair must hash-aggregate:\n$pairPlan")
+    assert(viaStruct.queryExecution.executedPlan.toString.contains("SortAggregate"),
+      "min(struct) stopped demoting — revisit whether MinLongPair is still needed")
+    // null discipline (the ArgMinLong contract): null-bearing candidates
+    // are skipped regardless of arrival order; all-null groups -> null;
+    // nulls scattered across partitions exercise the merge path
+    val nullRows = Seq[(Long, Long, Option[Long], Option[Long])](
+      (1L, 10L, None, Some(0L)), (1L, 11L, Some(5L), Some(50L)),
+      (1L, 12L, Some(5L), Some(20L)), (1L, 13L, Some(9L), None),
+      (2L, 20L, None, Some(1L)), (2L, 21L, Some(3L), None),
+      (3L, 30L, Some(2L), Some(2L)))
+      .toDF("g", "rk", "a", "b")
+      .repartition(8, col("rk"))
+    val got = nullRows.groupBy($"g")
+      .agg(VectorExpressions.minLongPair($"a", $"b").as("m"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else { val s = r.getStruct(1); Some((s.getLong(0), s.getLong(1))) }))
+      .toMap
+    assert(got == Map(1L -> Some((5L, 20L)), 2L -> None, 3L -> Some((2L, 2L))), got.toString)
+  }
+
   test("arg_min_long rejects wrong input types at analysis") {
     import spark.implicits._
     val rows = Seq((1L, 1, 2L)).toDF("g", "ordInt", "v")
