@@ -1,8 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.QueryExecution
-import org.apache.spark.sql.util.QueryExecutionListener
-
 import graft.{operators => ops}
 
 /** The four plan lints (cartesian, aggregate demotion, BNLJ audit,
@@ -36,23 +33,7 @@ class BuilderPlanLintSpec extends SparkSpec {
       if (f.exists()) rec(f)
     }
 
-  /** Executed plans of every action `body` runs (success or failure —
-    * a failed job's plan is still evidence). The listener dispatch is
-    * async; the bus drain makes the read race-free.
-    */
-  private def capture(body: => Any): Seq[String] = {
-    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
-    val listener = new QueryExecutionListener {
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        plans.synchronized { plans += qe.executedPlan.toString }
-      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-        plans.synchronized { plans += qe.executedPlan.toString }
-    }
-    spark.listenerManager.register(listener)
-    try { body; org.apache.spark.sql.graft.TestBus.drain(spark) }
-    finally spark.listenerManager.unregister(listener)
-    plans.synchronized { plans.toSeq }
-  }
+  private def capture(body: => Any): Seq[String] = PlanLints.capture(spark)(body)
 
   /** The persisted-store builders: call once to LOCATE the artifact,
     * delete it, rebuild cold under the listener. Same default

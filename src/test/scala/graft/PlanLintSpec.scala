@@ -176,6 +176,72 @@ class PlanLintSpec extends SparkSpec {
       s"stale BNLJ whitelist entries (plans improved?): ${stale.toSeq.sorted.mkString(", ")}")
   }
 
+  /** CONSTRUCTION-TIME SIDE-JOB plans of every gate query (r14): a
+    * `Materialize.stable`/`pinnedFits` pin, a driver union-find collect,
+    * or a model-fit job runs Spark jobs while the query FRAME is being
+    * BUILT — plans the served `executedPlan` never contains. This is
+    * exactly where the r14 line-dict SortAggregate demotion hid for six
+    * rounds: the demoted aggregate executed inside the pinnedFits
+    * side-job of every q192/q193/q195 call, invisible to the served-plan
+    * sweep above. The burn-in pass (forcing [[allPlans]]) runs every
+    * first-touch ensure* artifact build OUTSIDE the capture — cold builds
+    * are [[BuilderPlanLintSpec]]'s jurisdiction with their own audited
+    * whitelists; here we capture only the side jobs a WARM construction
+    * repays on every call, which is what the gate actually executes.
+    */
+  private lazy val sideJobPlans: Seq[(String, Seq[String])] = {
+    allPlans // burn-in: artifacts built, first-touch fits memoized
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val plans = PlanLints.capture(spark) {
+        try fn(spark, sf0001)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      graft.operators.Materialize.releaseAll()
+      (name, plans)
+    }
+  }
+
+  /** Side-job ObjectHashAggregates allowed per query — the same bound
+    * duty as the served-plan whitelist above.
+    */
+  private val boundedSideJobObjectAggs = Map(
+    "q27_label_centroids" -> "CentroidAgg fit side-job: dim-sized buffer (as served-plan q27)",
+    "q124_centroid_affinity" -> "same CentroidAgg fit side-job as q27",
+    "q66_heavy_hitters" -> ("count_min_sketch construction collect: the CMS " +
+      "buffer is FIXED eps/conf-sized (~100 KB) regardless of stream length, " +
+      "merged map-side — the sketch family's whole point (the q65/q67 " +
+      "served-plan precedent)"))
+
+  /** Side-job unpartitioned windows allowed per query — same bound duty
+    * as [[boundedGlobalWindows]].
+    */
+  private val boundedSideJobWindows = Map(
+    "q122_quality_fill" -> ("mixingAllocation collect: windows over the " +
+      "source-cardinality allocation table — one row per source, the q103/" +
+      "q134 served-plan bound"))
+
+  test("no gate query's construction side-jobs demote, cartesian, or window-serialize") {
+    val offenders = sideJobPlans.flatMap { case (name, plans) =>
+      val bad = Seq.newBuilder[String]
+      plans.zipWithIndex.foreach { case (p, i) =>
+        if (PlanLints.hasCartesian(p)) bad += s"$name side-job[$i]: cartesian"
+        if (PlanLints.sortAggregates(p) > 0)
+          bad += s"$name side-job[$i]: SortAggregate (the r14 line-dict demotion class)"
+        if (PlanLints.unguardedGlobalWindows(p) > 0 &&
+            !boundedSideJobWindows.contains(name))
+          bad += s"$name side-job[$i]: unguarded unpartitioned window"
+      }
+      val objAggs = plans.map(PlanLints.objectHashAggregates).sum
+      if (objAggs > 0 && !boundedSideJobObjectAggs.contains(name))
+        bad += s"$name: $objAggs side-job ObjectHashAggregate(s) not on the bounded whitelist"
+      bad.result()
+    }
+    assert(offenders.isEmpty,
+      offenders.mkString("\n") +
+        "\n(side jobs run on EVERY warm construction of the query - fix the " +
+        "demotion or add a justified bound, as for served plans)")
+  }
+
   test("every unpartitioned window is WindowGroupLimit-guarded or provably bounded") {
     val offenders = allPlans.flatMap { case (name, plan) =>
       if (plan.startsWith("PLANFAIL")) Some(s"$name: $plan")

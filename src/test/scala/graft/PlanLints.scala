@@ -64,4 +64,25 @@ object PlanLints {
 
   def hasBnlj(plan: String): Boolean =
     plan.linesIterator.exists(_.contains("BroadcastNestedLoopJoin"))
+
+  /** Executed plans of every Spark action `body` runs, via a
+    * QueryExecutionListener (dispatch is async — the bus drain makes the
+    * read race-free). Shared by [[BuilderPlanLintSpec]] (cold builds) and
+    * [[PlanLintSpec]]'s construction-side-job sweep.
+    */
+  def capture(spark: org.apache.spark.sql.SparkSession)(body: => Any): Seq[String] = {
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+    }
+    spark.listenerManager.register(listener)
+    try { body; org.apache.spark.sql.graft.TestBus.drain(spark) }
+    finally spark.listenerManager.unregister(listener)
+    plans.synchronized { plans.toSeq }
+  }
 }
