@@ -81,7 +81,7 @@ object CeilingBench {
     // Section filter (dev iteration: re-run one section without paying the
     // full suite). Committed CEILINGBENCH artifacts always record ALL.
     val sections = sys.env.getOrElse("SPARK_GRAFT_SECTIONS",
-      "ASSIGN,FIT,BPE,CAP,CC,LINEDICT")
+      "ASSIGN,FIT,BPE,CAP,CC,LINEDICT,DUPAGG")
       .split(",").map(_.trim.toUpperCase).toSet
     def enabled(s: String) = sections.contains(s)
 
@@ -450,6 +450,74 @@ object CeilingBench {
       s""""rewrite_shuffled":${fmt(rwShT)},""" +
       s""""dedup_equal":${dedupBc == dedupSh},"rewrite_equal":${rwBc == rwSh}}""")
     } // LINEDICT
+
+    if (enabled("DUPAGG")) {
+    // ------- G. the r14 line-dict aggregate: SortAggregate vs MinLongPair
+    // The builder-surface plan lint found dupLineDict's keep-first-owner
+    // aggregate (`min(struct(doc_id, idx))`) demoting to SortAggregate on
+    // the line-dedup family's only corpus×lines exchange — hidden in a
+    // pinnedFits side-job for six rounds. This section A/Bs the DEMOTED
+    // form against the shipped MinLongPair form over the identical digest
+    // stream, same session, interleaved reps — the measured cost of the
+    // defect class at this scale (the r12 argmin twin measured 281 s at
+    // k=16384; here the stream is corpus-lines-sized). Exactness: the two
+    // dictionaries must be row-identical.
+    val dupDocs = graft.Tables.documents(spark, sfDir)
+    val digests = dupDocs
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.TextExpressions
+          .lineDigests(split(col("text"), " "), 2)).as("l"))
+      .select(col("doc_id"), col("l.idx").cast("long").as("idx"),
+        col("l.h1").as("h1"), col("l.h2").as("h2"))
+    def dictChecksum(dict: DataFrame): Long = {
+      val r = dict.agg(
+        count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("dh1"), col("dh2"),
+          col("fdoc"), col("fidx"))), lit(0L))).collect()(0)
+      r.getLong(0) * 1000000007L ^ r.getLong(1)
+    }
+    def viaStruct = digests.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("idx"))).as("first"))
+      .filter(col("n_occ") >= 2)
+      .select(col("h1").as("dh1"), col("h2").as("dh2"),
+        col("first.doc_id").as("fdoc"), col("first.idx").as("fidx"))
+    def viaPair = digests.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("n_occ"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .minLongPair(col("doc_id"), col("idx")).as("first"))
+      .filter(col("n_occ") >= 2)
+      .select(col("h1").as("dh1"), col("h2").as("dh2"),
+        col("first.a").as("fdoc"), col("first.b").as("fidx"))
+    // interleaved A/B: alternate forms within the same minutes so a host
+    // phase cannot masquerade as the plan delta
+    var csStruct = 0L
+    var csPair = 0L
+    val structSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val pairSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (1 to reps).foreach { _ =>
+      val t0 = System.nanoTime()
+      csStruct = dictChecksum(viaStruct)
+      structSamples += (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      csPair = dictChecksum(viaPair)
+      pairSamples += (System.nanoTime() - t1) / 1e9
+    }
+    if (csStruct != csPair) {
+      failed = true
+      System.err.println(s"EXACTNESS FAILED: dup-line dict: $csStruct vs $csPair")
+    }
+    val structPlanDemoted =
+      viaStruct.queryExecution.executedPlan.toString.contains("SortAggregate")
+    val pairPlanHash =
+      !viaPair.queryExecution.executedPlan.toString.contains("SortAggregate")
+    println(s"""{"section":"dup_line_agg","digest_rows":${digests.count()},""" +
+      s""""sort_agg_form":${fmt(structSamples.toSeq)},""" +
+      s""""min_long_pair_form":${fmt(pairSamples.toSeq)},""" +
+      s""""struct_form_demotes":$structPlanDemoted,""" +
+      s""""pair_form_hash_aggregates":$pairPlanHash,""" +
+      s""""dict_equal":${csStruct == csPair}}""")
+    } // DUPAGG
 
     graft.Bench.throttleProbe("post", cpus.toInt)
     spark.stop()
