@@ -161,13 +161,12 @@ object Components {
             s"$maxRounds rounds - this graph's min-label radius is outside " +
             "the 2-4-round near-dup regime the loop is sized for, and each " +
             "further round is a full shuffle join + aggregate job (a " +
-            "chain/high-diameter graph pays DIAMETER rounds). Either pass " +
-            "an explicit higher maxRounds to connectedComponentsIterative " +
-            "(exactness is unaffected; you are choosing to pay " +
-            "rounds x per-round-job), or restructure the propagation as " +
-            "small-star/large-star alternation (Kiveris et al., Connected " +
-            "Components in MapReduce - O(log diameter) rounds of the same " +
-            "join shape) for graphs where high diameter is expected.")
+            "chain/high-diameter graph pays DIAMETER rounds). Either use " +
+            "connectedComponentsStar (small-star/large-star alternation, " +
+            "Kiveris et al. - O(log diameter) alternations of the same " +
+            "join shape; same (v, label) contract), or pass an explicit " +
+            "higher maxRounds to connectedComponentsIterative (exactness " +
+            "is unaffected; you are choosing to pay rounds x per-round-job).")
       }
       val nbrMin = bidir
         .join(labels.select(col("v").as("dst"), col("label").as("nl")), "dst")
@@ -202,6 +201,130 @@ object Components {
     Materialize.release(bidir)
     lastIterativeRounds.set(rounds)
     labels
+  }
+
+  // --------------------------------------------------------------------
+  // Small-star / large-star alternation (Kiveris et al., "Connected
+  // Components in MapReduce and Beyond" — public): the HIGH-DIAMETER
+  // remedy the min-label loop's round-cap refusal names. Same
+  // join-per-round physical shape (one neighbor-min aggregate + one
+  // join-back per star operation), but each round CONTRACTS paths toward
+  // component minima instead of crawling labels one hop, so convergence
+  // is O(log) alternations in the component diameter rather than
+  // O(diameter) rounds. r14: implemented (was documented-only), so the
+  // refusal message now points at working code.
+  // --------------------------------------------------------------------
+
+  /** Round cap for [[connectedComponentsStar]]: alternations grow
+    * logarithmically (the r14 CeilingBench chain measurement: a 64-long
+    * chain converges in far fewer alternations than its 64 min-label
+    * rounds), so 64 alternations covers any component a 2^32-vertex graph
+    * can produce with a wide margin; hitting it means a bug, not a big
+    * graph — hence a refusal, same discipline as the min-label cap.
+    */
+  val StarMaxRounds = 64
+
+  /** LARGE-STAR over a bidirectional edge list (u, v): every neighbor
+    * v > u re-links to m(u) = min(Γ(u) ∪ u). One hash aggregate for the
+    * per-node min + one equi-join back — both shuffle-partitionable on u,
+    * nothing driver-side.
+    */
+  private def largeStar(bidir: DataFrame): DataFrame = {
+    val m = bidir.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    bidir.join(m, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** SMALL-STAR over a larger-endpoint-first edge list (u > v): every
+    * smaller neighbor (and u itself) re-links to m(u) = min of u's
+    * smaller neighbors. Emits edges still oriented u > v by construction
+    * (m is the minimum of the set every emitted partner belongs to).
+    */
+  private def smallStar(oriented: DataFrame): DataFrame = {
+    val m = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val relinked = oriented.join(m, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    val self = m.select(col("u"), col("m").as("v"))
+    relinked.union(self)
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Connected components by small-star/large-star alternation — the same
+    * (v, label = component min) contract as [[connectedComponents]], with
+    * the same non-vertex-endpoint semantics (edges are restricted to the
+    * vertex set first, so an id outside `vertices` never bridges two
+    * components). Use for graphs whose diameter is OUTSIDE the 2–4-round
+    * near-dup regime — long chains, grid-ish similarity graphs — where
+    * [[connectedComponentsIterative]]'s per-round label crawl pays
+    * diameter rounds and refuses at its cap. Per alternation this path
+    * costs TWO aggregate+join rounds plus an exact fixpoint check, so on
+    * clique-ish near-dup graphs the min-label loop (1 cheap round each,
+    * 2–4 total) stays the default.
+    *
+    * Fixpoint: small-star output stable (exact anti-join check, not a
+    * checksum) — at that point the edge list is a star forest rooted at
+    * component minima (the paper's invariant), and labels read off as
+    * parent pointers. Each round's frames are pinned ([[Materialize]])
+    * and released like the min-label loop's.
+    */
+  def connectedComponentsStar(
+      vertices: DataFrame, edges: DataFrame,
+      maxRounds: Int = StarMaxRounds): DataFrame = {
+    val vset = vertices.select(col("v"))
+    val restricted = edges.select(col("i"), col("j"))
+      .join(vset.withColumnRenamed("v", "i"), Seq("i"), "left_semi")
+      .join(vset.withColumnRenamed("v", "j"), Seq("j"), "left_semi")
+    // orient larger-first; drop self loops up front
+    var oriented = Materialize.stable(
+      restricted
+        .select(greatest(col("i"), col("j")).as("u"), least(col("i"), col("j")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct(), eager = true)
+    var pinned = oriented
+    var rounds = 0
+    var converged = oriented.isEmpty
+    while (!converged) {
+      rounds += 1
+      if (rounds > maxRounds) {
+        Materialize.release(pinned)
+        lastIterativeRounds.set(rounds - 1)
+        throw new IllegalStateException(
+          s"small-star/large-star alternation did not converge within " +
+            s"$maxRounds rounds - alternations grow with log(diameter), so " +
+            "this is a defect (or a graph beyond any plausible vertex-id " +
+            "domain), not a legitimately slow input; do not raise the cap " +
+            "without understanding why the edge set is still moving.")
+      }
+      // large-star input is the BIDIRECTIONAL view of the oriented list
+      val bidir = oriented
+        .union(oriented.select(col("v").as("u"), col("u").as("v")))
+      val afterLarge = largeStar(bidir)
+      // large-star emits (bigger, min) pairs — already u > v oriented
+      val next = Materialize.stable(smallStar(afterLarge), eager = true)
+      // exact fixpoint: the edge SET is unchanged (both directions of the
+      // anti-join; counts alone can tie on different sets)
+      converged =
+        next.join(oriented, Seq("u", "v"), "left_anti").isEmpty &&
+          oriented.join(next, Seq("u", "v"), "left_anti").isEmpty
+      Materialize.release(pinned)
+      pinned = next
+      oriented = next
+    }
+    lastIterativeRounds.set(rounds)
+    // star forest: (u, v) = (member, component min); roots and isolated
+    // vertices label themselves. The final pinned edge frame stays alive —
+    // the returned (lazy) labels read it; the harness's releaseAll drains
+    // it after execution, exactly like the min-label loop's return.
+    vertices.select(col("v"))
+      .join(oriented.select(col("u").as("v"), col("v").as("parent")), Seq("v"), "left")
+      .select(col("v"), coalesce(col("parent"), col("v")).as("label"))
   }
 
   /** q68 — dedup clusters over the bounded near-dup sample: components of

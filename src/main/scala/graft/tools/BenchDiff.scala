@@ -253,7 +253,7 @@ object BenchDiff {
       }
     (meanMulti(oldJson), meanMulti(newJson)) match {
       case (Some((om, os)), Some((nm, ns))) if om > 0 && nm > 0 =>
-        println(f"normalized total (cpu): new × (old_multi/new_multi) = " +
+        println(f"normalized total (cpu): new x (old_multi/new_multi) = " +
           f"${newTot * om / nm}%.2f s (old phase multi=$om%.3f [$os], new phase " +
           f"multi=$nm%.3f [$ns]; raw new $newTot%.2f s)")
         // MIXED-ESTIMATOR guard: an r11+ map (mid-trace mean) diffed against
@@ -317,14 +317,14 @@ object BenchDiff {
               f"(old $om%.4f -> new $nm%.4f) - on this memory-bound surface " +
               "raw totals and per-query deltas are UNRELIABLE; an apparent " +
               "uniform smear is likely the host, not the engine")
-            println(f"mem-normalized total (advisory): new × (old_mem/new_mem) = " +
+            println(f"mem-normalized total (advisory): new x (old_mem/new_mem) = " +
               f"${newTot * om / nm}%.2f s (raw new $newTot%.2f s) - an estimate " +
               "of the same-mem-level total; confirm any surviving out-of-band " +
               "mover with an interleaved same-minutes A/B of the two builds " +
               "before believing it")
           }
         } else
-          println(f"normalized total (mem): new × (old_mem/new_mem) = " +
+          println(f"normalized total (mem): new x (old_mem/new_mem) = " +
             f"${newTot * om / nm}%.2f s (old mem=$om%.3f [$os], new mem=$nm%.3f [$ns])")
       case _ =>
         println("normalized total (mem): n/a (a side lacks the r10+ mem probe)")

@@ -403,6 +403,31 @@ object CeilingBench {
       s""""rounds":$chainRounds,""" +
       s""""sec_per_round":${r3(chainIterT.min / math.max(1, chainRounds))},""" +
       s""""label_mismatches":$chainMism}""")
+
+    // E3 (r14). the IMPLEMENTED high-diameter remedy on the same chain:
+    // small-star/large-star alternation — O(log d) alternations where the
+    // min-label loop above pays d rounds. Exactness vs the driver UF; the
+    // alternation count is the measured round law the refusal message
+    // promises.
+    var starRounds = 0
+    val (starT, _) = time(reps) {
+      val c = ccChecksum(Components.connectedComponentsStar(chainVerts, chainEdges))
+      starRounds = Components.lastIterativeRounds.get()
+      c
+    }
+    val starMism = Components.connectedComponents(chainVerts, chainEdges)
+      .select(col("v"), col("label").as("lu"))
+      .join(Components.connectedComponentsStar(chainVerts, chainEdges)
+        .select(col("v"), col("label").as("ls")), "v")
+      .filter(col("lu") =!= col("ls")).count()
+    if (starMism != 0) {
+      failed = true
+      System.err.println(s"EXACTNESS FAILED: chain star CC: $starMism mismatches")
+    }
+    println(s"""{"section":"components_chain_star","vertices":$chainN,""" +
+      s""""chain_len":$chainD,"star":${fmt(starT)},"alternations":$starRounds,""" +
+      s""""minlabel_rounds":$chainRounds,""" +
+      s""""label_mismatches":$starMism}""")
     } // CC
 
     if (enabled("LINEDICT")) {

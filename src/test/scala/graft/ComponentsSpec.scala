@@ -56,6 +56,15 @@ class ComponentsSpec extends SparkSpec {
           edges.toDF("i", "j"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(gotIter == want, s"iterative trial $trial: n=$n edges=${edges.size}")
+      // the r14 star-alternation path must agree too, with exactly one
+      // label row per vertex (a non-converged star forest would fan the
+      // parent join out — the toMap above would mask duplicates)
+      val starRows = Components.connectedComponentsStar(
+          vertices.toDF("v"), edges.toDF("i", "j"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(starRows.length == n, s"star trial $trial: ${starRows.length} rows for $n vertices")
+      assert(starRows.toMap == want, s"star trial $trial: n=$n edges=${edges.size}")
+      graft.operators.Materialize.releaseAll()
     }
   }
 
@@ -74,6 +83,12 @@ class ComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fast == Map(5L -> 5L, 9L -> 9L), s"fast path bridged: $fast")
     assert(iter == fast)
+    // the star path restricts edges to the vertex set up front — same
+    // contract (operating on raw edges it would happily bridge through 2)
+    val star = Components.connectedComponentsStar(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == fast, s"star path bridged: $star")
+    graft.operators.Materialize.releaseAll()
   }
 
   test("propagation past the round cap refuses actionably; an explicit cap completes exactly") {
@@ -105,6 +120,27 @@ class ComponentsSpec extends SparkSpec {
     Components.connectedComponentsIterative(fixtureVerts, fixtureEdges).count()
     assert(Components.lastIterativeRounds.get() <= 4,
       s"fixture graph took ${Components.lastIterativeRounds.get()} rounds")
+    graft.operators.Materialize.releaseAll()
+  }
+
+  test("star alternation solves the chain the min-label cap refuses, in O(log d) rounds") {
+    import spark.implicits._
+    // The remedy the refusal message names, proven on the refusing
+    // geometry: the same 30-vertex path needs ~29 min-label rounds (past
+    // DefaultMaxRounds) but contracts to stars within ~log2(30)+c
+    // alternations — and the labels are exact.
+    val n = 30L
+    val vertices = (0L until n).toDF("v")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("i", "j")
+    val got = Components.connectedComponentsStar(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == n.toInt)
+    assert(got.toMap == (0L until n).map(_ -> 0L).toMap,
+      "star path must label the whole chain 0")
+    val rounds = Components.lastIterativeRounds.get()
+    assert(rounds <= 10, s"star alternation took $rounds rounds on a 30-chain " +
+      "(expected O(log diameter), ~5-8)")
+    graft.operators.Materialize.releaseAll()
   }
 
   test("empty vertex set terminates with an empty result, not an NPE") {
