@@ -258,7 +258,13 @@ object Pq {
   private def rerank(candidates: DataFrame, emb: DataFrame, qvecs: DataFrame, k2: Int): DataFrame = {
     val wK2 = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id").asc)
-    candidates
+    // broadcast the CANDIDATE side (r14): it is |Q|·k1 rows BY CONTRACT (the
+    // k1 window just cut it), while `emb` is the CORPUS — unhinted, Catalyst
+    // compared the fixture-tiny vectors scan against the candidates'
+    // post-window estimate and broadcast the corpus (BuildRight over the
+    // full embeddings FileScan in the executed plan), which inverts at
+    // scale. Same direction [[Knn.searchIndex]] has always hinted.
+    broadcast(candidates)
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(qvecs), "query_id")
       .select(

@@ -57,14 +57,18 @@ object Relational {
     val nat = Tables.nation(spark, sfDir)
     val reg = Tables.region(spark, sfDir)
     // Hint only the genuinely constant-size tables (region=5, nation=25
-    // rows). supplier grows with SF — at 100× a forced broadcast of the whole
-    // dim chain would exceed executor memory; size-based selection + AQE pick
-    // the right plan for it (still a broadcast at gate scale).
-    val dims = sup
+    // rows). supplier grows with SF — at 100× a forced broadcast would exceed
+    // executor memory, so its join stays size-based — but the fact side must
+    // join supplier's SCAN directly (r14): the previous lineitem⋈(sup⋈nat⋈reg)
+    // shape compared the pruned lineitem scan against a 3-way-join ESTIMATE
+    // (join stats are size products, always huge), and Catalyst broadcast
+    // LINEITEM — the fact table — as the "smaller" side (BuildLeft in the
+    // executed plan; collect-to-driver of every lineitem row). Joining
+    // scan-vs-scan the comparison is honest at every SF: broadcast supplier
+    // at gate scale, SMJ when supplier outgrows the threshold.
+    li.join(sup, li("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
-      .select(col("s_suppkey"), col("n_name"), col("r_name"))
-    li.join(dims, li("l_suppkey") === dims("s_suppkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         Det.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
@@ -191,12 +195,14 @@ object Relational {
     val nat = Tables.nation(spark, sfDir)
     val reg = Tables.region(spark, sfDir)
     // Same hint discipline as q02: broadcast only nation/region; customer
-    // scales with SF, so its join is left to size-based selection + AQE.
-    val dims = cust
+    // scales with SF, so its join is left to size-based selection + AQE —
+    // and, as in q02 (r14), the fact joins customer's SCAN directly so the
+    // size comparison is scan-vs-scan: the previous orders⋈(cust⋈nat⋈reg)
+    // shape made Catalyst broadcast ORDERS against the inflated dim-chain
+    // join estimate (BuildLeft fact broadcast in the executed plan).
+    ord.join(cust, ord("o_custkey") === cust("c_custkey"))
       .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
-      .select(col("c_custkey"), col("n_name"), col("r_name"))
-    ord.join(dims, ord("o_custkey") === dims("c_custkey"))
       .rollup(col("r_name"), col("n_name"))
       .agg(
         count(lit(1)).as("n_orders"),

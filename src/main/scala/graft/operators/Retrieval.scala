@@ -58,6 +58,25 @@ object Retrieval {
       .groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Per-term document frequencies (t, df) for the query terms, served from
+    * the persisted [[vocab]] dictionary — ES reads df from the index's
+    * segment statistics, it never recounts postings per query. r14: every
+    * lexical scorer previously derived df by RE-AGGREGATING [[termFreqs]]
+    * (`tf.groupBy(t).count`), and because Catalyst prunes that branch's
+    * columns differently from the scoring branch, ReuseExchange never fired
+    * — the executed plans carried TWO term-restricted postings probes and
+    * two (doc_id, t) exchanges per query. A pushed `In(term, …)` probe of
+    * the Zipf-bounded dictionary replaces that whole leg with a |terms|-row
+    * read. Values are identical by construction: both stores are built from
+    * the same tokenizer over the same corpus (vocab `n_docs` =
+    * countDistinct(doc_id) ≡ the count of tf's (doc_id, t)-distinct rows),
+    * which is the same exactness contract q143/q144/q154 already rest on.
+    */
+  private def docFreqs(spark: SparkSession, sfDir: String, terms: Seq[String]): DataFrame =
+    vocab(spark, sfDir)
+      .filter(col("term").isin(terms: _*))
+      .select(col("term").as("t"), col("n_docs").as("df"))
+
   /** q61 — TF-IDF top-k retrieval: score(d) = Σ_t tf(t,d) · idf4(t) with
     * idf4(t) = ⌊ln(N/df(t)) · 10⁴ + ½⌋ as BIGINT. Integer scores ⇒ the
     * DESC-score ranking is total and engine-independent (ties break on
@@ -77,9 +96,10 @@ object Retrieval {
     // Corpus size as a 1-row broadcast relation (a scalar subquery shape —
     // no driver-side count, the whole thing stays one plan).
     val n = doc.agg(count(lit(1)).as("n"))
-    // df(t) = rows of tf at t (tf is one row per (doc_id, t)); the branch
-    // re-probes the store (pushed, bounded) rather than re-tokenizing.
-    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // df(t) from the persisted term dictionary (one pushed probe for the
+    // entire lexical family q61/q62/q88/q146/q152/q163/q164/q165/q167/q168)
+    // — see [[docFreqs]].
+    val dfreq = docFreqs(spark, sfDir, terms)
     val idf = dfreq.crossJoin(broadcast(n))
       .select(col("t"), Det.quant(log(col("n") / col("df")) * 10000, 0).as("idf4"))
     tf.join(broadcast(idf), "t")
@@ -141,7 +161,8 @@ object Retrieval {
     val stats = norms.agg(
       count(lit(1)).cast("double").as("n"),
       (sum(col("dl")) / count(lit(1))).as("avgdl"))
-    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
+    // df(t) from the persisted term dictionary — see [[docFreqs]].
+    val dfreq = docFreqs(spark, sfDir, terms).select(col("t"), col("df").cast("double").as("df"))
     val idf = dfreq.crossJoin(broadcast(stats))
       .select(
         col("t"),
@@ -238,7 +259,8 @@ object Retrieval {
     val doc = Tables.documents(spark, sfDir)
     val tf = termFreqs(spark, sfDir, terms)
     val n = doc.agg(count(lit(1)).as("n"))
-    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // df(t) from the persisted term dictionary — see [[docFreqs]].
+    val dfreq = docFreqs(spark, sfDir, terms)
     val idf = dfreq.crossJoin(broadcast(n))
       .select(col("t"), Det.quant(log(col("n") / col("df")) * 10000, 0).as("idf4"))
     val lexTop = tf.join(broadcast(idf), "t")
@@ -934,7 +956,15 @@ object Retrieval {
       .join(broadcast(exTf.select(col("t"))), "t")
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
     val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n"))
-    val dfreq = tf.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
+    // df(t) from the persisted term dictionary (r14 — [[docFreqs]] rationale;
+    // previously a re-aggregation of tf, a SECOND full term-restricted
+    // postings probe per query). The example's terms are dynamic, so the
+    // dictionary is restricted by a broadcast semi-join on the example's
+    // term profile instead of a literal pushed In — a dictionary-bounded
+    // scan, still never the postings.
+    val dfreq = vocab(spark, sfDir)
+      .select(col("term").as("t"), col("n_docs").as("df"))
+      .join(broadcast(exTf.select(col("t"))), "t")
     val idf = dfreq.crossJoin(broadcast(n))
       .select(col("t"), Det.quant(log(col("n") / col("df")) * 10000, 0).as("idf4"))
     // ES max_query_terms: the example's most interesting terms. The window
@@ -1228,7 +1258,8 @@ object Retrieval {
     val doc = Tables.documents(spark, sfDir)
     val tf = termFreqs(spark, sfDir, terms)
     val n = doc.agg(count(lit(1)).as("n"))
-    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // df(t) from the persisted term dictionary — see [[docFreqs]].
+    val dfreq = docFreqs(spark, sfDir, terms)
     val idf = dfreq.crossJoin(broadcast(n))
       .select(col("t"), col("df"),
         Det.quant(log(col("n") / col("df")) * 10000, 0).as("idf4"))
@@ -1275,7 +1306,8 @@ object Retrieval {
     val doc = Tables.documents(spark, sfDir)
     val tf = termFreqs(spark, sfDir, terms)
     val n = doc.agg(count(lit(1)).as("n"))
-    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // df(t) from the persisted term dictionary — see [[docFreqs]].
+    val dfreq = docFreqs(spark, sfDir, terms)
     val idf = dfreq.crossJoin(broadcast(n))
       .select(col("t"), Det.quant(log(col("n") / col("df")) * 10000, 0).as("idf4"))
     tf.join(broadcast(idf), "t")

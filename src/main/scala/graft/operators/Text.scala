@@ -1951,7 +1951,11 @@ object Text {
       lineWidth: Int = 2): DataFrame = {
     requireLineWidth(lineWidth)
     requireLineDictParams(spark, storeDir, lineWidth, "probe")
-    val lines = crossDocLines(batchDocs, lineWidth)
+    // Pinned eagerly (r14): same two-consumer shape as spanBatchAgainstStore
+    // — unpinned, the line-hash kernel ran once under the ownership window
+    // and AGAIN under the store-probe broadcast. Digest-only, delivery-sized.
+    val lines = Materialize.stable(
+      crossDocLines(batchDocs, lineWidth), eager = true)
     val wdig = Window.partitionBy(col("h1"), col("h2"))
     val flagged = lines.withColumn("first",
       min(struct(col("doc_id"), col("idx"))).over(wdig))
@@ -3300,8 +3304,13 @@ object Text {
       gram: Int = 8, sampleMod: Int = 1): DataFrame = {
     requireNoveltyParams(spark, storeDir, gram, sampleMod, "probe")
     val g0 = gramDigestsOf(batchDocs, gram)
-    val g = if (sampleMod <= 1) g0
-      else g0.filter(pmod(col("g64"), lit(sampleMod.toLong)) === 0)
+    // Pinned eagerly (r14): same two-consumer shape as spanBatchAgainstStore
+    // — unpinned, the gram-hash kernel ran once under the novelty window and
+    // AGAIN under the store-probe broadcast. Digest-only, delivery-sized.
+    val g = Materialize.stable(
+      if (sampleMod <= 1) g0
+      else g0.filter(pmod(col("g64"), lit(sampleMod.toLong)) === 0),
+      eager = true)
     val wg = Window.partitionBy(col("g64"), col("g64b"))
     val flagged = g
       .withColumn("mn", min(col("doc_id")).over(wg))
@@ -3912,7 +3921,16 @@ object Text {
       spark: SparkSession, batchDocs: DataFrame, storeDir: String,
       spanLen: Int = 40, sampleMod: Int = 1): DataFrame = {
     requireSpanParams(spark, storeDir, spanLen, sampleMod, "probe")
-    val win = spanWindowsOf(batchDocs, spanLen, sampleMod)
+    // Pinned eagerly (r14): the delivery's window digests feed TWO consumers
+    // — the in-batch min/max window and the store-probe broadcast — and
+    // unpinned, column pruning specializes each subtree so the rolling-hash
+    // kernel re-scans and re-hashes the delivery text PER CONSUMER (two
+    // kernel passes in the executed plan). The pin carries digests only
+    // (doc_id, pos, h1, h2 — never text) and is delivery-sized, the same
+    // boundedness contract the probe's broadcast already rests on (q175's
+    // delivery-pin rationale).
+    val win = Materialize.stable(
+      spanWindowsOf(batchDocs, spanLen, sampleMod), eager = true)
     val wdig = Window.partitionBy(col("h1"), col("h2"))
     val flagged = win
       .withColumn("mn", min(col("doc_id")).over(wdig))
