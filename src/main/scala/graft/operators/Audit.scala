@@ -227,12 +227,17 @@ object Audit {
     * longs, never vectors; the count aggregate reads two pruned columns;
     * the final rollup is label-cardinality.
     */
-  def centroidDrift(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-    centroidDriftOf(
-      emb.filter(col("vec_id") % 2 === 0).select(col("label"), col("embedding")),
-      emb.filter(col("vec_id") % 2 =!= 0).select(col("label"), col("embedding")))
-  }
+  def centroidDrift(spark: SparkSession, sfDir: String): DataFrame =
+    // ONE tagged scan (r14): the old two-filtered-frames union planned TWO
+    // full embedding scans per leg (the `% 2` predicate prunes nothing at
+    // the storage layer — both "snapshots" live in one table), and the
+    // byDim + counts legs each re-planned the union — 2 heavy vector scans
+    // + 2 light label scans per run. Deriving the is_a tag in a single
+    // projection halves the heavy reads; real two-table snapshots keep the
+    // union entry point below.
+    centroidDriftTagged(
+      Tables.embeddings(spark, sfDir)
+        .select(col("label"), (col("vec_id") % 2 === 0).as("is_a"), col("embedding")))
 
   /** The drift core over ANY two (label, embedding) snapshot frames —
     * specs drive it with planted shifts of known magnitude.
@@ -240,7 +245,12 @@ object Audit {
   def centroidDriftOf(a: DataFrame, b: DataFrame): DataFrame = {
     def tagged(df: DataFrame, isA: Boolean) =
       df.select(col("label"), lit(isA).as("is_a"), col("embedding"))
-    val x = tagged(a, isA = true).unionByName(tagged(b, isA = false))
+    centroidDriftTagged(tagged(a, isA = true).unionByName(tagged(b, isA = false)))
+  }
+
+  /** Drift core over one pre-tagged (label, is_a, embedding) frame. */
+  private def centroidDriftTagged(taggedRows: DataFrame): DataFrame = {
+    val x = taggedRows
       .select(col("label"), col("is_a"),
         posexplode(col("embedding")).as(Seq("dim0", "ev")))
       .select(col("label"), col("is_a"), col("dim0"),
@@ -249,7 +259,7 @@ object Audit {
       .agg(
         sum(when(col("is_a"), col("s")).otherwise(0L)).as("sa"),
         sum(when(!col("is_a"), col("s")).otherwise(0L)).as("sb"))
-    val counts = tagged(a, isA = true).unionByName(tagged(b, isA = false))
+    val counts = taggedRows
       .groupBy(col("label"))
       .agg(
         sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),

@@ -2113,7 +2113,16 @@ object Text {
   def tokenRarity(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-    val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    // Term frequencies and the corpus total from the persisted vocabulary
+    // dictionary (r14): `tok` previously fed the freq aggregate AND the
+    // scoring join, and freq additionally fed totals — THREE corpus
+    // tokenize passes per run, none deduped by ReuseExchange (each branch
+    // prunes differently). The dictionary's n_hits is count-per-term over
+    // the identical tokenizer (the q143 exactness contract), so freq and
+    // ntotal are Zipf-bounded store reads and the corpus is tokenized
+    // ONCE, in the scoring leg.
+    val freq = Retrieval.vocab(spark, sfDir)
+      .select(col("term").as("t"), col("n_hits").as("cnt"))
     val totals = freq.agg(sum(col("cnt")).as("ntotal"))
     tok.join(freq, "t")
       .crossJoin(broadcast(totals))
@@ -2271,9 +2280,12 @@ object Text {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
       .withColumn("ts", tokens(col("text")))
-    val uni = tok
-      .select(explode(col("ts")).as("t"))
-      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    // Unigram counts + corpus total from the persisted vocabulary
+    // dictionary (r14) — same rationale as [[tokenRarity]]: the uni
+    // aggregate previously re-tokenized the corpus for the totals leg and
+    // both join legs; now only the bigram generate reads the corpus.
+    val uni = Retrieval.vocab(spark, sfDir)
+      .select(col("term").as("t"), col("n_hits").as("c"))
     val totals = uni.agg(sum(col("c")).as("ntotal"))
     val bf = tok
       .filter(size(col("ts")) >= 2)

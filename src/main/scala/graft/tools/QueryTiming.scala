@@ -14,15 +14,31 @@ object QueryTiming {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val names = if (args.nonEmpty) args.toSeq else Seq("q23_lsh_knn", "q28_lsh_multiprobe")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark0 = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 8, not cpus (r14): the bench session pins shuffle.partitions=8 and
+      // this tool's whole purpose is A/B parity with the bench's timed loop
+      // — at 32 the tool timed different post-shuffle task counts than any
+      // number it was being compared against.
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       // mirror the FULL canonical bench session (Bench.scala) — without
       // this flag the tool's numbers are not comparable to bench maps
       .config("spark.sql.constraintPropagation.enabled", "false")
+    // Same experiment hook as Bench: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" layers
+    // session confs for planner/runtime A/B runs (e.g. optimizer rule
+    // exclusions) without editing the recorded methodology.
+    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(';').toSeq).map(_.trim).filter(_.nonEmpty)
+      .foldLeft(spark0) { (b, kv) =>
+        kv.split("=", 2) match {
+          case Array(k, v) => b.config(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not k=v")
+        }
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // Mirror Bench: prepared-instance reuse is opt-in, and this tool's
