@@ -378,6 +378,17 @@ object Retrieval {
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("n_hits"), countDistinct(col("doc_id")).as("n_docs"))
+      // Term-sorted, range-partitioned layout (r14): the store previously
+      // landed as the aggregation's 8 unsorted post-shuffle files, so every
+      // pushed In(term)/prefix probe opened ALL of them and row-group
+      // min/max stats on `term` could skip nothing — measured as a
+      // per-query file-open tax on the whole df/fuzzy/suggest probe family
+      // on the slow-open sandbox fs. Range+sort is the postings store's own
+      // discipline: AQE sizes the file count to the dictionary (ONE file at
+      // gate scale), term stats become selective, and a probe reads the one
+      // row-group run its terms live in.
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
 
   /** Build the DOC-NORMS store: (doc_id, dl) with dl = whitespace token
@@ -406,7 +417,10 @@ object Retrieval {
   def ensureVocabStore(spark: SparkSession, sfDir: String): String = {
     val srcSig = graft.Tables.fixtureSig(spark, s"$sfDir/documents.parquet")
     val key = graft.operators.Index.cacheKey(
-      s"$sfDir:$srcSig:vocab:v${graft.operators.Index.LayoutVersion}")
+      // ":sorted:" = the r14 term-sorted layout (same marker discipline as
+      // the postings store key) — a layout change must never serve a stale
+      // pre-sort directory under the old key.
+      s"$sfDir:$srcSig:vocab:sorted:v${graft.operators.Index.LayoutVersion}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-vocab-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists())
       buildVocabStore(spark, Tables.documents(spark, sfDir), dir.getAbsolutePath)

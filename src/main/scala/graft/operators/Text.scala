@@ -1951,11 +1951,9 @@ object Text {
       lineWidth: Int = 2): DataFrame = {
     requireLineWidth(lineWidth)
     requireLineDictParams(spark, storeDir, lineWidth, "probe")
-    // Pinned eagerly (r14): same two-consumer shape as spanBatchAgainstStore
-    // — unpinned, the line-hash kernel ran once under the ownership window
-    // and AGAIN under the store-probe broadcast. Digest-only, delivery-sized.
-    val lines = Materialize.stable(
-      crossDocLines(batchDocs, lineWidth), eager = true)
+    // NOT pinned — the spanBatchAgainstStore measurement (+0.21 s/query
+    // pinned): delivery-bounded recompute beats a checkpoint here.
+    val lines = crossDocLines(batchDocs, lineWidth)
     val wdig = Window.partitionBy(col("h1"), col("h2"))
     val flagged = lines.withColumn("first",
       min(struct(col("doc_id"), col("idx"))).over(wdig))
@@ -3316,13 +3314,10 @@ object Text {
       gram: Int = 8, sampleMod: Int = 1): DataFrame = {
     requireNoveltyParams(spark, storeDir, gram, sampleMod, "probe")
     val g0 = gramDigestsOf(batchDocs, gram)
-    // Pinned eagerly (r14): same two-consumer shape as spanBatchAgainstStore
-    // — unpinned, the gram-hash kernel ran once under the novelty window and
-    // AGAIN under the store-probe broadcast. Digest-only, delivery-sized.
-    val g = Materialize.stable(
-      if (sampleMod <= 1) g0
-      else g0.filter(pmod(col("g64"), lit(sampleMod.toLong)) === 0),
-      eager = true)
+    // NOT pinned — the spanBatchAgainstStore measurement (+0.14 s/query
+    // pinned): delivery-bounded recompute beats a checkpoint here.
+    val g = if (sampleMod <= 1) g0
+      else g0.filter(pmod(col("g64"), lit(sampleMod.toLong)) === 0)
     val wg = Window.partitionBy(col("g64"), col("g64b"))
     val flagged = g
       .withColumn("mn", min(col("doc_id")).over(wg))
@@ -3933,16 +3928,15 @@ object Text {
       spark: SparkSession, batchDocs: DataFrame, storeDir: String,
       spanLen: Int = 40, sampleMod: Int = 1): DataFrame = {
     requireSpanParams(spark, storeDir, spanLen, sampleMod, "probe")
-    // Pinned eagerly (r14): the delivery's window digests feed TWO consumers
-    // — the in-batch min/max window and the store-probe broadcast — and
-    // unpinned, column pruning specializes each subtree so the rolling-hash
-    // kernel re-scans and re-hashes the delivery text PER CONSUMER (two
-    // kernel passes in the executed plan). The pin carries digests only
-    // (doc_id, pos, h1, h2 — never text) and is delivery-sized, the same
-    // boundedness contract the probe's broadcast already rests on (q175's
-    // delivery-pin rationale).
-    val win = Materialize.stable(
-      spanWindowsOf(batchDocs, spanLen, sampleMod), eager = true)
+    // NOT pinned (r14, measured): the delivery digests feed two consumers
+    // (ownership window + store-probe broadcast) and column pruning makes
+    // the kernel run once per consumer — but an eager digest pin was
+    // interleaved-A/B'd at +0.22 s/query (3 rounds, consistent): the
+    // checkpoint write + the lost prepared-plan cache cost more than the
+    // second delivery-bounded kernel pass. Both sides of that trade are
+    // delivery-sized, so the recompute stays the right default at scale
+    // too (the q34 unpinned-sample rationale).
+    val win = spanWindowsOf(batchDocs, spanLen, sampleMod)
     val wdig = Window.partitionBy(col("h1"), col("h2"))
     val flagged = win
       .withColumn("mn", min(col("doc_id")).over(wdig))
