@@ -92,6 +92,73 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"dim join should not shuffle:\n$plan")
   }
 
+  /** Every FileScan location under a BroadcastExchange build side — the
+    * physical-tree form of "what do we broadcast?". The r14 sweep found
+    * q02/q07 broadcasting the FACT table (the pruned fact scan estimated
+    * below the dim-chain's join-stats product) and the PQ-family rerank
+    * broadcasting the corpus vectors; these locks keep both inversions
+    * fixed.
+    */
+  private def broadcastScanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, FilterExec, InputAdapter, ProjectExec, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    // UNREDUCED reachability only: follow pure row-preserving nodes from
+    // the broadcast build side; any aggregate/limit/window/join en route
+    // means the broadcast frame is a REDUCTION of the scan (a k1 candidate
+    // set deriving from the vector table is fine — broadcasting the table
+    // itself is not).
+    def unreducedScans(p: SparkPlan): Seq[String] = p match {
+      case f: FileSourceScanExec => f.relation.location.rootPaths.map(_.toString)
+      case _: ProjectExec | _: FilterExec | _: ColumnarToRowExec |
+           _: InputAdapter | _: WholeStageCodegenExec =>
+        p.children.flatMap(unreducedScans)
+      case _ => Nil
+    }
+    def walk(p: SparkPlan): Seq[String] = {
+      val here = p.collect { case b: BroadcastExchangeLike => unreducedScans(b.child) }.flatten
+      val nested = p.collect { case a: AdaptiveSparkPlanExec => a }
+        .flatMap(a => walk(a.executedPlan))
+      here ++ nested
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("fact tables are never the broadcast side (r14 q02/q07 inversion lock)") {
+    Seq("q02_revenue_by_nation" -> "lineitem", "q07_rollup_revenue" -> "orders")
+      .foreach { case (q, fact) =>
+        val paths = broadcastScanPaths(SparkEntry.queries(q)(spark, sf001))
+        assert(!paths.exists(_.contains(fact)),
+          s"$q broadcasts the fact table $fact: ${paths.mkString(", ")}")
+      }
+  }
+
+  test("quantized-ANN rerank broadcasts candidates, never the vector table (r14 lock)") {
+    // The flat + indexed paths of all three quantizer families share
+    // Pq.rerank; one gate per shape keeps the lock cheap.
+    Seq("q90_sq8_ann", "q71_pq_ann_indexed", "q155_bq_ann").foreach { q =>
+      val paths = broadcastScanPaths(SparkEntry.queries(q)(spark, sf001))
+      assert(!paths.exists(_.contains("embeddings")),
+        s"$q broadcasts the corpus vector table: ${paths.mkString(", ")}")
+    }
+  }
+
+  test("lexical scorers serve df from the term dictionary, one postings probe (r14)") {
+    // Before r14 the df leg re-aggregated the postings probe: two pushed
+    // store scans per query that ReuseExchange could not dedup. df now
+    // comes from the vocab store (ES's own idf-from-segment-statistics
+    // shape), leaving exactly one postings probe in the plan.
+    Seq("q61_tfidf_search", "q62_bm25_scores", "q167_dis_max").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("graft-vocab-"),
+        s"$q does not probe the term dictionary for df:\n$plan")
+      val postingsScans = plan.linesIterator
+        .count(l => l.contains("FileScan") && l.contains("graft-postings-"))
+      assert(postingsScans == 1,
+        s"$q plans $postingsScans postings probes (want 1):\n$plan")
+    }
+  }
+
   test("q02 prunes lineitem to the three needed columns") {
     val plan = planOf("q02_revenue_by_nation")
     val scan = plan.linesIterator.filter(_.contains("FileScan"))
