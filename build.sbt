@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run's default LoggedOutput prefixes every program line with
+// "[info] ", which breaks line-level JSON parsing of the bench contract
+// line ({"metric",...,"queries",...}) — the driver read parsed:null every
+// round through r14. StdoutOutput passes the program's stdout through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

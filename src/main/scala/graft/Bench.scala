@@ -540,17 +540,24 @@ object Bench {
     // can be embedded in the per-query file below for BenchDiff's
     // phase-normalized totals.
     val (postSingle, postMulti, postMem, postIo) = throttleProbe("post", cpus.toInt)
-    // The driver captures a bounded (~4 KB) TAIL of stdout, which truncated
-    // the old single ~5 KB per-query line mid-pair every round (BENCH_r05
-    // kept ~50 of 171 pairs, unparseable head). Three-part answer:
+    // The driver captures a bounded (~2 KB) TAIL of stdout for its record,
+    // but parses the FULL stream: every BENCH_r*.json through r14 shows
+    // parsed:null because no single line ever carried the declared contract
+    // {"metric","value","unit","queries","sf"} — the total line had no
+    // "queries", the part lines no "value"/"unit". Four-part answer (r15):
     // 1. The FULL per-query map goes to a file (bench_per_query.json, repo
     //    cwd) — committed local runs let a judge diff every query without
     //    a re-run even when stdout is clipped.
     // 2. stdout carries the map as CHUNKED lines of ~25 pairs, values
     //    rounded to 0.1 ms — the tail clips whole lines off the head, so
-    //    whatever survives stays parseable (and rounding nearly doubles how
-    //    many pairs fit in the window).
-    // 3. The compact total line stays LAST and format-stable.
+    //    whatever survives stays parseable (human/legacy view).
+    // 3. The final total line now embeds the COMPLETE queries map, with the
+    //    scalar fields AFTER it so they survive inside the driver's 2 KB
+    //    tail window even though the line itself is ~6 KB. Key order is
+    //    irrelevant to a JSON parser; all previous fields are retained.
+    // 4. build.sbt sets run/outputStrategy := StdoutOutput so these lines
+    //    print RAW — sbt's LoggedOutput "[info] " prefix made every JSON
+    //    line unparseable as a line-level json.loads since round 1.
     def r4(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     val pairs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }.toSeq
     val chunks = pairs.grouped(25).toSeq
@@ -613,7 +620,12 @@ object Bench {
     // (index builds, model fits, the persisted pairs stage). Emitted before
     // the final total line so both compact lines land in the tail capture.
     println(s"""{"metric":"ingest","value":$ingestSec,"unit":"sec","sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"nqueries":${results.size},"nerrors":${errors.size},"phase_suspect":$phaseSuspect,"phase_class":"$phaseLabel","mem_phase_class":"$memPhaseLabel","sf":"$sfDir"}""")
+    // Driver contract line: ONE JSON object with metric/value/unit/queries/sf
+    // (plus the r6+ phase metadata, all additive). "queries" first, scalars
+    // last, so the driver's 2 KB tail capture retains every scalar field.
+    println(pairs.mkString(
+      s"""{"metric":"total","queries":{""", ",",
+      s"""},"value":$total,"unit":"sec","reps":$reps,"nqueries":${results.size},"nerrors":${errors.size},"phase_suspect":$phaseSuspect,"phase_class":"$phaseLabel","mem_phase_class":"$memPhaseLabel","sf":"$sfDir"}"""))
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"BENCH FAILED: ${errors.keys.mkString(", ")}")
