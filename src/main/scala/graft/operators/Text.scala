@@ -800,6 +800,40 @@ object Text {
       docUnits: DataFrame, k: Int, rowsPerBand: Int): (DataFrame, DataFrame) =
     signatureBandsFromSig(unitSig(docUnits, k), k, rowsPerBand)
 
+  /** Same-bucket candidate pairs from a band table (doc_id, band, bh) —
+    * the LSH pair-mining self-join shared by the banding detectors.
+    *
+    * `spread = true` (corpus-scale callers) pins the self-join's exchange
+    * to the session's shuffle-partition count (`repartition(n, band, bh)`
+    * — REPARTITION_BY_NUM, which AQE partition coalescing must respect):
+    * AQE sizes post-shuffle partitions by BYTES, but this join's cost is
+    * pair-generation CPU (quadratic in bucket occupancy), so byte-blind
+    * coalescing collapses the whole mining pass onto one task — measured
+    * at sf0.1 as a single 465 ms task (388 ms CPU, 852 KB shuffle read)
+    * holding q77's dominant stage while the other 31 cores idled. The
+    * join requires this hash partitioning anyway, so the pin costs no
+    * extra exchange; the count stays conf-parameterised
+    * (spark.sql.shuffle.partitions — the knob a cluster deployment sizes)
+    * rather than a local constant. Sample-bounded callers (q34) keep
+    * `spread = false`: their mining input is ~10² docs by contract and
+    * the unpinned frame re-executes per consumer, so extra tasks are pure
+    * scheduling overhead there.
+    */
+  private[graft] def bandCandidatePairs(
+      bands: DataFrame, spread: Boolean): DataFrame = {
+    val mined =
+      if (spread) {
+        val n = bands.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        bands.repartition(n, col("band"), col("bh"))
+      } else bands
+    mined.as("x")
+      .join(mined.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+  }
+
   private def bandedNearDups(
       docs: DataFrame, // (doc_id, text, …) — the raw document frame
       unitsCol: Column, // the unit-array builder (evaluated per surviving row)
@@ -820,12 +854,7 @@ object Text {
     // a pin, all three re-execute the signature chain CONCURRENTLY (AQE's
     // exchange reuse does not span independent broadcast jobs). Pin the
     // banding-sized pair set eagerly so the corpus-wide chain runs once.
-    val candsRaw = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-        .distinct()
+    val candsRaw = bandCandidatePairs(bands, spread = pinned)
     val cands = if (pinned) Materialize.stable(candsRaw, eager = true) else candsRaw
     // Verification reads ONLY candidate documents' units: semi-join the RAW
     // doc frame down to candidate ids FIRST, then build + explode the unit
@@ -834,14 +863,44 @@ object Text {
     // joining the pre-projected frame would re-run the corpus-wide unit
     // builder — profiled as a full second shingle pass at sf0.1). Pinned:
     // both sides of the pair join read it.
-    // no broadcast() hint on the semi: a hint would bypass AQE's size check
-    // and force-collect a candidate set that banding does not bound.
-    val candIds = cands.select(col("i").as("doc_id"))
+    // The id side is size-gated (measured row probe on the pinned ids,
+    // sizeGatedBroadcast), never blind-hinted — banding does not bound the
+    // candidate set, so an unconditional broadcast() would force-collect
+    // an unbounded frame. Without the gate, the checkpointed id list has
+    // UNKNOWN size to the planner (LogicalRDD defaults to
+    // spark.sql.defaultSizeInBytes), so the semi-join planned as a shuffle
+    // join: the CORPUS TEXT shuffled by doc_id before AQE's runtime
+    // conversion could see the ~6 KB id side — measured at sf0.1 as an
+    // 852 KB text exchange plus a byte-coalesced single task holding the
+    // join+explode+pin (~0.6 s CPU on one core). At 100 TB that shape
+    // moves the whole corpus once per detection run. Past the row ceiling
+    // the gate degrades to the current shuffle semi-join, which is then
+    // the right plan. Unpinned callers keep the plain semi: their doc
+    // frame is sample-bounded by contract and extra pin/probe jobs cost
+    // more than they save (the q34 measurement).
+    val candIdsRaw = cands.select(col("i").as("doc_id"))
       .union(cands.select(col("j").as("doc_id"))).distinct()
+    val candIds =
+      if (pinned) sizeGatedBroadcast(candIdsRaw, CandIdBroadcastMaxRows)
+      else candIdsRaw
     val candTokRaw = docs.join(candIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), explode(unitsCol).as("t"))
     val candTok = if (pinned) Materialize.stable(candTokRaw, eager = true) else candTokRaw
-    val common = cands
+    // Verify-probe parallelism: the stream side of the common-unit count is
+    // the PAIR LIST (16 bytes a row — the §8 lightweight proxy; the heavy
+    // unit table sits on the hash side), but a pinned pair list streams
+    // with exactly its checkpoint's block count — at 10× fixture scale the
+    // probe ran 46 s of pair-fanout CPU in 4 tasks while 28 cores idled.
+    // Round-robin the pinned pairs to the session's scheduling width
+    // before probing: the exchange moves pair metadata only, so it stays
+    // negligible at every scale (when the unit table outgrows the
+    // broadcast threshold and the join degrades to SMJ, the pairs were
+    // getting exchanged anyway).
+    val candsProbe =
+      if (pinned)
+        cands.repartition(cands.sparkSession.sparkContext.defaultParallelism)
+      else cands
+    val common = candsProbe
       .join(candTok.select(col("doc_id").as("i"), col("t")), "i")
       .join(candTok.select(col("doc_id").as("j"), col("t")), Seq("j", "t"))
       .groupBy(col("i"), col("j"))
@@ -1672,6 +1731,15 @@ object Text {
     * relation size every executor comfortably holds.
     */
   val LineDictBroadcastMaxRows: Long = 2000000L
+
+  /** Broadcast ceiling for a banding run's candidate-id set (single
+    * doc_id column): the [[Curation.AssignBroadcastMaxRows]] order — 50M
+    * longs is ~400 MB raw, a hash relation every executor holds — applied
+    * to the near-dup verify semi-join so the corpus text streams instead
+    * of shuffling (see [[bandedNearDups]]). Past it the semi-join
+    * degrades to the shuffle plan.
+    */
+  val CandIdBroadcastMaxRows: Long = 50000000L
 
   /** Size-gate a corpus-derived join side via [[Materialize.pinnedFits]]:
     * broadcast under the ceiling, plain (shuffled) equi-join past it.

@@ -221,6 +221,32 @@ class PlanSpec extends SparkSpec {
     assertNeverShuffled("q208_novelty_increment", "text")
   }
 
+  test("banding pair mining: spread pins the bucket exchange, same pairs (r15 q77)") {
+    import org.apache.spark.sql.functions.col
+    // synthetic band table with dense buckets so the self-join has fanout
+    val bands = spark.range(0, 200)
+      .select(col("id").as("doc_id"),
+        (col("id") % 3).cast("int").as("band"),
+        (col("id") % 7).as("bh"))
+    val spreadDf = graft.operators.Text.bandCandidatePairs(bands, spread = true)
+    val plainDf = graft.operators.Text.bandCandidatePairs(bands, spread = false)
+    val spreadRows = spreadDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the executed plan must carry the user-pinned bucket exchange — AQE's
+    // byte-based coalescing may not collapse the mining join to one task
+    // (REPARTITION_BY_NUM is exempt from coalescing; ENSURE_REQUIREMENTS
+    // is not, which is exactly what the spread repairs)
+    val plan = spreadDf.queryExecution.executedPlan.toString
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      s"spread mining lost its pinned bucket exchange:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("REPARTITION_BY_NUM") && l.contains("band")),
+      s"pinned exchange is not keyed on the band bucket:\n$plan")
+    // spread is a physical-layout hint only: pair sets must be identical
+    val plainRows = plainDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(spreadRows == plainRows,
+      "spread changed the mined pair set")
+  }
+
   test("q191 rare terms pushes the doc-count ceiling into the vocab store scan") {
     val plan = planOf("q191_rare_terms")
     assert(plan.contains("PushedFilters") &&
