@@ -2685,19 +2685,42 @@ object Text {
         .filter(col("doc_id") % evalMod =!= evalRem &&
           col("doc_id") % batchMod === batchRem),
       eager = true)
-    val cleaned = cleanCorpusOf(delivery)
+    // The four stage frames are mutually independent (each reads the
+    // pinned delivery plus its own store) but their CONSTRUCTION is
+    // driver-side work — store-cache probes, per-stage analysis, and the
+    // near-dup stage's eager pin jobs — that a sequential build serializes:
+    // the measured job timeline showed the pre-execution window as small
+    // serialized jobs separated by driver gaps (plans/r15/
+    // q175_job_timeline_{before,after}.txt). Build them from a scheduling
+    // thread each (guide §2.6 — overlap independent driver work/jobs);
+    // the composition below awaits all four, so semantics and the
+    // composed plan are unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val cleanedF = Future { cleanCorpusOf(delivery) }
     // stage 2's probe returns the batch docs whose content is NOT already
     // in the store — the novel ones; a cleaned doc absent from this set is
     // a cross-corpus duplicate
-    val novel = dedupBatchAgainstStore(spark, delivery,
-        ensureDigestStore(spark, sfDir, batchMod, batchRem))
-      .select(col("doc_id"))
-    val nearDups = nearDupIncrement(spark, sfDir, batchMod, batchRem,
-        batchDocs = Some(delivery))
-      .select(col("i").as("doc_id")).distinct()
-    val contaminated = decontaminateBatchAgainstStore(spark, delivery,
-        ensureGramStore(spark, sfDir, gram, evalMod, evalRem), gram)
-      .select(col("doc_id"))
+    val novelF = Future {
+      dedupBatchAgainstStore(spark, delivery,
+          ensureDigestStore(spark, sfDir, batchMod, batchRem))
+        .select(col("doc_id"))
+    }
+    val nearDupsF = Future {
+      nearDupIncrement(spark, sfDir, batchMod, batchRem,
+          batchDocs = Some(delivery))
+        .select(col("i").as("doc_id")).distinct()
+    }
+    val contaminatedF = Future {
+      decontaminateBatchAgainstStore(spark, delivery,
+          ensureGramStore(spark, sfDir, gram, evalMod, evalRem), gram)
+        .select(col("doc_id"))
+    }
+    val cleaned = Await.result(cleanedF, Duration.Inf)
+    val novel = Await.result(novelF, Duration.Inf)
+    val nearDups = Await.result(nearDupsF, Duration.Inf)
+    val contaminated = Await.result(contaminatedF, Duration.Inf)
     cleaned
       .join(novel, Seq("doc_id"), "left_semi")
       .join(nearDups, Seq("doc_id"), "left_anti")

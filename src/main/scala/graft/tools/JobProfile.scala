@@ -31,15 +31,24 @@ object JobProfile {
     val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
     val jobLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val stageTimes = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    // epoch for the CURRENT query's timeline offsets (r15: start/end
+    // columns tell serialized jobs apart from AQE-concurrent ones — a
+    // duration-only listing cannot)
+    val queryEpoch = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         jobStart.put(js.jobId, System.nanoTime())
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val t0 = jobStart.remove(je.jobId)
+        val now = System.nanoTime()
         val dt =
           if (t0 == null) 0.0 // start event cleared between queries
-          else (System.nanoTime() - t0.longValue()) / 1e9
-        jobLines.add(f"  job ${je.jobId}%3d  ${dt}%7.3f s")
+          else (now - t0.longValue()) / 1e9
+        val rel =
+          if (t0 == null) 0.0
+          else (t0.longValue() - queryEpoch.get()) / 1e9
+        jobLines.add(
+          f"  job ${je.jobId}%3d  ${dt}%7.3f s  [${rel}%7.3f -> ${rel + dt}%7.3f]")
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val info = sc.stageInfo
@@ -70,6 +79,7 @@ object JobProfile {
       // events can't land in (or be cleared from) this query's tables.
       org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       jobLines.clear(); stageTimes.clear()
+      queryEpoch.set(System.nanoTime())
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).count()
       val total = (System.nanoTime() - t0) / 1e9
