@@ -258,11 +258,21 @@ object Media {
     val nBands = 64 / bandBits
     require(maxHamming < nBands, "pigeonhole recall guarantee needs maxHamming < nBands")
     val mask = (1L << bandBits) - 1
+    // Pin the banding exchange to the session's shuffle-partition count
+    // (REPARTITION_BY_NUM — exempt from AQE coalescing; the Text
+    // bandCandidatePairs lesson): the collision join's cost is pair-
+    // generation CPU, quadratic in bucket occupancy, which byte-based
+    // coalescing cannot see — measured at 10× fixture scale as ONE task
+    // holding 51 s of verify CPU over a 794 KB exchange
+    // (plans/r15/q161_stage_metrics_{before,after}.txt). The join needs
+    // this hash partitioning anyway, so the pin adds no exchange.
+    val nPart = sig.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val bands = sig.select(
       col("media_id"), col("ph"),
       posexplode(expr(
         s"transform(sequence(0, ${nBands - 1}), b -> shiftrightunsigned(ph, b * $bandBits) & $mask)"
       )).as(Seq("band", "chunk")))
+      .repartition(nPart, col("band"), col("chunk"))
     // Hamming verify BEFORE the distinct: bit_count is a per-row codegen op
     // while distinct is an exchange, so filtering first shrinks the
     // deduplicating shuffle from every band collision (~1/256 of random
@@ -316,13 +326,13 @@ object Media {
       maxHamming: Int = 7,
       bandBits: Int = 8): DataFrame =
     phashPairsFromSig(
-      // Explicit spread of the 16-byte signature rows before banding (the
-      // q63 posting-read pattern): a compact store scan would otherwise run
-      // the explode + candidate join + verify in as few tasks as the store
-      // has files, and the text-alike thumbnail hashes make some chunk
-      // buckets heavy — the exchange is trivial, the parallelism is not.
-      graft.Readers.parquet(spark, ensurePhashStore(spark, sfDir))
-        .repartition(col("media_id")),
+      // No pre-spread of the store scan: the r12 repartition(media_id)
+      // here was REPARTITION_BY_COL, which AQE byte-coalesced straight
+      // back to one read task — the shared tail's REPARTITION_BY_NUM
+      // banding exchange (phashPairsFromSig) is what actually carries the
+      // join/verify parallelism, and a second exchange in front of it is
+      // pure overhead.
+      graft.Readers.parquet(spark, ensurePhashStore(spark, sfDir)),
       maxHamming, bandBits)
 
   /** q138 — MEDIA PAYLOAD DEDUP: exact duplicate detection over the BINARY

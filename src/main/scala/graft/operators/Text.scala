@@ -3211,7 +3211,15 @@ object Text {
       doc.join(broadcast(jIds), col("doc_id") === col("j"), "left_semi")
         .select(col("doc_id").as("jd"), explode(shingleSet(shingleLen, sampleMod)).as("t")))
     val jSz = jTok.groupBy(col("jd")).agg(count(lit(1)).as("sj"))
+    // Spread the pair list before the verify probe (the q77 fix, same
+    // defect class): the candidate distinct's exchange is byte-coalesced
+    // by AQE (pairs are 16-byte rows), fusing the WHOLE unit-fanout verify
+    // into that stage — measured at 10× fixture scale as a single task
+    // holding 4.8 s of CPU while 31 cores idled
+    // (plans/r15/q109_stage_metrics_{before,after}.txt). The exchange
+    // moves pair metadata only, negligible at every scale.
     val common = cands
+      .repartition(spark.sparkContext.defaultParallelism)
       .join(batchTok.select(col("doc_id").as("i"), col("t")), "i")
       .join(jTok.select(col("jd").as("j"), col("t")), Seq("j", "t"))
       .groupBy(col("i"), col("j"))
