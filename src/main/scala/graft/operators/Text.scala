@@ -855,7 +855,21 @@ object Text {
     // exchange reuse does not span independent broadcast jobs). Pin the
     // banding-sized pair set eagerly so the corpus-wide chain runs once.
     val candsRaw = bandCandidatePairs(bands, spread = pinned)
-    val cands = if (pinned) Materialize.stable(candsRaw, eager = true) else candsRaw
+    // Spread BEFORE the pin: the distinct's AQE-coalesced output would
+    // otherwise fix the checkpoint at a handful of blocks, and every
+    // downstream consumer (the verify probe with its quadratic unit
+    // fanout, the id-set build) inherits that as its parallelism ceiling —
+    // measured at 10× fixture scale as the probe's 46 s of CPU on 4 tasks
+    // and, after a post-pin re-spread, a 3.3 s 4-task exchange map side.
+    // Checkpointing the spread frame gives every consumer full scheduling
+    // width with NO per-consumer exchange; the moved bytes are 16-byte
+    // pair rows (§8's lightweight proxy), once.
+    val cands =
+      if (pinned)
+        Materialize.stable(
+          candsRaw.repartition(docs.sparkSession.sparkContext.defaultParallelism),
+          eager = true)
+      else candsRaw
     // Verification reads ONLY candidate documents' units: semi-join the RAW
     // doc frame down to candidate ids FIRST, then build + explode the unit
     // arrays — the unit expression evaluates over |candidate docs| rows,
@@ -886,21 +900,10 @@ object Text {
     val candTokRaw = docs.join(candIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), explode(unitsCol).as("t"))
     val candTok = if (pinned) Materialize.stable(candTokRaw, eager = true) else candTokRaw
-    // Verify-probe parallelism: the stream side of the common-unit count is
-    // the PAIR LIST (16 bytes a row — the §8 lightweight proxy; the heavy
-    // unit table sits on the hash side), but a pinned pair list streams
-    // with exactly its checkpoint's block count — at 10× fixture scale the
-    // probe ran 46 s of pair-fanout CPU in 4 tasks while 28 cores idled.
-    // Round-robin the pinned pairs to the session's scheduling width
-    // before probing: the exchange moves pair metadata only, so it stays
-    // negligible at every scale (when the unit table outgrows the
-    // broadcast threshold and the join degrades to SMJ, the pairs were
-    // getting exchanged anyway).
-    val candsProbe =
-      if (pinned)
-        cands.repartition(cands.sparkSession.sparkContext.defaultParallelism)
-      else cands
-    val common = candsProbe
+    // The verify probe streams the pinned pair list directly: the pin
+    // above already checkpoints it at full scheduling width, so no
+    // per-consumer re-spread is needed.
+    val common = cands
       .join(candTok.select(col("doc_id").as("i"), col("t")), "i")
       .join(candTok.select(col("doc_id").as("j"), col("t")), Seq("j", "t"))
       .groupBy(col("i"), col("j"))

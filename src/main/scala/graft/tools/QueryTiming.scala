@@ -30,16 +30,28 @@ object QueryTiming {
     // Same experiment hook as Bench: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" layers
     // session confs for planner/runtime A/B runs (e.g. optimizer rule
     // exclusions) without editing the recorded methodology.
-    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+    val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
       .flatMap(_.split(';').toSeq).map(_.trim).filter(_.nonEmpty)
-      .foldLeft(spark0) { (b, kv) =>
+      .map { kv =>
         kv.split("=", 2) match {
-          case Array(k, v) => b.config(k, v)
+          case Array(k, v) => (k, v)
           case _ => sys.error(
             s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not k=v")
         }
       }
+    val spark = extraConf
+      .foldLeft(spark0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
+    // Builder.config entries are silently IGNORED when getOrCreate returns
+    // a pre-existing session (tools run back-to-back in one JVM) — an A/B
+    // run with a dropped conf must fail loudly, not time the wrong build
+    // (r15, the r14 advisory).
+    extraConf.foreach { case (k, v) =>
+      val got = spark.conf.getOption(k)
+      require(got.contains(v),
+        s"SPARK_GRAFT_EXTRA_CONF $k=$v not applied (session has $got) — " +
+          "getOrCreate returned an existing session; stop it first")
+    }
     spark.sparkContext.setLogLevel("ERROR")
     // Mirror Bench: prepared-instance reuse is opt-in, and this tool's
     // whole purpose is A/B parity with the bench's timed loop.

@@ -100,18 +100,25 @@ class PlanSpec extends SparkSpec {
     * fixed.
     */
   private def broadcastScanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] = {
-    import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, FilterExec, InputAdapter, ProjectExec, SparkPlan, WholeStageCodegenExec}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    import org.apache.spark.sql.execution.{CoalesceExec, ColumnarToRowExec, FileSourceScanExec, FilterExec, InputAdapter, ProjectExec, SortExec, SparkPlan, UnionExec, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeLike}
     // UNREDUCED reachability only: follow pure row-preserving nodes from
     // the broadcast build side; any aggregate/limit/window/join en route
     // means the broadcast frame is a REDUCTION of the scan (a k1 candidate
     // set deriving from the vector table is fine — broadcasting the table
-    // itself is not).
+    // itself is not). Row-preserving includes sorts, coalesces, unions,
+    // exchanges, and the AQE stage/reuse wrappers (r15, the r14 advisory):
+    // without those a fact scan reaching the broadcast through a
+    // ReusedExchange or query stage silently returned Nil and passed.
     def unreducedScans(p: SparkPlan): Seq[String] = p match {
       case f: FileSourceScanExec => f.relation.location.rootPaths.map(_.toString)
+      case r: ReusedExchangeExec => unreducedScans(r.child)
+      case q: QueryStageExec => unreducedScans(q.plan)
       case _: ProjectExec | _: FilterExec | _: ColumnarToRowExec |
-           _: InputAdapter | _: WholeStageCodegenExec =>
+           _: InputAdapter | _: WholeStageCodegenExec | _: SortExec |
+           _: CoalesceExec | _: UnionExec | _: AQEShuffleReadExec |
+           _: ShuffleExchangeLike =>
         p.children.flatMap(unreducedScans)
       case _ => Nil
     }
@@ -121,6 +128,12 @@ class PlanSpec extends SparkSpec {
         .flatMap(a => walk(a.executedPlan))
       here ++ nested
     }
+    // Execute first (collect, not count — count would execute a derived
+    // plan and leave df's own stages unbuilt): the locks must assert the
+    // FINAL adaptive plan, where an AQE runtime join-strategy change that
+    // broadcasts the fact/corpus side actually shows up (r15, the r14
+    // advisory; PlanSnap's executed-plan rationale).
+    df.collect()
     walk(df.queryExecution.executedPlan)
   }
 
